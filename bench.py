@@ -1,0 +1,60 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is forced end-to-end with the noop DataSourceV2 sink (full
+pipeline executes, nothing is collected to the driver — the honest measure
+of distributed throughput).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_query(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from mysql_streamer_spark.session import get_spark
+    from mysql_streamer_spark.queries import all_specs
+
+    spark = get_spark("bench")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    # warm the JVM/codegen once so per-query times measure the plan, not startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for spec in all_specs():
+        t0 = time.time()
+        run_query(spec.fn(spark, sf_dir))
+        dt = round(time.time() - t0, 3)
+        timings[spec.name] = dt
+        total += dt
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

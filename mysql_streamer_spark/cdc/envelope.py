@@ -1,0 +1,110 @@
+"""Envelope construction: refresh rerouting, transaction id, schema id.
+
+Reference behavior being re-expressed:
+
+- Refresh rerouting (S4): rows arriving on ``<t>_data_pipeline_refresh`` are
+  relabeled to the base table ``t`` with message_type ``refresh``
+  (low_level_binlog_stream_reader_wrapper.py:61, 114-127).
+- Transaction id (P5): ``(cluster_name, log_file, log_pos)`` — the
+  deterministic global ordering key that replaces the reference's
+  single-thread invariant (util/transaction_id.py:22-68). Exposed as a
+  sortable ``txn_order`` long so per-key ordering is a window/sort, and as
+  the idempotency key for exactly-once sinks.
+- Envelope projection (P3): schema_id + payload + position + timestamp
+  (util/message_builder.py:51-78).
+
+Schema ids are assigned densely over the distinct ``(database, table)``
+universe (ordered lexicographically) — the tiny dimension is broadcast so
+the stream-side join is shuffle-free, mirroring the reference's per-table
+schema cache (T1, schema_wrapper.py:79-83) as a broadcast join instead of a
+driver-side dict.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mysql_streamer_spark.cdc.source import REFRESH_SUFFIX
+
+
+def reroute_refresh_tables(df: DataFrame) -> DataFrame:
+    """S4: ``<t>_data_pipeline_refresh`` rows -> base table, type=refresh."""
+    is_refresh = F.col("table").endswith(REFRESH_SUFFIX)
+    return df.withColumn(
+        "message_type", F.when(is_refresh, F.lit("refresh")).otherwise(F.col("message_type"))
+    ).withColumn(
+        "table",
+        F.when(
+            is_refresh,
+            F.expr(f"substring(table, 1, length(table) - {len(REFRESH_SUFFIX)})"),
+        ).otherwise(F.col("table")),
+    )
+
+
+def with_transaction_id(df: DataFrame, cluster_name: str = "refresh_primary") -> DataFrame:
+    """P5: attach the (cluster, log_file, log_pos) ordering key.
+
+    ``txn_order`` folds (file_number, log_pos, offset) into one monotonic
+    long: file number and log_pos are both bounded (<10^6 files, <2^30 pos),
+    so ``file_no * 2^32 + log_pos * 4 + offset`` is collision-free and
+    preserves binlog order — sortable without string comparison.
+    """
+    file_no = F.substring_index("log_file", ".", -1).cast("long")
+    return (
+        df.withColumn("cluster_name", F.lit(cluster_name))
+        .withColumn(
+            "txn_order",
+            (file_no * F.lit(2**32) + F.col("log_pos") * 4 + F.col("offset")).cast("long"),
+        )
+    )
+
+
+def schema_id_dimension(df: DataFrame) -> DataFrame:
+    """Dense schema ids over the distinct (database, table) universe.
+
+    The distinct set is tiny (one row per table ever seen) even at 100 TB of
+    events, so the single-partition window below is safe; the result is
+    broadcast at the join site.
+    """
+    dim = df.select("database", "table").distinct()
+    w = Window.orderBy("database", "table")
+    return dim.withColumn("schema_id", F.dense_rank().over(w))
+
+
+def with_schema_ids(df: DataFrame, dim: DataFrame | None = None) -> DataFrame:
+    """T1 as a broadcast join: stream -> (database, table) -> schema_id."""
+    dim = dim if dim is not None else schema_id_dimension(df)
+    return df.join(F.broadcast(dim), on=["database", "table"], how="left")
+
+
+def build_envelope(df: DataFrame, cluster_name: str = "refresh_primary") -> DataFrame:
+    """P3: the final flat message envelope (column order = schema).
+
+    Flat columns rather than nested structs: every value is still present
+    (payload_*, position, meta/transaction id), and a flat schema keeps the
+    sink parquet friendly to column pruning + predicate pushdown for
+    downstream consumers.
+    """
+    routed = reroute_refresh_tables(df)
+    keyed = with_transaction_id(routed, cluster_name)
+    enveloped = with_schema_ids(keyed)
+    return enveloped.select(
+        F.col("schema_id"),
+        F.col("cluster_name"),
+        F.col("database").alias("database_name"),
+        F.col("table").alias("table_name"),
+        F.col("message_type"),
+        F.col("timestamp"),
+        F.col("log_file"),
+        F.col("log_pos"),
+        F.col("offset"),
+        F.col("txn_order"),
+        F.col("pk"),
+        F.col("payload_k"),
+        F.col("payload_val"),
+        # refresh messages never carry a previous payload (reference
+        # RefreshMessage semantics, low_level_binlog_stream_reader_wrapper.py:44-48)
+        F.when(F.col("message_type") != "refresh", F.col("before_val"))
+        .alias("previous_payload_val"),
+    )

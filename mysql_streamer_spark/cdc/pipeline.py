@@ -1,0 +1,63 @@
+"""The composed CDC pipeline — the reference's whole DML hot path as one
+declarative DataFrame plan (SURVEY.md §7 phase 0).
+
+    events (binlog stand-in)
+      -> normalize to CDC shape           (S1/S3, source.py)
+      -> split off heartbeats             (F5/S7)
+      -> schema blacklist                 (F1)
+      -> [optional] table whitelist       (F2)
+      -> refresh rerouting                (S4)
+      -> transaction id + schema id       (P5/T1)
+      -> envelope projection              (P1/P3)
+
+Because it is a single Catalyst plan, the filters get pushed to the scan and
+the schema-id lookup is a broadcast join — there is no per-event Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_streamer_spark.cdc.source import events_as_cdc
+from mysql_streamer_spark.cdc.filters import (
+    DEFAULT_SCHEMA_BLACKLIST,
+    filter_blacklisted_schemas,
+    filter_table_whitelist,
+    split_heartbeats,
+)
+from mysql_streamer_spark.cdc.envelope import build_envelope
+from mysql_streamer_spark.tables import load_table
+
+
+def cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The normalized CDC stream from the driver's events table."""
+    return events_as_cdc(load_table(spark, sf_dir, "events"))
+
+
+def envelope_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    blacklist: Iterable[str] = DEFAULT_SCHEMA_BLACKLIST,
+    table_whitelist: Iterable[str] = (),
+    cluster_name: str = "refresh_primary",
+) -> DataFrame:
+    """Full DML-path pipeline: events parquet -> message envelopes."""
+    cdc = cdc_events(spark, sf_dir)
+    data_events, _heartbeats = split_heartbeats(cdc)
+    admitted = filter_blacklisted_schemas(data_events, blacklist)
+    admitted = filter_table_whitelist(admitted, table_whitelist)
+    return build_envelope(admitted, cluster_name)
+
+
+def heartbeat_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The heartbeat side-channel (serial=event_id, timestamp), F4 fixture."""
+    _, hb = split_heartbeats(cdc_events(spark, sf_dir))
+    return hb.select(
+        F.col("event_id").alias("serial"),
+        F.col("timestamp"),
+        F.col("log_file"),
+        F.col("log_pos"),
+    )

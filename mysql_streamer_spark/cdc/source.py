@@ -1,0 +1,146 @@
+"""Adapt the driver's ``events`` table into a CDC row-change stream.
+
+The reference consumes pymysqlreplication binlog events and normalizes each
+changed row into a ``DataEvent`` (reference: replication_handler/util/misc.py:55-86;
+test-harness generator replication_handler_testing/events.py:85-95). The
+driver's synthetic ``events`` parquet table plays the role of the binlog here
+(FIXTURES.md §F3): this module maps it *deterministically* into that
+normalized row-change shape so the whole downstream pipeline (filters,
+envelope, changelog, checkpointing) is exercised end-to-end and remains
+checkable against a DuckDB oracle.
+
+Mapping rules (pure column expressions — Catalyst-friendly, and mirrored
+verbatim in the oracle SQL):
+
+- ``database``: ``user_id % 10 == 9`` -> ``yelp_heartbeat`` (heartbeat rows,
+  reference util/misc.py:35); ``user_id % 10 == 8`` -> ``test`` (a
+  blacklisted schema); otherwise ``db_<user_id % 2>``.
+- ``table``: heartbeat db -> ``replication_heartbeat``; every 13th event is
+  attributed to the table's ``_data_pipeline_refresh`` twin (exercises the
+  refresh rerouting of low_level_binlog_stream_reader_wrapper.py:114-127);
+  otherwise the event_type is the table name.
+- ``message_type``: signup->create, purchase->update, error->delete,
+  click/view->create (refresh rerouting later overrides to ``refresh``).
+- position: ``log_file = binlog.<event_id div 1000>``,
+  ``log_pos = (event_id mod 1000) * 4 + 4``, ``offset = 0``
+  (LogPosition, reference util/position.py:117-164).
+- payload: ``pk = user_id``, ``k`` extracted from the ``props`` JSON,
+  ``val = value``; updates additionally carry the previous payload
+  (``before_val``), modeled as a deterministic function of the row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Normalized CDC event columns (pre-envelope), FIXTURES.md §F3.
+CDC_EVENT_COLUMNS = (
+    "event_id",
+    "database",
+    "table",
+    "message_type",
+    "timestamp",
+    "log_file",
+    "log_pos",
+    "offset",
+    "pk",
+    "payload_k",
+    "payload_val",
+    "before_val",
+)
+
+#: Shared mapping constants — keep in lock-step with ORACLE_CDC_EVENTS_CTE.
+HEARTBEAT_DB = "yelp_heartbeat"
+HEARTBEAT_TABLE = "replication_heartbeat"
+REFRESH_SUFFIX = "_data_pipeline_refresh"
+MESSAGE_TYPE_MAP = {
+    "signup": "create",
+    "purchase": "update",
+    "error": "delete",
+    "click": "create",
+    "view": "create",
+}
+
+
+def events_as_cdc(events: DataFrame) -> DataFrame:
+    """events(event_id, ts, user_id, event_type, value, props) -> CDC shape."""
+    database = (
+        F.when(F.col("user_id") % 10 == 9, F.lit(HEARTBEAT_DB))
+        .when(F.col("user_id") % 10 == 8, F.lit("test"))
+        .otherwise(F.concat(F.lit("db_"), (F.col("user_id") % 2).cast("string")))
+    )
+    is_heartbeat = F.col("database") == HEARTBEAT_DB
+
+    message_type = F.col("event_type")
+    for src, dst in MESSAGE_TYPE_MAP.items():
+        message_type = F.when(F.col("event_type") == src, F.lit(dst)).otherwise(message_type)
+
+    return (
+        events.withColumn("database", database)
+        .withColumn(
+            "table",
+            F.when(is_heartbeat, F.lit(HEARTBEAT_TABLE))
+            .when(
+                F.col("event_id") % 13 == 0,
+                F.concat(F.col("event_type"), F.lit(REFRESH_SUFFIX)),
+            )
+            .otherwise(F.col("event_type")),
+        )
+        .withColumn("message_type", message_type)
+        .withColumn(
+            "log_file",
+            F.concat(
+                F.lit("binlog."),
+                F.lpad(F.expr("event_id div 1000").cast("string"), 6, "0"),
+            ),
+        )
+        .withColumn("log_pos", (F.col("event_id") % 1000) * 4 + 4)
+        .withColumn("offset", F.lit(0))
+        .withColumn("pk", F.col("user_id"))
+        .withColumn("payload_k", F.get_json_object("props", "$.k").cast("int"))
+        .withColumn("payload_val", F.col("value"))
+        .withColumn(
+            "before_val",
+            F.when(
+                F.col("message_type") == "update", F.col("value") - 1.0
+            ).otherwise(F.lit(None).cast("double")),
+        )
+        .withColumnRenamed("ts", "timestamp")
+        .select(*CDC_EVENT_COLUMNS)
+    )
+
+
+#: DuckDB CTE producing the identical CDC shape from the raw ``events`` view.
+#: Used by oracle_sql() entries; MUST stay in lock-step with events_as_cdc().
+ORACLE_CDC_EVENTS_CTE = """
+cdc AS (
+  SELECT
+    event_id,
+    CASE
+      WHEN user_id % 10 = 9 THEN 'yelp_heartbeat'
+      WHEN user_id % 10 = 8 THEN 'test'
+      ELSE 'db_' || CAST(user_id % 2 AS VARCHAR)
+    END AS database,
+    CASE
+      WHEN user_id % 10 = 9 THEN 'replication_heartbeat'
+      WHEN event_id % 13 = 0 THEN event_type || '_data_pipeline_refresh'
+      ELSE event_type
+    END AS "table",
+    CASE event_type
+      WHEN 'signup' THEN 'create'
+      WHEN 'purchase' THEN 'update'
+      WHEN 'error' THEN 'delete'
+      ELSE 'create'
+    END AS message_type,
+    ts AS timestamp,
+    'binlog.' || lpad(CAST(event_id // 1000 AS VARCHAR), 6, '0') AS log_file,
+    (event_id % 1000) * 4 + 4 AS log_pos,
+    0 AS "offset",
+    user_id AS pk,
+    CAST(json_extract_string(props, '$.k') AS INTEGER) AS payload_k,
+    value AS payload_val,
+    CASE WHEN event_type = 'purchase' THEN value - 1.0 END AS before_val
+  FROM events
+)
+"""

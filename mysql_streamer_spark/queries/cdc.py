@@ -1,0 +1,272 @@
+"""CDC-family queries (SURVEY.md §2.1-§2.5, §2.7) with DuckDB oracles.
+
+Each oracle reproduces the deterministic events->CDC mapping via
+``ORACLE_CDC_EVENTS_CTE`` (cdc/source.py) so Spark and DuckDB compute from
+identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mysql_streamer_spark.cdc.pipeline import (
+    cdc_events,
+    envelope_pipeline,
+    heartbeat_stream,
+)
+from mysql_streamer_spark.cdc.changelog import changelog_projection
+from mysql_streamer_spark.cdc.envelope import reroute_refresh_tables
+from mysql_streamer_spark.cdc.filters import (
+    filter_blacklisted_schemas,
+    split_heartbeats,
+)
+from mysql_streamer_spark.cdc.source import ORACLE_CDC_EVENTS_CTE
+from mysql_streamer_spark.queries.registry import QuerySpec
+
+_BLACKLIST_SQL = (
+    "('information_schema','mysql','performance_schema','test','yelp_heartbeat')"
+)
+
+#: Shared oracle CTE chain: cdc -> admitted (F1/F5) -> routed (S4) -> keyed (P5).
+_ORACLE_PIPELINE_CTES = (
+    "WITH "
+    + ORACLE_CDC_EVENTS_CTE
+    + f"""
+, admitted AS (
+  SELECT * FROM cdc WHERE database NOT IN {_BLACKLIST_SQL}
+)
+, routed AS (
+  SELECT
+    event_id,
+    database,
+    CASE WHEN ends_with("table", '_data_pipeline_refresh')
+         THEN substring("table", 1, length("table") - 22)
+         ELSE "table" END AS "table",
+    CASE WHEN ends_with("table", '_data_pipeline_refresh')
+         THEN 'refresh' ELSE message_type END AS message_type,
+    timestamp, log_file, log_pos, "offset",
+    pk, payload_k, payload_val, before_val
+  FROM admitted
+)
+, keyed AS (
+  SELECT *,
+    'refresh_primary' AS cluster_name,
+    CAST(split_part(log_file, '.', 2) AS BIGINT) * 4294967296
+      + log_pos * 4 + "offset" AS txn_order
+  FROM routed
+)
+"""
+)
+
+_ENVELOPE_SELECT = """
+SELECT
+  dense_rank() OVER (ORDER BY database, "table") AS schema_id,
+  cluster_name,
+  database AS database_name,
+  "table" AS table_name,
+  message_type,
+  timestamp,
+  log_file,
+  log_pos,
+  "offset",
+  txn_order,
+  pk,
+  payload_k,
+  payload_val,
+  CASE WHEN message_type <> 'refresh' THEN before_val END AS previous_payload_val
+FROM keyed
+"""
+
+
+def q_cdc_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full DML hot path: events -> filtered -> enveloped messages."""
+    return envelope_pipeline(spark, sf_dir)
+
+
+def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog mode (P4): constant-schema {table_schema, table_name, id}."""
+    cdc = cdc_events(spark, sf_dir)
+    data, _ = split_heartbeats(cdc)
+    admitted = filter_blacklisted_schemas(data)
+    return changelog_projection(reroute_refresh_tables(admitted))
+
+
+def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-state materialization: last change per (db, table, pk) by
+    transaction order (SURVEY.md §7 phases 4-5; replaces the reference's
+    downstream-consumer compaction). Window is partitioned by the same keys
+    the sink is partitioned by, so at scale this is one shuffle."""
+    env = envelope_pipeline(spark, sf_dir)
+    w = Window.partitionBy("database_name", "table_name", "pk").orderBy(
+        F.col("txn_order").desc()
+    )
+    return (
+        env.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "database_name",
+            "table_name",
+            "pk",
+            "message_type",
+            "txn_order",
+            "payload_k",
+            "payload_val",
+        )
+    )
+
+
+def q_cdc_heartbeat_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/R8: replication-delay metric from the heartbeat side channel —
+    per-heartbeat lag (seconds) behind the newest heartbeat seen."""
+    hb = heartbeat_stream(spark, sf_dir)
+    newest = F.max("timestamp").over(Window.partitionBy())
+    return hb.select(
+        F.col("serial"),
+        F.col("timestamp"),
+        F.col("log_file"),
+        F.col("log_pos"),
+        (F.unix_timestamp(newest) - F.unix_timestamp("timestamp"))
+        .cast("long")
+        .alias("delay_s"),
+    )
+
+
+def q_cdc_offset_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 (heartbeat searcher): timestamp -> position. Latest heartbeat at
+    or before the target timestamp; the reference scans binlog files
+    newest-to-oldest (heartbeat_searcher.py:53-64) — declaratively that is a
+    filter + order-by-desc + limit 1, which Catalyst executes as a TakeOrdered
+    (no full sort)."""
+    hb = heartbeat_stream(spark, sf_dir)
+    return (
+        hb.filter(F.col("timestamp") <= F.lit("2024-03-01 00:00:00").cast("timestamp"))
+        .orderBy(F.col("timestamp").desc())
+        .limit(1)
+        .select("serial", "timestamp", "log_file", "log_pos")
+    )
+
+
+def q_cdc_message_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops/stats counters (R8): messages per (database, table, type) —
+    partial-aggregated map-side before the shuffle."""
+    env = envelope_pipeline(spark, sf_dir)
+    return env.groupBy("database_name", "table_name", "message_type").agg(
+        F.count("*").alias("n_messages"),
+        F.min("txn_order").alias("first_txn"),
+        F.max("txn_order").alias("last_txn"),
+    )
+
+
+def q_cdc_exactly_once_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: exactly-once via idempotency key. A replayed micro-batch (the
+    envelope unioned with itself) deduplicated on the transaction id yields
+    the original message set — per-table counts prove no duplicates."""
+    env = envelope_pipeline(spark, sf_dir)
+    replayed = env.unionAll(env)
+    deduped = replayed.dropDuplicates(["cluster_name", "txn_order"])
+    return deduped.groupBy("database_name", "table_name").agg(
+        F.count("*").alias("n_messages")
+    )
+
+
+SPECS = [
+    QuerySpec(
+        "cdc_envelope",
+        q_cdc_envelope,
+        _ORACLE_PIPELINE_CTES + _ENVELOPE_SELECT,
+    ),
+    QuerySpec(
+        "cdc_changelog",
+        q_cdc_changelog,
+        _ORACLE_PIPELINE_CTES
+        + """
+SELECT
+  1 AS schema_id,
+  database AS table_schema,
+  "table" AS table_name,
+  pk AS id,
+  message_type
+FROM routed
+""",
+    ),
+    QuerySpec(
+        "cdc_latest_state",
+        q_cdc_latest_state,
+        _ORACLE_PIPELINE_CTES
+        + """
+SELECT database_name, table_name, pk, message_type, txn_order,
+       payload_k, payload_val
+FROM (
+  SELECT
+    database AS database_name,
+    "table" AS table_name,
+    pk, message_type, txn_order, payload_k, payload_val,
+    row_number() OVER (
+      PARTITION BY database, "table", pk ORDER BY txn_order DESC
+    ) AS rn
+  FROM keyed
+) WHERE rn = 1
+""",
+    ),
+    QuerySpec(
+        "cdc_heartbeat_lag",
+        q_cdc_heartbeat_lag,
+        "WITH "
+        + ORACLE_CDC_EVENTS_CTE
+        + """
+, hb AS (
+  SELECT event_id AS serial, timestamp, log_file, log_pos
+  FROM cdc WHERE database = 'yelp_heartbeat'
+)
+SELECT serial, timestamp, log_file, log_pos,
+       CAST(floor(epoch(max(timestamp) OVER ())) - floor(epoch(timestamp)) AS BIGINT)
+         AS delay_s
+FROM hb
+""",
+    ),
+    QuerySpec(
+        "cdc_offset_lookup",
+        q_cdc_offset_lookup,
+        "WITH "
+        + ORACLE_CDC_EVENTS_CTE
+        + """
+SELECT event_id AS serial, timestamp, log_file, log_pos
+FROM cdc
+WHERE database = 'yelp_heartbeat'
+  AND timestamp <= TIMESTAMP '2024-03-01 00:00:00'
+ORDER BY timestamp DESC
+LIMIT 1
+""",
+    ),
+    QuerySpec(
+        "cdc_message_counts",
+        q_cdc_message_counts,
+        _ORACLE_PIPELINE_CTES
+        + """
+SELECT
+  database AS database_name,
+  "table" AS table_name,
+  message_type,
+  count(*) AS n_messages,
+  min(txn_order) AS first_txn,
+  max(txn_order) AS last_txn
+FROM keyed
+GROUP BY 1, 2, 3
+""",
+    ),
+    QuerySpec(
+        "cdc_exactly_once_dedup",
+        q_cdc_exactly_once_dedup,
+        _ORACLE_PIPELINE_CTES
+        + """
+SELECT database_name, table_name, count(*) AS n_messages
+FROM (
+  SELECT DISTINCT database AS database_name, "table" AS table_name,
+         cluster_name, txn_order
+  FROM keyed
+)
+GROUP BY 1, 2
+""",
+    ),
+]

@@ -1,0 +1,79 @@
+"""Unit tests for the CDC data plane (mirrors the reference's test themes:
+filter admission, refresh rerouting, envelope shape, ordering key)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mysql_streamer_spark.cdc.pipeline import cdc_events, envelope_pipeline, heartbeat_stream
+from mysql_streamer_spark.cdc.filters import (
+    DEFAULT_SCHEMA_BLACKLIST,
+    filter_table_whitelist,
+)
+from mysql_streamer_spark.cdc.source import REFRESH_SUFFIX
+
+
+def test_no_blacklisted_or_heartbeat_rows_in_envelope(spark, sf_dir):
+    env = envelope_pipeline(spark, sf_dir)
+    dbs = {r[0] for r in env.select("database_name").distinct().collect()}
+    assert dbs and dbs.isdisjoint(set(DEFAULT_SCHEMA_BLACKLIST))
+
+
+def test_refresh_rerouting(spark, sf_dir):
+    env = envelope_pipeline(spark, sf_dir)
+    # no *_data_pipeline_refresh table survives, refresh rows exist
+    tables = {r[0] for r in env.select("table_name").distinct().collect()}
+    assert not any(t.endswith(REFRESH_SUFFIX) for t in tables)
+    assert env.filter(F.col("message_type") == "refresh").count() > 0
+
+
+def test_message_types_complete(spark, sf_dir):
+    env = envelope_pipeline(spark, sf_dir)
+    types = {r[0] for r in env.select("message_type").distinct().collect()}
+    assert types == {"create", "update", "delete", "refresh"}
+
+
+def test_update_carries_previous_payload(spark, sf_dir):
+    env = envelope_pipeline(spark, sf_dir)
+    bad = env.filter(
+        (F.col("message_type") == "update") & F.col("previous_payload_val").isNull()
+    ).count()
+    assert bad == 0
+    non_update_with_prev = env.filter(
+        (F.col("message_type") != "update") & F.col("previous_payload_val").isNotNull()
+    ).count()
+    assert non_update_with_prev == 0
+
+
+def test_txn_order_unique_and_monotonic_in_event_id(spark, sf_dir):
+    cdc = cdc_events(spark, sf_dir)
+    rows = cdc.select("event_id", "log_file", "log_pos").collect()
+    from mysql_streamer_spark.cdc.envelope import with_transaction_id
+
+    env = with_transaction_id(cdc).select("event_id", "txn_order").collect()
+    ordered = sorted(env, key=lambda r: r.event_id)
+    txns = [r.txn_order for r in ordered]
+    assert len(set(txns)) == len(txns), "transaction ids must be unique"
+    assert txns == sorted(txns), "binlog order must be preserved"
+    assert len(rows) == len(txns)
+
+
+def test_whitelist_implies_refresh_twin(spark, sf_dir):
+    cdc = cdc_events(spark, sf_dir)
+    wl = filter_table_whitelist(cdc, ["purchase"])
+    tables = {r[0] for r in wl.select("table").distinct().collect()}
+    assert tables == {"purchase", "purchase" + REFRESH_SUFFIX}
+
+
+def test_schema_ids_dense_from_one(spark, sf_dir):
+    env = envelope_pipeline(spark, sf_dir)
+    ids = sorted(
+        r[0] for r in env.select("schema_id").distinct().collect()
+    )
+    assert ids == list(range(1, len(ids) + 1))
+
+
+def test_heartbeat_stream_shape(spark, sf_dir):
+    hb = heartbeat_stream(spark, sf_dir)
+    assert set(hb.columns) == {"serial", "timestamp", "log_file", "log_pos"}
+    assert hb.count() > 0
