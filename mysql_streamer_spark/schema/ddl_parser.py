@@ -1,0 +1,361 @@
+"""MySQL DDL statement classifier + identifier/column parser.
+
+Re-expresses the reference's sql_handler (Q1-Q4, SURVEY.md §2.6): classify a
+replicated query into {CreateTable, AlterTable, DropTable, CreateDatabase,
+AlterDatabase, DropDatabase, CreateIndex, DropIndex, RenameTable,
+Unsupported}, extract the (database-)qualified table identity, detect
+renames, and — beyond the reference, which delegated schema derivation to a
+shadow MySQL — parse column definitions so the registry can evolve Spark
+StructTypes directly (no tracker DB needed).
+
+Grammar coverage mirrors the reference's test corpus
+(tests/components/sql_handler_test.py:83-248): ONLINE/OFFLINE/IGNORE/
+TEMPORARY modifiers, IF [NOT] EXISTS, backtick-quoted + unicode identifiers
+(including escaped ``` `` ``` inside), `db`.`table` qualification, and noise
+tails (ENGINE=, ROW_FORMAT=, AUTO_INCREMENT=, CONVERT TO CHARACTER SET ...)
+that must not confuse identifier extraction.
+"""
+
+from __future__ import annotations
+
+import enum
+import re
+from dataclasses import dataclass, field
+
+
+class StatementKind(enum.Enum):
+    CREATE_TABLE = "create_table"
+    ALTER_TABLE = "alter_table"
+    DROP_TABLE = "drop_table"
+    CREATE_DATABASE = "create_database"
+    ALTER_DATABASE = "alter_database"
+    DROP_DATABASE = "drop_database"
+    CREATE_INDEX = "create_index"
+    DROP_INDEX = "drop_index"
+    RENAME_TABLE = "rename_table"
+    UNSUPPORTED = "unsupported"
+
+    @property
+    def is_schema_relevant(self) -> bool:
+        """Statements the pipeline must act on (others are ignored —
+        reference sql_handler.py:52-57)."""
+        return self not in (StatementKind.UNSUPPORTED,)
+
+    @property
+    def is_rename(self) -> bool:
+        return self is StatementKind.RENAME_TABLE
+
+
+@dataclass(frozen=True)
+class ColumnDef:
+    name: str
+    type_str: str
+    nullable: bool = True
+
+
+@dataclass(frozen=True)
+class AlterOp:
+    """One clause of an ALTER TABLE: op in {add, drop, modify, change,
+    rename}; ``column``/``new_column``/``type_str`` as applicable."""
+
+    op: str
+    column: str | None = None
+    new_column: str | None = None
+    type_str: str | None = None
+
+
+@dataclass(frozen=True)
+class ParsedStatement:
+    kind: StatementKind
+    database: str | None = None
+    table: str | None = None
+    #: rename target(s): list of (old, new) fully-resolved table names
+    renames: tuple[tuple[str, str], ...] = ()
+    columns: tuple[ColumnDef, ...] = ()
+    alter_ops: tuple[AlterOp, ...] = ()
+    if_exists: bool = False
+    if_not_exists: bool = False
+    raw: str = ""
+
+    @property
+    def is_rename(self) -> bool:
+        return self.kind is StatementKind.RENAME_TABLE or any(
+            op.op == "rename" for op in self.alter_ops
+        )
+
+
+# identifier: `quoted` (with `` escapes) or bare word
+_IDENT = r"(?:`(?:[^`]|``)+`|[^\s`'\".,();=]+)"
+_QUALIFIED = rf"(?P<q1>{_IDENT})(?:\s*\.\s*(?P<q2>{_IDENT}))?"
+
+_WS = r"\s+"
+_MODIFIERS = r"(?:(?:ONLINE|OFFLINE|IGNORE|TEMPORARY)\s+)*"
+
+_HEAD_RES: list[tuple[StatementKind, re.Pattern]] = [
+    (
+        StatementKind.CREATE_TABLE,
+        re.compile(
+            rf"^CREATE\s+{_MODIFIERS}TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?{_QUALIFIED}",
+            re.IGNORECASE,
+        ),
+    ),
+    (
+        StatementKind.ALTER_TABLE,
+        re.compile(rf"^ALTER\s+{_MODIFIERS}TABLE\s+{_QUALIFIED}", re.IGNORECASE),
+    ),
+    (
+        StatementKind.DROP_TABLE,
+        re.compile(
+            rf"^DROP\s+{_MODIFIERS}TABLE\s+(?P<ie>IF\s+EXISTS\s+)?{_QUALIFIED}",
+            re.IGNORECASE,
+        ),
+    ),
+    (
+        StatementKind.CREATE_DATABASE,
+        re.compile(
+            rf"^CREATE\s+(?:DATABASE|SCHEMA)\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<q1>{_IDENT})",
+            re.IGNORECASE,
+        ),
+    ),
+    (
+        StatementKind.ALTER_DATABASE,
+        re.compile(rf"^ALTER\s+(?:DATABASE|SCHEMA)\s+(?P<q1>{_IDENT})", re.IGNORECASE),
+    ),
+    (
+        StatementKind.DROP_DATABASE,
+        re.compile(
+            rf"^DROP\s+(?:DATABASE|SCHEMA)\s+(?P<ie>IF\s+EXISTS\s+)?(?P<q1>{_IDENT})",
+            re.IGNORECASE,
+        ),
+    ),
+    (
+        StatementKind.CREATE_INDEX,
+        re.compile(
+            rf"^CREATE\s+{_MODIFIERS}(?:UNIQUE\s+|FULLTEXT\s+|SPATIAL\s+)?INDEX\s+{_IDENT}"
+            rf"(?:\s+USING\s+\w+)?\s+ON\s+{_QUALIFIED}",
+            re.IGNORECASE,
+        ),
+    ),
+    (
+        StatementKind.DROP_INDEX,
+        re.compile(
+            rf"^DROP\s+{_MODIFIERS}INDEX\s+{_IDENT}\s+ON\s+{_QUALIFIED}", re.IGNORECASE
+        ),
+    ),
+    (
+        StatementKind.RENAME_TABLE,
+        re.compile(r"^RENAME\s+TABLE\s+", re.IGNORECASE),
+    ),
+]
+
+_RENAME_PAIR_RE = re.compile(
+    rf"(?P<a1>{_IDENT})(?:\s*\.\s*(?P<a2>{_IDENT}))?\s+TO\s+"
+    rf"(?P<b1>{_IDENT})(?:\s*\.\s*(?P<b2>{_IDENT}))?",
+    re.IGNORECASE,
+)
+
+_ALTER_RENAME_RE = re.compile(
+    rf"\bRENAME\s+(?:(?:TO|AS)\s+)?(?P<r1>{_IDENT})(?:\s*\.\s*(?P<r2>{_IDENT}))?",
+    re.IGNORECASE,
+)
+
+
+def unquote(ident: str) -> str:
+    ident = ident.strip()
+    if ident.startswith("`") and ident.endswith("`"):
+        return ident[1:-1].replace("``", "`")
+    return ident
+
+
+def _strip_comments(sql: str) -> str:
+    sql = re.sub(r"/\*.*?\*/", " ", sql, flags=re.DOTALL)
+    sql = re.sub(r"--[^\n]*", " ", sql)
+    sql = re.sub(r"#[^\n]*", " ", sql)
+    return sql.strip().rstrip(";").strip()
+
+
+def _split_top_level_commas(body: str) -> list[str]:
+    parts, depth, cur, in_quote = [], 0, [], None
+    for ch in body:
+        if in_quote:
+            cur.append(ch)
+            if ch == in_quote:
+                in_quote = None
+            continue
+        if ch in ("`", "'", '"'):
+            in_quote = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return [p for p in parts if p]
+
+
+_NON_COLUMN_PREFIX = re.compile(
+    r"^(?:PRIMARY\s+KEY|UNIQUE(?:\s+KEY|\s+INDEX)?|KEY|INDEX|CONSTRAINT|"
+    r"FOREIGN\s+KEY|FULLTEXT|SPATIAL|CHECK)\b",
+    re.IGNORECASE,
+)
+
+_COLUMN_DEF_RE = re.compile(
+    rf"^(?P<name>{_IDENT})\s+(?P<type>[a-zA-Z]+(?:\s+precision)?(?:\s*\([^)]*\))?"
+    rf"(?:\s+unsigned)?(?:\s+zerofill)?)",
+    re.IGNORECASE,
+)
+
+
+def _parse_column_def(entry: str) -> ColumnDef | None:
+    if _NON_COLUMN_PREFIX.match(entry):
+        return None
+    m = _COLUMN_DEF_RE.match(entry)
+    if not m:
+        return None
+    nullable = not re.search(r"\bNOT\s+NULL\b", entry, re.IGNORECASE)
+    return ColumnDef(unquote(m.group("name")), m.group("type").strip(), nullable)
+
+
+def _extract_create_columns(sql: str) -> tuple[ColumnDef, ...]:
+    start = sql.find("(")
+    if start < 0:
+        return ()
+    depth = 0
+    for i in range(start, len(sql)):
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+            if depth == 0:
+                body = sql[start + 1 : i]
+                cols = [_parse_column_def(e) for e in _split_top_level_commas(body)]
+                return tuple(c for c in cols if c)
+    return ()
+
+
+_ALTER_OP_RES = [
+    (
+        "add",
+        re.compile(
+            rf"^ADD\s+(?:COLUMN\s+)?(?:\(\s*)?(?P<col>{_IDENT})\s+(?P<type>[a-zA-Z]+(?:\s*\([^)]*\))?"
+            rf"(?:\s+unsigned)?(?:\s+zerofill)?)",
+            re.IGNORECASE,
+        ),
+    ),
+    (
+        "change",
+        re.compile(
+            rf"^CHANGE\s+(?:COLUMN\s+)?(?P<col>{_IDENT})\s+(?P<new>{_IDENT})\s+"
+            rf"(?P<type>[a-zA-Z]+(?:\s*\([^)]*\))?(?:\s+unsigned)?(?:\s+zerofill)?)",
+            re.IGNORECASE,
+        ),
+    ),
+    (
+        "modify",
+        re.compile(
+            rf"^MODIFY\s+(?:COLUMN\s+)?(?P<col>{_IDENT})\s+(?P<type>[a-zA-Z]+(?:\s*\([^)]*\))?"
+            rf"(?:\s+unsigned)?(?:\s+zerofill)?)",
+            re.IGNORECASE,
+        ),
+    ),
+    ("drop", re.compile(rf"^DROP\s+(?:COLUMN\s+)?(?P<col>{_IDENT})\s*$", re.IGNORECASE)),
+    ("rename", re.compile(rf"^RENAME\s+(?:(?:TO|AS)\s+)?(?P<col>{_IDENT})", re.IGNORECASE)),
+]
+
+
+def _parse_alter_ops(tail: str) -> tuple[AlterOp, ...]:
+    ops = []
+    for clause in _split_top_level_commas(tail):
+        for op_name, rx in _ALTER_OP_RES:
+            m = rx.match(clause)
+            if not m:
+                continue
+            gd = m.groupdict()
+            ops.append(
+                AlterOp(
+                    op=op_name,
+                    column=unquote(gd["col"]) if gd.get("col") else None,
+                    new_column=unquote(gd["new"]) if gd.get("new") else None,
+                    type_str=gd.get("type"),
+                )
+            )
+            break
+    return tuple(ops)
+
+
+def parse_statement(sql: str, default_database: str | None = None) -> ParsedStatement:
+    """Classify one replicated query and extract its identifiers.
+
+    Unknown statements classify as UNSUPPORTED and are dropped by the
+    pipeline (F4) — never an exception, matching the reference's
+    fail-open-by-ignoring behavior (sql_handler.py:458-462)."""
+    cleaned = _strip_comments(sql)
+    for kind, rx in _HEAD_RES:
+        m = rx.match(cleaned)
+        if not m:
+            continue
+        gd = m.groupdict()
+        if kind is StatementKind.RENAME_TABLE:
+            renames = []
+            tail = cleaned[m.end():]
+            for pm in _RENAME_PAIR_RE.finditer(tail):
+                old_db = unquote(pm.group("a1")) if pm.group("a2") else default_database
+                old_tbl = unquote(pm.group("a2") or pm.group("a1"))
+                new_db = unquote(pm.group("b1")) if pm.group("b2") else default_database
+                new_tbl = unquote(pm.group("b2") or pm.group("b1"))
+                renames.append((f"{old_db}.{old_tbl}", f"{new_db}.{new_tbl}"))
+            return ParsedStatement(kind=kind, renames=tuple(renames), raw=sql)
+
+        if gd.get("q2"):
+            database, table = unquote(gd["q1"]), unquote(gd["q2"])
+        else:
+            database, table = default_database, unquote(gd["q1"])
+
+        if kind in (
+            StatementKind.CREATE_DATABASE,
+            StatementKind.ALTER_DATABASE,
+            StatementKind.DROP_DATABASE,
+        ):
+            return ParsedStatement(
+                kind=kind,
+                database=unquote(gd["q1"]),
+                if_exists=bool(gd.get("ie")),
+                if_not_exists=bool(gd.get("ine")),
+                raw=sql,
+            )
+
+        columns: tuple[ColumnDef, ...] = ()
+        alter_ops: tuple[AlterOp, ...] = ()
+        renames: tuple[tuple[str, str], ...] = ()
+        if kind is StatementKind.CREATE_TABLE:
+            columns = _extract_create_columns(cleaned[m.end():])
+        elif kind is StatementKind.ALTER_TABLE:
+            alter_ops = _parse_alter_ops(cleaned[m.end():].strip())
+            rn = next((op for op in alter_ops if op.op == "rename"), None)
+            if rn is not None:
+                am = _ALTER_RENAME_RE.search(cleaned[m.end():])
+                if am:
+                    new_db = unquote(am.group("r1")) if am.group("r2") else database
+                    new_tbl = unquote(am.group("r2") or am.group("r1"))
+                    renames = ((f"{database}.{table}", f"{new_db}.{new_tbl}"),)
+
+        return ParsedStatement(
+            kind=kind,
+            database=database,
+            table=table,
+            columns=columns,
+            alter_ops=alter_ops,
+            renames=renames,
+            if_exists=bool(gd.get("ie")),
+            if_not_exists=bool(gd.get("ine")),
+            raw=sql,
+        )
+    return ParsedStatement(kind=StatementKind.UNSUPPORTED, raw=sql)

@@ -1,0 +1,119 @@
+"""DDL classifier tests — same grammar surface as the reference's
+sql_handler_test.py:83-248 (MySQL 5.5/5.6/5.7 incl. modifiers, quoting and
+noise tails), written fresh against our parser API."""
+
+from __future__ import annotations
+
+import pytest
+
+from mysql_streamer_spark.schema.ddl_parser import (
+    StatementKind as K,
+    parse_statement,
+)
+
+
+@pytest.mark.parametrize(
+    "sql,kind,db,table",
+    [
+        ("CREATE TABLE biz (id int(11), name varchar(64))", K.CREATE_TABLE, None, "biz"),
+        ("create table `a_db`.`b_table` (x int)", K.CREATE_TABLE, "a_db", "b_table"),
+        ("CREATE TABLE IF NOT EXISTS t (x int)", K.CREATE_TABLE, None, "t"),
+        ("CREATE TEMPORARY TABLE tmp (x int)", K.CREATE_TABLE, None, "tmp"),
+        ("ALTER TABLE biz ADD location varchar(128) DEFAULT NULL", K.ALTER_TABLE, None, "biz"),
+        ("ALTER ONLINE IGNORE TABLE t ADD c int", K.ALTER_TABLE, None, "t"),
+        ("ALTER TABLE db1.t ENGINE=INNODB", K.ALTER_TABLE, "db1", "t"),
+        ("ALTER TABLE t ROW_FORMAT=COMPRESSED", K.ALTER_TABLE, None, "t"),
+        ("ALTER TABLE t AUTO_INCREMENT=100", K.ALTER_TABLE, None, "t"),
+        ("ALTER TABLE t CONVERT TO CHARACTER SET utf8", K.ALTER_TABLE, None, "t"),
+        ("DROP TABLE IF EXISTS `t`", K.DROP_TABLE, None, "t"),
+        ("DROP TEMPORARY TABLE x.y", K.DROP_TABLE, "x", "y"),
+        ("CREATE DATABASE IF NOT EXISTS d", K.CREATE_DATABASE, "d", None),
+        ("CREATE SCHEMA d2", K.CREATE_DATABASE, "d2", None),
+        ("ALTER DATABASE d CHARACTER SET utf8", K.ALTER_DATABASE, "d", None),
+        ("DROP DATABASE IF EXISTS d", K.DROP_DATABASE, "d", None),
+        ("DROP SCHEMA d", K.DROP_DATABASE, "d", None),
+        ("CREATE UNIQUE INDEX idx USING BTREE ON t (c)", K.CREATE_INDEX, None, "t"),
+        ("CREATE FULLTEXT INDEX idx ON t (c)", K.CREATE_INDEX, None, "t"),
+        ("DROP INDEX idx ON a.t", K.DROP_INDEX, "a", "t"),
+        ("BEGIN", K.UNSUPPORTED, None, None),
+        ("COMMIT", K.UNSUPPORTED, None, None),
+        ("INSERT INTO t VALUES (1)", K.UNSUPPORTED, None, None),
+        ("GRANT ALL ON *.* TO 'x'", K.UNSUPPORTED, None, None),
+        ("TRUNCATE TABLE t", K.UNSUPPORTED, None, None),
+    ],
+)
+def test_classification(sql, kind, db, table):
+    p = parse_statement(sql)
+    assert p.kind is kind
+    assert p.database == db
+    assert p.table == table
+
+
+def test_default_database_applied():
+    p = parse_statement("ALTER TABLE t ADD c int", default_database="mydb")
+    assert (p.database, p.table) == ("mydb", "t")
+
+
+def test_quoted_unicode_and_escaped_backticks():
+    p = parse_statement("CREATE TABLE `db``x`.`t‽able` (id int)")
+    assert p.database == "db`x"
+    assert p.table == "t‽able"
+
+
+def test_create_table_columns():
+    p = parse_statement(
+        """CREATE TABLE biz (
+            id int(11) NOT NULL AUTO_INCREMENT,
+            name varchar(64) DEFAULT NULL,
+            bal decimal(9,2),
+            tags set('A','B'),
+            PRIMARY KEY (id),
+            KEY name_idx (name)
+        ) ENGINE=InnoDB AUTO_INCREMENT=5 DEFAULT CHARSET=utf8"""
+    )
+    assert [c.name for c in p.columns] == ["id", "name", "bal", "tags"]
+    assert p.columns[0].nullable is False
+    assert p.columns[1].type_str == "varchar(64)"
+    assert p.columns[3].type_str == "set('A','B')"
+
+
+def test_alter_ops():
+    p = parse_statement(
+        "ALTER TABLE t ADD location varchar(128) DEFAULT NULL, "
+        "DROP COLUMN old_c, MODIFY office varchar(128), "
+        "CHANGE name address VARCHAR(64)"
+    )
+    ops = {o.op: o for o in p.alter_ops}
+    assert ops["add"].column == "location" and ops["add"].type_str == "varchar(128)"
+    assert ops["drop"].column == "old_c"
+    assert ops["modify"].column == "office"
+    assert ops["change"].column == "name" and ops["change"].new_column == "address"
+
+
+def test_rename_table_statement():
+    p = parse_statement("RENAME TABLE employee TO employee_backup", default_database="d")
+    assert p.kind is K.RENAME_TABLE
+    assert p.renames == (("d.employee", "d.employee_backup"),)
+    assert p.is_rename
+
+
+def test_rename_table_multi_pair():
+    p = parse_statement("RENAME TABLE a TO b, c.x TO c.y", default_database="d")
+    assert p.renames == (("d.a", "d.b"), ("c.x", "c.y"))
+
+
+def test_alter_rename_detection():
+    p = parse_statement("ALTER TABLE x RENAME TO y", default_database="d")
+    assert p.kind is K.ALTER_TABLE
+    assert p.is_rename
+    assert p.renames == (("d.x", "d.y"),)
+
+
+def test_alter_rename_as():
+    p = parse_statement("ALTER TABLE x RENAME AS y", default_database="d")
+    assert p.is_rename and p.renames[0][1] == "d.y"
+
+
+def test_unsupported_never_raises():
+    for junk in ["", "???", "SELECT 1", "/* only a comment */", "set names utf8"]:
+        assert parse_statement(junk).kind is K.UNSUPPORTED

@@ -1,0 +1,121 @@
+"""Schema registry: DDL replay, evolution, rename invalidation, persistence
+(reference themes: schema_event_handlers_test.py, acceptance/*.feature)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from mysql_streamer_spark.schema.mysql_types import mysql_type_to_spark
+from mysql_streamer_spark.schema.registry import SchemaRegistry, UnsupportedDDLError
+
+
+def test_type_mapping_families():
+    assert mysql_type_to_spark("int(11)").spark_type == T.IntegerType()
+    assert mysql_type_to_spark("bigint unsigned").spark_type == T.DecimalType(20, 0)
+    assert mysql_type_to_spark("decimal(9,2)").spark_type == T.DecimalType(9, 2)
+    assert mysql_type_to_spark("float").spark_type == T.FloatType()
+    assert mysql_type_to_spark("double").spark_type == T.DoubleType()
+    assert mysql_type_to_spark("varchar(64)").spark_type == T.StringType()
+    assert mysql_type_to_spark("blob").spark_type == T.BinaryType()
+    assert mysql_type_to_spark("date").spark_type == T.DateType()
+    assert mysql_type_to_spark("enum('A','B')").spark_type == T.StringType()
+
+    s = mysql_type_to_spark("set('A','B')")
+    assert s.spark_type == T.ArrayType(T.StringType()) and s.wire_transform == "set"
+    assert mysql_type_to_spark("time(6)").wire_transform == "time"
+    assert mysql_type_to_spark("datetime(6)").wire_transform == "datetime"
+    assert mysql_type_to_spark("timestamp").wire_transform == "timestamp"
+
+
+def test_create_then_alter_add():
+    reg = SchemaRegistry()
+    e1 = reg.apply_statement(
+        "CREATE TABLE biz (id int(11) NOT NULL, name varchar(64))", "db1"
+    )
+    assert e1.schema_id == 1 and e1.version == 1
+    assert [f.name for f in e1.struct.fields] == ["id", "name"]
+
+    e2 = reg.apply_statement(
+        "ALTER TABLE biz ADD location varchar(128) DEFAULT NULL", "db1"
+    )
+    assert e2.schema_id == 2 and e2.version == 2
+    assert [f.name for f in e2.struct.fields] == ["id", "name", "location"]
+
+    old, new = reg.diff("db1", "biz")
+    assert len(old.fields) == 2 and len(new.fields) == 3
+
+
+def test_alter_change_renames_column():
+    reg = SchemaRegistry()
+    reg.apply_statement("CREATE TABLE t (name varchar(64))", "d")
+    e = reg.apply_statement("ALTER TABLE t CHANGE name address VARCHAR(64)", "d")
+    assert [f.name for f in e.struct.fields] == ["address"]
+
+
+def test_alter_modify_changes_type_and_tmap():
+    reg = SchemaRegistry()
+    reg.apply_statement("CREATE TABLE t (c varchar(10))", "d")
+    e = reg.apply_statement("ALTER TABLE t MODIFY c time(3)", "d")
+    assert e.struct.fields[0].dataType == T.LongType()
+    assert e.transformation_map == {"c": "time"}
+
+
+def test_rename_moves_history():
+    reg = SchemaRegistry()
+    reg.apply_statement("CREATE TABLE employee (id int)", "d")
+    reg.apply_statement("RENAME TABLE employee TO employee_backup", "d")
+    assert reg.get("d", "employee") is None
+    moved = reg.get("d", "employee_backup")
+    assert moved is not None and moved.table == "employee_backup"
+
+
+def test_alter_rename_moves_history():
+    reg = SchemaRegistry()
+    reg.apply_statement("CREATE TABLE x (id int)", "d")
+    reg.apply_statement("ALTER TABLE x RENAME TO y", "d")
+    assert reg.get("d", "x") is None and reg.get("d", "y") is not None
+
+
+def test_drop_table():
+    reg = SchemaRegistry()
+    reg.apply_statement("CREATE TABLE t (id int)", "d")
+    reg.apply_statement("DROP TABLE t", "d")
+    assert reg.get("d", "t") is None
+
+
+def test_if_not_exists_idempotent():
+    reg = SchemaRegistry()
+    e1 = reg.apply_statement("CREATE TABLE t (id int)", "d")
+    e2 = reg.apply_statement("CREATE TABLE IF NOT EXISTS t (id int)", "d")
+    assert e1.schema_id == e2.schema_id
+
+
+def test_unsupported_raises():
+    reg = SchemaRegistry()
+    with pytest.raises(UnsupportedDDLError):
+        reg.apply_statement("TRUNCATE TABLE t", "d")
+
+
+def test_db_and_index_ddl_are_schema_neutral():
+    reg = SchemaRegistry()
+    assert reg.apply_statement("CREATE DATABASE d") is None
+    reg.apply_statement("CREATE TABLE t (id int)", "d")
+    assert reg.apply_statement("CREATE INDEX i ON t (id)", "d") is None
+    assert reg.get("d", "t").version == 1
+
+
+def test_persistence_round_trip(spark, tmp_path):
+    reg = SchemaRegistry()
+    reg.apply_statement("CREATE TABLE biz (id int NOT NULL, tags set('A','B'))", "d")
+    reg.apply_statement("ALTER TABLE biz ADD c time(6)", "d")
+    path = str(tmp_path / "registry")
+    reg.save(spark, path)
+
+    loaded = SchemaRegistry.load(spark, path)
+    e = loaded.get("d", "biz")
+    assert e.version == 2 and e.schema_id == 2
+    assert e.transformation_map == {"tags": "set", "c": "time"}
+    # next registration continues the id sequence
+    e3 = loaded.apply_statement("CREATE TABLE t2 (id int)", "d")
+    assert e3.schema_id == 3
