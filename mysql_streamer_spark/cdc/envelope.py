@@ -42,20 +42,36 @@ def reroute_refresh_tables(df: DataFrame) -> DataFrame:
     )
 
 
+#: Bit layout of ``txn_order``: file_no:15 | log_pos:32 | offset:16 (63 bits,
+#: fits a signed long). Real-binlog bounds: ``log_pos`` is a byte offset into
+#: one binlog file, capped by max_binlog_size at 4 GiB = 2^32; ``offset`` is
+#: the row index inside one RowsEvent (an event is < 2^16 rows in practice
+#: since events are bounded by binlog_row_event_max_size); ``file_no`` is the
+#: live binlog-file counter (purge policy keeps the retained set << 2^15).
+TXN_FILE_SHIFT = 2**48
+TXN_POS_SHIFT = 2**16
+
+
 def with_transaction_id(df: DataFrame, cluster_name: str = "refresh_primary") -> DataFrame:
-    """P5: attach the (cluster, log_file, log_pos) ordering key.
+    """P5: attach the (cluster, log_file, log_pos, offset) ordering key.
 
     ``txn_order`` folds (file_number, log_pos, offset) into one monotonic
-    long: file number and log_pos are both bounded (<10^6 files, <2^30 pos),
-    so ``file_no * 2^32 + log_pos * 4 + offset`` is collision-free and
-    preserves binlog order — sortable without string comparison.
+    long with disjoint bit ranges (see TXN_* constants above) so binlog order
+    is preserved under a plain numeric sort and the long doubles as the
+    exactly-once idempotency key (reference util/transaction_id.py:22-68 +
+    the single-thread ordering invariant,
+    base_parse_replication_stream.py:143).
     """
     file_no = F.substring_index("log_file", ".", -1).cast("long")
     return (
         df.withColumn("cluster_name", F.lit(cluster_name))
         .withColumn(
             "txn_order",
-            (file_no * F.lit(2**32) + F.col("log_pos") * 4 + F.col("offset")).cast("long"),
+            (
+                file_no * F.lit(TXN_FILE_SHIFT)
+                + F.col("log_pos") * F.lit(TXN_POS_SHIFT)
+                + F.col("offset")
+            ).cast("long"),
         )
     )
 

@@ -61,6 +61,24 @@ MESSAGE_TYPE_MAP = {
     "click": "create",
     "view": "create",
 }
+#: Unmapped event types fall back to this on BOTH the Spark and oracle side.
+MESSAGE_TYPE_DEFAULT = "create"
+
+
+def message_type_column() -> "F.Column":
+    """event_type -> message_type as a Column expr, generated from
+    MESSAGE_TYPE_MAP so Spark and the oracle CASE cannot diverge."""
+    expr = None
+    for src, dst in MESSAGE_TYPE_MAP.items():
+        cond = F.col("event_type") == src
+        expr = F.when(cond, F.lit(dst)) if expr is None else expr.when(cond, F.lit(dst))
+    return expr.otherwise(F.lit(MESSAGE_TYPE_DEFAULT))
+
+
+def message_type_case_sql() -> str:
+    """The identical mapping as a DuckDB CASE expression."""
+    whens = " ".join(f"WHEN '{s}' THEN '{d}'" for s, d in MESSAGE_TYPE_MAP.items())
+    return f"CASE event_type {whens} ELSE '{MESSAGE_TYPE_DEFAULT}' END"
 
 
 def events_as_cdc(events: DataFrame) -> DataFrame:
@@ -71,10 +89,6 @@ def events_as_cdc(events: DataFrame) -> DataFrame:
         .otherwise(F.concat(F.lit("db_"), (F.col("user_id") % 2).cast("string")))
     )
     is_heartbeat = F.col("database") == HEARTBEAT_DB
-
-    message_type = F.col("event_type")
-    for src, dst in MESSAGE_TYPE_MAP.items():
-        message_type = F.when(F.col("event_type") == src, F.lit(dst)).otherwise(message_type)
 
     return (
         events.withColumn("database", database)
@@ -87,7 +101,7 @@ def events_as_cdc(events: DataFrame) -> DataFrame:
             )
             .otherwise(F.col("event_type")),
         )
-        .withColumn("message_type", message_type)
+        .withColumn("message_type", message_type_column())
         .withColumn(
             "log_file",
             F.concat(
@@ -112,27 +126,23 @@ def events_as_cdc(events: DataFrame) -> DataFrame:
 
 
 #: DuckDB CTE producing the identical CDC shape from the raw ``events`` view.
-#: Used by oracle_sql() entries; MUST stay in lock-step with events_as_cdc().
-ORACLE_CDC_EVENTS_CTE = """
+#: Used by oracle_sql() entries; the message-type CASE is generated from
+#: MESSAGE_TYPE_MAP so it stays in lock-step with events_as_cdc().
+ORACLE_CDC_EVENTS_CTE = f"""
 cdc AS (
   SELECT
     event_id,
     CASE
-      WHEN user_id % 10 = 9 THEN 'yelp_heartbeat'
+      WHEN user_id % 10 = 9 THEN '{HEARTBEAT_DB}'
       WHEN user_id % 10 = 8 THEN 'test'
       ELSE 'db_' || CAST(user_id % 2 AS VARCHAR)
     END AS database,
     CASE
-      WHEN user_id % 10 = 9 THEN 'replication_heartbeat'
-      WHEN event_id % 13 = 0 THEN event_type || '_data_pipeline_refresh'
+      WHEN user_id % 10 = 9 THEN '{HEARTBEAT_TABLE}'
+      WHEN event_id % 13 = 0 THEN event_type || '{REFRESH_SUFFIX}'
       ELSE event_type
     END AS "table",
-    CASE event_type
-      WHEN 'signup' THEN 'create'
-      WHEN 'purchase' THEN 'update'
-      WHEN 'error' THEN 'delete'
-      ELSE 'create'
-    END AS message_type,
+    {message_type_case_sql()} AS message_type,
     ts AS timestamp,
     'binlog.' || lpad(CAST(event_id // 1000 AS VARCHAR), 6, '0') AS log_file,
     (event_id % 1000) * 4 + 4 AS log_pos,

@@ -17,16 +17,17 @@ from mysql_streamer_spark.cdc.pipeline import (
 )
 from mysql_streamer_spark.cdc.changelog import changelog_projection
 from mysql_streamer_spark.cdc.envelope import reroute_refresh_tables
+from mysql_streamer_spark.cdc.envelope import TXN_FILE_SHIFT, TXN_POS_SHIFT
 from mysql_streamer_spark.cdc.filters import (
+    DEFAULT_SCHEMA_BLACKLIST,
     filter_blacklisted_schemas,
     split_heartbeats,
 )
 from mysql_streamer_spark.cdc.source import ORACLE_CDC_EVENTS_CTE
 from mysql_streamer_spark.queries.registry import QuerySpec
 
-_BLACKLIST_SQL = (
-    "('information_schema','mysql','performance_schema','test','yelp_heartbeat')"
-)
+#: Generated from the same constant the Spark filter uses (F1 lock-step).
+_BLACKLIST_SQL = "(" + ",".join(f"'{db}'" for db in DEFAULT_SCHEMA_BLACKLIST) + ")"
 
 #: Shared oracle CTE chain: cdc -> admitted (F1/F5) -> routed (S4) -> keyed (P5).
 _ORACLE_PIPELINE_CTES = (
@@ -52,8 +53,8 @@ _ORACLE_PIPELINE_CTES = (
 , keyed AS (
   SELECT *,
     'refresh_primary' AS cluster_name,
-    CAST(split_part(log_file, '.', 2) AS BIGINT) * 4294967296
-      + log_pos * 4 + "offset" AS txn_order
+    CAST(split_part(log_file, '.', 2) AS BIGINT) * {TXN_FILE_SHIFT}
+      + log_pos * {TXN_POS_SHIFT} + "offset" AS txn_order
   FROM routed
 )
 """
@@ -118,15 +119,21 @@ def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cdc_heartbeat_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7/R8: replication-delay metric from the heartbeat side channel —
-    per-heartbeat lag (seconds) behind the newest heartbeat seen."""
+    per-heartbeat lag (seconds) behind the newest heartbeat seen.
+
+    The newest timestamp is a 1-row aggregate broadcast back onto the
+    stream (a cross join with a single-row dimension), NOT an unpartitioned
+    window: a global window would move every heartbeat row to one partition,
+    which is a scale-killer at 100 TB, while the aggregate is computed with
+    map-side partials in parallel."""
     hb = heartbeat_stream(spark, sf_dir)
-    newest = F.max("timestamp").over(Window.partitionBy())
-    return hb.select(
+    newest = hb.agg(F.max("timestamp").alias("newest_ts"))
+    return hb.crossJoin(F.broadcast(newest)).select(
         F.col("serial"),
         F.col("timestamp"),
         F.col("log_file"),
         F.col("log_pos"),
-        (F.unix_timestamp(newest) - F.unix_timestamp("timestamp"))
+        (F.unix_timestamp("newest_ts") - F.unix_timestamp("timestamp"))
         .cast("long")
         .alias("delay_s"),
     )
@@ -141,7 +148,9 @@ def q_cdc_offset_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hb = heartbeat_stream(spark, sf_dir)
     return (
         hb.filter(F.col("timestamp") <= F.lit("2024-03-01 00:00:00").cast("timestamp"))
-        .orderBy(F.col("timestamp").desc())
+        # serial DESC tiebreaker: ties on the max timestamp must resolve the
+        # same way in Spark and the oracle or the gate is flaky
+        .orderBy(F.col("timestamp").desc(), F.col("serial").desc())
         .limit(1)
         .select("serial", "timestamp", "log_file", "log_pos")
     )
@@ -220,9 +229,9 @@ FROM (
   FROM cdc WHERE database = 'yelp_heartbeat'
 )
 SELECT serial, timestamp, log_file, log_pos,
-       CAST(floor(epoch(max(timestamp) OVER ())) - floor(epoch(timestamp)) AS BIGINT)
+       CAST(floor(epoch(newest_ts)) - floor(epoch(timestamp)) AS BIGINT)
          AS delay_s
-FROM hb
+FROM hb CROSS JOIN (SELECT max(timestamp) AS newest_ts FROM hb)
 """,
     ),
     QuerySpec(
@@ -235,7 +244,7 @@ SELECT event_id AS serial, timestamp, log_file, log_pos
 FROM cdc
 WHERE database = 'yelp_heartbeat'
   AND timestamp <= TIMESTAMP '2024-03-01 00:00:00'
-ORDER BY timestamp DESC
+ORDER BY timestamp DESC, serial DESC
 LIMIT 1
 """,
     ),

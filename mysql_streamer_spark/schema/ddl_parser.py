@@ -154,8 +154,13 @@ _RENAME_PAIR_RE = re.compile(
     re.IGNORECASE,
 )
 
+#: ``RENAME INDEX a TO b`` (5.7) / ``RENAME COLUMN a TO b`` (8.0) are NOT
+#: table renames — the lookahead keeps the keyword from being captured as
+#: the new table name.
+_NOT_RENAME_OBJECT = r"(?!(?:INDEX|COLUMN|KEY)\b)"
+
 _ALTER_RENAME_RE = re.compile(
-    rf"\bRENAME\s+(?:(?:TO|AS)\s+)?(?P<r1>{_IDENT})(?:\s*\.\s*(?P<r2>{_IDENT}))?",
+    rf"\bRENAME\s+(?:(?:TO|AS)\s+)?{_NOT_RENAME_OBJECT}(?P<r1>{_IDENT})(?:\s*\.\s*(?P<r2>{_IDENT}))?",
     re.IGNORECASE,
 )
 
@@ -267,7 +272,28 @@ _ALTER_OP_RES = [
         ),
     ),
     ("drop", re.compile(rf"^DROP\s+(?:COLUMN\s+)?(?P<col>{_IDENT})\s*$", re.IGNORECASE)),
-    ("rename", re.compile(rf"^RENAME\s+(?:(?:TO|AS)\s+)?(?P<col>{_IDENT})", re.IGNORECASE)),
+    (
+        "rename_column",
+        re.compile(
+            rf"^RENAME\s+COLUMN\s+(?P<col>{_IDENT})\s+TO\s+(?P<new>{_IDENT})",
+            re.IGNORECASE,
+        ),
+    ),
+    # schema-neutral, but must be recognized so it isn't taken for a table rename
+    (
+        "rename_index",
+        re.compile(
+            rf"^RENAME\s+(?:INDEX|KEY)\s+(?P<col>{_IDENT})\s+TO\s+(?P<new>{_IDENT})",
+            re.IGNORECASE,
+        ),
+    ),
+    (
+        "rename",
+        re.compile(
+            rf"^RENAME\s+(?:(?:TO|AS)\s+)?(?!(?:INDEX|COLUMN|KEY)\b)(?P<col>{_IDENT})",
+            re.IGNORECASE,
+        ),
+    ),
 ]
 
 

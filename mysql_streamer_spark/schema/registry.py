@@ -140,6 +140,14 @@ class SchemaRegistry:
             return self._register(p.database, p.table, struct, tmap, p.raw)
         if k is StatementKind.ALTER_TABLE:
             if p.is_rename:
+                # a combined "ADD c int, RENAME TO t2" must evolve the schema
+                # BEFORE the identity moves, or the ADD is silently lost
+                column_ops = tuple(
+                    op for op in p.alter_ops
+                    if op.op in ("add", "drop", "modify", "change", "rename_column")
+                )
+                if column_ops:
+                    self._apply_alter(replace(p, alter_ops=column_ops))
                 self._apply_renames(p.renames)
                 return None
             return self._apply_alter(p)
@@ -197,6 +205,14 @@ class SchemaRegistry:
                 idx = by_name.pop(op.column)
                 tmap.pop(op.column, None)
                 fields[idx] = mapped_field(op.new_column, op.type_str)
+                by_name[op.new_column] = idx
+            elif op.op == "rename_column" and op.column in by_name:
+                # MySQL 8.0 RENAME COLUMN: identity changes, type stays
+                idx = by_name.pop(op.column)
+                old = fields[idx]
+                fields[idx] = T.StructField(op.new_column, old.dataType, old.nullable)
+                if op.column in tmap:
+                    tmap[op.new_column] = tmap.pop(op.column)
                 by_name[op.new_column] = idx
         return self._register(
             p.database, p.table, T.StructType(fields), tmap, p.raw

@@ -77,3 +77,25 @@ def test_heartbeat_stream_shape(spark, sf_dir):
     hb = heartbeat_stream(spark, sf_dir)
     assert set(hb.columns) == {"serial", "timestamp", "log_file", "log_pos"}
     assert hb.count() > 0
+
+
+def test_txn_order_packing_real_binlog_bounds(spark):
+    """log_pos near 2^32 and offset > 4 must stay collision-free and
+    binlog-ordered (VERDICT r1: the old *4 packing bled between fields)."""
+    from mysql_streamer_spark.cdc.envelope import with_transaction_id
+
+    rows = [
+        # (log_file, log_pos, offset) in true binlog order
+        ("binlog.000001", 4, 0),
+        ("binlog.000001", 4, 5),          # offset beyond the old *4 spacing
+        ("binlog.000001", 5, 0),          # would collide with (4, 4) under *4
+        ("binlog.000001", 2**32 - 10, 7), # log_pos near the 4 GiB cap
+        ("binlog.000002", 4, 0),          # next file must sort above any pos
+        ("binlog.000002", 2**32 - 1, 65535),
+    ]
+    df = spark.createDataFrame(rows, "log_file string, log_pos long, offset int")
+    out = with_transaction_id(df).orderBy("log_file", "log_pos", "offset").collect()
+    txns = [r.txn_order for r in out]
+    assert len(set(txns)) == len(txns)
+    assert txns == sorted(txns)
+    assert all(t > 0 for t in txns), "must not overflow signed 64-bit"

@@ -117,3 +117,30 @@ def test_alter_rename_as():
 def test_unsupported_never_raises():
     for junk in ["", "???", "SELECT 1", "/* only a comment */", "set names utf8"]:
         assert parse_statement(junk).kind is K.UNSUPPORTED
+
+
+def test_rename_index_is_not_table_rename():
+    p = parse_statement("ALTER TABLE t RENAME INDEX i_old TO i_new", default_database="d")
+    assert p.kind is K.ALTER_TABLE
+    assert not p.is_rename
+    assert p.renames == ()
+    ops = {o.op for o in p.alter_ops}
+    assert "rename" not in ops
+    assert "rename_index" in ops
+
+
+def test_rename_column_is_column_op():
+    p = parse_statement("ALTER TABLE t RENAME COLUMN a TO b", default_database="d")
+    assert p.kind is K.ALTER_TABLE
+    assert not p.is_rename
+    ops = {o.op: o for o in p.alter_ops}
+    assert ops["rename_column"].column == "a"
+    assert ops["rename_column"].new_column == "b"
+
+
+def test_combined_add_and_rename_keeps_both_ops():
+    p = parse_statement("ALTER TABLE t ADD c int, RENAME TO t2", default_database="d")
+    assert p.is_rename
+    assert p.renames == (("d.t", "d.t2"),)
+    ops = {o.op: o for o in p.alter_ops}
+    assert ops["add"].column == "c"

@@ -119,3 +119,36 @@ def test_persistence_round_trip(spark, tmp_path):
     # next registration continues the id sequence
     e3 = loaded.apply_statement("CREATE TABLE t2 (id int)", "d")
     assert e3.schema_id == 3
+
+
+def test_combined_add_and_rename_applies_add_first():
+    reg = SchemaRegistry()
+    reg.apply_statement("CREATE TABLE d.t (id int)", default_database="d")
+    reg.apply_statement("ALTER TABLE d.t ADD c int, RENAME TO d.t2")
+    assert reg.get("d", "t") is None
+    entry = reg.get("d", "t2")
+    assert entry is not None
+    assert [f.name for f in entry.struct.fields] == ["id", "c"]
+
+
+def test_rename_column_keeps_type_and_history():
+    reg = SchemaRegistry()
+    reg.apply_statement("CREATE TABLE d.t (id int, stamp timestamp)")
+    reg.apply_statement("ALTER TABLE d.t RENAME COLUMN stamp TO created_at")
+    entry = reg.get("d", "t")
+    assert [f.name for f in entry.struct.fields] == ["id", "created_at"]
+    assert entry.struct["created_at"].dataType == T.TimestampType()
+    # the wire transform follows the renamed column
+    assert entry.transformation_map.get("created_at") == "timestamp"
+    assert "stamp" not in entry.transformation_map
+    assert entry.version == 2
+
+
+def test_rename_index_is_schema_neutral():
+    reg = SchemaRegistry()
+    reg.apply_statement("CREATE TABLE d.t (id int)")
+    reg.apply_statement("ALTER TABLE d.t RENAME INDEX i_a TO i_b")
+    entry = reg.get("d", "t")
+    # no identity move, no bogus d.INDEX table
+    assert reg.tables() == [("d", "t")]
+    assert [f.name for f in entry.struct.fields] == ["id"]
