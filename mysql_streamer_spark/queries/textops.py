@@ -1,0 +1,231 @@
+"""Text-analysis queries over the ``documents`` table (LLM-data-pipeline
+operator family: token counting, language ID, quality scoring, document
+fingerprinting).
+
+Scale notes: every per-document query here is a pure map — one parquet scan,
+column pruning to (doc_id, text[, lang, source]), zero shuffles, no Python.
+``text_source_profile`` adds exactly one hash aggregation on a low-cardinality
+key. All of it survives a 1000-executor 100 TB run unchanged.
+
+Oracle discipline: every expression is generated from the shared constants in
+``mysql_streamer_spark.text`` so Spark and DuckDB cannot drift. Ratio columns
+divide exact integer counts as doubles — a single IEEE division is
+bit-identical in both engines (no float accumulation anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_streamer_spark import text as tx
+from mysql_streamer_spark.queries.registry import QuerySpec
+from mysql_streamer_spark.tables import load_table
+
+
+def _docs_with_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").withColumn(
+        "toks", tx.tokens_col("text")
+    )
+
+
+# ---------------------------------------------------------------------------
+# token / char statistics
+# ---------------------------------------------------------------------------
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs_with_tokens(spark, sf_dir)
+    return df.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars"),
+        tx.token_length_sum_col().alias("token_chars"),
+        tx.subword_count_col().alias("n_subwords"),
+        (
+            tx.token_length_sum_col().cast("double")
+            / F.size("toks").cast("double")
+        ).alias("avg_token_len"),
+    )
+
+
+_TOKEN_STATS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, text, {tx.tokens_sql("text")} AS toks FROM documents
+)
+SELECT
+  doc_id,
+  len(toks) AS n_tokens,
+  len(list_distinct(toks)) AS n_distinct_tokens,
+  length(text) AS n_chars,
+  {tx.token_length_sum_sql()} AS token_chars,
+  {tx.subword_count_sql()} AS n_subwords,
+  CAST({tx.token_length_sum_sql()} AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+    AS avg_token_len
+FROM tok
+"""
+
+
+# ---------------------------------------------------------------------------
+# language identification (stopword-hits heuristic)
+# ---------------------------------------------------------------------------
+
+_HIT_COLS = {lang: f"hits_{lang}" for lang in tx.STOPWORDS}
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs_with_tokens(spark, sf_dir)
+    for lang, col in _HIT_COLS.items():
+        df = df.withColumn(col, tx.stopword_hits_col(lang))
+    return df.withColumn(
+        "lang_pred", F.expr(tx.lang_pred_case_sql(_HIT_COLS))
+    ).select("doc_id", F.col("lang").alias("lang_label"), *_HIT_COLS.values(), "lang_pred")
+
+
+_LANGID_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, {tx.tokens_sql("text")} AS toks FROM documents
+), hits AS (
+  SELECT doc_id, lang,
+    {", ".join(f'{tx.stopword_hits_sql(lang)} AS {col}' for lang, col in _HIT_COLS.items())}
+  FROM tok
+)
+SELECT doc_id, lang AS lang_label, {", ".join(_HIT_COLS.values())},
+       {tx.lang_pred_case_sql(_HIT_COLS)} AS lang_pred
+FROM hits
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+_W_LEN, _W_DIV, _W_INFO = tx.QUALITY_WEIGHTS
+_Q_HI, _Q_LO = tx.QUALITY_THRESHOLDS
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs_with_tokens(spark, sf_dir).select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        tx.stopword_hits_col(tx.ALL_STOPWORDS).alias("stop_hits"),
+    )
+    distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")
+    stop_ratio = F.col("stop_hits").cast("double") / F.col("n_tokens").cast("double")
+    coverage = F.least(
+        F.lit(1.0), F.col("n_tokens").cast("double") / F.lit(tx.QUALITY_TOKEN_TARGET)
+    )
+    score = (
+        coverage * F.lit(_W_LEN)
+        + distinct_ratio * F.lit(_W_DIV)
+        + (F.lit(1.0) - stop_ratio) * F.lit(_W_INFO)
+    )
+    return df.select(
+        "doc_id",
+        "n_tokens",
+        distinct_ratio.alias("distinct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+        F.when(score >= _Q_HI, "high")
+        .when(score >= _Q_LO, "medium")
+        .otherwise("low")
+        .alias("quality_class"),
+    )
+
+
+_QUALITY_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {tx.tokens_sql("text")} AS toks FROM documents
+), counts AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    len(list_distinct(toks)) AS n_distinct,
+    {tx.stopword_hits_sql(tx.ALL_STOPWORDS)} AS stop_hits
+  FROM tok
+), scored AS (
+  SELECT doc_id, n_tokens,
+    CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_ratio,
+    CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+    least(1.0, CAST(n_tokens AS DOUBLE) / {tx.QUALITY_TOKEN_TARGET})
+        * {_W_LEN}
+      + (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * {_W_DIV}
+      + (1.0 - CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * {_W_INFO}
+      AS quality_score
+  FROM counts
+)
+SELECT doc_id, n_tokens, distinct_ratio, stopword_ratio, quality_score,
+  CASE WHEN quality_score >= {_Q_HI} THEN 'high'
+       WHEN quality_score >= {_Q_LO} THEN 'medium'
+       ELSE 'low' END AS quality_class
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint (min-hash-of-shingles, the rolling-hash analogue)
+# ---------------------------------------------------------------------------
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs_with_tokens(spark, sf_dir).withColumn("shingles", tx.shingles_col())
+    return df.select(
+        "doc_id",
+        F.size(F.array_distinct("shingles")).alias("n_distinct_shingles"),
+        tx.minhash_col(0).alias("fingerprint"),
+    )
+
+
+_FINGERPRINT_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {tx.tokens_sql("text")} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, {tx.shingles_sql()} AS shingles FROM tok
+)
+SELECT doc_id,
+  len(list_distinct(shingles)) AS n_distinct_shingles,
+  {tx.minhash_sql(0)} AS fingerprint
+FROM sh
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus profile per (lang, source) — integer sums only, division at the end
+# ---------------------------------------------------------------------------
+
+def q_text_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs_with_tokens(spark, sf_dir)
+    per_doc = df.select(
+        "lang", "source", F.size("toks").alias("n_tokens"), F.length("text").alias("n_chars")
+    )
+    return per_doc.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_tokens").cast("double") / F.count("*").cast("double")).alias(
+            "avg_tokens_per_doc"
+        ),
+    )
+
+
+_SOURCE_PROFILE_ORACLE = f"""
+WITH tok AS (
+  SELECT lang, source, {tx.tokens_sql("text")} AS toks, length(text) AS n_chars
+  FROM documents
+)
+SELECT lang, source,
+  count(*) AS n_docs,
+  sum(len(toks)) AS total_tokens,
+  sum(n_chars) AS total_chars,
+  CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tokens_per_doc
+FROM tok
+GROUP BY lang, source
+"""
+
+
+SPECS = [
+    QuerySpec("text_token_stats", q_text_token_stats, _TOKEN_STATS_ORACLE),
+    QuerySpec("text_langid", q_text_langid, _LANGID_ORACLE),
+    QuerySpec("text_quality", q_text_quality, _QUALITY_ORACLE),
+    QuerySpec("text_fingerprint", q_text_fingerprint, _FINGERPRINT_ORACLE),
+    QuerySpec("text_source_profile", q_text_source_profile, _SOURCE_PROFILE_ORACLE),
+]

@@ -1,0 +1,173 @@
+"""Text-analysis primitives for LLM-data-pipeline operators over the
+``documents`` table: tokenization, w-shingling, stopword scoring, seeded
+hashing for MinHash.
+
+Design rules (100 TB posture):
+
+- Everything here is a per-row column expression — built-in
+  ``pyspark.sql.functions`` / SQL higher-order functions only, so the whole
+  family stays inside whole-stage codegen with NO Python UDFs and NO shuffle
+  until an explicit aggregation.
+- Every builder has a Spark form (``*_col``) and a DuckDB form (``*_sql``)
+  generated from the SAME constants, so the oracle can never drift from the
+  engine (the lesson encoded in cdc/source.py's lock-step CTE).
+- Hashing is md5-based because Spark and DuckDB produce identical lowercase
+  hex for identical input — giving cross-engine-checkable MinHash/SimHash
+  without relying on engine-private hash functions. (Reference scope: the
+  original system has no text operators; this family is the scale extension
+  mandated by SURVEY.md §7 phases 4-5.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: The driver's documents.text is single-space-delimited lowercase words.
+TOKEN_DELIM = " "
+
+#: w-shingling width for fingerprints / MinHash (standard near-dup width
+#: for word-level shingles on short documents).
+SHINGLE_K = 3
+
+#: Tiny per-language stopword lists for the n-gram/stopword lang-ID
+#: heuristic. Deliberately small: the heuristic is argmax-of-hits with a
+#: deterministic tie order (the list order below).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "es": ("el", "la", "los", "de", "y", "es", "un"),
+    "fr": ("le", "la", "les", "et", "est", "un"),
+}
+
+#: Quality-score weights: coverage (doc long enough), lexical diversity,
+#: information density (1 - stopword ratio).
+QUALITY_WEIGHTS = (0.4, 0.3, 0.3)
+QUALITY_TOKEN_TARGET = 100.0
+QUALITY_THRESHOLDS = (0.6, 0.4)  # >= hi -> 'high', >= lo -> 'medium'
+
+
+def _quoted(words: tuple[str, ...]) -> str:
+    return ",".join(f"'{w}'" for w in words)
+
+
+# ---------------------------------------------------------------------------
+# tokens
+# ---------------------------------------------------------------------------
+
+def tokens_col(text_col: str = "text") -> Column:
+    return F.split(F.col(text_col), TOKEN_DELIM)
+
+
+def tokens_sql(text_expr: str = "text") -> str:
+    return f"string_split({text_expr}, '{TOKEN_DELIM}')"
+
+
+def token_length_sum_col(toks: str = "toks") -> Column:
+    """Sum of token lengths (integer math — exact in both engines)."""
+    return F.expr(f"aggregate({toks}, 0, (acc, t) -> acc + length(t))")
+
+
+def token_length_sum_sql(toks: str = "toks") -> str:
+    return f"list_sum(list_transform({toks}, t -> length(t)))"
+
+
+def subword_count_col(toks: str = "toks", width: int = 3) -> Column:
+    """BPE-ish subword count: ceil(len/width) chunks per token, summed."""
+    return F.expr(
+        f"aggregate({toks}, 0, (acc, t) -> acc + int((length(t) + {width - 1}) div {width}))"
+    )
+
+
+def subword_count_sql(toks: str = "toks", width: int = 3) -> str:
+    return (
+        f"list_sum(list_transform({toks}, t -> (length(t) + {width - 1}) // {width}))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# stopword hits / language ID
+# ---------------------------------------------------------------------------
+
+#: Union of every per-language list — the generic "is a stopword" set.
+ALL_STOPWORDS = tuple(sorted({w for ws in STOPWORDS.values() for w in ws}))
+
+
+def _words(lang_or_words: str | tuple[str, ...]) -> tuple[str, ...]:
+    return STOPWORDS[lang_or_words] if isinstance(lang_or_words, str) else lang_or_words
+
+
+def stopword_hits_col(lang_or_words: str | tuple[str, ...], toks: str = "toks") -> Column:
+    return F.expr(
+        f"size(filter({toks}, t -> t IN ({_quoted(_words(lang_or_words))})))"
+    )
+
+
+def stopword_hits_sql(lang_or_words: str | tuple[str, ...], toks: str = "toks") -> str:
+    return (
+        f"len(list_filter({toks}, "
+        f"t -> list_contains([{_quoted(_words(lang_or_words))}], t)))"
+    )
+
+
+def lang_pred_case_sql(hit_cols: dict[str, str]) -> str:
+    """Argmax with deterministic tie order = STOPWORDS key order. Works on
+    already-computed per-language hit-count columns; the identical CASE
+    shape is used by the Spark side via F.expr."""
+    langs = list(STOPWORDS)
+    clauses = []
+    for i, lang in enumerate(langs):
+        others = [hit_cols[o] for o in langs[i + 1 :]]
+        cond = " AND ".join(
+            [f"{hit_cols[lang]} > 0"]
+            + [f"{hit_cols[lang]} >= {o}" for o in others]
+        )
+        clauses.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + " ELSE 'und' END"
+
+
+# ---------------------------------------------------------------------------
+# shingles + hashing
+# ---------------------------------------------------------------------------
+
+def shingles_col(toks: str = "toks", k: int = SHINGLE_K) -> Column:
+    """All k-token shingles as an array<string> (empty if doc too short)."""
+    return F.expr(
+        f"CASE WHEN size({toks}) >= {k} THEN "
+        f"transform(sequence(1, size({toks}) - {k - 1}), "
+        f"i -> array_join(slice({toks}, i, {k}), '{TOKEN_DELIM}')) "
+        f"ELSE array() END"
+    )
+
+
+def shingles_sql(toks: str = "toks", k: int = SHINGLE_K) -> str:
+    return (
+        f"CASE WHEN len({toks}) >= {k} THEN "
+        f"list_transform(generate_series(1, len({toks}) - {k - 1}), "
+        f"i -> array_to_string({toks}[i:i+{k - 1}], '{TOKEN_DELIM}')) "
+        f"ELSE [] END"
+    )
+
+
+def seeded_md5_sql_duck(seed: int, value_expr: str) -> str:
+    return f"md5('{seed}:' || {value_expr})"
+
+
+def seeded_md5_sql_spark(seed: int, value_expr: str) -> str:
+    return f"md5(concat('{seed}:', {value_expr}))"
+
+
+def minhash_col(seed: int, shingles: str = "shingles") -> Column:
+    """One MinHash signature component: the minimum seeded-md5 over the
+    shingle set. min over hex strings is a valid MinHash (md5 is uniform
+    over the string order); strings avoid any engine-specific hex->int
+    conversion so the oracle agrees byte-for-byte."""
+    return F.expr(
+        f"array_min(transform({shingles}, s -> {seeded_md5_sql_spark(seed, 's')}))"
+    )
+
+
+def minhash_sql(seed: int, shingles: str = "shingles") -> str:
+    return (
+        f"list_min(list_transform({shingles}, s -> {seeded_md5_sql_duck(seed, 's')}))"
+    )

@@ -1,0 +1,67 @@
+"""Text-operator unit tests (tokenize, shingle, langid, fingerprint edges)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mysql_streamer_spark import text as tx
+
+
+def test_shingles_short_doc_is_empty(spark):
+    df = spark.createDataFrame([("a b",), ("a b c",), ("a b c d",)], "text string")
+    out = (
+        df.withColumn("toks", tx.tokens_col())
+        .withColumn("shingles", tx.shingles_col())
+        .select("text", "shingles")
+        .collect()
+    )
+    by_text = {r.text: r.shingles for r in out}
+    assert by_text["a b"] == []
+    assert by_text["a b c"] == ["a b c"]
+    assert by_text["a b c d"] == ["a b c", "b c d"]
+
+
+def test_minhash_is_min_of_seeded_md5(spark):
+    import hashlib
+
+    df = spark.createDataFrame([("x y z w",)], "text string")
+    row = (
+        df.withColumn("toks", tx.tokens_col())
+        .withColumn("shingles", tx.shingles_col())
+        .select(tx.minhash_col(7).alias("mh"))
+        .collect()[0]
+    )
+    expected = min(
+        hashlib.md5(f"7:{s}".encode()).hexdigest() for s in ("x y z", "y z w")
+    )
+    assert row.mh == expected
+
+
+def test_langid_prefers_hit_count_with_deterministic_ties(spark):
+    df = spark.createDataFrame(
+        [("the of is and to",), ("der und ist der das",), ("xyzzy qwerty",)],
+        "text string",
+    )
+    d = df.withColumn("toks", tx.tokens_col())
+    hit_cols = {}
+    for lang in tx.STOPWORDS:
+        col = f"hits_{lang}"
+        hit_cols[lang] = col
+        d = d.withColumn(col, tx.stopword_hits_col(lang))
+    out = d.withColumn("pred", F.expr(tx.lang_pred_case_sql(hit_cols))).collect()
+    preds = [r.pred for r in out]
+    assert preds[0] == "en"
+    assert preds[1] == "de"
+    assert preds[2] == "und"
+
+
+def test_subword_count_ceil_division(spark):
+    # "abcdef" -> 2 chunks of 3; "ab" -> 1; "abcd" -> 2
+    df = spark.createDataFrame([("abcdef ab abcd",)], "text string")
+    n = (
+        df.withColumn("toks", tx.tokens_col())
+        .select(tx.subword_count_col().alias("n"))
+        .collect()[0]
+        .n
+    )
+    assert n == 5
