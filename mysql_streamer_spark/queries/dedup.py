@@ -1,0 +1,270 @@
+"""Deduplication operator family over ``documents`` (LLM-data-pipeline):
+exact content-hash dedup, MinHash signatures with banded LSH, LSH candidate
+pairs verified by exact n-gram Jaccard, and SimHash-32.
+
+Scale design (the part that must survive 100 TB):
+
+- Exact dedup is ONE hash-aggregate on sha256(text) — map-side partials,
+  one shuffle, no row wider than (hash, count, min_id).
+- Near-dup detection NEVER does an all-pairs comparison. Docs are mapped to
+  ``BANDS`` band-bucket keys (map-only); only docs sharing a bucket meet in
+  the equi-join, so the join's fan-out is bounded by real collision groups
+  (the standard banded-LSH argument: P[candidate] = 1-(1-j^r)^b). The
+  expensive exact-Jaccard verification runs only on candidate pairs.
+- SimHash is again map-only: 32 bit-majority votes folded over the token
+  hash array with SQL higher-order aggregates, no explode, no Python.
+
+Cross-engine hashing: md5 / sha256 produce identical hex in Spark and
+DuckDB; hex->int uses Spark ``conv(...,16,10)`` vs DuckDB ``'0x'||s`` cast,
+both exact on 8-hex-digit (32-bit) values. All Jaccard/majority math is
+integer counts with a final double division (bit-identical in both).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_streamer_spark import text as tx
+from mysql_streamer_spark.queries.registry import QuerySpec
+from mysql_streamer_spark.tables import load_table
+
+#: MinHash signature length and band layout: H = BANDS * ROWS_PER_BAND.
+N_HASHES = 8
+BANDS = 4
+ROWS_PER_BAND = N_HASHES // BANDS
+
+#: Candidate pairs below this exact n-gram Jaccard are dropped.
+JACCARD_THRESHOLD = 0.3
+
+#: SimHash width in bits (first 8 md5 hex chars = 32 bits per token).
+SIMHASH_BITS = 32
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.sha2("text", 256).alias("content_hash")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )
+
+
+_EXACT_ORACLE = """
+SELECT sha256(text) AS content_hash,
+       count(*) AS n_docs,
+       min(doc_id) AS keeper_doc_id
+FROM documents
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures -> banded LSH keys
+# ---------------------------------------------------------------------------
+
+def _with_signature(docs: DataFrame) -> DataFrame:
+    """doc_id + minhash components sig_0..sig_{H-1} (map-only)."""
+    df = (
+        docs.withColumn("toks", tx.tokens_col("text"))
+        .withColumn("shingles", tx.shingles_col())
+        .filter(F.size("shingles") > 0)
+    )
+    for i in range(N_HASHES):
+        df = df.withColumn(f"sig_{i}", tx.minhash_col(i))
+    return df
+
+
+def _band_hash_col(band: int) -> F.Column:
+    parts = [F.lit(str(band))] + [
+        F.col(f"sig_{band * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)
+    ]
+    return F.md5(F.concat_ws(":", *parts))
+
+
+def _signature_sql_cte() -> str:
+    sig_cols = ", ".join(
+        f"{tx.minhash_sql(i)} AS sig_{i}" for i in range(N_HASHES)
+    )
+    return f"""
+tok AS (
+  SELECT doc_id, {tx.tokens_sql("text")} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, {tx.shingles_sql()} AS shingles FROM tok
+  WHERE len({tx.shingles_sql("toks")}) > 0
+), sigs AS (
+  SELECT doc_id, {sig_cols} FROM sh
+)"""
+
+
+def _band_hash_sql(band: int) -> str:
+    cols = ", ".join(f"sig_{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+    return f"md5(concat_ws(':', '{band}', {cols}))"
+
+
+def _bands_sql_cte() -> str:
+    selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, {_band_hash_sql(b)} AS band_hash FROM sigs"
+        for b in range(BANDS)
+    )
+    return f", bands AS ({selects})"
+
+
+def lsh_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_hash): the LSH bucket keys — the unit that
+    gets shuffled, tiny and fixed-width regardless of document size."""
+    sig = _with_signature(docs)
+    stack_args = ", ".join(f"{b}, band_{b}" for b in range(BANDS))
+    for b in range(BANDS):
+        sig = sig.withColumn(f"band_{b}", _band_hash_col(b))
+    return sig.select(
+        "doc_id",
+        F.expr(f"stack({BANDS}, {stack_args}) AS (band_id, band_hash)"),
+    )
+
+
+def q_dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_bands(load_table(spark, sf_dir, "documents"))
+
+
+_BANDS_ORACLE = (
+    "WITH " + _signature_sql_cte() + _bands_sql_cte() +
+    "\nSELECT doc_id, band_id, band_hash FROM bands"
+)
+
+
+# ---------------------------------------------------------------------------
+# LSH candidate pairs + exact Jaccard verification
+# ---------------------------------------------------------------------------
+
+def minhash_candidate_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Near-duplicate pairs (doc_a < doc_b, jaccard >= threshold).
+
+    Plan shape: band equi-join (bucketed, AQE-skew-splittable) -> distinct
+    pair -> join back the two distinct-shingle sets -> exact Jaccard filter.
+    The shingle-set join is the only wide-row movement and touches candidate
+    docs only.
+    """
+    bands = lsh_bands(docs)
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    shingle_sets = (
+        docs.withColumn("toks", tx.tokens_col("text"))
+        .withColumn("sset", F.array_distinct(tx.shingles_col()))
+        .select("doc_id", "sset")
+    )
+    inter = F.size(F.array_intersect("sa.sset", "sb.sset"))
+    union = F.size(F.array_union("sa.sset", "sb.sset"))
+    return (
+        pairs.join(shingle_sets.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(shingle_sets.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_candidate_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_PAIRS_ORACLE = (
+    "WITH " + _signature_sql_cte() + _bands_sql_cte() + f"""
+, pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+), ssets AS (
+  SELECT doc_id, list_distinct({tx.shingles_sql(tx.tokens_sql("text"))}) AS sset
+  FROM documents
+)
+SELECT doc_a, doc_b,
+  CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+    / CAST(len(list_distinct(list_concat(sa.sset, sb.sset))) AS DOUBLE) AS jaccard
+FROM pairs
+JOIN ssets sa ON pairs.doc_a = sa.doc_id
+JOIN ssets sb ON pairs.doc_b = sb.doc_id
+WHERE CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+    / CAST(len(list_distinct(list_concat(sa.sset, sb.sset))) AS DOUBLE)
+    >= {JACCARD_THRESHOLD}
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# SimHash-32
+# ---------------------------------------------------------------------------
+
+def _simhash_expr_spark() -> str:
+    """Sum over bits of CASE WHEN majority-vote(bit_j) > 0 THEN 2^j END,
+    folded over the per-token 32-bit hash array ``hvals``."""
+    terms = []
+    for j in range(SIMHASH_BITS):
+        vote = (
+            f"aggregate(hvals, 0, (acc, v) -> "
+            f"acc + CASE WHEN (v >> {j}) & 1 = 1 THEN 1 ELSE -1 END)"
+        )
+        terms.append(f"(CASE WHEN {vote} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _simhash_expr_duck() -> str:
+    terms = []
+    for j in range(SIMHASH_BITS):
+        vote = (
+            f"list_sum(list_transform(hvals, v -> "
+            f"CASE WHEN (v >> {j}) & 1 = 1 THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"(CASE WHEN {vote} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("toks", tx.tokens_col("text"))
+        .withColumn(
+            "hvals",
+            F.expr(
+                "transform(toks, t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT))"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.expr(_simhash_expr_spark()).alias("simhash"),
+        )
+    )
+
+
+_SIMHASH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {tx.tokens_sql("text")} AS toks FROM documents
+), hashed AS (
+  SELECT doc_id,
+    list_transform(toks, t -> CAST('0x' || substring(md5(t), 1, 8) AS BIGINT)) AS hvals
+  FROM tok
+)
+SELECT doc_id, {_simhash_expr_duck()} AS simhash
+FROM hashed
+"""
+
+
+SPECS = [
+    QuerySpec("dedup_exact", q_dedup_exact, _EXACT_ORACLE),
+    QuerySpec("dedup_minhash_bands", q_dedup_minhash_bands, _BANDS_ORACLE),
+    QuerySpec("dedup_minhash_pairs", q_dedup_minhash_pairs, _PAIRS_ORACLE),
+    QuerySpec("dedup_simhash", q_dedup_simhash, _SIMHASH_ORACLE),
+]

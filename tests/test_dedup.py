@@ -1,0 +1,77 @@
+"""Dedup operator tests: LSH pair detection on synthetic near-dups and a
+Python-recomputed SimHash golden value."""
+
+from __future__ import annotations
+
+import hashlib
+
+from mysql_streamer_spark.queries.dedup import (
+    JACCARD_THRESHOLD,
+    SIMHASH_BITS,
+    minhash_candidate_pairs,
+    lsh_bands,
+    BANDS,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_minhash_pairs_finds_near_duplicates_only(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base + " lambda"  # one extra token -> high shingle overlap
+    other = "one two three four five six seven eight nine ten"
+    docs = _docs(spark, [base, near, other])
+    pairs = minhash_candidate_pairs(docs).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (0, 1) in found
+    assert all(p == (0, 1) for p in found)
+    jac = next(r.jaccard for r in pairs if (r.doc_a, r.doc_b) == (0, 1))
+    assert jac >= JACCARD_THRESHOLD
+    # base has 8 shingles, near has 9, 8 shared -> jaccard 8/9
+    assert abs(jac - 8 / 9) < 1e-12
+
+
+def test_identical_docs_share_every_band(spark):
+    docs = _docs(spark, ["a b c d e", "a b c d e"])
+    bands = lsh_bands(docs).collect()
+    by_doc = {}
+    for r in bands:
+        by_doc.setdefault(r.doc_id, {})[r.band_id] = r.band_hash
+    assert len(by_doc[0]) == BANDS
+    assert by_doc[0] == by_doc[1]
+
+
+def test_simhash_golden_value(spark):
+    from mysql_streamer_spark.queries.dedup import q_dedup_simhash  # noqa: F401
+    from mysql_streamer_spark import text as tx
+    from pyspark.sql import functions as F
+    from mysql_streamer_spark.queries import dedup as dd
+
+    text = "foo bar foo"
+    docs = _docs(spark, [text])
+    out = (
+        docs.withColumn("toks", tx.tokens_col())
+        .withColumn(
+            "hvals",
+            F.expr(
+                "transform(toks, t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT))"
+            ),
+        )
+        .select(F.expr(dd._simhash_expr_spark()).alias("simhash"))
+        .collect()[0]
+        .simhash
+    )
+
+    hvals = [
+        int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in text.split(" ")
+    ]
+    expected = 0
+    for j in range(SIMHASH_BITS):
+        votes = sum(1 if (v >> j) & 1 else -1 for v in hvals)
+        if votes > 0:
+            expected += 1 << j
+    assert out == expected
