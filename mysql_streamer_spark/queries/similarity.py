@@ -1,0 +1,264 @@
+"""Similarity-search queries over ``embeddings`` (LLM-data-pipeline family):
+brute-force cosine top-k baseline, LSH-bucketed approximate nearest
+neighbors, embedding-cosine near-duplicate pairs, label centroids.
+
+Scale shapes:
+
+- ``sim_bruteforce_topk`` is the honest baseline: a tiny broadcast query set
+  against the full corpus — one pass, per-partition top-k via window on the
+  (small) query_id key. Linear in corpus size; the thing LSH beats.
+- ``sim_lsh_ann`` / ``sim_cosine_neardup`` move only (vec_id, bucket) pairs
+  through an equi-join on (table_id, bucket) with OR-amplification across
+  ``N_TABLES`` hash tables — candidate fan-out bounded by bucket sizes,
+  never |corpus|².
+- ``sim_label_centroids`` is posexplode + one hash aggregate on
+  (label, dim): classic map-side-combinable shape.
+
+All vector math is integer-quantized (see mysql_streamer_spark.vectors) so
+the DuckDB oracles match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mysql_streamer_spark import vectors as vx
+from mysql_streamer_spark.queries.registry import QuerySpec
+from mysql_streamer_spark.tables import load_table
+
+#: Fixed query set (first N vectors) and neighbourhood size.
+N_QUERY = 5
+TOP_K = 10
+#: Same-bucket pairs at or above this quantized cosine are near-duplicates.
+NEARDUP_THRESHOLD = 0.4
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# brute-force top-k (baseline)
+# ---------------------------------------------------------------------------
+
+def q_sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = vx.with_quantized(_emb(spark, sf_dir))
+    q = e.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("qv").alias("c_qv"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cosine", vx.cosine_col("q_qv", "c_qv", "q_nrm", "c_nrm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "cand_id", "cosine", "rnk")
+    )
+
+
+_BRUTEFORCE_ORACLE = f"""
+WITH qe AS (
+  SELECT vec_id, {vx.quantized_sql("embedding")} AS qv,
+         {vx.norm_sq_sql(vx.quantized_sql("embedding"))} AS nrm
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, qv AS q_qv, nrm AS q_nrm FROM qe WHERE vec_id < {N_QUERY}
+), c AS (
+  SELECT vec_id AS cand_id, qv AS c_qv, nrm AS c_nrm FROM qe
+), scored AS (
+  SELECT query_id, cand_id, {vx.cosine_sql("q_qv", "c_qv", "q_nrm", "c_nrm")} AS cosine
+  FROM c CROSS JOIN q
+  WHERE cand_id != query_id
+)
+SELECT query_id, cand_id, cosine, rnk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# LSH bucket histogram
+# ---------------------------------------------------------------------------
+
+def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = vx.lsh_bucket_table(_emb(spark, sf_dir))
+    return b.groupBy("table_id", "bucket").agg(F.count("*").alias("n_vecs"))
+
+
+_BUCKETS_ORACLE = (
+    "WITH "
+    + vx.lsh_buckets_sql_cte()
+    + "\nSELECT table_id, bucket, count(*) AS n_vecs FROM buckets GROUP BY 1, 2"
+)
+
+
+# ---------------------------------------------------------------------------
+# LSH approximate nearest neighbours
+# ---------------------------------------------------------------------------
+
+def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = vx.lsh_bucket_table(_emb(spark, sf_dir))
+    q = b.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nrm").alias("q_nrm"),
+        "table_id",
+        "bucket",
+    )
+    c = b.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("qv").alias("c_qv"),
+        F.col("nrm").alias("c_nrm"),
+        "table_id",
+        "bucket",
+    )
+    # OR-amplification: a candidate qualifies if it collides in ANY table
+    cand = (
+        c.join(F.broadcast(q), on=["table_id", "bucket"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", "q_qv", "q_nrm", "c_qv", "c_nrm")
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        cand.withColumn("cosine", vx.cosine_col("q_qv", "c_qv", "q_nrm", "c_nrm"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "cand_id", "cosine", "rnk")
+    )
+
+
+_ANN_ORACLE = (
+    "WITH "
+    + vx.lsh_buckets_sql_cte()
+    + f"""
+, q AS (
+  SELECT vec_id AS query_id, qv AS q_qv, nrm AS q_nrm, table_id, bucket
+  FROM buckets WHERE vec_id < {N_QUERY}
+), c AS (
+  SELECT vec_id AS cand_id, qv AS c_qv, nrm AS c_nrm, table_id, bucket
+  FROM buckets
+), cand AS (
+  SELECT DISTINCT query_id, cand_id
+  FROM c JOIN q USING (table_id, bucket)
+  WHERE cand_id != query_id
+), scored AS (
+  SELECT query_id, cand_id,
+         {vx.cosine_sql("q_qv", "c_qv", "q_nrm", "c_nrm")} AS cosine
+  FROM cand
+  JOIN (SELECT vec_id, qv AS q_qv, nrm AS q_nrm FROM qe) qq ON cand.query_id = qq.vec_id
+  JOIN (SELECT vec_id, qv AS c_qv, nrm AS c_nrm FROM qe) cc ON cand.cand_id = cc.vec_id
+)
+SELECT query_id, cand_id, cosine, rnk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {TOP_K}
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+def q_sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = vx.lsh_bucket_table(_emb(spark, sf_dir))
+    a, c = b.alias("a"), b.alias("b")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.qv").alias("a_qv"),
+            F.col("a.nrm").alias("a_nrm"),
+            F.col("b.qv").alias("b_qv"),
+            F.col("b.nrm").alias("b_nrm"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        pairs.withColumn("cosine", vx.cosine_col("a_qv", "b_qv", "a_nrm", "b_nrm"))
+        .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+_NEARDUP_ORACLE = (
+    "WITH "
+    + vx.lsh_buckets_sql_cte()
+    + f"""
+, pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a JOIN buckets b
+    ON a.table_id = b.table_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+), scored AS (
+  SELECT vec_a, vec_b,
+         {vx.cosine_sql("a_qv", "b_qv", "a_nrm", "b_nrm")} AS cosine
+  FROM pairs
+  JOIN (SELECT vec_id, qv AS a_qv, nrm AS a_nrm FROM qe) aa ON pairs.vec_a = aa.vec_id
+  JOIN (SELECT vec_id, qv AS b_qv, nrm AS b_nrm FROM qe) bb ON pairs.vec_b = bb.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {NEARDUP_THRESHOLD}
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# per-label centroids (posexplode + one aggregate)
+# ---------------------------------------------------------------------------
+
+def q_sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = vx.with_quantized(_emb(spark, sf_dir))
+    exploded = e.select("label", F.posexplode("qv").alias("dim", "qval"))
+    return exploded.groupBy("label", "dim").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("qval").alias("sum_q"),
+        (F.sum("qval").cast("double") / F.count("*").cast("double")).alias("mean_q"),
+    )
+
+
+_CENTROIDS_ORACLE = f"""
+WITH qe AS (
+  SELECT label, {vx.quantized_sql("embedding")} AS qv FROM embeddings
+), exploded AS (
+  SELECT label, i - 1 AS dim, qv[i] AS qval
+  FROM qe CROSS JOIN (SELECT unnest(generate_series(1, {vx.DIM})) AS i) dims
+)
+SELECT label, dim, count(*) AS n_vecs,
+       CAST(sum(qval) AS BIGINT) AS sum_q,
+       CAST(sum(qval) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_q
+FROM exploded
+GROUP BY 1, 2
+"""
+
+
+SPECS = [
+    QuerySpec("sim_bruteforce_topk", q_sim_bruteforce_topk, _BRUTEFORCE_ORACLE),
+    QuerySpec("sim_lsh_buckets", q_sim_lsh_buckets, _BUCKETS_ORACLE),
+    QuerySpec("sim_lsh_ann", q_sim_lsh_ann, _ANN_ORACLE),
+    QuerySpec("sim_cosine_neardup", q_sim_cosine_neardup, _NEARDUP_ORACLE),
+    QuerySpec("sim_label_centroids", q_sim_label_centroids, _CENTROIDS_ORACLE),
+]

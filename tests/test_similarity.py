@@ -1,0 +1,45 @@
+"""Similarity-search tests: quantized cosine accuracy and LSH-ANN recall
+against the brute-force baseline."""
+
+from __future__ import annotations
+
+import math
+
+from mysql_streamer_spark.queries.similarity import (
+    q_sim_bruteforce_topk,
+    q_sim_lsh_ann,
+)
+from mysql_streamer_spark import vectors as vx
+
+
+def test_quantized_cosine_close_to_true_cosine(spark, sf_dir):
+    from mysql_streamer_spark.tables import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").limit(2).collect()
+    a, b = rows[0].embedding, rows[1].embedding
+    true_cos = sum(x * y for x, y in zip(a, b)) / (
+        math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+    )
+    qa = [math.floor(float(x) * vx.SCALE) for x in a]
+    qb = [math.floor(float(x) * vx.SCALE) for x in b]
+    qcos = sum(x * y for x, y in zip(qa, qb)) / (
+        math.sqrt(sum(x * x for x in qa)) * math.sqrt(sum(y * y for y in qb))
+    )
+    assert abs(true_cos - qcos) < 1e-4
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
+    exact = {
+        (r.query_id, r.cand_id) for r in q_sim_bruteforce_topk(spark, sf_dir).collect()
+    }
+    approx = {(r.query_id, r.cand_id) for r in q_sim_lsh_ann(spark, sf_dir).collect()}
+    assert approx, "ANN returned nothing"
+    recall = len(exact & approx) / len(exact)
+    # OR-amplified 4x4 LSH on random unit vectors: recall is modest by
+    # design; the point is bounded candidate generation + a sane floor.
+    assert recall >= 0.2, f"recall {recall:.2f} suspiciously low"
+
+
+def test_hyperplanes_deterministic():
+    assert vx.HYPERPLANES == [vx._hyperplane(p) for p in range(vx.N_PLANES)]
+    assert all(len(h) == vx.DIM and set(h) <= {-1, 1} for h in vx.HYPERPLANES)
