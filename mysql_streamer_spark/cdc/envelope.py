@@ -77,20 +77,32 @@ def with_transaction_id(df: DataFrame, cluster_name: str = "refresh_primary") ->
 
 
 def schema_id_dimension(df: DataFrame) -> DataFrame:
-    """Dense schema ids over the distinct (database, table) universe.
-
-    The distinct set is tiny (one row per table ever seen) even at 100 TB of
-    events, so the single-partition window below is safe; the result is
-    broadcast at the join site.
-    """
+    """FALLBACK ONLY: positional schema ids discovered from the stream, for
+    sources with no registry. The default data path uses the SchemaRegistry
+    dimension (registry_schema_dimension) — positional dense-rank ids change
+    whenever a table appears/disappears, which is not the reference's
+    stable-schema-id semantics (schema_wrapper.py:97-141)."""
     dim = df.select("database", "table").distinct()
     w = Window.orderBy("database", "table")
     return dim.withColumn("schema_id", F.dense_rank().over(w))
 
 
+def registry_schema_dimension(spark) -> DataFrame:
+    """T1's slowly-changing dimension from the ONE source of truth: the
+    DDL-replayed SchemaRegistry (schema/bootstrap.py). Tiny at any scale
+    (one row per registered table) -> broadcast at the join site."""
+    from mysql_streamer_spark.schema.bootstrap import registry_dim_df
+
+    return registry_dim_df(spark)
+
+
 def with_schema_ids(df: DataFrame, dim: DataFrame | None = None) -> DataFrame:
-    """T1 as a broadcast join: stream -> (database, table) -> schema_id."""
-    dim = dim if dim is not None else schema_id_dimension(df)
+    """T1 as a broadcast join: stream -> (database, table) -> schema_id.
+
+    Rows for tables the registry has never seen keep a NULL schema_id (the
+    reference would block and register on miss; a batch plan surfaces the
+    miss instead of hiding it)."""
+    dim = dim if dim is not None else registry_schema_dimension(df.sparkSession)
     return df.join(F.broadcast(dim), on=["database", "table"], how="left")
 
 

@@ -11,31 +11,23 @@ from mysql_streamer_spark.queries.registry import QuerySpec, collect
 
 
 def all_specs() -> list[QuerySpec]:
-    from mysql_streamer_spark.queries import cdc
+    from mysql_streamer_spark.queries import (
+        cdc,
+        dedup,
+        schema_registry,
+        similarity,
+        textops,
+    )
 
-    modules = [cdc]
-    try:
-        from mysql_streamer_spark.queries import analytics
-
-        modules.append(analytics)
-    except ImportError:
-        pass
-    try:
-        from mysql_streamer_spark.queries import textops
-
-        modules.append(textops)
-    except ImportError:
-        pass
-    try:
-        from mysql_streamer_spark.queries import dedup
-
-        modules.append(dedup)
-    except ImportError:
-        pass
-    try:
-        from mysql_streamer_spark.queries import similarity
-
-        modules.append(similarity)
-    except ImportError:
-        pass
+    modules = [cdc, schema_registry, textops, dedup, similarity]
+    # families still under construction register themselves when present
+    for optional in ("analytics", "multimodal", "streaming_q"):
+        try:
+            modules.append(
+                __import__(
+                    f"mysql_streamer_spark.queries.{optional}", fromlist=[optional]
+                )
+            )
+        except ImportError:
+            pass
     return collect(modules)

@@ -25,6 +25,7 @@ from mysql_streamer_spark.cdc.filters import (
 )
 from mysql_streamer_spark.cdc.source import ORACLE_CDC_EVENTS_CTE
 from mysql_streamer_spark.queries.registry import QuerySpec
+from mysql_streamer_spark.schema.bootstrap import schemas_values_sql
 
 #: Generated from the same constant the Spark filter uses (F1 lock-step).
 _BLACKLIST_SQL = "(" + ",".join(f"'{db}'" for db in DEFAULT_SCHEMA_BLACKLIST) + ")"
@@ -57,26 +58,31 @@ _ORACLE_PIPELINE_CTES = (
       + log_pos * {TXN_POS_SHIFT} + "offset" AS txn_order
   FROM routed
 )
+, schemas AS ({schemas_values_sql()})
 """
 )
 
+#: schema_id comes from the registry dimension (schema/bootstrap.py), NOT a
+#: positional dense_rank — stable ids that survive tables appearing or
+#: disappearing from the stream.
 _ENVELOPE_SELECT = """
 SELECT
-  dense_rank() OVER (ORDER BY database, "table") AS schema_id,
-  cluster_name,
-  database AS database_name,
-  "table" AS table_name,
-  message_type,
-  timestamp,
-  log_file,
-  log_pos,
-  "offset",
-  txn_order,
-  pk,
-  payload_k,
-  payload_val,
-  CASE WHEN message_type <> 'refresh' THEN before_val END AS previous_payload_val
-FROM keyed
+  s.schema_id,
+  k.cluster_name,
+  k.database AS database_name,
+  k."table" AS table_name,
+  k.message_type,
+  k.timestamp,
+  k.log_file,
+  k.log_pos,
+  k."offset",
+  k.txn_order,
+  k.pk,
+  k.payload_k,
+  k.payload_val,
+  CASE WHEN k.message_type <> 'refresh' THEN k.before_val END AS previous_payload_val
+FROM keyed k
+LEFT JOIN schemas s ON k.database = s.database AND k."table" = s."table"
 """
 
 

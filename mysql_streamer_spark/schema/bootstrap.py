@@ -1,0 +1,148 @@
+"""Deterministic DDL event stream -> SchemaRegistry bootstrap.
+
+The reference's schema branch consumes QueryEvents from the binlog, skips
+BEGIN/COMMIT (schema_event_handler.py:139-142), drops blacklisted databases
+(base_event_handler.py:51-55) and unsupported statements
+(sql_handler.py:458-462), replays the rest on its schema tracker, and
+registers versions with the Schematizer. Here the same admission chain runs
+over a deterministic DDL stream and replays into ``SchemaRegistry``; the
+resulting (database, table) -> schema_id dimension is what the envelope
+broadcast-joins against — ONE source of truth for schema ids (the r1 design
+had a positional dense_rank competing with the registry).
+
+Everything here is driver-side control-plane work on a handful of
+statements; the 100 TB data plane only ever sees the tiny broadcast
+dimension DataFrame.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mysql_streamer_spark.cdc.filters import (
+    DEFAULT_SCHEMA_BLACKLIST,
+    SKIPPABLE_QUERIES,
+)
+from mysql_streamer_spark.cdc.source import MESSAGE_TYPE_MAP
+from mysql_streamer_spark.schema.ddl_parser import StatementKind, parse_statement
+from mysql_streamer_spark.schema.registry import SchemaRegistry
+
+#: The CDC fixture's table universe: db_0/db_1 x one table per event type
+#: (cdc/source.py mapping). Lexicographic order fixes registration order.
+DATABASES = ("db_0", "db_1")
+TABLES = tuple(sorted(MESSAGE_TYPE_MAP))
+
+
+def _create_table(db: str, table: str) -> str:
+    return (
+        f"CREATE TABLE `{db}`.`{table}` ("
+        "pk bigint NOT NULL, k int, val double, updated_at timestamp)"
+    )
+
+
+def bootstrap_ddl_stream() -> list[str]:
+    """The deterministic QueryEvent stream: real DDL interleaved with the
+    noise the admission filters must drop (F1 blacklist, F3 skippable,
+    F4 unsupported)."""
+    stream: list[str] = ["BEGIN"]
+    for db in DATABASES:
+        stream.append(f"CREATE DATABASE IF NOT EXISTS {db}")
+        for table in TABLES:
+            stream.append(_create_table(db, table))
+    stream += [
+        "COMMIT",
+        # F1: blacklisted database — must not reach the registry
+        "CREATE TABLE test.scratch (id int)",
+        # F4: classifier yields UNSUPPORTED — dropped, never an error
+        "TRUNCATE TABLE db_0.click",
+        # schema evolution (T2/T3): new versions with fresh schema ids
+        "ALTER TABLE db_0.purchase ADD note varchar(64)",
+        "ALTER TABLE db_0.click ADD tags set('a','b','c')",
+        "ALTER TABLE db_1.view MODIFY k bigint",
+        "BEGIN",
+        "COMMIT",
+    ]
+    return stream
+
+
+def replay_ddl_stream(
+    statements: list[str], default_database: str | None = None
+) -> SchemaRegistry:
+    """F3 -> F4 -> F1 admission, then registry replay (the reference's
+    schema_event_handler.handle_event order: skip checks before execute)."""
+    reg = SchemaRegistry()
+    for sql in statements:
+        if sql.strip().upper() in SKIPPABLE_QUERIES:
+            continue
+        p = parse_statement(sql, default_database)
+        if p.kind is StatementKind.UNSUPPORTED:
+            continue
+        if p.database in DEFAULT_SCHEMA_BLACKLIST:
+            continue
+        reg.apply_statement(p)
+    return reg
+
+
+@lru_cache(maxsize=1)
+def bootstrap_registry() -> SchemaRegistry:
+    return replay_ddl_stream(bootstrap_ddl_stream())
+
+
+def registry_dim_rows() -> list[tuple[str, str, int]]:
+    """(database, table, latest schema_id) — the broadcast dimension."""
+    reg = bootstrap_registry()
+    return [
+        (db, table, reg.get(db, table).schema_id) for db, table in reg.tables()
+    ]
+
+
+def registry_dim_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        registry_dim_rows(), schema="database string, table string, schema_id int"
+    )
+
+
+def schemas_values_sql() -> str:
+    """The identical dimension as a DuckDB VALUES CTE body (lock-step with
+    registry_dim_df, generated from the same replay)."""
+    rows = ", ".join(
+        f"('{db}', '{table}', {sid})" for db, table, sid in registry_dim_rows()
+    )
+    return f'SELECT * FROM (VALUES {rows}) AS t(database, "table", schema_id)'
+
+
+def _sq(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def registry_state_values_sql() -> str:
+    """Full registry history as a DuckDB VALUES relation — the golden oracle
+    for the ``schema_registry_state`` query."""
+    reg = bootstrap_registry()
+    rows = []
+    for db, table in reg.tables():
+        for e in reg.history(db, table):
+            r = e.to_row()
+            rows.append(
+                "({})".format(
+                    ", ".join(
+                        [
+                            f"'{_sq(r['database'])}'",
+                            f"'{_sq(r['table'])}'",
+                            str(r["version"]),
+                            str(r["schema_id"]),
+                            f"'{_sq(r['struct_json'])}'",
+                            f"'{_sq(r['transformation_map'])}'",
+                            f"'{_sq(r['source_ddl'])}'",
+                        ]
+                    )
+                )
+            )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ') AS t(database, "table", version, schema_id, struct_json, '
+        "transformation_map, source_ddl)"
+    )

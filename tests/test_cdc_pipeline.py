@@ -65,12 +65,21 @@ def test_whitelist_implies_refresh_twin(spark, sf_dir):
     assert tables == {"purchase", "purchase" + REFRESH_SUFFIX}
 
 
-def test_schema_ids_dense_from_one(spark, sf_dir):
+def test_schema_ids_come_from_registry(spark, sf_dir):
+    """The envelope's schema_id is the SchemaRegistry's id for that table —
+    one source of truth (r1 had a competing positional dense_rank)."""
+    from mysql_streamer_spark.schema.bootstrap import registry_dim_rows
+
     env = envelope_pipeline(spark, sf_dir)
-    ids = sorted(
-        r[0] for r in env.select("schema_id").distinct().collect()
-    )
-    assert ids == list(range(1, len(ids) + 1))
+    got = {
+        (r.database_name, r.table_name, r.schema_id)
+        for r in env.select("database_name", "table_name", "schema_id")
+        .distinct()
+        .collect()
+    }
+    expected = {(db, t, sid) for db, t, sid in registry_dim_rows()}
+    assert got <= expected, f"unregistered ids in envelope: {got - expected}"
+    assert all(sid is not None for _, _, sid in got)
 
 
 def test_heartbeat_stream_shape(spark, sf_dir):

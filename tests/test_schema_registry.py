@@ -152,3 +152,26 @@ def test_rename_index_is_schema_neutral():
     # no identity move, no bogus d.INDEX table
     assert reg.tables() == [("d", "t")]
     assert [f.name for f in entry.struct.fields] == ["id"]
+
+
+def test_bootstrap_replay_admission_and_evolution():
+    from mysql_streamer_spark.schema.bootstrap import (
+        bootstrap_registry,
+        registry_dim_rows,
+        DATABASES,
+        TABLES,
+    )
+
+    reg = bootstrap_registry()
+    # blacklisted (test.*) and unsupported (TRUNCATE) never registered
+    assert ("test", "scratch") not in reg.tables()
+    assert len(reg.tables()) == len(DATABASES) * len(TABLES)
+    # evolution bumped versions for the three ALTERed tables
+    assert reg.get("db_0", "purchase").version == 2
+    assert reg.get("db_0", "click").version == 2
+    assert reg.get("db_1", "view").version == 2
+    # SET column carries its wire transform
+    assert reg.get("db_0", "click").transformation_map["tags"] == "set"
+    # dimension rows expose the LATEST id per table, all distinct
+    ids = [sid for _, _, sid in registry_dim_rows()]
+    assert len(set(ids)) == len(ids)
