@@ -37,6 +37,22 @@ def cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_as_cdc(load_table(spark, sf_dir, "events"))
 
 
+def envelope_pipeline_df(
+    events: DataFrame,
+    blacklist: Iterable[str] = DEFAULT_SCHEMA_BLACKLIST,
+    table_whitelist: Iterable[str] = (),
+    cluster_name: str = "refresh_primary",
+) -> DataFrame:
+    """The DML hot path on any events-shaped DataFrame — batch OR streaming
+    micro-batch (every step is a stateless projection/filter plus one
+    broadcast join, so the identical plan serves both modes)."""
+    cdc = events_as_cdc(events)
+    data_events, _heartbeats = split_heartbeats(cdc)
+    admitted = filter_blacklisted_schemas(data_events, blacklist)
+    admitted = filter_table_whitelist(admitted, table_whitelist)
+    return build_envelope(admitted, cluster_name)
+
+
 def envelope_pipeline(
     spark: SparkSession,
     sf_dir: str,
@@ -45,11 +61,9 @@ def envelope_pipeline(
     cluster_name: str = "refresh_primary",
 ) -> DataFrame:
     """Full DML-path pipeline: events parquet -> message envelopes."""
-    cdc = cdc_events(spark, sf_dir)
-    data_events, _heartbeats = split_heartbeats(cdc)
-    admitted = filter_blacklisted_schemas(data_events, blacklist)
-    admitted = filter_table_whitelist(admitted, table_whitelist)
-    return build_envelope(admitted, cluster_name)
+    return envelope_pipeline_df(
+        load_table(spark, sf_dir, "events"), blacklist, table_whitelist, cluster_name
+    )
 
 
 def heartbeat_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

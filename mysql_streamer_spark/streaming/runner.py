@@ -1,0 +1,105 @@
+"""Checkpointed streaming execution of the CDC envelope pipeline.
+
+Re-expresses the reference's entire state/recovery subsystem with Spark
+Structured Streaming primitives:
+
+- T4 position checkpoint: the checkpoint directory. Spark records source
+  offsets per micro-batch transactionally; there is no hand-rolled
+  ``global_event_state`` table to keep in sync
+  (reference util/misc.py:89-114, base_parse_replication_stream.py:207-221).
+- R2/R3 restart + unclean-shutdown recovery: restarting the query with the
+  same checkpoint deterministically REPLAYS the failed micro-batch
+  (reference replication_stream_restarter.py:31-100,
+  recovery_handler.py:127-229).
+- T6 exactly-once: the sink is idempotent by construction — each batch
+  overwrites its own ``batch_id=N`` directory, so a replayed batch lands on
+  top of its partial first attempt instead of duplicating it (the
+  ``ensure_messages_published`` dedup, recovery_handler.py:160-168, as a
+  sink property rather than a recovery pass).
+- T8 graceful shutdown: ``availableNow`` triggers drain all available input
+  and terminate cleanly; an interrupted run is indistinguishable from a
+  crash and heals by the same replay path.
+
+Scale: the micro-batch plan is envelope_pipeline_df — stateless projections
+plus one broadcast join — so each batch parallelizes across the cluster
+exactly like the batch plan; checkpoint I/O is per-batch constant-size
+metadata.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_streamer_spark.cdc.pipeline import envelope_pipeline_df
+
+
+def load_events_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """readStream over an events parquet directory (schema inferred from a
+    batch peek; ts arrives as parquet TIMESTAMP(NANOS) -> long -> µs)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def _idempotent_parquet_sink(out_dir: str) -> Callable[[DataFrame, int], None]:
+    """Overwrite-by-batch-id: replaying batch N after a crash overwrites its
+    own directory — the write is idempotent, hence exactly-once end-to-end
+    (deterministic replay x idempotent sink)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return write_batch
+
+
+def run_envelope_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    fail_after_batches: int | None = None,
+) -> int:
+    """Drain all available events through the envelope pipeline into the
+    idempotent sink; returns the number of micro-batches executed.
+
+    ``fail_after_batches=N`` injects a crash after N successful batches
+    (mirrors the reference's RestartHelper stop-after-N hook,
+    testing_helper/restart_helper.py:39-124) — the caller restarts with the
+    same checkpoint to exercise recovery.
+    """
+    sink = _idempotent_parquet_sink(out_dir)
+    done = [0]
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if fail_after_batches is not None and done[0] >= fail_after_batches:
+            raise RuntimeError(f"injected crash before batch {batch_id}")
+        sink(envelope_pipeline_df(batch_df), batch_id)
+        done[0] += 1
+
+    events = load_events_stream(spark, source_dir, max_files_per_trigger)
+    query = (
+        events.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return done[0]
+
+
+def read_sink(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The sink's merged view (batch_id partition column dropped)."""
+    return spark.read.parquet(out_dir).drop("batch_id")

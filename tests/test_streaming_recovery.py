@@ -1,0 +1,84 @@
+"""Failure/restart tests for the streaming plane — the analogue of the
+reference's tests/integration/failure_recovery_test.py:227-347 (stop the
+service mid-stream after N events, restart, assert exactly-once delivery),
+re-expressed as: crash the streaming query after N micro-batches, restart
+from the same checkpoint, assert the sink holds every message exactly once.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mysql_streamer_spark.cdc.pipeline import envelope_pipeline_df
+from mysql_streamer_spark.streaming import (
+    read_sink,
+    run_envelope_stream,
+)
+
+
+@pytest.fixture()
+def multi_file_events(spark, sf_dir, tmp_path):
+    """The sf0.001 events table split into 4 files so availableNow +
+    maxFilesPerTrigger=2 yields exactly 2 micro-batches."""
+    from mysql_streamer_spark.tables import load_table
+
+    src = str(tmp_path / "events_src")
+    events = load_table(spark, sf_dir, "events")
+    events.repartition(4).write.parquet(src)
+    return src, events
+
+
+def _expected(spark, src):
+    return envelope_pipeline_df(spark.read.parquet(src))
+
+
+def test_clean_run_matches_batch_plan(spark, multi_file_events, tmp_path):
+    src, _ = multi_file_events
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    n_batches = run_envelope_stream(spark, src, out, ckpt, max_files_per_trigger=2)
+    assert n_batches == 2
+    got = read_sink(spark, out)
+    expected = _expected(spark, src)
+    assert got.count() == expected.count()
+    assert (
+        got.select("cluster_name", "txn_order").distinct().count() == expected.count()
+    )
+
+
+def test_crash_and_restart_is_exactly_once(spark, multi_file_events, tmp_path):
+    src, _ = multi_file_events
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    # first run crashes after 1 successful micro-batch (unclean shutdown)
+    with pytest.raises(Exception, match="injected crash"):
+        run_envelope_stream(
+            spark, src, out, ckpt, max_files_per_trigger=2, fail_after_batches=1
+        )
+    partial = read_sink(spark, out).count()
+    expected = _expected(spark, src)
+    assert 0 < partial < expected.count()
+
+    # restart with the SAME checkpoint: replays the failed batch, drains rest
+    run_envelope_stream(spark, src, out, ckpt, max_files_per_trigger=2)
+
+    got = read_sink(spark, out)
+    assert got.count() == expected.count(), "lost or duplicated messages"
+    # idempotency key is unique -> no duplicate message survived the replay
+    assert (
+        got.select("cluster_name", "txn_order").distinct().count() == got.count()
+    )
+    # value-level equality with the batch plan (same rows, any order)
+    assert (
+        got.exceptAll(expected).count() == 0
+        and expected.exceptAll(got).count() == 0
+    )
+
+
+def test_restart_after_success_is_a_noop(spark, multi_file_events, tmp_path):
+    src, _ = multi_file_events
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_envelope_stream(spark, src, out, ckpt, max_files_per_trigger=2)
+    n_more = run_envelope_stream(spark, src, out, ckpt, max_files_per_trigger=2)
+    assert n_more == 0, "a drained checkpoint must not reprocess anything"
+    expected = _expected(spark, src)
+    assert read_sink(spark, out).count() == expected.count()
