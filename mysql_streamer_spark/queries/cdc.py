@@ -173,6 +173,30 @@ def q_cdc_message_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_typed_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 applied to data: the db_1.signup payload carries every transform
+    family (DECIMAL, DATE, DATETIME, TIME, SET); the transforms applied are
+    the ones the REGISTRY prescribes for that table's columns (the r1 gap:
+    transformation_map existed but never touched a row)."""
+    from mysql_streamer_spark.cdc.payload import (
+        apply_wire_transforms,
+        synthesize_typed_payload,
+    )
+    from mysql_streamer_spark.schema.bootstrap import bootstrap_registry
+
+    cdc = cdc_events(spark, sf_dir)
+    data, _ = split_heartbeats(cdc)
+    admitted = filter_blacklisted_schemas(data)
+    routed = reroute_refresh_tables(admitted)
+    sub = routed.filter((F.col("database") == "db_1") & (F.col("table") == "signup"))
+    typed = synthesize_typed_payload(sub)
+    tmap = bootstrap_registry().get("db_1", "signup").transformation_map
+    wired = apply_wire_transforms(typed, tmap)
+    return wired.select(
+        "event_id", "pk", "amount", "event_date", "created_dt", "wake_time", "tags"
+    )
+
+
 def q_cdc_exactly_once_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6: exactly-once via idempotency key. A replayed micro-batch (the
     envelope unioned with itself) deduplicated on the transaction id yields
@@ -268,6 +292,30 @@ SELECT
   max(txn_order) AS last_txn
 FROM keyed
 GROUP BY 1, 2, 3
+""",
+    ),
+    QuerySpec(
+        "cdc_typed_payload",
+        q_cdc_typed_payload,
+        _ORACLE_PIPELINE_CTES
+        + """
+SELECT
+  event_id,
+  pk,
+  CAST(
+    CAST(CAST(floor(payload_val * 100 + 0.5) AS BIGINT) // 100 AS VARCHAR)
+    || '.' ||
+    lpad(CAST(CAST(floor(payload_val * 100 + 0.5) AS BIGINT) % 100 AS VARCHAR), 2, '0')
+    AS DECIMAL(12,2)) AS amount,
+  CAST(timestamp AS DATE) AS event_date,
+  strftime(timestamp, '%Y-%m-%dT%H:%M:%S.%f') AS created_dt,
+  epoch_us(timestamp) % 86400000000 AS wake_time,
+  list_sort(list_filter([
+    CASE WHEN event_id % 2 = 0 THEN 'c' END,
+    CASE WHEN payload_k % 2 = 0 THEN 'a' END,
+    CASE WHEN pk % 3 = 0 THEN 'b' END], x -> x IS NOT NULL)) AS tags
+FROM routed
+WHERE database = 'db_1' AND "table" = 'signup'
 """,
     ),
     QuerySpec(

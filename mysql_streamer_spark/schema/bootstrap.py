@@ -61,6 +61,10 @@ def bootstrap_ddl_stream() -> list[str]:
         "ALTER TABLE db_0.purchase ADD note varchar(64)",
         "ALTER TABLE db_0.click ADD tags set('a','b','c')",
         "ALTER TABLE db_1.view MODIFY k bigint",
+        # the typed-payload table (P2): every wire-transform family present
+        "ALTER TABLE db_1.signup ADD amount decimal(12,2), "
+        "ADD event_date date, ADD created_dt datetime, "
+        "ADD wake_time time, ADD tags set('a','b','c')",
         "BEGIN",
         "COMMIT",
     ]
