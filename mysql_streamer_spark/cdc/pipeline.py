@@ -37,6 +37,20 @@ def cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_as_cdc(load_table(spark, sf_dir, "events"))
 
 
+def envelope_from_cdc(
+    cdc: DataFrame,
+    blacklist: Iterable[str] = DEFAULT_SCHEMA_BLACKLIST,
+    table_whitelist: Iterable[str] = (),
+    cluster_name: str = "refresh_primary",
+) -> DataFrame:
+    """Admission filters + envelope over an already-normalized CDC stream
+    (single- or multi-row source, batch or streaming micro-batch)."""
+    data_events, _heartbeats = split_heartbeats(cdc)
+    admitted = filter_blacklisted_schemas(data_events, blacklist)
+    admitted = filter_table_whitelist(admitted, table_whitelist)
+    return build_envelope(admitted, cluster_name)
+
+
 def envelope_pipeline_df(
     events: DataFrame,
     blacklist: Iterable[str] = DEFAULT_SCHEMA_BLACKLIST,
@@ -46,11 +60,9 @@ def envelope_pipeline_df(
     """The DML hot path on any events-shaped DataFrame — batch OR streaming
     micro-batch (every step is a stateless projection/filter plus one
     broadcast join, so the identical plan serves both modes)."""
-    cdc = events_as_cdc(events)
-    data_events, _heartbeats = split_heartbeats(cdc)
-    admitted = filter_blacklisted_schemas(data_events, blacklist)
-    admitted = filter_table_whitelist(admitted, table_whitelist)
-    return build_envelope(admitted, cluster_name)
+    return envelope_from_cdc(
+        events_as_cdc(events), blacklist, table_whitelist, cluster_name
+    )
 
 
 def envelope_pipeline(

@@ -125,6 +125,31 @@ def events_as_cdc(events: DataFrame) -> DataFrame:
     )
 
 
+def events_as_multirow_cdc(events: DataFrame) -> DataFrame:
+    """S3 — row explode: one binlog RowsEvent carries N changed rows and
+    becomes N DataEvents (reference _get_data_events_from_row_event,
+    low_level_binlog_stream_reader_wrapper.py:114-135).
+
+    Fixture model: event_id carries ``1 + event_id % 3`` rows; row *i* keeps
+    the event's position but gets intra-event ``offset=i`` (the resume
+    offset the reference tracks per row), a per-row pk, and a shifted
+    payload. ``explode`` is the Spark-native form — it widens inside the
+    scan stage, no shuffle.
+    """
+    cdc = events_as_cdc(events)
+    return (
+        cdc.withColumn(
+            "i", F.explode(F.sequence(F.lit(0), (F.col("event_id") % 3).cast("int")))
+        )
+        .withColumn("offset", F.col("i"))
+        .withColumn("pk", F.col("pk") * 10 + F.col("i"))
+        .withColumn("payload_val", F.col("payload_val") + F.col("i"))
+        .withColumn("before_val", F.col("before_val") + F.col("i"))
+        .drop("i")
+        .select(*CDC_EVENT_COLUMNS)
+    )
+
+
 #: DuckDB CTE producing the identical CDC shape from the raw ``events`` view.
 #: Used by oracle_sql() entries; the message-type CASE is generated from
 #: MESSAGE_TYPE_MAP so it stays in lock-step with events_as_cdc().
@@ -154,3 +179,28 @@ cdc AS (
   FROM events
 )
 """
+
+#: Multirow (S3) oracle: DuckDB's select-list unnest expands each event into
+#: its 1 + event_id % 3 rows. MUST stay in lock-step with
+#: events_as_multirow_cdc().
+ORACLE_MULTIROW_CDC_CTE = (
+    ORACLE_CDC_EVENTS_CTE
+    + """
+, multirow AS (
+  SELECT
+    event_id, database, "table", message_type, timestamp, log_file, log_pos,
+    unnest(generate_series(0, CAST(event_id % 3 AS INT))) AS "offset",
+    pk, payload_k, payload_val, before_val
+  FROM cdc
+), cdc_rows AS (
+  SELECT
+    event_id, database, "table", message_type, timestamp, log_file, log_pos,
+    "offset",
+    pk * 10 + "offset" AS pk,
+    payload_k,
+    payload_val + "offset" AS payload_val,
+    before_val + "offset" AS before_val
+  FROM multirow
+)
+"""
+)

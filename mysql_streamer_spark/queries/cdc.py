@@ -23,20 +23,25 @@ from mysql_streamer_spark.cdc.filters import (
     filter_blacklisted_schemas,
     split_heartbeats,
 )
-from mysql_streamer_spark.cdc.source import ORACLE_CDC_EVENTS_CTE
+from mysql_streamer_spark.cdc.source import (
+    ORACLE_CDC_EVENTS_CTE,
+    ORACLE_MULTIROW_CDC_CTE,
+)
 from mysql_streamer_spark.queries.registry import QuerySpec
 from mysql_streamer_spark.schema.bootstrap import schemas_values_sql
 
 #: Generated from the same constant the Spark filter uses (F1 lock-step).
 _BLACKLIST_SQL = "(" + ",".join(f"'{db}'" for db in DEFAULT_SCHEMA_BLACKLIST) + ")"
 
-#: Shared oracle CTE chain: cdc -> admitted (F1/F5) -> routed (S4) -> keyed (P5).
-_ORACLE_PIPELINE_CTES = (
-    "WITH "
-    + ORACLE_CDC_EVENTS_CTE
-    + f"""
+def _pipeline_ctes(source_cte: str, source: str) -> str:
+    """Oracle CTE chain over any CDC-shaped source:
+    source -> admitted (F1/F5) -> routed (S4) -> keyed (P5) + schemas."""
+    return (
+        "WITH "
+        + source_cte
+        + f"""
 , admitted AS (
-  SELECT * FROM cdc WHERE database NOT IN {_BLACKLIST_SQL}
+  SELECT * FROM {source} WHERE database NOT IN {_BLACKLIST_SQL}
 )
 , routed AS (
   SELECT
@@ -60,7 +65,11 @@ _ORACLE_PIPELINE_CTES = (
 )
 , schemas AS ({schemas_values_sql()})
 """
-)
+    )
+
+
+#: Shared oracle CTE chain: cdc -> admitted (F1/F5) -> routed (S4) -> keyed (P5).
+_ORACLE_PIPELINE_CTES = _pipeline_ctes(ORACLE_CDC_EVENTS_CTE, "cdc")
 
 #: schema_id comes from the registry dimension (schema/bootstrap.py), NOT a
 #: positional dense_rank — stable ids that survive tables appearing or
@@ -171,6 +180,18 @@ def q_cdc_message_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("txn_order").alias("first_txn"),
         F.max("txn_order").alias("last_txn"),
     )
+
+
+def q_cdc_row_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 end-to-end: the envelope over the MULTI-ROW RowsEvent source —
+    each event explodes into 1 + event_id % 3 DataEvents with intra-event
+    offsets, which the widened txn_order packing keys without collision."""
+    from mysql_streamer_spark.cdc.pipeline import envelope_from_cdc
+    from mysql_streamer_spark.cdc.source import events_as_multirow_cdc
+    from mysql_streamer_spark.tables import load_table
+
+    cdc = events_as_multirow_cdc(load_table(spark, sf_dir, "events"))
+    return envelope_from_cdc(cdc)
 
 
 def q_cdc_typed_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,6 +314,11 @@ SELECT
 FROM keyed
 GROUP BY 1, 2, 3
 """,
+    ),
+    QuerySpec(
+        "cdc_row_explode",
+        q_cdc_row_explode,
+        _pipeline_ctes(ORACLE_MULTIROW_CDC_CTE, "cdc_rows") + _ENVELOPE_SELECT,
     ),
     QuerySpec(
         "cdc_typed_payload",

@@ -108,3 +108,21 @@ def test_txn_order_packing_real_binlog_bounds(spark):
     assert len(set(txns)) == len(txns)
     assert txns == sorted(txns)
     assert all(t > 0 for t in txns), "must not overflow signed 64-bit"
+
+
+def test_row_explode_counts_and_unique_keys(spark, sf_dir):
+    """S3: each event explodes into 1 + event_id % 3 rows; intra-event
+    offsets keep the ordering key unique."""
+    from mysql_streamer_spark.cdc.source import events_as_cdc, events_as_multirow_cdc
+    from mysql_streamer_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    single = events_as_cdc(events)
+    multi = events_as_multirow_cdc(events)
+    expected = single.selectExpr("sum(1 + event_id % 3)").collect()[0][0]
+    assert multi.count() == expected
+    offs = {r[0] for r in multi.select("offset").distinct().collect()}
+    assert offs == {0, 1, 2}
+    # per-event rows share the event's position but differ in offset
+    key_count = multi.select("log_file", "log_pos", "offset").distinct().count()
+    assert key_count == multi.count()
