@@ -1,0 +1,311 @@
+"""Analytics layer over the TPC-H-ish fixtures and the events stream —
+the full-relational surface the reference lacks natively (SURVEY.md §2.8:
+joins, aggregations, windows, semi/anti joins, sessionization) exposed as
+oracle-checked queries.
+
+Plan-shape notes per query are in the docstrings; the common rules:
+
+- Money columns are double in the fixtures; every SUM first quantizes to
+  exact integer cents (floor(x*100+0.5) — IEEE-identical in both engines),
+  because a float sum's rounding depends on reduction order, which is
+  engine-private. Averages divide exact sums at the end.
+- Date filters are plain column predicates -> parquet pushdown.
+- Small dimensions (nation, customer at this SF) broadcast; the big fact
+  tables shuffle on their join keys only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mysql_streamer_spark.queries.registry import QuerySpec
+from mysql_streamer_spark.tables import load_table
+
+#: exact integer cents from a double money column (same expr both engines)
+def _cents(col: str) -> F.Column:
+    return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("long")
+
+
+def _cents_sql(expr: str) -> str:
+    return f"CAST(floor(({expr}) * 100 + 0.5) AS BIGINT)"
+
+
+PRICING_CUTOFF = "1998-09-02 00:00:00"
+SESSION_GAP_MIN = 30
+TOP_N_CUSTOMERS = 10
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-style pricing summary (scan + filter + hash aggregate)
+# ---------------------------------------------------------------------------
+
+def q_analytics_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One pass over lineitem: the filter pushes into the parquet scan, the
+    aggregate partial-combines map-side; no join, one shuffle on the tiny
+    (returnflag, linestatus) key."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit(PRICING_CUTOFF).cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (
+        1 + F.col("l_tax")
+    )
+    cents = lambda c: F.floor(c * 100 + F.lit(0.5)).cast("long")  # noqa: E731
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_cents("l_quantity")).alias("sum_qty_c"),
+            F.sum(_cents("l_extendedprice")).alias("sum_base_c"),
+            F.sum(cents(disc_price)).alias("sum_disc_c"),
+            F.sum(cents(charge)).alias("sum_charge_c"),
+            F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            (F.col("sum_qty_c") / 100.0).alias("sum_qty"),
+            (F.col("sum_base_c") / 100.0).alias("sum_base_price"),
+            (F.col("sum_disc_c") / 100.0).alias("sum_disc_price"),
+            (F.col("sum_charge_c") / 100.0).alias("sum_charge"),
+            (
+                F.col("sum_qty_c").cast("double")
+                / F.col("count_order").cast("double")
+                / 100.0
+            ).alias("avg_qty"),
+            "count_order",
+        )
+    )
+
+
+_PRICING_ORACLE = f"""
+WITH agg AS (
+  SELECT l_returnflag, l_linestatus,
+    sum({_cents_sql("l_quantity")}) AS sum_qty_c,
+    sum({_cents_sql("l_extendedprice")}) AS sum_base_c,
+    sum({_cents_sql("l_extendedprice * (1 - l_discount)")}) AS sum_disc_c,
+    sum({_cents_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}) AS sum_charge_c,
+    count(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '{PRICING_CUTOFF}'
+  GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus,
+  sum_qty_c / 100.0 AS sum_qty,
+  sum_base_c / 100.0 AS sum_base_price,
+  sum_disc_c / 100.0 AS sum_disc_price,
+  sum_charge_c / 100.0 AS sum_charge,
+  CAST(sum_qty_c AS DOUBLE) / CAST(count_order AS DOUBLE) / 100.0 AS avg_qty,
+  count_order
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# revenue by nation (3-way join: fact shuffles, dims broadcast)
+# ---------------------------------------------------------------------------
+
+def q_analytics_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders on orderkey (the one real shuffle), then customer
+    and nation join broadcast — the canonical star-join shape; at 100 TB the
+    orderkey shuffle is AQE-skew-splittable and everything else is map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = _cents("l_extendedprice").alias  # noqa: F841  (doc: cents discipline)
+    revenue = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(revenue).alias("revenue_c"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .select(
+            "n_name",
+            (F.col("revenue_c") / 100.0).alias("revenue"),
+            "n_orders",
+        )
+    )
+
+
+_REVENUE_ORACLE = f"""
+SELECT n_name,
+  sum({_cents_sql("l_extendedprice * (1 - l_discount)")}) / 100.0 AS revenue,
+  count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# top-k customers (aggregate + global top-k, no full sort)
+# ---------------------------------------------------------------------------
+
+def q_analytics_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    top-k then a k-row merge on the driver, never a global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    totals = orders.groupBy("o_custkey").agg(
+        F.sum(_cents("o_totalprice")).alias("total_c"),
+        F.count("*").alias("n_orders"),
+    )
+    return (
+        totals.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("total_c") / 100.0).alias("total_spent"),
+            "n_orders",
+        )
+        .orderBy(F.col("total_spent").desc(), F.col("c_custkey").asc())
+        .limit(TOP_N_CUSTOMERS)
+    )
+
+
+_TOP_CUSTOMERS_ORACLE = f"""
+SELECT c_custkey, c_name,
+  sum({_cents_sql("o_totalprice")}) / 100.0 AS total_spent,
+  count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spent DESC, c_custkey ASC
+LIMIT {TOP_N_CUSTOMERS}
+"""
+
+
+# ---------------------------------------------------------------------------
+# tumbling-window aggregation over events
+# ---------------------------------------------------------------------------
+
+def q_analytics_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("hour", F.date_trunc("hour", "ts"))
+        .groupBy("hour", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            (F.sum(_cents("value")) / 100.0).alias("sum_value"),
+        )
+    )
+
+
+_EVENTS_HOURLY_ORACLE = f"""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+  count(*) AS n_events,
+  count(DISTINCT user_id) AS n_users,
+  sum({_cents_sql("value")}) / 100.0 AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# sessionization (gap > 30 min) via lag + running sum
+# ---------------------------------------------------------------------------
+
+def q_analytics_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window partitioned by user_id — the shuffle key IS the session key,
+    so one exchange serves both window passes (lag marker, running sum)."""
+    ev = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_marker = (
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(by_user)
+            > SESSION_GAP_MIN * 60,
+            1,
+        )
+        .otherwise(0)
+    )
+    sess = ev.withColumn("new_sess", gap_marker).withColumn(
+        "session_id", F.sum("new_sess").over(by_user)
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+_SESSIONS_ORACLE = f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_MIN * 60}
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+  count(*) AS n_events,
+  min(ts) AS session_start,
+  max(ts) AS session_end
+FROM sess
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# anti join: parts never ordered
+# ---------------------------------------------------------------------------
+
+STALE_CUTOFF = "2001-01-01 00:00:00"
+
+
+def q_analytics_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: parts with no shipment since the cutoff. The probe
+    side is pre-filtered (predicate pushes to the scan) before the anti
+    join, so only the recent slice of the fact table is hashed."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit(STALE_CUTOFF).cast("timestamp")
+    )
+    unordered = part.join(
+        li, F.col("p_partkey") == F.col("l_partkey"), "left_anti"
+    )
+    return unordered.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        (F.sum(_cents("p_retailprice")) / 100.0).alias("idle_retail_value"),
+    )
+
+
+_PARTS_ANTI_ORACLE = f"""
+SELECT p_brand, count(*) AS n_parts,
+  sum({_cents_sql("p_retailprice")}) / 100.0 AS idle_retail_value
+FROM part
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_partkey = p_partkey AND l_shipdate >= TIMESTAMP '{STALE_CUTOFF}'
+)
+GROUP BY p_brand
+"""
+
+
+SPECS = [
+    QuerySpec("analytics_pricing_summary", q_analytics_pricing_summary, _PRICING_ORACLE),
+    QuerySpec(
+        "analytics_revenue_by_nation", q_analytics_revenue_by_nation, _REVENUE_ORACLE
+    ),
+    QuerySpec("analytics_top_customers", q_analytics_top_customers, _TOP_CUSTOMERS_ORACLE),
+    QuerySpec("analytics_events_hourly", q_analytics_events_hourly, _EVENTS_HOURLY_ORACLE),
+    QuerySpec("analytics_sessions", q_analytics_sessions, _SESSIONS_ORACLE),
+    QuerySpec(
+        "analytics_parts_never_ordered",
+        q_analytics_parts_never_ordered,
+        _PARTS_ANTI_ORACLE,
+    ),
+]
