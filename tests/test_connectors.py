@@ -1,0 +1,121 @@
+"""Connector-layer tests: Debezium adapter on in-memory Kafka-shaped
+records, envelope round-trip through the Kafka record shape, and JDBC
+snapshot option building (no live services in the sandbox — format and
+interface tests, per the round plan)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_streamer_spark.connectors import (
+    debezium_to_cdc,
+    envelope_to_kafka_records,
+    snapshot_options,
+)
+from mysql_streamer_spark.cdc.pipeline import envelope_from_cdc
+
+
+def _dbz(op, db, table, pos, row=0, before=None, after=None, ts_ms=1709251200000):
+    return json.dumps(
+        {
+            "payload": {
+                "op": op,
+                "ts_ms": ts_ms,
+                "before": before,
+                "after": after,
+                "source": {
+                    "db": db,
+                    "table": table,
+                    "file": "binlog.000042",
+                    "pos": pos,
+                    "row": row,
+                    "ts_ms": ts_ms,
+                },
+            }
+        }
+    )
+
+
+@pytest.fixture()
+def kafka_frame(spark):
+    rows = [
+        (0, _dbz("c", "db_0", "click", 100, after={"pk": "1", "k": "7", "val": "1.5"})),
+        (
+            1,
+            _dbz(
+                "u",
+                "db_0",
+                "click",
+                140,
+                before={"pk": "1", "k": "7", "val": "1.5"},
+                after={"pk": "1", "k": "7", "val": "2.5"},
+            ),
+        ),
+        (2, _dbz("d", "db_0", "click", 180, before={"pk": "1", "k": "7", "val": "2.5"})),
+        (3, _dbz("r", "db_1", "signup", 220, after={"pk": "9", "k": "3", "val": "4.0"})),
+        # second row of a multi-row event: same pos, row index 1
+        (4, _dbz("c", "db_0", "click", 260, row=1, after={"pk": "2", "k": "1", "val": "9"})),
+    ]
+    return spark.createDataFrame(rows, "offset long, value string")
+
+
+def test_debezium_adapter_maps_ops_and_payloads(kafka_frame):
+    cdc = debezium_to_cdc(kafka_frame)
+    rows = {r.event_id: r for r in cdc.collect()}
+    assert rows[0].message_type == "create" and rows[0].payload_val == 1.5
+    assert rows[0].before_val is None
+    assert rows[1].message_type == "update"
+    assert rows[1].payload_val == 2.5 and rows[1].before_val == 1.5
+    # delete carries the before-image as its payload (Debezium contract)
+    assert rows[2].message_type == "delete" and rows[2].payload_val == 2.5
+    assert rows[3].message_type == "refresh"
+    assert rows[4].offset == 1 and rows[4].log_pos == 260
+    assert rows[0].log_file == "binlog.000042"
+
+
+def test_debezium_rows_flow_through_the_envelope(kafka_frame):
+    env = envelope_from_cdc(debezium_to_cdc(kafka_frame))
+    got = {r.txn_order: r for r in env.collect()}
+    assert len(got) == 5
+    r0 = min(got.items())[1]
+    # registry knows db_0.click -> real schema id, not NULL
+    assert r0.schema_id is not None
+    assert {r.message_type for r in got.values()} == {
+        "create",
+        "update",
+        "delete",
+        "refresh",
+    }
+
+
+def test_envelope_to_kafka_records_roundtrip(spark, sf_dir):
+    from mysql_streamer_spark.cdc.pipeline import envelope_pipeline
+
+    env = envelope_pipeline(spark, sf_dir).limit(20)
+    recs = envelope_to_kafka_records(env)
+    assert recs.columns == ["key", "value", "topic"]
+    row = recs.collect()[0]
+    parsed = json.loads(row.value)
+    cluster, txn = row.key.rsplit(":", 1)
+    assert parsed["cluster_name"] == cluster
+    assert str(parsed["txn_order"]) == txn
+    assert row.topic == f"{parsed['database_name']}.{parsed['table_name']}"
+
+
+def test_jdbc_snapshot_options():
+    opts = snapshot_options(
+        url="jdbc:mysql://primary:3306/db_0",
+        table="click",
+        partition_column="pk",
+        lower_bound=0,
+        upper_bound=1_000_000,
+        num_partitions=64,
+    )
+    assert opts["partitionColumn"] == "pk"
+    assert opts["numPartitions"] == "64"
+    assert opts["isolationLevel"] == "REPEATABLE_READ"
+    with pytest.raises(ValueError):
+        snapshot_options(url="u", table="t", partition_column="pk")
