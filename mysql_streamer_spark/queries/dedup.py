@@ -67,14 +67,18 @@ GROUP BY 1
 # ---------------------------------------------------------------------------
 
 def _with_signature(docs: DataFrame) -> DataFrame:
-    """doc_id + minhash components sig_0..sig_{H-1} (map-only)."""
+    """doc_id + minhash components sig_0..sig_{H-1} (map-only).
+
+    One md5 per shingle into ``hashes``; each signature component is a
+    16-bit slice-min of that array — H components for one hash pass."""
     df = (
         docs.withColumn("toks", tx.tokens_col("text"))
         .withColumn("shingles", tx.shingles_col())
         .filter(F.size("shingles") > 0)
+        .withColumn("hashes", tx.shingle_hashes_col())
     )
     for i in range(N_HASHES):
-        df = df.withColumn(f"sig_{i}", tx.minhash_col(i))
+        df = df.withColumn(f"sig_{i}", tx.minhash_from_hashes_col(i))
     return df
 
 
@@ -87,7 +91,7 @@ def _band_hash_col(band: int) -> F.Column:
 
 def _signature_sql_cte() -> str:
     sig_cols = ", ".join(
-        f"{tx.minhash_sql(i)} AS sig_{i}" for i in range(N_HASHES)
+        f"{tx.minhash_from_hashes_sql(i)} AS sig_{i}" for i in range(N_HASHES)
     )
     return f"""
 tok AS (
@@ -95,8 +99,10 @@ tok AS (
 ), sh AS (
   SELECT doc_id, {tx.shingles_sql()} AS shingles FROM tok
   WHERE len({tx.shingles_sql("toks")}) > 0
+), hashed AS (
+  SELECT doc_id, {tx.shingle_hashes_sql()} AS hashes FROM sh
 ), sigs AS (
-  SELECT doc_id, {sig_cols} FROM sh
+  SELECT doc_id, {sig_cols} FROM hashed
 )"""
 
 

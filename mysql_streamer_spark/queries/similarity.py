@@ -112,34 +112,48 @@ _BUCKETS_ORACLE = (
 # ---------------------------------------------------------------------------
 
 def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = vx.lsh_bucket_table(_emb(spark, sf_dir))
+    """Candidate generation moves only (query_id, cand_id) id pairs; the
+    vectors join back after the OR-amplification dedup (same narrow-shuffle
+    rule as q_sim_cosine_neardup)."""
+    b = vx.lsh_bucket_table(_emb(spark, sf_dir)).select("vec_id", "table_id", "bucket")
     q = b.filter(F.col("vec_id") < N_QUERY).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("qv").alias("q_qv"),
-        F.col("nrm").alias("q_nrm"),
-        "table_id",
-        "bucket",
+        F.col("vec_id").alias("query_id"), "table_id", "bucket"
     )
-    c = b.select(
-        F.col("vec_id").alias("cand_id"),
-        F.col("qv").alias("c_qv"),
-        F.col("nrm").alias("c_nrm"),
-        "table_id",
-        "bucket",
-    )
+    c = b.select(F.col("vec_id").alias("cand_id"), "table_id", "bucket")
     # OR-amplification: a candidate qualifies if it collides in ANY table
     cand = (
         c.join(F.broadcast(q), on=["table_id", "bucket"])
         .filter(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id", "q_qv", "q_nrm", "c_qv", "c_nrm")
-        .dropDuplicates(["query_id", "cand_id"])
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    qe = vx.with_quantized(_emb(spark, sf_dir)).select("vec_id", "qv", "nrm")
+    scored = (
+        cand.join(
+            F.broadcast(
+                qe.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("qv").alias("q_qv"),
+                    F.col("nrm").alias("q_nrm"),
+                ).filter(F.col("query_id") < N_QUERY)
+            ),
+            "query_id",
+        )
+        .join(
+            qe.select(
+                F.col("vec_id").alias("cand_id"),
+                F.col("qv").alias("c_qv"),
+                F.col("nrm").alias("c_nrm"),
+            ),
+            "cand_id",
+        )
+        .withColumn("cosine", vx.cosine_col("q_qv", "c_qv", "q_nrm", "c_nrm"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("cand_id").asc()
     )
     return (
-        cand.withColumn("cosine", vx.cosine_col("q_qv", "c_qv", "q_nrm", "c_nrm"))
-        .withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "cand_id", "cosine", "rnk")
     )
@@ -180,7 +194,11 @@ SELECT query_id, cand_id, cosine, rnk FROM (
 # ---------------------------------------------------------------------------
 
 def q_sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = vx.lsh_bucket_table(_emb(spark, sf_dir))
+    """Only (vec_a, vec_b) id pairs travel through the bucket join and the
+    distinct shuffle — 16 bytes/row; the 64-long vectors join back ONLY for
+    surviving candidates. (The first cut shipped both qv arrays through the
+    dedup shuffle: ~1 KB/row and 8x slower at sf0.1.)"""
+    b = vx.lsh_bucket_table(_emb(spark, sf_dir)).select("vec_id", "table_id", "bucket")
     a, c = b.alias("a"), b.alias("b")
     pairs = (
         a.join(
@@ -189,18 +207,28 @@ def q_sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.qv").alias("a_qv"),
-            F.col("a.nrm").alias("a_nrm"),
-            F.col("b.qv").alias("b_qv"),
-            F.col("b.nrm").alias("b_nrm"),
-        )
-        .dropDuplicates(["vec_a", "vec_b"])
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
     )
+    qe = vx.with_quantized(_emb(spark, sf_dir)).select("vec_id", "qv", "nrm")
     return (
-        pairs.withColumn("cosine", vx.cosine_col("a_qv", "b_qv", "a_nrm", "b_nrm"))
+        pairs.join(
+            qe.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("qv").alias("a_qv"),
+                F.col("nrm").alias("a_nrm"),
+            ),
+            "vec_a",
+        )
+        .join(
+            qe.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("qv").alias("b_qv"),
+                F.col("nrm").alias("b_nrm"),
+            ),
+            "vec_b",
+        )
+        .withColumn("cosine", vx.cosine_col("a_qv", "b_qv", "a_nrm", "b_nrm"))
         .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
         .select("vec_a", "vec_b", "cosine")
     )

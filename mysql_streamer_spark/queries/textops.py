@@ -171,7 +171,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "doc_id",
         F.size(F.array_distinct("shingles")).alias("n_distinct_shingles"),
-        tx.minhash_col(0).alias("fingerprint"),
+        tx.min_md5_col().alias("fingerprint"),
     )
 
 
@@ -183,7 +183,7 @@ WITH tok AS (
 )
 SELECT doc_id,
   len(list_distinct(shingles)) AS n_distinct_shingles,
-  {tx.minhash_sql(0)} AS fingerprint
+  {tx.min_md5_sql()} AS fingerprint
 FROM sh
 """
 

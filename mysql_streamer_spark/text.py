@@ -149,25 +149,66 @@ def shingles_sql(toks: str = "toks", k: int = SHINGLE_K) -> str:
     )
 
 
-def seeded_md5_sql_duck(seed: int, value_expr: str) -> str:
-    return f"md5('{seed}:' || {value_expr})"
+#: Each MinHash component is a 4-hex-char (16-bit) slice of ONE md5 per
+#: shingle — md5's 32 hex chars yield 8 statistically independent slices,
+#: so the whole 8-component signature costs one hash pass instead of eight
+#: (measured 2-3x on the signature stage at sf0.1). min over hex strings is
+#: a valid MinHash (uniform over the string order) and avoids any
+#: engine-specific hex->int conversion.
+MINHASH_SLICE_CHARS = 4
+MAX_MINHASH_SEED = 32 // MINHASH_SLICE_CHARS  # 8
 
 
-def seeded_md5_sql_spark(seed: int, value_expr: str) -> str:
-    return f"md5(concat('{seed}:', {value_expr}))"
+def _slice_bounds(seed: int) -> tuple[int, int]:
+    if not 0 <= seed < MAX_MINHASH_SEED:
+        raise ValueError(f"seed must be in [0, {MAX_MINHASH_SEED})")
+    return 1 + seed * MINHASH_SLICE_CHARS, MINHASH_SLICE_CHARS
 
 
 def minhash_col(seed: int, shingles: str = "shingles") -> Column:
-    """One MinHash signature component: the minimum seeded-md5 over the
-    shingle set. min over hex strings is a valid MinHash (md5 is uniform
-    over the string order); strings avoid any engine-specific hex->int
-    conversion so the oracle agrees byte-for-byte."""
+    start, width = _slice_bounds(seed)
     return F.expr(
-        f"array_min(transform({shingles}, s -> {seeded_md5_sql_spark(seed, 's')}))"
+        f"array_min(transform({shingles}, s -> substring(md5(s), {start}, {width})))"
     )
 
 
 def minhash_sql(seed: int, shingles: str = "shingles") -> str:
+    start, width = _slice_bounds(seed)
     return (
-        f"list_min(list_transform({shingles}, s -> {seeded_md5_sql_duck(seed, 's')}))"
+        f"list_min(list_transform({shingles}, "
+        f"s -> substring(md5(s), {start}, {width})))"
+    )
+
+
+def min_md5_col(shingles: str = "shingles") -> Column:
+    """Full-width min-md5 — the document fingerprint (128-bit, no slicing)."""
+    return F.expr(f"array_min(transform({shingles}, s -> md5(s)))")
+
+
+def min_md5_sql(shingles: str = "shingles") -> str:
+    return f"list_min(list_transform({shingles}, s -> md5(s)))"
+
+
+def shingle_hashes_col(shingles: str = "shingles") -> Column:
+    """md5 per shingle, computed ONCE into an array column — the signature
+    components then slice this array instead of re-hashing (hashing per
+    component multiplied the md5 work 8x; measured dominant at sf0.1)."""
+    return F.expr(f"transform({shingles}, s -> md5(s))")
+
+
+def shingle_hashes_sql(shingles: str = "shingles") -> str:
+    return f"list_transform({shingles}, s -> md5(s))"
+
+
+def minhash_from_hashes_col(seed: int, hashes: str = "hashes") -> Column:
+    start, width = _slice_bounds(seed)
+    return F.expr(
+        f"array_min(transform({hashes}, h -> substring(h, {start}, {width})))"
+    )
+
+
+def minhash_from_hashes_sql(seed: int, hashes: str = "hashes") -> str:
+    start, width = _slice_bounds(seed)
+    return (
+        f"list_min(list_transform({hashes}, h -> substring(h, {start}, {width})))"
     )

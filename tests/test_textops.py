@@ -21,20 +21,19 @@ def test_shingles_short_doc_is_empty(spark):
     assert by_text["a b c d"] == ["a b c", "b c d"]
 
 
-def test_minhash_is_min_of_seeded_md5(spark):
+def test_minhash_is_min_md5_slice(spark):
     import hashlib
 
     df = spark.createDataFrame([("x y z w",)], "text string")
     row = (
         df.withColumn("toks", tx.tokens_col())
         .withColumn("shingles", tx.shingles_col())
-        .select(tx.minhash_col(7).alias("mh"))
+        .select(tx.minhash_col(7).alias("mh"), tx.min_md5_col().alias("fp"))
         .collect()[0]
     )
-    expected = min(
-        hashlib.md5(f"7:{s}".encode()).hexdigest() for s in ("x y z", "y z w")
-    )
-    assert row.mh == expected
+    hexes = [hashlib.md5(s.encode()).hexdigest() for s in ("x y z", "y z w")]
+    assert row.mh == min(h[28:32] for h in hexes)  # seed 7 -> chars 29..32
+    assert row.fp == min(hexes)
 
 
 def test_langid_prefers_hit_count_with_deterministic_ties(spark):
