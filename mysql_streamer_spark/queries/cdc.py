@@ -219,11 +219,15 @@ def q_cdc_typed_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cdc_exactly_once_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T6: exactly-once via idempotency key. A replayed micro-batch (the
-    envelope unioned with itself) deduplicated on the transaction id yields
-    the original message set — per-table counts prove no duplicates."""
+    """T6 (batch simulation; the real thing is the checkpointed streaming
+    sink + restart test in tests/test_streaming_recovery.py): a replayed
+    micro-batch deduplicated on the idempotency key yields the original
+    message set. The replay duplicates rows via explode over ONE computed
+    envelope — r1's self-union executed the whole pipeline twice."""
     env = envelope_pipeline(spark, sf_dir)
-    replayed = env.unionAll(env)
+    replayed = env.withColumn(
+        "replay", F.explode(F.array(F.lit(1), F.lit(2)))
+    ).drop("replay")
     deduped = replayed.dropDuplicates(["cluster_name", "txn_order"])
     return deduped.groupBy("database_name", "table_name").agg(
         F.count("*").alias("n_messages")
