@@ -37,6 +37,12 @@ ROWS_PER_BAND = N_HASHES // BANDS
 #: Candidate pairs below this exact n-gram Jaccard are dropped.
 JACCARD_THRESHOLD = 0.3
 
+#: Skew guard: buckets larger than this are "too common to be
+#: discriminative" and are dropped from pair generation (the standard LSH
+#: mega-bucket cap — without it one degenerate bucket generates O(n²)
+#: pairs and a single straggler task at scale).
+MAX_BUCKET_SIZE = 1000
+
 #: SimHash width in bits (first 8 md5 hex chars = 32 bits per token).
 SIMHASH_BITS = 32
 
@@ -66,17 +72,20 @@ GROUP BY 1
 # MinHash signatures -> banded LSH keys
 # ---------------------------------------------------------------------------
 
-def _with_signature(docs: DataFrame) -> DataFrame:
+def _with_signature(docs: DataFrame, pre_shingled: bool = False) -> DataFrame:
     """doc_id + minhash components sig_0..sig_{H-1} (map-only).
 
     One md5 per shingle into ``hashes``; each signature component is a
     16-bit slice-min of that array — H components for one hash pass."""
-    df = (
-        docs.withColumn("toks", tx.tokens_col("text"))
-        .withColumn("shingles", tx.shingles_col())
-        .filter(F.size("shingles") > 0)
-        .withColumn("hashes", tx.shingle_hashes_col())
-    )
+    if pre_shingled:
+        df = docs
+    else:
+        df = (
+            docs.withColumn("toks", tx.tokens_col("text"))
+            .withColumn("shingles", tx.shingles_col())
+            .filter(F.size("shingles") > 0)
+        )
+    df = df.withColumn("hashes", tx.shingle_hashes_col())
     for i in range(N_HASHES):
         df = df.withColumn(f"sig_{i}", tx.minhash_from_hashes_col(i))
     return df
@@ -119,10 +128,10 @@ def _bands_sql_cte() -> str:
     return f", bands AS ({selects})"
 
 
-def lsh_bands(docs: DataFrame) -> DataFrame:
+def lsh_bands(docs: DataFrame, pre_shingled: bool = False) -> DataFrame:
     """(doc_id, band_id, band_hash): the LSH bucket keys — the unit that
     gets shuffled, tiny and fixed-width regardless of document size."""
-    sig = _with_signature(docs)
+    sig = _with_signature(docs, pre_shingled)
     stack_args = ", ".join(f"{b}, band_{b}" for b in range(BANDS))
     for b in range(BANDS):
         sig = sig.withColumn(f"band_{b}", _band_hash_col(b))
@@ -149,27 +158,44 @@ _BANDS_ORACLE = (
 def minhash_candidate_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
     """Near-duplicate pairs (doc_a < doc_b, jaccard >= threshold).
 
-    Plan shape: band equi-join (bucketed, AQE-skew-splittable) -> distinct
-    pair -> join back the two distinct-shingle sets -> exact Jaccard filter.
-    The shingle-set join is the only wide-row movement and touches candidate
-    docs only.
+    Plan shape: ONE pass computes band keys (no self-join — a self-join
+    would execute the whole signature subtree twice); buckets group ids,
+    in-bucket pairs generate from the sorted id array (bounded by
+    MAX_BUCKET_SIZE), then the two distinct-shingle sets join back for the
+    exact-Jaccard filter — the only wide-row movement, candidates only.
     """
-    bands = lsh_bands(docs)
-    a, b = bands.alias("a"), bands.alias("b")
+    # Shingling is the expensive map work and three consumers need it
+    # (band keys + both sides of the Jaccard join). Materialize it once —
+    # the in-session form of what a production pipeline does by writing
+    # the signature/shingle table before pair generation.
+    shingled = (
+        docs.withColumn("toks", tx.tokens_col("text"))
+        .withColumn("shingles", tx.shingles_col())
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", "shingles")
+        .persist()
+    )
+    bands = lsh_bands(shingled, pre_shingled=True)
+    buckets = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= MAX_BUCKET_SIZE))
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    shingle_sets = (
-        docs.withColumn("toks", tx.tokens_col("text"))
-        .withColumn("sset", F.array_distinct(tx.shingles_col()))
-        .select("doc_id", "sset")
+    shingle_sets = shingled.select(
+        "doc_id", F.array_distinct("shingles").alias("sset")
     )
     inter = F.size(F.array_intersect("sa.sset", "sb.sset"))
     union = F.size(F.array_union("sa.sset", "sb.sset"))
@@ -188,11 +214,17 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PAIRS_ORACLE = (
     "WITH " + _signature_sql_cte() + _bands_sql_cte() + f"""
-, pairs AS (
+, bsize AS (
+  SELECT band_id, band_hash, count(*) AS n FROM bands GROUP BY 1, 2
+), pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
+  FROM bands a
+  JOIN bands b
     ON a.band_id = b.band_id AND a.band_hash = b.band_hash
    AND a.doc_id < b.doc_id
+  JOIN bsize s
+    ON a.band_id = s.band_id AND a.band_hash = s.band_hash
+  WHERE s.n <= {MAX_BUCKET_SIZE}
 ), ssets AS (
   SELECT doc_id, list_distinct({tx.shingles_sql(tx.tokens_sql("text"))}) AS sset
   FROM documents
