@@ -15,19 +15,82 @@ from pyspark.sql import DataFrame, SparkSession
 from mysql_streamer_spark.queries.cdc import _ENVELOPE_SELECT, _ORACLE_PIPELINE_CTES
 from mysql_streamer_spark.queries.registry import QuerySpec
 from mysql_streamer_spark.streaming import read_sink, run_envelope_stream
+from mysql_streamer_spark.streaming.runner import run_windowed_stream
 from mysql_streamer_spark.tables import table_path
 
 
-def q_streaming_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _staged_source(sf_dir: str) -> str:
+    """The file stream source wants a directory; link the table in."""
     work = tempfile.mkdtemp(prefix="mss_stream_")
-    # the file stream source wants a directory; link the table in
     src = f"{work}/src"
     os.makedirs(src)
     os.symlink(table_path(sf_dir, "events"), f"{src}/events.parquet")
+    return work
+
+
+def q_streaming_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = _staged_source(sf_dir)
     run_envelope_stream(
-        spark, src, f"{work}/out", f"{work}/ckpt", max_files_per_trigger=1
+        spark, f"{work}/src", f"{work}/out", f"{work}/ckpt", max_files_per_trigger=1
     )
     return read_sink(spark, f"{work}/out")
+
+
+def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling windows in append mode: only windows finalized
+    by the final watermark (max ts - 1 hour) are emitted — the oracle
+    applies the same finalization predicate to the batch aggregation."""
+    work = _staged_source(sf_dir)
+    run_windowed_stream(spark, f"{work}/src", f"{work}/out", f"{work}/ckpt")
+    return spark.read.parquet(f"{work}/out")
+
+
+#: window_end (= start + 1h) must be <= watermark (= max ts - 1h)
+_WINDOWED_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events
+FROM events, (SELECT max(ts) AS max_ts FROM events)
+GROUP BY 1, 2, max_ts
+HAVING window_start + INTERVAL 2 HOUR <= max_ts
+"""
+
+
+def q_streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState sessionizer: emits a session only once a
+    later event proves it closed; each user's final session stays open in
+    the state store, so the oracle is the batch sessionization minus every
+    user's last session."""
+    from mysql_streamer_spark.streaming.stateful import run_session_stream
+
+    work = _staged_source(sf_dir)
+    run_session_stream(spark, f"{work}/src", f"{work}/out", f"{work}/ckpt")
+    return spark.read.parquet(f"{work}/out")
+
+
+_STATEFUL_SESSIONS_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+), agg AS (
+  SELECT user_id, session_id,
+    epoch_us(min(ts)) AS session_start_us,
+    epoch_us(max(ts)) AS session_end_us,
+    count(*) AS n_events,
+    max(session_id) OVER (PARTITION BY user_id) AS last_sess
+  FROM sess
+  GROUP BY user_id, session_id
+)
+SELECT user_id, session_start_us, session_end_us, n_events
+FROM agg WHERE session_id < last_sess
+"""
 
 
 SPECS = [
@@ -35,5 +98,15 @@ SPECS = [
         "streaming_envelope",
         q_streaming_envelope,
         _ORACLE_PIPELINE_CTES + _ENVELOPE_SELECT,
+    ),
+    QuerySpec(
+        "streaming_windowed_counts",
+        q_streaming_windowed_counts,
+        _WINDOWED_ORACLE,
+    ),
+    QuerySpec(
+        "streaming_stateful_sessions",
+        q_streaming_stateful_sessions,
+        _STATEFUL_SESSIONS_ORACLE,
     ),
 ]

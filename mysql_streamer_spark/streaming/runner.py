@@ -103,3 +103,44 @@ def run_envelope_stream(
 def read_sink(spark: SparkSession, out_dir: str) -> DataFrame:
     """The sink's merged view (batch_id partition column dropped)."""
     return spark.read.parquet(out_dir).drop("batch_id")
+
+
+def run_windowed_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Watermarked tumbling-window aggregation to an append-mode parquet
+    sink — the late-data-handling surface (SURVEY §2.8).
+
+    Append mode emits a window only once its end passes the watermark
+    (max event time - delay), i.e. it is guaranteed complete even with
+    late/out-of-order events inside the delay; the engine's trailing
+    no-data micro-batch flushes every window the final watermark
+    finalizes. Windows still open when the stream drains are withheld —
+    exactly-once rather than maybe-updated-later.
+    """
+    events = load_events_stream(spark, source_dir, max_files_per_trigger)
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    query = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
