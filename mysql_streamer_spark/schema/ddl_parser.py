@@ -173,10 +173,43 @@ def unquote(ident: str) -> str:
 
 
 def _strip_comments(sql: str) -> str:
-    sql = re.sub(r"/\*.*?\*/", " ", sql, flags=re.DOTALL)
-    sql = re.sub(r"--[^\n]*", " ", sql)
-    sql = re.sub(r"#[^\n]*", " ", sql)
-    return sql.strip().rstrip(";").strip()
+    """Remove /*..*/, -- and # comments — but ONLY outside quoted regions:
+    a '#' or '--' inside a backtick identifier (or string literal) is part
+    of the identifier, and a regex-based strip silently truncates the
+    statement there (found by the hypothesis identifier-roundtrip test)."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    quote: str | None = None
+    while i < n:
+        ch = sql[i]
+        if quote:
+            out.append(ch)
+            if ch == quote:
+                if quote == "`" and i + 1 < n and sql[i + 1] == "`":
+                    out.append("`")  # escaped backtick stays inside
+                    i += 2
+                    continue
+                quote = None
+            i += 1
+            continue
+        if ch in ("`", "'", '"'):
+            quote = ch
+            out.append(ch)
+            i += 1
+            continue
+        if sql.startswith("/*", i):
+            j = sql.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            out.append(" ")
+            continue
+        if ch == "#" or sql.startswith("--", i):
+            j = sql.find("\n", i)
+            i = n if j < 0 else j
+            out.append(" ")
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out).strip().rstrip(";").strip()
 
 
 def _split_top_level_commas(body: str) -> list[str]:
