@@ -71,6 +71,8 @@ def run_envelope_stream(
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
     fail_after_batches: int | None = None,
+    state_dir: str | None = None,
+    cluster_name: str = "refresh_primary",
 ) -> int:
     """Drain all available events through the envelope pipeline into the
     idempotent sink; returns the number of micro-batches executed.
@@ -78,7 +80,9 @@ def run_envelope_stream(
     ``fail_after_batches=N`` injects a crash after N successful batches
     (mirrors the reference's RestartHelper stop-after-N hook,
     testing_helper/restart_helper.py:39-124) — the caller restarts with the
-    same checkpoint to exercise recovery.
+    same checkpoint to exercise recovery. ``state_dir`` additionally
+    maintains the reference-parity global_event_state row per batch
+    (streaming/state_table.py).
     """
     sink = _idempotent_parquet_sink(out_dir)
     done = [0]
@@ -86,7 +90,17 @@ def run_envelope_stream(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if fail_after_batches is not None and done[0] >= fail_after_batches:
             raise RuntimeError(f"injected crash before batch {batch_id}")
-        sink(envelope_pipeline_df(batch_df), batch_id)
+        env = envelope_pipeline_df(batch_df)
+        sink(env, batch_id)
+        if state_dir is not None:
+            from mysql_streamer_spark.streaming.state_table import (
+                advance_state,
+                batch_position,
+            )
+
+            pos = batch_position(read_sink_batch(spark, out_dir, batch_id))
+            if pos is not None:
+                advance_state(spark, state_dir, cluster_name, pos, batch_id)
         done[0] += 1
 
     events = load_events_stream(spark, source_dir, max_files_per_trigger)
@@ -103,6 +117,12 @@ def run_envelope_stream(
 def read_sink(spark: SparkSession, out_dir: str) -> DataFrame:
     """The sink's merged view (batch_id partition column dropped)."""
     return spark.read.parquet(out_dir).drop("batch_id")
+
+
+def read_sink_batch(spark: SparkSession, out_dir: str, batch_id: int) -> DataFrame:
+    """One committed batch's rows (reads back what was just written, so the
+    position reflects durable data only)."""
+    return spark.read.parquet(f"{out_dir}/batch_id={batch_id}")
 
 
 def run_windowed_stream(

@@ -82,3 +82,44 @@ def test_restart_after_success_is_a_noop(spark, multi_file_events, tmp_path):
     assert n_more == 0, "a drained checkpoint must not reprocess anything"
     expected = _expected(spark, src)
     assert read_sink(spark, out).count() == expected.count()
+
+
+def test_state_table_and_metrics(spark, multi_file_events, tmp_path):
+    """T4/K3 parity: the global_event_state-style row advances per batch;
+    R8: the listener captures per-batch progress and flags no alerts."""
+    from mysql_streamer_spark.cdc.positions import LogPosition
+    from mysql_streamer_spark.streaming.metrics import (
+        EnvelopeStreamListener,
+        MetricsCollector,
+    )
+    from mysql_streamer_spark.streaming.state_table import load_state
+
+    src, _ = multi_file_events
+    out, ckpt, state = (str(tmp_path / d) for d in ("out", "ckpt", "state"))
+
+    collector = MetricsCollector()
+    listener = EnvelopeStreamListener(collector)
+    spark.streams.addListener(listener)
+    try:
+        run_envelope_stream(
+            spark, src, out, ckpt, max_files_per_trigger=2, state_dir=state
+        )
+    finally:
+        spark.streams.removeListener(listener)
+
+    pos, batch_id, clean = load_state(spark, state, "refresh_primary")
+    assert isinstance(pos, LogPosition)
+    assert batch_id == 1, "state row must reflect the LAST committed batch"
+    # the saved position is the global high-water mark of the whole sink
+    expected = _expected(spark, src)
+    hi = expected.orderBy(expected.txn_order.desc()).limit(1).collect()[0]
+    assert (pos.log_file, pos.log_pos, pos.offset) == (
+        hi.log_file,
+        hi.log_pos,
+        hi.offset,
+    )
+
+    data_batches = [b for b in collector.batches if b.num_input_rows > 0]
+    assert len(data_batches) == 2
+    assert collector.total_rows == spark.read.parquet(src).count()
+    assert collector.alerts == []
