@@ -175,3 +175,27 @@ def test_bootstrap_replay_admission_and_evolution():
     # dimension rows expose the LATEST id per table, all distinct
     ids = [sid for _, _, sid in registry_dim_rows()]
     assert len(set(ids)) == len(ids)
+
+
+def test_catalog_introspection_parity(spark):
+    """Q5: catalog APIs answer column introspection from the registry."""
+    from mysql_streamer_spark.schema.bootstrap import bootstrap_registry
+    from mysql_streamer_spark.schema.catalog import (
+        sync_registry_to_catalog,
+        table_columns,
+        catalog_view_name,
+    )
+
+    reg = bootstrap_registry()
+    names = sync_registry_to_catalog(spark, reg)
+    assert catalog_view_name("db_1", "signup") in names
+
+    cols = {c.name: c for c in spark.catalog.listColumns("reg__db_1__signup")}
+    assert cols["amount"].dataType == "decimal(12,2)"
+    assert cols["tags"].dataType == "array<string>"
+    assert cols["wake_time"].dataType == "bigint"  # TIME -> µs long
+
+    info = {c.name: c for c in table_columns(reg, "db_1", "signup")}
+    assert info["tags"].wire_transform == "set"
+    assert info["created_dt"].wire_transform == "datetime"
+    assert info["pk"].nullable is False
