@@ -2,7 +2,8 @@
 -> DataFrame callable plus (where SQL-expressible) a DuckDB oracle string.
 
 ``__spark_entry__.py`` aggregates ALL_SPECS into the driver contract
-(queries() / oracle_sql()).
+(queries() / oracle_sql()). Imports are deliberately unconditional: a
+missing module is a build break, not a silently smaller engine.
 """
 
 from __future__ import annotations
@@ -12,22 +13,25 @@ from mysql_streamer_spark.queries.registry import QuerySpec, collect
 
 def all_specs() -> list[QuerySpec]:
     from mysql_streamer_spark.queries import (
+        analytics,
         cdc,
         dedup,
+        multimodal,
         schema_registry,
         similarity,
+        streaming_q,
         textops,
     )
 
-    modules = [cdc, schema_registry, textops, dedup, similarity]
-    # families still under construction register themselves when present
-    for optional in ("analytics", "multimodal", "streaming_q"):
-        try:
-            modules.append(
-                __import__(
-                    f"mysql_streamer_spark.queries.{optional}", fromlist=[optional]
-                )
-            )
-        except ImportError:
-            pass
-    return collect(modules)
+    return collect(
+        [
+            cdc,
+            schema_registry,
+            textops,
+            dedup,
+            similarity,
+            analytics,
+            multimodal,
+            streaming_q,
+        ]
+    )
