@@ -111,24 +111,29 @@ def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-state materialization: last change per (db, table, pk) by
     transaction order (SURVEY.md §7 phases 4-5; replaces the reference's
-    downstream-consumer compaction). Window is partitioned by the same keys
-    the sink is partitioned by, so at scale this is one shuffle."""
+    downstream-consumer compaction).
+
+    Implemented as ONE hash aggregate with max_by — algebraic, so a hot pk
+    partially reduces map-side on every input partition. The equivalent
+    row_number()=1 window would funnel each hot key through a single task
+    and sort it there (window skew is not covered by AQE)."""
+    from mysql_streamer_spark.skew import latest_by_key
+
     env = envelope_pipeline(spark, sf_dir)
-    w = Window.partitionBy("database_name", "table_name", "pk").orderBy(
-        F.col("txn_order").desc()
+    latest = latest_by_key(
+        env,
+        keys=["database_name", "table_name", "pk"],
+        order_col="txn_order",
+        payload_cols=["message_type", "payload_k", "payload_val"],
     )
-    return (
-        env.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "database_name",
-            "table_name",
-            "pk",
-            "message_type",
-            "txn_order",
-            "payload_k",
-            "payload_val",
-        )
+    return latest.select(
+        "database_name",
+        "table_name",
+        "pk",
+        "message_type",
+        "txn_order",
+        "payload_k",
+        "payload_val",
     )
 
 

@@ -126,3 +126,44 @@ def test_row_explode_counts_and_unique_keys(spark, sf_dir):
     # per-event rows share the event's position but differ in offset
     key_count = multi.select("log_file", "log_pos", "offset").distinct().count()
     assert key_count == multi.count()
+
+
+def test_latest_by_key_matches_window_semantics(spark, sf_dir):
+    """The max_by aggregate must equal the row_number()=1 window plan."""
+    from pyspark.sql import Window
+    from mysql_streamer_spark.skew import latest_by_key
+
+    env = envelope_pipeline(spark, sf_dir)
+    w = Window.partitionBy("database_name", "table_name", "pk").orderBy(
+        F.col("txn_order").desc()
+    )
+    via_window = (
+        env.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("database_name", "table_name", "pk", "txn_order", "payload_val")
+    )
+    via_agg = latest_by_key(
+        env,
+        keys=["database_name", "table_name", "pk"],
+        order_col="txn_order",
+        payload_cols=["payload_val"],
+    ).select("database_name", "table_name", "pk", "txn_order", "payload_val")
+    assert via_agg.exceptAll(via_window).count() == 0
+    assert via_window.exceptAll(via_agg).count() == 0
+
+
+def test_salted_collect_list_matches_plain(spark, sf_dir):
+    from mysql_streamer_spark.skew import salted_collect_list
+
+    cdc = cdc_events(spark, sf_dir).limit(500)
+    plain = {
+        r.database: sorted(r.vals)
+        for r in cdc.groupBy("database")
+        .agg(F.collect_list("event_id").alias("vals"))
+        .collect()
+    }
+    salted = {
+        r.database: sorted(r.event_id_list)
+        for r in salted_collect_list(cdc, ["database"], "event_id", 8).collect()
+    }
+    assert salted == plain
