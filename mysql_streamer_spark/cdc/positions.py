@@ -84,3 +84,51 @@ def construct_position(d: dict) -> Position:
             hb_timestamp=d.get("hb_timestamp"),
         )
     raise ValueError(f"cannot construct position from {d!r}")
+
+
+def filter_after_position(cdc, position: LogPosition):
+    """S6 — intra-event offset seek: admit only rows strictly PAST the
+    saved position, down to the row index inside a multi-row event
+    (reference SimpleBinlogStreamReaderWrapper._seek skips ``offset``
+    events past the restart point,
+    simple_binlog_stream_reader_wrapper.py:133-148). The tuple comparison
+    is a plain column predicate, so it pushes into the scan."""
+    from pyspark.sql import functions as F
+
+    file_c, pos_c, off_c = F.col("log_file"), F.col("log_pos"), F.col("offset")
+    off = position.offset or 0
+    return cdc.filter(
+        (file_c > position.log_file)
+        | ((file_c == position.log_file) & (pos_c > position.log_pos))
+        | (
+            (file_c == position.log_file)
+            & (pos_c == position.log_pos)
+            & (off_c > off)
+        )
+    )
+
+
+def position_for_timestamp(heartbeats, ts) -> HeartbeatPosition | None:
+    """R5/R6 — failover re-pointing: locate the newest heartbeat at or
+    before ``ts`` and return its master-independent HeartbeatPosition
+    (heartbeat (serial, timestamp) survives a primary switch; the reference
+    scans binlog files newest-to-oldest for the same answer,
+    heartbeat_searcher.py:53-64)."""
+    from pyspark.sql import functions as F
+
+    row = (
+        heartbeats.filter(F.col("timestamp") <= ts)
+        .orderBy(F.col("timestamp").desc(), F.col("serial").desc())
+        .limit(1)
+        .collect()
+    )
+    if not row:
+        return None
+    r = row[0]
+    return HeartbeatPosition(
+        log_file=r.log_file,
+        log_pos=r.log_pos,
+        offset=0,
+        hb_serial=r.serial,
+        hb_timestamp=r.timestamp.timestamp(),
+    )

@@ -40,3 +40,51 @@ def test_heartbeat_position_fields():
 def test_construct_position_rejects_garbage():
     with pytest.raises(ValueError):
         construct_position({"nope": 1})
+
+
+def test_filter_after_position_intra_event_offset(spark):
+    from mysql_streamer_spark.cdc.positions import LogPosition, filter_after_position
+
+    rows = [
+        ("binlog.000001", 100, 0),
+        ("binlog.000001", 100, 1),  # the restart point
+        ("binlog.000001", 100, 2),  # same event, later row -> admitted
+        ("binlog.000001", 104, 0),
+        ("binlog.000002", 4, 0),
+    ]
+    df = spark.createDataFrame(rows, "log_file string, log_pos long, offset int")
+    pos = LogPosition(log_file="binlog.000001", log_pos=100, offset=1)
+    got = {(r.log_file, r.log_pos, r.offset) for r in filter_after_position(df, pos).collect()}
+    assert got == {
+        ("binlog.000001", 100, 2),
+        ("binlog.000001", 104, 0),
+        ("binlog.000002", 4, 0),
+    }
+
+
+def test_failover_repoint_resumes_from_heartbeat(spark, sf_dir):
+    """R6: timestamp -> HeartbeatPosition -> seek; the resumed stream
+    contains exactly the rows past the located heartbeat."""
+    from mysql_streamer_spark.cdc.pipeline import cdc_events, heartbeat_stream
+    from mysql_streamer_spark.cdc.positions import (
+        HeartbeatPosition,
+        filter_after_position,
+        position_for_timestamp,
+    )
+    from pyspark.sql import functions as F
+
+    hb = heartbeat_stream(spark, sf_dir)
+    mid_ts = hb.agg(F.max("timestamp")).collect()[0][0]
+    pos = position_for_timestamp(hb, mid_ts)
+    assert isinstance(pos, HeartbeatPosition)
+    assert pos.hb_serial is not None
+
+    cdc = cdc_events(spark, sf_dir)
+    resumed = filter_after_position(cdc, pos)
+    # every admitted row is strictly past the position
+    bad = resumed.filter(
+        (F.col("log_file") < pos.log_file)
+        | ((F.col("log_file") == pos.log_file) & (F.col("log_pos") <= pos.log_pos))
+    ).count()
+    assert bad == 0
+    assert resumed.count() < cdc.count()
