@@ -295,6 +295,77 @@ GROUP BY p_brand
 """
 
 
+# ---------------------------------------------------------------------------
+# rollup (grouping sets) over the corpus profile
+# ---------------------------------------------------------------------------
+
+def q_analytics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (lang, source): per-source, per-lang subtotals and the grand
+    total in one pass — Catalyst expands grouping sets into a single
+    aggregate, no self-unions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+       grouping(lang) * 2 + grouping(source) AS gid
+FROM documents
+GROUP BY ROLLUP (lang, source)
+"""
+
+
+# ---------------------------------------------------------------------------
+# set operations: retained / churned users between period halves
+# ---------------------------------------------------------------------------
+
+EVENTS_MIDPOINT = "2024-01-30 18:00:00"
+
+
+def q_analytics_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT over per-half user sets, then one union of labeled
+    groups — each leg is a distinct-aggregate on user_id (narrow shuffles)."""
+    ev = load_table(spark, sf_dir, "events")
+    mid = F.lit(EVENTS_MIDPOINT).cast("timestamp")
+    first = ev.filter(F.col("ts") < mid).select("user_id").distinct()
+    second = ev.filter(F.col("ts") >= mid).select("user_id").distinct()
+    retained = first.intersect(second).withColumn("cohort", F.lit("retained"))
+    churned = first.exceptAll(second).withColumn("cohort", F.lit("churned"))
+    new = second.exceptAll(first).withColumn("cohort", F.lit("new"))
+    return (
+        retained.unionAll(churned)
+        .unionAll(new)
+        .groupBy("cohort")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+_RETENTION_ORACLE = f"""
+WITH first_half AS (
+  SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '{EVENTS_MIDPOINT}'
+), second_half AS (
+  SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '{EVENTS_MIDPOINT}'
+), labeled AS (
+  SELECT 'retained' AS cohort, user_id
+  FROM (SELECT user_id FROM first_half INTERSECT SELECT user_id FROM second_half)
+  UNION ALL
+  SELECT 'churned', user_id
+  FROM (SELECT user_id FROM first_half EXCEPT SELECT user_id FROM second_half)
+  UNION ALL
+  SELECT 'new', user_id
+  FROM (SELECT user_id FROM second_half EXCEPT SELECT user_id FROM first_half)
+)
+SELECT cohort, count(*) AS n_users FROM labeled GROUP BY cohort
+"""
+
+
 SPECS = [
     QuerySpec("analytics_pricing_summary", q_analytics_pricing_summary, _PRICING_ORACLE),
     QuerySpec(
@@ -308,4 +379,6 @@ SPECS = [
         q_analytics_parts_never_ordered,
         _PARTS_ANTI_ORACLE,
     ),
+    QuerySpec("analytics_rollup", q_analytics_rollup, _ROLLUP_ORACLE),
+    QuerySpec("analytics_user_retention", q_analytics_user_retention, _RETENTION_ORACLE),
 ]
