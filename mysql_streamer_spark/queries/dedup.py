@@ -300,9 +300,127 @@ FROM hashed
 """
 
 
+# ---------------------------------------------------------------------------
+# near-duplicate clusters (connected components over the candidate graph)
+# ---------------------------------------------------------------------------
+
+#: safety bound; real near-dup graphs converge in a handful of rounds
+#: (diameter of duplicate clusters is tiny), and each round is one join
+MAX_CC_ITERATIONS = 15
+
+
+def connected_components(edges: DataFrame) -> DataFrame:
+    """Minimum-label propagation: every vertex converges to the smallest
+    doc_id reachable from it — the cluster representative ("keeper").
+
+    Iterative joins, NO driver-side graph: each round joins current labels
+    across edges and keeps the min; terminates when a round changes
+    nothing. Rounds needed = cluster diameter (near-dup clusters are
+    shallow), so at scale this is a few narrow shuffles, not a GraphX
+    dependency. Input: (doc_a, doc_b) with doc_a < doc_b.
+    """
+    both = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = (
+        both.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(MAX_CC_ITERATIONS):
+        neighbor_min = (
+            both.join(labels, both.doc_b == labels.doc_id)
+            .groupBy(both.doc_a.alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            # truncate lineage per round, or iteration N recomputes all N-1
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster summary over the verified near-dup pairs: one row per
+    duplicate cluster with its keeper (min doc_id) and member count —
+    the dedup decision table a 100 TB pipeline joins against to drop
+    non-keepers."""
+    pairs = minhash_candidate_pairs(load_table(spark, sf_dir, "documents"))
+    labels = connected_components(pairs.select("doc_a", "doc_b"))
+    return labels.groupBy(F.col("label").alias("keeper_doc_id")).agg(
+        F.count("*").alias("cluster_size"),
+        F.sort_array(F.collect_list("doc_id")).alias("members"),
+    )
+
+
+# Clusters oracle: the pairs oracle's CTE chain -> recursive min-label
+# closure -> per-cluster summary.
+_CLUSTERS_ORACLE = (
+    "WITH RECURSIVE "
+    + _signature_sql_cte().lstrip()
+    + _bands_sql_cte()
+    + f"""
+, bsize AS (
+  SELECT band_id, band_hash, count(*) AS n FROM bands GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+  JOIN bsize s
+    ON a.band_id = s.band_id AND a.band_hash = s.band_hash
+  WHERE s.n <= {MAX_BUCKET_SIZE}
+), ssets AS (
+  SELECT doc_id, list_distinct({tx.shingles_sql(tx.tokens_sql("text"))}) AS sset
+  FROM documents
+), edges AS (
+  SELECT doc_a, doc_b FROM cand
+  JOIN ssets sa ON cand.doc_a = sa.doc_id
+  JOIN ssets sb ON cand.doc_b = sb.doc_id
+  WHERE CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(sa.sset, sb.sset))) AS DOUBLE)
+      >= {JACCARD_THRESHOLD}
+), sym AS (
+  SELECT doc_a, doc_b FROM edges
+  UNION ALL SELECT doc_b, doc_a FROM edges
+), reach(doc_id, label) AS (
+  SELECT doc_a, doc_a FROM sym
+  UNION
+  SELECT sym.doc_a, reach.label
+  FROM sym JOIN reach ON sym.doc_b = reach.doc_id
+  WHERE reach.label < sym.doc_a
+)
+SELECT keeper_doc_id,
+       count(*) AS cluster_size,
+       list_sort(list(doc_id)) AS members
+FROM (SELECT doc_id, min(label) AS keeper_doc_id FROM reach GROUP BY doc_id)
+GROUP BY keeper_doc_id
+"""
+)
+
+
 SPECS = [
     QuerySpec("dedup_exact", q_dedup_exact, _EXACT_ORACLE),
     QuerySpec("dedup_minhash_bands", q_dedup_minhash_bands, _BANDS_ORACLE),
     QuerySpec("dedup_minhash_pairs", q_dedup_minhash_pairs, _PAIRS_ORACLE),
+    QuerySpec("dedup_clusters", q_dedup_clusters, _CLUSTERS_ORACLE),
     QuerySpec("dedup_simhash", q_dedup_simhash, _SIMHASH_ORACLE),
 ]

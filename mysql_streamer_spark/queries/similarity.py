@@ -283,10 +283,134 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF-style ANN: coarse cells + probed search
+# ---------------------------------------------------------------------------
+
+#: cells probed per query (IVF nprobe); 10 coarse cells exist (one per label)
+N_PROBES = 2
+
+
+def _centroids(e: DataFrame) -> DataFrame:
+    """Integer coarse centroids: floor of the per-label per-dim mean,
+    reassembled into an array ordered by dim — fully declarative, no
+    driver-side collect. (label, cq, cnrm)."""
+    per_dim = (
+        e.select("label", F.posexplode("qv").alias("dim", "qval"))
+        .groupBy("label", "dim")
+        .agg(F.floor(F.sum("qval") / F.count("*")).cast("long").alias("cval"))
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.expr("transform(sort_array(collect_list(struct(dim, cval))), s -> s.cval)").alias("cq")
+        )
+        .withColumn("cnrm", vx.norm_sq_col("cq"))
+    )
+
+
+def _cell_score(qv: str, nrm: str) -> F.Column:
+    return vx.cosine_col(qv, "cq", nrm, "cnrm")
+
+
+def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF: assign every vector to its best coarse cell (10 centroid dots
+    per vector, broadcast — map-only); each query probes its N_PROBES best
+    cells; exact cosine runs only inside probed cells. The inverted 'list'
+    is just a (cell -> vec) equi-join key, so at 100 TB the index is a
+    partitioning, not a data structure."""
+    e = vx.with_quantized(_emb(spark, sf_dir)).select("vec_id", "qv", "nrm", "label")
+    cents = _centroids(e)
+
+    scored_cells = (
+        e.drop("label")  # the true label must not leak into cell assignment
+        .crossJoin(F.broadcast(cents))
+        .withColumn("cscore", _cell_score("qv", "nrm"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cscore").desc(), F.col("label").asc()
+    )
+    assign = (
+        scored_cells.withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("label").alias("cell"), "qv", "nrm")
+    )
+    probes = (
+        scored_cells.filter(F.col("vec_id") < N_QUERY)
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") <= N_PROBES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("cell"),
+            F.col("qv").alias("q_qv"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    cand = (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", vx.cosine_col("q_qv", "qv", "q_nrm", "nrm"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("cand_id"), "cosine", "rnk")
+    )
+
+
+_IVF_ORACLE = f"""
+WITH qe AS (
+  SELECT vec_id, label, {vx.quantized_sql("embedding")} AS qv,
+         {vx.norm_sq_sql(vx.quantized_sql("embedding"))} AS nrm
+  FROM embeddings
+), per_dim AS (
+  SELECT label, i - 1 AS dim,
+         CAST(floor(sum(qv[i]) / count(*)) AS BIGINT) AS cval
+  FROM qe CROSS JOIN (SELECT unnest(generate_series(1, {vx.DIM})) AS i) dims
+  GROUP BY label, dim
+), cents AS (
+  SELECT label, list(cval ORDER BY dim) AS cq
+  FROM per_dim GROUP BY label
+), cents_n AS (
+  SELECT label, cq, {vx.norm_sq_sql("cq")} AS cnrm FROM cents
+), scored_cells AS (
+  SELECT qe.vec_id, qe.qv, qe.nrm, cents_n.label,
+         {vx.cosine_sql("qv", "cq", "nrm", "cnrm")} AS cscore
+  FROM qe CROSS JOIN cents_n
+), assign AS (
+  SELECT vec_id, label AS cell, qv, nrm FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cscore DESC, label ASC) AS rk
+    FROM scored_cells
+  ) WHERE rk = 1
+), probes AS (
+  SELECT vec_id AS query_id, label AS cell, qv AS q_qv, nrm AS q_nrm FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cscore DESC, label ASC) AS rk
+    FROM scored_cells WHERE vec_id < {N_QUERY}
+  ) WHERE rk <= {N_PROBES}
+), cand AS (
+  SELECT query_id, vec_id AS cand_id,
+         {vx.cosine_sql("q_qv", "qv", "q_nrm", "nrm")} AS cosine
+  FROM assign JOIN probes USING (cell)
+  WHERE vec_id != query_id
+)
+SELECT query_id, cand_id, cosine, rnk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
+  FROM cand
+) WHERE rnk <= {TOP_K}
+"""
+
+
 SPECS = [
     QuerySpec("sim_bruteforce_topk", q_sim_bruteforce_topk, _BRUTEFORCE_ORACLE),
     QuerySpec("sim_lsh_buckets", q_sim_lsh_buckets, _BUCKETS_ORACLE),
     QuerySpec("sim_lsh_ann", q_sim_lsh_ann, _ANN_ORACLE),
     QuerySpec("sim_cosine_neardup", q_sim_cosine_neardup, _NEARDUP_ORACLE),
+    QuerySpec("sim_ivf_ann", q_sim_ivf_ann, _IVF_ORACLE),
     QuerySpec("sim_label_centroids", q_sim_label_centroids, _CENTROIDS_ORACLE),
 ]

@@ -75,3 +75,14 @@ def test_simhash_golden_value(spark):
         if votes > 0:
             expected += 1 << j
     assert out == expected
+
+
+def test_connected_components_min_label(spark):
+    from mysql_streamer_spark.queries.dedup import connected_components
+
+    # two chains and an isolated pair: {1-2-3-4}, {10-11}, {20-21}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], "doc_a long, doc_b long"
+    )
+    labels = {r.doc_id: r.label for r in connected_components(edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}

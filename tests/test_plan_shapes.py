@@ -14,7 +14,7 @@ import pytest
 
 #: queries whose plan INTENTIONALLY contains a broadcast nested-loop join
 #: (a tiny broadcast side crossed with the corpus is the documented design)
-_BNLJ_OK = {"sim_bruteforce_topk", "cdc_heartbeat_lag"}
+_BNLJ_OK = {"sim_bruteforce_topk", "cdc_heartbeat_lag", "sim_ivf_ann"}
 
 #: streaming roundtrips execute jobs at build time — plan-audited via their
 #: batch equivalents instead

@@ -43,3 +43,16 @@ def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
 def test_hyperplanes_deterministic():
     assert vx.HYPERPLANES == [vx._hyperplane(p) for p in range(vx.N_PLANES)]
     assert all(len(h) == vx.DIM and set(h) <= {-1, 1} for h in vx.HYPERPLANES)
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
+    from mysql_streamer_spark.queries.similarity import q_sim_ivf_ann
+
+    exact = {
+        (r.query_id, r.cand_id) for r in q_sim_bruteforce_topk(spark, sf_dir).collect()
+    }
+    approx = {(r.query_id, r.cand_id) for r in q_sim_ivf_ann(spark, sf_dir).collect()}
+    assert approx
+    recall = len(exact & approx) / len(exact)
+    # nprobe=2 of 10 cells on random unit vectors: a sanity floor, not SLA
+    assert recall >= 0.15, f"recall {recall:.2f} suspiciously low"
