@@ -43,6 +43,17 @@ def main() -> None:
         total += dt
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # the round-1 baseline (BENCH_r01) covered exactly these 7 queries;
+    # report their subtotal so totals stay comparable as coverage grows
+    r1_set = (
+        "cdc_envelope",
+        "cdc_changelog",
+        "cdc_latest_state",
+        "cdc_heartbeat_lag",
+        "cdc_offset_lookup",
+        "cdc_message_counts",
+        "cdc_exactly_once_dedup",
+    )
     print(
         json.dumps(
             {
@@ -50,6 +61,10 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "n_queries": len(timings),
+                "r1_baseline_subset_seconds": round(
+                    sum(timings.get(q, 0.0) for q in r1_set), 3
+                ),
                 "sf": float(sf),
             }
         )

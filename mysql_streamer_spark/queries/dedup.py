@@ -321,7 +321,10 @@ def connected_components(edges: DataFrame) -> DataFrame:
     """
     both = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    )
+    # materialize the edge list once — every propagation round joins it,
+    # and without this each round re-executes the whole pair-generation
+    # lineage (measured ~3x the query cost at sf0.1)
+    ).localCheckpoint()
     labels = (
         both.select(F.col("doc_a").alias("doc_id"))
         .distinct()
