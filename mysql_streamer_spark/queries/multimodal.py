@@ -38,13 +38,47 @@ FROM documents
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The mapInPandas decode path (deterministic fake decoder)."""
+    """The mapInPandas decode path (deterministic fake decoder). The oracle
+    recomputes the byte statistics in SQL (payload bytes are the text's
+    ascii codes), so the Arrow-batched PYTHON path is value-checked
+    end-to-end against an independent engine."""
     blobs = with_media_blob(load_table(spark, sf_dir, "documents"))
     return extract_features(blobs)
 
 
+def _features_oracle() -> str:
+    from mysql_streamer_spark.multimodal import N_HIST_BINS
+
+    # fake_decoder: video samples every 2nd byte; hist bin = code*BINS//256
+    hist_bins = ", ".join(
+        f"len(list_filter(codes, c -> c * {N_HIST_BINS} // 256 = {b}))"
+        for b in range(N_HIST_BINS)
+    )
+    return f"""
+WITH blobs AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN 'image'
+         WHEN doc_id % 3 = 1 THEN 'audio'
+         ELSE 'video' END AS media_type,
+    text
+  FROM documents
+), decoded AS (
+  SELECT doc_id, media_type,
+    octet_length(encode(text)) AS n_bytes,
+    list_transform(
+      generate_series(1, length(text),
+                      CASE WHEN media_type = 'video' THEN 2 ELSE 1 END),
+      i -> ascii(substring(text, i, 1))) AS codes
+  FROM blobs
+)
+SELECT doc_id, media_type, n_bytes,
+  CAST(list_sum(codes) AS DOUBLE) / len(codes) AS mean_byte,
+  [{hist_bins}] AS byte_hist
+FROM decoded
+"""
+
+
 SPECS = [
     QuerySpec("multimodal_metadata", q_multimodal_metadata, _METADATA_ORACLE),
-    # rows-only: Python decode path, no SQL oracle by design
-    QuerySpec("multimodal_features", q_multimodal_features, None),
+    QuerySpec("multimodal_features", q_multimodal_features, _features_oracle()),
 ]
