@@ -222,10 +222,54 @@ GROUP BY lang, source
 """
 
 
+# ---------------------------------------------------------------------------
+# rolling-hash fingerprint (Rabin-Karp over chars + min block hash)
+# ---------------------------------------------------------------------------
+
+BLOCK_CHARS = 64
+
+
+def q_text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document polynomial hash plus the minimum block hash over
+    fixed 64-char blocks (a winnowing-style locality signal: two documents
+    sharing an aligned block share the min candidate). Map-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_blocks = f"int((length(text) + {BLOCK_CHARS - 1}) div {BLOCK_CHARS})"
+    block_hashes = (
+        f"transform(sequence(1, {n_blocks}), b -> "
+        f"aggregate(transform(split(substring(text, (b - 1) * {BLOCK_CHARS} + 1, "
+        f"{BLOCK_CHARS}), ''), c -> ascii(c)), CAST(0 AS BIGINT), "
+        f"(acc, c) -> (acc * {tx.ROLLING_BASE} + c) % {tx.ROLLING_MOD}))"
+    )
+    return docs.select(
+        "doc_id",
+        tx.rolling_hash_col("text").alias("poly_hash"),
+        F.expr(f"array_min({block_hashes})").alias("min_block_hash"),
+        F.expr(n_blocks).alias("n_blocks"),
+    )
+
+
+_ROLLING_ORACLE = f"""
+SELECT doc_id,
+  {tx.rolling_hash_sql("text")} AS poly_hash,
+  list_min(list_transform(generate_series(1,
+      CAST((length(text) + {BLOCK_CHARS - 1}) // {BLOCK_CHARS} AS INT)),
+    b -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split_regex(
+             substring(text, (b - 1) * {BLOCK_CHARS} + 1, {BLOCK_CHARS}), ''),
+             c -> CAST(ascii(c) AS BIGINT))),
+         (acc, c) -> (acc * {tx.ROLLING_BASE} + c) % {tx.ROLLING_MOD})))
+    AS min_block_hash,
+  CAST((length(text) + {BLOCK_CHARS - 1}) // {BLOCK_CHARS} AS INT) AS n_blocks
+FROM documents
+"""
+
+
 SPECS = [
     QuerySpec("text_token_stats", q_text_token_stats, _TOKEN_STATS_ORACLE),
     QuerySpec("text_langid", q_text_langid, _LANGID_ORACLE),
     QuerySpec("text_quality", q_text_quality, _QUALITY_ORACLE),
     QuerySpec("text_fingerprint", q_text_fingerprint, _FINGERPRINT_ORACLE),
+    QuerySpec("text_rolling_hash", q_text_rolling_hash, _ROLLING_ORACLE),
     QuerySpec("text_source_profile", q_text_source_profile, _SOURCE_PROFILE_ORACLE),
 ]

@@ -212,3 +212,32 @@ def minhash_from_hashes_sql(seed: int, hashes: str = "hashes") -> str:
     return (
         f"list_min(list_transform({hashes}, h -> substring(h, {start}, {width})))"
     )
+
+
+# ---------------------------------------------------------------------------
+# rolling (polynomial / Rabin-Karp) hashing over characters
+# ---------------------------------------------------------------------------
+
+#: base/modulus chosen so acc*BASE + code stays < 2^36 — exact in a 64-bit
+#: long in BOTH engines (no overflow, no bigint promotion differences)
+ROLLING_BASE = 31
+ROLLING_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne)
+
+
+def rolling_hash_col(text_expr: str = "text") -> Column:
+    """Polynomial hash folded left-to-right over character codes:
+    ``h = (h * B + code) mod M`` — the classic Rabin-Karp fingerprint."""
+    return F.expr(
+        f"aggregate(transform(split({text_expr}, ''), c -> ascii(c)), "
+        f"CAST(0 AS BIGINT), "
+        f"(acc, c) -> (acc * {ROLLING_BASE} + c) % {ROLLING_MOD})"
+    )
+
+
+def rolling_hash_sql(text_expr: str = "text") -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split_regex({text_expr}, ''), "
+        f"c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, c) -> (acc * {ROLLING_BASE} + c) % {ROLLING_MOD})"
+    )

@@ -64,3 +64,15 @@ def test_subword_count_ceil_division(spark):
         .n
     )
     assert n == 5
+
+
+def test_rolling_hash_matches_python(spark):
+    from mysql_streamer_spark import text as tx2
+
+    s = "the quick brown fox"
+    df = spark.createDataFrame([(s,)], "text string")
+    got = df.select(tx2.rolling_hash_col("text").alias("h")).collect()[0].h
+    h = 0
+    for ch in s:
+        h = (h * tx2.ROLLING_BASE + ord(ch)) % tx2.ROLLING_MOD
+    assert got == h
