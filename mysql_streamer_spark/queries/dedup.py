@@ -68,6 +68,34 @@ GROUP BY 1
 """
 
 
+def q_dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY form of exact dedup: the surviving corpus (first doc per
+    content hash), not just the group report — what a training pipeline
+    actually feeds downstream. One aggregate picks keepers; min_by carries
+    the full row so no second join back to the corpus is needed."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = (
+        docs.groupBy(F.sha2("text", 256).alias("content_hash"))
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "text", "lang", "source", "n_chars"),
+                F.col("doc_id"),
+            ).alias("d")
+        )
+        .select("d.doc_id", "d.lang", "d.source", "d.n_chars", "content_hash")
+    )
+    return kept
+
+
+_EXACT_SURVIVORS_ORACLE = """
+SELECT doc_id, lang, source, n_chars, sha256(text) AS content_hash
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # MinHash signatures -> banded LSH keys
 # ---------------------------------------------------------------------------
@@ -422,6 +450,7 @@ GROUP BY keeper_doc_id
 
 SPECS = [
     QuerySpec("dedup_exact", q_dedup_exact, _EXACT_ORACLE),
+    QuerySpec("dedup_exact_survivors", q_dedup_exact_survivors, _EXACT_SURVIVORS_ORACLE),
     QuerySpec("dedup_minhash_bands", q_dedup_minhash_bands, _BANDS_ORACLE),
     QuerySpec("dedup_minhash_pairs", q_dedup_minhash_pairs, _PAIRS_ORACLE),
     QuerySpec("dedup_clusters", q_dedup_clusters, _CLUSTERS_ORACLE),

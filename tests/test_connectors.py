@@ -119,3 +119,23 @@ def test_jdbc_snapshot_options():
     assert opts["isolationLevel"] == "REPEATABLE_READ"
     with pytest.raises(ValueError):
         snapshot_options(url="u", table="t", partition_column="pk")
+
+
+def test_kafka_wire_roundtrip_preserves_envelope(spark, sf_dir):
+    """envelope -> Kafka record JSON -> parsed back == original rows (the
+    sink's wire format is lossless for every envelope column)."""
+    from pyspark.sql import functions as F
+    from mysql_streamer_spark.cdc.pipeline import envelope_pipeline
+
+    env = envelope_pipeline(spark, sf_dir)
+    schema_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in env.schema)
+    recs = envelope_to_kafka_records(env)
+    parsed = recs.select(
+        F.from_json("value", schema_ddl).alias("m")
+    ).select("m.*")
+    # from_json yields nullable fields; names and types must round-trip
+    assert [(f.name, f.dataType) for f in parsed.schema] == [
+        (f.name, f.dataType) for f in env.schema
+    ]
+    assert parsed.exceptAll(env).count() == 0
+    assert env.exceptAll(parsed).count() == 0
