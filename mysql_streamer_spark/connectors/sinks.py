@@ -14,6 +14,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: Spark's default JSON timestampFormat is millisecond-precision; binlog
+#: event times carry microseconds — the wire format must not lose them.
+WIRE_JSON_OPTIONS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
+
+
 def envelope_to_kafka_records(env: DataFrame) -> DataFrame:
     """envelope -> (key, value, topic): key is (cluster, txn_order) — the
     exactly-once idempotency key — and topic is db.table, Debezium-style."""
@@ -21,7 +26,7 @@ def envelope_to_kafka_records(env: DataFrame) -> DataFrame:
         F.concat_ws(":", "cluster_name", F.col("txn_order").cast("string")).alias(
             "key"
         ),
-        F.to_json(F.struct(*env.columns)).alias("value"),
+        F.to_json(F.struct(*env.columns), WIRE_JSON_OPTIONS).alias("value"),
         F.concat_ws(".", "database_name", "table_name").alias("topic"),
     )
 

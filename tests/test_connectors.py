@@ -127,11 +127,13 @@ def test_kafka_wire_roundtrip_preserves_envelope(spark, sf_dir):
     from pyspark.sql import functions as F
     from mysql_streamer_spark.cdc.pipeline import envelope_pipeline
 
+    from mysql_streamer_spark.connectors.sinks import WIRE_JSON_OPTIONS
+
     env = envelope_pipeline(spark, sf_dir)
     schema_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in env.schema)
     recs = envelope_to_kafka_records(env)
     parsed = recs.select(
-        F.from_json("value", schema_ddl).alias("m")
+        F.from_json("value", schema_ddl, WIRE_JSON_OPTIONS).alias("m")
     ).select("m.*")
     # from_json yields nullable fields; names and types must round-trip
     assert [(f.name, f.dataType) for f in parsed.schema] == [
