@@ -106,6 +106,26 @@ def with_schema_ids(df: DataFrame, dim: DataFrame | None = None) -> DataFrame:
     return df.join(F.broadcast(dim), on=["database", "table"], how="left")
 
 
+def per_key_ordered(env: DataFrame) -> DataFrame:
+    """The parallel substitute for the reference's single-thread total
+    order (base_parse_replication_stream.py:143): co-locate each
+    (database, table, pk) on one partition and sort within partitions by
+    txn_order. Consumers reading a partition stream see every key's
+    changes in binlog order — the guarantee downstream appliers need —
+    while partitions process in parallel."""
+    return env.repartition(
+        "database_name", "table_name", "pk"
+    ).sortWithinPartitions("database_name", "table_name", "pk", "txn_order")
+
+
+def write_envelope_partitioned(env: DataFrame, path: str) -> None:
+    """Phase-0 sink layout: parquet partitioned by (database, table) so a
+    per-table consumer prunes everything else at the directory level."""
+    per_key_ordered(env).write.mode("overwrite").partitionBy(
+        "database_name", "table_name"
+    ).parquet(path)
+
+
 def build_envelope(df: DataFrame, cluster_name: str = "refresh_primary") -> DataFrame:
     """P3: the final flat message envelope (column order = schema).
 

@@ -167,3 +167,47 @@ def test_salted_collect_list_matches_plain(spark, sf_dir):
         for r in salted_collect_list(cdc, ["database"], "event_id", 8).collect()
     }
     assert salted == plain
+
+
+def test_per_key_ordering_within_partitions(spark, sf_dir):
+    """Every (db, table, pk)'s changes appear in txn_order within its
+    partition — the parallel replacement for single-threaded total order."""
+    from mysql_streamer_spark.cdc.envelope import per_key_ordered
+
+    env = per_key_ordered(envelope_pipeline(spark, sf_dir))
+
+    def check(rows):
+        last = {}
+        violations = 0
+        for r in rows:
+            key = (r.database_name, r.table_name, r.pk)
+            if key in last and r.txn_order <= last[key]:
+                violations += 1
+            last[key] = r.txn_order
+        yield violations
+
+    total = sum(
+        env.select("database_name", "table_name", "pk", "txn_order")
+        .rdd.mapPartitions(check)
+        .collect()
+    )
+    assert total == 0
+
+
+def test_partitioned_sink_layout_prunes(spark, sf_dir, tmp_path):
+    from mysql_streamer_spark.cdc.envelope import write_envelope_partitioned
+    import os
+
+    out = str(tmp_path / "sink")
+    env = envelope_pipeline(spark, sf_dir)
+    write_envelope_partitioned(env, out)
+    # directory-level pruning: one table's dir holds only its rows
+    dirs = [d for d in os.listdir(out) if d.startswith("database_name=")]
+    assert len(dirs) >= 2
+    one = spark.read.parquet(out).filter(
+        (F.col("database_name") == "db_0") & (F.col("table_name") == "click")
+    )
+    expected = env.filter(
+        (F.col("database_name") == "db_0") & (F.col("table_name") == "click")
+    ).count()
+    assert one.count() == expected > 0

@@ -115,3 +115,28 @@ def test_gap_boundary_is_strict(spark, tmp_path, gap_exceeded):
         assert any(r.n_events == 1 for r in rows), "exactly-gap+1 splits"
     else:
         assert any(r.n_events == 2 for r in rows), "exactly-gap stays one session"
+
+
+def test_state_survives_a_full_restart(spark, tmp_path):
+    """Run, STOP, run again with the same checkpoint: the open session in
+    the state store continues across processes, not just micro-batches
+    (the reference's unclean-shutdown recovery for stateful operators)."""
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    _write_events(spark, src, [(0, _ts(0), 5), (1, _ts(10), 5)])
+    run_session_stream(spark, src, out, ckpt)  # run 1 drains, session open
+
+    # new data arrives AFTER the first run terminated
+    _write_events(spark, src, [(2, _ts(20), 5), (3, _ts(200), 5)])
+    run_session_stream(spark, src, out, ckpt)  # run 2 resumes from ckpt
+
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    (r,) = rows
+
+    def us(minutes):
+        return int((T0 + pd.Timedelta(minutes=minutes)).value // 1000)
+
+    # the closed session spans BOTH runs: events at 0, 10 (run 1) + 20 (run 2)
+    assert (r.user_id, r.session_start_us, r.session_end_us, r.n_events) == (
+        5, us(0), us(20), 3,
+    )
