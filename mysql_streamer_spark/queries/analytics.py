@@ -113,7 +113,6 @@ def q_analytics_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    rev = _cents("l_extendedprice").alias  # noqa: F841  (doc: cents discipline)
     revenue = F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
     ).cast("long")

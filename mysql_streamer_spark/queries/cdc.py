@@ -7,7 +7,7 @@ identical inputs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mysql_streamer_spark.cdc.pipeline import (
