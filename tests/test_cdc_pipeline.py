@@ -211,3 +211,18 @@ def test_partitioned_sink_layout_prunes(spark, sf_dir, tmp_path):
         (F.col("database_name") == "db_0") & (F.col("table_name") == "click")
     ).count()
     assert one.count() == expected > 0
+
+
+def test_txn_order_fails_loudly_beyond_documented_bounds(spark):
+    """file_no >= 2^15 violates the packing invariant; under ANSI mode the
+    multiply overflows with a precise error instead of silently wrapping
+    into garbage ordering keys (caught by a 16x scaling experiment whose
+    synthetic ids inflated past the bound)."""
+    import pytest
+    from mysql_streamer_spark.cdc.envelope import with_transaction_id
+
+    df = spark.createDataFrame(
+        [("binlog.150000", 4, 0)], "log_file string, log_pos long, offset int"
+    )
+    with pytest.raises(Exception, match="(?i)overflow"):
+        with_transaction_id(df).collect()
