@@ -96,11 +96,14 @@ def run_envelope_stream(
             from mysql_streamer_spark.streaming.state_table import (
                 advance_state,
                 batch_position,
+                save_topic_offsets,
             )
 
-            pos = batch_position(read_sink_batch(spark, out_dir, batch_id))
+            committed = read_sink_batch(spark, out_dir, batch_id)
+            pos = batch_position(committed)
             if pos is not None:
                 advance_state(spark, state_dir, cluster_name, pos, batch_id)
+                save_topic_offsets(committed, state_dir, batch_id)
         done[0] += 1
 
     events = load_events_stream(spark, source_dir, max_files_per_trigger)

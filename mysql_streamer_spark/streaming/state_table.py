@@ -93,3 +93,50 @@ def load_state(spark: SparkSession, state_dir: str, cluster_name: str):
         row.batch_id,
         row.is_clean_shutdown,
     )
+
+
+# -- per-topic offsets (reference data_event_checkpoint,
+#    models/data_event_checkpoint.py:38-143: kafka_topic -> kafka_offset) --
+
+_TOPIC_SCHEMA = "topic string, max_txn_order long, n_messages long, batch_id long"
+
+
+def save_topic_offsets(env_batch: DataFrame, state_dir: str, batch_id: int) -> None:
+    """Upsert-by-overwrite of the per-topic high-water offsets from one
+    committed batch, merged monotonically with the existing table (bulk
+    upsert semantics of the reference's checkpoint table)."""
+    from pyspark.sql import functions as F
+
+    spark = env_batch.sparkSession
+    new = (
+        env_batch.withColumn(
+            "topic", F.concat_ws(".", "database_name", "table_name")
+        )
+        .groupBy("topic")
+        .agg(
+            F.max("txn_order").alias("max_txn_order"),
+            F.count("*").alias("n_messages"),
+        )
+        .withColumn("batch_id", F.lit(batch_id))
+    )
+    path = f"{state_dir}/topic_offsets"
+    try:
+        old = spark.read.parquet(path)
+        merged = (
+            old.unionByName(new)
+            .groupBy("topic")
+            .agg(
+                F.max("max_txn_order").alias("max_txn_order"),
+                F.sum("n_messages").alias("n_messages"),
+                F.max("batch_id").alias("batch_id"),
+            )
+        ).collect()
+    except Exception:
+        merged = new.collect()
+    spark.createDataFrame(merged, _TOPIC_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_topic_offsets(spark: SparkSession, state_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{state_dir}/topic_offsets")

@@ -123,3 +123,29 @@ def test_state_table_and_metrics(spark, multi_file_events, tmp_path):
     assert len(data_batches) == 2
     assert collector.total_rows == spark.read.parquet(src).count()
     assert collector.alerts == []
+
+
+def test_topic_offsets_checkpoint(spark, multi_file_events, tmp_path):
+    """K3 parity with data_event_checkpoint: per db.table topic, the saved
+    high-water offset equals the sink's max txn_order and counts add up."""
+    from pyspark.sql import functions as F
+    from mysql_streamer_spark.streaming.state_table import load_topic_offsets
+
+    src, _ = multi_file_events
+    out, ckpt, state = (str(tmp_path / d) for d in ("out", "ckpt", "state"))
+    run_envelope_stream(
+        spark, src, out, ckpt, max_files_per_trigger=2, state_dir=state
+    )
+    saved = {
+        r.topic: (r.max_txn_order, r.n_messages)
+        for r in load_topic_offsets(spark, state).collect()
+    }
+    expected = {
+        r.topic: (r.mx, r.n)
+        for r in _expected(spark, src)
+        .withColumn("topic", F.concat_ws(".", "database_name", "table_name"))
+        .groupBy("topic")
+        .agg(F.max("txn_order").alias("mx"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert saved == expected
