@@ -20,7 +20,9 @@ def test_every_query_runs(spark, sf_dir):
         assert df.columns, name
 
 
-def test_oracles_subset_of_queries():
-    qs = entrymod.queries()
-    for name in entrymod.oracle_sql():
-        assert name in qs
+def test_every_query_has_an_oracle():
+    """The gate is only as strong as its coverage: every registered query
+    must carry a DuckDB oracle (none are rows-only any more)."""
+    qs = set(entrymod.queries())
+    oracles = set(entrymod.oracle_sql())
+    assert oracles == qs, f"missing oracles: {qs - oracles}"
