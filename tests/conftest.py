@@ -11,9 +11,14 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     from mysql_streamer_spark.session import get_spark
 
-    spark = get_spark("tests", cpus=8)
+    warehouse = tempfile.mkdtemp(prefix="mss_warehouse_")
+    spark = get_spark(
+        "tests", cpus=8, extra_conf={"spark.sql.warehouse.dir": warehouse}
+    )
     yield spark
 
 
