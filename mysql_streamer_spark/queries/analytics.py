@@ -365,6 +365,89 @@ SELECT cohort, count(*) AS n_users FROM labeled GROUP BY cohort
 """
 
 
+# ---------------------------------------------------------------------------
+# cube over events (grouping sets, both dimensions independently totaled)
+# ---------------------------------------------------------------------------
+
+def q_analytics_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark dayofweek: Sunday=1..Saturday=7; DuckDB dayofweek: Sunday=0..6.
+    # The oracle adds 1 so both engines agree on the dimension values.
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "dow", F.dayofweek("ts")
+    )
+    return ev.cube("event_type", "dow").agg(
+        F.count("*").alias("n_events"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+_CUBE_ORACLE = """
+SELECT event_type, dayofweek(ts) + 1 AS dow, count(*) AS n_events,
+       grouping(event_type) * 2 + grouping(dayofweek(ts) + 1) AS gid
+FROM events
+GROUP BY CUBE (event_type, (dayofweek(ts) + 1))
+"""
+
+
+# ---------------------------------------------------------------------------
+# sliding windows (2h length, 1h slide): each event lands in two windows
+# ---------------------------------------------------------------------------
+
+def q_analytics_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.window with slide < length duplicates each row into its member
+    windows inside the scan stage (a generate, not a join)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("win"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+_SLIDING_ORACLE = """
+WITH member AS (
+  SELECT event_type,
+    unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+            date_trunc('hour', ts)]) AS window_start
+  FROM events
+)
+SELECT window_start, event_type, count(*) AS n_events
+FROM member
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact percentiles (linear interpolation on exact integer cents)
+# ---------------------------------------------------------------------------
+
+def q_analytics_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cents", _cents("value")
+    )
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5)").alias("p50_cents"),
+        F.expr("percentile(cents, 0.95)").alias("p95_cents"),
+        F.max("cents").alias("max_cents"),
+    )
+
+
+_PERCENTILES_ORACLE = f"""
+SELECT event_type,
+  quantile_cont({_cents_sql("value")}, 0.5) AS p50_cents,
+  quantile_cont({_cents_sql("value")}, 0.95) AS p95_cents,
+  max({_cents_sql("value")}) AS max_cents
+FROM events
+GROUP BY event_type
+"""
+
+
 SPECS = [
     QuerySpec("analytics_pricing_summary", q_analytics_pricing_summary, _PRICING_ORACLE),
     QuerySpec(
@@ -380,4 +463,11 @@ SPECS = [
     ),
     QuerySpec("analytics_rollup", q_analytics_rollup, _ROLLUP_ORACLE),
     QuerySpec("analytics_user_retention", q_analytics_user_retention, _RETENTION_ORACLE),
+    QuerySpec("analytics_cube", q_analytics_cube, _CUBE_ORACLE),
+    QuerySpec("analytics_events_sliding", q_analytics_events_sliding, _SLIDING_ORACLE),
+    QuerySpec(
+        "analytics_value_percentiles",
+        q_analytics_value_percentiles,
+        _PERCENTILES_ORACLE,
+    ),
 ]
