@@ -271,6 +271,102 @@ WHERE CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
 
 
 # ---------------------------------------------------------------------------
+# exact n-gram Jaccard via inverted index (the non-LSH near-dup path)
+# ---------------------------------------------------------------------------
+
+#: Shingles occurring in more documents than this are dropped from the
+#: inverted index before pair generation: a boilerplate shingle shared by
+#: half the corpus would generate O(n²) candidates from one posting list.
+#: Verification is still exact (full shingle sets), so the cap only limits
+#: which pairs become candidates — the standard frequency filter from the
+#: all-pairs-similarity literature (prefix filtering is the next tightening).
+NGRAM_DF_CAP = 100
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted shingle index.
+
+    Unlike MinHash-LSH (probabilistic recall), this finds EVERY pair that
+    shares at least one sub-cap shingle, then verifies with exact set
+    Jaccard. Plan shape: explode to (doc_id, shingle) postings, drop
+    too-common shingles (one hash-aggregate), equi-join the posting list
+    with itself on shingle (candidates meet only inside a posting list —
+    never an all-pairs crossJoin), distinct the candidate pairs, then one
+    joins-back pass computes exact intersection/union on the full sets.
+    """
+    ssets = (
+        docs.withColumn("toks", tx.tokens_col("text"))
+        .withColumn("sset", F.array_distinct(tx.shingles_col()))
+        .filter(F.size("sset") > 0)
+        .select("doc_id", "sset")
+        .persist()
+    )
+    posting = ssets.select("doc_id", F.explode("sset").alias("shingle"))
+    rare = (
+        posting.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= NGRAM_DF_CAP)
+        .select("shingle")
+    )
+    p = posting.join(rare, "shingle")
+    pairs = (
+        p.alias("a")
+        .join(
+            p.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("sa.sset", "sb.sset"))
+    union = F.size(F.array_union("sa.sset", "sb.sset"))
+    return (
+        pairs.join(ssets.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(ssets.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def q_dedup_jaccard_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_JACCARD_NGRAM_ORACLE = f"""
+WITH ssets AS (
+  SELECT doc_id,
+         list_distinct({tx.shingles_sql(tx.tokens_sql("text"))}) AS sset
+  FROM documents
+  WHERE len({tx.shingles_sql(tx.tokens_sql("text"))}) > 0
+), posting AS (
+  SELECT doc_id, unnest(sset) AS shingle FROM ssets
+), rare AS (
+  SELECT shingle FROM posting GROUP BY shingle
+  HAVING count(*) <= {NGRAM_DF_CAP}
+), p AS (
+  SELECT posting.doc_id, posting.shingle FROM posting
+  JOIN rare USING (shingle)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+  CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+    / CAST(len(list_distinct(list_concat(sa.sset, sb.sset))) AS DOUBLE) AS jaccard
+FROM cand
+JOIN ssets sa ON cand.doc_a = sa.doc_id
+JOIN ssets sb ON cand.doc_b = sb.doc_id
+WHERE CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+    / CAST(len(list_distinct(list_concat(sa.sset, sb.sset))) AS DOUBLE)
+    >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
 # SimHash-32
 # ---------------------------------------------------------------------------
 
@@ -453,6 +549,7 @@ SPECS = [
     QuerySpec("dedup_exact_survivors", q_dedup_exact_survivors, _EXACT_SURVIVORS_ORACLE),
     QuerySpec("dedup_minhash_bands", q_dedup_minhash_bands, _BANDS_ORACLE),
     QuerySpec("dedup_minhash_pairs", q_dedup_minhash_pairs, _PAIRS_ORACLE),
+    QuerySpec("dedup_jaccard_ngram", q_dedup_jaccard_ngram, _JACCARD_NGRAM_ORACLE),
     QuerySpec("dedup_clusters", q_dedup_clusters, _CLUSTERS_ORACLE),
     QuerySpec("dedup_simhash", q_dedup_simhash, _SIMHASH_ORACLE),
 ]

@@ -35,6 +35,36 @@ def test_minhash_pairs_finds_near_duplicates_only(spark):
     assert abs(jac - 8 / 9) < 1e-12
 
 
+def test_ngram_jaccard_exact_recall(spark):
+    """The inverted-index path finds every qualifying pair (exact recall,
+    unlike LSH) and computes the same Jaccard as the set definition."""
+    from mysql_streamer_spark.queries.dedup import ngram_jaccard_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base + " lambda"
+    other = "one two three four five six seven eight nine ten"
+    pairs = ngram_jaccard_pairs(_docs(spark, [base, near, other])).collect()
+    found = {(r.doc_a, r.doc_b): r.jaccard for r in pairs}
+    assert set(found) == {(0, 1)}
+    assert abs(found[(0, 1)] - 8 / 9) < 1e-12
+
+
+def test_ngram_jaccard_df_cap_prunes_common_shingles(spark):
+    """A shingle shared by > NGRAM_DF_CAP docs must not generate candidate
+    pairs on its own (the mega-posting-list guard)."""
+    from mysql_streamer_spark.queries import dedup as dd
+
+    old = dd.NGRAM_DF_CAP
+    dd.NGRAM_DF_CAP = 2
+    try:
+        common = "spam spam spam spam spam"  # identical boilerplate, df=3 > cap
+        docs = _docs(spark, [common + " a", common + " b", common + " c"])
+        pairs = dd.ngram_jaccard_pairs(docs).collect()
+        assert pairs == []
+    finally:
+        dd.NGRAM_DF_CAP = old
+
+
 def test_identical_docs_share_every_band(spark):
     docs = _docs(spark, ["a b c d e", "a b c d e"])
     bands = lsh_bands(docs).collect()
