@@ -448,6 +448,55 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# as-of join: last-touch click attribution for purchases
+# ---------------------------------------------------------------------------
+
+def q_analytics_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase matched to the user's most recent click at-or-before
+    the purchase time — the set form of the reference's heartbeat position
+    lookup, via the union+running-last as-of operator (``asof.asof_join``:
+    one shuffle on user_id, no range join). Clicks are pre-deduplicated to
+    one per (user_id, ts) so equal-timestamp ties are deterministic in both
+    engines."""
+    from mysql_streamer_spark.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    return asof_join(
+        purchases, clicks, keys=["user_id"], ts="ts", right_ts_alias="click_ts"
+    ).select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "click_id",
+        "click_ts",
+    )
+
+
+_ASOF_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click'
+  GROUP BY 1, 2
+), p AS (
+  SELECT event_id AS purchase_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id, p.ts AS purchase_ts,
+       c.click_id, c.ts AS click_ts
+FROM p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 SPECS = [
     QuerySpec("analytics_pricing_summary", q_analytics_pricing_summary, _PRICING_ORACLE),
     QuerySpec(
@@ -469,5 +518,8 @@ SPECS = [
         "analytics_value_percentiles",
         q_analytics_value_percentiles,
         _PERCENTILES_ORACLE,
+    ),
+    QuerySpec(
+        "analytics_asof_attribution", q_analytics_asof_attribution, _ASOF_ORACLE
     ),
 ]
