@@ -497,6 +497,53 @@ FROM p ASOF LEFT JOIN clicks c
 """
 
 
+# ---------------------------------------------------------------------------
+# range join: activity inside 5-minute error-burst windows
+# ---------------------------------------------------------------------------
+
+ERROR_WINDOW_MIN = 5
+
+
+def q_analytics_error_burst_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every error event opens a 5-minute window; count the events and
+    distinct users inside each window. The containment predicate runs
+    through ``rangejoin.bucketed_range_join`` (interval→bucket explode +
+    equi-join on bucket), never a BroadcastNestedLoop over all pairs."""
+    from mysql_streamer_spark.rangejoin import bucketed_range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    bursts = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("burst_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr(f"INTERVAL {ERROR_WINDOW_MIN} MINUTES")).alias(
+            "end_ts"
+        ),
+    )
+    hits = bucketed_range_join(
+        ev.select("event_id", "ts", "user_id"),
+        bursts,
+        bucket_seconds=ERROR_WINDOW_MIN * 60,
+    )
+    return hits.groupBy("burst_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+_RANGE_JOIN_ORACLE = f"""
+WITH bursts AS (
+  SELECT event_id AS burst_id, ts AS start_ts,
+         ts + INTERVAL {ERROR_WINDOW_MIN} MINUTE AS end_ts
+  FROM events WHERE event_type = 'error'
+)
+SELECT b.burst_id, count(*) AS n_events,
+       count(DISTINCT e.user_id) AS n_users
+FROM bursts b JOIN events e
+  ON e.ts >= b.start_ts AND e.ts < b.end_ts
+GROUP BY 1
+"""
+
+
 SPECS = [
     QuerySpec("analytics_pricing_summary", q_analytics_pricing_summary, _PRICING_ORACLE),
     QuerySpec(
@@ -521,5 +568,8 @@ SPECS = [
     ),
     QuerySpec(
         "analytics_asof_attribution", q_analytics_asof_attribution, _ASOF_ORACLE
+    ),
+    QuerySpec(
+        "analytics_error_burst_join", q_analytics_error_burst_join, _RANGE_JOIN_ORACLE
     ),
 ]
