@@ -27,6 +27,10 @@ def _cents(col: str) -> F.Column:
     return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("long")
 
 
+def _cents_expr(col: F.Column) -> F.Column:
+    return F.floor(col * 100 + F.lit(0.5)).cast("long")
+
+
 def _cents_sql(expr: str) -> str:
     return f"CAST(floor(({expr}) * 100 + 0.5) AS BIGINT)"
 
@@ -544,6 +548,159 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q3-style shipping priority (3-way join -> hash agg -> top-k)
+# ---------------------------------------------------------------------------
+
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1998-03-15 00:00:00"
+Q3_TOP_N = 10
+
+
+def q_analytics_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unshipped-order revenue for one market segment: both date filters
+    push into the parquet scans, the filtered customer dimension broadcasts
+    into the orders join, lineitem shuffles once on l_orderkey, and the
+    final top-10 compiles to TakeOrderedAndProject (per-partition heaps +
+    driver merge — no global sort at any scale)."""
+    cutoff = F.lit(Q3_CUTOFF).cast("timestamp")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == Q3_SEGMENT)
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < cutoff
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    revenue_c = F.sum(
+        _cents_expr(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    ).alias("revenue_c")
+    return (
+        li.join(
+            F.broadcast(
+                orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue_c)
+        .orderBy(
+            F.col("revenue_c").desc(), F.col("o_orderdate").asc(),
+            F.col("l_orderkey").asc(),
+        )
+        .limit(Q3_TOP_N)
+    )
+
+
+_Q3_ORACLE = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       sum({_cents_sql("l_extendedprice * (1 - l_discount)")}) AS revenue_c
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+  AND l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+GROUP BY 1, 2, 3
+ORDER BY revenue_c DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT {Q3_TOP_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17-style small-quantity revenue (fact joined to its own aggregate)
+# ---------------------------------------------------------------------------
+
+def q_analytics_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from lineitems whose quantity is below 20% of their part's
+    average — the correlated-subquery pattern decorrelated into one
+    per-part aggregate broadcast back onto the fact. All comparison math
+    is integer (qty*5*n < sum_qty ⟺ qty < 0.2*avg), so both engines
+    agree bit-for-bit. One shuffle for the per-part aggregate; the fact
+    side re-scans and joins against the (small) aggregate broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_c = _cents_expr(F.col("l_quantity"))
+    per_part = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        F.sum(qty_c).alias("sum_qty_c"), F.count("*").alias("n_li")
+    )
+    return (
+        li.join(F.broadcast(per_part), li.l_partkey == F.col("p_key"))
+        .filter(qty_c * 5 * F.col("n_li") < F.col("sum_qty_c"))
+        .agg(
+            F.sum(_cents_expr(F.col("l_extendedprice"))).alias("revenue_c"),
+            F.count("*").alias("n_small"),
+        )
+    )
+
+
+_Q17_ORACLE = f"""
+WITH per_part AS (
+  SELECT l_partkey AS p_key,
+         sum({_cents_sql("l_quantity")}) AS sum_qty_c,
+         count(*) AS n_li
+  FROM lineitem GROUP BY 1
+)
+SELECT sum({_cents_sql("l_extendedprice")}) AS revenue_c,
+       count(*) AS n_small
+FROM lineitem JOIN per_part ON l_partkey = p_key
+WHERE {_cents_sql("l_quantity")} * 5 * n_li < sum_qty_c
+"""
+
+
+# ---------------------------------------------------------------------------
+# hierarchical rollup (hypertable-style continuous aggregate chain)
+# ---------------------------------------------------------------------------
+
+def q_analytics_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour -> day -> week aggregate chain where every coarser level
+    re-aggregates the FINER level's partials (sum-of-sums), never the raw
+    events — the hypertable/continuous-aggregate pattern: at 100 TB the
+    raw table is scanned once, and each rollup level costs only its
+    parent's (much smaller) cardinality. Integer cents make partial
+    re-aggregation exact."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_ts"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(_cents_expr(F.col("value"))).alias("value_c"),
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", "bucket_ts").alias("bucket_ts"), "event_type"
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("value_c").alias("value_c"))
+    weekly = daily.groupBy(
+        F.date_trunc("week", "bucket_ts").alias("bucket_ts"), "event_type"
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("value_c").alias("value_c"))
+    return (
+        hourly.withColumn("granularity", F.lit("hour"))
+        .unionByName(daily.withColumn("granularity", F.lit("day")))
+        .unionByName(weekly.withColumn("granularity", F.lit("week")))
+        .select("granularity", "bucket_ts", "event_type", "n_events", "value_c")
+    )
+
+
+_HIER_ROLLUP_ORACLE = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket_ts, event_type,
+         count(*) AS n_events, sum({_cents_sql("value")}) AS value_c
+  FROM events GROUP BY 1, 2
+), daily AS (
+  SELECT date_trunc('day', bucket_ts) AS bucket_ts, event_type,
+         sum(n_events) AS n_events, sum(value_c) AS value_c
+  FROM hourly GROUP BY 1, 2
+), weekly AS (
+  SELECT date_trunc('week', bucket_ts) AS bucket_ts, event_type,
+         sum(n_events) AS n_events, sum(value_c) AS value_c
+  FROM daily GROUP BY 1, 2
+)
+SELECT 'hour' AS granularity, * FROM hourly
+UNION ALL SELECT 'day', * FROM daily
+UNION ALL SELECT 'week', * FROM weekly
+"""
+
+
 SPECS = [
     QuerySpec("analytics_pricing_summary", q_analytics_pricing_summary, _PRICING_ORACLE),
     QuerySpec(
@@ -571,5 +728,16 @@ SPECS = [
     ),
     QuerySpec(
         "analytics_error_burst_join", q_analytics_error_burst_join, _RANGE_JOIN_ORACLE
+    ),
+    QuerySpec(
+        "analytics_shipping_priority", q_analytics_shipping_priority, _Q3_ORACLE
+    ),
+    QuerySpec(
+        "analytics_small_qty_revenue", q_analytics_small_qty_revenue, _Q17_ORACLE
+    ),
+    QuerySpec(
+        "analytics_hierarchical_rollup",
+        q_analytics_hierarchical_rollup,
+        _HIER_ROLLUP_ORACLE,
     ),
 ]
