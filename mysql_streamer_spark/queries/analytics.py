@@ -701,6 +701,38 @@ UNION ALL SELECT 'week', * FROM weekly
 """
 
 
+# ---------------------------------------------------------------------------
+# salted collect_list (hot-key-safe list aggregation)
+# ---------------------------------------------------------------------------
+
+def q_analytics_user_purchase_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user list of purchase event ids via skew.salted_collect_list:
+    collect_list is not algebraic, so a hot user would otherwise funnel its
+    whole history into ONE reducer; salting splits each key across 16
+    partial collectors and flattens. The list is sorted afterward because
+    collect order is undefined (and the oracle sorts too)."""
+    from mysql_streamer_spark.skew import salted_collect_list
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    lists = salted_collect_list(ev, ["user_id"], "event_id", n_salts=16)
+    return lists.select(
+        "user_id",
+        F.array_sort("event_id_list").alias("purchase_ids"),
+        F.size("event_id_list").alias("n_purchases"),
+    )
+
+
+_SALTED_COLLECT_ORACLE = """
+SELECT user_id,
+       list_sort(list(event_id)) AS purchase_ids,
+       count(*) AS n_purchases
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id
+"""
+
+
 SPECS = [
     QuerySpec("analytics_pricing_summary", q_analytics_pricing_summary, _PRICING_ORACLE),
     QuerySpec(
@@ -739,5 +771,10 @@ SPECS = [
         "analytics_hierarchical_rollup",
         q_analytics_hierarchical_rollup,
         _HIER_ROLLUP_ORACLE,
+    ),
+    QuerySpec(
+        "analytics_user_purchase_ids",
+        q_analytics_user_purchase_ids,
+        _SALTED_COLLECT_ORACLE,
     ),
 ]

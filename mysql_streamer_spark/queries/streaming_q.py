@@ -55,6 +55,27 @@ HAVING window_start + INTERVAL 2 HOUR <= max_ts
 """
 
 
+def q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The source delivers EVERY event twice (the same file linked twice,
+    one file per micro-batch = a full redelivery in a later batch);
+    dropDuplicatesWithinWatermark state suppresses the second delivery, so
+    the sink equals the plain events table — at-least-once transport turned
+    exactly-once at the operator level."""
+    from mysql_streamer_spark.streaming.runner import run_dedup_stream
+
+    work = _staged_source(sf_dir)
+    os.symlink(
+        table_path(sf_dir, "events"), f"{work}/src/events_redelivered.parquet"
+    )
+    run_dedup_stream(spark, f"{work}/src", f"{work}/out", f"{work}/ckpt")
+    return spark.read.parquet(f"{work}/out")
+
+
+_DEDUP_REPLAY_ORACLE = """
+SELECT event_id, ts, user_id, event_type FROM events
+"""
+
+
 def q_streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState sessionizer: emits a session only once a
     later event proves it closed; each user's final session stays open in
@@ -108,5 +129,10 @@ SPECS = [
         "streaming_stateful_sessions",
         q_streaming_stateful_sessions,
         _STATEFUL_SESSIONS_ORACLE,
+    ),
+    QuerySpec(
+        "streaming_dedup_replay",
+        q_streaming_dedup_replay,
+        _DEDUP_REPLAY_ORACLE,
     ),
 ]

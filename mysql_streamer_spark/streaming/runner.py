@@ -128,6 +128,42 @@ def read_sink_batch(spark: SparkSession, out_dir: str, batch_id: int) -> DataFra
     return spark.read.parquet(f"{out_dir}/batch_id={batch_id}")
 
 
+def run_dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "36500 days",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Streaming duplicate suppression across micro-batches (T6's data-plane
+    form): ``dropDuplicatesWithinWatermark`` keys the state store on
+    event_id, so a replayed/duplicated delivery in ANY later micro-batch
+    inside the watermark horizon is dropped, not re-emitted.
+
+    Unlike plain ``dropDuplicates`` (state grows forever on an unbounded
+    stream), the watermark bounds state: at 100 TB/day you set the delay to
+    the real redelivery horizon (e.g. 7 days) and state stays
+    O(events/horizon). Tests use an effectively-infinite delay so the
+    assertion is exact.
+    """
+    events = load_events_stream(spark, source_dir, max_files_per_trigger)
+    deduped = (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+    query = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
 def run_windowed_stream(
     spark: SparkSession,
     source_dir: str,
