@@ -733,6 +733,92 @@ GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# semi-structured JSON extraction (events.props)
+# ---------------------------------------------------------------------------
+
+def q_analytics_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from the JSON props column via ``from_json`` with an
+    explicit schema — parsed once into a struct inside codegen (no per-row
+    Python, no schema inference pass), then ordinary integer aggregation."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "p", F.from_json("props", "k BIGINT")
+    )
+    return ev.groupBy("event_type").agg(
+        F.sum("p.k").alias("sum_k"),
+        F.min("p.k").alias("min_k"),
+        F.max("p.k").alias("max_k"),
+        F.countDistinct("p.k").alias("n_distinct_k"),
+    )
+
+
+_PROPS_JSON_ORACLE = """
+SELECT event_type,
+       sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+       min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+       max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+       count(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS n_distinct_k
+FROM events
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-group top-N (partitioned window, the scalable top-k-per-key shape)
+# ---------------------------------------------------------------------------
+
+TOP_SUPPLIERS_PER_NATION = 3
+
+
+def q_analytics_top_suppliers_per_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top 3 suppliers by revenue within each nation. The window is
+    PARTITIONED by nation (contrast: an unpartitioned/global window funnels
+    everything into one task — the r1 heartbeat-lag bug); each nation's
+    rank sorts only that nation's ~dozens of suppliers, after the heavy
+    lifting happened in a map-side-combinable per-supplier aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(_cents_expr(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "revenue_c"
+        )
+    )
+    ranked = (
+        per_supp.join(F.broadcast(supp), per_supp.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("n_name", "s_suppkey", "s_name", "revenue_c")
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("n_name").orderBy(
+                    F.col("revenue_c").desc(), F.col("s_suppkey").asc()
+                )
+            ),
+        )
+    )
+    return ranked.filter(F.col("rank") <= TOP_SUPPLIERS_PER_NATION)
+
+
+_TOP_SUPPLIERS_ORACLE = f"""
+WITH per_supp AS (
+  SELECT l_suppkey,
+         sum({_cents_sql("l_extendedprice * (1 - l_discount)")}) AS revenue_c
+  FROM lineitem GROUP BY 1
+), ranked AS (
+  SELECT n_name, s_suppkey, s_name, revenue_c,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY revenue_c DESC, s_suppkey ASC) AS rank
+  FROM per_supp
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT * FROM ranked WHERE rank <= {TOP_SUPPLIERS_PER_NATION}
+"""
+
+
 SPECS = [
     QuerySpec("analytics_pricing_summary", q_analytics_pricing_summary, _PRICING_ORACLE),
     QuerySpec(
@@ -776,5 +862,11 @@ SPECS = [
         "analytics_user_purchase_ids",
         q_analytics_user_purchase_ids,
         _SALTED_COLLECT_ORACLE,
+    ),
+    QuerySpec("analytics_props_json", q_analytics_props_json, _PROPS_JSON_ORACLE),
+    QuerySpec(
+        "analytics_top_suppliers_per_nation",
+        q_analytics_top_suppliers_per_nation,
+        _TOP_SUPPLIERS_ORACLE,
     ),
 ]
