@@ -17,6 +17,7 @@ def all_specs() -> list[QuerySpec]:
         cdc,
         dedup,
         multimodal,
+        pipeline,
         schema_registry,
         similarity,
         streaming_q,
@@ -30,6 +31,7 @@ def all_specs() -> list[QuerySpec]:
             textops,
             dedup,
             similarity,
+            pipeline,
             analytics,
             multimodal,
             streaming_q,

@@ -1,0 +1,387 @@
+"""Training-data pipeline operators over ``documents`` — the corpus-prep
+stages a 100 TB LLM data pipeline runs between raw crawl and tokenizer:
+benchmark decontamination, deterministic train/val splitting, per-source
+stratified sampling, a C4-style quality-filter funnel, and sequence
+packing.
+
+Scale rules shared by the family:
+
+- Every randomized decision (split, sample) is a DETERMINISTIC hash of the
+  row key — md5-based so Spark and DuckDB agree bit-for-bit, and so a
+  re-run of the pipeline (or a recovered partition) makes the same
+  decision without any stored RNG state. This is how real pipelines make
+  sampling reproducible across cluster restarts.
+- No operator shuffles document text. Decontamination moves (doc_id,
+  shingle-hash) postings; split/sample/quality are pure map-side
+  projections followed by one small aggregate; packing shuffles (doc_id,
+  n_tokens) pairs only.
+- The eval-side n-gram set in decontamination is broadcast (benchmarks are
+  tiny next to the corpus); the corpus side never self-joins.
+
+Reference scope: Yelp/mysql_streamer has no text pipeline; this family is
+the scale extension mandated by the builder's brief (SURVEY.md §7 phases
+4-5), modeled on public corpus-prep pipelines (C4, Gopher/MassiveText
+rules, The Pile / SlimPajama decontamination).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mysql_streamer_spark import text as tx
+from mysql_streamer_spark.queries.registry import QuerySpec
+from mysql_streamer_spark.tables import load_table
+
+#: Every doc_id ≡ 0 (mod EVAL_MODULUS) plays the role of a held-out
+#: benchmark document; the rest are the training corpus. (The fixture has
+#: no separate benchmark table, so the eval set is carved deterministically
+#: from the corpus itself — the operator shape is identical.)
+EVAL_MODULUS = 97
+
+#: Train/val split: md5-bucket of the doc key into 100 cells, first
+#: VAL_CELLS cells go to 'val'. Hashing (not doc_id ranges) decorrelates
+#: the split from ingestion order.
+VAL_CELLS = 10
+
+#: Per-source sampling rates. Rates are compared against a 32-bit hash of
+#: the doc key, with the integer threshold precomputed once here so both
+#: engines evaluate ``hash < floor(rate * 2^32)`` — no float comparison.
+SAMPLE_RATES: dict[str, float] = {f"src{i}": ((i % 4) + 1) / 4 for i in range(20)}
+_SAMPLE_THRESHOLDS: dict[str, int] = {
+    s: int(r * 2**32) for s, r in SAMPLE_RATES.items()
+}
+
+#: Quality-funnel rule constants (C4/Gopher-style heuristics, integer
+#: arithmetic only — rule 2 is "mean token length in [MIN,MAX]" expressed
+#: as a cross-multiplied integer bound to avoid engine-private float
+#: division).
+MIN_TOKENS = 20
+WORDLEN_MIN = 2
+WORDLEN_MAX = 12
+MAX_TOKEN_SHARE_PCT = 20  # no single token may exceed 20% of the doc
+CHARS_MIN, CHARS_MAX = 50, 2000
+
+#: Sequence packing: target tokens per packed training sequence, and the
+#: salt-bucket fan-out that bounds any single packing partition (at 100 TB
+#: one source can hold billions of docs; packing within (source, bucket)
+#: keeps every window partition small and embarrassingly parallel while
+#: staying deterministic).
+PACK_BUDGET_TOKENS = 512
+PACK_BUCKETS = 8
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap)
+# ---------------------------------------------------------------------------
+
+def contaminated_docs(docs: DataFrame) -> DataFrame:
+    """Training docs sharing ≥1 n-gram with the eval set, with the count
+    of distinct overlapping n-grams — the SlimPajama/The-Pile style
+    decontamination report.
+
+    Plan: eval-side distinct shingles (tiny) BROADCAST to the corpus
+    posting explode; one count aggregate per doc. The corpus is scanned
+    once, text never shuffles, and there is no corpus-side self-join.
+    """
+    is_eval = F.col("doc_id") % EVAL_MODULUS == 0
+    shingled = (
+        docs.withColumn("toks", tx.tokens_col("text"))
+        .withColumn("sset", F.array_distinct(tx.shingles_col()))
+        .filter(F.size("sset") > 0)
+    )
+    eval_shingles = (
+        shingled.filter(is_eval)
+        .select(F.explode("sset").alias("shingle"))
+        .distinct()
+    )
+    train_posting = shingled.filter(~is_eval).select(
+        "doc_id", "source", F.explode("sset").alias("shingle")
+    )
+    return (
+        train_posting.join(F.broadcast(eval_shingles), "shingle")
+        .groupBy("doc_id", "source")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+    )
+
+
+def q_pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return contaminated_docs(load_table(spark, sf_dir, "documents"))
+
+
+_DECONTAMINATE_ORACLE = f"""
+WITH shingled AS (
+  SELECT doc_id, source,
+         list_distinct({tx.shingles_sql(tx.tokens_sql("text"))}) AS sset
+  FROM documents
+  WHERE len({tx.shingles_sql(tx.tokens_sql("text"))}) > 0
+), eval_shingles AS (
+  SELECT DISTINCT unnest(sset) AS shingle FROM shingled
+  WHERE doc_id % {EVAL_MODULUS} = 0
+), train_posting AS (
+  SELECT doc_id, source, unnest(sset) AS shingle FROM shingled
+  WHERE doc_id % {EVAL_MODULUS} != 0
+)
+SELECT doc_id, source, count(*) AS n_shared_ngrams
+FROM train_posting JOIN eval_shingles USING (shingle)
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/val split
+# ---------------------------------------------------------------------------
+
+def _split_cell_col() -> F.Column:
+    """md5-bucket of the doc key into [0, 100) — Spark form."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+
+
+_SPLIT_CELL_SQL = (
+    "CAST('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100"
+)
+
+
+def q_pipeline_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split manifest: per (split, source) document/token totals. The split
+    decision is a pure per-row hash — map-side only, one tiny aggregate; a
+    downstream writer would partitionBy(split) with zero extra shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when(_split_cell_col() < VAL_CELLS, F.lit("val")).otherwise(F.lit("train"))
+    return (
+        docs.withColumn("toks", tx.tokens_col("text"))
+        .select(
+            split.alias("split"),
+            "source",
+            F.size("toks").alias("n_toks"),
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+    )
+
+
+_SPLIT_ORACLE = f"""
+SELECT CASE WHEN {_SPLIT_CELL_SQL} < {VAL_CELLS} THEN 'val' ELSE 'train' END AS split,
+       source,
+       count(*) AS n_docs,
+       sum(len({tx.tokens_sql("text")})) AS n_tokens
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-source stratified sampling
+# ---------------------------------------------------------------------------
+
+def _sample_hash_col() -> F.Column:
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+
+
+_SAMPLE_HASH_SQL = (
+    "CAST('0x' || substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+)
+
+
+def _sample_keep_col() -> F.Column:
+    h = _sample_hash_col()
+    cond = None
+    for src, thr in _SAMPLE_THRESHOLDS.items():
+        clause = (F.col("source") == src) & (h < thr)
+        cond = clause if cond is None else cond | clause
+    return cond
+
+
+def _sample_keep_sql() -> str:
+    clauses = " OR ".join(
+        f"(source = '{s}' AND {_SAMPLE_HASH_SQL} < {thr})"
+        for s, thr in _SAMPLE_THRESHOLDS.items()
+    )
+    return f"({clauses})"
+
+
+def q_pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sampled corpus manifest (doc_id, source, lang): per-source
+    down-sampling to the SAMPLE_RATES mixture weights, decided row-locally
+    by hash threshold — the shuffle-free way to hit a target domain mix.
+    Unknown sources are dropped (rate 0 — an explicit mixture is also an
+    allowlist)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(_sample_keep_col()).select("doc_id", "source", "lang")
+
+
+_SAMPLE_ORACLE = f"""
+SELECT doc_id, source, lang
+FROM documents
+WHERE {_sample_keep_sql()}
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality-filter funnel
+# ---------------------------------------------------------------------------
+
+def _rule_cols() -> dict[str, F.Column]:
+    """The C4/Gopher-style per-document rules as integer-only predicates.
+
+    r_repeat computes the max single-token frequency with a quadratic
+    higher-order-function scan over ≤~100 tokens per row — fine per-row
+    cost, zero shuffle, no Python.
+    """
+    ntoks = F.size("toks")
+    mode_count = F.expr(
+        "array_max(transform(array_distinct(toks), "
+        "t -> size(filter(toks, x -> x = t))))"
+    )
+    return {
+        "r_len": ntoks >= MIN_TOKENS,
+        "r_wordlen": (tx.token_length_sum_col() >= WORDLEN_MIN * ntoks)
+        & (tx.token_length_sum_col() <= WORDLEN_MAX * ntoks),
+        "r_stopword": tx.stopword_hits_col(tx.ALL_STOPWORDS) >= 1,
+        "r_repeat": mode_count * 100 <= ntoks * MAX_TOKEN_SHARE_PCT,
+        "r_chars": (F.col("n_chars") >= CHARS_MIN) & (F.col("n_chars") <= CHARS_MAX),
+    }
+
+
+def _rule_sqls() -> dict[str, str]:
+    mode_count = (
+        "list_max(list_transform(list_distinct(toks), "
+        "t -> len(list_filter(toks, x -> x = t))))"
+    )
+    return {
+        "r_len": f"len(toks) >= {MIN_TOKENS}",
+        "r_wordlen": (
+            f"{tx.token_length_sum_sql()} >= {WORDLEN_MIN} * len(toks)"
+            f" AND {tx.token_length_sum_sql()} <= {WORDLEN_MAX} * len(toks)"
+        ),
+        "r_stopword": f"{tx.stopword_hits_sql(tx.ALL_STOPWORDS)} >= 1",
+        "r_repeat": f"{mode_count} * 100 <= len(toks) * {MAX_TOKEN_SHARE_PCT}",
+        "r_chars": f"n_chars >= {CHARS_MIN} AND n_chars <= {CHARS_MAX}",
+    }
+
+
+def q_pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source funnel: how many docs survive each successive filter
+    (cumulative ANDs, in the declared rule order) — the report a pipeline
+    operator reads to see which rule is eating the corpus. Pure map-side
+    rule evaluation + one aggregate on the 20-row source key."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", tx.tokens_col("text")
+    )
+    rules = _rule_cols()
+    aggs = [F.count("*").alias("n_total")]
+    running = None
+    for name, col in rules.items():
+        running = col if running is None else (running & col)
+        aggs.append(F.sum(running.cast("long")).alias(f"n_{name}"))
+    aggs.append(F.sum(running.cast("long")).alias("n_pass"))
+    return docs.groupBy("source").agg(*aggs)
+
+
+def _funnel_oracle() -> str:
+    rules = _rule_sqls()
+    sels = ["count(*) AS n_total"]
+    running: list[str] = []
+    for name, sql in rules.items():
+        running.append(f"({sql})")
+        conj = " AND ".join(running)
+        sels.append(f"sum(CASE WHEN {conj} THEN 1 ELSE 0 END) AS n_{name}")
+    conj = " AND ".join(running)
+    sels.append(f"sum(CASE WHEN {conj} THEN 1 ELSE 0 END) AS n_pass")
+    cols = ",\n       ".join(sels)
+    return f"""
+WITH tok AS (
+  SELECT source, n_chars, {tx.tokens_sql("text")} AS toks FROM documents
+)
+SELECT source,
+       {cols}
+FROM tok
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+def q_pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous-fill sequence packing: within each (source, salt-bucket)
+    lane, docs in doc_id order are assigned to training sequences of
+    ~PACK_BUDGET_TOKENS via an exclusive running token total — seq_id =
+    floor(prefix_sum / budget).
+
+    Scale shape: the ONLY shuffle is the window partition on (source,
+    bucket); the salt bucket bounds every lane regardless of source skew,
+    so a billion-doc source becomes PACK_BUCKETS independent lanes instead
+    of one straggler partition (raise PACK_BUCKETS with corpus size). Rows
+    in flight are (keys, n_toks) — text itself would only be re-joined by
+    doc_id at write time.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    lane = Window.partitionBy("source", "bucket").orderBy("doc_id")
+    cum_excl = F.coalesce(
+        F.sum("n_toks").over(lane.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            (F.col("doc_id") % PACK_BUCKETS).alias("bucket"),
+            F.size(tx.tokens_col("text")).alias("n_toks"),
+        )
+        .withColumn("seq_id", F.floor(cum_excl / PACK_BUDGET_TOKENS))
+        .groupBy("source", "bucket", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+    )
+
+
+_PACK_ORACLE = f"""
+WITH sized AS (
+  SELECT doc_id, source,
+         doc_id % {PACK_BUCKETS} AS bucket,
+         len({tx.tokens_sql("text")}) AS n_toks
+  FROM documents
+), seqd AS (
+  SELECT doc_id, source, bucket, n_toks,
+         CAST(floor(COALESCE(sum(n_toks) OVER (
+             PARTITION BY source, bucket ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / {PACK_BUDGET_TOKENS}) AS BIGINT) AS seq_id
+  FROM sized
+)
+SELECT source, bucket, seq_id,
+       count(*) AS n_docs,
+       sum(n_toks) AS seq_tokens,
+       min(doc_id) AS first_doc_id,
+       max(doc_id) AS last_doc_id
+FROM seqd
+GROUP BY 1, 2, 3
+"""
+
+
+SPECS = [
+    QuerySpec("pipeline_decontaminate", q_pipeline_decontaminate, _DECONTAMINATE_ORACLE),
+    QuerySpec("pipeline_train_val_split", q_pipeline_train_val_split, _SPLIT_ORACLE),
+    QuerySpec(
+        "pipeline_stratified_sample", q_pipeline_stratified_sample, _SAMPLE_ORACLE
+    ),
+    QuerySpec("pipeline_quality_funnel", q_pipeline_quality_funnel, _funnel_oracle()),
+    QuerySpec("pipeline_pack_sequences", q_pipeline_pack_sequences, _PACK_ORACLE),
+]
