@@ -819,6 +819,259 @@ SELECT * FROM ranked WHERE rank <= {TOP_SUPPLIERS_PER_NATION}
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q4-style EXISTS: orders with at least one returned line (semi join)
+# ---------------------------------------------------------------------------
+
+Q4_START = "1997-01-01 00:00:00"
+Q4_END = "1997-07-01 00:00:00"
+
+
+def q_analytics_priority_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXISTS-subquery shape decorrelated to a LEFT SEMI join. The
+    probe side (orders) carries only its date-windowed rows; the build
+    side is pre-filtered to returned lines and projected to the BARE join
+    key before the semi join, so the shuffle moves single-column
+    orderkeys — a semi join never widens rows and never duplicates probe
+    rows, which is why it beats an inner-join + distinct at any scale."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q4_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q4_END).cast("timestamp"))
+    )
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+_Q4_ORACLE = f"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{Q4_START}'
+  AND o_orderdate < TIMESTAMP '{Q4_END}'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+  )
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13-style outer-join distribution (customers by order count)
+# ---------------------------------------------------------------------------
+
+Q13_EXCLUDED_PRIORITY = "4-NOT SPECIFIED"
+
+
+def q_analytics_customer_order_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Histogram of customers by how many qualifying orders they placed,
+    INCLUDING zero-order customers (the part an inner join silently
+    drops). Aggregate-before-join: orders collapse to per-customer counts
+    first (one shuffle on o_custkey), and the LEFT join then moves one
+    row per customer instead of one per order — at 100 TB the join input
+    shrinks by the average orders-per-customer factor before it ever
+    shuffles. The final histogram key (c_count) is tiny."""
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != Q13_EXCLUDED_PRIORITY)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+_Q13_ORACLE = f"""
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS n_orders
+  FROM orders
+  WHERE o_orderpriority != '{Q13_EXCLUDED_PRIORITY}'
+  GROUP BY 1
+)
+SELECT COALESCE(n_orders, 0) AS c_count, count(*) AS custdist
+FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14-style conditional aggregate (promo revenue share per month)
+# ---------------------------------------------------------------------------
+
+PROMO_TYPE = "PROMO"
+
+
+def q_analytics_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly share of revenue from promo parts: ONE pass, the branch is
+    a conditional aggregate (never two scans or a self-join), the part
+    dimension broadcasts, and both sums quantize to integer cents so the
+    final percentage is one double division on identical integers in both
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc_c = _cents_expr(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == PROMO_TYPE, disc_c).otherwise(F.lit(0))).alias(
+                "promo_revenue_c"
+            ),
+            F.sum(disc_c).alias("total_revenue_c"),
+        )
+        .withColumn(
+            "promo_pct",
+            F.col("promo_revenue_c").cast("double")
+            * 100.0
+            / F.col("total_revenue_c").cast("double"),
+        )
+    )
+
+
+_Q14_ORACLE = f"""
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       sum(CASE WHEN p_type = '{PROMO_TYPE}'
+                THEN {_cents_sql("l_extendedprice * (1 - l_discount)")}
+                ELSE 0 END) AS promo_revenue_c,
+       sum({_cents_sql("l_extendedprice * (1 - l_discount)")}) AS total_revenue_c,
+       CAST(sum(CASE WHEN p_type = '{PROMO_TYPE}'
+                THEN {_cents_sql("l_extendedprice * (1 - l_discount)")}
+                ELSE 0 END) AS DOUBLE) * 100.0
+         / CAST(sum({_cents_sql("l_extendedprice * (1 - l_discount)")}) AS DOUBLE)
+         AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19-style disjunctive predicate (OR-of-ANDs over a joined dimension)
+# ---------------------------------------------------------------------------
+
+#: (brand, size_lo, size_hi, qty_lo, qty_hi) — the Spark predicate and the
+#: oracle SQL are generated from this one list so the disjunction can't
+#: drift between engines.
+Q19_CLAUSES: list[tuple[str, int, int, int, int]] = [
+    ("Brand#1", 1, 5, 1, 11),
+    ("Brand#2", 1, 10, 10, 20),
+    ("Brand#3", 1, 15, 20, 30),
+]
+
+
+def _q19_pred_col() -> F.Column:
+    pred = None
+    for brand, slo, shi, qlo, qhi in Q19_CLAUSES:
+        clause = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(slo, shi)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+        pred = clause if pred is None else pred | clause
+    return pred
+
+
+def _q19_pred_sql() -> str:
+    return " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi}"
+        f" AND l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, slo, shi, qlo, qhi in Q19_CLAUSES
+    )
+
+
+def q_analytics_brand_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs across fact and dimension columns. The part-only half of
+    the disjunction (brand ∈ {...}) is derivable and pushes into the
+    dimension scan; the remaining mixed clauses evaluate post-join. The dimension
+    broadcasts, so the disjunction never forces a shuffle or a
+    nested-loop join — the classic Q19 trap."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(_q19_pred_col())
+        .agg(
+            F.sum(
+                _cents_expr(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_c"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+_Q19_ORACLE = f"""
+SELECT sum({_cents_sql("l_extendedprice * (1 - l_discount)")}) AS revenue_c,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {_q19_pred_sql()}
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21-style sole-failing-supplier (EXISTS + NOT EXISTS as one aggregate)
+# ---------------------------------------------------------------------------
+
+def q_analytics_sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the ONLY supplier with returned lines on
+    multi-supplier orders. The reference Q21 shape is EXISTS(another
+    supplier on the order) AND NOT EXISTS(another supplier with returns);
+    both quantifiers collapse into ONE per-order aggregate — distinct
+    supplier count, distinct returning-supplier count, and min() to
+    recover the unique returning supplier — so the plan is one shuffle on
+    l_orderkey plus a tiny count instead of two correlated joins against
+    the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).alias("n_ret_supp"),
+            F.min(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).alias("ret_supp"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1))
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_order.groupBy("ret_supp")
+        .agg(F.count("*").alias("num_sole_return_orders"))
+        .join(F.broadcast(supplier), F.col("ret_supp") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "num_sole_return_orders")
+    )
+
+
+_Q21_ORACLE = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_ret_supp,
+         min(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS ret_supp
+  FROM lineitem
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, count(*) AS num_sole_return_orders
+FROM per_order JOIN supplier ON ret_supp = s_suppkey
+WHERE n_supp >= 2 AND n_ret_supp = 1
+GROUP BY 1, 2
+"""
+
+
 SPECS = [
     QuerySpec("analytics_pricing_summary", q_analytics_pricing_summary, _PRICING_ORACLE),
     QuerySpec(
@@ -868,5 +1121,22 @@ SPECS = [
         "analytics_top_suppliers_per_nation",
         q_analytics_top_suppliers_per_nation,
         _TOP_SUPPLIERS_ORACLE,
+    ),
+    QuerySpec(
+        "analytics_priority_returns", q_analytics_priority_returns, _Q4_ORACLE
+    ),
+    QuerySpec(
+        "analytics_customer_order_distribution",
+        q_analytics_customer_order_distribution,
+        _Q13_ORACLE,
+    ),
+    QuerySpec("analytics_promo_revenue", q_analytics_promo_revenue, _Q14_ORACLE),
+    QuerySpec(
+        "analytics_brand_disjunction", q_analytics_brand_disjunction, _Q19_ORACLE
+    ),
+    QuerySpec(
+        "analytics_sole_return_supplier",
+        q_analytics_sole_return_supplier,
+        _Q21_ORACLE,
     ),
 ]
