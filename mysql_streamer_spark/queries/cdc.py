@@ -239,12 +239,135 @@ def q_cdc_exactly_once_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history table from the change stream: every version of
+    every (db, table, pk) with its validity interval in transaction order —
+    what a warehouse sink materializes from the reference's message feed
+    (message_builder.py payloads carry exactly this before/after intent).
+
+    The window partitions by the FULL business key, so parallelism is the
+    number of keys (millions at scale) and each partition holds only one
+    key's versions — unlike a global window this shape is safe at any
+    scale; per-key version counts bound the partition size."""
+    env = envelope_pipeline(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("database_name", "table_name", "pk").orderBy("txn_order")
+    return env.select(
+        "database_name",
+        "table_name",
+        "pk",
+        "message_type",
+        "payload_val",
+        F.col("txn_order").alias("valid_from_txn"),
+        F.lead("txn_order").over(w).alias("valid_to_txn"),
+        F.row_number().over(w).alias("version_no"),
+        F.lead("txn_order").over(w).isNull().alias("is_current"),
+    )
+
+
+_SCD2_ORACLE = _ORACLE_PIPELINE_CTES + """
+SELECT
+  database AS database_name,
+  "table" AS table_name,
+  pk,
+  message_type,
+  payload_val,
+  txn_order AS valid_from_txn,
+  lead(txn_order) OVER w AS valid_to_txn,
+  row_number() OVER w AS version_no,
+  lead(txn_order) OVER w IS NULL AS is_current
+FROM keyed
+WINDOW w AS (PARTITION BY database, "table", pk ORDER BY txn_order)
+"""
+
+
+#: Snapshot cut position for the reconcile query: everything in binlog
+#: files < SNAPSHOT_CUT_FILE is "the initial snapshot", the rest is "the
+#: stream tail" (deterministic, file-aligned — how a real bootstrap cuts).
+SNAPSHOT_CUT_FILE = 5
+
+
+def q_cdc_snapshot_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/R3 composition — snapshot + catch-up replay reconciliation: the
+    latest state as of the snapshot cut, the latest state of the stream
+    tail, and their FULL OUTER merge, summarized per table. This is the
+    invariant a bootstrap recovery relies on (reference:
+    components/recovery_handler.py's catch-up after a schema dump): final
+    state = tail-latest overriding snapshot-latest.
+
+    Both sides collapse to one row per key via the map-side-combinable
+    max_by aggregate BEFORE the merge join, so the outer join moves one
+    row per key per side — never raw events."""
+    from mysql_streamer_spark.skew import latest_by_key
+
+    cut = SNAPSHOT_CUT_FILE * TXN_FILE_SHIFT
+    env = envelope_pipeline(spark, sf_dir)
+    keys = ["database_name", "table_name", "pk"]
+
+    def _latest(side):
+        return latest_by_key(side, keys, "txn_order", ["payload_val"])
+
+    snap = _latest(env.filter(F.col("txn_order") < cut)).alias("s")
+    tail = _latest(env.filter(F.col("txn_order") >= cut)).alias("t")
+    merged = snap.join(
+        tail,
+        on=[F.col(f"s.{k}") == F.col(f"t.{k}") for k in keys],
+        how="full_outer",
+    ).select(
+        F.coalesce(F.col("s.database_name"), F.col("t.database_name")).alias("database_name"),
+        F.coalesce(F.col("s.table_name"), F.col("t.table_name")).alias("table_name"),
+        F.col("s.pk").isNotNull().alias("in_snapshot"),
+        F.col("t.pk").isNotNull().alias("in_tail"),
+    )
+    b = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    return merged.groupBy("database_name", "table_name").agg(
+        F.count("*").alias("n_keys_final"),
+        b(F.col("in_snapshot")).alias("n_keys_snapshot"),
+        b(F.col("in_snapshot") & F.col("in_tail")).alias("n_updated"),
+        b(~F.col("in_snapshot") & F.col("in_tail")).alias("n_created_after"),
+        b(F.col("in_snapshot") & ~F.col("in_tail")).alias("n_untouched"),
+    )
+
+
+_RECONCILE_ORACLE = _ORACLE_PIPELINE_CTES + f"""
+, ranked AS (
+  SELECT database, "table", pk, txn_order,
+         CASE WHEN txn_order < {SNAPSHOT_CUT_FILE} * {TXN_FILE_SHIFT}
+              THEN 'snap' ELSE 'tail' END AS side,
+         row_number() OVER (
+           PARTITION BY database, "table", pk,
+             CASE WHEN txn_order < {SNAPSHOT_CUT_FILE} * {TXN_FILE_SHIFT}
+                  THEN 'snap' ELSE 'tail' END
+           ORDER BY txn_order DESC) AS rn
+  FROM keyed
+), latest AS (
+  SELECT database, "table", pk, side FROM ranked WHERE rn = 1
+), merged AS (
+  SELECT database, "table", pk,
+         bool_or(side = 'snap') AS in_snapshot,
+         bool_or(side = 'tail') AS in_tail
+  FROM latest GROUP BY 1, 2, 3
+)
+SELECT database AS database_name, "table" AS table_name,
+       count(*) AS n_keys_final,
+       sum(CASE WHEN in_snapshot THEN 1 ELSE 0 END) AS n_keys_snapshot,
+       sum(CASE WHEN in_snapshot AND in_tail THEN 1 ELSE 0 END) AS n_updated,
+       sum(CASE WHEN NOT in_snapshot AND in_tail THEN 1 ELSE 0 END) AS n_created_after,
+       sum(CASE WHEN in_snapshot AND NOT in_tail THEN 1 ELSE 0 END) AS n_untouched
+FROM merged
+GROUP BY 1, 2
+"""
+
+
 SPECS = [
     QuerySpec(
         "cdc_envelope",
         q_cdc_envelope,
         _ORACLE_PIPELINE_CTES + _ENVELOPE_SELECT,
     ),
+    QuerySpec("cdc_scd2_history", q_cdc_scd2_history, _SCD2_ORACLE),
+    QuerySpec("cdc_snapshot_reconcile", q_cdc_snapshot_reconcile, _RECONCILE_ORACLE),
     QuerySpec(
         "cdc_changelog",
         q_cdc_changelog,
