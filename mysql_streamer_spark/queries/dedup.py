@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from mysql_streamer_spark import text as tx
 from mysql_streamer_spark.queries.registry import QuerySpec
-from mysql_streamer_spark.tables import load_table
+from mysql_streamer_spark.tables import load_table, spread
 
 #: MinHash signature length and band layout: H = BANDS * ROWS_PER_BAND.
 N_HASHES = 8
@@ -109,7 +109,8 @@ def _with_signature(docs: DataFrame, pre_shingled: bool = False) -> DataFrame:
         df = docs
     else:
         df = (
-            docs.withColumn("toks", tx.tokens_col("text"))
+            spread(docs)
+            .withColumn("toks", tx.tokens_col("text"))
             .withColumn("shingles", tx.shingles_col())
             .filter(F.size("shingles") > 0)
         )
@@ -197,7 +198,8 @@ def minhash_candidate_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOL
     # the in-session form of what a production pipeline does by writing
     # the signature/shingle table before pair generation.
     shingled = (
-        docs.withColumn("toks", tx.tokens_col("text"))
+        spread(docs)
+        .withColumn("toks", tx.tokens_col("text"))
         .withColumn("shingles", tx.shingles_col())
         .filter(F.size("shingles") > 0)
         .select("doc_id", "shingles")
@@ -317,7 +319,8 @@ def ngram_jaccard_pairs(
     size since verification cost no longer depends on |sset|).
     """
     posting = (
-        docs.withColumn("toks", tx.tokens_col("text"))
+        spread(docs)
+        .withColumn("toks", tx.tokens_col("text"))
         .withColumn("sset", F.array_distinct(tx.shingles_col()))
         .filter(F.size("sset") > 0)
         .select("doc_id", F.explode("sset").alias("shingle"))
@@ -428,7 +431,8 @@ def _simhash_expr_duck() -> str:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.withColumn("toks", tx.tokens_col("text"))
+        spread(docs)
+        .withColumn("toks", tx.tokens_col("text"))
         .withColumn(
             "hvals",
             F.expr(

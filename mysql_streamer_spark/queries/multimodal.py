@@ -42,7 +42,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the byte statistics in SQL (payload bytes are the text's
     ascii codes), so the Arrow-batched PYTHON path is value-checked
     end-to-end against an independent engine."""
-    blobs = with_media_blob(load_table(spark, sf_dir, "documents"))
+    from mysql_streamer_spark.tables import spread
+
+    blobs = with_media_blob(spread(load_table(spark, sf_dir, "documents")))
     return extract_features(blobs)
 
 

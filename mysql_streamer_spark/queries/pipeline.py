@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from mysql_streamer_spark import text as tx
 from mysql_streamer_spark.queries.registry import QuerySpec
-from mysql_streamer_spark.tables import load_table
+from mysql_streamer_spark.tables import load_table, spread
 
 #: Every doc_id ≡ 0 (mod EVAL_MODULUS) plays the role of a held-out
 #: benchmark document; the rest are the training corpus. (The fixture has
@@ -85,10 +85,16 @@ def contaminated_docs(docs: DataFrame) -> DataFrame:
     once, text never shuffles, and there is no corpus-side self-join.
     """
     is_eval = F.col("doc_id") % EVAL_MODULUS == 0
+    # Two consumers (eval + train branch) read the shingled form, so it is
+    # computed once, spread across cores (the fixture is one parquet
+    # split), and persisted.
     shingled = (
-        docs.withColumn("toks", tx.tokens_col("text"))
+        spread(docs)
+        .withColumn("toks", tx.tokens_col("text"))
         .withColumn("sset", F.array_distinct(tx.shingles_col()))
         .filter(F.size("sset") > 0)
+        .select("doc_id", "source", "sset")
+        .persist()
     )
     eval_shingles = (
         shingled.filter(is_eval)

@@ -35,7 +35,10 @@ NEARDUP_THRESHOLD = 0.4
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings")
+    from mysql_streamer_spark.tables import spread
+
+    # one parquet split locally; the vector math is compute-bound per row
+    return spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
 
 
 # ---------------------------------------------------------------------------

@@ -20,11 +20,11 @@ from pyspark.sql import functions as F
 
 from mysql_streamer_spark import text as tx
 from mysql_streamer_spark.queries.registry import QuerySpec
-from mysql_streamer_spark.tables import load_table
+from mysql_streamer_spark.tables import load_table, spread
 
 
 def _docs_with_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents").withColumn(
+    return spread(load_table(spark, sf_dir, "documents")).withColumn(
         "toks", tx.tokens_col("text")
     )
 
@@ -233,7 +233,7 @@ def q_text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-document polynomial hash plus the minimum block hash over
     fixed 64-char blocks (a winnowing-style locality signal: two documents
     sharing an aligned block share the min candidate). Map-only."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     n_blocks = f"int((length(text) + {BLOCK_CHARS - 1}) div {BLOCK_CHARS})"
     block_hashes = (
         f"transform(sequence(1, {n_blocks}), b -> "

@@ -59,3 +59,15 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for the SQL API paths)."""
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Round-robin-by-key repartition ahead of hash-heavy per-row map work.
+
+    The local fixtures are ONE parquet split per table, so a md5/shingle
+    pass would otherwise run in a single task; at cluster scale the input
+    arrives in many splits and this exchange is a cheap pass-through that
+    AQE coalesces. Use only in front of compute-bound projections — never
+    to 'fix' an aggregation (those repartition on their own keys)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par, key)
