@@ -114,6 +114,30 @@ FROM agg WHERE session_id < last_sess
 """
 
 
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchase ⋈ same-user clicks in the
+    trailing 30 min) with watermarks on both sides — bounded join state.
+    The whole fixture fits one micro-batch, so no match is dropped by
+    watermark eviction and the batch SQL join is the exact oracle."""
+    from mysql_streamer_spark.streaming.runner import run_interval_join_stream
+
+    work = _staged_source(sf_dir)
+    run_interval_join_stream(spark, f"{work}/src", f"{work}/out", f"{work}/ckpt")
+    return spark.read.parquet(f"{work}/out")
+
+
+_INTERVAL_JOIN_ORACLE = """
+SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM events p
+JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+ AND c.ts <= p.ts
+"""
+
+
 SPECS = [
     QuerySpec(
         "streaming_envelope",
@@ -134,5 +158,10 @@ SPECS = [
         "streaming_dedup_replay",
         q_streaming_dedup_replay,
         _DEDUP_REPLAY_ORACLE,
+    ),
+    QuerySpec(
+        "streaming_interval_join",
+        q_streaming_interval_join,
+        _INTERVAL_JOIN_ORACLE,
     ),
 ]

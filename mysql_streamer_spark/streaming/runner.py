@@ -203,3 +203,68 @@ def run_windowed_stream(
         .start()
     )
     query.awaitTermination()
+
+
+def run_interval_join_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    lookback: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> None:
+    """Stream-stream interval join: purchases matched to the same user's
+    clicks in the trailing ``lookback`` window, append-mode to parquet.
+
+    Both sides carry a watermark and the join predicate bounds event time
+    on BOTH ends, so the state store evicts a click once the purchase-side
+    watermark passes click.ts + lookback — state is O(events inside the
+    watermark horizon), not O(stream). This is the streaming form of the
+    attribution as-of/range join (analytics_asof_attribution): same
+    semantics class, but incremental with bounded state instead of a
+    batch shuffle. The parquet file sink requires append mode, which
+    stream-stream INNER joins support; each emitted row is final (a match
+    can never be retracted), so replay + the file sink's transactional
+    commit log keeps the output exactly-once.
+    """
+    purchases = (
+        load_events_stream(spark, source_dir, max_files_per_trigger=1)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        load_events_stream(spark, source_dir, max_files_per_trigger=1)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            f"p_user = c_user AND c_ts >= p_ts - INTERVAL {lookback}"
+            " AND c_ts <= p_ts"
+        ),
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "click_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+    query = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
