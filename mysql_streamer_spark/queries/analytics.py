@@ -1072,8 +1072,90 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# ordered conversion funnel (view -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_analytics_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked at-or-after their
+    first view, then purchased at-or-after that click — the
+    sequence-pattern query (MATCH_RECOGNIZE class) decomposed into per-
+    stage min-timestamp aggregates chained through broadcast joins.
+
+    Each stage is one filtered aggregate producing ONE ROW PER USER (tiny
+    next to the event stream), broadcast into the next stage's filter, so
+    the events table is scanned per stage but never self-joined row-to-row
+    and nothing wider than (user_id, ts) ever shuffles. Ties (same
+    timestamp) count as sequential — both engines evaluate the identical
+    >= chain, so the gate is deterministic."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    t1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[1])
+        .join(F.broadcast(t1), "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[2])
+        .join(F.broadcast(t2), "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        t1.agg(F.count("*").alias("n_stage1"))
+        .crossJoin(t2.agg(F.count("*").alias("n_stage2")))
+        .crossJoin(t3.agg(F.count("*").alias("n_stage3")))
+    )
+    return counts.select(
+        "n_stage1",
+        "n_stage2",
+        "n_stage3",
+        (F.col("n_stage2").cast("double") / F.col("n_stage1").cast("double")).alias(
+            "view_to_click"
+        ),
+        (F.col("n_stage3").cast("double") / F.col("n_stage2").cast("double")).alias(
+            "click_to_purchase"
+        ),
+    )
+
+
+_FUNNEL_ORACLE = f"""
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY 1
+), t2 AS (
+  SELECT e.user_id, min(ts) AS t2 FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = '{FUNNEL_STAGES[1]}' AND e.ts >= t1.t1 GROUP BY 1
+), t3 AS (
+  SELECT e.user_id, min(ts) AS t3 FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = '{FUNNEL_STAGES[2]}' AND e.ts >= t2.t2 GROUP BY 1
+)
+SELECT
+  (SELECT count(*) FROM t1) AS n_stage1,
+  (SELECT count(*) FROM t2) AS n_stage2,
+  (SELECT count(*) FROM t3) AS n_stage3,
+  CAST((SELECT count(*) FROM t2) AS DOUBLE)
+    / CAST((SELECT count(*) FROM t1) AS DOUBLE) AS view_to_click,
+  CAST((SELECT count(*) FROM t3) AS DOUBLE)
+    / CAST((SELECT count(*) FROM t2) AS DOUBLE) AS click_to_purchase
+"""
+
+
 SPECS = [
     QuerySpec("analytics_pricing_summary", q_analytics_pricing_summary, _PRICING_ORACLE),
+    QuerySpec(
+        "analytics_conversion_funnel", q_analytics_conversion_funnel, _FUNNEL_ORACLE
+    ),
     QuerySpec(
         "analytics_revenue_by_nation", q_analytics_revenue_by_nation, _REVENUE_ORACLE
     ),

@@ -409,8 +409,98 @@ SELECT query_id, cand_id, cosine, rnk FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# k-NN majority-vote classification
+# ---------------------------------------------------------------------------
+
+def q_sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predict each query vector's label by majority vote of its TOP_K
+    exact-cosine neighbours — the downstream-consumer shape of the ANN
+    operators (auto-labeling / weak supervision in a data pipeline).
+
+    Plan: the scored top-k reuses the brute-force path (broadcast query
+    dimension, per-query window rank = per-partition heap at scale); the
+    vote is one tiny (query, label) count aggregate, and the winner is a
+    deterministic rank over vote count with label as tiebreaker. The
+    query's own label rides along for an accuracy readout."""
+    e = vx.with_quantized(_emb(spark, sf_dir))
+    q = e.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("qv").alias("q_qv"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        F.col("qv").alias("c_qv"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cosine", vx.cosine_col("q_qv", "c_qv", "q_nrm", "c_nrm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    topk = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= TOP_K
+    )
+    votes = topk.groupBy("query_id", "true_label", "cand_label").agg(
+        F.count("*").alias("n_votes")
+    )
+    vw = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("cand_label").asc()
+    )
+    return (
+        votes.withColumn("vrnk", F.row_number().over(vw))
+        .filter(F.col("vrnk") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("cand_label").alias("predicted_label"),
+            "n_votes",
+        )
+    )
+
+
+_KNN_CLASSIFY_ORACLE = f"""
+WITH qe AS (
+  SELECT vec_id, label, {vx.quantized_sql("embedding")} AS qv,
+         {vx.norm_sq_sql(vx.quantized_sql("embedding"))} AS nrm
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, label AS true_label, qv AS q_qv, nrm AS q_nrm
+  FROM qe WHERE vec_id < {N_QUERY}
+), c AS (
+  SELECT vec_id AS cand_id, label AS cand_label, qv AS c_qv, nrm AS c_nrm FROM qe
+), topk AS (
+  SELECT * FROM (
+    SELECT query_id, true_label, cand_label,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY {vx.cosine_sql("q_qv", "c_qv", "q_nrm", "c_nrm")} DESC,
+                      cand_id ASC) AS rnk
+    FROM c CROSS JOIN q
+    WHERE cand_id != query_id
+  ) WHERE rnk <= {TOP_K}
+), votes AS (
+  SELECT query_id, true_label, cand_label, count(*) AS n_votes
+  FROM topk GROUP BY 1, 2, 3
+)
+SELECT query_id, true_label, cand_label AS predicted_label, n_votes
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY n_votes DESC, cand_label ASC) AS vrnk
+  FROM votes
+) WHERE vrnk = 1
+"""
+
+
 SPECS = [
     QuerySpec("sim_bruteforce_topk", q_sim_bruteforce_topk, _BRUTEFORCE_ORACLE),
+    QuerySpec("sim_knn_classify", q_sim_knn_classify, _KNN_CLASSIFY_ORACLE),
     QuerySpec("sim_lsh_buckets", q_sim_lsh_buckets, _BUCKETS_ORACLE),
     QuerySpec("sim_lsh_ann", q_sim_lsh_ann, _ANN_ORACLE),
     QuerySpec("sim_cosine_neardup", q_sim_cosine_neardup, _NEARDUP_ORACLE),

@@ -14,7 +14,15 @@ import pytest
 
 #: queries whose plan INTENTIONALLY contains a broadcast nested-loop join
 #: (a tiny broadcast side crossed with the corpus is the documented design)
-_BNLJ_OK = {"sim_bruteforce_topk", "cdc_heartbeat_lag", "sim_ivf_ann"}
+_BNLJ_OK = {
+    "sim_bruteforce_topk",
+    "cdc_heartbeat_lag",
+    "sim_ivf_ann",
+    # same broadcast-query-dimension cross join as the brute-force baseline
+    "sim_knn_classify",
+    # three 1-row stage-count frames crossed into the single summary row
+    "analytics_conversion_funnel",
+}
 
 #: streaming roundtrips execute jobs at build time — plan-audited via their
 #: batch equivalents instead
