@@ -1073,6 +1073,61 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# best supplier per part (derived link table + per-group argmax)
+# ---------------------------------------------------------------------------
+
+def q_analytics_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's shape without a partsupp table: the part-supplier link
+    is DERIVED by a distinct over the fact's (partkey, suppkey) pairs —
+    one aggregate that collapses lineitem's duplication before any join —
+    then the richest supplier per part is a max_by argmax (map-side
+    combinable; the row_number-window equivalent would single-thread hot
+    parts). The supplier dimension broadcasts into the slim link table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    links = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        links.join(F.broadcast(supplier), links.l_suppkey == supplier.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(
+            F.max_by(
+                F.struct("s_suppkey", "s_name"),
+                # deterministic argmax: acctbal, then suppkey as tiebreaker
+                F.struct(F.col("s_acctbal"), F.col("s_suppkey")),
+            ).alias("s"),
+            F.count("*").alias("n_suppliers"),
+            F.max("s_acctbal").alias("best_acctbal"),
+        )
+        .select(
+            "p_partkey",
+            F.col("s.s_suppkey").alias("best_suppkey"),
+            F.col("s.s_name").alias("best_supplier"),
+            "n_suppliers",
+            "best_acctbal",
+        )
+    )
+
+
+_BEST_SUPPLIER_ORACLE = """
+WITH links AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), ranked AS (
+  SELECT l_partkey AS p_partkey, s_suppkey, s_name, s_acctbal,
+         count(*) OVER (PARTITION BY l_partkey) AS n_suppliers,
+         max(s_acctbal) OVER (PARTITION BY l_partkey) AS best_acctbal,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY s_acctbal DESC, s_suppkey DESC) AS rn
+  FROM links JOIN supplier ON l_suppkey = s_suppkey
+)
+SELECT p_partkey, s_suppkey AS best_suppkey, s_name AS best_supplier,
+       n_suppliers, best_acctbal
+FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # ordered conversion funnel (view -> click -> purchase)
 # ---------------------------------------------------------------------------
 
@@ -1155,6 +1210,11 @@ SPECS = [
     QuerySpec("analytics_pricing_summary", q_analytics_pricing_summary, _PRICING_ORACLE),
     QuerySpec(
         "analytics_conversion_funnel", q_analytics_conversion_funnel, _FUNNEL_ORACLE
+    ),
+    QuerySpec(
+        "analytics_best_supplier_per_part",
+        q_analytics_best_supplier_per_part,
+        _BEST_SUPPLIER_ORACLE,
     ),
     QuerySpec(
         "analytics_revenue_by_nation", q_analytics_revenue_by_nation, _REVENUE_ORACLE

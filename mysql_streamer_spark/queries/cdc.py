@@ -360,12 +360,52 @@ GROUP BY 1, 2
 """
 
 
+def q_cdc_compacted_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-compaction semantics (what the downstream table actually holds):
+    the latest message per key decides liveness — a final 'delete' is a
+    tombstone that removes the key, anything else keeps it. Summarized per
+    table as live vs tombstoned key counts. Same single max_by aggregate
+    as cdc_latest_state (map-side combinable, no window), plus a tiny
+    per-table rollup — the Kafka-compacted-topic / sink-table view of the
+    reference's message feed."""
+    from mysql_streamer_spark.skew import latest_by_key
+
+    env = envelope_pipeline(spark, sf_dir)
+    latest = latest_by_key(
+        env,
+        keys=["database_name", "table_name", "pk"],
+        order_col="txn_order",
+        payload_cols=["message_type"],
+    )
+    live = F.col("message_type") != "delete"
+    return latest.groupBy("database_name", "table_name").agg(
+        F.sum(live.cast("long")).alias("n_live_keys"),
+        F.sum((~live).cast("long")).alias("n_tombstoned_keys"),
+    )
+
+
+_COMPACTED_ORACLE = _ORACLE_PIPELINE_CTES + """
+, latest AS (
+  SELECT database, "table", pk, message_type,
+         row_number() OVER (PARTITION BY database, "table", pk
+                            ORDER BY txn_order DESC) AS rn
+  FROM keyed
+)
+SELECT database AS database_name, "table" AS table_name,
+       sum(CASE WHEN message_type != 'delete' THEN 1 ELSE 0 END) AS n_live_keys,
+       sum(CASE WHEN message_type = 'delete' THEN 1 ELSE 0 END) AS n_tombstoned_keys
+FROM latest WHERE rn = 1
+GROUP BY 1, 2
+"""
+
+
 SPECS = [
     QuerySpec(
         "cdc_envelope",
         q_cdc_envelope,
         _ORACLE_PIPELINE_CTES + _ENVELOPE_SELECT,
     ),
+    QuerySpec("cdc_compacted_table", q_cdc_compacted_table, _COMPACTED_ORACLE),
     QuerySpec("cdc_scd2_history", q_cdc_scd2_history, _SCD2_ORACLE),
     QuerySpec("cdc_snapshot_reconcile", q_cdc_snapshot_reconcile, _RECONCILE_ORACLE),
     QuerySpec(

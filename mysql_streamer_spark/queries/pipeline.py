@@ -382,8 +382,106 @@ GROUP BY 1, 2, 3
 """
 
 
+# ---------------------------------------------------------------------------
+# document chunking (overlapping token windows)
+# ---------------------------------------------------------------------------
+
+#: Chunk width and stride in tokens (stride < width -> overlapping
+#: windows, the standard embedding/RAG chunking layout).
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def q_pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into overlapping CHUNK_TOKENS-token windows at
+    CHUNK_STRIDE — the map-only explode that feeds an embedding model.
+    The output carries an md5 over each chunk's text (the downstream
+    dedup/cache key) instead of the text itself, so the exploded stream
+    stays narrow; a writer joins text back by (doc_id, start_tok) only
+    for the rows it actually embeds."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    chunks = F.expr(
+        f"transform(sequence(1, size(toks), {CHUNK_STRIDE}), s -> struct("
+        f"s AS start_tok, "
+        f"size(slice(toks, s, {CHUNK_TOKENS})) AS n_chunk_toks, "
+        f"md5(array_join(slice(toks, s, {CHUNK_TOKENS}), ' ')) AS chunk_hash))"
+    )
+    return (
+        docs.withColumn("toks", tx.tokens_col("text"))
+        .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "c"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.col("c.start_tok").alias("start_tok"),
+            F.col("c.n_chunk_toks").alias("n_chunk_toks"),
+            F.col("c.chunk_hash").alias("chunk_hash"),
+        )
+    )
+
+
+_CHUNK_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {tx.tokens_sql("text")} AS toks FROM documents
+), chunked AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(toks), {CHUNK_STRIDE})) AS start_tok,
+         toks
+  FROM tok
+)
+SELECT doc_id,
+       CAST((start_tok - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       start_tok,
+       len(toks[start_tok:start_tok + {CHUNK_TOKENS - 1}]) AS n_chunk_toks,
+       md5(array_to_string(toks[start_tok:start_tok + {CHUNK_TOKENS - 1}], ' '))
+         AS chunk_hash
+FROM chunked
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus vocabulary (top-k tokens)
+# ---------------------------------------------------------------------------
+
+VOCAB_TOP_K = 200
+
+
+def q_pipeline_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus vocabulary head: top-K tokens by occurrence count with
+    document frequency — the table a tokenizer-training or stopword-
+    mining pass reads first. Explode -> ONE hash aggregate (map-side
+    partial combine collapses each partition to its distinct tokens
+    before the shuffle) -> TakeOrdered top-K, never a global sort."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.withColumn("toks", tx.tokens_col("text"))
+        .select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(VOCAB_TOP_K)
+    )
+
+
+_VOCAB_ORACLE = f"""
+SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+FROM (
+  SELECT doc_id, unnest({tx.tokens_sql("text")}) AS token FROM documents
+)
+GROUP BY token
+ORDER BY n_occurrences DESC, token ASC
+LIMIT {VOCAB_TOP_K}
+"""
+
+
 SPECS = [
     QuerySpec("pipeline_decontaminate", q_pipeline_decontaminate, _DECONTAMINATE_ORACLE),
+    QuerySpec(
+        "pipeline_chunk_documents", q_pipeline_chunk_documents, _CHUNK_ORACLE
+    ),
+    QuerySpec("pipeline_vocab_topk", q_pipeline_vocab_topk, _VOCAB_ORACLE),
     QuerySpec("pipeline_train_val_split", q_pipeline_train_val_split, _SPLIT_ORACLE),
     QuerySpec(
         "pipeline_stratified_sample", q_pipeline_stratified_sample, _SAMPLE_ORACLE
