@@ -212,9 +212,17 @@ def run_interval_join_stream(
     checkpoint_dir: str,
     lookback: str = "30 minutes",
     watermark: str = "1 hour",
+    state_partitions: int = 8,
 ) -> None:
     """Stream-stream interval join: purchases matched to the same user's
     clicks in the trailing ``lookback`` window, append-mode to parquet.
+
+    ``state_partitions`` pins spark.sql.shuffle.partitions for this query:
+    a stream-stream join materializes FOUR state stores per shuffle
+    partition, and the count is frozen into the checkpoint at creation —
+    it must be sized to the stream's key cardinality/throughput up front
+    (a real deployment knob, not the batch shuffle default). The batch
+    default is restored after the drain.
 
     Both sides carry a watermark and the join predicate bounds event time
     on BOTH ends, so the state store evicts a click once the purchase-side
@@ -259,12 +267,17 @@ def run_interval_join_stream(
         "click_id",
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
     )
-    query = (
-        joined.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        query = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
