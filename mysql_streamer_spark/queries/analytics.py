@@ -1128,6 +1128,80 @@ FROM ranked WHERE rn = 1
 
 
 # ---------------------------------------------------------------------------
+# pivot (long -> wide crosstab)
+# ---------------------------------------------------------------------------
+
+#: Explicit pivot domain: passing the values up front skips Spark's extra
+#: distinct-collection pass AND makes the output schema static — both
+#: engines emit identical column names in identical order.
+PIVOT_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_analytics_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-type crosstab via pivot. With the value list pinned,
+    this compiles to ONE hash aggregate whose map-side partials carry a
+    fixed 5-counter vector per day — same cost as a plain groupBy, no
+    second job to discover the pivot domain, no wide shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.to_date("ts"))
+        .groupBy("day")
+        .pivot("event_type", list(PIVOT_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(PIVOT_EVENT_TYPES))
+    )
+
+
+_PIVOT_ORACLE = "SELECT CAST(ts AS DATE) AS day, " + ", ".join(
+    f"count(*) FILTER (WHERE event_type = '{t}') AS {t}"
+    for t in PIVOT_EVENT_TYPES
+) + " FROM events GROUP BY 1"
+
+
+# ---------------------------------------------------------------------------
+# within-group quartiles (partitioned ntile)
+# ---------------------------------------------------------------------------
+
+def q_analytics_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-balance quartiles WITHIN each nation: ntile over the
+    (nation) partition — ranking parallelism is per-group, so no global
+    sort ever happens (a global ntile would move the table to one task;
+    for whole-table quantiles use the exact-percentile aggregate in
+    analytics_value_percentiles instead). min/max ride through untouched
+    (exact doubles); the sum quantizes to cents."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_nationkey", "quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+            F.sum(_cents("c_acctbal")).alias("sum_bal_c"),
+        )
+    )
+
+
+_QUARTILES_ORACLE = f"""
+SELECT c_nationkey, quartile,
+       count(*) AS n_customers,
+       min(c_acctbal) AS min_bal,
+       max(c_acctbal) AS max_bal,
+       sum({_cents_sql("c_acctbal")}) AS sum_bal_c
+FROM (
+  SELECT c_nationkey, c_acctbal,
+         ntile(4) OVER (PARTITION BY c_nationkey
+                        ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
+  FROM customer
+)
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # ordered conversion funnel (view -> click -> purchase)
 # ---------------------------------------------------------------------------
 
@@ -1215,6 +1289,12 @@ SPECS = [
         "analytics_best_supplier_per_part",
         q_analytics_best_supplier_per_part,
         _BEST_SUPPLIER_ORACLE,
+    ),
+    QuerySpec(
+        "analytics_event_type_pivot", q_analytics_event_type_pivot, _PIVOT_ORACLE
+    ),
+    QuerySpec(
+        "analytics_balance_quartiles", q_analytics_balance_quartiles, _QUARTILES_ORACLE
     ),
     QuerySpec(
         "analytics_revenue_by_nation", q_analytics_revenue_by_nation, _REVENUE_ORACLE
