@@ -1,0 +1,171 @@
+"""Command-line entry points mirroring the reference's binaries
+(SURVEY.md §3):
+
+- ``stream``            — the checkpointed streaming pipeline (reference
+  entry point 1: ``python -m replication_handler.batch.
+  parse_replication_stream``); drains the source directory through the
+  envelope into the idempotent sink and exits (availableNow), restart-safe
+  via the checkpoint.
+- ``changelog``         — entry point 2 (``changelog_mode: true``): same
+  drain, changelog projection instead of envelopes.
+- ``heartbeat-search``  — entry point 3 (``mysql_heartbeat_search TS``):
+  timestamp -> binlog position via the heartbeat side channel.
+- ``registry-dump``     — the schema-dump surface (mysql_dump parity):
+  print every registered table schema as JSON lines.
+
+Usage: ``python -m mysql_streamer_spark <command> ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def _spark() -> SparkSession:
+    from mysql_streamer_spark.session import get_spark
+
+    return get_spark("mysql_streamer_spark.cli")
+
+
+def cmd_stream(args: argparse.Namespace) -> int:
+    from mysql_streamer_spark.streaming.runner import run_envelope_stream
+
+    n = run_envelope_stream(
+        _spark(),
+        args.source_dir,
+        args.out_dir,
+        args.checkpoint_dir,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    print(json.dumps({"batches": n, "out": args.out_dir}))
+    return 0
+
+
+def cmd_changelog(args: argparse.Namespace) -> int:
+    from mysql_streamer_spark.cdc.changelog import changelog_projection
+    from mysql_streamer_spark.cdc.pipeline import envelope_pipeline_df
+    from mysql_streamer_spark.streaming.runner import load_events_stream
+
+    spark = _spark()
+    events = load_events_stream(spark, args.source_dir, args.max_files_per_trigger)
+
+    def process(batch_df, batch_id):
+        from mysql_streamer_spark.cdc.source import events_as_cdc
+        from mysql_streamer_spark.cdc.filters import (
+            filter_blacklisted_schemas,
+            split_heartbeats,
+        )
+        from mysql_streamer_spark.cdc.envelope import reroute_refresh_tables
+
+        data, _ = split_heartbeats(events_as_cdc(batch_df))
+        rows = changelog_projection(
+            reroute_refresh_tables(filter_blacklisted_schemas(data))
+        )
+        rows.write.mode("overwrite").parquet(f"{args.out_dir}/batch_id={batch_id}")
+
+    q = (
+        events.writeStream.foreachBatch(process)
+        .option("checkpointLocation", args.checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    print(json.dumps({"out": args.out_dir}))
+    return 0
+
+
+def cmd_heartbeat_search(args: argparse.Namespace) -> int:
+    from pyspark.sql import functions as F
+
+    from mysql_streamer_spark.cdc.pipeline import heartbeat_stream
+
+    hb = heartbeat_stream(_spark(), args.sf_dir)
+    row = (
+        hb.filter(F.col("timestamp") <= F.lit(args.timestamp).cast("timestamp"))
+        .orderBy(F.col("timestamp").desc(), F.col("serial").desc())
+        .limit(1)
+        .collect()
+    )
+    if not row:
+        print(json.dumps({"found": False}))
+        return 1
+    r = row[0]
+    print(
+        json.dumps(
+            {
+                "found": True,
+                "serial": r.serial,
+                "timestamp": str(r.timestamp),
+                "log_file": r.log_file,
+                "log_pos": r.log_pos,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_registry_dump(args: argparse.Namespace) -> int:
+    from mysql_streamer_spark.schema.bootstrap import bootstrap_registry
+
+    reg = bootstrap_registry()
+    for db, table in sorted(reg.tables()):
+        entry = reg.get(db, table)
+        print(
+            json.dumps(
+                {
+                    "database": db,
+                    "table": table,
+                    "schema_id": entry.schema_id,
+                    "version": entry.version,
+                    "columns": [
+                        [f.name, f.dataType.simpleString()]
+                        for f in entry.struct.fields
+                    ],
+                    "transformation_map": entry.transformation_map,
+                }
+            )
+        )
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="mysql_streamer_spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    s = sub.add_parser("stream", help="run the checkpointed envelope stream")
+    s.add_argument("source_dir")
+    s.add_argument("out_dir")
+    s.add_argument("checkpoint_dir")
+    s.add_argument("--max-files-per-trigger", type=int, default=1)
+    s.set_defaults(fn=cmd_stream)
+
+    c = sub.add_parser("changelog", help="run the changelog-mode stream")
+    c.add_argument("source_dir")
+    c.add_argument("out_dir")
+    c.add_argument("checkpoint_dir")
+    c.add_argument("--max-files-per-trigger", type=int, default=1)
+    c.set_defaults(fn=cmd_changelog)
+
+    h = sub.add_parser(
+        "heartbeat-search", help="timestamp -> binlog position (R5)"
+    )
+    h.add_argument("timestamp")
+    h.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    h.set_defaults(fn=cmd_heartbeat_search)
+
+    r = sub.add_parser("registry-dump", help="dump registered table schemas")
+    r.set_defaults(fn=cmd_registry_dump)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

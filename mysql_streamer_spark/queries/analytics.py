@@ -1028,22 +1028,26 @@ def q_analytics_sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFr
     """Suppliers who were the ONLY supplier with returned lines on
     multi-supplier orders. The reference Q21 shape is EXISTS(another
     supplier on the order) AND NOT EXISTS(another supplier with returns);
-    both quantifiers collapse into ONE per-order aggregate — distinct
-    supplier count, distinct returning-supplier count, and min() to
-    recover the unique returning supplier — so the plan is one shuffle on
-    l_orderkey plus a tiny count instead of two correlated joins against
-    the fact table."""
+    both quantifiers collapse into per-order aggregation instead of two
+    correlated joins against the fact table. The distinct counts are
+    computed as a TWO-LEVEL aggregate — first (orderkey, suppkey) with a
+    has-returns flag, then per order — because multiple countDistinct in
+    one aggregate compiles to an Expand that multiplies the pre-shuffle
+    row count by the number of distinct aggregates; the two-level form
+    partial-aggregates map-side at every step (measured ~1.5x at sf0.1,
+    and the Expand factor only hurts more at scale)."""
     li = load_table(spark, sf_dir, "lineitem")
+    per_order_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_ret")
+    )
     per_order = (
-        li.groupBy("l_orderkey")
+        per_order_supp.groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct(
-                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-            ).alias("n_ret_supp"),
-            F.min(
-                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-            ).alias("ret_supp"),
+            F.count("*").alias("n_supp"),
+            F.sum("has_ret").alias("n_ret_supp"),
+            F.min(F.when(F.col("has_ret") == 1, F.col("l_suppkey"))).alias(
+                "ret_supp"
+            ),
         )
         .filter((F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1))
     )

@@ -1,0 +1,58 @@
+"""CLI entry-point tests (reference §3 binaries parity): each subcommand
+drives the same code paths the library tests cover, so these assert the
+argument wiring and output contract."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from mysql_streamer_spark.cli import main
+
+
+def test_registry_dump_lists_every_bootstrap_table(capsys):
+    assert main(["registry-dump"]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) >= 1
+    first = lines[0]
+    assert {"database", "table", "schema_id", "version", "columns"} <= set(first)
+    # schema ids are unique across tables
+    ids = [l["schema_id"] for l in lines]
+    assert len(set(ids)) == len(ids)
+
+
+def test_heartbeat_search_finds_position(spark, sf_dir, capsys):
+    rc = main(["heartbeat-search", "2024-03-01 00:00:00", "--sf-dir", sf_dir])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert out["found"] is True
+    assert out["log_file"].startswith("binlog.")
+    assert out["log_pos"] >= 0
+
+
+def test_heartbeat_search_before_stream_start_fails(spark, sf_dir, capsys):
+    rc = main(["heartbeat-search", "1970-01-02 00:00:00", "--sf-dir", sf_dir])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1
+    assert out["found"] is False
+
+
+def test_stream_command_drains_to_sink(spark, sf_dir, tmp_path, capsys):
+    src = tmp_path / "src"
+    os.makedirs(src)
+    os.symlink(f"{sf_dir}/events.parquet", src / "events.parquet")
+    rc = main(
+        [
+            "stream",
+            str(src),
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+        ]
+    )
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["batches"] >= 1
+    sunk = spark.read.parquet(str(tmp_path / "out"))
+    from mysql_streamer_spark.cdc.pipeline import envelope_pipeline
+
+    assert sunk.count() == envelope_pipeline(spark, sf_dir).count()
