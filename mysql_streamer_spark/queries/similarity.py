@@ -410,6 +410,68 @@ SELECT query_id, cand_id, cosine, rnk FROM (
 
 
 # ---------------------------------------------------------------------------
+# vectorized (Arrow/numpy) exact top-k — the Pandas-UDF scale path
+# ---------------------------------------------------------------------------
+
+def q_sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same exact top-k as q_sim_bruteforce_topk through the OTHER
+    engine path the 100 TB design needs: an Arrow-batched ``mapInPandas``
+    stage that scores each candidate batch against the whole query block
+    with ONE int64 numpy matmul (batch_size x DIM @ DIM x n_queries) —
+    no per-row Python, no per-pair rows until after scoring.
+
+    The query block (N_QUERY rows) is a PARAMETER shipped into the
+    closure, not data pulled to the driver for iteration — the standard
+    vector-search layout where the query batch rides the task closure and
+    the corpus streams through executors. Cross-engine exactness: the
+    quantized int64 dot is exact, and the float division/sqrt sequence is
+    the same IEEE ops the SQL form runs, so the oracle is literally the
+    brute-force oracle. Per-query global top-k stays JVM-side
+    (window rank -> per-partition heaps)."""
+    import numpy as np
+    import pandas as pd
+
+    e = vx.with_quantized(_emb(spark, sf_dir))
+    qrows = (
+        e.filter(F.col("vec_id") < N_QUERY).select("vec_id", "qv", "nrm").collect()
+    )
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    q_mat = np.array([r.qv for r in qrows], dtype=np.int64)  # (nq, DIM)
+    q_norm = np.sqrt(np.array([r.nrm for r in qrows], dtype=np.float64))
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cand = np.array(pdf["qv"].tolist(), dtype=np.int64)  # (n, DIM)
+            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            c_norm = np.sqrt(pdf["nrm"].to_numpy(dtype=np.float64))
+            dots = cand @ q_mat.T  # exact int64
+            cos = dots.astype(np.float64) / (q_norm[None, :] * c_norm[:, None])
+            n, nq = cos.shape
+            out = pd.DataFrame(
+                {
+                    "query_id": np.tile(q_ids, n),
+                    "cand_id": np.repeat(c_ids, nq),
+                    "cosine": cos.reshape(-1),
+                }
+            )
+            yield out[out.query_id != out.cand_id]
+
+    scored = e.select("vec_id", "qv", "nrm").mapInPandas(
+        score, "query_id long, cand_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "cand_id", "cosine", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # k-NN majority-vote classification
 # ---------------------------------------------------------------------------
 
@@ -500,6 +562,10 @@ FROM (
 
 SPECS = [
     QuerySpec("sim_bruteforce_topk", q_sim_bruteforce_topk, _BRUTEFORCE_ORACLE),
+    # identical semantics to the brute-force baseline via the Arrow/numpy
+    # path, so it shares the oracle — the check proves the two engine
+    # paths agree bit-for-bit
+    QuerySpec("sim_topk_vectorized", q_sim_topk_vectorized, _BRUTEFORCE_ORACLE),
     QuerySpec("sim_knn_classify", q_sim_knn_classify, _KNN_CLASSIFY_ORACLE),
     QuerySpec("sim_lsh_buckets", q_sim_lsh_buckets, _BUCKETS_ORACLE),
     QuerySpec("sim_lsh_ann", q_sim_lsh_ann, _ANN_ORACLE),
