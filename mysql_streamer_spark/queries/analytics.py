@@ -1132,6 +1132,64 @@ FROM ranked WHERE rn = 1
 
 
 # ---------------------------------------------------------------------------
+# hourly anomaly z-scores (exact-integer moments, deterministic sqrt)
+# ---------------------------------------------------------------------------
+
+def q_analytics_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours whose event count deviates ≥ 2σ from that event type's
+    overall hourly mean. Two aggregates: hourly counts, then per-type
+    moments (n, Σx, Σx²) — all exact integers — broadcast back for the
+    z-score. The float path is mean/variance/one sqrt from identical
+    integers; sqrt is IEEE-correctly-rounded in both engines, so the
+    check stays deterministic (ln/exp would not be — that is why the
+    commonness score avoids log too)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn("hour", F.date_trunc("hour", "ts"))
+        .groupBy("hour", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    moments = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.sum("n").alias("sum_n"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_n2"),
+    )
+    mean = F.col("sum_n").cast("double") / F.col("n_hours").cast("double")
+    var = (
+        F.col("sum_n2").cast("double") / F.col("n_hours").cast("double")
+        - mean * mean
+    )
+    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    return (
+        hourly.join(F.broadcast(moments), "event_type")
+        .withColumn("z", z)
+        .filter((F.col("z") >= 2.0) | (F.col("z") <= -2.0))
+        .select("event_type", "hour", "n", "z")
+    )
+
+
+_ANOMALY_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+), moments AS (
+  SELECT event_type, count(*) AS n_hours, sum(n) AS sum_n, sum(n * n) AS sum_n2
+  FROM hourly GROUP BY 1
+), scored AS (
+  SELECT event_type, hour, n,
+         (CAST(n AS DOUBLE)
+           - CAST(sum_n AS DOUBLE) / CAST(n_hours AS DOUBLE))
+         / sqrt(CAST(sum_n2 AS DOUBLE) / CAST(n_hours AS DOUBLE)
+                - (CAST(sum_n AS DOUBLE) / CAST(n_hours AS DOUBLE))
+                  * (CAST(sum_n AS DOUBLE) / CAST(n_hours AS DOUBLE))) AS z
+  FROM hourly JOIN moments USING (event_type)
+)
+SELECT event_type, hour, n, z FROM scored
+WHERE z >= 2.0 OR z <= -2.0
+"""
+
+
+# ---------------------------------------------------------------------------
 # pivot (long -> wide crosstab)
 # ---------------------------------------------------------------------------
 
@@ -1296,6 +1354,9 @@ SPECS = [
     ),
     QuerySpec(
         "analytics_event_type_pivot", q_analytics_event_type_pivot, _PIVOT_ORACLE
+    ),
+    QuerySpec(
+        "analytics_hourly_anomaly", q_analytics_hourly_anomaly, _ANOMALY_ORACLE
     ),
     QuerySpec(
         "analytics_balance_quartiles", q_analytics_balance_quartiles, _QUARTILES_ORACLE

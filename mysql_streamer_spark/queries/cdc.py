@@ -360,6 +360,46 @@ GROUP BY 1, 2
 """
 
 
+#: Whitelist for the F2 end-to-end query (whitelisting a table implies its
+#: `_data_pipeline_refresh` twin — both engines derive from this constant).
+WHITELIST_TABLES = ("click", "purchase")
+
+
+def q_cdc_whitelist_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 exercised through the FULL pipeline (r1 gap: whitelist had unit
+    tests only): the envelope restricted to whitelisted tables and their
+    refresh twins. Per-table counts keep the check focused on the filter's
+    admission decision."""
+    env = envelope_pipeline(spark, sf_dir, table_whitelist=WHITELIST_TABLES)
+    return env.groupBy("database_name", "table_name", "message_type").agg(
+        F.count("*").alias("n_messages")
+    )
+
+
+_WHITELIST_SQL_LIST = ", ".join(
+    f"'{t}'" for t in WHITELIST_TABLES
+) + ", " + ", ".join(f"'{t}_data_pipeline_refresh'" for t in WHITELIST_TABLES)
+
+# The whitelist applies BEFORE refresh rerouting (reference order:
+# admission filters, then routing), so the oracle filters the admitted
+# stream on the raw table name and re-derives the routed name.
+_WHITELIST_ORACLE = _ORACLE_PIPELINE_CTES + f"""
+, wl AS (
+  SELECT * FROM admitted WHERE "table" IN ({_WHITELIST_SQL_LIST})
+)
+SELECT
+  database AS database_name,
+  CASE WHEN ends_with("table", '_data_pipeline_refresh')
+       THEN substring("table", 1, length("table") - 22)
+       ELSE "table" END AS table_name,
+  CASE WHEN ends_with("table", '_data_pipeline_refresh')
+       THEN 'refresh' ELSE message_type END AS message_type,
+  count(*) AS n_messages
+FROM wl
+GROUP BY 1, 2, 3
+"""
+
+
 def q_cdc_compacted_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log-compaction semantics (what the downstream table actually holds):
     the latest message per key decides liveness — a final 'delete' is a
@@ -406,6 +446,7 @@ SPECS = [
         _ORACLE_PIPELINE_CTES + _ENVELOPE_SELECT,
     ),
     QuerySpec("cdc_compacted_table", q_cdc_compacted_table, _COMPACTED_ORACLE),
+    QuerySpec("cdc_whitelist_envelope", q_cdc_whitelist_envelope, _WHITELIST_ORACLE),
     QuerySpec("cdc_scd2_history", q_cdc_scd2_history, _SCD2_ORACLE),
     QuerySpec("cdc_snapshot_reconcile", q_cdc_snapshot_reconcile, _RECONCILE_ORACLE),
     QuerySpec(

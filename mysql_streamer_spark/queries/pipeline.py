@@ -476,8 +476,58 @@ LIMIT {VOCAB_TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus-frequency (commonness) scoring — the LM-perplexity proxy
+# ---------------------------------------------------------------------------
+
+def q_pipeline_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean corpus frequency of its tokens — the integer-
+    exact stand-in for unigram-LM perplexity filtering (rare-token-heavy
+    docs score low, boilerplate scores high; pipelines cut both tails).
+
+    Plan: ONE token-count aggregate over the corpus (the unigram 'model'),
+    broadcast back onto the exploded token stream, then a per-doc sum —
+    integer sums with one final division, so both engines agree exactly.
+    At 100 TB the unigram table is the only broadcast (vocab-sized) and
+    everything else is map-side + one per-doc aggregate.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.withColumn("toks", tx.tokens_col("text")).select(
+        "doc_id", F.explode("toks").alias("token")
+    )
+    freqs = toks.groupBy("token").agg(F.count("*").alias("tok_freq"))
+    return (
+        toks.join(F.broadcast(freqs), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("tok_freq").alias("sum_freq"),
+        )
+        .withColumn(
+            "mean_token_freq",
+            F.col("sum_freq").cast("double") / F.col("n_tokens").cast("double"),
+        )
+    )
+
+
+_COMMONNESS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tx.tokens_sql("text")}) AS token FROM documents
+), freqs AS (
+  SELECT token, count(*) AS tok_freq FROM toks GROUP BY 1
+)
+SELECT doc_id, count(*) AS n_tokens, sum(tok_freq) AS sum_freq,
+       CAST(sum(tok_freq) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_token_freq
+FROM toks JOIN freqs USING (token)
+GROUP BY doc_id
+"""
+
+
 SPECS = [
     QuerySpec("pipeline_decontaminate", q_pipeline_decontaminate, _DECONTAMINATE_ORACLE),
+    QuerySpec(
+        "pipeline_commonness_score", q_pipeline_commonness_score, _COMMONNESS_ORACLE
+    ),
     QuerySpec(
         "pipeline_chunk_documents", q_pipeline_chunk_documents, _CHUNK_ORACLE
     ),
