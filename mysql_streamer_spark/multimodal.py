@@ -110,3 +110,54 @@ def extract_features(
     return blobs.select("doc_id", "media_type", "payload").mapInPandas(
         run, FEATURES_SCHEMA
     )
+
+
+#: Frame sampling layout: one FRAME_BYTES window every FRAME_STRIDE bytes
+#: (stride > width = sampling, the video-keyframe pattern).
+FRAME_BYTES = 32
+FRAME_STRIDE = 64
+
+FRAMES_SCHEMA = (
+    "doc_id long, frame_idx long, frame_offset long, n_frame_bytes long, "
+    "frame_hash string, mean_byte double"
+)
+
+
+def sample_frames(blobs: DataFrame) -> DataFrame:
+    """Frame sampling over video blobs: every FRAME_STRIDE bytes, emit one
+    FRAME_BYTES window with its md5 (the downstream dedup/cache key) and
+    byte mean — the 'decode, then keep every Nth frame' stage of a video
+    ingest pipeline, with the frame boundaries standing in for codec
+    keyframes.
+
+    Same Arrow contract as extract_features: bytes move in columnar
+    batches, the fan-out (one row per sampled frame) happens inside the
+    Python stage, and nothing returns to the driver. The payload itself
+    never leaves the stage — downstream joins use (doc_id, frame_offset)
+    or the hash.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    video = blobs.filter(F.col("media_type") == "video")
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "frame_idx", "frame_offset", "n_frame_bytes",
+                "frame_hash", "mean_byte",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for i, start in enumerate(range(0, len(b), FRAME_STRIDE)):
+                    fr = b[start : start + FRAME_BYTES]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_offset"].append(start)
+                    out["n_frame_bytes"].append(len(fr))
+                    out["frame_hash"].append(hashlib.md5(fr).hexdigest())
+                    out["mean_byte"].append(sum(fr) / len(fr))
+            yield pd.DataFrame(out)
+
+    return video.select("doc_id", "payload").mapInPandas(run, FRAMES_SCHEMA)

@@ -80,7 +80,44 @@ FROM decoded
 """
 
 
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (multimodal.sample_frames): every 64th-byte
+    32-byte window per video blob with its md5 frame key — the Arrow
+    fan-out path (one input row -> N frame rows inside the Python stage),
+    oracle-checked against a pure-SQL byte recomputation."""
+    from mysql_streamer_spark.multimodal import sample_frames
+    from mysql_streamer_spark.tables import spread
+
+    blobs = with_media_blob(spread(load_table(spark, sf_dir, "documents")))
+    return sample_frames(blobs)
+
+
+def _frames_oracle() -> str:
+    from mysql_streamer_spark.multimodal import FRAME_BYTES, FRAME_STRIDE
+
+    frame = f"substring(text, start1, {FRAME_BYTES})"
+    return f"""
+WITH video AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+), frames AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text), {FRAME_STRIDE})) AS start1
+  FROM video
+)
+SELECT doc_id,
+       CAST((start1 - 1) / {FRAME_STRIDE} AS BIGINT) AS frame_idx,
+       CAST(start1 - 1 AS BIGINT) AS frame_offset,
+       CAST(length({frame}) AS BIGINT) AS n_frame_bytes,
+       md5({frame}) AS frame_hash,
+       CAST(list_sum(list_transform(string_split_regex({frame}, ''),
+                                    c -> ascii(c))) AS DOUBLE)
+         / length({frame}) AS mean_byte
+FROM frames
+"""
+
+
 SPECS = [
     QuerySpec("multimodal_metadata", q_multimodal_metadata, _METADATA_ORACLE),
     QuerySpec("multimodal_features", q_multimodal_features, _features_oracle()),
+    QuerySpec("multimodal_frame_sample", q_multimodal_frame_sample, _frames_oracle()),
 ]
