@@ -56,3 +56,23 @@ def test_stream_command_drains_to_sink(spark, sf_dir, tmp_path, capsys):
     from mysql_streamer_spark.cdc.pipeline import envelope_pipeline
 
     assert sunk.count() == envelope_pipeline(spark, sf_dir).count()
+
+
+def test_changelog_command_matches_batch_projection(spark, sf_dir, tmp_path, capsys):
+    import json as _json
+    import os as _os
+
+    src = tmp_path / "src"
+    _os.makedirs(src)
+    _os.symlink(f"{sf_dir}/events.parquet", src / "events.parquet")
+    rc = main(
+        ["changelog", str(src), str(tmp_path / "out"), str(tmp_path / "ckpt")]
+    )
+    assert rc == 0
+    _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    sunk = spark.read.parquet(str(tmp_path / "out"))
+    from mysql_streamer_spark.queries.cdc import q_cdc_changelog
+
+    expected = q_cdc_changelog(spark, sf_dir)
+    assert sunk.count() == expected.count()
+    assert set(sunk.columns) >= set(expected.columns)
