@@ -532,9 +532,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Clusters oracle: the pairs oracle's CTE chain -> recursive min-label
-# closure -> per-cluster summary.
-_CLUSTERS_ORACLE = (
+# Shared CTE chain: the pairs oracle's candidates -> verified edges ->
+# recursive min-label closure (used by the clusters report AND the
+# surviving-corpus apply form).
+_CLUSTERS_CTES = (
     "WITH RECURSIVE "
     + _signature_sql_cte().lstrip()
     + _bands_sql_cte()
@@ -570,17 +571,51 @@ _CLUSTERS_ORACLE = (
   FROM sym JOIN reach ON sym.doc_b = reach.doc_id
   WHERE reach.label < sym.doc_a
 )
+"""
+)
+
+_CLUSTERS_ORACLE = _CLUSTERS_CTES + """
 SELECT keeper_doc_id,
        count(*) AS cluster_size,
        list_sort(list(doc_id)) AS members
 FROM (SELECT doc_id, min(label) AS keeper_doc_id FROM reach GROUP BY doc_id)
 GROUP BY keeper_doc_id
 """
+
+
+def q_dedup_fuzzy_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY form of fuzzy dedup: the corpus AFTER dropping every
+    near-dup cluster member except its keeper (min doc_id) — what
+    actually feeds the tokenizer. The non-keeper set (labels where
+    doc_id != label, tiny relative to the corpus) broadcasts into a
+    LEFT ANTI join against the full document table, so the corpus is
+    scanned once and only ids move."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs)
+    labels = connected_components(pairs.select("doc_a", "doc_b"))
+    non_keepers = labels.filter(F.col("doc_id") != F.col("label")).select("doc_id")
+    return docs.join(F.broadcast(non_keepers), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+_FUZZY_SURVIVORS_ORACLE = _CLUSTERS_CTES + """
+, non_keepers AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, min(label) AS keeper FROM reach GROUP BY doc_id
+  ) WHERE doc_id != keeper
 )
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM non_keepers)
+"""
 
 
 SPECS = [
     QuerySpec("dedup_exact", q_dedup_exact, _EXACT_ORACLE),
+    QuerySpec(
+        "dedup_fuzzy_survivors", q_dedup_fuzzy_survivors, _FUZZY_SURVIVORS_ORACLE
+    ),
     QuerySpec("dedup_exact_survivors", q_dedup_exact_survivors, _EXACT_SURVIVORS_ORACLE),
     QuerySpec("dedup_minhash_bands", q_dedup_minhash_bands, _BANDS_ORACLE),
     QuerySpec("dedup_minhash_pairs", q_dedup_minhash_pairs, _PAIRS_ORACLE),
