@@ -1132,6 +1132,35 @@ FROM ranked WHERE rn = 1
 
 
 # ---------------------------------------------------------------------------
+# compaction planner (small-files ops surface)
+# ---------------------------------------------------------------------------
+
+#: small target so the fixture produces a non-trivial plan; production
+#: uses storage.TARGET_ROWS_PER_FILE
+PLAN_ROWS_PER_FILE = 2_000
+
+
+def q_analytics_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compaction planner (storage.partition_plan) over the events
+    table partitioned by day: per output partition, its row count and the
+    file count a writer should coalesce to — the decision table that
+    prevents the small-files problem on a partitioned 100 TB sink."""
+    from mysql_streamer_spark.storage import partition_plan
+
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    return partition_plan(ev, ["day"], PLAN_ROWS_PER_FILE)
+
+
+_PARTITION_PLAN_ORACLE = f"""
+SELECT CAST(ts AS DATE) AS day, count(*) AS n_rows,
+       CAST(ceil(CAST(count(*) AS DOUBLE) / {PLAN_ROWS_PER_FILE}) AS BIGINT)
+         AS target_files
+FROM events
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # hourly anomaly z-scores (exact-integer moments, deterministic sqrt)
 # ---------------------------------------------------------------------------
 
@@ -1357,6 +1386,9 @@ SPECS = [
     ),
     QuerySpec(
         "analytics_hourly_anomaly", q_analytics_hourly_anomaly, _ANOMALY_ORACLE
+    ),
+    QuerySpec(
+        "analytics_partition_plan", q_analytics_partition_plan, _PARTITION_PLAN_ORACLE
     ),
     QuerySpec(
         "analytics_balance_quartiles", q_analytics_balance_quartiles, _QUARTILES_ORACLE

@@ -410,6 +410,78 @@ SELECT query_id, cand_id, cosine, rnk FROM (
 
 
 # ---------------------------------------------------------------------------
+# ANN quality evaluation: recall@k of the LSH path vs exact ground truth
+# ---------------------------------------------------------------------------
+
+def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH ANN against the brute-force ground truth — the
+    evaluation harness an ANN deployment runs on a sampled query set
+    before trusting the index ('measure, don't guess'). Both sides are
+    the registered operators themselves; the join is on (query_id,
+    cand_id) id pairs and the ground-truth side has exactly TOP_K rows
+    per query, so recall = hits / k."""
+    ann = q_sim_lsh_ann(spark, sf_dir).select("query_id", "cand_id")
+    exact = q_sim_bruteforce_topk(spark, sf_dir).select("query_id", "cand_id")
+    return (
+        exact.join(ann, ["query_id", "cand_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+        .withColumn("recall_at_k", F.col("n_hits").cast("double") / TOP_K)
+    )
+
+
+_ANN_RECALL_ORACLE = (
+    "WITH "
+    + vx.lsh_buckets_sql_cte()
+    + f"""
+, q AS (
+  SELECT vec_id AS query_id, table_id, bucket
+  FROM buckets WHERE vec_id < {N_QUERY}
+), c AS (
+  SELECT vec_id AS cand_id, table_id, bucket FROM buckets
+), cand AS (
+  SELECT DISTINCT query_id, cand_id
+  FROM c JOIN q USING (table_id, bucket)
+  WHERE cand_id != query_id
+), ann_scored AS (
+  SELECT query_id, cand_id,
+         {vx.cosine_sql("q_qv", "c_qv", "q_nrm", "c_nrm")} AS cosine
+  FROM cand
+  JOIN (SELECT vec_id, qv AS q_qv, nrm AS q_nrm FROM qe) qq ON cand.query_id = qq.vec_id
+  JOIN (SELECT vec_id, qv AS c_qv, nrm AS c_nrm FROM qe) cc ON cand.cand_id = cc.vec_id
+), ann AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
+    FROM ann_scored
+  ) WHERE rnk <= {TOP_K}
+), exact_scored AS (
+  SELECT eq.query_id, ec.cand_id,
+         {vx.cosine_sql("q_qv", "c_qv", "q_nrm", "c_nrm")} AS cosine
+  FROM (SELECT vec_id AS query_id, qv AS q_qv, nrm AS q_nrm FROM qe
+        WHERE vec_id < {N_QUERY}) eq
+  CROSS JOIN (SELECT vec_id AS cand_id, qv AS c_qv, nrm AS c_nrm FROM qe) ec
+  WHERE cand_id != query_id
+), exact AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
+    FROM exact_scored
+  ) WHERE rnk <= {TOP_K}
+)
+SELECT query_id, count(*) AS n_hits,
+       CAST(count(*) AS DOUBLE) / {TOP_K} AS recall_at_k
+FROM exact
+WHERE EXISTS (
+  SELECT 1 FROM ann
+  WHERE ann.query_id = exact.query_id AND ann.cand_id = exact.cand_id
+)
+GROUP BY 1
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # vectorized (Arrow/numpy) exact top-k — the Pandas-UDF scale path
 # ---------------------------------------------------------------------------
 
@@ -567,6 +639,7 @@ SPECS = [
     # paths agree bit-for-bit
     QuerySpec("sim_topk_vectorized", q_sim_topk_vectorized, _BRUTEFORCE_ORACLE),
     QuerySpec("sim_knn_classify", q_sim_knn_classify, _KNN_CLASSIFY_ORACLE),
+    QuerySpec("sim_ann_recall", q_sim_ann_recall, _ANN_RECALL_ORACLE),
     QuerySpec("sim_lsh_buckets", q_sim_lsh_buckets, _BUCKETS_ORACLE),
     QuerySpec("sim_lsh_ann", q_sim_lsh_ann, _ANN_ORACLE),
     QuerySpec("sim_cosine_neardup", q_sim_cosine_neardup, _NEARDUP_ORACLE),
