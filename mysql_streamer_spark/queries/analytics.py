@@ -1305,12 +1305,14 @@ def q_analytics_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame
     sequence-pattern query (MATCH_RECOGNIZE class) decomposed into per-
     stage min-timestamp aggregates chained through broadcast joins.
 
-    Each stage is one filtered aggregate producing ONE ROW PER USER (tiny
-    next to the event stream), broadcast into the next stage's filter, so
-    the events table is scanned per stage but never self-joined row-to-row
-    and nothing wider than (user_id, ts) ever shuffles. Ties (same
-    timestamp) count as sequential — both engines evaluate the identical
-    >= chain, so the gate is deterministic."""
+    Each stage is one filtered aggregate producing ONE ROW PER USER, so
+    the events table is scanned per stage but never self-joined
+    row-to-row and nothing wider than (user_id, ts) ever shuffles. The
+    stage tables scale with the user population, so the joins are left
+    to AQE (broadcast when a stage is small, shuffle-hash on user_id
+    when it is not) rather than forced broadcast. Ties (same timestamp)
+    count as sequential — both engines evaluate the identical >= chain,
+    so the gate is deterministic."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
     t1 = (
         ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
@@ -1319,14 +1321,14 @@ def q_analytics_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     t2 = (
         ev.filter(F.col("event_type") == FUNNEL_STAGES[1])
-        .join(F.broadcast(t1), "user_id")
+        .join(t1, "user_id")
         .filter(F.col("ts") >= F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
     )
     t3 = (
         ev.filter(F.col("event_type") == FUNNEL_STAGES[2])
-        .join(F.broadcast(t2), "user_id")
+        .join(t2, "user_id")
         .filter(F.col("ts") >= F.col("t2"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))

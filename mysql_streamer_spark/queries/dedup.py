@@ -586,15 +586,17 @@ GROUP BY keeper_doc_id
 def q_dedup_fuzzy_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The APPLY form of fuzzy dedup: the corpus AFTER dropping every
     near-dup cluster member except its keeper (min doc_id) — what
-    actually feeds the tokenizer. The non-keeper set (labels where
-    doc_id != label, tiny relative to the corpus) broadcasts into a
-    LEFT ANTI join against the full document table, so the corpus is
-    scanned once and only ids move."""
+    actually feeds the tokenizer. The non-keeper id set LEFT ANTI joins
+    against the full document table — ids only move, and the join
+    strategy is left to AQE: on a lightly-duplicated corpus the set is
+    broadcastable, but on crawl data duplicates can be a large fraction
+    of the corpus, where a forced broadcast would OOM and a shuffled
+    anti join on doc_id is correct."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_candidate_pairs(docs)
     labels = connected_components(pairs.select("doc_a", "doc_b"))
     non_keepers = labels.filter(F.col("doc_id") != F.col("label")).select("doc_id")
-    return docs.join(F.broadcast(non_keepers), "doc_id", "left_anti").select(
+    return docs.join(non_keepers, "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
     )
 
