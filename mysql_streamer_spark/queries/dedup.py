@@ -307,9 +307,10 @@ def ngram_jaccard_pairs(
        aggregate per (doc_a, doc_b) — the count IS the exact intersection
        size, because each shared sub-cap shingle contributes exactly one
        grouped row;
-    5. union comes from |A| + |B| - |A∩B| via two broadcast joins against
-       the per-doc size dimension (5k rows) — the wide shingle arrays are
-       never shuffled and never compared element-wise.
+    5. union comes from |A| + |B| - |A∩B| via two joins against the
+       per-doc size dimension (two longs per document; AQE broadcasts it
+       while it fits and shuffle-joins beyond that) — the wide shingle
+       arrays are never shuffled and never compared element-wise.
 
     The earlier form of this operator self-joined the posting list and then
     re-joined full shingle arrays for an array_intersect/array_union pass;
@@ -355,8 +356,8 @@ def ngram_jaccard_pairs(
         F.col("sa.set_sz") + F.col("sb.set_sz") - F.col("n_inter")
     ).cast("double")
     return (
-        inter.join(F.broadcast(sizes.alias("sa")), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sizes.alias("sb")), F.col("doc_b") == F.col("sb.doc_id"))
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
         .withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

@@ -496,8 +496,10 @@ def q_pipeline_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode("toks").alias("token")
     )
     freqs = toks.groupBy("token").agg(F.count("*").alias("tok_freq"))
+    # vocab grows with the corpus (Heaps' law — plus URLs/typos), so the
+    # frequency join is left to AQE rather than force-broadcast
     return (
-        toks.join(F.broadcast(freqs), "token")
+        toks.join(freqs, "token")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
