@@ -1,0 +1,96 @@
+"""Scale probe for the near-dup dedup path: times MinHash-LSH pair
+generation and exact n-gram Jaccard as the corpus is multiplied k-fold,
+in two regimes:
+
+- ``distinct``: each replica's text is letter-rotated, so rows grow but
+  the duplication rate stays constant — pure row-count scaling. Healthy
+  behaviour is ~linear time in k (map-side shingling dominates).
+- ``dup``: replicas are EXACT copies, so every document gains k-1 twins —
+  duplication-rate scaling. Candidate pairs grow ~k^2 inside each bucket;
+  this regime is what the MAX_BUCKET_SIZE / NGRAM_DF_CAP guards exist
+  for, and the probe shows time growing with found-pair count, not with
+  corpus^2.
+
+Usage: python tools/scale_probe.py [sf_dir] [max_k]
+Prints one JSON line per (regime, k) with rows, pairs, seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+#: doc_id namespace stride between replicas
+_OFFSET = 10_000_000
+
+#: letter rotations applied per replica in the distinct regime
+_ROTATIONS = "bcdfghjklm"
+
+
+def replicate(docs: DataFrame, k: int, distinct: bool) -> DataFrame:
+    parts = []
+    for i in range(k):
+        rep = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * _OFFSET))
+        if distinct and i > 0:
+            rep = rep.withColumn(
+                "text", F.translate("text", "aeiou", _ROTATIONS[i % 5] * 5)
+            )
+        parts.append(rep)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    max_k = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+
+    from mysql_streamer_spark.session import get_spark
+    from mysql_streamer_spark.tables import load_table
+    from mysql_streamer_spark.queries.dedup import (
+        minhash_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    spark = get_spark("scale_probe")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.count()  # warm
+
+    k = 1
+    while k <= max_k:
+        for regime in ("distinct", "dup"):
+            corpus = replicate(docs, k, distinct=(regime == "distinct")).persist()
+            n_rows = corpus.count()
+            t0 = time.time()
+            n_minhash = minhash_candidate_pairs(corpus).count()
+            t_minhash = time.time() - t0
+            t0 = time.time()
+            n_jaccard = ngram_jaccard_pairs(corpus).count()
+            t_jaccard = time.time() - t0
+            corpus.unpersist()
+            print(
+                json.dumps(
+                    {
+                        "regime": regime,
+                        "k": k,
+                        "rows": n_rows,
+                        "minhash_pairs": n_minhash,
+                        "minhash_sec": round(t_minhash, 2),
+                        "jaccard_pairs": n_jaccard,
+                        "jaccard_sec": round(t_jaccard, 2),
+                    }
+                ),
+                flush=True,
+            )
+        k *= 2
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
