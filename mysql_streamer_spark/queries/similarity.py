@@ -410,6 +410,66 @@ SELECT query_id, cand_id, cosine, rnk FROM (
 
 
 # ---------------------------------------------------------------------------
+# embedding-semantic dedup: near-dup clusters -> surviving vector set
+# ---------------------------------------------------------------------------
+
+def q_sim_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine dedup APPLIED: cluster the cosine near-dup pairs
+    (connected components, min-id keeper) and keep one vector per
+    cluster — semantic dedup of an embedding corpus, the vector-side twin
+    of dedup_fuzzy_survivors. Id-only label propagation; the anti join
+    strategy is AQE's call since the dropped set scales with the
+    duplication rate."""
+    from mysql_streamer_spark.queries.dedup import connected_components
+
+    emb = _emb(spark, sf_dir)
+    pairs = q_sim_cosine_neardup(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    labels = connected_components(pairs)
+    non_keepers = labels.filter(F.col("doc_id") != F.col("label")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    return emb.join(non_keepers, "vec_id", "left_anti").select("vec_id", "label")
+
+
+_NEARDUP_SURVIVORS_ORACLE = (
+    "WITH RECURSIVE "
+    + vx.lsh_buckets_sql_cte().lstrip()
+    + f"""
+, pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a JOIN buckets b
+    ON a.table_id = b.table_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+), edges AS (
+  SELECT vec_a, vec_b FROM (
+    SELECT vec_a, vec_b,
+           {vx.cosine_sql("a_qv", "b_qv", "a_nrm", "b_nrm")} AS cosine
+    FROM pairs
+    JOIN (SELECT vec_id, qv AS a_qv, nrm AS a_nrm FROM qe) aa ON pairs.vec_a = aa.vec_id
+    JOIN (SELECT vec_id, qv AS b_qv, nrm AS b_nrm FROM qe) bb ON pairs.vec_b = bb.vec_id
+  ) WHERE cosine >= {NEARDUP_THRESHOLD}
+), sym AS (
+  SELECT vec_a, vec_b FROM edges
+  UNION ALL SELECT vec_b, vec_a FROM edges
+), reach(vec_id, lbl) AS (
+  SELECT vec_a, vec_a FROM sym
+  UNION
+  SELECT sym.vec_a, reach.lbl
+  FROM sym JOIN reach ON sym.vec_b = reach.vec_id
+  WHERE reach.lbl < sym.vec_a
+), non_keepers AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, min(lbl) AS keeper FROM reach GROUP BY vec_id
+  ) WHERE vec_id != keeper
+)
+SELECT vec_id, label FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM non_keepers)
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # ANN quality evaluation: recall@k of the LSH path vs exact ground truth
 # ---------------------------------------------------------------------------
 
@@ -640,6 +700,9 @@ SPECS = [
     QuerySpec("sim_topk_vectorized", q_sim_topk_vectorized, _BRUTEFORCE_ORACLE),
     QuerySpec("sim_knn_classify", q_sim_knn_classify, _KNN_CLASSIFY_ORACLE),
     QuerySpec("sim_ann_recall", q_sim_ann_recall, _ANN_RECALL_ORACLE),
+    QuerySpec(
+        "sim_neardup_survivors", q_sim_neardup_survivors, _NEARDUP_SURVIVORS_ORACLE
+    ),
     QuerySpec("sim_lsh_buckets", q_sim_lsh_buckets, _BUCKETS_ORACLE),
     QuerySpec("sim_lsh_ann", q_sim_lsh_ann, _ANN_ORACLE),
     QuerySpec("sim_cosine_neardup", q_sim_cosine_neardup, _NEARDUP_ORACLE),
