@@ -41,6 +41,10 @@ def main() -> None:
         dt = round(time.time() - t0, 3)
         timings[spec.name] = dt
         total += dt
+        # queries that persist() intermediates would otherwise accumulate
+        # cached blocks across the whole run; dropping them keeps every
+        # query's measurement independent (and the driver's memory flat)
+        spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # the round-1 baseline (BENCH_r01) covered exactly these 7 queries;

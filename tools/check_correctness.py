@@ -57,6 +57,7 @@ def main() -> int:
         sdf = fn(spark, sf_dir)
         spark_rows = [r.asDict() for r in sdf.collect()]
         spark_cols = sdf.columns
+        spark.catalog.clearCache()  # drop per-query persisted intermediates
         dt = time.time() - t0
         if name not in oracles:
             print(f"  {name:32s} rows={len(spark_rows):7d}  (rows-only, no oracle)  {dt:.1f}s")
