@@ -239,6 +239,24 @@ def q_cdc_exactly_once_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: shared by cdc_latest_state AND the streaming upsert-state query (the
+#: materialized-view invariant: incremental upserts == batch latest-state)
+_LATEST_STATE_ORACLE = _ORACLE_PIPELINE_CTES + """
+SELECT database_name, table_name, pk, message_type, txn_order,
+       payload_k, payload_val
+FROM (
+  SELECT
+    database AS database_name,
+    "table" AS table_name,
+    pk, message_type, txn_order, payload_k, payload_val,
+    row_number() OVER (
+      PARTITION BY database, "table", pk ORDER BY txn_order DESC
+    ) AS rn
+  FROM keyed
+) WHERE rn = 1
+"""
+
+
 def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 history table from the change stream: every version of
     every (db, table, pk) with its validity interval in transaction order —
@@ -466,21 +484,7 @@ FROM routed
     QuerySpec(
         "cdc_latest_state",
         q_cdc_latest_state,
-        _ORACLE_PIPELINE_CTES
-        + """
-SELECT database_name, table_name, pk, message_type, txn_order,
-       payload_k, payload_val
-FROM (
-  SELECT
-    database AS database_name,
-    "table" AS table_name,
-    pk, message_type, txn_order, payload_k, payload_val,
-    row_number() OVER (
-      PARTITION BY database, "table", pk ORDER BY txn_order DESC
-    ) AS rn
-  FROM keyed
-) WHERE rn = 1
-""",
+        _LATEST_STATE_ORACLE,
     ),
     QuerySpec(
         "cdc_heartbeat_lag",

@@ -12,7 +12,11 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
-from mysql_streamer_spark.queries.cdc import _ENVELOPE_SELECT, _ORACLE_PIPELINE_CTES
+from mysql_streamer_spark.queries.cdc import (
+    _ENVELOPE_SELECT,
+    _LATEST_STATE_ORACLE,
+    _ORACLE_PIPELINE_CTES,
+)
 from mysql_streamer_spark.queries.registry import QuerySpec
 from mysql_streamer_spark.streaming import read_sink, run_envelope_stream
 from mysql_streamer_spark.streaming.runner import run_windowed_stream
@@ -114,6 +118,22 @@ FROM agg WHERE session_id < last_sess
 """
 
 
+def q_streaming_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained latest-state table: one-file-per-trigger
+    micro-batches upsert into a generation-versioned keyed table
+    (streaming MERGE), and the FINAL generation must equal the batch
+    latest-state query over all input — the materialized-view invariant,
+    checked against the same oracle as cdc_latest_state."""
+    from mysql_streamer_spark.streaming.runner import (
+        read_latest_state,
+        run_upsert_stream,
+    )
+
+    work = _staged_source(sf_dir)
+    run_upsert_stream(spark, f"{work}/src", f"{work}/state", f"{work}/ckpt")
+    return read_latest_state(spark, f"{work}/state")
+
+
 def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join (purchase ⋈ same-user clicks in the
     trailing 30 min) with watermarks on both sides — bounded join state.
@@ -163,5 +183,10 @@ SPECS = [
         "streaming_interval_join",
         q_streaming_interval_join,
         _INTERVAL_JOIN_ORACLE,
+    ),
+    QuerySpec(
+        "streaming_upsert_state",
+        q_streaming_upsert_state,
+        _LATEST_STATE_ORACLE,
     ),
 ]

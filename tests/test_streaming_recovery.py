@@ -149,3 +149,46 @@ def test_topic_offsets_checkpoint(spark, multi_file_events, tmp_path):
         .collect()
     }
     assert saved == expected
+
+
+def test_upsert_state_crash_restart_equals_batch_latest(
+    spark, multi_file_events, tmp_path
+):
+    """The incremental upsert table, crashed mid-run and restarted from the
+    same checkpoint, must converge to EXACTLY the batch latest-state
+    result — the materialized-view invariant under failure."""
+    from pyspark.sql import functions as F
+
+    from mysql_streamer_spark.skew import latest_by_key
+    from mysql_streamer_spark.streaming.runner import (
+        read_latest_state,
+        run_upsert_stream,
+    )
+
+    src, _ = multi_file_events
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+
+    with pytest.raises(Exception, match="injected crash"):
+        run_upsert_stream(
+            spark, src, state, ckpt, max_files_per_trigger=2, fail_after_batches=1
+        )
+    run_upsert_stream(spark, src, state, ckpt, max_files_per_trigger=2)
+
+    got = read_latest_state(spark, state)
+    env = _expected(spark, src)
+    expected = latest_by_key(
+        env,
+        ["database_name", "table_name", "pk"],
+        "txn_order",
+        ["message_type", "payload_k", "payload_val"],
+    )
+    assert got.count() == expected.count()
+    joined = got.alias("g").join(
+        expected.alias("e"),
+        on=["database_name", "table_name", "pk"],
+    )
+    mismatches = joined.filter(
+        (F.col("g.txn_order") != F.col("e.txn_order"))
+        | (F.col("g.message_type") != F.col("e.message_type"))
+    ).count()
+    assert mismatches == 0
