@@ -1132,6 +1132,59 @@ FROM ranked WHERE rn = 1
 
 
 # ---------------------------------------------------------------------------
+# inter-event intervals (lag window + integer-exact gap statistics)
+# ---------------------------------------------------------------------------
+
+def q_analytics_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user purchase cadence: consecutive-purchase gaps via a lag
+    window over the (user) partition, aggregated to per-user count /
+    min / max / mean gap. Gaps are integer microseconds (unix_micros in
+    Spark == epoch_us in DuckDB), summed exactly; the mean is one final
+    double division. Window parallelism is per-user — no global sort."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("prev_us", F.lag(F.unix_micros("ts")).over(w))
+        .filter(F.col("prev_us").isNotNull())
+        .select(
+            "user_id",
+            (F.unix_micros("ts") - F.col("prev_us")).alias("gap_us"),
+        )
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.sum("gap_us").alias("sum_gap_us"),
+        (F.sum("gap_us").cast("double") / F.count("*").cast("double")).alias(
+            "mean_gap_us"
+        ),
+    )
+
+
+_PURCHASE_INTERVALS_ORACLE = """
+WITH p AS (
+  SELECT user_id, ts, event_id,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_us
+  FROM events WHERE event_type = 'purchase'
+), gaps AS (
+  SELECT user_id, epoch_us(ts) - prev_us AS gap_us
+  FROM p WHERE prev_us IS NOT NULL
+)
+SELECT user_id, count(*) AS n_gaps,
+       min(gap_us) AS min_gap_us,
+       max(gap_us) AS max_gap_us,
+       sum(gap_us) AS sum_gap_us,
+       CAST(sum(gap_us) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_gap_us
+FROM gaps
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # compaction planner (small-files ops surface)
 # ---------------------------------------------------------------------------
 
@@ -1391,6 +1444,11 @@ SPECS = [
     ),
     QuerySpec(
         "analytics_partition_plan", q_analytics_partition_plan, _PARTITION_PLAN_ORACLE
+    ),
+    QuerySpec(
+        "analytics_purchase_intervals",
+        q_analytics_purchase_intervals,
+        _PURCHASE_INTERVALS_ORACLE,
     ),
     QuerySpec(
         "analytics_balance_quartiles", q_analytics_balance_quartiles, _QUARTILES_ORACLE
