@@ -32,6 +32,12 @@ N_QUERY = 5
 TOP_K = 10
 #: Same-bucket pairs at or above this quantized cosine are near-duplicates.
 NEARDUP_THRESHOLD = 0.4
+#: Mega-bucket guard for near-dup pair generation: an LSH bucket larger
+#: than this (degenerate region of embedding space — e.g. zero vectors,
+#: crawl boilerplate) is dropped from pair generation rather than allowed
+#: to emit O(bucket²) candidates — the same skew rule as the text path's
+#: MAX_BUCKET_SIZE.
+NEARDUP_MAX_BUCKET = 2000
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -200,8 +206,17 @@ def q_sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Only (vec_a, vec_b) id pairs travel through the bucket join and the
     distinct shuffle — 16 bytes/row; the 64-long vectors join back ONLY for
     surviving candidates. (The first cut shipped both qv arrays through the
-    dedup shuffle: ~1 KB/row and 8x slower at sf0.1.)"""
+    dedup shuffle: ~1 KB/row and 8x slower at sf0.1.) Buckets over
+    NEARDUP_MAX_BUCKET are excluded from pair generation (mega-bucket
+    skew guard)."""
     b = vx.lsh_bucket_table(_emb(spark, sf_dir)).select("vec_id", "table_id", "bucket")
+    ok = (
+        b.groupBy("table_id", "bucket")
+        .agg(F.count("*").alias("bsz"))
+        .filter(F.col("bsz") <= NEARDUP_MAX_BUCKET)
+        .select("table_id", "bucket")
+    )
+    b = b.join(ok, ["table_id", "bucket"])
     a, c = b.alias("a"), b.alias("b")
     pairs = (
         a.join(
@@ -241,10 +256,14 @@ _NEARDUP_ORACLE = (
     "WITH "
     + vx.lsh_buckets_sql_cte()
     + f"""
-, pairs AS (
+, bok AS (
+  SELECT table_id, bucket FROM buckets GROUP BY 1, 2
+  HAVING count(*) <= {NEARDUP_MAX_BUCKET}
+), pairs AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM buckets a JOIN buckets b
     ON a.table_id = b.table_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN bok ON a.table_id = bok.table_id AND a.bucket = bok.bucket
 ), scored AS (
   SELECT vec_a, vec_b,
          {vx.cosine_sql("a_qv", "b_qv", "a_nrm", "b_nrm")} AS cosine
@@ -437,10 +456,14 @@ _NEARDUP_SURVIVORS_ORACLE = (
     "WITH RECURSIVE "
     + vx.lsh_buckets_sql_cte().lstrip()
     + f"""
-, pairs AS (
+, bok AS (
+  SELECT table_id, bucket FROM buckets GROUP BY 1, 2
+  HAVING count(*) <= {NEARDUP_MAX_BUCKET}
+), pairs AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM buckets a JOIN buckets b
     ON a.table_id = b.table_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN bok ON a.table_id = bok.table_id AND a.bucket = bok.bucket
 ), edges AS (
   SELECT vec_a, vec_b FROM (
     SELECT vec_a, vec_b,
