@@ -202,14 +202,14 @@ SELECT query_id, cand_id, cosine, rnk FROM (
 # embedding-cosine near-duplicate pairs
 # ---------------------------------------------------------------------------
 
-def q_sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cosine_neardup_pairs(emb: DataFrame) -> DataFrame:
     """Only (vec_a, vec_b) id pairs travel through the bucket join and the
     distinct shuffle — 16 bytes/row; the 64-long vectors join back ONLY for
     surviving candidates. (The first cut shipped both qv arrays through the
     dedup shuffle: ~1 KB/row and 8x slower at sf0.1.) Buckets over
     NEARDUP_MAX_BUCKET are excluded from pair generation (mega-bucket
     skew guard)."""
-    b = vx.lsh_bucket_table(_emb(spark, sf_dir)).select("vec_id", "table_id", "bucket")
+    b = vx.lsh_bucket_table(emb).select("vec_id", "table_id", "bucket")
     ok = (
         b.groupBy("table_id", "bucket")
         .agg(F.count("*").alias("bsz"))
@@ -228,7 +228,7 @@ def q_sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    qe = vx.with_quantized(_emb(spark, sf_dir)).select("vec_id", "qv", "nrm")
+    qe = vx.with_quantized(emb).select("vec_id", "qv", "nrm")
     return (
         pairs.join(
             qe.select(
@@ -250,6 +250,10 @@ def q_sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+def q_sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_neardup_pairs(_emb(spark, sf_dir))
 
 
 _NEARDUP_ORACLE = (

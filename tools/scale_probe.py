@@ -47,6 +47,61 @@ def replicate(docs: DataFrame, k: int, distinct: bool) -> DataFrame:
     return out
 
 
+def replicate_embeddings(emb: DataFrame, k: int, distinct: bool) -> DataFrame:
+    """Replica i rotates the vector by i components (distinct regime) so
+    replicas point in genuinely different directions; dup regime copies."""
+    parts = []
+    for i in range(k):
+        rep = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * _OFFSET))
+        if distinct and i > 0:
+            rep = rep.withColumn(
+                "embedding",
+                F.expr(
+                    f"concat(slice(embedding, {i + 1}, size(embedding) - {i}), "
+                    f"slice(embedding, 1, {i}))"
+                ),
+            )
+        parts.append(rep)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def probe_embeddings(spark, sf_dir: str, max_k: int) -> None:
+    from mysql_streamer_spark.tables import load_table
+    from mysql_streamer_spark.queries.similarity import cosine_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    emb.count()
+    k = 1
+    while k <= max_k:
+        for regime in ("distinct", "dup"):
+            corpus = replicate_embeddings(emb, k, distinct=(regime == "distinct"))
+            corpus = corpus.persist()
+            n_rows = corpus.count()
+            t0 = time.time()
+            n_pairs = cosine_neardup_pairs(corpus).count()
+            dt = time.time() - t0
+            corpus.unpersist()
+            print(
+                json.dumps(
+                    {
+                        "probe": "embedding_neardup",
+                        "regime": regime,
+                        "k": k,
+                        "rows": n_rows,
+                        "pairs": n_pairs,
+                        "sec": round(dt, 2),
+                    }
+                ),
+                flush=True,
+            )
+        k *= 2
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     max_k = int(sys.argv[2]) if len(sys.argv) > 2 else 4
@@ -77,6 +132,7 @@ def main() -> int:
             print(
                 json.dumps(
                     {
+                        "probe": "text_dedup",
                         "regime": regime,
                         "k": k,
                         "rows": n_rows,
@@ -89,6 +145,7 @@ def main() -> int:
                 flush=True,
             )
         k *= 2
+    probe_embeddings(spark, sf_dir, max_k)
     return 0
 
 
