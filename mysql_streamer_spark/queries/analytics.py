@@ -1132,6 +1132,105 @@ FROM ranked WHERE rn = 1
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q10-style returned-revenue ranking and Q8-style market share
+# ---------------------------------------------------------------------------
+
+RETURNED_TOP_N = 20
+
+
+def q_analytics_returned_revenue_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Customers ranked by revenue on RETURNED items (the who-is-sending-
+    things-back report): returnflag filter pushes into the lineitem scan,
+    the orders join shuffles on orderkey, customer + nation broadcast,
+    and the top-20 compiles to TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = _cents_expr(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).alias("returned_revenue_c"))
+        .orderBy(F.col("returned_revenue_c").desc(), F.col("c_custkey").asc())
+        .limit(RETURNED_TOP_N)
+    )
+
+
+_Q10_ORACLE = f"""
+SELECT c_custkey, c_name, n_name,
+       sum({_cents_sql("l_extendedprice * (1 - l_discount)")}) AS returned_revenue_c
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY returned_revenue_c DESC, c_custkey ASC
+LIMIT {RETURNED_TOP_N}
+"""
+
+
+MARKET_SHARE_NATION = "NATION_0"
+
+
+def q_analytics_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One nation's share of yearly supplier revenue: supplier + nation
+    broadcast into the fact, then ONE conditional aggregate per year
+    (numerator and denominator in the same pass — never two scans), both
+    integer cents, one final double division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = _cents_expr(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("n_name") == MARKET_SHARE_NATION, rev).otherwise(
+                    F.lit(0)
+                )
+            ).alias("nation_revenue_c"),
+            F.sum(rev).alias("total_revenue_c"),
+        )
+        .withColumn(
+            "market_share",
+            F.col("nation_revenue_c").cast("double")
+            / F.col("total_revenue_c").cast("double"),
+        )
+    )
+
+
+_Q8_ORACLE = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       sum(CASE WHEN n_name = '{MARKET_SHARE_NATION}'
+                THEN {_cents_sql("l_extendedprice * (1 - l_discount)")}
+                ELSE 0 END) AS nation_revenue_c,
+       sum({_cents_sql("l_extendedprice * (1 - l_discount)")}) AS total_revenue_c,
+       CAST(sum(CASE WHEN n_name = '{MARKET_SHARE_NATION}'
+                THEN {_cents_sql("l_extendedprice * (1 - l_discount)")}
+                ELSE 0 END) AS DOUBLE)
+         / CAST(sum({_cents_sql("l_extendedprice * (1 - l_discount)")}) AS DOUBLE)
+         AS market_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # inter-event intervals (lag window + integer-exact gap statistics)
 # ---------------------------------------------------------------------------
 
@@ -1449,6 +1548,16 @@ SPECS = [
         "analytics_purchase_intervals",
         q_analytics_purchase_intervals,
         _PURCHASE_INTERVALS_ORACLE,
+    ),
+    QuerySpec(
+        "analytics_returned_revenue_customers",
+        q_analytics_returned_revenue_customers,
+        _Q10_ORACLE,
+    ),
+    QuerySpec(
+        "analytics_nation_market_share",
+        q_analytics_nation_market_share,
+        _Q8_ORACLE,
     ),
     QuerySpec(
         "analytics_balance_quartiles", q_analytics_balance_quartiles, _QUARTILES_ORACLE
