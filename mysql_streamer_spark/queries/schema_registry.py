@@ -58,8 +58,45 @@ def _evolution_values_sql() -> str:
     )
 
 
+def q_schema_registry_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wire-transform dimension (P2) as a queryable surface: one row
+    per (db, table, column, transform) from each table's LATEST schema —
+    exactly the broadcast map the payload stage applies, so downstream
+    tooling can audit which columns get SET/TIME/DATETIME rewrites."""
+    reg = bootstrap_registry()
+    rows = []
+    for db, table in reg.tables():
+        entry = reg.get(db, table)
+        for col, tf in sorted(entry.transformation_map.items()):
+            rows.append((db, table, entry.schema_id, col, tf))
+    return spark.createDataFrame(
+        rows, "database string, `table` string, schema_id int, column_name string, transform string"
+    )
+
+
+def _transforms_values_sql() -> str:
+    reg = bootstrap_registry()
+    rows = []
+    for db, table in reg.tables():
+        entry = reg.get(db, table)
+        for col, tf in sorted(entry.transformation_map.items()):
+            rows.append(
+                f"('{db}', '{table}', {entry.schema_id}, '{col}', '{tf}')"
+            )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ') AS t(database, "table", schema_id, column_name, transform)'
+    )
+
+
 SPECS = [
     QuerySpec("schema_registry_state", q_schema_registry_state, registry_state_values_sql()),
+    QuerySpec(
+        "schema_registry_transforms",
+        q_schema_registry_transforms,
+        _transforms_values_sql(),
+    ),
     QuerySpec(
         "schema_registry_evolution", q_schema_registry_evolution, _evolution_values_sql()
     ),

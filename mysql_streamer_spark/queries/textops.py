@@ -96,6 +96,37 @@ FROM hits
 """
 
 
+def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lang-ID evaluation: the (labeled, predicted) confusion matrix with
+    per-cell counts — how a pipeline operator decides whether the cheap
+    stopword heuristic is good enough per language before trusting its
+    routing. Map-side prediction + one tiny aggregate on a
+    (n_langs x n_langs) key space."""
+    df = _docs_with_tokens(spark, sf_dir)
+    for lang, col in _HIT_COLS.items():
+        df = df.withColumn(col, tx.stopword_hits_col(lang))
+    pred = df.withColumn("lang_pred", F.expr(tx.lang_pred_case_sql(_HIT_COLS)))
+    return pred.groupBy(
+        F.col("lang").alias("lang_label"), "lang_pred"
+    ).agg(F.count("*").alias("n_docs"))
+
+
+_LANGID_CONFUSION_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, {tx.tokens_sql("text")} AS toks FROM documents
+), hits AS (
+  SELECT doc_id, lang,
+    {", ".join(f'{tx.stopword_hits_sql(lang)} AS {col}' for lang, col in _HIT_COLS.items())}
+  FROM tok
+)
+SELECT lang AS lang_label,
+       {tx.lang_pred_case_sql(_HIT_COLS)} AS lang_pred,
+       count(*) AS n_docs
+FROM hits
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # quality scoring
 # ---------------------------------------------------------------------------
@@ -268,6 +299,9 @@ FROM documents
 SPECS = [
     QuerySpec("text_token_stats", q_text_token_stats, _TOKEN_STATS_ORACLE),
     QuerySpec("text_langid", q_text_langid, _LANGID_ORACLE),
+    QuerySpec(
+        "text_langid_confusion", q_text_langid_confusion, _LANGID_CONFUSION_ORACLE
+    ),
     QuerySpec("text_quality", q_text_quality, _QUALITY_ORACLE),
     QuerySpec("text_fingerprint", q_text_fingerprint, _FINGERPRINT_ORACLE),
     QuerySpec("text_rolling_hash", q_text_rolling_hash, _ROLLING_ORACLE),
