@@ -32,6 +32,13 @@ def main() -> None:
 
     # warm the JVM/codegen once so per-query times measure the plan, not startup
     spark.range(1000).selectExpr("sum(id)").collect()
+    # ...and the Python worker pool, so the first mapInPandas query is not
+    # charged the one-time process spawn either
+    import pandas as _pd  # noqa: F401
+
+    spark.range(64).mapInPandas(
+        lambda it: it, "id long"
+    ).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     total = 0.0
