@@ -87,3 +87,24 @@ def test_envelope_scan_is_column_pruned(spark, sf_dir):
     )
     scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert scan_lines and all("props" not in l for l in scan_lines)
+
+
+#: global scalar aggregations: the final 1-row reduce legitimately lands
+#: on a single partition AFTER map-side partials — unlike an unpartitioned
+#: window/sort, which moves whole ROWS to one task (the r1 heartbeat-lag
+#: bug class this test exists to catch)
+_SINGLE_PARTITION_OK = {
+    "cdc_heartbeat_lag",            # 1-row max broadcast back onto the stream
+    "analytics_conversion_funnel",  # three 1-row stage counts
+    "analytics_small_qty_revenue",  # single-row revenue total
+    "analytics_brand_disjunction",  # single-row revenue total
+}
+
+
+def test_single_partition_exchanges_only_for_scalar_aggregates(spark, sf_dir):
+    offenders = [
+        name
+        for name, plan in _plans(spark, sf_dir)
+        if "SinglePartition" in plan and name not in _SINGLE_PARTITION_OK
+    ]
+    assert offenders == []
