@@ -383,6 +383,54 @@ GROUP BY 1, 2, 3
 
 
 # ---------------------------------------------------------------------------
+# training-mix manifest (split x sampling composition)
+# ---------------------------------------------------------------------------
+
+def q_pipeline_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final training-mix manifest: after stratified sampling, per
+    (split, source) document and token totals plus each source's share of
+    its split — the one table a training job reads to configure its data
+    loader. Composes the two independent hash decisions (sample keeps a
+    doc; split routes it), both row-local, so the whole report is one
+    scan + one aggregate + a per-split share join."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.filter(_sample_keep_col())
+    split = F.when(_split_cell_col() < VAL_CELLS, F.lit("val")).otherwise(
+        F.lit("train")
+    )
+    per = (
+        kept.withColumn("toks", tx.tokens_col("text"))
+        .select(split.alias("split"), "source", F.size("toks").alias("n_toks"))
+        .groupBy("split", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_toks").alias("n_tokens"))
+    )
+    totals = per.groupBy("split").agg(F.sum("n_tokens").alias("split_tokens"))
+    return per.join(totals, "split").withColumn(
+        "token_share",
+        F.col("n_tokens").cast("double") / F.col("split_tokens").cast("double"),
+    )
+
+
+_MIX_REPORT_ORACLE = f"""
+WITH kept AS (
+  SELECT * FROM documents WHERE {_sample_keep_sql()}
+), per AS (
+  SELECT CASE WHEN {_SPLIT_CELL_SQL} < {VAL_CELLS} THEN 'val' ELSE 'train' END AS split,
+         source,
+         count(*) AS n_docs,
+         sum(len({tx.tokens_sql("text")})) AS n_tokens
+  FROM kept
+  GROUP BY 1, 2
+), totals AS (
+  SELECT split, sum(n_tokens) AS split_tokens FROM per GROUP BY 1
+)
+SELECT per.split, source, n_docs, n_tokens, split_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(split_tokens AS DOUBLE) AS token_share
+FROM per JOIN totals ON per.split = totals.split
+"""
+
+
+# ---------------------------------------------------------------------------
 # document chunking (overlapping token windows)
 # ---------------------------------------------------------------------------
 
@@ -539,5 +587,6 @@ SPECS = [
         "pipeline_stratified_sample", q_pipeline_stratified_sample, _SAMPLE_ORACLE
     ),
     QuerySpec("pipeline_quality_funnel", q_pipeline_quality_funnel, _funnel_oracle()),
+    QuerySpec("pipeline_mix_report", q_pipeline_mix_report, _MIX_REPORT_ORACLE),
     QuerySpec("pipeline_pack_sequences", q_pipeline_pack_sequences, _PACK_ORACLE),
 ]
