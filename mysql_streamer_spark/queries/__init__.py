@@ -18,6 +18,7 @@ def all_specs() -> list[QuerySpec]:
         dedup,
         multimodal,
         pipeline,
+        relational,
         schema_registry,
         similarity,
         streaming_q,
@@ -33,6 +34,7 @@ def all_specs() -> list[QuerySpec]:
             similarity,
             pipeline,
             analytics,
+            relational,
             multimodal,
             streaming_q,
         ]

@@ -24,6 +24,8 @@ _BNLJ_OK = {
     "sim_ann_recall",
     # three 1-row stage-count frames crossed into the single summary row
     "analytics_conversion_funnel",
+    # the global avg-balance scalar is a 1-row broadcast crossed with customer
+    "analytics_inactive_customers",
 }
 
 #: streaming roundtrips execute jobs at build time — plan-audited via their
@@ -98,6 +100,9 @@ _SINGLE_PARTITION_OK = {
     "analytics_conversion_funnel",  # three 1-row stage counts
     "analytics_small_qty_revenue",  # single-row revenue total
     "analytics_brand_disjunction",  # single-row revenue total
+    "analytics_forecast_revenue",   # single-row revenue total (q6)
+    "analytics_top_revenue_supplier",  # 1-row max broadcast back (q15)
+    "analytics_inactive_customers",    # 1-row avg-balance broadcast (q22)
 }
 
 
