@@ -573,8 +573,84 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# token-budget corpus selection (greedy by quality until the budget is spent)
+# ---------------------------------------------------------------------------
+
+#: stop admitting documents once the selected corpus reaches this many tokens
+TOKEN_BUDGET = 12_000
+
+
+def q_pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select the highest-quality documents (quality proxy: distinct-token
+    count, ties by doc_id) until a token budget is spent — the "give me the
+    best N-token corpus" operator every training-mix pipeline ends with.
+
+    Scale shape: the naive form is a GLOBAL sort + running sum — one
+    partition holding the whole corpus. Instead: (1) aggregate token totals
+    per score value (map-side partials; the score domain is bounded by the
+    max per-doc token count, i.e. tiny); (2) a running sum over that tiny
+    score frame gives each score bucket its starting offset — the only
+    single-partition step touches ~dozens of rows, never documents; (3) a
+    window partitioned BY SCORE (parallel across buckets) adds the
+    within-bucket running sum, and a plain filter keeps docs whose
+    inclusive running total fits the budget. Identical result to the global
+    cumsum, with the corpus only ever shuffled on the score key."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    scored = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(tx.tokens_col("text"))).alias("score"),
+        F.size(tx.tokens_col("text")).alias("n_tokens"),
+    )
+    buckets = scored.groupBy("score").agg(F.sum("n_tokens").alias("bucket_tokens"))
+    bucket_w = (
+        Window.orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = buckets.select(
+        "score",
+        (F.sum("bucket_tokens").over(bucket_w) - F.col("bucket_tokens")).alias(
+            "prev_tokens"
+        ),
+    )
+    doc_w = (
+        Window.partitionBy("score")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.join(F.broadcast(offsets), "score")
+        .withColumn(
+            "running_tokens",
+            F.col("prev_tokens") + F.sum("n_tokens").over(doc_w),
+        )
+        .filter(F.col("running_tokens") <= TOKEN_BUDGET)
+        .select("doc_id", "score", "n_tokens", "running_tokens")
+    )
+
+
+_TOKEN_BUDGET_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id,
+    len(list_distinct({tx.tokens_sql("text")})) AS score,
+    len({tx.tokens_sql("text")}) AS n_tokens
+  FROM documents
+), run AS (
+  SELECT doc_id, score, n_tokens,
+    sum(n_tokens) OVER (
+      ORDER BY score DESC, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS running_tokens
+  FROM scored
+)
+SELECT doc_id, score, n_tokens, running_tokens
+FROM run WHERE running_tokens <= {TOKEN_BUDGET}
+"""
+
+
 SPECS = [
     QuerySpec("pipeline_decontaminate", q_pipeline_decontaminate, _DECONTAMINATE_ORACLE),
+    QuerySpec("pipeline_token_budget", q_pipeline_token_budget, _TOKEN_BUDGET_ORACLE),
     QuerySpec(
         "pipeline_commonness_score", q_pipeline_commonness_score, _COMMONNESS_ORACLE
     ),

@@ -296,8 +296,113 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filter (duplicate-token / repeated-n-gram ratios)
+# ---------------------------------------------------------------------------
+
+#: keep a document only if BOTH ratios stay under these caps (the
+#: repetition heuristics used by large-corpus quality filters: heavily
+#: repeated n-grams signal boilerplate/spam).
+REPETITION_MAX_DUP_TOKEN_FRAC = 0.55
+REPETITION_MAX_TOP_SHINGLE_FRAC = 0.20
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter: per document, the fraction of tokens
+    that are repeats (1 - distinct/total) and the share of the most frequent
+    3-token shingle among all shingles; a document is kept only when both
+    stay under the caps.
+
+    Scale shape: the per-shingle counting is a word-count — explode to
+    (doc_id, shingle), hash-aggregate with map-side partials, then reduce to
+    one row per doc. Both shuffles key on doc_id(+shingle): linear in corpus
+    size, no skew beyond a single document's shingle count, and the final
+    join is doc-dimension vs doc-dimension. The wide text/shingle arrays
+    never shuffle — only (doc_id, shingle) pairs do."""
+    df = _docs_with_tokens(spark, sf_dir).withColumn("shingles", tx.shingles_col())
+    base = df.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct_tokens"),
+        F.size("shingles").alias("n_shingles"),
+    )
+    counts = (
+        df.select("doc_id", F.explode("shingles").alias("shingle"))
+        .groupBy("doc_id", "shingle")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = counts.groupBy("doc_id").agg(
+        F.max("cnt").alias("top_shingle_count"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))).alias(
+            "dup_shingle_tokens"
+        ),
+    )
+    dup_frac = F.lit(1.0) - (
+        F.col("n_distinct_tokens").cast("double") / F.col("n_tokens").cast("double")
+    )
+    top_frac = F.when(
+        F.col("n_shingles") > 0,
+        F.col("top_shingle_count").cast("double") / F.col("n_shingles").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        base.join(top, "doc_id", "left")
+        .withColumn("top_shingle_count", F.coalesce("top_shingle_count", F.lit(0)))
+        .withColumn("dup_shingle_tokens", F.coalesce("dup_shingle_tokens", F.lit(0)))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_shingles",
+            "top_shingle_count",
+            dup_frac.alias("dup_token_frac"),
+            top_frac.alias("top_shingle_frac"),
+            (
+                (dup_frac <= REPETITION_MAX_DUP_TOKEN_FRAC)
+                & (top_frac <= REPETITION_MAX_TOP_SHINGLE_FRAC)
+            ).alias("keep"),
+        )
+    )
+
+
+_REPETITION_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {tx.tokens_sql("text")} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, toks, {tx.shingles_sql()} AS shingles FROM tok
+), base AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct_tokens,
+         len(shingles) AS n_shingles
+  FROM sh
+), cnts AS (
+  SELECT doc_id, shingle, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+  GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, max(cnt) AS top_shingle_count,
+         sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_shingle_tokens
+  FROM cnts GROUP BY 1
+), joined AS (
+  SELECT base.doc_id, n_tokens, n_shingles,
+    COALESCE(top_shingle_count, 0) AS top_shingle_count,
+    1.0 - CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+      AS dup_token_frac,
+    CASE WHEN n_shingles > 0
+      THEN CAST(COALESCE(top_shingle_count, 0) AS DOUBLE)
+             / CAST(n_shingles AS DOUBLE)
+      ELSE 0.0 END AS top_shingle_frac
+  FROM base LEFT JOIN top ON base.doc_id = top.doc_id
+)
+SELECT doc_id, n_tokens, n_shingles, top_shingle_count,
+  dup_token_frac, top_shingle_frac,
+  dup_token_frac <= {REPETITION_MAX_DUP_TOKEN_FRAC}
+    AND top_shingle_frac <= {REPETITION_MAX_TOP_SHINGLE_FRAC} AS keep
+FROM joined
+"""
+
+
 SPECS = [
     QuerySpec("text_token_stats", q_text_token_stats, _TOKEN_STATS_ORACLE),
+    QuerySpec("text_repetition", q_text_repetition, _REPETITION_ORACLE),
     QuerySpec("text_langid", q_text_langid, _LANGID_ORACLE),
     QuerySpec(
         "text_langid_confusion", q_text_langid_confusion, _LANGID_CONFUSION_ORACLE

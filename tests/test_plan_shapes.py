@@ -103,6 +103,9 @@ _SINGLE_PARTITION_OK = {
     "analytics_forecast_revenue",   # single-row revenue total (q6)
     "analytics_top_revenue_supplier",  # 1-row max broadcast back (q15)
     "analytics_inactive_customers",    # 1-row avg-balance broadcast (q22)
+    # running sum over the score-bucket frame only (cardinality = distinct
+    # per-doc token counts, ~dozens of rows); documents never hit it
+    "pipeline_token_budget",
 }
 
 
