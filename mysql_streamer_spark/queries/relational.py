@@ -356,6 +356,233 @@ GROUP BY c_nationkey
 """
 
 
+# ---------------------------------------------------------------------------
+# q11 — important stock (group share vs a global-total threshold)
+# ---------------------------------------------------------------------------
+
+# q11: parts supplied from this nation whose value share beats the fraction.
+IMPORTANT_STOCK_NATION = "NATION_3"
+IMPORTANT_STOCK_FRACTION = 0.0015
+
+
+def q_analytics_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q11 shape (adapted: no partsupp fixture, so "stock value" is
+    the revenue each part generated from the nation's suppliers). The
+    signature move is a HAVING against a fraction of the GLOBAL total:
+    compute the per-part aggregate once, derive the 1-row total from the
+    per-part result (not by re-scanning the fact), and broadcast it back —
+    the threshold comparison is then a map-side filter, never a global
+    window. Integer cents keep the share comparison exact across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == IMPORTANT_STOCK_NATION
+    )
+    nation_supp = supp.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    per_part = (
+        li.join(F.broadcast(nation_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "value_c"
+            )
+        )
+    )
+    total = per_part.agg(F.sum("value_c").alias("total_c"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.col("value_c").cast("double")
+            > F.lit(IMPORTANT_STOCK_FRACTION) * F.col("total_c").cast("double")
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            (F.col("value_c") / 100.0).alias("part_value"),
+        )
+    )
+
+
+_IMPORTANT_STOCK_ORACLE = f"""
+WITH per_part AS (
+  SELECT l_partkey,
+    sum({_cents_sql("l_extendedprice * (1 - l_discount)")}) AS value_c
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = '{IMPORTANT_STOCK_NATION}'
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS partkey, value_c / 100.0 AS part_value
+FROM per_part
+WHERE CAST(value_c AS DOUBLE)
+      > {IMPORTANT_STOCK_FRACTION} * (SELECT CAST(sum(value_c) AS DOUBLE) FROM per_part)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q12 — shipping-delay buckets × order-priority mix (CASE-sum aggregate)
+# ---------------------------------------------------------------------------
+
+#: ship-delay bucket width in days; priorities counted as "critical"
+DELAY_BUCKET_DAYS = 180
+CRITICAL_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+def q_analytics_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q12 shape (adapted: the fixtures have no l_shipmode/commitdate,
+    so lines bucket by ship delay — days between order and ship date, in
+    180-day buckets). One fact-fact join on orderkey, then the q12
+    signature: conditional CASE-sums splitting critical vs normal priority
+    in a single aggregate pass, grouped on a tiny derived key. Map-side
+    partials carry one row per (task, bucket)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    delay_bucket = F.floor(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+        / F.lit(float(DELAY_BUCKET_DAYS))
+    ).cast("long")
+    is_critical = F.col("o_orderpriority").isin(*CRITICAL_PRIORITIES)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(delay_bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(F.when(is_critical, 1).otherwise(0)).alias("critical_lines"),
+            F.sum(F.when(is_critical, 0).otherwise(1)).alias("normal_lines"),
+        )
+    )
+
+
+_SHIPMODE_PRIORITY_ORACLE = f"""
+SELECT
+  CAST(floor(date_diff('day', o_orderdate, l_shipdate)
+             / {float(DELAY_BUCKET_DAYS)}) AS BIGINT) AS delay_bucket,
+  sum(CASE WHEN o_orderpriority IN ('{CRITICAL_PRIORITIES[0]}',
+                                    '{CRITICAL_PRIORITIES[1]}')
+           THEN 1 ELSE 0 END) AS critical_lines,
+  sum(CASE WHEN o_orderpriority IN ('{CRITICAL_PRIORITIES[0]}',
+                                    '{CRITICAL_PRIORITIES[1]}')
+           THEN 0 ELSE 1 END) AS normal_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q16 — supplier diversity per part attribute (distinct-count + blacklist)
+# ---------------------------------------------------------------------------
+
+# q16: part-attribute slice under audit and the supplier blacklist stand-in
+# (negative account balance replaces the reference's complaints filter).
+SUPPLIER_CNT_EXCLUDED_BRAND = "Brand#1"
+SUPPLIER_CNT_EXCLUDED_TYPE = "PROMO"
+SUPPLIER_CNT_SIZES = (1, 4, 9, 14, 19, 24, 29, 34)
+
+
+def q_analytics_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q16 shape (adapted: the part-supplier link is derived from
+    lineitem — no partsupp — and the complaints blacklist is suppliers with
+    negative balance). The fact reduces to DISTINCT (partkey, suppkey)
+    pairs FIRST — the only fact-sized shuffle, keyed on the pair — then a
+    broadcast anti join removes blacklisted suppliers and a broadcast inner
+    join applies the part-attribute slice; the final distinct-count
+    aggregates on the tiny (brand, type, size) key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != SUPPLIER_CNT_EXCLUDED_BRAND)
+        & (F.col("p_type") != SUPPLIER_CNT_EXCLUDED_TYPE)
+        & F.col("p_size").isin(*SUPPLIER_CNT_SIZES)
+    )
+    blacklist = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    links = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        links.join(F.broadcast(blacklist), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_SUPPLIER_DIVERSITY_ORACLE = f"""
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) links
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{SUPPLIER_CNT_EXCLUDED_BRAND}'
+  AND p_type <> '{SUPPLIER_CNT_EXCLUDED_TYPE}'
+  AND p_size IN {SUPPLIER_CNT_SIZES}
+  AND NOT EXISTS (
+    SELECT 1 FROM supplier
+    WHERE s_suppkey = l_suppkey AND s_acctbal < 0
+  )
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# q20 — promotion-eligible suppliers (nested semi-join chain)
+# ---------------------------------------------------------------------------
+
+# q20: suppliers who moved real volume of the promoted part family this year.
+PROMO_PART_FRAGMENT = "gear"
+PROMO_YEAR = ("1997-01-01 00:00:00", "1998-01-01 00:00:00")
+PROMO_MIN_QTY = 60
+
+
+def q_analytics_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q20 shape (adapted: ps_availqty's "more than half the shipped
+    quantity" becomes an absolute shipped-quantity floor — no partsupp).
+    The nested-IN chain inverts into a bottom-up reduction: broadcast the
+    name-filtered part dim into the date-pruned fact scan, aggregate
+    quantity per (suppkey, partkey) with map-side partials, HAVING-filter,
+    reduce to distinct suppkeys, and LEFT SEMI join the supplier dim — so
+    the supplier table is only ever probed, never expanded."""
+    lo, hi = PROMO_YEAR
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains(PROMO_PART_FRAGMENT)
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    movers = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        .filter(F.col("qty") > PROMO_MIN_QTY)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(movers, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+
+
+_PROMO_SUPPLIERS_ORACLE = f"""
+SELECT s_suppkey, s_name, n_name AS nation
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE contains(p_name, '{PROMO_PART_FRAGMENT}')
+    AND l_shipdate >= TIMESTAMP '{PROMO_YEAR[0]}'
+    AND l_shipdate < TIMESTAMP '{PROMO_YEAR[1]}'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(CAST(l_quantity AS BIGINT)) > {PROMO_MIN_QTY}
+)
+"""
+
+
 SPECS = [
     QuerySpec(
         "analytics_forecast_revenue",
@@ -376,5 +603,25 @@ SPECS = [
         "analytics_inactive_customers",
         q_analytics_inactive_customers,
         _INACTIVE_ORACLE,
+    ),
+    QuerySpec(
+        "analytics_important_stock",
+        q_analytics_important_stock,
+        _IMPORTANT_STOCK_ORACLE,
+    ),
+    QuerySpec(
+        "analytics_shipmode_priority",
+        q_analytics_shipmode_priority,
+        _SHIPMODE_PRIORITY_ORACLE,
+    ),
+    QuerySpec(
+        "analytics_supplier_diversity",
+        q_analytics_supplier_diversity,
+        _SUPPLIER_DIVERSITY_ORACLE,
+    ),
+    QuerySpec(
+        "analytics_promo_suppliers",
+        q_analytics_promo_suppliers,
+        _PROMO_SUPPLIERS_ORACLE,
     ),
 ]

@@ -26,6 +26,8 @@ _BNLJ_OK = {
     "analytics_conversion_funnel",
     # the global avg-balance scalar is a 1-row broadcast crossed with customer
     "analytics_inactive_customers",
+    # the global stock-value total is a 1-row broadcast crossed with per-part
+    "analytics_important_stock",
 }
 
 #: streaming roundtrips execute jobs at build time — plan-audited via their
@@ -103,6 +105,7 @@ _SINGLE_PARTITION_OK = {
     "analytics_forecast_revenue",   # single-row revenue total (q6)
     "analytics_top_revenue_supplier",  # 1-row max broadcast back (q15)
     "analytics_inactive_customers",    # 1-row avg-balance broadcast (q22)
+    "analytics_important_stock",       # 1-row value-total broadcast (q11)
     # running sum over the score-bucket frame only (cardinality = distinct
     # per-doc token counts, ~dozens of rows); documents never hit it
     "pipeline_token_budget",
