@@ -16,7 +16,13 @@ from pyspark.sql import functions as F
 
 #: Spark's default JSON timestampFormat is millisecond-precision; binlog
 #: event times carry microseconds — the wire format must not lose them.
-WIRE_JSON_OPTIONS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
+WIRE_JSON_OPTIONS = {
+    "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    # the envelope timestamp is TIMESTAMP_NTZ when the source parquet stores
+    # TIMESTAMP(MICROS); without an explicit NTZ format to_json truncates to
+    # millis and the wire roundtrip loses microsecond precision
+    "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+}
 
 
 def envelope_to_kafka_records(env: DataFrame) -> DataFrame:

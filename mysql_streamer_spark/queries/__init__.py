@@ -25,17 +25,29 @@ def all_specs() -> list[QuerySpec]:
         textops,
     )
 
-    return collect(
-        [
+    # Round-robin interleave across operator families: the driver's
+    # correctness harness checks queries in registration order and may cap
+    # how many it runs per round (r2 recorded exactly the first 50 of 104,
+    # leaving whole families unchecked). Interleaving guarantees that any
+    # prefix of the registry covers every family roughly proportionally.
+    families = [
+        collect([m])
+        for m in (
             cdc,
             schema_registry,
+            streaming_q,
+            multimodal,
             textops,
             dedup,
             similarity,
             pipeline,
             analytics,
             relational,
-            multimodal,
-            streaming_q,
-        ]
-    )
+        )
+    ]
+    interleaved: list[QuerySpec] = []
+    for i in range(max(len(f) for f in families)):
+        for fam in families:
+            if i < len(fam):
+                interleaved.append(fam[i])
+    return interleaved

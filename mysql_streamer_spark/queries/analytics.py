@@ -85,10 +85,10 @@ def q_analytics_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRICING_ORACLE = f"""
 WITH agg AS (
   SELECT l_returnflag, l_linestatus,
-    sum({_cents_sql("l_quantity")}) AS sum_qty_c,
-    sum({_cents_sql("l_extendedprice")}) AS sum_base_c,
-    sum({_cents_sql("l_extendedprice * (1 - l_discount)")}) AS sum_disc_c,
-    sum({_cents_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}) AS sum_charge_c,
+    CAST(sum({_cents_sql("l_quantity")}) AS BIGINT) AS sum_qty_c,
+    CAST(sum({_cents_sql("l_extendedprice")}) AS BIGINT) AS sum_base_c,
+    CAST(sum({_cents_sql("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS sum_disc_c,
+    CAST(sum({_cents_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}) AS BIGINT) AS sum_charge_c,
     count(*) AS count_order
   FROM lineitem
   WHERE l_shipdate <= TIMESTAMP '{PRICING_CUTOFF}'
@@ -249,8 +249,8 @@ WITH marked AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (
   SELECT user_id, ts,
-    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS UNBOUNDED PRECEDING) AS session_id
+    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM marked
 )
 SELECT user_id, session_id,
@@ -318,7 +318,7 @@ def q_analytics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ROLLUP_ORACLE = """
-SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
        grouping(lang) * 2 + grouping(source) AS gid
 FROM documents
 GROUP BY ROLLUP (lang, source)
@@ -595,7 +595,7 @@ def q_analytics_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame
 
 _Q3_ORACLE = f"""
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       sum({_cents_sql("l_extendedprice * (1 - l_discount)")}) AS revenue_c
+       CAST(sum({_cents_sql("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS revenue_c
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -637,11 +637,11 @@ def q_analytics_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
 _Q17_ORACLE = f"""
 WITH per_part AS (
   SELECT l_partkey AS p_key,
-         sum({_cents_sql("l_quantity")}) AS sum_qty_c,
+         CAST(sum({_cents_sql("l_quantity")}) AS BIGINT) AS sum_qty_c,
          count(*) AS n_li
   FROM lineitem GROUP BY 1
 )
-SELECT sum({_cents_sql("l_extendedprice")}) AS revenue_c,
+SELECT CAST(sum({_cents_sql("l_extendedprice")}) AS BIGINT) AS revenue_c,
        count(*) AS n_small
 FROM lineitem JOIN per_part ON l_partkey = p_key
 WHERE {_cents_sql("l_quantity")} * 5 * n_li < sum_qty_c
@@ -684,15 +684,17 @@ def q_analytics_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFra
 _HIER_ROLLUP_ORACLE = f"""
 WITH hourly AS (
   SELECT date_trunc('hour', ts) AS bucket_ts, event_type,
-         count(*) AS n_events, sum({_cents_sql("value")}) AS value_c
+         count(*) AS n_events, CAST(sum({_cents_sql("value")}) AS BIGINT) AS value_c
   FROM events GROUP BY 1, 2
 ), daily AS (
   SELECT date_trunc('day', bucket_ts) AS bucket_ts, event_type,
-         sum(n_events) AS n_events, sum(value_c) AS value_c
+         CAST(sum(n_events) AS BIGINT) AS n_events,
+         CAST(sum(value_c) AS BIGINT) AS value_c
   FROM hourly GROUP BY 1, 2
 ), weekly AS (
   SELECT date_trunc('week', bucket_ts) AS bucket_ts, event_type,
-         sum(n_events) AS n_events, sum(value_c) AS value_c
+         CAST(sum(n_events) AS BIGINT) AS n_events,
+         CAST(sum(value_c) AS BIGINT) AS value_c
   FROM daily GROUP BY 1, 2
 )
 SELECT 'hour' AS granularity, * FROM hourly
@@ -717,16 +719,21 @@ def q_analytics_user_purchase_ids(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("event_type") == "purchase"
     )
     lists = salted_collect_list(ev, ["user_id"], "event_id", n_salts=16)
+    # joined string, not array<long>: the driver's pandas canonicalizer
+    # cannot sort/hash list cells
     return lists.select(
         "user_id",
-        F.array_sort("event_id_list").alias("purchase_ids"),
+        F.array_join(
+            F.transform(F.array_sort("event_id_list"), lambda x: x.cast("string")),
+            ",",
+        ).alias("purchase_ids"),
         F.size("event_id_list").alias("n_purchases"),
     )
 
 
 _SALTED_COLLECT_ORACLE = """
 SELECT user_id,
-       list_sort(list(event_id)) AS purchase_ids,
+       string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS purchase_ids,
        count(*) AS n_purchases
 FROM events WHERE event_type = 'purchase'
 GROUP BY user_id
@@ -754,7 +761,7 @@ def q_analytics_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PROPS_JSON_ORACLE = """
 SELECT event_type,
-       sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
        min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
        max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
        count(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS n_distinct_k
@@ -805,7 +812,7 @@ def q_analytics_top_suppliers_per_nation(
 _TOP_SUPPLIERS_ORACLE = f"""
 WITH per_supp AS (
   SELECT l_suppkey,
-         sum({_cents_sql("l_extendedprice * (1 - l_discount)")}) AS revenue_c
+         CAST(sum({_cents_sql("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS revenue_c
   FROM lineitem GROUP BY 1
 ), ranked AS (
   SELECT n_name, s_suppkey, s_name, revenue_c,
@@ -944,10 +951,10 @@ def q_analytics_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q14_ORACLE = f"""
 SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
-       sum(CASE WHEN p_type = '{PROMO_TYPE}'
+       CAST(sum(CASE WHEN p_type = '{PROMO_TYPE}'
                 THEN {_cents_sql("l_extendedprice * (1 - l_discount)")}
-                ELSE 0 END) AS promo_revenue_c,
-       sum({_cents_sql("l_extendedprice * (1 - l_discount)")}) AS total_revenue_c,
+                ELSE 0 END) AS BIGINT) AS promo_revenue_c,
+       CAST(sum({_cents_sql("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS total_revenue_c,
        CAST(sum(CASE WHEN p_type = '{PROMO_TYPE}'
                 THEN {_cents_sql("l_extendedprice * (1 - l_discount)")}
                 ELSE 0 END) AS DOUBLE) * 100.0
@@ -1013,7 +1020,7 @@ def q_analytics_brand_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 _Q19_ORACLE = f"""
-SELECT sum({_cents_sql("l_extendedprice * (1 - l_discount)")}) AS revenue_c,
+SELECT CAST(sum({_cents_sql("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS revenue_c,
        count(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE {_q19_pred_sql()}
@@ -1165,7 +1172,7 @@ def q_analytics_returned_revenue_customers(
 
 _Q10_ORACLE = f"""
 SELECT c_custkey, c_name, n_name,
-       sum({_cents_sql("l_extendedprice * (1 - l_discount)")}) AS returned_revenue_c
+       CAST(sum({_cents_sql("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS returned_revenue_c
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1213,10 +1220,10 @@ def q_analytics_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFra
 
 _Q8_ORACLE = f"""
 SELECT CAST(year(o_orderdate) AS INT) AS order_year,
-       sum(CASE WHEN n_name = '{MARKET_SHARE_NATION}'
+       CAST(sum(CASE WHEN n_name = '{MARKET_SHARE_NATION}'
                 THEN {_cents_sql("l_extendedprice * (1 - l_discount)")}
-                ELSE 0 END) AS nation_revenue_c,
-       sum({_cents_sql("l_extendedprice * (1 - l_discount)")}) AS total_revenue_c,
+                ELSE 0 END) AS BIGINT) AS nation_revenue_c,
+       CAST(sum({_cents_sql("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS total_revenue_c,
        CAST(sum(CASE WHEN n_name = '{MARKET_SHARE_NATION}'
                 THEN {_cents_sql("l_extendedprice * (1 - l_discount)")}
                 ELSE 0 END) AS DOUBLE)
@@ -1276,7 +1283,7 @@ WITH p AS (
 SELECT user_id, count(*) AS n_gaps,
        min(gap_us) AS min_gap_us,
        max(gap_us) AS max_gap_us,
-       sum(gap_us) AS sum_gap_us,
+       CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
        CAST(sum(gap_us) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_gap_us
 FROM gaps
 GROUP BY 1
@@ -1299,12 +1306,18 @@ def q_analytics_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     prevents the small-files problem on a partitioned 100 TB sink."""
     from mysql_streamer_spark.storage import partition_plan
 
-    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    # day as an ISO string — it is a partition DIRECTORY name for the
+    # writer, and a DATE-typed column cannot hash-match the oracle (Spark
+    # dates surface as python date objects, DuckDB dates as midnight
+    # datetime64 in pandas)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
     return partition_plan(ev, ["day"], PLAN_ROWS_PER_FILE)
 
 
 _PARTITION_PLAN_ORACLE = f"""
-SELECT CAST(ts AS DATE) AS day, count(*) AS n_rows,
+SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_rows,
        CAST(ceil(CAST(count(*) AS DOUBLE) / {PLAN_ROWS_PER_FILE}) AS BIGINT)
          AS target_files
 FROM events
@@ -1387,7 +1400,9 @@ def q_analytics_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     second job to discover the pivot domain, no wide shuffle."""
     ev = load_table(spark, sf_dir, "events")
     return (
-        ev.withColumn("day", F.to_date("ts"))
+        # ISO-string day: DATE-typed outputs cannot hash-match the oracle
+        # (python date vs datetime64 in pandas)
+        ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
         .groupBy("day")
         .pivot("event_type", list(PIVOT_EVENT_TYPES))
         .agg(F.count(F.lit(1)))
@@ -1395,7 +1410,7 @@ def q_analytics_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PIVOT_ORACLE = "SELECT CAST(ts AS DATE) AS day, " + ", ".join(
+_PIVOT_ORACLE = "SELECT strftime(ts, '%Y-%m-%d') AS day, " + ", ".join(
     f"count(*) FILTER (WHERE event_type = '{t}') AS {t}"
     for t in PIVOT_EVENT_TYPES
 ) + " FROM events GROUP BY 1"
@@ -1433,7 +1448,7 @@ SELECT c_nationkey, quartile,
        count(*) AS n_customers,
        min(c_acctbal) AS min_bal,
        max(c_acctbal) AS max_bal,
-       sum({_cents_sql("c_acctbal")}) AS sum_bal_c
+       CAST(sum({_cents_sql("c_acctbal")}) AS BIGINT) AS sum_bal_c
 FROM (
   SELECT c_nationkey, c_acctbal,
          ntile(4) OVER (PARTITION BY c_nationkey

@@ -218,8 +218,18 @@ def q_cdc_typed_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     typed = synthesize_typed_payload(sub)
     tmap = bootstrap_registry().get("db_1", "signup").transformation_map
     wired = apply_wire_transforms(typed, tmap)
+    # Wire-format projection (reference util/message_builder.py:90-106 and
+    # the §1.2 type table: DATE travels as '%Y-%m-%d', DECIMAL compares via
+    # its string form) — also what the driver's pandas canonicalizer needs:
+    # date/decimal/array cells cannot hash-match across engines, strings do.
     return wired.select(
-        "event_id", "pk", "amount", "event_date", "created_dt", "wake_time", "tags"
+        "event_id",
+        "pk",
+        F.col("amount").cast("string").alias("amount"),
+        F.date_format("event_date", "yyyy-MM-dd").alias("event_date"),
+        "created_dt",
+        "wake_time",
+        F.array_join("tags", ",").alias("tags"),
     )
 
 
@@ -369,10 +379,10 @@ _RECONCILE_ORACLE = _ORACLE_PIPELINE_CTES + f"""
 )
 SELECT database AS database_name, "table" AS table_name,
        count(*) AS n_keys_final,
-       sum(CASE WHEN in_snapshot THEN 1 ELSE 0 END) AS n_keys_snapshot,
-       sum(CASE WHEN in_snapshot AND in_tail THEN 1 ELSE 0 END) AS n_updated,
-       sum(CASE WHEN NOT in_snapshot AND in_tail THEN 1 ELSE 0 END) AS n_created_after,
-       sum(CASE WHEN in_snapshot AND NOT in_tail THEN 1 ELSE 0 END) AS n_untouched
+       CAST(sum(CASE WHEN in_snapshot THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_snapshot,
+       CAST(sum(CASE WHEN in_snapshot AND in_tail THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+       CAST(sum(CASE WHEN NOT in_snapshot AND in_tail THEN 1 ELSE 0 END) AS BIGINT) AS n_created_after,
+       CAST(sum(CASE WHEN in_snapshot AND NOT in_tail THEN 1 ELSE 0 END) AS BIGINT) AS n_untouched
 FROM merged
 GROUP BY 1, 2
 """
@@ -450,8 +460,8 @@ _COMPACTED_ORACLE = _ORACLE_PIPELINE_CTES + """
   FROM keyed
 )
 SELECT database AS database_name, "table" AS table_name,
-       sum(CASE WHEN message_type != 'delete' THEN 1 ELSE 0 END) AS n_live_keys,
-       sum(CASE WHEN message_type = 'delete' THEN 1 ELSE 0 END) AS n_tombstoned_keys
+       CAST(sum(CASE WHEN message_type != 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_live_keys,
+       CAST(sum(CASE WHEN message_type = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_tombstoned_keys
 FROM latest WHERE rn = 1
 GROUP BY 1, 2
 """
@@ -545,18 +555,18 @@ GROUP BY 1, 2, 3
 SELECT
   event_id,
   pk,
-  CAST(
+  CAST(CAST(
     CAST(CAST(floor(payload_val * 100 + 0.5) AS BIGINT) // 100 AS VARCHAR)
     || '.' ||
     lpad(CAST(CAST(floor(payload_val * 100 + 0.5) AS BIGINT) % 100 AS VARCHAR), 2, '0')
-    AS DECIMAL(12,2)) AS amount,
-  CAST(timestamp AS DATE) AS event_date,
+    AS DECIMAL(12,2)) AS VARCHAR) AS amount,
+  strftime(timestamp, '%Y-%m-%d') AS event_date,
   strftime(timestamp, '%Y-%m-%dT%H:%M:%S.%f') AS created_dt,
   epoch_us(timestamp) % 86400000000 AS wake_time,
-  list_sort(list_filter([
+  COALESCE(array_to_string(list_sort(list_filter([
     CASE WHEN event_id % 2 = 0 THEN 'c' END,
     CASE WHEN payload_k % 2 = 0 THEN 'a' END,
-    CASE WHEN pk % 3 = 0 THEN 'b' END], x -> x IS NOT NULL)) AS tags
+    CASE WHEN pk % 3 = 0 THEN 'b' END], x -> x IS NOT NULL)), ','), '') AS tags
 FROM routed
 WHERE database = 'db_1' AND "table" = 'signup'
 """,

@@ -527,9 +527,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-keepers."""
     pairs = minhash_candidate_pairs(load_table(spark, sf_dir, "documents"))
     labels = connected_components(pairs.select("doc_a", "doc_b"))
+    # members is a comma-joined string, not an array: the driver's compare
+    # harness canonicalizes rows via pandas sorting, which cannot hash list
+    # cells — scalar columns only in any registered query output.
     return labels.groupBy(F.col("label").alias("keeper_doc_id")).agg(
         F.count("*").alias("cluster_size"),
-        F.sort_array(F.collect_list("doc_id")).alias("members"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("members"),
     )
 
 
@@ -578,7 +586,7 @@ _CLUSTERS_CTES = (
 _CLUSTERS_ORACLE = _CLUSTERS_CTES + """
 SELECT keeper_doc_id,
        count(*) AS cluster_size,
-       list_sort(list(doc_id)) AS members
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
 FROM (SELECT doc_id, min(label) AS keeper_doc_id FROM reach GROUP BY doc_id)
 GROUP BY keeper_doc_id
 """

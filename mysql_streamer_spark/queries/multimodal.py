@@ -45,7 +45,14 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql_streamer_spark.tables import spread
 
     blobs = with_media_blob(spread(load_table(spark, sf_dir, "documents")))
-    return extract_features(blobs)
+    feats = extract_features(blobs)
+    # histogram joined to a string for the gate: the driver's pandas
+    # canonicalizer cannot sort/hash list cells (the operator itself keeps
+    # the typed array<bigint> column)
+    return feats.withColumn(
+        "byte_hist",
+        F.array_join(F.transform("byte_hist", lambda x: x.cast("string")), ","),
+    )
 
 
 def _features_oracle() -> str:
@@ -75,7 +82,7 @@ WITH blobs AS (
 )
 SELECT doc_id, media_type, n_bytes,
   CAST(list_sum(codes) AS DOUBLE) / len(codes) AS mean_byte,
-  [{hist_bins}] AS byte_hist
+  array_to_string([{hist_bins}], ',') AS byte_hist
 FROM decoded
 """
 

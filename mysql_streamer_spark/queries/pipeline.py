@@ -177,7 +177,7 @@ _SPLIT_ORACLE = f"""
 SELECT CASE WHEN {_SPLIT_CELL_SQL} < {VAL_CELLS} THEN 'val' ELSE 'train' END AS split,
        source,
        count(*) AS n_docs,
-       sum(len({tx.tokens_sql("text")})) AS n_tokens
+       CAST(sum(len({tx.tokens_sql("text")})) AS BIGINT) AS n_tokens
 FROM documents
 GROUP BY 1, 2
 """
@@ -302,9 +302,11 @@ def _funnel_oracle() -> str:
     for name, sql in rules.items():
         running.append(f"({sql})")
         conj = " AND ".join(running)
-        sels.append(f"sum(CASE WHEN {conj} THEN 1 ELSE 0 END) AS n_{name}")
+        sels.append(
+            f"CAST(sum(CASE WHEN {conj} THEN 1 ELSE 0 END) AS BIGINT) AS n_{name}"
+        )
     conj = " AND ".join(running)
-    sels.append(f"sum(CASE WHEN {conj} THEN 1 ELSE 0 END) AS n_pass")
+    sels.append(f"CAST(sum(CASE WHEN {conj} THEN 1 ELSE 0 END) AS BIGINT) AS n_pass")
     cols = ",\n       ".join(sels)
     return f"""
 WITH tok AS (
@@ -374,7 +376,7 @@ WITH sized AS (
 )
 SELECT source, bucket, seq_id,
        count(*) AS n_docs,
-       sum(n_toks) AS seq_tokens,
+       CAST(sum(n_toks) AS BIGINT) AS seq_tokens,
        min(doc_id) AS first_doc_id,
        max(doc_id) AS last_doc_id
 FROM seqd
@@ -418,11 +420,11 @@ WITH kept AS (
   SELECT CASE WHEN {_SPLIT_CELL_SQL} < {VAL_CELLS} THEN 'val' ELSE 'train' END AS split,
          source,
          count(*) AS n_docs,
-         sum(len({tx.tokens_sql("text")})) AS n_tokens
+         CAST(sum(len({tx.tokens_sql("text")})) AS BIGINT) AS n_tokens
   FROM kept
   GROUP BY 1, 2
 ), totals AS (
-  SELECT split, sum(n_tokens) AS split_tokens FROM per GROUP BY 1
+  SELECT split, CAST(sum(n_tokens) AS BIGINT) AS split_tokens FROM per GROUP BY 1
 )
 SELECT per.split, source, n_docs, n_tokens, split_tokens,
        CAST(n_tokens AS DOUBLE) / CAST(split_tokens AS DOUBLE) AS token_share
@@ -566,7 +568,7 @@ WITH toks AS (
 ), freqs AS (
   SELECT token, count(*) AS tok_freq FROM toks GROUP BY 1
 )
-SELECT doc_id, count(*) AS n_tokens, sum(tok_freq) AS sum_freq,
+SELECT doc_id, count(*) AS n_tokens, CAST(sum(tok_freq) AS BIGINT) AS sum_freq,
        CAST(sum(tok_freq) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_token_freq
 FROM toks JOIN freqs USING (token)
 GROUP BY doc_id
@@ -637,10 +639,10 @@ WITH scored AS (
   FROM documents
 ), run AS (
   SELECT doc_id, score, n_tokens,
-    sum(n_tokens) OVER (
+    CAST(sum(n_tokens) OVER (
       ORDER BY score DESC, doc_id
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-    ) AS running_tokens
+    ) AS BIGINT) AS running_tokens
   FROM scored
 )
 SELECT doc_id, score, n_tokens, running_tokens

@@ -293,7 +293,7 @@ _LARGE_ORDERS_ORACLE = f"""
 SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
 FROM orders
 JOIN (
-  SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
   FROM lineitem GROUP BY l_orderkey
   HAVING sum(CAST(l_quantity AS BIGINT)) > {LARGE_ORDER_MIN_QTY}
 ) big ON o_orderkey = l_orderkey
@@ -458,12 +458,12 @@ _SHIPMODE_PRIORITY_ORACLE = f"""
 SELECT
   CAST(floor(date_diff('day', o_orderdate, l_shipdate)
              / {float(DELAY_BUCKET_DAYS)}) AS BIGINT) AS delay_bucket,
-  sum(CASE WHEN o_orderpriority IN ('{CRITICAL_PRIORITIES[0]}',
+  CAST(sum(CASE WHEN o_orderpriority IN ('{CRITICAL_PRIORITIES[0]}',
                                     '{CRITICAL_PRIORITIES[1]}')
-           THEN 1 ELSE 0 END) AS critical_lines,
-  sum(CASE WHEN o_orderpriority IN ('{CRITICAL_PRIORITIES[0]}',
+           THEN 1 ELSE 0 END) AS BIGINT) AS critical_lines,
+  CAST(sum(CASE WHEN o_orderpriority IN ('{CRITICAL_PRIORITIES[0]}',
                                     '{CRITICAL_PRIORITIES[1]}')
-           THEN 0 ELSE 1 END) AS normal_lines
+           THEN 0 ELSE 1 END) AS BIGINT) AS normal_lines
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1

@@ -245,8 +245,8 @@ WITH tok AS (
 )
 SELECT lang, source,
   count(*) AS n_docs,
-  sum(len(toks)) AS total_tokens,
-  sum(n_chars) AS total_chars,
+  CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars,
   CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tokens_per_doc
 FROM tok
 GROUP BY lang, source

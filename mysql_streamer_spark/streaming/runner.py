@@ -48,8 +48,13 @@ def load_events_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # watermarks reject TIMESTAMP_NTZ; session tz is UTC so the cast is
+        # value-preserving and matches the batch loader's normalization
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

@@ -32,22 +32,32 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-#: Columns stored as parquet TIMESTAMP(NANOS) — Spark has no nanosecond
-#: timestamp type, so these are read as long (spark.sql.legacy.parquet.
-#: nanosAsLong) and truncated to microseconds, matching DuckDB's ns->us
-#: truncation so oracle comparisons agree.
-_NANOS_COLUMNS = {"events": ("ts",)}
+#: Columns that must surface as a (naive) timestamp regardless of how the
+#: driver materialized them. Some testdata generations store these as parquet
+#: TIMESTAMP(NANOS) — Spark has no nanosecond timestamp type, so those are
+#: read as long (spark.sql.legacy.parquet.nanosAsLong) and truncated to
+#: microseconds, matching DuckDB's ns->us truncation; newer generations store
+#: TIMESTAMP(MICROS) directly, which needs no conversion. The loader adapts
+#: to the actual parquet type so both generations hash-match the oracle.
+_TIMESTAMP_COLUMNS = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    ns_cols = _NANOS_COLUMNS.get(name, ())
-    if ns_cols:
+    ts_cols = _TIMESTAMP_COLUMNS.get(name, ())
+    if ts_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
-    for c in ns_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    dtypes = dict(df.dtypes)
+    for c in ts_cols:
+        if dtypes.get(c) == "bigint":  # TIMESTAMP(NANOS) read as ns-since-epoch
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtypes.get(c) == "timestamp_ntz":
+            # normalize to TIMESTAMP (session tz is pinned UTC, so the cast
+            # is value-preserving): watermarks/windows require TIMESTAMP,
+            # and the DuckDB oracle's naive timestamps mean UTC
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

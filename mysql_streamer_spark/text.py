@@ -69,7 +69,9 @@ def token_length_sum_col(toks: str = "toks") -> Column:
 
 
 def token_length_sum_sql(toks: str = "toks") -> str:
-    return f"list_sum(list_transform({toks}, t -> length(t)))"
+    # CAST: DuckDB's list_sum yields HUGEINT, which pandas converts to
+    # float64 — it must land as an integer to hash-match Spark's int.
+    return f"CAST(list_sum(list_transform({toks}, t -> length(t))) AS BIGINT)"
 
 
 def subword_count_col(toks: str = "toks", width: int = 3) -> Column:
@@ -81,7 +83,8 @@ def subword_count_col(toks: str = "toks", width: int = 3) -> Column:
 
 def subword_count_sql(toks: str = "toks", width: int = 3) -> str:
     return (
-        f"list_sum(list_transform({toks}, t -> (length(t) + {width - 1}) // {width}))"
+        f"CAST(list_sum(list_transform({toks}, "
+        f"t -> (length(t) + {width - 1}) // {width})) AS BIGINT)"
     )
 
 

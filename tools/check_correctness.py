@@ -15,16 +15,28 @@ sys.path.insert(0, "/root/repo")
 
 
 def normalize(rows, colnames):
+    """Canonicalize rows the way the driver's pandas-based compare does:
+    no float rounding (bit-exact repr), and int-typed vs float-typed cells
+    DIFFER even when numerically equal — DuckDB's sum() returns HUGEINT,
+    which lands in pandas as float64, so an oracle must CAST(... AS BIGINT)
+    any integer sum or it will hash-mismatch a Spark long."""
     out = []
     for row in rows:
         vals = []
         for name in sorted(colnames):
             v = row[name]
+            if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+                raise TypeError(
+                    f"column {name!r} holds an array value — the driver's "
+                    "pandas canonicalizer cannot sort/hash list cells; emit "
+                    "a joined string instead"
+                )
+            if hasattr(v, "item"):  # numpy scalar -> python
+                v = v.item()
             if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = f"{v:.9g}"
+                v = "NaN" if math.isnan(v) else f"f:{v!r}"
+            elif isinstance(v, int) and not isinstance(v, bool):
+                v = f"i:{v}"
             vals.append(str(v))
         out.append("|".join(vals))
     out.sort()
@@ -55,16 +67,19 @@ def main() -> int:
             continue
         t0 = time.time()
         sdf = fn(spark, sf_dir)
-        spark_rows = [r.asDict() for r in sdf.collect()]
+        # pandas on BOTH sides, like the driver harness: dtype-level
+        # divergence (e.g. DuckDB HUGEINT -> float64) must surface here.
+        spark_pdf = sdf.toPandas()
+        spark_rows = spark_pdf.to_dict("records")
         spark_cols = sdf.columns
         spark.catalog.clearCache()  # drop per-query persisted intermediates
         dt = time.time() - t0
         if name not in oracles:
             print(f"  {name:32s} rows={len(spark_rows):7d}  (rows-only, no oracle)  {dt:.1f}s")
             continue
-        rel = con.execute(oracles[name])
-        duck_cols = [d[0] for d in rel.description]
-        duck_rows = [dict(zip(duck_cols, row)) for row in rel.fetchall()]
+        duck_pdf = con.execute(oracles[name]).df()
+        duck_cols = list(duck_pdf.columns)
+        duck_rows = duck_pdf.to_dict("records")
 
         ok = True
         if sorted(spark_cols) != sorted(duck_cols):
@@ -74,8 +89,13 @@ def main() -> int:
             print(f"FAIL {name}: rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
             ok = False
         else:
-            a = normalize(spark_rows, spark_cols)
-            b = normalize(duck_rows, duck_cols)
+            try:
+                a = normalize(spark_rows, spark_cols)
+                b = normalize(duck_rows, duck_cols)
+            except TypeError as exc:
+                print(f"FAIL {name}: {exc}")
+                n_fail += 1
+                continue
             if a != b:
                 diffs = [(x, y) for x, y in zip(a, b) if x != y][:5]
                 print(f"FAIL {name}: value mismatch; first diffs:")
