@@ -469,6 +469,14 @@ FROM hashed
 MAX_CC_ITERATIONS = 15
 
 
+#: target edges per CC partition: the loop's state is (long, long) rows, so
+#: ~1M rows/partition keeps every round's shuffle block well under executor
+#: memory while bounding task count on small graphs (the duplicate-edge
+#: graph of a lightly-duplicated corpus is TINY relative to the corpus —
+#: without this the loop schedules hundreds of near-empty tasks per round)
+CC_EDGES_PER_PARTITION = 1_000_000
+
+
 def connected_components(edges: DataFrame) -> DataFrame:
     """Minimum-label propagation: every vertex converges to the smallest
     doc_id reachable from it — the cluster representative ("keeper").
@@ -478,6 +486,13 @@ def connected_components(edges: DataFrame) -> DataFrame:
     nothing. Rounds needed = cluster diameter (near-dup clusters are
     shallow), so at scale this is a few narrow shuffles, not a GraphX
     dependency. Input: (doc_a, doc_b) with doc_a < doc_b.
+
+    Per-round cost control: the edge list is materialized ONCE and
+    repartitioned to match its measured size (CC_EDGES_PER_PARTITION), so
+    rounds on a small duplicate graph don't inherit the corpus-sized task
+    count; the convergence check rides on the checkpointed round result
+    (old label kept as a column) instead of a separate labels-vs-labels
+    join — one aggregate + one join + one short count per round.
     """
     both = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -485,6 +500,16 @@ def connected_components(edges: DataFrame) -> DataFrame:
     # and without this each round re-executes the whole pair-generation
     # lineage (measured ~3x the query cost at sf0.1)
     ).localCheckpoint()
+    n_edges = both.count()
+    spark = both.sparkSession
+    n_parts = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            -(-n_edges // CC_EDGES_PER_PARTITION),
+        ),
+    )
+    both = both.repartition(n_parts, "doc_b").localCheckpoint()
     labels = (
         both.select(F.col("doc_a").alias("doc_id"))
         .distinct()
@@ -496,10 +521,13 @@ def connected_components(edges: DataFrame) -> DataFrame:
             .groupBy(both.doc_a.alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # keep the previous label alongside the new one so the convergence
+        # check is a filter over THIS round's checkpointed output
+        round_out = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
@@ -508,13 +536,9 @@ def connected_components(edges: DataFrame) -> DataFrame:
             .localCheckpoint()
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            round_out.filter(F.col("label") != F.col("old_label")).limit(1).count()
         )
-        labels = new_labels
+        labels = round_out.select("doc_id", "label")
         if changed == 0:
             break
     return labels

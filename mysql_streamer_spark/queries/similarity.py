@@ -105,7 +105,10 @@ SELECT query_id, cand_id, cosine, rnk FROM (
 # ---------------------------------------------------------------------------
 
 def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = vx.lsh_bucket_table(_emb(spark, sf_dir))
+    # Arrow/numpy projection kernel (bit-identical to the SQL form — see
+    # vectors.lsh_id_bucket_table); the DuckDB oracle cross-checks the
+    # Python path end-to-end
+    b = vx.lsh_id_bucket_table(_emb(spark, sf_dir))
     return b.groupBy("table_id", "bucket").agg(F.count("*").alias("n_vecs"))
 
 
@@ -124,7 +127,9 @@ def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate generation moves only (query_id, cand_id) id pairs; the
     vectors join back after the OR-amplification dedup (same narrow-shuffle
     rule as q_sim_cosine_neardup)."""
-    b = vx.lsh_bucket_table(_emb(spark, sf_dir)).select("vec_id", "table_id", "bucket")
+    # persist: the query side and the candidate side both consume the
+    # Arrow projection — one kernel pass, not two
+    b = vx.lsh_id_bucket_table(_emb(spark, sf_dir)).persist()
     q = b.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("query_id"), "table_id", "bucket"
     )
@@ -209,7 +214,12 @@ def cosine_neardup_pairs(emb: DataFrame) -> DataFrame:
     dedup shuffle: ~1 KB/row and 8x slower at sf0.1.) Buckets over
     NEARDUP_MAX_BUCKET are excluded from pair generation (mega-bucket
     skew guard)."""
-    b = vx.lsh_bucket_table(emb).select("vec_id", "table_id", "bucket")
+    # Materialize the id->bucket table once: three consumers (the bucket
+    # -size guard and BOTH sides of the pair join) would otherwise each
+    # re-run the hyperplane projection — the expensive map work here. It is
+    # 12 bytes/row; a production pipeline writes this table before pair
+    # generation.
+    b = vx.lsh_id_bucket_table(emb).persist()
     ok = (
         b.groupBy("table_id", "bucket")
         .agg(F.count("*").alias("bsz"))

@@ -31,8 +31,14 @@ from pyspark.sql import functions as F
 
 DIM = 64
 SCALE = 1_000_000
-N_TABLES = 4
-PLANES_PER_TABLE = 4
+#: 8 tables x 8 planes: 256 buckets per table keeps bucket size ~n/256 (4
+#: planes gave 16 buckets — bucket population grows as n/16, so candidate
+#: pairs grow ~n^2/32 and at large n EVERY bucket trips the mega-bucket
+#: guard, collapsing recall). For the 0.9-cosine near-dup threshold,
+#: P[share a bucket in >=1 of 8 tables] = 1-(1-(1-acos(.9)/pi)^8)^8 ~ 0.94
+#: — same recall as the old 4x4 layout at ~8x fewer candidate pairs.
+N_TABLES = 8
+PLANES_PER_TABLE = 8
 N_PLANES = N_TABLES * PLANES_PER_TABLE
 
 
@@ -103,36 +109,58 @@ def cosine_sql(a: str, b: str, na: str, nb: str) -> str:
 # LSH buckets
 # ---------------------------------------------------------------------------
 
-def _plane_literal_spark(p: int) -> str:
-    return "array(" + ",".join(str(v) for v in HYPERPLANES[p]) + ")"
+def _planes_2d_spark() -> str:
+    rows = ",".join(
+        "array(" + ",".join(str(v) for v in plane) + ")" for plane in HYPERPLANES
+    )
+    return f"array({rows})"
 
 
-def _plane_literal_duck(p: int) -> str:
-    return "[" + ",".join(str(v) for v in HYPERPLANES[p]) + "]"
+def _planes_2d_duck() -> str:
+    rows = ",".join(
+        "[" + ",".join(str(v) for v in plane) + "]" for plane in HYPERPLANES
+    )
+    return f"[{rows}]"
 
 
-def bucket_col(table: int, qv: str = "qv") -> Column:
-    """The 4-bit sign-pattern bucket of hash table ``table`` (map-only)."""
-    bits = []
-    for j in range(PLANES_PER_TABLE):
-        p = table * PLANES_PER_TABLE + j
-        dot = (
-            f"aggregate(zip_with({qv}, {_plane_literal_spark(p)}, (x, y) -> x * y), "
-            f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-        )
-        bits.append(f"(CASE WHEN {dot} >= 0 THEN {2**j} ELSE 0 END)")
+def plane_dots_col(qv: str = "qv") -> Column:
+    """All N_PLANES hyperplane dot products in ONE nested higher-order
+    expression over the constant plane matrix (Catalyst constant-folds the
+    2D literal). One compiled lambda instead of N_PLANES unrolled folds —
+    unrolling made whole-stage codegen compile time the dominant cost of
+    every LSH query, ~seconds per plan."""
+    return F.expr(
+        f"transform({_planes_2d_spark()}, p -> "
+        f"aggregate(zip_with({qv}, p, (x, y) -> x * CAST(y AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v))"
+    )
+
+
+def bucket_from_dots_col(table: int, dots: str = "dots") -> Column:
+    """Sign-pattern bucket of hash table ``table`` from the dots array
+    (element_at is 1-based)."""
+    bits = [
+        f"(CASE WHEN element_at({dots}, {table * PLANES_PER_TABLE + j + 1}) >= 0 "
+        f"THEN {2**j} ELSE 0 END)"
+        for j in range(PLANES_PER_TABLE)
+    ]
     return F.expr(" + ".join(bits))
 
 
-def bucket_sql(table: int, qv: str = "qv") -> str:
-    bits = []
-    for j in range(PLANES_PER_TABLE):
-        p = table * PLANES_PER_TABLE + j
-        dot = (
-            f"CAST(list_sum(list_transform(generate_series(1, {DIM}), "
-            f"i -> {qv}[i] * ({_plane_literal_duck(p)})[i])) AS BIGINT)"
-        )
-        bits.append(f"(CASE WHEN {dot} >= 0 THEN {2**j} ELSE 0 END)")
+def plane_dots_sql(qv: str = "qv") -> str:
+    return (
+        f"list_transform({_planes_2d_duck()}, p -> "
+        f"CAST(list_sum(list_transform(generate_series(1, {DIM}), "
+        f"i -> {qv}[i] * p[i])) AS BIGINT))"
+    )
+
+
+def bucket_from_dots_sql(table: int, dots: str = "dots") -> str:
+    bits = [
+        f"(CASE WHEN {dots}[{table * PLANES_PER_TABLE + j + 1}] >= 0 "
+        f"THEN {2**j} ELSE 0 END)"
+        for j in range(PLANES_PER_TABLE)
+    ]
     return " + ".join(bits)
 
 
@@ -143,10 +171,12 @@ def with_quantized(df: DataFrame, emb: str = "embedding") -> DataFrame:
 
 
 def lsh_bucket_table(df: DataFrame) -> DataFrame:
-    """(vec_id, qv, nrm, table_id, bucket) — one row per vector per table."""
-    d = with_quantized(df)
+    """(vec_id, qv, nrm, table_id, bucket) — one row per vector per table.
+    All plane dots compute once into ``dots``; each table's bucket is a
+    4-expression bit pack over that array."""
+    d = with_quantized(df).withColumn("dots", plane_dots_col())
     for t in range(N_TABLES):
-        d = d.withColumn(f"bucket_{t}", bucket_col(t))
+        d = d.withColumn(f"bucket_{t}", bucket_from_dots_col(t))
     stack_args = ", ".join(f"{t}, bucket_{t}" for t in range(N_TABLES))
     return d.select(
         "vec_id",
@@ -156,10 +186,55 @@ def lsh_bucket_table(df: DataFrame) -> DataFrame:
     )
 
 
+def lsh_id_bucket_table(df: DataFrame) -> DataFrame:
+    """(vec_id, table_id, bucket) via an Arrow-batched numpy kernel.
+
+    Bit-identical to the SQL form (proven by tests/test_similarity.py):
+    float32 -> float64 widening, one IEEE multiply and floor, then exact
+    int64 matmul against the same ±1 plane matrix. The matmul is the right
+    production kernel — the SQL higher-order fold pays ~1 lambda call per
+    (plane, dim) element, which at DIM*N_PLANES=4096 element-ops per vector
+    dominates the whole LSH family; BLAS does the block in vectorized
+    native code. Map-only: each Arrow batch yields its id->bucket rows,
+    nothing widens, nothing shuffles here.
+    """
+    import numpy as np
+    import pandas as pd
+
+    planes_t = np.array(HYPERPLANES, dtype=np.int64).T  # (DIM, N_PLANES)
+    weights = 2 ** np.arange(PLANES_PER_TABLE, dtype=np.int64)
+
+    def project(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            qv = np.floor(emb * SCALE).astype(np.int64)
+            signs = (qv @ planes_t) >= 0  # (n, N_PLANES)
+            frames = []
+            for t in range(N_TABLES):
+                bits = signs[:, t * PLANES_PER_TABLE : (t + 1) * PLANES_PER_TABLE]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"].to_numpy(),
+                            "table_id": np.int32(t),
+                            "bucket": (bits * weights).sum(axis=1).astype(np.int32),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return df.select("vec_id", "embedding").mapInPandas(
+        project, "vec_id long, table_id int, bucket int"
+    )
+
+
 def lsh_buckets_sql_cte(source: str = "embeddings") -> str:
-    """CTEs ``qe`` (quantized) and ``buckets`` (per-table rows)."""
+    """CTEs ``qe`` (quantized), ``qd`` (+plane dots) and ``buckets``."""
     selects = " UNION ALL ".join(
-        f"SELECT vec_id, qv, nrm, {t} AS table_id, {bucket_sql(t)} AS bucket FROM qe"
+        f"SELECT vec_id, qv, nrm, {t} AS table_id, "
+        f"{bucket_from_dots_sql(t)} AS bucket FROM qd"
         for t in range(N_TABLES)
     )
     return f"""
@@ -167,4 +242,6 @@ qe AS (
   SELECT vec_id, {quantized_sql("embedding")} AS qv,
          {norm_sq_sql(quantized_sql("embedding"))} AS nrm
   FROM {source}
+), qd AS (
+  SELECT vec_id, qv, nrm, {plane_dots_sql("qv")} AS dots FROM qe
 ), buckets AS ({selects})"""

@@ -56,3 +56,24 @@ def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
     recall = len(exact & approx) / len(exact)
     # nprobe=2 of 10 cells on random unit vectors: a sanity floor, not SLA
     assert recall >= 0.15, f"recall {recall:.2f} suspiciously low"
+
+
+def test_arrow_bucket_kernel_bit_identical_to_sql(spark, sf_dir):
+    """The numpy matmul projection (lsh_id_bucket_table) and the SQL
+    higher-order form (lsh_bucket_table) must assign every vector the SAME
+    bucket in every hash table — same quantization (float->double widening,
+    one multiply, floor) and the same exact int64 dot products."""
+    from mysql_streamer_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sql_form = {
+        (r.vec_id, r.table_id): r.bucket
+        for r in vx.lsh_bucket_table(emb)
+        .select("vec_id", "table_id", "bucket")
+        .collect()
+    }
+    arrow_form = {
+        (r.vec_id, r.table_id): r.bucket
+        for r in vx.lsh_id_bucket_table(emb).collect()
+    }
+    assert sql_form == arrow_form
