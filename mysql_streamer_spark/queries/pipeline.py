@@ -527,6 +527,94 @@ LIMIT {VOCAB_TOP_K}
 
 
 # ---------------------------------------------------------------------------
+# sub-document span dedup (C4-style duplicate-span removal signal)
+# ---------------------------------------------------------------------------
+
+#: tokens per non-overlapping span; a span repeated ANYWHERE in the corpus
+#: marks all its occurrences as duplicated (C4 removed duplicate
+#: three-sentence spans — the fixture corpus has no sentence punctuation,
+#: so spans are fixed token blocks)
+SPAN_TOKENS = 10
+
+#: a document is kept when at most this fraction of its spans is duplicated
+SPAN_MAX_DUP_FRAC = 0.5
+
+
+def q_pipeline_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup signal: split every document into non-overlapping
+    SPAN_TOKENS-token spans, count each span's corpus-wide occurrences, and
+    report per document how many of its spans are duplicated (appear in any
+    other position corpus-wide) plus the keep decision.
+
+    Scale shape: a word-count over (span_hash) — explode to (doc_id,
+    span_hash) pairs (never text: the hash is computed in the same map),
+    one global hash-aggregate on span_hash with map-side partials, join the
+    per-span counts back to the posting list (AQE picks the strategy — the
+    hot-span dimension shrinks with dedup pressure), then one per-doc
+    aggregate. Linear in corpus size; the widest shuffled row is 16 bytes.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    spans = (
+        docs.withColumn("toks", tx.tokens_col("text"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, int(size(toks) div {SPAN_TOKENS})), "
+                    f"b -> md5(array_join(slice(toks, (b - 1) * {SPAN_TOKENS} + 1, "
+                    f"{SPAN_TOKENS}), ' ')))"
+                )
+            ).alias("span_hash"),
+        )
+    )
+    counts = spans.groupBy("span_hash").agg(F.count("*").alias("n_occ"))
+    per_doc = (
+        spans.join(counts, "span_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("n_occ") > 1).cast("long")).alias("n_dup_spans"),
+        )
+    )
+    dup_frac = F.col("n_dup_spans").cast("double") / F.col("n_spans").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_spans",
+        "n_dup_spans",
+        dup_frac.alias("dup_span_frac"),
+        (dup_frac <= SPAN_MAX_DUP_FRAC).alias("keep"),
+    )
+
+
+_SPAN_DEDUP_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {tx.tokens_sql("text")} AS toks FROM documents
+), spans AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1,
+             CAST(len(toks) // {SPAN_TOKENS} AS INT)),
+           b -> md5(array_to_string(
+             toks[(b - 1) * {SPAN_TOKENS} + 1 : b * {SPAN_TOKENS}], ' '))))
+           AS span_hash
+  FROM tok
+), counts AS (
+  SELECT span_hash, count(*) AS n_occ FROM spans GROUP BY 1
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_spans,
+         CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_spans
+  FROM spans JOIN counts USING (span_hash)
+  GROUP BY 1
+)
+SELECT doc_id, n_spans, n_dup_spans,
+       CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE) AS dup_span_frac,
+       CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE)
+         <= {SPAN_MAX_DUP_FRAC} AS keep
+FROM per_doc
+"""
+
+
+# ---------------------------------------------------------------------------
 # corpus-frequency (commonness) scoring — the LM-perplexity proxy
 # ---------------------------------------------------------------------------
 
@@ -656,6 +744,7 @@ SPECS = [
     QuerySpec(
         "pipeline_commonness_score", q_pipeline_commonness_score, _COMMONNESS_ORACLE
     ),
+    QuerySpec("pipeline_span_dedup", q_pipeline_span_dedup, _SPAN_DEDUP_ORACLE),
     QuerySpec(
         "pipeline_chunk_documents", q_pipeline_chunk_documents, _CHUNK_ORACLE
     ),

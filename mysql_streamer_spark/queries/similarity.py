@@ -729,6 +729,156 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# k-means clustering (Lloyd's algorithm, integer-exact)
+# ---------------------------------------------------------------------------
+
+#: cluster count and fixed Lloyd rounds for the registered query (the
+#: operator function takes both as parameters; the oracle unrolls the same
+#: number of rounds)
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def _floordiv_spark(s: str, c: str) -> str:
+    """Exact floor(s / c) in pure integer arithmetic. Spark's ``div``
+    truncates toward zero and DuckDB's ``//`` floors, so both engines use
+    this branch form (operands are non-negative in each branch, where
+    truncation == floor everywhere)."""
+    return f"CASE WHEN {s} >= 0 THEN {s} div {c} ELSE -((-{s} + {c} - 1) div {c}) END"
+
+
+def _floordiv_duck(s: str, c: str) -> str:
+    return f"CASE WHEN {s} >= 0 THEN {s} // {c} ELSE -((-{s} + {c} - 1) // {c}) END"
+
+
+def _kmeans_assign(qe: DataFrame, cent: DataFrame) -> DataFrame:
+    """One assignment pass: centroids broadcast (k rows), squared euclidean
+    distance in exact int64 (|v|² - 2v·c + |c|²), nearest centroid per
+    vector via a lexicographic struct-min (ties -> smallest cid). Map-only
+    plus one per-vector aggregate — the canonical k-means-on-Spark shape."""
+    scored = qe.crossJoin(F.broadcast(cent)).withColumn(
+        "dist2",
+        F.col("nrm") - 2 * vx.dot_col("qv", "cqv") + F.col("cnrm"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("dist2", "cid")).alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.cid").alias("cluster_id"),
+            F.col("m.dist2").alias("dist2"),
+        )
+    )
+
+
+def kmeans_assignments(
+    emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Lloyd's k-means over quantized embeddings, fully declarative:
+
+    - init: the first ``k`` vectors seed the centroids (deterministic —
+      reproducible across engines and restarts, no RNG state)
+    - assign: broadcast the k centroids, exact-integer distance, struct-min
+    - update: posexplode members to (cid, dim, val), one map-side-combinable
+      aggregate, exact integer floor(mean) per dimension, arrays rebuilt
+      ordered by dim — centroids stay integer so every round is
+      bit-reproducible in Spark AND DuckDB
+
+    At scale: each round is one broadcast (k rows), one map pass, and one
+    (cid, dim)-keyed aggregate whose cardinality is k*DIM — independent of
+    corpus size. A cluster that loses all members drops out (both engines
+    derive the survivor set identically)."""
+    qe = vx.with_quantized(emb).select("vec_id", "qv", "nrm").persist()
+    cent = qe.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("qv").alias("cqv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    for _ in range(iters):
+        best = _kmeans_assign(qe, cent)
+        members = best.select(
+            F.col("cluster_id").alias("cid"), "vec_id"
+        ).join(qe, "vec_id")
+        per_dim = (
+            members.select("cid", F.posexplode("qv").alias("dim", "val"))
+            .groupBy("cid", "dim")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("c"))
+            .withColumn("cval", F.expr(_floordiv_spark("s", "c")))
+        )
+        cent = (
+            per_dim.groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(sort_array(collect_list(struct(dim, cval))), "
+                    "x -> x.cval)"
+                ).alias("cqv")
+            )
+            .withColumn("cnrm", vx.norm_sq_col("cqv"))
+        )
+    return _kmeans_assign(qe, cent)
+
+
+def q_sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmeans_assignments(_emb(spark, sf_dir))
+
+
+def _kmeans_oracle() -> str:
+    rounds = []
+    prev_cent = "c0"
+    for r in range(KMEANS_ITERS):
+        rounds.append(f"""
+, s{r} AS (
+  SELECT vec_id, cid, nrm - 2 * {vx.dot_sql("qv", "cqv")} + cnrm AS dist2
+  FROM qe CROSS JOIN {prev_cent}
+), b{r} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+    FROM s{r}
+  ) WHERE rn = 1
+), p{r} AS (
+  SELECT b{r}.cid, d.dim, CAST(sum(qe.qv[d.dim]) AS BIGINT) AS s,
+         count(*) AS c
+  FROM b{r} JOIN qe USING (vec_id)
+  CROSS JOIN (SELECT unnest(generate_series(1, {vx.DIM})) AS dim) d
+  GROUP BY 1, 2
+), c{r + 1} AS (
+  SELECT cid, cqv,
+         CAST(list_sum(list_transform(cqv, v -> v * v)) AS BIGINT) AS cnrm
+  FROM (
+    SELECT cid, list({_floordiv_duck("s", "c")} ORDER BY dim) AS cqv
+    FROM p{r} GROUP BY cid
+  )
+)""")
+        prev_cent = f"c{r + 1}"
+    final = f"""
+, sf AS (
+  SELECT vec_id, cid, nrm - 2 * {vx.dot_sql("qv", "cqv")} + cnrm AS dist2
+  FROM qe CROSS JOIN {prev_cent}
+)
+SELECT vec_id, cid AS cluster_id, dist2 FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+  FROM sf
+) WHERE rn = 1
+"""
+    return (
+        f"""WITH qe AS (
+  SELECT vec_id, {vx.quantized_sql("embedding")} AS qv,
+         {vx.norm_sq_sql(vx.quantized_sql("embedding"))} AS nrm
+  FROM embeddings
+), c0 AS (
+  SELECT CAST(vec_id AS INT) AS cid, qv AS cqv, nrm AS cnrm
+  FROM qe WHERE vec_id < {KMEANS_K}
+)"""
+        + "".join(rounds)
+        + final
+    )
+
+
+_KMEANS_ORACLE = _kmeans_oracle()
+
+
 SPECS = [
     QuerySpec("sim_bruteforce_topk", q_sim_bruteforce_topk, _BRUTEFORCE_ORACLE),
     # identical semantics to the brute-force baseline via the Arrow/numpy
@@ -745,4 +895,5 @@ SPECS = [
     QuerySpec("sim_cosine_neardup", q_sim_cosine_neardup, _NEARDUP_ORACLE),
     QuerySpec("sim_ivf_ann", q_sim_ivf_ann, _IVF_ORACLE),
     QuerySpec("sim_label_centroids", q_sim_label_centroids, _CENTROIDS_ORACLE),
+    QuerySpec("sim_kmeans", q_sim_kmeans, _KMEANS_ORACLE),
 ]

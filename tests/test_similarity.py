@@ -77,3 +77,25 @@ def test_arrow_bucket_kernel_bit_identical_to_sql(spark, sf_dir):
         for r in vx.lsh_id_bucket_table(emb).collect()
     }
     assert sql_form == arrow_form
+
+
+def test_kmeans_lloyd_monotone_and_total(spark, sf_dir):
+    """Every vector gets exactly one cluster, ids come from the seed set,
+    and two Lloyd rounds never increase total within-cluster distance
+    versus the seed assignment (Lloyd monotonicity)."""
+    from mysql_streamer_spark.queries.similarity import (
+        KMEANS_K,
+        kmeans_assignments,
+        _emb,
+    )
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark, sf_dir)
+    seed = kmeans_assignments(emb, iters=0)
+    two = kmeans_assignments(emb, iters=2)
+    n = emb.count()
+    assert seed.count() == n and two.count() == n
+    assert two.select("cluster_id").distinct().count() <= KMEANS_K
+    cost0 = seed.agg(F.sum("dist2")).collect()[0][0]
+    cost2 = two.agg(F.sum("dist2")).collect()[0][0]
+    assert cost2 <= cost0
