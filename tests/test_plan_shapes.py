@@ -17,6 +17,9 @@ import pytest
 _BNLJ_OK = {
     "sim_bruteforce_topk",
     "cdc_heartbeat_lag",
+    # Lloyd assignment: the k-row centroid frame is broadcast against every
+    # vector by design (the canonical k-means-on-Spark shape)
+    "sim_kmeans",
     "sim_ivf_ann",
     # same broadcast-query-dimension cross join as the brute-force baseline
     "sim_knn_classify",
