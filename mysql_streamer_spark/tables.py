@@ -48,6 +48,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ts_cols = _TIMESTAMP_COLUMNS.get(name, ())
     if ts_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the NTZ->TIMESTAMP normalization below reads wall-clock values in
+        # the SESSION timezone; the oracle's naive timestamps mean UTC, so
+        # pin it here — the driver harness builds its own SparkSession and
+        # must get the same values as our tuned session
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     dtypes = dict(df.dtypes)
     for c in ts_cols:
