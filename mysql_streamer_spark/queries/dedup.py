@@ -461,6 +461,122 @@ FROM hashed
 
 
 # ---------------------------------------------------------------------------
+# incremental dedup: a delta crawl against the existing corpus index
+# ---------------------------------------------------------------------------
+
+#: every doc_id divisible by this plays the "newly crawled delta" role;
+#: the rest are the already-indexed corpus
+INCR_DELTA_MODULUS = 5
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup flow: new documents (the delta) are checked
+    against the EXISTING corpus's LSH index, never against each other and
+    never all-pairs — per delta doc, how many indexed near-dups it has,
+    its best match (min doc_id among verified matches), and the admit
+    decision.
+
+    Scale shape: the index side's band table is exactly what a pipeline
+    persists between crawls (here recomputed from the fixture — the plan
+    from the banded join onward is the steady-state shape). The join is
+    delta-bands x index-bands on (band_id, band_hash) with the mega-bucket
+    guard on the index side; only candidate id pairs shuffle; exact
+    Jaccard verifies candidates only; one final per-delta-doc aggregate.
+    Cost scales with |delta| x collision rate, not |corpus|.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % INCR_DELTA_MODULUS == 0
+    shingled = (
+        spread(docs)
+        .withColumn("toks", tx.tokens_col("text"))
+        .withColumn("shingles", tx.shingles_col())
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", "shingles")
+        .persist()
+    )
+    bands = lsh_bands(shingled, pre_shingled=True).persist()
+    delta_bands = bands.filter(is_delta)
+    index_bands = bands.filter(~is_delta)
+    ok = (
+        index_bands.groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("bsz"))
+        .filter(F.col("bsz") <= MAX_BUCKET_SIZE)
+        .select("band_id", "band_hash")
+    )
+    cand = (
+        delta_bands.withColumnRenamed("doc_id", "delta_id")
+        .join(index_bands.join(ok, ["band_id", "band_hash"]), ["band_id", "band_hash"])
+        .select("delta_id", F.col("doc_id").alias("index_id"))
+        .distinct()
+    )
+    ssets = shingled.select("doc_id", F.array_distinct("shingles").alias("sset"))
+    inter = F.size(F.array_intersect("sa.sset", "sb.sset"))
+    union = F.size(F.array_union("sa.sset", "sb.sset"))
+    verified = (
+        cand.join(ssets.alias("sa"), F.col("delta_id") == F.col("sa.doc_id"))
+        .join(ssets.alias("sb"), F.col("index_id") == F.col("sb.doc_id"))
+        .withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("delta_id", "index_id")
+    )
+    matches = verified.groupBy("delta_id").agg(
+        F.count("*").alias("n_index_dups"),
+        F.min("index_id").alias("best_match_id"),
+    )
+    delta_docs = docs.filter(is_delta).select("doc_id")
+    return (
+        delta_docs.join(
+            matches, delta_docs.doc_id == matches.delta_id, "left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce("n_index_dups", F.lit(0)).alias("n_index_dups"),
+            "best_match_id",
+            F.col("n_index_dups").isNull().alias("admit"),
+        )
+    )
+
+
+_INCREMENTAL_ORACLE = (
+    "WITH " + _signature_sql_cte() + _bands_sql_cte() + f"""
+, index_bands AS (
+  SELECT * FROM bands WHERE doc_id % {INCR_DELTA_MODULUS} != 0
+), delta_bands AS (
+  SELECT * FROM bands WHERE doc_id % {INCR_DELTA_MODULUS} = 0
+), ok AS (
+  SELECT band_id, band_hash FROM index_bands
+  GROUP BY 1, 2 HAVING count(*) <= {MAX_BUCKET_SIZE}
+), cand AS (
+  SELECT DISTINCT d.doc_id AS delta_id, i.doc_id AS index_id
+  FROM delta_bands d
+  JOIN index_bands i ON d.band_id = i.band_id AND d.band_hash = i.band_hash
+  JOIN ok ON d.band_id = ok.band_id AND d.band_hash = ok.band_hash
+), ssets AS (
+  SELECT doc_id, list_distinct({tx.shingles_sql(tx.tokens_sql("text"))}) AS sset
+  FROM documents
+), verified AS (
+  SELECT delta_id, index_id
+  FROM cand
+  JOIN ssets sa ON cand.delta_id = sa.doc_id
+  JOIN ssets sb ON cand.index_id = sb.doc_id
+  WHERE CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(sa.sset, sb.sset))) AS DOUBLE)
+      >= {JACCARD_THRESHOLD}
+), matches AS (
+  SELECT delta_id, count(*) AS n_index_dups, min(index_id) AS best_match_id
+  FROM verified GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(m.n_index_dups, 0) AS n_index_dups,
+       m.best_match_id,
+       m.n_index_dups IS NULL AS admit
+FROM (SELECT doc_id FROM documents WHERE doc_id % {INCR_DELTA_MODULUS} = 0) d
+LEFT JOIN matches m ON d.doc_id = m.delta_id
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # near-duplicate clusters (connected components over the candidate graph)
 # ---------------------------------------------------------------------------
 
@@ -657,4 +773,5 @@ SPECS = [
     QuerySpec("dedup_jaccard_ngram", q_dedup_jaccard_ngram, _JACCARD_NGRAM_ORACLE),
     QuerySpec("dedup_clusters", q_dedup_clusters, _CLUSTERS_ORACLE),
     QuerySpec("dedup_simhash", q_dedup_simhash, _SIMHASH_ORACLE),
+    QuerySpec("dedup_incremental", q_dedup_incremental, _INCREMENTAL_ORACLE),
 ]

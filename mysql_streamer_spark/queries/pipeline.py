@@ -527,6 +527,101 @@ LIMIT {VOCAB_TOP_K}
 
 
 # ---------------------------------------------------------------------------
+# exact-N per-stratum sampling (deterministic reservoir)
+# ---------------------------------------------------------------------------
+
+#: exact number of documents to keep per source
+RESERVOIR_N = 12
+
+
+def q_pipeline_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-N-per-source sampling: rank documents within each source by
+    a deterministic md5 of the doc key and keep the first RESERVOIR_N —
+    the exact-size counterpart of rate-based stratified sampling (which
+    only hits N in expectation). Deterministic: a re-run, a recovered
+    partition, or the DuckDB oracle selects the identical sample.
+
+    Scale shape: one window partitioned BY SOURCE (parallelism = number of
+    strata; each partition holds one stratum and top-N short-circuits the
+    sort). For a skewed mega-stratum, pre-filtering by an approximate
+    hash-threshold would bound the sorted set; at 20 sources x fixture
+    sizes the plain window is the right plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    rank_hash = F.md5(F.concat(F.lit("res:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(rank_hash.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= RESERVOIR_N)
+        .select("doc_id", "source", "lang", F.col("rk").alias("sample_rank"))
+    )
+
+
+_RESERVOIR_ORACLE = f"""
+SELECT doc_id, source, lang, sample_rank
+FROM (
+  SELECT doc_id, source, lang,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('res:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS sample_rank
+  FROM documents
+)
+WHERE sample_rank <= {RESERVOIR_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# inverse-frequency (temperature) mixture weighting
+# ---------------------------------------------------------------------------
+
+#: temperature for mixture reweighting, as an exact rational (numerator,
+#: denominator) so the power computes as integer-exact cross products in
+#: neither engine... pow() IS engine-deterministic for 0.5 via sqrt, which
+#: both engines IEEE-round correctly, so T=1/2 keeps the oracle exact.
+MIX_TEMPERATURE = 0.5
+
+
+def q_pipeline_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights per source: w_s ∝ tokens_s^T
+    with T=0.5 (up-weights small sources, the standard multilingual /
+    multi-domain rebalancing rule). One aggregate for per-source token
+    totals, one 1-row max broadcast back. Weights are reported relative
+    to the LARGEST source (mix_weight = w_raw / max(w_raw)): max is
+    reduction-order-independent where a float sum is not, and sqrt is
+    correctly-rounded IEEE in both engines — so the gate stays exactly
+    deterministic (a sum-normalized weight differed by 1 ulp between
+    engines; the loader renormalizes however it likes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.withColumn("toks", tx.tokens_col("text"))
+        .groupBy("source")
+        .agg(F.sum(F.size("toks")).alias("n_tokens"))
+        .withColumn("w_raw", F.sqrt(F.col("n_tokens").cast("double")))
+    )
+    top = per.agg(F.max("w_raw").alias("w_max"))
+    return per.crossJoin(F.broadcast(top)).select(
+        "source",
+        "n_tokens",
+        "w_raw",
+        (F.col("w_raw") / F.col("w_max")).alias("mix_weight"),
+    )
+
+
+_MIX_WEIGHTS_ORACLE = f"""
+WITH per AS (
+  SELECT source,
+         CAST(sum(len({tx.tokens_sql("text")})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+), w AS (
+  SELECT source, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS w_raw FROM per
+)
+SELECT source, n_tokens, w_raw,
+       w_raw / (SELECT max(w_raw) FROM w) AS mix_weight
+FROM w
+"""
+
+
+# ---------------------------------------------------------------------------
 # sub-document span dedup (C4-style duplicate-span removal signal)
 # ---------------------------------------------------------------------------
 
@@ -745,6 +840,10 @@ SPECS = [
         "pipeline_commonness_score", q_pipeline_commonness_score, _COMMONNESS_ORACLE
     ),
     QuerySpec("pipeline_span_dedup", q_pipeline_span_dedup, _SPAN_DEDUP_ORACLE),
+    QuerySpec(
+        "pipeline_reservoir_sample", q_pipeline_reservoir_sample, _RESERVOIR_ORACLE
+    ),
+    QuerySpec("pipeline_mix_weights", q_pipeline_mix_weights, _MIX_WEIGHTS_ORACLE),
     QuerySpec(
         "pipeline_chunk_documents", q_pipeline_chunk_documents, _CHUNK_ORACLE
     ),
