@@ -240,6 +240,50 @@ def q_analytics_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_analytics_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUILT-IN gap-based sessionizer: ``F.session_window`` compiles to
+    Spark's native UpdatingSessionsExec + merging aggregate — one shuffle
+    on the user key, sessions merged inside the aggregate operator with no
+    window-function pass at all (the idiomatic form of q_analytics_sessions;
+    also the exact construct the streaming plane would use with a
+    watermark). Semantics note: session_window starts a NEW session when
+    the gap is >= the timeout (the window end bound is exclusive), so the
+    oracle uses >= where the lag-marker form uses >."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", f"{SESSION_GAP_MIN} minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+_SESSION_WINDOW_ORACLE = f"""
+WITH marked AS (
+  SELECT user_id, ts,
+    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= {SESSION_GAP_MIN * 60}
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
+       count(*) AS n_events
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
 _SESSIONS_ORACLE = f"""
 WITH marked AS (
   SELECT user_id, ts, event_id,
@@ -1583,6 +1627,9 @@ SPECS = [
     QuerySpec("analytics_top_customers", q_analytics_top_customers, _TOP_CUSTOMERS_ORACLE),
     QuerySpec("analytics_events_hourly", q_analytics_events_hourly, _EVENTS_HOURLY_ORACLE),
     QuerySpec("analytics_sessions", q_analytics_sessions, _SESSIONS_ORACLE),
+    QuerySpec(
+        "analytics_session_window", q_analytics_session_window, _SESSION_WINDOW_ORACLE
+    ),
     QuerySpec(
         "analytics_parts_never_ordered",
         q_analytics_parts_never_ordered,
