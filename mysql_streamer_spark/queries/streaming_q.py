@@ -118,6 +118,47 @@ FROM agg WHERE session_id < last_sess
 """
 
 
+def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of analytics_session_window: native session_window
+    under a watermark in append mode. The fixture arrives as one
+    micro-batch, so the final watermark is max(ts) - 1h and the sink holds
+    exactly the sessions whose end (last event + 30 min gap) the watermark
+    passed — the oracle applies the same finalization predicate to the
+    batch sessionization (>= gap boundary: session_window's end bound is
+    exclusive)."""
+    from mysql_streamer_spark.streaming.runner import run_session_window_stream
+
+    work = _staged_source(sf_dir)
+    run_session_window_stream(spark, f"{work}/src", f"{work}/out", f"{work}/ckpt")
+    return spark.read.parquet(f"{work}/out")
+
+
+_SESSION_WINDOW_STREAM_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts,
+    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM marked
+), agg AS (
+  SELECT user_id,
+         min(ts) AS session_start,
+         max(ts) + INTERVAL 30 MINUTE AS session_end,
+         count(*) AS n_events
+  FROM sess
+  GROUP BY user_id, sid
+)
+SELECT user_id, session_start, session_end, n_events
+FROM agg, (SELECT max(ts) AS max_ts FROM events)
+WHERE session_end <= max_ts - INTERVAL 1 HOUR
+"""
+
+
 def q_streaming_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained latest-state table: one-file-per-trigger
     micro-batches upsert into a generation-versioned keyed table
@@ -188,5 +229,10 @@ SPECS = [
         "streaming_upsert_state",
         q_streaming_upsert_state,
         _LATEST_STATE_ORACLE,
+    ),
+    QuerySpec(
+        "streaming_session_window",
+        q_streaming_session_window,
+        _SESSION_WINDOW_STREAM_ORACLE,
     ),
 ]

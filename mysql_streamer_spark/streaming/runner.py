@@ -210,6 +210,43 @@ def run_windowed_stream(
     query.awaitTermination()
 
 
+def run_session_window_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    max_files_per_trigger: int = 32,
+) -> None:
+    """Watermarked SESSION-window aggregation to an append-mode sink — the
+    native merging-session operator under streaming state. A session emits
+    only once the watermark passes its end (last event + gap), so emitted
+    sessions are final even with out-of-order events inside the delay;
+    sessions still open when the stream drains stay in state, withheld."""
+    events = load_events_stream(spark, source_dir, max_files_per_trigger)
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    query = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
 def run_interval_join_stream(
     spark: SparkSession,
     source_dir: str,
