@@ -400,6 +400,100 @@ FROM joined
 """
 
 
+# ---------------------------------------------------------------------------
+# bigram collocations by PMI (integer-exact scoring)
+# ---------------------------------------------------------------------------
+
+#: bigrams rarer than this corpus-wide are noise, not collocations
+PMI_MIN_COUNT = 20
+PMI_TOP_K = 40
+
+
+def q_text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations: bigrams ranked by pointwise mutual information.
+    The PMI ordering key is computed as ONE division of exact integer
+    cross-products — c_ab * N / (c_a * c_b) — so both engines produce the
+    identical double (no log(), which is not correctly-rounded and would
+    flake the gate; monotone in true PMI, so the ranking is identical).
+
+    Scale shape: two word-counts (unigrams, bigrams) with map-side
+    partials, then the bigram table joins the unigram counts twice —
+    vocabulary-sized dimensions, AQE picks broadcast vs shuffle — and a
+    TakeOrdered top-k. Nothing wider than (word, word, count) moves."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.withColumn("toks", tx.tokens_col("text"))
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c_w"))
+    )
+    bi = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(toks) >= 2 THEN "
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> struct(toks[i - 1] AS w1, toks[i] AS w2)) "
+                    "ELSE array() END"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_COUNT)
+    )
+    # corpus token total as a 1-row broadcast — keeps the whole query one
+    # lazy plan with no driver-side action
+    n_total = uni.agg(F.sum("c_w").alias("n_total"))
+    scored = (
+        bi.join(uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_a")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_b")), "w2")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "pmi_ratio",
+            (F.col("c_ab") * F.col("n_total")).cast("double")
+            / (F.col("c_a") * F.col("c_b")).cast("double"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("pmi_ratio").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(PMI_TOP_K)
+        .select("w1", "w2", "c_ab", "c_a", "c_b", "pmi_ratio")
+    )
+
+
+_BIGRAM_PMI_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {tx.tokens_sql("text")} AS toks FROM documents
+), uni AS (
+  SELECT w, count(*) AS c_w
+  FROM (SELECT unnest(toks) AS w FROM tok)
+  GROUP BY 1
+), n AS (
+  SELECT CAST(sum(c_w) AS BIGINT) AS n_total FROM uni
+), bi AS (
+  SELECT b.w1, b.w2, count(*) AS c_ab
+  FROM (
+    SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                  i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS b
+    FROM tok WHERE len(toks) >= 2
+  )
+  GROUP BY 1, 2
+  HAVING count(*) >= {PMI_MIN_COUNT}
+)
+SELECT w1, w2, c_ab, ua.c_w AS c_a, ub.c_w AS c_b,
+       CAST(c_ab * n_total AS DOUBLE) / CAST(ua.c_w * ub.c_w AS DOUBLE)
+         AS pmi_ratio
+FROM bi
+JOIN uni ua ON bi.w1 = ua.w
+JOIN uni ub ON bi.w2 = ub.w
+CROSS JOIN n
+ORDER BY pmi_ratio DESC, w1 ASC, w2 ASC
+LIMIT {PMI_TOP_K}
+"""
+
+
 SPECS = [
     QuerySpec("text_token_stats", q_text_token_stats, _TOKEN_STATS_ORACLE),
     QuerySpec("text_repetition", q_text_repetition, _REPETITION_ORACLE),
@@ -411,4 +505,5 @@ SPECS = [
     QuerySpec("text_fingerprint", q_text_fingerprint, _FINGERPRINT_ORACLE),
     QuerySpec("text_rolling_hash", q_text_rolling_hash, _ROLLING_ORACLE),
     QuerySpec("text_source_profile", q_text_source_profile, _SOURCE_PROFILE_ORACLE),
+    QuerySpec("text_bigram_pmi", q_text_bigram_pmi, _BIGRAM_PMI_ORACLE),
 ]

@@ -31,6 +31,8 @@ _BNLJ_OK = {
     "analytics_inactive_customers",
     # the 1-row max-weight scalar crossed back onto the 20-row source dim
     "pipeline_mix_weights",
+    # the 1-row corpus-token-total scalar crossed onto the bigram table
+    "text_bigram_pmi",
     # the global stock-value total is a 1-row broadcast crossed with per-part
     "analytics_important_stock",
 }
@@ -105,6 +107,7 @@ def test_envelope_scan_is_column_pruned(spark, sf_dir):
 _SINGLE_PARTITION_OK = {
     "cdc_heartbeat_lag",            # 1-row max broadcast back onto the stream
     "pipeline_mix_weights",         # 1-row max-weight broadcast back
+    "text_bigram_pmi",              # 1-row corpus-total broadcast back
     "analytics_conversion_funnel",  # three 1-row stage counts
     "analytics_small_qty_revenue",  # single-row revenue total
     "analytics_brand_disjunction",  # single-row revenue total
