@@ -21,6 +21,7 @@ _SKIP = {
     "streaming_dedup_replay",
     "streaming_interval_join",
     "streaming_upsert_state",
+    "streaming_session_window",
 }
 
 
