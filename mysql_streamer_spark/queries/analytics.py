@@ -16,6 +16,8 @@ Plan-shape notes per query are in the docstrings; the common rules:
 
 from __future__ import annotations
 
+import pandas
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1584,6 +1586,86 @@ SELECT
 """
 
 
+# ---------------------------------------------------------------------------
+# explicit GROUPING SETS (the third grouping shape next to ROLLUP and CUBE)
+# ---------------------------------------------------------------------------
+
+def q_analytics_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY GROUPING SETS ((lang), (source), (lang, source)) — the
+    hand-picked-granularity shape (unlike ROLLUP's prefix chain or CUBE's
+    powerset). Compiles to one Expand + one hash aggregate: each input row
+    fans out to exactly the 3 requested groupings with map-side partials,
+    so cost is 3x a plain groupBy, never the 4x a CUBE would pay here."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupingSets([["lang"], ["source"], ["lang", "source"]], "lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+_GROUPING_SETS_ORACLE = """
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       grouping(lang) * 2 + grouping(source) AS gid
+FROM documents
+GROUP BY GROUPING SETS ((lang), (source), (lang, source))
+"""
+
+
+# ---------------------------------------------------------------------------
+# pandas grouped-aggregate UDAF (Arrow-batched custom aggregate surface)
+# ---------------------------------------------------------------------------
+
+def q_analytics_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDAF surface: a pandas grouped-aggregate UDF (Arrow-batched,
+    whole group per call) computing each language's document count, total
+    chars, and largest doc. All integer math — numpy int64 sums are exact
+    in any accumulation order, so the Python path hash-matches the SQL
+    oracle (a float mean here would be order-dependent and flake).
+
+    Scale note: grouped-agg pandas UDFs hold ONE GROUP in memory per call
+    — fine on bounded per-language volumes; for unbounded groups prefer
+    algebraic built-ins (which is why every other aggregate in this repo
+    is one). The operator exists to pin the custom-UDAF surface."""
+    from pyspark.sql.functions import pandas_udf
+
+    # annotations must resolve from module globals (PEP 563 is active in
+    # this file), hence the module-level pandas import below
+    @pandas_udf("long")
+    def n_docs(v: pandas.Series) -> int:
+        # count as a pandas aggregate too: Spark refuses to mix grouped-agg
+        # pandas UDFs with JVM aggregates in one agg()
+        return int(len(v))
+
+    @pandas_udf("long")
+    def total_chars(v: pandas.Series) -> int:
+        return int(v.sum())
+
+    @pandas_udf("long")
+    def max_chars(v: pandas.Series) -> int:
+        return int(v.max())
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        n_docs("n_chars").alias("n_docs"),
+        total_chars("n_chars").alias("total_chars"),
+        max_chars("n_chars").alias("max_chars"),
+    )
+
+
+_PANDAS_UDAF_ORACLE = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       max(n_chars) AS max_chars
+FROM documents
+GROUP BY lang
+"""
+
+
 SPECS = [
     QuerySpec("analytics_pricing_summary", q_analytics_pricing_summary, _PRICING_ORACLE),
     QuerySpec(
@@ -1636,6 +1718,10 @@ SPECS = [
         _PARTS_ANTI_ORACLE,
     ),
     QuerySpec("analytics_rollup", q_analytics_rollup, _ROLLUP_ORACLE),
+    QuerySpec(
+        "analytics_grouping_sets", q_analytics_grouping_sets, _GROUPING_SETS_ORACLE
+    ),
+    QuerySpec("analytics_pandas_udaf", q_analytics_pandas_udaf, _PANDAS_UDAF_ORACLE),
     QuerySpec("analytics_user_retention", q_analytics_user_retention, _RETENTION_ORACLE),
     QuerySpec("analytics_cube", q_analytics_cube, _CUBE_ORACLE),
     QuerySpec("analytics_events_sliding", q_analytics_events_sliding, _SLIDING_ORACLE),

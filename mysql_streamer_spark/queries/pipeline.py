@@ -527,6 +527,69 @@ LIMIT {VOCAB_TOP_K}
 
 
 # ---------------------------------------------------------------------------
+# Python UDTF chunker (the table-function surface)
+# ---------------------------------------------------------------------------
+
+#: fixed chunk width (tokens) for the UDTF form; remainder forms the last chunk
+UDTF_CHUNK_TOKENS = 40
+
+
+def q_pipeline_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDTF surface: a Python table function lateral-joined per
+    document, splitting the token stream into fixed UDTF_CHUNK_TOKENS
+    blocks and emitting (chunk_id, n_tokens, md5 chunk key) rows. The
+    md5 is computed in PYTHON (hashlib) and checked against DuckDB's md5
+    — pinning the UDTF execution path end-to-end, like the Arrow kernels.
+
+    Scale shape: the UDTF is a per-row map (one doc in, its chunks out)
+    inside the scan stage — no shuffle, and chunk keys (not text) are
+    what downstream stages move. Prefer the declarative transform()
+    form (pipeline_chunk_documents) when expressible; the UDTF exists
+    for logic that genuinely needs imperative Python per row."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id long, chunk_id int, n_tokens int, chunk_hash string")
+    class ChunkDoc:
+        def eval(self, doc_id: int, text: str):
+            import hashlib
+
+            toks = text.split(" ")
+            w = UDTF_CHUNK_TOKENS
+            for i in range(0, len(toks), w):
+                piece = " ".join(toks[i : i + w])
+                yield (
+                    doc_id,
+                    i // w,
+                    len(toks[i : i + w]),
+                    hashlib.md5(piece.encode()).hexdigest(),
+                )
+
+    spark.udtf.register("chunk_doc_udtf", ChunkDoc)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
+    return spark.sql(
+        "SELECT c.doc_id, c.chunk_id, c.n_tokens, c.chunk_hash "
+        "FROM documents_v d, LATERAL chunk_doc_udtf(d.doc_id, d.text) c"
+    )
+
+
+_CHUNK_UDTF_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {tx.tokens_sql("text")} AS toks FROM documents
+)
+SELECT doc_id,
+       CAST(i - 1 AS INT) AS chunk_id,
+       CAST(len(toks[(i - 1) * {UDTF_CHUNK_TOKENS} + 1 : i * {UDTF_CHUNK_TOKENS}]) AS INT)
+         AS n_tokens,
+       md5(array_to_string(
+         toks[(i - 1) * {UDTF_CHUNK_TOKENS} + 1 : i * {UDTF_CHUNK_TOKENS}], ' '))
+         AS chunk_hash
+FROM tok,
+     unnest(generate_series(1,
+       CAST((len(toks) + {UDTF_CHUNK_TOKENS - 1}) // {UDTF_CHUNK_TOKENS} AS INT))) AS t(i)
+"""
+
+
+# ---------------------------------------------------------------------------
 # exact-N per-stratum sampling (deterministic reservoir)
 # ---------------------------------------------------------------------------
 
@@ -844,6 +907,7 @@ SPECS = [
         "pipeline_reservoir_sample", q_pipeline_reservoir_sample, _RESERVOIR_ORACLE
     ),
     QuerySpec("pipeline_mix_weights", q_pipeline_mix_weights, _MIX_WEIGHTS_ORACLE),
+    QuerySpec("pipeline_chunk_udtf", q_pipeline_chunk_udtf, _CHUNK_UDTF_ORACLE),
     QuerySpec(
         "pipeline_chunk_documents", q_pipeline_chunk_documents, _CHUNK_ORACLE
     ),
