@@ -36,6 +36,21 @@ from pyspark.sql import functions as F
 from mysql_streamer_spark.cdc.pipeline import envelope_pipeline_df
 
 
+#: Production state backend: RocksDB keeps stateful-operator state (dedup
+#: keys, session windows, join buffers) on local disk with incremental
+#: checkpointing — at 100 TB/day the dedup/session state exceeds executor
+#: heap, where the default in-memory HDFS-backed provider OOMs. Bundled
+#: with Spark 4; set before a query's FIRST start (the provider is fixed
+#: per checkpoint lineage).
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+
+
 def load_events_stream(
     spark: SparkSession, source_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
@@ -152,6 +167,7 @@ def run_dedup_stream(
     O(events/horizon). Tests use an effectively-infinite delay so the
     assertion is exact.
     """
+    use_rocksdb_state(spark)
     events = load_events_stream(spark, source_dir, max_files_per_trigger)
     deduped = (
         events.withWatermark("ts", watermark)
@@ -188,6 +204,7 @@ def run_windowed_stream(
     finalizes. Windows still open when the stream drains are withheld —
     exactly-once rather than maybe-updated-later.
     """
+    use_rocksdb_state(spark)
     events = load_events_stream(spark, source_dir, max_files_per_trigger)
     agg = (
         events.withWatermark("ts", watermark)
@@ -224,6 +241,7 @@ def run_session_window_stream(
     only once the watermark passes its end (last event + gap), so emitted
     sessions are final even with out-of-order events inside the delay;
     sessions still open when the stream drains stay in state, withheld."""
+    use_rocksdb_state(spark)
     events = load_events_stream(spark, source_dir, max_files_per_trigger)
     agg = (
         events.withWatermark("ts", watermark)
@@ -277,6 +295,7 @@ def run_interval_join_stream(
     can never be retracted), so replay + the file sink's transactional
     commit log keeps the output exactly-once.
     """
+    use_rocksdb_state(spark)
     purchases = (
         load_events_stream(spark, source_dir, max_files_per_trigger=1)
         .filter(F.col("event_type") == "purchase")

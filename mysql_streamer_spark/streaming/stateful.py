@@ -88,8 +88,12 @@ def run_session_stream(
     spark, source_dir: str, out_dir: str, checkpoint_dir: str,
     max_files_per_trigger: int = 1,
 ) -> None:
-    from mysql_streamer_spark.streaming.runner import load_events_stream
+    from mysql_streamer_spark.streaming.runner import (
+        load_events_stream,
+        use_rocksdb_state,
+    )
 
+    use_rocksdb_state(spark)
     events = load_events_stream(spark, source_dir, max_files_per_trigger)
     query = (
         sessionize_stream(events)
