@@ -90,6 +90,125 @@ def _transforms_values_sql() -> str:
     )
 
 
+def q_schema_registry_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-compatibility classification between CONSECUTIVE versions of
+    every table — the reference's Schematizer performs exactly this check
+    before accepting a new Avro schema (components/schema_wrapper.py:97-141
+    registers old+new+ALTER so the registry can judge the evolution).
+    Column sets and name:type signatures diff via array ops over the parsed
+    struct JSON; the verdict CASE is shared text with the oracle so the two
+    engines CLASSIFY independently from the same replayed registry state."""
+    from pyspark.sql import Window
+
+    state = bootstrap_registry().to_dataframe(spark, latest_only=False)
+    fields_schema = (
+        "STRUCT<fields: ARRAY<STRUCT<name: STRING, type: STRING>>>"
+    )
+    parsed = state.select(
+        "database",
+        "table",
+        "version",
+        F.expr(
+            f"transform(from_json(struct_json, '{fields_schema}').fields, f -> f.name)"
+        ).alias("names"),
+        F.expr(
+            f"transform(from_json(struct_json, '{fields_schema}').fields, "
+            "f -> concat(f.name, ':', f.type))"
+        ).alias("sigs"),
+    )
+    w = Window.partitionBy("database", "table").orderBy("version")
+    diffed = (
+        parsed.withColumn("prev_names", F.lag("names").over(w))
+        .withColumn("prev_sigs", F.lag("sigs").over(w))
+        .withColumn(
+            "n_added",
+            F.when(
+                F.col("prev_names").isNull(), F.lit(0)
+            ).otherwise(F.size(F.array_except("names", "prev_names"))),
+        )
+        .withColumn(
+            "n_dropped",
+            F.when(
+                F.col("prev_names").isNull(), F.lit(0)
+            ).otherwise(F.size(F.array_except("prev_names", "names"))),
+        )
+        .withColumn(
+            "n_type_changed",
+            F.when(F.col("prev_names").isNull(), F.lit(0)).otherwise(
+                F.expr(
+                    "size(filter(sigs, s -> "
+                    "array_contains(prev_names, split_part(s, ':', 1)) "
+                    "AND NOT array_contains(prev_sigs, s)))"
+                )
+            ),
+        )
+        .withColumn("is_initial", F.col("prev_names").isNull())
+    )
+    return diffed.select(
+        "database",
+        "table",
+        "version",
+        "n_added",
+        "n_dropped",
+        "n_type_changed",
+        F.expr(_COMPAT_CASE).alias("compat"),
+    )
+
+
+#: shared verdict text — identical SQL in both engines
+_COMPAT_CASE = """
+CASE WHEN is_initial THEN 'initial'
+     WHEN n_type_changed > 0 THEN 'type_change'
+     WHEN n_added > 0 AND n_dropped > 0 THEN 'rename_or_mixed'
+     WHEN n_added > 0 THEN 'add_columns'
+     WHEN n_dropped > 0 THEN 'drop_columns'
+     ELSE 'identical' END
+""".strip()
+
+
+def _compat_oracle() -> str:
+    return f"""
+WITH state AS ({registry_state_values_sql()})
+, parsed AS (
+  SELECT database, "table", version,
+    list_transform(
+      generate_series(0, CAST(json_array_length(struct_json, '$.fields') AS INT) - 1),
+      i -> json_extract_string(struct_json, '$.fields[' || i || '].name')
+    ) AS names,
+    list_transform(
+      generate_series(0, CAST(json_array_length(struct_json, '$.fields') AS INT) - 1),
+      i -> json_extract_string(struct_json, '$.fields[' || i || '].name') || ':'
+           || json_extract_string(struct_json, '$.fields[' || i || '].type')
+    ) AS sigs
+  FROM state
+), diffed AS (
+  SELECT database, "table", version, names, sigs,
+    lag(names) OVER w AS prev_names,
+    lag(sigs) OVER w AS prev_sigs
+  FROM parsed
+  WINDOW w AS (PARTITION BY database, "table" ORDER BY version)
+), counted AS (
+  SELECT database, "table", version,
+    prev_names IS NULL AS is_initial,
+    CASE WHEN prev_names IS NULL THEN 0
+         ELSE len(list_filter(names, n -> NOT list_contains(prev_names, n)))
+    END AS n_added,
+    CASE WHEN prev_names IS NULL THEN 0
+         ELSE len(list_filter(prev_names, n -> NOT list_contains(names, n)))
+    END AS n_dropped,
+    CASE WHEN prev_names IS NULL THEN 0
+         ELSE len(list_filter(sigs, s ->
+               list_contains(prev_names, split_part(s, ':', 1))
+               AND NOT list_contains(prev_sigs, s)))
+    END AS n_type_changed
+  FROM diffed
+)
+SELECT database, "table", version, n_added, n_dropped, n_type_changed,
+       {_COMPAT_CASE} AS compat
+FROM counted
+"""
+
+
 SPECS = [
     QuerySpec("schema_registry_state", q_schema_registry_state, registry_state_values_sql()),
     QuerySpec(
@@ -99,5 +218,8 @@ SPECS = [
     ),
     QuerySpec(
         "schema_registry_evolution", q_schema_registry_evolution, _evolution_values_sql()
+    ),
+    QuerySpec(
+        "schema_registry_compat", q_schema_registry_compat, _compat_oracle()
     ),
 ]
