@@ -161,3 +161,49 @@ def sample_frames(blobs: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return video.select("doc_id", "payload").mapInPandas(run, FRAMES_SCHEMA)
+
+
+#: Resize layout: every image downsamples to a fixed THUMB_PIXELS "pixels"
+#: (byte buckets averaged with exact integer floor division).
+THUMB_PIXELS = 16
+
+RESIZE_SCHEMA = (
+    "doc_id long, n_bytes int, thumb_hash string, thumb_mean double"
+)
+
+
+def resize_thumbnails(blobs: DataFrame) -> DataFrame:
+    """The resize stage of an image ingest pipeline, Arrow-batched: each
+    image payload downsamples to a fixed THUMB_PIXELS-bucket thumbnail
+    (bucket value = floor mean of its byte range — a box filter with the
+    real resample kernel stubbed out, since image libs are absent in this
+    container; the Spark-side plumbing — schema, batching, partitioning —
+    is the production shape). Emits the thumbnail's md5 (dedup/cache key)
+    and mean. Payload bytes never leave the stage."""
+    import hashlib
+
+    import pandas as pd
+
+    images = blobs.filter(F.col("media_type") == "image")
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "n_bytes", "thumb_hash", "thumb_mean")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                # bucket i covers [i*n//P, (i+1)*n//P) — exact integer bounds
+                thumb = bytes(
+                    (
+                        sum(b[i * n // THUMB_PIXELS : (i + 1) * n // THUMB_PIXELS])
+                        // max(1, (i + 1) * n // THUMB_PIXELS - i * n // THUMB_PIXELS)
+                    )
+                    for i in range(THUMB_PIXELS)
+                )
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(n)
+                out["thumb_hash"].append(hashlib.md5(thumb).hexdigest())
+                out["thumb_mean"].append(sum(thumb) / THUMB_PIXELS)
+            yield pd.DataFrame(out)
+
+    return images.select("doc_id", "payload").mapInPandas(run, RESIZE_SCHEMA)

@@ -123,7 +123,50 @@ FROM frames
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize/downsample stage (brief: decode / feature-extract /
+    resize / frame-sample): fixed-bucket box-filter thumbnails over image
+    payloads via mapInPandas. The oracle recomputes the bucket means, the
+    thumbnail bytes, and their md5 entirely in SQL, so the Python resize
+    path is value-checked end-to-end including the hash of the resized
+    artifact."""
+    from mysql_streamer_spark.multimodal import resize_thumbnails
+    from mysql_streamer_spark.tables import spread
+
+    blobs = with_media_blob(spread(load_table(spark, sf_dir, "documents")))
+    return resize_thumbnails(blobs)
+
+
+def _resize_oracle() -> str:
+    from mysql_streamer_spark.multimodal import THUMB_PIXELS
+
+    bucket_vals = ", ".join(
+        f"""CAST(list_sum(list_transform(generate_series(
+              {i} * n // {THUMB_PIXELS} + 1, ({i} + 1) * n // {THUMB_PIXELS}),
+              j -> ascii(substring(text, j, 1))))
+            // greatest(1, ({i} + 1) * n // {THUMB_PIXELS} - {i} * n // {THUMB_PIXELS})
+            AS INT)"""
+        for i in range(THUMB_PIXELS)
+    )
+    return f"""
+WITH img AS (
+  SELECT doc_id, text, length(text) AS n
+  FROM documents WHERE doc_id % 3 = 0
+), buckets AS (
+  SELECT doc_id, n, [{bucket_vals}] AS thumb
+  FROM img
+)
+SELECT doc_id,
+       CAST(n AS INT) AS n_bytes,
+       md5(list_reduce(list_transform(thumb, v -> chr(v)), (a, b) -> a || b))
+         AS thumb_hash,
+       CAST(list_sum(thumb) AS DOUBLE) / {THUMB_PIXELS} AS thumb_mean
+FROM buckets
+"""
+
+
 SPECS = [
+    QuerySpec("multimodal_resize", q_multimodal_resize, _resize_oracle()),
     QuerySpec("multimodal_metadata", q_multimodal_metadata, _METADATA_ORACLE),
     QuerySpec("multimodal_features", q_multimodal_features, _features_oracle()),
     QuerySpec("multimodal_frame_sample", q_multimodal_frame_sample, _frames_oracle()),
