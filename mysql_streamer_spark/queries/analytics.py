@@ -1587,6 +1587,46 @@ SELECT
 
 
 # ---------------------------------------------------------------------------
+# ranking-function sampler (the full window ranking surface in one pass)
+# ---------------------------------------------------------------------------
+
+def q_analytics_customer_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every ranking window function over one partition spec — rank,
+    dense_rank, percent_rank, cume_dist and ntile computed in a SINGLE
+    window pass (same partition + ordering => one shuffle, one sort, all
+    five functions evaluated together by WindowExec). percent_rank and
+    cume_dist are exact single divisions of window-local integer counts,
+    so they hash-match across engines. Partitioned by nation: ranking
+    parallelism is per-group, never a global sort."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.percent_rank().over(w).alias("bal_percent_rank"),
+        F.cume_dist().over(w).alias("bal_cume_dist"),
+        F.ntile(10).over(w).alias("bal_decile"),
+    )
+
+
+_CUSTOMER_RANKS_ORACLE = """
+SELECT c_custkey, c_nationkey, c_acctbal,
+       rank() OVER w AS bal_rank,
+       dense_rank() OVER w AS bal_dense_rank,
+       percent_rank() OVER w AS bal_percent_rank,
+       cume_dist() OVER w AS bal_cume_dist,
+       ntile(10) OVER w AS bal_decile
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+
+# ---------------------------------------------------------------------------
 # explicit GROUPING SETS (the third grouping shape next to ROLLUP and CUBE)
 # ---------------------------------------------------------------------------
 
@@ -1722,6 +1762,9 @@ SPECS = [
         "analytics_grouping_sets", q_analytics_grouping_sets, _GROUPING_SETS_ORACLE
     ),
     QuerySpec("analytics_pandas_udaf", q_analytics_pandas_udaf, _PANDAS_UDAF_ORACLE),
+    QuerySpec(
+        "analytics_customer_ranks", q_analytics_customer_ranks, _CUSTOMER_RANKS_ORACLE
+    ),
     QuerySpec("analytics_user_retention", q_analytics_user_retention, _RETENTION_ORACLE),
     QuerySpec("analytics_cube", q_analytics_cube, _CUBE_ORACLE),
     QuerySpec("analytics_events_sliding", q_analytics_events_sliding, _SLIDING_ORACLE),
