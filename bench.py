@@ -40,9 +40,26 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.mode("overwrite").format("noop").save()
 
+    # The r1-baseline subset runs FIRST: its timings are compared across
+    # rounds, so they must not absorb the JVM aging (code-cache, broadcast
+    # and GC pressure) of the ~110 queries that follow. Same per-query
+    # cold-plan methodology either way — only the order is pinned.
+    r1_first = (
+        "cdc_envelope",
+        "cdc_changelog",
+        "cdc_latest_state",
+        "cdc_heartbeat_lag",
+        "cdc_offset_lookup",
+        "cdc_message_counts",
+        "cdc_exactly_once_dedup",
+    )
+    specs = sorted(
+        all_specs(),
+        key=lambda s: (s.name not in r1_first, r1_first.index(s.name) if s.name in r1_first else 0),
+    )
     timings: dict[str, float] = {}
     total = 0.0
-    for spec in all_specs():
+    for spec in specs:
         t0 = time.time()
         run_query(spec.fn(spark, sf_dir))
         dt = round(time.time() - t0, 3)
