@@ -494,6 +494,50 @@ LIMIT {PMI_TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# the SQL-function API surface, value-checked against the DataFrame path
+# ---------------------------------------------------------------------------
+
+def q_text_sql_function_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring computed ENTIRELY through the registered SQL macros
+    (functions.register_sql_functions) over a temp view — the SQL-first
+    user's path. Shares text_quality's oracle: the DataFrame surface, the
+    SQL-function surface, and DuckDB must all agree value-for-value. The
+    macros inline into the plan (no Python UDF), so this compiles to the
+    same map-only codegen stage as the Column form."""
+    from mysql_streamer_spark.functions import register_sql_functions
+
+    register_sql_functions(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_sqlfn_v"
+    )
+    return spark.sql(
+        """
+        WITH tok AS (
+          SELECT doc_id, mss_tokens(text) AS toks FROM documents_sqlfn_v
+        ), counts AS (
+          SELECT doc_id,
+                 size(toks) AS n_tokens,
+                 size(array_distinct(toks)) AS n_distinct,
+                 mss_stopword_hits(toks) AS stop_hits
+          FROM tok
+        )
+        SELECT doc_id,
+               n_tokens,
+               CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                 AS distinct_ratio,
+               CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                 AS stopword_ratio,
+               mss_quality_score(n_tokens, n_distinct, stop_hits)
+                 AS quality_score,
+               mss_quality_class(
+                 mss_quality_score(n_tokens, n_distinct, stop_hits))
+                 AS quality_class
+        FROM counts
+        """
+    )
+
+
 SPECS = [
     QuerySpec("text_token_stats", q_text_token_stats, _TOKEN_STATS_ORACLE),
     QuerySpec("text_repetition", q_text_repetition, _REPETITION_ORACLE),
@@ -502,6 +546,9 @@ SPECS = [
         "text_langid_confusion", q_text_langid_confusion, _LANGID_CONFUSION_ORACLE
     ),
     QuerySpec("text_quality", q_text_quality, _QUALITY_ORACLE),
+    # the SQL-macro surface shares the oracle with the DataFrame path —
+    # the check proves the two engine surfaces agree bit-for-bit
+    QuerySpec("text_sql_function_api", q_text_sql_function_api, _QUALITY_ORACLE),
     QuerySpec("text_fingerprint", q_text_fingerprint, _FINGERPRINT_ORACLE),
     QuerySpec("text_rolling_hash", q_text_rolling_hash, _ROLLING_ORACLE),
     QuerySpec("text_source_profile", q_text_source_profile, _SOURCE_PROFILE_ORACLE),

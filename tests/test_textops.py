@@ -76,3 +76,17 @@ def test_rolling_hash_matches_python(spark):
     for ch in s:
         h = (h * tx2.ROLLING_BASE + ord(ch)) % tx2.ROLLING_MOD
     assert got == h
+
+
+def test_sql_function_surface_matches_dataframe_path(spark, sf_dir):
+    """The registered SQL macros and the Column builders must produce
+    identical quality rows (same constants, different API surfaces)."""
+    from mysql_streamer_spark.queries.textops import (
+        q_text_quality,
+        q_text_sql_function_api,
+    )
+
+    a = q_text_quality(spark, sf_dir)
+    b = q_text_sql_function_api(spark, sf_dir)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
