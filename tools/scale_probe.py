@@ -102,6 +102,93 @@ def probe_embeddings(spark, sf_dir: str, max_k: int) -> None:
         k *= 2
 
 
+def probe_kmeans(spark, sf_dir: str, max_k: int) -> None:
+    """k-means wall time vs corpus size: assignment is map-only against k
+    broadcast centroids and the update aggregate has fixed (k x dim)
+    output cardinality, so healthy behaviour is ~linear time in rows."""
+    from mysql_streamer_spark.tables import load_table
+    from mysql_streamer_spark.queries.similarity import kmeans_assignments
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    emb.count()
+    k = 1
+    while k <= max_k:
+        corpus = replicate_embeddings(emb, k, distinct=True).persist()
+        n_rows = corpus.count()
+        t0 = time.time()
+        n = kmeans_assignments(corpus).count()
+        dt = time.time() - t0
+        corpus.unpersist()
+        print(
+            json.dumps(
+                {"probe": "kmeans", "k": k, "rows": n_rows,
+                 "assigned": n, "sec": round(dt, 2)}
+            ),
+            flush=True,
+        )
+        k *= 2
+
+
+def probe_incremental(spark, sf_dir: str, max_k: int) -> None:
+    """Incremental delta-vs-index dedup: the index grows k-fold while the
+    delta stays the original corpus slice — healthy behaviour is cost
+    tracking the delta's collision count, not the index size."""
+    from pyspark.sql import functions as F
+    from mysql_streamer_spark.tables import load_table
+    from mysql_streamer_spark.queries.dedup import (
+        INCR_DELTA_MODULUS,
+        JACCARD_THRESHOLD,
+        MAX_BUCKET_SIZE,
+        lsh_bands,
+    )
+    from mysql_streamer_spark import text as tx
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.count()
+    delta = docs.filter(F.col("doc_id") % INCR_DELTA_MODULUS == 0)
+    k = 1
+    while k <= max_k:
+        index_corpus = replicate(
+            docs.filter(F.col("doc_id") % INCR_DELTA_MODULUS != 0), k, distinct=True
+        ).persist()
+        n_index = index_corpus.count()
+        t0 = time.time()
+        def _bands(d):
+            sh = (
+                d.withColumn("toks", tx.tokens_col("text"))
+                .withColumn("shingles", tx.shingles_col())
+                .filter(F.size("shingles") > 0)
+                .select("doc_id", "shingles")
+            )
+            return lsh_bands(sh, pre_shingled=True)
+        db = _bands(delta).withColumnRenamed("doc_id", "delta_id")
+        ib = _bands(index_corpus)
+        ok = (
+            ib.groupBy("band_id", "band_hash")
+            .agg(F.count("*").alias("bsz"))
+            .filter(F.col("bsz") <= MAX_BUCKET_SIZE)
+            .select("band_id", "band_hash")
+        )
+        n_cand = (
+            db.join(ib.join(ok, ["band_id", "band_hash"]), ["band_id", "band_hash"])
+            .select("delta_id", "doc_id")
+            .distinct()
+            .count()
+        )
+        dt = time.time() - t0
+        index_corpus.unpersist()
+        print(
+            json.dumps(
+                {"probe": "incremental_dedup", "k": k, "index_rows": n_index,
+                 "candidates": n_cand, "sec": round(dt, 2)}
+            ),
+            flush=True,
+        )
+        k *= 2
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     max_k = int(sys.argv[2]) if len(sys.argv) > 2 else 4
@@ -146,6 +233,8 @@ def main() -> int:
             )
         k *= 2
     probe_embeddings(spark, sf_dir, max_k)
+    probe_kmeans(spark, sf_dir, max_k)
+    probe_incremental(spark, sf_dir, max_k)
     return 0
 
 
