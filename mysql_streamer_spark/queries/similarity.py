@@ -730,6 +730,48 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# embedding corpus diagnostics (per-dimension health stats)
+# ---------------------------------------------------------------------------
+
+def q_sim_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus diagnostics — the health check an embedding
+    pipeline runs before trusting an index: per dim, the quantized min /
+    max / sum and the count of exact zeros (dead dimensions). All integer
+    aggregates over the posexploded (dim, qval) stream: one explode + one
+    hash aggregate with map-side partials on a DIM-cardinality key; the
+    mean is a final exact-int division."""
+    e = vx.with_quantized(_emb(spark, sf_dir)).select("vec_id", "qv")
+    per_dim = e.select(F.posexplode("qv").alias("dim", "qval"))
+    return per_dim.groupBy("dim").agg(
+        F.count("*").alias("n_vecs"),
+        F.min("qval").alias("min_q"),
+        F.max("qval").alias("max_q"),
+        F.sum("qval").alias("sum_q"),
+        F.sum((F.col("qval") == 0).cast("long")).alias("n_zero"),
+        (F.sum("qval").cast("double") / F.count("*").cast("double")).alias("mean_q"),
+    )
+
+
+_EMBEDDING_STATS_ORACLE = f"""
+WITH qe AS (
+  SELECT vec_id, {vx.quantized_sql("embedding")} AS qv FROM embeddings
+), per_dim AS (
+  SELECT i - 1 AS dim, qv[i] AS qval
+  FROM qe, unnest(generate_series(1, {vx.DIM})) AS t(i)
+)
+SELECT dim,
+       count(*) AS n_vecs,
+       min(qval) AS min_q,
+       max(qval) AS max_q,
+       CAST(sum(qval) AS BIGINT) AS sum_q,
+       CAST(sum(CASE WHEN qval = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       CAST(sum(qval) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_q
+FROM per_dim
+GROUP BY dim
+"""
+
+
+# ---------------------------------------------------------------------------
 # k-means clustering (Lloyd's algorithm, integer-exact)
 # ---------------------------------------------------------------------------
 
@@ -896,4 +938,5 @@ SPECS = [
     QuerySpec("sim_ivf_ann", q_sim_ivf_ann, _IVF_ORACLE),
     QuerySpec("sim_label_centroids", q_sim_label_centroids, _CENTROIDS_ORACLE),
     QuerySpec("sim_kmeans", q_sim_kmeans, _KMEANS_ORACLE),
+    QuerySpec("sim_embedding_stats", q_sim_embedding_stats, _EMBEDDING_STATS_ORACLE),
 ]
