@@ -19,6 +19,15 @@ from pyspark.sql import DataFrame, SparkSession
 def _ensure_utc(spark: SparkSession) -> None:
     # Timestamp columns must collect identically to DuckDB's UTC-naive ones.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # A vanilla session defaults to 200 shuffle partitions; AQE coalesces
+    # batch shuffles but STREAMING state partitioning is fixed at this
+    # number per checkpoint — size it to the local machine like our tuned
+    # session does.
+    try:
+        cores = spark.sparkContext.defaultParallelism
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(8, cores)))
+    except Exception:
+        pass
 
 
 def entry(spark: SparkSession) -> DataFrame:
