@@ -467,6 +467,59 @@ GROUP BY 1, 2
 """
 
 
+#: deterministic server UUID for the synthetic GTID stream (a real source
+#: reports its own; the fixture derives one constant)
+GTID_SOURCE_UUID = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+
+
+def q_cdc_gtid_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GTID-mode positions (the reference's SECOND position kind,
+    util/position.py:49-114 — GtidPosition vs LogPosition): every message
+    keyed by a `uuid:transaction_no` GTID derived from the widened
+    txn_order, plus the per-table GTID range a resume would need. The
+    gtid_set per (db, table) is what `_get_gtid_set` reconstructs on
+    restart; the aggregate is min/max over the same ordering key the
+    envelope already carries — one map-side-combinable pass."""
+    env = envelope_pipeline(spark, sf_dir)
+    gtid = F.concat_ws(
+        ":", F.lit(GTID_SOURCE_UUID), F.col("txn_order").cast("string")
+    )
+    return (
+        env.withColumn("gtid", gtid)
+        .groupBy("database_name", "table_name")
+        .agg(
+            F.count("*").alias("n_transactions"),
+            F.min("gtid").alias("first_gtid"),
+            F.max("gtid").alias("last_gtid"),
+            F.concat_ws(
+                ":",
+                F.lit(GTID_SOURCE_UUID),
+                F.concat(
+                    F.lit("1-"), F.max("txn_order").cast("string")
+                ),
+            ).alias("gtid_set"),
+        )
+    )
+
+
+_GTID_ORACLE = _ORACLE_PIPELINE_CTES + f"""
+, g AS (
+  SELECT database AS database_name, "table" AS table_name,
+         '{GTID_SOURCE_UUID}' || ':' || CAST(txn_order AS VARCHAR) AS gtid,
+         txn_order
+  FROM keyed
+)
+SELECT database_name, table_name,
+       count(*) AS n_transactions,
+       min(gtid) AS first_gtid,
+       max(gtid) AS last_gtid,
+       '{GTID_SOURCE_UUID}' || ':' || '1-' || CAST(max(txn_order) AS VARCHAR)
+         AS gtid_set
+FROM g
+GROUP BY 1, 2
+"""
+
+
 SPECS = [
     QuerySpec(
         "cdc_envelope",
@@ -474,6 +527,7 @@ SPECS = [
         _ORACLE_PIPELINE_CTES + _ENVELOPE_SELECT,
     ),
     QuerySpec("cdc_compacted_table", q_cdc_compacted_table, _COMPACTED_ORACLE),
+    QuerySpec("cdc_gtid_positions", q_cdc_gtid_positions, _GTID_ORACLE),
     QuerySpec("cdc_whitelist_envelope", q_cdc_whitelist_envelope, _WHITELIST_ORACLE),
     QuerySpec("cdc_scd2_history", q_cdc_scd2_history, _SCD2_ORACLE),
     QuerySpec("cdc_snapshot_reconcile", q_cdc_snapshot_reconcile, _RECONCILE_ORACLE),
