@@ -767,11 +767,11 @@ SPECS = [
     QuerySpec(
         "dedup_fuzzy_survivors", q_dedup_fuzzy_survivors, _FUZZY_SURVIVORS_ORACLE
     ),
-    QuerySpec("dedup_exact_survivors", q_dedup_exact_survivors, _EXACT_SURVIVORS_ORACLE),
+    QuerySpec("dedup_incremental", q_dedup_incremental, _INCREMENTAL_ORACLE),
     QuerySpec("dedup_minhash_bands", q_dedup_minhash_bands, _BANDS_ORACLE),
+    QuerySpec("dedup_simhash", q_dedup_simhash, _SIMHASH_ORACLE),
+    QuerySpec("dedup_exact_survivors", q_dedup_exact_survivors, _EXACT_SURVIVORS_ORACLE),
     QuerySpec("dedup_minhash_pairs", q_dedup_minhash_pairs, _PAIRS_ORACLE),
     QuerySpec("dedup_jaccard_ngram", q_dedup_jaccard_ngram, _JACCARD_NGRAM_ORACLE),
     QuerySpec("dedup_clusters", q_dedup_clusters, _CLUSTERS_ORACLE),
-    QuerySpec("dedup_simhash", q_dedup_simhash, _SIMHASH_ORACLE),
-    QuerySpec("dedup_incremental", q_dedup_incremental, _INCREMENTAL_ORACLE),
 ]

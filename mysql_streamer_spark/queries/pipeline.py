@@ -898,16 +898,17 @@ FROM run WHERE running_tokens <= {TOKEN_BUDGET}
 
 SPECS = [
     QuerySpec("pipeline_decontaminate", q_pipeline_decontaminate, _DECONTAMINATE_ORACLE),
+    QuerySpec("pipeline_span_dedup", q_pipeline_span_dedup, _SPAN_DEDUP_ORACLE),
     QuerySpec("pipeline_token_budget", q_pipeline_token_budget, _TOKEN_BUDGET_ORACLE),
+    QuerySpec("pipeline_chunk_udtf", q_pipeline_chunk_udtf, _CHUNK_UDTF_ORACLE),
+    QuerySpec("pipeline_quality_funnel", q_pipeline_quality_funnel, _funnel_oracle()),
     QuerySpec(
         "pipeline_commonness_score", q_pipeline_commonness_score, _COMMONNESS_ORACLE
     ),
-    QuerySpec("pipeline_span_dedup", q_pipeline_span_dedup, _SPAN_DEDUP_ORACLE),
     QuerySpec(
         "pipeline_reservoir_sample", q_pipeline_reservoir_sample, _RESERVOIR_ORACLE
     ),
     QuerySpec("pipeline_mix_weights", q_pipeline_mix_weights, _MIX_WEIGHTS_ORACLE),
-    QuerySpec("pipeline_chunk_udtf", q_pipeline_chunk_udtf, _CHUNK_UDTF_ORACLE),
     QuerySpec(
         "pipeline_chunk_documents", q_pipeline_chunk_documents, _CHUNK_ORACLE
     ),
@@ -916,7 +917,6 @@ SPECS = [
     QuerySpec(
         "pipeline_stratified_sample", q_pipeline_stratified_sample, _SAMPLE_ORACLE
     ),
-    QuerySpec("pipeline_quality_funnel", q_pipeline_quality_funnel, _funnel_oracle()),
     QuerySpec("pipeline_mix_report", q_pipeline_mix_report, _MIX_REPORT_ORACLE),
     QuerySpec("pipeline_pack_sequences", q_pipeline_pack_sequences, _PACK_ORACLE),
 ]

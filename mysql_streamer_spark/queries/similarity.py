@@ -923,20 +923,20 @@ _KMEANS_ORACLE = _kmeans_oracle()
 
 SPECS = [
     QuerySpec("sim_bruteforce_topk", q_sim_bruteforce_topk, _BRUTEFORCE_ORACLE),
+    QuerySpec("sim_kmeans", q_sim_kmeans, _KMEANS_ORACLE),
+    QuerySpec("sim_lsh_ann", q_sim_lsh_ann, _ANN_ORACLE),
+    QuerySpec(
+        "sim_neardup_survivors", q_sim_neardup_survivors, _NEARDUP_SURVIVORS_ORACLE
+    ),
+    QuerySpec("sim_embedding_stats", q_sim_embedding_stats, _EMBEDDING_STATS_ORACLE),
     # identical semantics to the brute-force baseline via the Arrow/numpy
     # path, so it shares the oracle — the check proves the two engine
     # paths agree bit-for-bit
     QuerySpec("sim_topk_vectorized", q_sim_topk_vectorized, _BRUTEFORCE_ORACLE),
     QuerySpec("sim_knn_classify", q_sim_knn_classify, _KNN_CLASSIFY_ORACLE),
     QuerySpec("sim_ann_recall", q_sim_ann_recall, _ANN_RECALL_ORACLE),
-    QuerySpec(
-        "sim_neardup_survivors", q_sim_neardup_survivors, _NEARDUP_SURVIVORS_ORACLE
-    ),
     QuerySpec("sim_lsh_buckets", q_sim_lsh_buckets, _BUCKETS_ORACLE),
-    QuerySpec("sim_lsh_ann", q_sim_lsh_ann, _ANN_ORACLE),
     QuerySpec("sim_cosine_neardup", q_sim_cosine_neardup, _NEARDUP_ORACLE),
     QuerySpec("sim_ivf_ann", q_sim_ivf_ann, _IVF_ORACLE),
     QuerySpec("sim_label_centroids", q_sim_label_centroids, _CENTROIDS_ORACLE),
-    QuerySpec("sim_kmeans", q_sim_kmeans, _KMEANS_ORACLE),
-    QuerySpec("sim_embedding_stats", q_sim_embedding_stats, _EMBEDDING_STATS_ORACLE),
 ]

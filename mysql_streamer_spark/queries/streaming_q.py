@@ -221,6 +221,11 @@ SPECS = [
         _DEDUP_REPLAY_ORACLE,
     ),
     QuerySpec(
+        "streaming_session_window",
+        q_streaming_session_window,
+        _SESSION_WINDOW_STREAM_ORACLE,
+    ),
+    QuerySpec(
         "streaming_interval_join",
         q_streaming_interval_join,
         _INTERVAL_JOIN_ORACLE,
@@ -229,10 +234,5 @@ SPECS = [
         "streaming_upsert_state",
         q_streaming_upsert_state,
         _LATEST_STATE_ORACLE,
-    ),
-    QuerySpec(
-        "streaming_session_window",
-        q_streaming_session_window,
-        _SESSION_WINDOW_STREAM_ORACLE,
     ),
 ]

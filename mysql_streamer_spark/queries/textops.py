@@ -542,15 +542,15 @@ SPECS = [
     QuerySpec("text_token_stats", q_text_token_stats, _TOKEN_STATS_ORACLE),
     QuerySpec("text_repetition", q_text_repetition, _REPETITION_ORACLE),
     QuerySpec("text_langid", q_text_langid, _LANGID_ORACLE),
+    QuerySpec("text_bigram_pmi", q_text_bigram_pmi, _BIGRAM_PMI_ORACLE),
+    QuerySpec("text_quality", q_text_quality, _QUALITY_ORACLE),
     QuerySpec(
         "text_langid_confusion", q_text_langid_confusion, _LANGID_CONFUSION_ORACLE
     ),
-    QuerySpec("text_quality", q_text_quality, _QUALITY_ORACLE),
     # the SQL-macro surface shares the oracle with the DataFrame path —
     # the check proves the two engine surfaces agree bit-for-bit
     QuerySpec("text_sql_function_api", q_text_sql_function_api, _QUALITY_ORACLE),
     QuerySpec("text_fingerprint", q_text_fingerprint, _FINGERPRINT_ORACLE),
     QuerySpec("text_rolling_hash", q_text_rolling_hash, _ROLLING_ORACLE),
     QuerySpec("text_source_profile", q_text_source_profile, _SOURCE_PROFILE_ORACLE),
-    QuerySpec("text_bigram_pmi", q_text_bigram_pmi, _BIGRAM_PMI_ORACLE),
 ]
