@@ -21,6 +21,7 @@ def all_specs() -> list[QuerySpec]:
         relational,
         schema_registry,
         similarity,
+        sketches,
         streaming_q,
         textops,
     )
@@ -41,6 +42,7 @@ def all_specs() -> list[QuerySpec]:
             dedup,
             similarity,
             pipeline,
+            sketches,
             analytics,
             relational,
         )

@@ -1,0 +1,191 @@
+"""Sketch operators over the ``events`` stream: HyperLogLog distinct-count
+sketches (Apache DataSketches, built into Spark as ``hll_sketch_agg`` /
+``hll_union_agg`` / ``hll_sketch_estimate``) and quantile sketches
+(``percentile_approx``).
+
+Why sketches are first-class at 100 TB: an exact COUNT(DISTINCT) over a
+high-cardinality key shuffles every distinct value; an HLL sketch is a
+fixed ~2^lgK-byte register array that partial-aggregates map-side and
+merges associatively — the shuffle moves ONE sketch per partition per
+group, independent of cardinality. Mergeability is the whole point: per-day
+sketches persisted once can answer any rollup (week, month, ad-hoc unions)
+without rescanning the raw data. The reference system has no analytics
+surface (it is a CDC relay); this family is part of the SURVEY.md §7
+phase-4/5 scale extension alongside dedup/similarity.
+
+Oracle discipline: a DuckDB oracle cannot reproduce DataSketches register
+values, but it CAN verify the *contract*: the estimate must land within the
+sketch's published error bound of the exact distinct count, and the merged
+(per-day union) estimate must equal the directly-computed whole-corpus
+estimate exactly (register-max merge is associative and order-insensitive,
+so both paths build the identical sketch). Each query therefore emits the
+EXACT answer plus boolean accuracy/merge-consistency flags; the oracle
+computes the exact answer and literal TRUEs. A hash match then proves the
+sketch path worked — far stronger than a rows-only check, without asking
+two engines to agree on register bits.
+
+Determinism notes: HLL estimates are order-insensitive (max over per-value
+register updates) — safe to emit the estimate value itself.
+``percentile_approx``'s GK summary is merge-order-DEPENDENT, so its raw
+value is not emitted, only its within-guarantee flag (rank error <= 1/acc
+is guaranteed for any merge order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_streamer_spark.queries.registry import QuerySpec
+from mysql_streamer_spark.tables import load_table
+
+#: lgConfigK = 12 -> 4 KiB sketch, relative standard error ~1.04/sqrt(2^12)
+#: = 1.6%. The accuracy flag allows 5 RSE (~8%) — loose enough to never
+#: flake, tight enough that a broken sketch path (e.g. double-counting)
+#: trips it.
+HLL_LG_K = 12
+HLL_REL_TOL = 0.08
+
+#: percentile_approx accuracy: rank error <= 1/PCT_ACCURACY of n.
+PCT_ACCURACY = 1000
+PCT_POINTS = (0.5, 0.95, 0.99)
+
+
+# ---------------------------------------------------------------------------
+# sketch_hll_distinct — per-event-type distinct users: exact + HLL-in-bound
+# ---------------------------------------------------------------------------
+
+def q_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group distinct-cardinality via HLL, validated against the exact
+    count computed in the same plan. At scale the exact branch is the one
+    you drop; here it doubles as the in-plan oracle anchor."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_distinct"),
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(HLL_LG_K))
+            ).alias("hll_estimate"),
+        )
+        .select(
+            "event_type",
+            "exact_distinct",
+            (
+                F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
+                <= F.col("exact_distinct") * HLL_REL_TOL
+            ).alias("hll_within_bound"),
+        )
+    )
+
+
+_HLL_DISTINCT_ORACLE = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_distinct,
+       TRUE AS hll_within_bound
+FROM events
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# sketch_hll_merge — per-day sketches union to the whole-corpus sketch
+# ---------------------------------------------------------------------------
+
+def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeability contract: build one sketch per day, union the
+    binary sketches with ``hll_union_agg``, and require the merged estimate
+    to EQUAL the direct whole-corpus estimate (register-max merge is
+    associative, so both paths produce identical registers no matter how
+    Spark partitions the data). This is the plan shape that replaces
+    re-scanning raw data for every rollup window at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(HLL_LG_K)).alias("day_sketch")
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("day_sketch")).alias("merged_estimate"),
+        F.count("*").alias("n_days"),
+    )
+    direct = ev.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(HLL_LG_K))
+        ).alias("direct_estimate"),
+        F.countDistinct("user_id").alias("exact_distinct"),
+    )
+    return merged.crossJoin(direct).select(
+        "n_days",
+        "exact_distinct",
+        (F.col("merged_estimate") == F.col("direct_estimate")).alias(
+            "merge_consistent"
+        ),
+        (
+            F.abs(F.col("merged_estimate") - F.col("exact_distinct"))
+            <= F.col("exact_distinct") * HLL_REL_TOL
+        ).alias("hll_within_bound"),
+    )
+
+
+_HLL_MERGE_ORACLE = """
+SELECT count(DISTINCT date_trunc('day', ts)) AS n_days,
+       count(DISTINCT user_id) AS exact_distinct,
+       TRUE AS merge_consistent,
+       TRUE AS hll_within_bound
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# sketch_quantile_bound — percentile_approx within its rank-error guarantee
+# ---------------------------------------------------------------------------
+
+def q_sketch_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GK quantile summary vs the exact percentile. The guarantee is on
+    RANK (within n/PCT_ACCURACY positions, i.e. quantile fraction within
+    1/PCT_ACCURACY), not value, so the check brackets the approximate VALUE
+    between the exact percentiles at p -/+ 2/PCT_ACCURACY (double the
+    guarantee to absorb interpolation at the band edges) — one single-pass
+    aggregate, no driver-side count. Only exact-derived values and the pass
+    flags are emitted (GK summary state is merge-order-dependent; its raw
+    value is not cross-engine stable)."""
+    ev = load_table(spark, sf_dir, "events").select("value")
+    band = 2.0 / PCT_ACCURACY
+    aggs = [F.count("*").alias("n")]
+    for p in PCT_POINTS:
+        tag = str(int(p * 100))
+        lo_q = max(0.0, p - band)
+        hi_q = min(1.0, p + band)
+        aggs += [
+            F.percentile_approx("value", F.lit(p), F.lit(PCT_ACCURACY)).alias(
+                f"approx_{tag}"
+            ),
+            F.expr(f"percentile(value, {lo_q!r})").alias(f"lo_{tag}"),
+            F.expr(f"percentile(value, {hi_q!r})").alias(f"hi_{tag}"),
+        ]
+    wide = ev.agg(*aggs)
+    out_cols = [F.col("n")]
+    for p in PCT_POINTS:
+        tag = str(int(p * 100))
+        out_cols.append(
+            (
+                (F.col(f"approx_{tag}") >= F.col(f"lo_{tag}"))
+                & (F.col(f"approx_{tag}") <= F.col(f"hi_{tag}"))
+            ).alias(f"p{tag}_within_bound")
+        )
+    return wide.select(*out_cols)
+
+
+def _quantile_oracle() -> str:
+    flags = ",\n       ".join(
+        f"TRUE AS p{int(p * 100)}_within_bound" for p in PCT_POINTS
+    )
+    return f"SELECT count(*) AS n,\n       {flags}\nFROM events"
+
+
+SPECS = [
+    QuerySpec("sketch_hll_distinct", q_sketch_hll_distinct, _HLL_DISTINCT_ORACLE),
+    QuerySpec("sketch_hll_merge", q_sketch_hll_merge, _HLL_MERGE_ORACLE),
+    QuerySpec(
+        "sketch_quantile_bound", q_sketch_quantile_bound, _quantile_oracle()
+    ),
+]
