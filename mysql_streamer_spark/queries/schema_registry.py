@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mysql_streamer_spark.queries.registry import QuerySpec
+from mysql_streamer_spark.tables import load_table
 from mysql_streamer_spark.schema.bootstrap import (
     bootstrap_registry,
     registry_state_values_sql,
@@ -209,8 +210,96 @@ FROM counted
 """
 
 
+def q_cdc_schema_version_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of schema resolution: every DML event is stamped with the schema
+    version IN EFFECT AT ITS POSITION, not the latest one — the reference's
+    true processing semantics (schema_wrapper.py resolves the tracker state
+    at the replay position; a row logged before an ALTER must decode with
+    the pre-ALTER schema). Refresh-twin tables resolve to their base
+    table's schema (the rerouting of
+    low_level_binlog_stream_reader_wrapper.py:114-127).
+
+    Scale shape: the version dimension is tiny and versions are converted
+    to validity INTERVALS driver-side, so resolution is one broadcast join
+    in which each event matches exactly one version — map-side, no window,
+    no shuffle until the final per-version count (partial-aggregated).
+    """
+    from mysql_streamer_spark.cdc.source import (
+        HEARTBEAT_DB,
+        REFRESH_SUFFIX,
+        events_as_cdc,
+    )
+    from mysql_streamer_spark.schema.bootstrap import versioned_dim_df
+
+    cdc = events_as_cdc(load_table(spark, sf_dir, "events")).filter(
+        (F.col("database") != HEARTBEAT_DB) & (F.col("database") != "test")
+    )
+    cdc = cdc.withColumn(
+        "base_table", F.replace(F.col("table"), F.lit(REFRESH_SUFFIX), F.lit(""))
+    )
+    dim = versioned_dim_df(spark)
+    joined = cdc.join(
+        F.broadcast(dim),
+        (cdc.database == dim.database)
+        & (cdc.base_table == dim.table)
+        & (cdc.timestamp >= dim.eff_ts)
+        & (dim.eff_end.isNull() | (cdc.timestamp < dim.eff_end)),
+        "inner",
+    )
+    return (
+        joined.groupBy(cdc.database, "base_table", "version", "schema_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("timestamp").alias("first_ts"),
+            F.max("timestamp").alias("last_ts"),
+        )
+        .select(
+            "database",
+            F.col("base_table").alias("table"),
+            "version",
+            "schema_id",
+            "n_events",
+            "first_ts",
+            "last_ts",
+        )
+    )
+
+
+def _version_routing_oracle() -> str:
+    from mysql_streamer_spark.cdc.source import ORACLE_CDC_EVENTS_CTE
+    from mysql_streamer_spark.schema.bootstrap import versioned_dim_values_sql
+
+    return f"""
+WITH {ORACLE_CDC_EVENTS_CTE.strip()}
+, dim AS ({versioned_dim_values_sql()})
+, routed AS (
+  SELECT cdc.database, replace(cdc."table", '_data_pipeline_refresh', '')
+           AS base_table,
+         dim.version, dim.schema_id, cdc.timestamp
+  FROM cdc
+  JOIN dim
+    ON cdc.database = dim.database
+   AND replace(cdc."table", '_data_pipeline_refresh', '') = dim."table"
+   AND cdc.timestamp >= dim.eff_ts
+   AND (dim.eff_end IS NULL OR cdc.timestamp < dim.eff_end)
+  WHERE cdc.database NOT IN ('yelp_heartbeat', 'test')
+)
+SELECT database, base_table AS "table", version, schema_id,
+       count(*) AS n_events,
+       min(timestamp) AS first_ts,
+       max(timestamp) AS last_ts
+FROM routed
+GROUP BY database, base_table, version, schema_id
+"""
+
+
 SPECS = [
     QuerySpec("schema_registry_state", q_schema_registry_state, registry_state_values_sql()),
+    QuerySpec(
+        "cdc_schema_version_routing",
+        q_cdc_schema_version_routing,
+        _version_routing_oracle(),
+    ),
     QuerySpec(
         "schema_registry_transforms",
         q_schema_registry_transforms,

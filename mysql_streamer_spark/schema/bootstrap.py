@@ -117,6 +117,79 @@ def schemas_values_sql() -> str:
     return f'SELECT * FROM (VALUES {rows}) AS t(database, "table", schema_id)'
 
 
+#: Deterministic effective-from instants for schema versions (the binlog
+#: position at which each DDL took effect, projected onto the fixture's
+#: January-2024 event clock). v1 predates the stream; each later version of
+#: the i-th multi-version table (lexicographic) cuts over at a distinct
+#: mid-stream day so the as-of routing genuinely splits the events.
+VERSION_EPOCH = "2023-12-01 00:00:00"
+
+
+def _version_cut(multi_idx: int, version: int) -> str:
+    day = 5 + 3 * multi_idx + 8 * (version - 2)
+    return f"2024-01-{day:02d} 00:00:00"
+
+
+@lru_cache(maxsize=1)
+def versioned_dim_rows() -> list[tuple[str, str, int, int, str, str | None]]:
+    """(database, table, version, schema_id, eff_ts, eff_end) — every schema
+    version with its validity interval [eff_ts, eff_end). The interval form
+    turns as-of resolution into a broadcastable equi/range join: each event
+    matches EXACTLY ONE version, map-side, no window shuffle."""
+    reg = bootstrap_registry()
+    multi = sorted(
+        (db, t) for db, t in reg.tables() if len(reg.history(db, t)) > 1
+    )
+    midx = {key: i for i, key in enumerate(multi)}
+    rows: list[tuple[str, str, int, int, str, str | None]] = []
+    for db, table in reg.tables():
+        hist = reg.history(db, table)
+        cuts = [VERSION_EPOCH] + [
+            _version_cut(midx[(db, table)], e.version) for e in hist[1:]
+        ]
+        for i, e in enumerate(hist):
+            eff_end = cuts[i + 1] if i + 1 < len(cuts) else None
+            rows.append((db, table, e.version, e.schema_id, cuts[i], eff_end))
+    return rows
+
+
+def versioned_dim_df(spark: SparkSession) -> DataFrame:
+    df = spark.createDataFrame(
+        versioned_dim_rows(),
+        schema="database string, table string, version int, schema_id int, "
+        "eff_ts string, eff_end string",
+    )
+    from pyspark.sql import functions as F
+
+    return df.select(
+        "database",
+        "table",
+        "version",
+        "schema_id",
+        F.to_timestamp("eff_ts").alias("eff_ts"),
+        F.to_timestamp("eff_end").alias("eff_end"),
+    )
+
+
+def versioned_dim_values_sql() -> str:
+    """The identical interval dimension as a DuckDB VALUES CTE body."""
+    rows = ", ".join(
+        "('{}', '{}', {}, {}, TIMESTAMP '{}', {})".format(
+            db,
+            table,
+            version,
+            sid,
+            eff,
+            f"TIMESTAMP '{end}'" if end is not None else "CAST(NULL AS TIMESTAMP)",
+        )
+        for db, table, version, sid, eff, end in versioned_dim_rows()
+    )
+    return (
+        f'SELECT * FROM (VALUES {rows}) AS t(database, "table", version, '
+        "schema_id, eff_ts, eff_end)"
+    )
+
+
 def _sq(s: str) -> str:
     return s.replace("'", "''")
 
