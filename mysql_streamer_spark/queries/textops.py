@@ -538,8 +538,154 @@ def q_text_sql_function_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer/Wilkerson/Aiken MOSS scheme)
+# ---------------------------------------------------------------------------
+
+#: winnowing guarantee window: any shared run of WINNOW_W consecutive
+#: k-gram hashes yields at least one shared fingerprint.
+WINNOW_W = 4
+
+
+def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints: min hash of every WINNOW_W-wide
+    window over the k-gram hash sequence, deduplicated — the
+    plagiarism-detection fingerprint set (guaranteed to catch any shared
+    substring of >= k + WINNOW_W - 1 tokens) at a fraction of the full
+    shingle set's size.
+
+    Scale shape: the whole selection is higher-order array functions INSIDE
+    each row — one scan, zero shuffles, no Python; only the per-document
+    summary (set size, extrema) leaves the row."""
+    df = _docs_with_tokens(spark, sf_dir).withColumn("shingles", tx.shingles_col())
+    df = df.withColumn("hashes", tx.shingle_hashes_col())
+    wins = (
+        f"transform(sequence(1, greatest(size(hashes) - {WINNOW_W - 1}, 1)), "
+        f"i -> array_min(slice(hashes, i, {WINNOW_W})))"
+    )
+    return df.select(
+        "doc_id",
+        F.size("hashes").alias("n_kgrams"),
+        F.size(F.array_distinct(F.expr(wins))).alias("n_fingerprints"),
+        F.array_min(F.expr(wins)).alias("fp_min"),
+        F.array_max(F.expr(wins)).alias("fp_max"),
+        (
+            F.size(F.array_distinct(F.expr(wins))).cast("double")
+            / F.size("hashes").cast("double")
+        ).alias("selectivity"),
+    )
+
+
+_WINNOW_WINS_SQL = (
+    f"list_transform(generate_series(1, greatest(len(hashes) - {WINNOW_W - 1}, 1)), "
+    f"i -> list_min(list_slice(hashes, i, i + {WINNOW_W - 1})))"
+)
+
+_WINNOWING_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {tx.tokens_sql("text")} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, {tx.shingles_sql()} AS shingles FROM tok
+), h AS (
+  SELECT doc_id, {tx.shingle_hashes_sql()} AS hashes FROM sh
+), w AS (
+  SELECT doc_id, hashes, {_WINNOW_WINS_SQL} AS wins FROM h
+)
+SELECT doc_id,
+  len(hashes) AS n_kgrams,
+  len(list_distinct(wins)) AS n_fingerprints,
+  list_min(wins) AS fp_min,
+  list_max(wins) AS fp_max,
+  CAST(len(list_distinct(wins)) AS DOUBLE) / CAST(len(hashes) AS DOUBLE)
+    AS selectivity
+FROM w
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules (Rae et al. 2021 §A1.1, adapted to the corpus)
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_TOKENS = 15
+GOPHER_MAX_TOKENS = 200
+GOPHER_WORDLEN_LO = 2.0
+GOPHER_WORDLEN_HI = 8.0
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_MAX_TOP_TOKEN_FRAC = 0.2
+
+
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document admission rules as independent boolean gates:
+    token-count band, mean-word-length band, minimum stopword evidence,
+    and a most-frequent-token dominance cap (the repetition rule). Each
+    rule is a per-row integer/array expression — one scan, no shuffle; the
+    corpus-level pass rate is ONE tiny aggregate downstream of the flags."""
+    df = _docs_with_tokens(spark, sf_dir)
+    top_frac = (
+        "CAST(array_max(transform(array_distinct(toks), "
+        "t -> size(filter(toks, x -> x = t)))) AS DOUBLE) / CAST(size(toks) AS DOUBLE)"
+    )
+    per_doc = df.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        (
+            tx.token_length_sum_col().cast("double") / F.size("toks").cast("double")
+        ).alias("mean_word_len"),
+        tx.stopword_hits_col("en").alias("stop_hits"),
+        F.expr(top_frac).alias("top_token_frac"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS).alias(
+            "pass_token_count"
+        ),
+        F.col("mean_word_len")
+        .between(GOPHER_WORDLEN_LO, GOPHER_WORDLEN_HI)
+        .alias("pass_word_len"),
+        (F.col("stop_hits") >= GOPHER_MIN_STOP_HITS).alias("pass_stopwords"),
+        (F.col("top_token_frac") <= GOPHER_MAX_TOP_TOKEN_FRAC).alias(
+            "pass_repetition"
+        ),
+        (
+            F.col("n_tokens").between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS)
+            & F.col("mean_word_len").between(GOPHER_WORDLEN_LO, GOPHER_WORDLEN_HI)
+            & (F.col("stop_hits") >= GOPHER_MIN_STOP_HITS)
+            & (F.col("top_token_frac") <= GOPHER_MAX_TOP_TOKEN_FRAC)
+        ).alias("gopher_pass"),
+    )
+
+
+_GOPHER_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {tx.tokens_sql("text")} AS toks FROM documents
+), stats AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    CAST({tx.token_length_sum_sql()} AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+      AS mean_word_len,
+    {tx.stopword_hits_sql("en")} AS stop_hits,
+    CAST(list_max(list_transform(list_distinct(toks),
+          t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE)
+      / CAST(len(toks) AS DOUBLE) AS top_token_frac
+  FROM tok
+)
+SELECT doc_id,
+  n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS} AS pass_token_count,
+  mean_word_len BETWEEN {GOPHER_WORDLEN_LO} AND {GOPHER_WORDLEN_HI} AS pass_word_len,
+  stop_hits >= {GOPHER_MIN_STOP_HITS} AS pass_stopwords,
+  top_token_frac <= {GOPHER_MAX_TOP_TOKEN_FRAC} AS pass_repetition,
+  (n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS})
+    AND (mean_word_len BETWEEN {GOPHER_WORDLEN_LO} AND {GOPHER_WORDLEN_HI})
+    AND stop_hits >= {GOPHER_MIN_STOP_HITS}
+    AND top_token_frac <= {GOPHER_MAX_TOP_TOKEN_FRAC} AS gopher_pass
+FROM stats
+"""
+
+
 SPECS = [
     QuerySpec("text_token_stats", q_text_token_stats, _TOKEN_STATS_ORACLE),
+    QuerySpec("text_winnowing", q_text_winnowing, _WINNOWING_ORACLE),
+    QuerySpec("text_gopher_rules", q_text_gopher_rules, _GOPHER_ORACLE),
     QuerySpec("text_repetition", q_text_repetition, _REPETITION_ORACLE),
     QuerySpec("text_langid", q_text_langid, _LANGID_ORACLE),
     QuerySpec("text_bigram_pmi", q_text_bigram_pmi, _BIGRAM_PMI_ORACLE),
