@@ -583,11 +583,80 @@ WHERE s_suppkey IN (
 """
 
 
+# ---------------------------------------------------------------------------
+# q5 — regional local-supplier revenue (the last of the 22 TPC-H shapes)
+# ---------------------------------------------------------------------------
+
+LOCAL_REVENUE_REGION = "ASIA"
+LOCAL_REVENUE_YEAR = ("1996-01-01 00:00:00", "1997-01-01 00:00:00")
+
+
+def q_analytics_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation from orders where the customer
+    and the supplier share a nation inside one region. The distinguishing
+    plan feature is the customer-nation == supplier-nation equality: it is
+    NOT a join key between two facts but a post-join filter between two
+    broadcast dimension attributes, so the only shuffles are
+    lineitem<->orders on orderkey and the final per-nation aggregate —
+    customer, supplier, nation, region all broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= LOCAL_REVENUE_YEAR[0])
+        & (F.col("o_orderdate") < LOCAL_REVENUE_YEAR[1])
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == LOCAL_REVENUE_REGION
+    )
+    local_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(local_nations), cust.c_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_c")
+        )
+        .select(F.col("n_name").alias("nation"), "revenue_c")
+    )
+
+
+_LOCAL_REVENUE_ORACLE = f"""
+SELECT n_name AS nation,
+       CAST(sum({_cents_sql("l_extendedprice * (1 - l_discount)")}) AS BIGINT)
+         AS revenue_c
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = '{LOCAL_REVENUE_REGION}'
+  AND o_orderdate >= TIMESTAMP '{LOCAL_REVENUE_YEAR[0]}'
+  AND o_orderdate < TIMESTAMP '{LOCAL_REVENUE_YEAR[1]}'
+GROUP BY n_name
+"""
+
+
 SPECS = [
     QuerySpec(
         "analytics_forecast_revenue",
         q_analytics_forecast_revenue,
         _FORECAST_ORACLE,
+    ),
+    QuerySpec(
+        "analytics_local_supplier_revenue",
+        q_analytics_local_supplier_revenue,
+        _LOCAL_REVENUE_ORACLE,
     ),
     QuerySpec(
         "analytics_volume_shipping", q_analytics_volume_shipping, _VOLUME_ORACLE
