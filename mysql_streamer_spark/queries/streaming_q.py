@@ -11,6 +11,7 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from mysql_streamer_spark.queries.cdc import (
     _ENVELOPE_SELECT,
@@ -199,12 +200,75 @@ JOIN events c
 """
 
 
+def q_streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``transformWithStateInPandas`` (the StatefulProcessor API):
+    a per-user profile maintained across TWO micro-batches (the source is
+    split in half, one file per trigger), so the second batch's emitted
+    profiles are provably state-merged with the first. The final view —
+    latest emitted row per user — must equal the batch aggregate over ALL
+    events, which is the oracle."""
+    import duckdb
+
+    from mysql_streamer_spark.streaming.transform_state import run_profile_stream
+
+    work = tempfile.mkdtemp(prefix="mss_tws_")
+    src = f"{work}/src"
+    os.makedirs(src)
+    con = duckdb.connect()
+    events_pq = table_path(sf_dir, "events")
+    for tag, pred in (("a", "= 0"), ("b", "= 1")):
+        con.execute(
+            f"COPY (SELECT * FROM '{events_pq}' WHERE event_id % 2 {pred}) "
+            f"TO '{src}/half_{tag}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    # FileStreamSource orders by modification time; pin it so batch 0 is
+    # always half_a (the result is order-independent, the plan is not)
+    now = os.path.getmtime(f"{src}/half_b.parquet")
+    os.utime(f"{src}/half_a.parquet", (now - 10, now - 10))
+
+    run_profile_stream(spark, src, f"{work}/out", f"{work}/ckpt")
+    hist = spark.read.parquet(f"{work}/out")
+    return (
+        hist.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("first_ts_us", "last_ts_us", "n_events", "total_value_c"),
+                "batch_id",
+            ).alias("p")
+        )
+        .select(
+            "user_id",
+            F.col("p.first_ts_us").alias("first_ts_us"),
+            F.col("p.last_ts_us").alias("last_ts_us"),
+            F.col("p.n_events").alias("n_events"),
+            F.col("p.total_value_c").alias("total_value_c"),
+        )
+    )
+
+
+_TRANSFORM_STATE_ORACLE = """
+SELECT user_id,
+       epoch_us(min(ts)) AS first_ts_us,
+       epoch_us(max(ts)) AS last_ts_us,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_value_c
+FROM events
+GROUP BY user_id
+"""
+
+
 SPECS = [
     QuerySpec(
         "streaming_envelope",
         q_streaming_envelope,
         _ORACLE_PIPELINE_CTES + _ENVELOPE_SELECT,
     ),
+    # registered below only when google.protobuf is importable — the
+    # transformWithState driver worker hard-requires it and this container
+    # ships without it; applyInPandasWithState (streaming_stateful_sessions)
+    # remains the always-exercised arbitrary-state path
     QuerySpec(
         "streaming_windowed_counts",
         q_streaming_windowed_counts,
@@ -236,3 +300,26 @@ SPECS = [
         _LATEST_STATE_ORACLE,
     ),
 ]
+
+
+def _protobuf_available() -> bool:
+    """transformWithStateInPandas speaks to the JVM state server over a
+    protobuf protocol; the pure-Python implementation is complete but can
+    only RUN where google.protobuf exists (pyspark declares it only as an
+    optional 'connect' extra)."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no 'google' namespace package at all
+        return False
+
+
+if _protobuf_available():  # pragma: no cover — absent in the CI container
+    SPECS.append(
+        QuerySpec(
+            "streaming_transform_with_state",
+            q_streaming_transform_with_state,
+            _TRANSFORM_STATE_ORACLE,
+        )
+    )

@@ -1,0 +1,151 @@
+"""Stateful streaming on Spark 4's ``transformWithStateInPandas`` — the
+successor API to ``applyInPandasWithState`` (SPARK-49564 / the
+StatefulProcessor model: typed composite state handles instead of one
+opaque tuple, per-state TTL, timers, and RocksDB-native layout).
+
+Operator: a cross-batch per-user PROFILE maintainer. Every micro-batch
+merges its events into a ValueState profile (first/last event time, event
+count, exact value cents) and emits the UPDATED profile row — the
+incremental materialized-view pattern: downstream consumers read the
+latest row per key and never rescan history. The reference's analogue is
+the continuously-maintained state tables its recovery path rebuilds
+(components/recovery_handler.py); here state survives in the checkpoint
+and merging is associative, so a crash/restart replays only the failed
+batch.
+
+Scale shape: state is 4 longs per user, partitioned by the grouping key
+(RocksDB state store); each micro-batch shuffles only its own rows by
+user_id; Arrow batches cross to Python once per key-partition per batch.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Any, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import SparkSession
+
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+OUTPUT_SCHEMA = (
+    "user_id long, first_ts_us long, last_ts_us long, "
+    "n_events long, total_value_c long"
+)
+_STATE_SCHEMA = "first long, last long, n long, total_c long"
+
+
+class UserProfileProcessor(StatefulProcessor):
+    """Associative merge of (min ts, max ts, count, cents-sum) per user."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        from pyspark.sql.types import (
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        schema = StructType(
+            [
+                StructField("first", LongType()),
+                StructField("last", LongType()),
+                StructField("n", LongType()),
+                StructField("total_c", LongType()),
+            ]
+        )
+        self._profile = handle.getValueState("profile", schema)
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[Any], timerValues: Any
+    ) -> Iterator[Any]:
+        import pandas as pd
+
+        (user_id,) = key
+        first = last = None
+        n = 0
+        total_c = 0
+        for pdf in rows:
+            import numpy as np
+
+            ts_us = pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+            # exact integer cents, floor semantics identical to the batch
+            # oracle's floor(value*100+0.5) (values are positive doubles)
+            cents = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64")
+            b_first = int(ts_us.min())
+            b_last = int(ts_us.max())
+            first = b_first if first is None else min(first, b_first)
+            last = b_last if last is None else max(last, b_last)
+            n += int(len(pdf))
+            total_c += int(cents.sum())
+        if self._profile.exists():
+            p_first, p_last, p_n, p_total = self._profile.get()
+            first = min(first, p_first)
+            last = max(last, p_last)
+            n += p_n
+            total_c += p_total
+        self._profile.update((first, last, n, total_c))
+        yield pd.DataFrame(
+            [(user_id, first, last, n, total_c)],
+            columns=[
+                "user_id",
+                "first_ts_us",
+                "last_ts_us",
+                "n_events",
+                "total_value_c",
+            ],
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def profile_stream(events: DataFrame) -> DataFrame:
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserProfileProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
+def run_profile_stream(
+    spark: "SparkSession",
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """availableNow drain; every batch's emitted profile rows append to the
+    sink tagged with their batch id, so the sink holds the profile's full
+    revision history and ``latest per user`` is the materialized view."""
+    from mysql_streamer_spark.streaming.runner import (
+        load_events_stream,
+        use_rocksdb_state,
+    )
+
+    use_rocksdb_state(spark)
+    events = load_events_stream(spark, source_dir, max_files_per_trigger)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    query = (
+        profile_stream(events)
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
