@@ -1706,8 +1706,60 @@ GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# cohort retention matrix (first-seen week x activity-week offset)
+# ---------------------------------------------------------------------------
+
+def q_analytics_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-active week, each
+    later week's surviving count at its offset. Plan: collapse events to
+    DISTINCT (user, week) FIRST (the fact shrinks by ~events-per-user-week
+    before anything wide happens), derive the cohort week with a window
+    over the collapsed set (both steps hash-partition by user_id — AQE
+    reuses the exchange), then ONE aggregate to the tiny matrix."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    user_weeks = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    w = Window.partitionBy("user_id")
+    return (
+        user_weeks.withColumn("cohort_week", F.min("week").over(w))
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("week"), F.col("cohort_week"))
+                / F.lit(7)
+            ).cast("int").alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+_RETENTION_ORACLE = """
+WITH user_weeks AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+), cohorts AS (
+  SELECT user_id, week,
+         min(week) OVER (PARTITION BY user_id) AS cohort_week
+  FROM user_weeks
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, week) / 7 AS INT) AS week_offset,
+       count(*) AS n_users
+FROM cohorts
+GROUP BY cohort_week, week_offset
+"""
+
+
 SPECS = [
     QuerySpec("analytics_pricing_summary", q_analytics_pricing_summary, _PRICING_ORACLE),
+    QuerySpec(
+        "analytics_retention_cohorts",
+        q_analytics_retention_cohorts,
+        _RETENTION_ORACLE,
+    ),
     QuerySpec(
         "analytics_conversion_funnel", q_analytics_conversion_funnel, _FUNNEL_ORACLE
     ),

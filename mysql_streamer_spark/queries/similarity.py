@@ -921,8 +921,78 @@ SELECT vec_id, cid AS cluster_id, dist2 FROM (
 _KMEANS_ORACLE = _kmeans_oracle()
 
 
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (embedding compression for the 100 TB tier)
+# ---------------------------------------------------------------------------
+
+#: int8 levels: round-half-up to q8 in [-127, 127]; reconstruction q8/127.
+Q8_LEVELS = 127
+#: |Q8_LEVELS*q6 - SCALE*q8| <= Q8_LEVELS (q6 floor error) + SCALE/2 (q8
+#: rounding) exactly; the flag uses the exact bound.
+Q8_ERR_BOUND = Q8_LEVELS + vx.SCALE // 2
+
+
+def q_sim_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector audit of int8 scalar quantization — the 4x float32 (16x
+    vs the micro-quantized int) compression an ANN index applies before
+    paging 100 TB of embeddings: worst-dimension reconstruction error (in
+    exact integer units, checked against its closed-form bound) and the
+    cosine between the original and the reconstructed vector (integer dot
+    products -> ONE final double division, bit-stable across engines).
+    Map-only: every column derives in-row; zero shuffles."""
+    e = vx.with_quantized(_emb(spark, sf_dir))
+    q8 = (
+        "transform(embedding, x -> CAST(greatest(least(floor(CAST(x AS DOUBLE) "
+        f"* {Q8_LEVELS} + 0.5), {Q8_LEVELS}), -{Q8_LEVELS}) AS BIGINT))"
+    )
+    # worst |Q8_LEVELS*q6_i - SCALE*q8_i| across dims (units of 1/(127*1e6))
+    err = (
+        f"array_max(zip_with(qv, q8, (a, b) -> "
+        f"abs(a * {Q8_LEVELS} - b * {vx.SCALE})))"
+    )
+    return (
+        e.withColumn("q8", F.expr(q8))
+        .withColumn("max_err_int", F.expr(err))
+        .withColumn("nrm8", vx.norm_sq_col("q8"))
+        .select(
+            "vec_id",
+            "max_err_int",
+            (F.col("max_err_int") <= Q8_ERR_BOUND).alias("within_bound"),
+            vx.cosine_col("qv", "q8", "nrm", "nrm8").alias("cos_recon"),
+        )
+    )
+
+
+_SCALAR_QUANT_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id,
+         {vx.quantized_sql("embedding")} AS qv,
+         list_transform(embedding, x -> CAST(greatest(least(floor(
+           CAST(x AS DOUBLE) * {Q8_LEVELS} + 0.5), {Q8_LEVELS}), -{Q8_LEVELS})
+           AS BIGINT)) AS q8
+  FROM embeddings
+), m AS (
+  SELECT vec_id, qv, q8,
+         list_max(list_transform(generate_series(1, {vx.DIM}),
+           i -> abs(qv[i] * {Q8_LEVELS} - q8[i] * {vx.SCALE}))) AS max_err_int,
+         {vx.norm_sq_sql("qv")} AS nrm,
+         {vx.norm_sq_sql("q8")} AS nrm8
+  FROM q
+)
+SELECT vec_id, max_err_int,
+       max_err_int <= {Q8_ERR_BOUND} AS within_bound,
+       {vx.cosine_sql("qv", "q8", "nrm", "nrm8")} AS cos_recon
+FROM m
+"""
+
+
 SPECS = [
     QuerySpec("sim_bruteforce_topk", q_sim_bruteforce_topk, _BRUTEFORCE_ORACLE),
+    QuerySpec(
+        "sim_scalar_quantization",
+        q_sim_scalar_quantization,
+        _SCALAR_QUANT_ORACLE,
+    ),
     QuerySpec("sim_kmeans", q_sim_kmeans, _KMEANS_ORACLE),
     QuerySpec("sim_lsh_ann", q_sim_lsh_ann, _ANN_ORACLE),
     QuerySpec(

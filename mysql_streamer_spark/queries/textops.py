@@ -682,10 +682,82 @@ FROM stats
 """
 
 
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (top terms per document)
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K distinguishing terms per document, ranked by tf/df (monotone
+    in tf·idf for a fixed corpus size, and — unlike log-idf — exact and
+    bit-identical across engines: ONE IEEE division, no transcendentals).
+
+    Plan: explode -> (doc, term) count [one shuffle, map-side combined];
+    the document-frequency dimension FOLDS OUT of the same aggregate (rows
+    are already distinct per doc-term, so df is a count per term — no
+    second corpus scan); join strategy is AQE's call (the vocabulary is
+    Zipfian — its head broadcasts, its tail is tiny); per-doc top-K via a
+    doc_id-partitioned window, never a global sort."""
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tf = (
+        docs.withColumn("toks", tx.tokens_col("text"))
+        .select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_dim = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf").cast("double") / F.col("df").cast("double")).desc(),
+        F.col("term").asc(),
+    )
+    return (
+        tf.join(df_dim, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select(
+            "doc_id",
+            "rank",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf").cast("double") / F.col("df").cast("double")).alias(
+                "tfidf_score"
+            ),
+        )
+    )
+
+
+_TFIDF_ORACLE = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({tx.tokens_sql("text")}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+), df_dim AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df_dim.df,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY CAST(tf.tf AS DOUBLE) / CAST(df_dim.df AS DOUBLE) DESC,
+                    tf.term ASC
+         ) AS rank
+  FROM tf JOIN df_dim USING (term)
+)
+SELECT doc_id, rank, term, tf, df,
+       CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) AS tfidf_score
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
 SPECS = [
     QuerySpec("text_token_stats", q_text_token_stats, _TOKEN_STATS_ORACLE),
     QuerySpec("text_winnowing", q_text_winnowing, _WINNOWING_ORACLE),
     QuerySpec("text_gopher_rules", q_text_gopher_rules, _GOPHER_ORACLE),
+    QuerySpec("text_tfidf_topk", q_text_tfidf_topk, _TFIDF_ORACLE),
     QuerySpec("text_repetition", q_text_repetition, _REPETITION_ORACLE),
     QuerySpec("text_langid", q_text_langid, _LANGID_ORACLE),
     QuerySpec("text_bigram_pmi", q_text_bigram_pmi, _BIGRAM_PMI_ORACLE),
