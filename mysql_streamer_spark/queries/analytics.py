@@ -1737,7 +1737,7 @@ def q_analytics_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-_RETENTION_ORACLE = """
+_RETENTION_COHORTS_ORACLE = """
 WITH user_weeks AS (
   SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
 ), cohorts AS (
@@ -1758,7 +1758,7 @@ SPECS = [
     QuerySpec(
         "analytics_retention_cohorts",
         q_analytics_retention_cohorts,
-        _RETENTION_ORACLE,
+        _RETENTION_COHORTS_ORACLE,
     ),
     QuerySpec(
         "analytics_conversion_funnel", q_analytics_conversion_funnel, _FUNNEL_ORACLE

@@ -896,8 +896,57 @@ FROM run WHERE running_tokens <= {TOKEN_BUDGET}
 """
 
 
+# ---------------------------------------------------------------------------
+# token-length histogram on power-of-2 buckets (batch-shape planning input)
+# ---------------------------------------------------------------------------
+
+def q_pipeline_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-length distribution on power-of-2 buckets — the table a
+    sequence-packing / batch-shape planner reads to pick context lengths.
+    The bucket is ``2^floor(log2(n))`` computed as bit-length arithmetic
+    (integer-exact in both engines, no float log); one scan, one tiny
+    aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tx.tokens_col("text"))
+    # integer log2: length of the binary representation minus 1
+    bucket_lo = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), length(bin(n_tokens)) - 1)"
+    )
+    return (
+        docs.select(n_tokens.alias("n_tokens"))
+        .select("n_tokens", bucket_lo.alias("bucket_lo"))
+        .groupBy("bucket_lo")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+_LENGTH_HISTOGRAM_ORACLE = f"""
+WITH n AS (
+  SELECT len({tx.tokens_sql("text")}) AS n_tokens FROM documents
+), b AS (
+  SELECT n_tokens,
+         CAST(1 AS BIGINT) << (CAST(floor(log2(n_tokens)) AS INT)) AS bucket_lo
+  FROM n
+)
+SELECT bucket_lo, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+FROM b GROUP BY bucket_lo
+"""
+
+
 SPECS = [
     QuerySpec("pipeline_decontaminate", q_pipeline_decontaminate, _DECONTAMINATE_ORACLE),
+    QuerySpec(
+        "pipeline_length_histogram",
+        q_pipeline_length_histogram,
+        _LENGTH_HISTOGRAM_ORACLE,
+    ),
     QuerySpec("pipeline_span_dedup", q_pipeline_span_dedup, _SPAN_DEDUP_ORACLE),
     QuerySpec("pipeline_token_budget", q_pipeline_token_budget, _TOKEN_BUDGET_ORACLE),
     QuerySpec("pipeline_chunk_udtf", q_pipeline_chunk_udtf, _CHUNK_UDTF_ORACLE),

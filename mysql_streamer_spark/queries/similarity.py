@@ -986,12 +986,127 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# Matryoshka truncation: recall of prefix-dimension retrieval vs full-dim
+# ---------------------------------------------------------------------------
+
+#: retrieval over the first MRL_DIMS of DIM dimensions (the
+#: Matryoshka-representation-learning serving trick: coarse search in the
+#: prefix, optionally rerank with the tail)
+MRL_DIMS = 16
+
+
+def q_sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@K of truncated-prefix retrieval against the full-dimension
+    ground truth, per query — the measurement that justifies (or vetoes)
+    shipping a 4x-smaller index at 100 TB. Both rankings come from ONE
+    quantized scan (the prefix norm/dot just slice the same array); the
+    per-query top-K windows partition on the tiny query key."""
+    e = vx.with_quantized(_emb(spark, sf_dir))
+    e = e.withColumn("qv16", F.slice("qv", 1, MRL_DIMS)).withColumn(
+        "nrm16", vx.norm_sq_col("qv16")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("qv16").alias("q_qv16"),
+        F.col("nrm16").alias("q_nrm16"),
+    )
+    scored = (
+        e.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("qv").alias("c_qv"),
+            F.col("nrm").alias("c_nrm"),
+            F.col("qv16").alias("c_qv16"),
+            F.col("nrm16").alias("c_nrm16"),
+        )
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cos_full", vx.cosine_col("q_qv", "c_qv", "q_nrm", "c_nrm"))
+        .withColumn(
+            "cos_16", vx.cosine_col("q_qv16", "c_qv16", "q_nrm16", "c_nrm16")
+        )
+    )
+    w_full = Window.partitionBy("query_id").orderBy(
+        F.col("cos_full").desc(), F.col("cand_id").asc()
+    )
+    w_16 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_16").desc(), F.col("cand_id").asc()
+    )
+    ranked = scored.select(
+        "query_id",
+        "cand_id",
+        F.row_number().over(w_full).alias("rnk_full"),
+        F.row_number().over(w_16).alias("rnk_16"),
+    )
+    return (
+        ranked.filter((F.col("rnk_full") <= TOP_K) | (F.col("rnk_16") <= TOP_K))
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("rnk_full") <= TOP_K) & (F.col("rnk_16") <= TOP_K), 1
+                ).otherwise(0)
+            ).alias("n_overlap")
+        )
+        .select(
+            "query_id",
+            "n_overlap",
+            (F.col("n_overlap").cast("double") / float(TOP_K)).alias("recall_at_k"),
+        )
+    )
+
+
+_MATRYOSHKA_ORACLE = f"""
+WITH qe AS (
+  SELECT vec_id, {vx.quantized_sql("embedding")} AS qv FROM embeddings
+), qe2 AS (
+  SELECT vec_id, qv, qv[1:{MRL_DIMS}] AS qv16,
+         {vx.norm_sq_sql("qv")} AS nrm,
+         CAST(list_sum(list_transform(qv[1:{MRL_DIMS}], v -> v * v)) AS BIGINT)
+           AS nrm16
+  FROM qe
+), q AS (
+  SELECT vec_id AS query_id, qv AS q_qv, nrm AS q_nrm,
+         qv16 AS q_qv16, nrm16 AS q_nrm16
+  FROM qe2 WHERE vec_id < {N_QUERY}
+), scored AS (
+  SELECT query_id, vec_id AS cand_id,
+    {vx.cosine_sql("q_qv", "qv", "q_nrm", "nrm")} AS cos_full,
+    CAST(list_sum(list_transform(generate_series(1, {MRL_DIMS}),
+         i -> q_qv16[i] * qv16[i])) AS DOUBLE)
+      / (sqrt(CAST(q_nrm16 AS DOUBLE)) * sqrt(CAST(nrm16 AS DOUBLE))) AS cos_16
+  FROM qe2 CROSS JOIN q
+  WHERE vec_id != query_id
+), ranked AS (
+  SELECT query_id, cand_id,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_full DESC, cand_id ASC) AS rnk_full,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_16 DESC, cand_id ASC) AS rnk_16
+  FROM scored
+)
+SELECT query_id,
+       CAST(sum(CASE WHEN rnk_full <= {TOP_K} AND rnk_16 <= {TOP_K}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       CAST(sum(CASE WHEN rnk_full <= {TOP_K} AND rnk_16 <= {TOP_K}
+                THEN 1 ELSE 0 END) AS DOUBLE) / {float(TOP_K)} AS recall_at_k
+FROM ranked
+WHERE rnk_full <= {TOP_K} OR rnk_16 <= {TOP_K}
+GROUP BY query_id
+"""
+
+
 SPECS = [
     QuerySpec("sim_bruteforce_topk", q_sim_bruteforce_topk, _BRUTEFORCE_ORACLE),
     QuerySpec(
         "sim_scalar_quantization",
         q_sim_scalar_quantization,
         _SCALAR_QUANT_ORACLE,
+    ),
+    QuerySpec(
+        "sim_matryoshka_recall", q_sim_matryoshka_recall, _MATRYOSHKA_ORACLE
     ),
     QuerySpec("sim_kmeans", q_sim_kmeans, _KMEANS_ORACLE),
     QuerySpec("sim_lsh_ann", q_sim_lsh_ann, _ANN_ORACLE),

@@ -42,9 +42,20 @@ def table_path(sf_dir: str, name: str) -> str:
 _TIMESTAMP_COLUMNS = {"events": ("ts",)}
 
 
+#: (applicationId, sf_dir, name) -> DataFrame. A DataFrame is an immutable
+#: logical plan, so reusing it across queries is safe and skips the
+#: parquet-footer schema read (~0.3-0.8 s of py4j/IO per load) that every
+#: query in a 100+-query session would otherwise repeat.
+_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    cache_key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _PLAN_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     ts_cols = _TIMESTAMP_COLUMNS.get(name, ())
     if ts_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -63,6 +74,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # is value-preserving): watermarks/windows require TIMESTAMP,
             # and the DuckDB oracle's naive timestamps mean UTC
             df = df.withColumn(c, F.col(c).cast("timestamp"))
+    _PLAN_CACHE[cache_key] = df
     return df
 
 

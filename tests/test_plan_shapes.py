@@ -16,6 +16,11 @@ import pytest
 #: (a tiny broadcast side crossed with the corpus is the documented design)
 _BNLJ_OK = {
     "sim_bruteforce_topk",
+    # same broadcast-query-dimension cross join, evaluated at two prefix
+    # widths out of one scan
+    "sim_matryoshka_recall",
+    # two single-row aggregate frames crossed into the one-row contract check
+    "sketch_hll_merge",
     "cdc_heartbeat_lag",
     # Lloyd assignment: the k-row centroid frame is broadcast against every
     # vector by design (the canonical k-means-on-Spark shape)
