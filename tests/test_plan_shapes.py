@@ -111,6 +111,8 @@ def test_envelope_scan_is_column_pruned(spark, sf_dir):
 #: bug class this test exists to catch)
 _SINGLE_PARTITION_OK = {
     "cdc_heartbeat_lag",            # 1-row max broadcast back onto the stream
+    "sketch_hll_merge",             # per-day sketches -> ONE union (scalar)
+    "sketch_quantile_bound",        # single-row percentile summary
     "pipeline_mix_weights",         # 1-row max-weight broadcast back
     "text_bigram_pmi",              # 1-row corpus-total broadcast back
     "analytics_conversion_funnel",  # three 1-row stage counts
