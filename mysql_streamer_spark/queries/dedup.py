@@ -592,6 +592,44 @@ MAX_CC_ITERATIONS = 15
 #: without this the loop schedules hundreds of near-empty tasks per round)
 CC_EDGES_PER_PARTITION = 1_000_000
 
+#: below this edge count the component computation runs as driver-side
+#: union-find on the COLLECTED edge list (two longs per edge -> ~1.6 MB at
+#: the cap) instead of iterative Spark rounds: the duplicate graph of a
+#: lightly-duplicated corpus is minuscule next to the corpus, and each
+#: distributed round costs a join + checkpoint of fixed scheduler latency.
+#: The same adaptivity Spark itself applies when it broadcasts a small join
+#: side; above the cap the distributed loop takes over unchanged, so the
+#: operator never depends on the graph fitting anywhere.
+CC_DRIVER_MAX_EDGES = 100_000
+
+
+def _driver_union_find(spark, both: DataFrame) -> DataFrame:
+    """Exact same contract as the distributed loop — (doc_id, label) with
+    label = min reachable doc_id — via path-compressed union-find over the
+    collected (bounded, see CC_DRIVER_MAX_EDGES) edge list."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in both.toLocalIterator():
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN id so the root IS the label (keeper semantics)
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(x, find(x)) for x in parent]
+    return spark.createDataFrame(rows, schema="doc_id long, label long")
+
 
 def connected_components(edges: DataFrame) -> DataFrame:
     """Minimum-label propagation: every vertex converges to the smallest
@@ -618,6 +656,8 @@ def connected_components(edges: DataFrame) -> DataFrame:
     ).localCheckpoint()
     n_edges = both.count()
     spark = both.sparkSession
+    if n_edges <= 2 * CC_DRIVER_MAX_EDGES:  # `both` holds each edge twice
+        return _driver_union_find(spark, both)
     n_parts = max(
         1,
         min(
