@@ -189,6 +189,102 @@ def probe_incremental(spark, sf_dir: str, max_k: int) -> None:
         k *= 2
 
 
+def probe_hll(spark, sf_dir: str, max_k: int) -> None:
+    """HLL sketch vs exact distinct as the event stream is multiplied with
+    FRESH user ids per replica (true cardinality grows k-fold). Healthy
+    behaviour: both scale ~linearly in rows locally, but the sketch's
+    shuffled bytes stay at one 4 KiB register array per partition per
+    group while exact distinct shuffles every distinct value — the gap
+    that decides the 100 TB case."""
+    from pyspark.sql import functions as F
+    from mysql_streamer_spark.queries.sketches import HLL_LG_K
+    from mysql_streamer_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    ev.count()
+    k = 1
+    while k <= max_k:
+        parts = [
+            ev.withColumn("user_id", F.col("user_id") + F.lit(i * _OFFSET))
+            for i in range(k)
+        ]
+        corpus = parts[0]
+        for p in parts[1:]:
+            corpus = corpus.unionByName(p)
+        corpus = corpus.persist()
+        n_rows = corpus.count()
+        t0 = time.time()
+        corpus.groupBy("event_type").agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(HLL_LG_K))
+            ).alias("est")
+        ).count()
+        t_sketch = time.time() - t0
+        t0 = time.time()
+        corpus.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("exact")
+        ).count()
+        t_exact = time.time() - t0
+        corpus.unpersist()
+        print(
+            json.dumps(
+                {"probe": "hll_distinct", "k": k, "rows": n_rows,
+                 "sketch_sec": round(t_sketch, 2),
+                 "exact_sec": round(t_exact, 2)}
+            ),
+            flush=True,
+        )
+        k *= 2
+
+
+def probe_tfidf(spark, sf_dir: str, max_k: int) -> None:
+    """TF-IDF top-k as the corpus is multiplied (distinct regime): the
+    (doc, term) aggregate and the per-doc window both key on doc-scoped
+    keys, so healthy behaviour is ~linear in rows with no stage blowing
+    up on the shared vocabulary."""
+    from mysql_streamer_spark.queries.textops import q_text_tfidf_topk
+    from mysql_streamer_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.count()
+    k = 1
+    while k <= max_k:
+        corpus = replicate(docs, k, distinct=True).persist()
+        n_rows = corpus.count()
+        t0 = time.time()
+        # rebuild the query over the replicated frame (same plan shape)
+        from pyspark.sql import Window
+        from mysql_streamer_spark import text as tx
+
+        tf = (
+            corpus.withColumn("toks", tx.tokens_col("text"))
+            .select("doc_id", F.explode("toks").alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf"))
+        )
+        df_dim = tf.groupBy("term").agg(F.count("*").alias("df"))
+        w = Window.partitionBy("doc_id").orderBy(
+            (F.col("tf").cast("double") / F.col("df").cast("double")).desc(),
+            F.col("term").asc(),
+        )
+        n_out = (
+            tf.join(df_dim, "term")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .count()
+        )
+        dt = time.time() - t0
+        corpus.unpersist()
+        print(
+            json.dumps(
+                {"probe": "tfidf_topk", "k": k, "rows": n_rows,
+                 "out_rows": n_out, "sec": round(dt, 2)}
+            ),
+            flush=True,
+        )
+        k *= 2
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     max_k = int(sys.argv[2]) if len(sys.argv) > 2 else 4
@@ -235,6 +331,8 @@ def main() -> int:
     probe_embeddings(spark, sf_dir, max_k)
     probe_kmeans(spark, sf_dir, max_k)
     probe_incremental(spark, sf_dir, max_k)
+    probe_hll(spark, sf_dir, max_k)
+    probe_tfidf(spark, sf_dir, max_k)
     return 0
 
 
