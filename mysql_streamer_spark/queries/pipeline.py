@@ -940,8 +940,116 @@ FROM b GROUP BY bucket_lo
 """
 
 
+# ---------------------------------------------------------------------------
+# dataset card: the one-row corpus datasheet
+# ---------------------------------------------------------------------------
+
+def q_pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus datasheet a training run records next to its checkpoint:
+    size, token counts, language/source spread, exact-duplication rate,
+    and the Gopher-gate pass rate — ONE scan, per-doc projections, one
+    scalar aggregate (every count integer-exact; the two rates are single
+    IEEE divisions at the very end)."""
+    from mysql_streamer_spark.queries.textops import (
+        GOPHER_MAX_TOKENS,
+        GOPHER_MAX_TOP_TOKEN_FRAC,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_TOKENS,
+        GOPHER_WORDLEN_HI,
+        GOPHER_WORDLEN_LO,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.withColumn("toks", tx.tokens_col("text")).select(
+        "lang",
+        "source",
+        F.md5("text").alias("text_hash"),
+        F.size("toks").alias("n_tokens"),
+        (
+            tx.token_length_sum_col().cast("double") / F.size("toks").cast("double")
+        ).alias("mean_word_len"),
+        tx.stopword_hits_col("en").alias("stop_hits"),
+        F.expr(
+            "CAST(array_max(transform(array_distinct(toks), "
+            "t -> size(filter(toks, x -> x = t)))) AS DOUBLE) "
+            "/ CAST(size(toks) AS DOUBLE)"
+        ).alias("top_token_frac"),
+    )
+    gopher = (
+        F.col("n_tokens").between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS)
+        & F.col("mean_word_len").between(GOPHER_WORDLEN_LO, GOPHER_WORDLEN_HI)
+        & (F.col("stop_hits") >= GOPHER_MIN_STOP_HITS)
+        & (F.col("top_token_frac") <= GOPHER_MAX_TOP_TOKEN_FRAC)
+    )
+    return per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        (F.count("*") - F.countDistinct("text_hash")).alias("n_exact_dups"),
+        F.sum(F.when(gopher, 1).otherwise(0)).alias("n_gopher_pass"),
+    ).select(
+        "n_docs",
+        "total_tokens",
+        "n_langs",
+        "n_sources",
+        "n_exact_dups",
+        "n_gopher_pass",
+        (F.col("n_exact_dups").cast("double") / F.col("n_docs").cast("double")).alias(
+            "dup_rate"
+        ),
+        (
+            F.col("n_gopher_pass").cast("double") / F.col("n_docs").cast("double")
+        ).alias("gopher_pass_rate"),
+    )
+
+
+def _dataset_card_oracle() -> str:
+    from mysql_streamer_spark.queries.textops import (
+        GOPHER_MAX_TOKENS,
+        GOPHER_MAX_TOP_TOKEN_FRAC,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_TOKENS,
+        GOPHER_WORDLEN_HI,
+        GOPHER_WORDLEN_LO,
+    )
+
+    return f"""
+WITH per_doc AS (
+  SELECT lang, source, md5(text) AS text_hash,
+    len({tx.tokens_sql("text")}) AS n_tokens,
+    CAST({tx.token_length_sum_sql(tx.tokens_sql("text"))} AS DOUBLE)
+      / CAST(len({tx.tokens_sql("text")}) AS DOUBLE) AS mean_word_len,
+    {tx.stopword_hits_sql("en", tx.tokens_sql("text"))} AS stop_hits,
+    CAST(list_max(list_transform(list_distinct({tx.tokens_sql("text")}),
+        t -> len(list_filter({tx.tokens_sql("text")}, x -> x = t)))) AS DOUBLE)
+      / CAST(len({tx.tokens_sql("text")}) AS DOUBLE) AS top_token_frac
+  FROM documents
+), agg AS (
+  SELECT count(*) AS n_docs,
+    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+    count(DISTINCT lang) AS n_langs,
+    count(DISTINCT source) AS n_sources,
+    count(*) - count(DISTINCT text_hash) AS n_exact_dups,
+    CAST(sum(CASE WHEN n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS}
+         AND mean_word_len BETWEEN {GOPHER_WORDLEN_LO} AND {GOPHER_WORDLEN_HI}
+         AND stop_hits >= {GOPHER_MIN_STOP_HITS}
+         AND top_token_frac <= {GOPHER_MAX_TOP_TOKEN_FRAC}
+         THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass
+  FROM per_doc
+)
+SELECT n_docs, total_tokens, n_langs, n_sources, n_exact_dups, n_gopher_pass,
+       CAST(n_exact_dups AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate,
+       CAST(n_gopher_pass AS DOUBLE) / CAST(n_docs AS DOUBLE) AS gopher_pass_rate
+FROM agg
+"""
+
+
 SPECS = [
     QuerySpec("pipeline_decontaminate", q_pipeline_decontaminate, _DECONTAMINATE_ORACLE),
+    QuerySpec(
+        "pipeline_dataset_card", q_pipeline_dataset_card, _dataset_card_oracle()
+    ),
     QuerySpec(
         "pipeline_length_histogram",
         q_pipeline_length_histogram,
