@@ -802,8 +802,72 @@ WHERE doc_id NOT IN (SELECT doc_id FROM non_keepers)
 """
 
 
+def q_dedup_pair_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement audit between the two independent near-dup pipelines —
+    MinHash-LSH (probabilistic recall, full shingle space) and the
+    DF-capped inverted-index exact path. The pair sets legitimately
+    differ (LSH can miss; the capped path scores over the sub-cap shingle
+    space), and THIS query quantifies that: both/only-LSH/only-ngram
+    counts plus the LSH path's agreement rate. The same evaluation shape
+    as sim_ann_recall, over text. Cost = both pipelines; the final
+    full-outer join moves id pairs only."""
+    docs = load_table(spark, sf_dir, "documents")
+    lsh = minhash_candidate_pairs(docs).select("doc_a", "doc_b")
+    ng = ngram_jaccard_pairs(docs).select(
+        F.col("doc_a").alias("ng_a"), F.col("doc_b").alias("ng_b")
+    )
+    joined = lsh.join(
+        ng, (lsh.doc_a == ng.ng_a) & (lsh.doc_b == ng.ng_b), "full_outer"
+    )
+    in_both = F.col("doc_a").isNotNull() & F.col("ng_a").isNotNull()
+    return joined.agg(
+        F.sum(F.when(in_both, 1).otherwise(0)).alias("n_both"),
+        F.sum(F.when(F.col("ng_a").isNull(), 1).otherwise(0)).alias("n_lsh_only"),
+        F.sum(F.when(F.col("doc_a").isNull(), 1).otherwise(0)).alias(
+            "n_ngram_only"
+        ),
+    ).select(
+        "n_both",
+        "n_lsh_only",
+        "n_ngram_only",
+        (
+            F.col("n_both").cast("double")
+            / (F.col("n_both") + F.col("n_ngram_only")).cast("double")
+        ).alias("lsh_agreement_rate"),
+    )
+
+
+_PAIR_AGREEMENT_ORACLE = f"""
+WITH lsh AS (SELECT doc_a, doc_b FROM ({_PAIRS_ORACLE}) t),
+     ng  AS (SELECT doc_a AS ng_a, doc_b AS ng_b
+             FROM ({_JACCARD_NGRAM_ORACLE}) t),
+     j AS (
+       SELECT lsh.doc_a, lsh.doc_b, ng.ng_a, ng.ng_b
+       FROM lsh FULL OUTER JOIN ng
+         ON lsh.doc_a = ng.ng_a AND lsh.doc_b = ng.ng_b
+     ),
+     agg AS (
+       SELECT
+         CAST(sum(CASE WHEN doc_a IS NOT NULL AND ng_a IS NOT NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         CAST(sum(CASE WHEN ng_a IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_lsh_only,
+         CAST(sum(CASE WHEN doc_a IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ngram_only
+       FROM j
+     )
+SELECT n_both, n_lsh_only, n_ngram_only,
+       CAST(n_both AS DOUBLE) / CAST(n_both + n_ngram_only AS DOUBLE)
+         AS lsh_agreement_rate
+FROM agg
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact", q_dedup_exact, _EXACT_ORACLE),
+    QuerySpec(
+        "dedup_pair_agreement", q_dedup_pair_agreement, _PAIR_AGREEMENT_ORACLE
+    ),
     QuerySpec(
         "dedup_fuzzy_survivors", q_dedup_fuzzy_survivors, _FUZZY_SURVIVORS_ORACLE
     ),

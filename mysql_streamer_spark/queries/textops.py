@@ -753,8 +753,51 @@ FROM ranked WHERE rank <= {TFIDF_TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# tokenizer fertility (subwords per word, per language/source)
+# ---------------------------------------------------------------------------
+
+def q_text_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility — subword pieces emitted per whitespace word,
+    per (lang, source) — the health metric that decides whether a
+    tokenizer underserves a language (high fertility = more compute per
+    word). Integer sums per group; ONE division at the end."""
+    df = _docs_with_tokens(spark, sf_dir)
+    per_doc = df.select(
+        "lang",
+        "source",
+        F.size("toks").alias("n_words"),
+        tx.subword_count_col().alias("n_subwords"),
+    )
+    return per_doc.groupBy("lang", "source").agg(
+        F.sum(F.col("n_words").cast("long")).alias("total_words"),
+        F.sum(F.col("n_subwords").cast("long")).alias("total_subwords"),
+        (
+            F.sum(F.col("n_subwords").cast("long")).cast("double")
+            / F.sum(F.col("n_words").cast("long")).cast("double")
+        ).alias("fertility"),
+    )
+
+
+_FERTILITY_ORACLE = f"""
+WITH tok AS (
+  SELECT lang, source, {tx.tokens_sql("text")} AS toks FROM documents
+), per_doc AS (
+  SELECT lang, source, len(toks) AS n_words,
+         {tx.subword_count_sql()} AS n_subwords
+  FROM tok
+)
+SELECT lang, source,
+  CAST(sum(n_words) AS BIGINT) AS total_words,
+  CAST(sum(n_subwords) AS BIGINT) AS total_subwords,
+  CAST(sum(n_subwords) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE) AS fertility
+FROM per_doc GROUP BY lang, source
+"""
+
+
 SPECS = [
     QuerySpec("text_token_stats", q_text_token_stats, _TOKEN_STATS_ORACLE),
+    QuerySpec("text_fertility", q_text_fertility, _FERTILITY_ORACLE),
     QuerySpec("text_winnowing", q_text_winnowing, _WINNOWING_ORACLE),
     QuerySpec("text_gopher_rules", q_text_gopher_rules, _GOPHER_ORACLE),
     QuerySpec("text_tfidf_topk", q_text_tfidf_topk, _TFIDF_ORACLE),
