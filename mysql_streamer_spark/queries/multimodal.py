@@ -165,7 +165,49 @@ FROM buckets
 """
 
 
+def q_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed energy/peak meter over the 'audio' byte streams via the
+    Arrow/numpy kernel (multimodal.audio_energy). The oracle recomputes
+    every window's integer byte-sum and max in SQL from the same text
+    bytes (ascii == byte value for this corpus), value-checking the
+    vectorized PYTHON path end-to-end like the other Arrow kernels."""
+    from mysql_streamer_spark.multimodal import audio_energy
+    from mysql_streamer_spark.tables import spread
+
+    blobs = with_media_blob(spread(load_table(spark, sf_dir, "documents")))
+    return audio_energy(blobs)
+
+
+def _audio_energy_oracle() -> str:
+    from mysql_streamer_spark.multimodal import MAX_WINDOWS, WINDOW_BYTES
+
+    return f"""
+WITH audio AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id % 3 = 1
+), wins AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0,
+           least(CAST(n // {WINDOW_BYTES} AS BIGINT), {MAX_WINDOWS}) - 1))
+           AS window_idx
+  FROM audio
+  WHERE n >= {WINDOW_BYTES}
+)
+SELECT doc_id, window_idx,
+  CAST(list_sum(list_transform(generate_series(1, {WINDOW_BYTES}),
+       i -> ascii(substr(text, CAST(window_idx * {WINDOW_BYTES} AS INT) + i, 1))))
+    AS BIGINT) AS energy,
+  CAST(list_max(list_transform(generate_series(1, {WINDOW_BYTES}),
+       i -> ascii(substr(text, CAST(window_idx * {WINDOW_BYTES} AS INT) + i, 1))))
+    AS BIGINT) AS peak
+FROM wins
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "multimodal_audio_energy", q_multimodal_audio_energy, _audio_energy_oracle()
+    ),
     QuerySpec("multimodal_resize", q_multimodal_resize, _resize_oracle()),
     QuerySpec("multimodal_metadata", q_multimodal_metadata, _METADATA_ORACLE),
     QuerySpec("multimodal_features", q_multimodal_features, _features_oracle()),
