@@ -1753,8 +1753,53 @@ GROUP BY cohort_week, week_offset
 """
 
 
+# ---------------------------------------------------------------------------
+# event-transition matrix (first-order Markov counts per user journey)
+# ---------------------------------------------------------------------------
+
+def q_analytics_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition counts over each user's event sequence —
+    the journey matrix behind funnel/attribution models. One window
+    (lag over the per-user timeline, tie-broken by event_id so the
+    sequence is total) and one tiny aggregate; the shuffle keys on
+    user_id exactly once."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(
+            F.count("*").alias("n_transitions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+_EVENT_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       count(*) AS n_transitions,
+       count(DISTINCT user_id) AS n_users
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+"""
+
+
 SPECS = [
     QuerySpec("analytics_pricing_summary", q_analytics_pricing_summary, _PRICING_ORACLE),
+    QuerySpec(
+        "analytics_event_transitions",
+        q_analytics_event_transitions,
+        _EVENT_TRANSITIONS_ORACLE,
+    ),
     QuerySpec(
         "analytics_retention_cohorts",
         q_analytics_retention_cohorts,

@@ -520,12 +520,51 @@ GROUP BY 1, 2
 """
 
 
+def q_cdc_live_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction-style aggregate maintenance from the changelog: net live
+    rows per table as ONE signed-delta sum over the message stream
+    (create = +1, delete = -1, update/refresh = 0 — in-place mutation and
+    re-publication don't change existence). This is how a downstream
+    materialized COUNT survives 100 TB of history: consume deltas, never
+    rescan the table — the Flink-retraction pattern on a Spark plan, with
+    map-side partial sums doing almost all the work."""
+    env = envelope_pipeline(spark, sf_dir)
+    delta = (
+        F.when(F.col("message_type") == "create", 1)
+        .when(F.col("message_type") == "delete", -1)
+        .otherwise(0)
+    )
+    return env.groupBy("database_name", "table_name").agg(
+        F.sum(delta).cast("long").alias("net_live_rows"),
+        F.sum(F.when(F.col("message_type") == "create", 1).otherwise(0))
+        .cast("long")
+        .alias("n_creates"),
+        F.sum(F.when(F.col("message_type") == "delete", 1).otherwise(0))
+        .cast("long")
+        .alias("n_deletes"),
+    )
+
+
+_LIVE_ROWS_ORACLE = _ORACLE_PIPELINE_CTES + """
+SELECT database AS database_name, "table" AS table_name,
+  CAST(sum(CASE message_type WHEN 'create' THEN 1
+           WHEN 'delete' THEN -1 ELSE 0 END) AS BIGINT) AS net_live_rows,
+  CAST(sum(CASE WHEN message_type = 'create' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_creates,
+  CAST(sum(CASE WHEN message_type = 'delete' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_deletes
+FROM keyed
+GROUP BY database, "table"
+"""
+
+
 SPECS = [
     QuerySpec(
         "cdc_envelope",
         q_cdc_envelope,
         _ORACLE_PIPELINE_CTES + _ENVELOPE_SELECT,
     ),
+    QuerySpec("cdc_live_row_counts", q_cdc_live_row_counts, _LIVE_ROWS_ORACLE),
     QuerySpec("cdc_compacted_table", q_cdc_compacted_table, _COMPACTED_ORACLE),
     QuerySpec("cdc_gtid_positions", q_cdc_gtid_positions, _GTID_ORACLE),
     QuerySpec("cdc_whitelist_envelope", q_cdc_whitelist_envelope, _WHITELIST_ORACLE),
