@@ -527,6 +527,31 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index (N_PROBES probed cells) against the
+    brute-force ground truth — the companion evaluation to sim_ann_recall
+    so the two index families (hash buckets vs coarse cells) are graded on
+    the same query set before either is trusted at scale."""
+    ivf = q_sim_ivf_ann(spark, sf_dir).select("query_id", "cand_id")
+    exact = q_sim_bruteforce_topk(spark, sf_dir).select("query_id", "cand_id")
+    return (
+        exact.join(ivf, ["query_id", "cand_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+        .withColumn("recall_at_k", F.col("n_hits").cast("double") / TOP_K)
+    )
+
+
+_IVF_RECALL_ORACLE = f"""
+WITH ivf AS (SELECT query_id, cand_id FROM ({_IVF_ORACLE}) t),
+     ex  AS (SELECT query_id, cand_id FROM ({_BRUTEFORCE_ORACLE}) t)
+SELECT query_id, count(*) AS n_hits,
+       CAST(count(*) AS DOUBLE) / {TOP_K} AS recall_at_k
+FROM ex SEMI JOIN ivf USING (query_id, cand_id)
+GROUP BY query_id
+"""
+
+
 _ANN_RECALL_ORACLE = (
     "WITH "
     + vx.lsh_buckets_sql_cte()
@@ -1108,6 +1133,7 @@ SPECS = [
     QuerySpec(
         "sim_matryoshka_recall", q_sim_matryoshka_recall, _MATRYOSHKA_ORACLE
     ),
+    QuerySpec("sim_ivf_recall", q_sim_ivf_recall, _IVF_RECALL_ORACLE),
     QuerySpec("sim_kmeans", q_sim_kmeans, _KMEANS_ORACLE),
     QuerySpec("sim_lsh_ann", q_sim_lsh_ann, _ANN_ORACLE),
     QuerySpec(

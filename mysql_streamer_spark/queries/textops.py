@@ -795,9 +795,81 @@ FROM per_doc GROUP BY lang, source
 """
 
 
+# ---------------------------------------------------------------------------
+# vocabulary coverage curve (top-N vocab share of all token occurrences)
+# ---------------------------------------------------------------------------
+
+VOCAB_COVERAGE_POINTS = (5, 10, 20)
+
+
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What fraction of all token occurrences a top-N vocabulary covers,
+    at the standard budget points — the curve that sizes a vocabulary (or
+    proves the corpus Zipfian). One explode -> count aggregate, then a
+    window over the VOCABULARY (thousands of rows, not the corpus) builds
+    the cumulative sums; coverage is integer-exact until one final
+    division per point."""
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    vocab = (
+        docs.withColumn("toks", tx.tokens_col("text"))
+        .select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = vocab.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), F.col("token").asc()))
+        .alias("rank"),
+        F.sum("n").over(w).alias("cum_occurrences"),
+    )
+    total = vocab.agg(F.sum("n").cast("long").alias("total_occurrences"))
+    return (
+        ranked.filter(F.col("rank").isin(*VOCAB_COVERAGE_POINTS))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("rank").alias("vocab_size"),
+            F.col("cum_occurrences").cast("long").alias("cum_occurrences"),
+            "total_occurrences",
+            (
+                F.col("cum_occurrences").cast("double")
+                / F.col("total_occurrences").cast("double")
+            ).alias("coverage"),
+        )
+    )
+
+
+_VOCAB_COVERAGE_ORACLE = f"""
+WITH vocab AS (
+  SELECT token, count(*) AS n FROM (
+    SELECT unnest({tx.tokens_sql("text")}) AS token FROM documents
+  ) GROUP BY token
+), ranked AS (
+  SELECT row_number() OVER (ORDER BY n DESC, token ASC) AS rank,
+         sum(n) OVER (ORDER BY n DESC, token ASC
+                      ROWS UNBOUNDED PRECEDING) AS cum_occurrences
+  FROM vocab
+), total AS (SELECT CAST(sum(n) AS BIGINT) AS total_occurrences FROM vocab)
+SELECT rank AS vocab_size,
+       CAST(cum_occurrences AS BIGINT) AS cum_occurrences,
+       total_occurrences,
+       CAST(cum_occurrences AS DOUBLE) / CAST(total_occurrences AS DOUBLE)
+         AS coverage
+FROM ranked, total
+WHERE rank IN ({", ".join(str(p) for p in VOCAB_COVERAGE_POINTS)})
+"""
+
+
 SPECS = [
     QuerySpec("text_token_stats", q_text_token_stats, _TOKEN_STATS_ORACLE),
     QuerySpec("text_fertility", q_text_fertility, _FERTILITY_ORACLE),
+    QuerySpec(
+        "text_vocab_coverage", q_text_vocab_coverage, _VOCAB_COVERAGE_ORACLE
+    ),
     QuerySpec("text_winnowing", q_text_winnowing, _WINNOWING_ORACLE),
     QuerySpec("text_gopher_rules", q_text_gopher_rules, _GOPHER_ORACLE),
     QuerySpec("text_tfidf_topk", q_text_tfidf_topk, _TFIDF_ORACLE),

@@ -113,6 +113,9 @@ _SINGLE_PARTITION_OK = {
     "cdc_heartbeat_lag",            # 1-row max broadcast back onto the stream
     "sketch_hll_merge",             # per-day sketches -> ONE union (scalar)
     "sketch_quantile_bound",        # single-row percentile summary
+    # cumulative window over the AGGREGATED vocabulary dimension (orders of
+    # magnitude smaller than the corpus), like text_bigram_pmi's total
+    "text_vocab_coverage",
     "pipeline_mix_weights",         # 1-row max-weight broadcast back
     "text_bigram_pmi",              # 1-row corpus-total broadcast back
     "analytics_conversion_funnel",  # three 1-row stage counts
