@@ -1793,6 +1793,96 @@ GROUP BY prev_type, next_type
 """
 
 
+# ---------------------------------------------------------------------------
+# rolling 7-day average revenue (sliding frame over the daily aggregate)
+# ---------------------------------------------------------------------------
+
+def q_analytics_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing mean of daily order revenue: the corpus-sized work
+    is ONE day-keyed aggregate; the rolling frame slides over the tiny
+    daily dimension (one row per day), so the unpartitioned window is a
+    dimension-sized singleton like the other *_OK entries — never a
+    corpus shuffle. Revenue is integer cents; the mean divides once."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum(_cents_expr(F.col("o_totalprice"))).alias("day_revenue_c"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        "day_revenue_c",
+        F.count("*").over(w).alias("n_days_in_frame"),
+        (
+            F.sum("day_revenue_c").over(w).cast("double")
+            / F.count("*").over(w).cast("double")
+        ).alias("rolling_avg_revenue_c"),
+    )
+
+
+_ROLLING_REVENUE_ORACLE = f"""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(sum({_cents_sql("o_totalprice")}) AS BIGINT) AS day_revenue_c
+  FROM orders GROUP BY 1
+)
+SELECT day, day_revenue_c,
+  count(*) OVER w AS n_days_in_frame,
+  CAST(sum(day_revenue_c) OVER w AS DOUBLE) / CAST(count(*) OVER w AS DOUBLE)
+    AS rolling_avg_revenue_c
+FROM daily
+WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# year-over-year growth (lag over the yearly aggregate)
+# ---------------------------------------------------------------------------
+
+def q_analytics_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per order priority: corpus work is
+    one (priority, year) aggregate; lag() walks the handful of yearly
+    rows inside each priority partition. Growth is an exact integer
+    difference; the ratio divides once."""
+    from pyspark.sql import Window
+
+    yearly = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderpriority", F.year("o_orderdate").alias("year")
+        )
+        .agg(F.sum(_cents_expr(F.col("o_totalprice"))).alias("revenue_c"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("year")
+    prev = F.lag("revenue_c").over(w)
+    return yearly.select(
+        F.col("o_orderpriority").alias("priority"),
+        "year",
+        "revenue_c",
+        (F.col("revenue_c") - prev).alias("delta_c"),
+        (
+            (F.col("revenue_c") - prev).cast("double") / prev.cast("double")
+        ).alias("growth_rate"),
+    )
+
+
+_YOY_ORACLE = f"""
+WITH yearly AS (
+  SELECT o_orderpriority AS priority, year(o_orderdate) AS year,
+         CAST(sum({_cents_sql("o_totalprice")}) AS BIGINT) AS revenue_c
+  FROM orders GROUP BY 1, 2
+)
+SELECT priority, year, revenue_c,
+  revenue_c - lag(revenue_c) OVER w AS delta_c,
+  CAST(revenue_c - lag(revenue_c) OVER w AS DOUBLE)
+    / CAST(lag(revenue_c) OVER w AS DOUBLE) AS growth_rate
+FROM yearly
+WINDOW w AS (PARTITION BY priority ORDER BY year)
+"""
+
+
 SPECS = [
     QuerySpec("analytics_pricing_summary", q_analytics_pricing_summary, _PRICING_ORACLE),
     QuerySpec(
@@ -1800,6 +1890,12 @@ SPECS = [
         q_analytics_event_transitions,
         _EVENT_TRANSITIONS_ORACLE,
     ),
+    QuerySpec(
+        "analytics_rolling_revenue",
+        q_analytics_rolling_revenue,
+        _ROLLING_REVENUE_ORACLE,
+    ),
+    QuerySpec("analytics_yoy_growth", q_analytics_yoy_growth, _YOY_ORACLE),
     QuerySpec(
         "analytics_retention_cohorts",
         q_analytics_retention_cohorts,

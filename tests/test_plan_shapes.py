@@ -116,6 +116,8 @@ _SINGLE_PARTITION_OK = {
     # cumulative window over the AGGREGATED vocabulary dimension (orders of
     # magnitude smaller than the corpus), like text_bigram_pmi's total
     "text_vocab_coverage",
+    # rolling frame over the one-row-per-day aggregate dimension
+    "analytics_rolling_revenue",
     "pipeline_mix_weights",         # 1-row max-weight broadcast back
     "text_bigram_pmi",              # 1-row corpus-total broadcast back
     "analytics_conversion_funnel",  # three 1-row stage counts
