@@ -21,6 +21,10 @@ _BNLJ_OK = {
     "sim_matryoshka_recall",
     # two single-row aggregate frames crossed into the one-row contract check
     "sketch_hll_merge",
+    # 1-row corpus-total frame crossed back onto the ranked vocabulary
+    "text_vocab_coverage",
+    # embeds the brute-force ground truth + IVF centroid broadcast
+    "sim_ivf_recall",
     "cdc_heartbeat_lag",
     # Lloyd assignment: the k-row centroid frame is broadcast against every
     # vector by design (the canonical k-means-on-Spark shape)
@@ -118,6 +122,10 @@ _SINGLE_PARTITION_OK = {
     "text_vocab_coverage",
     # rolling frame over the one-row-per-day aggregate dimension
     "analytics_rolling_revenue",
+    # one-row agreement summary (scalar aggregate of the pair join)
+    "dedup_pair_agreement",
+    # one-row corpus datasheet (scalar aggregate)
+    "pipeline_dataset_card",
     "pipeline_mix_weights",         # 1-row max-weight broadcast back
     "text_bigram_pmi",              # 1-row corpus-total broadcast back
     "analytics_conversion_funnel",  # three 1-row stage counts
