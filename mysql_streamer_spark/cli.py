@@ -132,6 +132,34 @@ def cmd_registry_dump(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_dataset_card(args: argparse.Namespace) -> int:
+    """One-row corpus datasheet (pipeline_dataset_card) as a JSON line —
+    the artifact a data-prep run records next to its output."""
+    from mysql_streamer_spark.queries.pipeline import q_pipeline_dataset_card
+
+    (row,) = q_pipeline_dataset_card(_spark(), args.sf_dir).collect()
+    print(json.dumps(row.asDict()))
+    return 0
+
+
+def cmd_run_query(args: argparse.Namespace) -> int:
+    """Run any registered operator by name and print its rows as JSON
+    lines (capped) — the ad-hoc surface over the whole query registry."""
+    from mysql_streamer_spark.queries import all_specs
+
+    specs = {s.name: s for s in all_specs()}
+    if args.name not in specs:
+        print(
+            json.dumps({"error": "unknown query", "available": sorted(specs)}),
+            file=sys.stderr,
+        )
+        return 2
+    df = specs[args.name].fn(_spark(), args.sf_dir)
+    for row in df.limit(args.limit).collect():
+        print(json.dumps({k: str(v) for k, v in row.asDict().items()}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="mysql_streamer_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -159,6 +187,16 @@ def build_parser() -> argparse.ArgumentParser:
 
     r = sub.add_parser("registry-dump", help="dump registered table schemas")
     r.set_defaults(fn=cmd_registry_dump)
+
+    d = sub.add_parser("dataset-card", help="one-row corpus datasheet (JSON)")
+    d.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    d.set_defaults(fn=cmd_dataset_card)
+
+    q = sub.add_parser("query", help="run any registered operator by name")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--limit", type=int, default=20)
+    q.set_defaults(fn=cmd_run_query)
     return p
 
 

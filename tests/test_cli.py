@@ -76,3 +76,28 @@ def test_changelog_command_matches_batch_projection(spark, sf_dir, tmp_path, cap
     expected = q_cdc_changelog(spark, sf_dir)
     assert sunk.count() == expected.count()
     assert set(sunk.columns) >= set(expected.columns)
+
+
+def test_dataset_card_prints_one_json_row(spark, sf_dir, capsys):
+    from mysql_streamer_spark.cli import main
+
+    assert main(["dataset-card", "--sf-dir", sf_dir]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    card = json.loads(out[0])
+    assert card["n_docs"] > 0 and card["total_tokens"] > 0
+
+
+def test_query_command_runs_registered_operator(spark, sf_dir, capsys):
+    from mysql_streamer_spark.cli import main
+
+    assert main(["query", "text_fertility", "--sf-dir", sf_dir, "--limit", "5"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert 1 <= len(out) <= 5
+    assert "fertility" in json.loads(out[0])
+
+
+def test_query_command_unknown_name_fails(spark, sf_dir, capsys):
+    from mysql_streamer_spark.cli import main
+
+    assert main(["query", "no_such_query", "--sf-dir", sf_dir]) == 2
