@@ -293,8 +293,78 @@ GROUP BY database, base_table, version, schema_id
 """
 
 
+def q_cdc_ddl_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DDL admission chain AS A DATAFRAME PLAN — the distributed form
+    the schema branch takes when QueryEvents arrive on the same stream as
+    row events (reference schema_event_handler.handle_event order: skip
+    F3, drop F4-unsupported, drop F1-blacklisted). The classifier verdict
+    is stamped per statement from the deterministic Python parser (the
+    control plane), while the F3/F1 filters run as Column predicates —
+    so a billion-row query-event backlog admits/drops without leaving
+    the JVM."""
+    from mysql_streamer_spark.cdc.filters import (
+        DEFAULT_SCHEMA_BLACKLIST,
+        filter_skippable_queries,
+    )
+    from mysql_streamer_spark.schema.bootstrap import bootstrap_ddl_stream
+    from mysql_streamer_spark.schema.ddl_parser import StatementKind, parse_statement
+
+    rows = []
+    for pos, sql in enumerate(bootstrap_ddl_stream()):
+        p = parse_statement(sql)
+        rows.append(
+            (
+                pos,
+                sql,
+                p.kind.name,
+                p.database,
+                p.table,
+            )
+        )
+    events = spark.createDataFrame(
+        rows,
+        "pos int, query string, kind string, database string, `table` string",
+    )
+    admitted = filter_skippable_queries(events).filter(
+        (F.col("kind") != StatementKind.UNSUPPORTED.name)
+        & (
+            F.col("database").isNull()
+            | ~F.col("database").isin(list(DEFAULT_SCHEMA_BLACKLIST))
+        )
+    )
+    return admitted.select("pos", "kind", "database", "table")
+
+
+def _ddl_admission_oracle() -> str:
+    from mysql_streamer_spark.cdc.filters import (
+        DEFAULT_SCHEMA_BLACKLIST,
+        SKIPPABLE_QUERIES,
+    )
+    from mysql_streamer_spark.schema.bootstrap import bootstrap_ddl_stream
+    from mysql_streamer_spark.schema.ddl_parser import StatementKind, parse_statement
+
+    rows = []
+    for pos, sql in enumerate(bootstrap_ddl_stream()):
+        p = parse_statement(sql)
+        if sql.strip().upper() in SKIPPABLE_QUERIES:
+            continue
+        if p.kind is StatementKind.UNSUPPORTED:
+            continue
+        if p.database in DEFAULT_SCHEMA_BLACKLIST:
+            continue
+        db = f"'{p.database}'" if p.database is not None else "CAST(NULL AS VARCHAR)"
+        tb = f"'{p.table}'" if p.table is not None else "CAST(NULL AS VARCHAR)"
+        rows.append(f"({pos}, '{p.kind.name}', {db}, {tb})")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ') AS t(pos, kind, database, "table")'
+    )
+
+
 SPECS = [
     QuerySpec("schema_registry_state", q_schema_registry_state, registry_state_values_sql()),
+    QuerySpec("cdc_ddl_admission", q_cdc_ddl_admission, _ddl_admission_oracle()),
     QuerySpec(
         "cdc_schema_version_routing",
         q_cdc_schema_version_routing,
