@@ -1045,10 +1045,75 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# epoch shuffle: deterministic per-epoch reshuffling without a global sort
+# ---------------------------------------------------------------------------
+
+EPOCH_SHUFFLE_EPOCHS = (0, 1)
+EPOCH_SHUFFLE_SHARDS = 8
+
+
+def q_pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-epoch shuffling at 100 TB: a GLOBAL permutation needs a
+    global sort (one range exchange over everything), so instead each
+    epoch hashes docs into shards and orders WITHIN the shard by a second
+    seeded hash — readers consume shards independently and every epoch's
+    order is a fresh deterministic permutation (md5(seed || doc_id),
+    re-runnable, no RNG state). One window per (epoch, shard) partition;
+    nothing global. Both the shard nibble and the order key derive from
+    md5, so the oracle replays the identical permutation."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    from pyspark.sql import Window
+
+    epochs = None
+    for ep in EPOCH_SHUFFLE_EPOCHS:
+        skey = F.md5(F.concat(F.lit(f"shard{ep}:"), F.col("doc_id").cast("string")))
+        part = docs.select(
+            F.lit(ep).alias("epoch"),
+            "doc_id",
+            (F.ascii(F.substring(skey, 1, 1)) % EPOCH_SHUFFLE_SHARDS).alias("shard"),
+            F.md5(
+                F.concat(F.lit(f"order{ep}:"), F.col("doc_id").cast("string"))
+            ).alias("okey"),
+        )
+        epochs = part if epochs is None else epochs.unionByName(part)
+    w = Window.partitionBy("epoch", "shard").orderBy("okey")
+    return epochs.select(
+        "epoch",
+        "shard",
+        "doc_id",
+        F.row_number().over(w).alias("rank_in_shard"),
+    )
+
+
+def _epoch_shuffle_oracle() -> str:
+    unions = "\nUNION ALL\n".join(
+        f"""SELECT {ep} AS epoch,
+       ascii(substring(md5('shard{ep}:' || CAST(doc_id AS VARCHAR)), 1, 1))
+         % {EPOCH_SHUFFLE_SHARDS} AS shard,
+       doc_id,
+       md5('order{ep}:' || CAST(doc_id AS VARCHAR)) AS okey
+FROM documents"""
+        for ep in EPOCH_SHUFFLE_EPOCHS
+    )
+    return f"""
+WITH epochs AS (
+{unions}
+)
+SELECT epoch, shard, doc_id,
+       row_number() OVER (PARTITION BY epoch, shard ORDER BY okey)
+         AS rank_in_shard
+FROM epochs
+"""
+
+
 SPECS = [
     QuerySpec("pipeline_decontaminate", q_pipeline_decontaminate, _DECONTAMINATE_ORACLE),
     QuerySpec(
         "pipeline_dataset_card", q_pipeline_dataset_card, _dataset_card_oracle()
+    ),
+    QuerySpec(
+        "pipeline_epoch_shuffle", q_pipeline_epoch_shuffle, _epoch_shuffle_oracle()
     ),
     QuerySpec(
         "pipeline_length_histogram",
