@@ -266,6 +266,58 @@ def q_sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(_emb(spark, sf_dir))
 
 
+#: calibration points for the threshold sweep (>= the pair-generation
+#: bound, so one candidate computation serves every point)
+SWEEP_THRESHOLDS = (0.4, 0.6, 0.8)
+
+
+def q_sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold calibration: how many near-dup pairs (and distinct
+    affected vectors) survive at each candidate cosine cutoff — computed
+    from ONE pair generation (the sweep points all sit at or above the
+    LSH pair bound, so no re-bucketing). This is the table a dedup owner
+    reads to pick the production threshold; conditional aggregation over
+    the scored pairs, id-only shuffles throughout."""
+    pairs = cosine_neardup_pairs(_emb(spark, sf_dir))
+    aggs = []
+    for t in SWEEP_THRESHOLDS:
+        tag = str(int(t * 100))
+        aggs += [
+            F.sum(F.when(F.col("cosine") >= t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_pairs_{tag}"),
+            F.size(
+                F.array_distinct(
+                    F.flatten(
+                        F.collect_list(
+                            F.when(
+                                F.col("cosine") >= t,
+                                F.array("vec_a", "vec_b"),
+                            ).otherwise(F.array().cast("array<bigint>"))
+                        )
+                    )
+                )
+            ).alias(f"n_vectors_{tag}"),
+        ]
+    return pairs.agg(*aggs)
+
+
+def _threshold_sweep_oracle() -> str:
+    cols = ",\n  ".join(
+        f"CAST(sum(CASE WHEN cosine >= {t} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_pairs_{int(t * 100)},\n  "
+        f"len(list_distinct(flatten(list(CASE WHEN cosine >= {t}"
+        f" THEN [vec_a, vec_b] ELSE CAST([] AS BIGINT[]) END))))"
+        f" AS n_vectors_{int(t * 100)}"
+        for t in SWEEP_THRESHOLDS
+    )
+    return f"SELECT\n  {cols}\nFROM ({_NEARDUP_ORACLE}) scored_pairs"
+
+
+#: defined after _NEARDUP_ORACLE below; assigned here lazily
+_THRESHOLD_SWEEP_ORACLE: str
+
+
 _NEARDUP_ORACLE = (
     "WITH "
     + vx.lsh_buckets_sql_cte()
@@ -288,6 +340,8 @@ _NEARDUP_ORACLE = (
 SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {NEARDUP_THRESHOLD}
 """
 )
+
+_THRESHOLD_SWEEP_ORACLE = _threshold_sweep_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -1134,6 +1188,9 @@ SPECS = [
         "sim_matryoshka_recall", q_sim_matryoshka_recall, _MATRYOSHKA_ORACLE
     ),
     QuerySpec("sim_ivf_recall", q_sim_ivf_recall, _IVF_RECALL_ORACLE),
+    QuerySpec(
+        "sim_threshold_sweep", q_sim_threshold_sweep, _THRESHOLD_SWEEP_ORACLE
+    ),
     QuerySpec("sim_kmeans", q_sim_kmeans, _KMEANS_ORACLE),
     QuerySpec("sim_lsh_ann", q_sim_lsh_ann, _ANN_ORACLE),
     QuerySpec(
