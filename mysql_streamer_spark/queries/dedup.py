@@ -802,6 +802,54 @@ WHERE doc_id NOT IN (SELECT doc_id FROM non_keepers)
 """
 
 
+#: Jaccard calibration points (>= JACCARD_THRESHOLD so one candidate
+#: generation serves every point)
+DEDUP_SWEEP_THRESHOLDS = (0.3, 0.5, 0.7)
+
+
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard threshold calibration from ONE MinHash pair generation:
+    surviving pair / affected-document counts per cutoff — the dedup
+    twin of sim_threshold_sweep (pick the production threshold from the
+    measured curve, not a guess). Conditional aggregation only."""
+    pairs = minhash_candidate_pairs(load_table(spark, sf_dir, "documents"))
+    aggs = []
+    for t in DEDUP_SWEEP_THRESHOLDS:
+        tag = str(int(t * 100))
+        aggs += [
+            F.sum(F.when(F.col("jaccard") >= t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_pairs_{tag}"),
+            F.size(
+                F.array_distinct(
+                    F.flatten(
+                        F.collect_list(
+                            F.when(
+                                F.col("jaccard") >= t, F.array("doc_a", "doc_b")
+                            ).otherwise(F.array().cast("array<bigint>"))
+                        )
+                    )
+                )
+            ).alias(f"n_docs_{tag}"),
+        ]
+    return pairs.agg(*aggs)
+
+
+def _dedup_sweep_oracle() -> str:
+    cols = ",\n  ".join(
+        f"CAST(sum(CASE WHEN jaccard >= {t} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_pairs_{int(t * 100)},\n  "
+        f"len(list_distinct(flatten(list(CASE WHEN jaccard >= {t}"
+        f" THEN [doc_a, doc_b] ELSE CAST([] AS BIGINT[]) END))))"
+        f" AS n_docs_{int(t * 100)}"
+        for t in DEDUP_SWEEP_THRESHOLDS
+    )
+    return f"SELECT\n  {cols}\nFROM ({_PAIRS_ORACLE}) scored_pairs"
+
+
+_DEDUP_SWEEP_ORACLE = _dedup_sweep_oracle()
+
+
 def q_dedup_pair_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Agreement audit between the two independent near-dup pipelines —
     MinHash-LSH (probabilistic recall, full shingle space) and the
@@ -867,6 +915,9 @@ SPECS = [
     QuerySpec("dedup_exact", q_dedup_exact, _EXACT_ORACLE),
     QuerySpec(
         "dedup_pair_agreement", q_dedup_pair_agreement, _PAIR_AGREEMENT_ORACLE
+    ),
+    QuerySpec(
+        "dedup_threshold_sweep", q_dedup_threshold_sweep, _DEDUP_SWEEP_ORACLE
     ),
     QuerySpec(
         "dedup_fuzzy_survivors", q_dedup_fuzzy_survivors, _FUZZY_SURVIVORS_ORACLE

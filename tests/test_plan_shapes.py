@@ -128,6 +128,7 @@ _SINGLE_PARTITION_OK = {
     "pipeline_dataset_card",
     # one-row calibration summary over the (bounded) scored-pair set
     "sim_threshold_sweep",
+    "dedup_threshold_sweep",
     "pipeline_mix_weights",         # 1-row max-weight broadcast back
     "text_bigram_pmi",              # 1-row corpus-total broadcast back
     "analytics_conversion_funnel",  # three 1-row stage counts
