@@ -14,15 +14,16 @@ surface (it is a CDC relay); this family is part of the SURVEY.md §7
 phase-4/5 scale extension alongside dedup/similarity.
 
 Oracle discipline: a DuckDB oracle cannot reproduce DataSketches register
-values, but it CAN verify the *contract*: the estimate must land within the
-sketch's published error bound of the exact distinct count, and the merged
-(per-day union) estimate must equal the directly-computed whole-corpus
-estimate exactly (register-max merge is associative and order-insensitive,
-so both paths build the identical sketch). Each query therefore emits the
-EXACT answer plus boolean accuracy/merge-consistency flags; the oracle
-computes the exact answer and literal TRUEs. A hash match then proves the
-sketch path worked — far stronger than a rows-only check, without asking
-two engines to agree on register bits.
+values, but it CAN verify the *contract*: every estimate — direct or
+rebuilt from merged per-day sketches — must land within the sketch's
+published error bound of the exact distinct count. (Merged and direct are
+NOT required to be equal: the direct-fed sketch carries the
+order-sensitive HIP estimator, which a union legitimately discards; the
+accuracy guarantee survives merging, the estimator identity does not.)
+Each query therefore emits the EXACT answer plus boolean accuracy flags;
+the oracle computes the exact answer and literal TRUEs. A hash match then
+proves the sketch path worked — far stronger than a rows-only check,
+without asking two engines to agree on register bits.
 
 Determinism notes: HLL estimates are order-insensitive (max over per-value
 register updates) — safe to emit the estimate value itself.
@@ -94,11 +95,15 @@ GROUP BY event_type
 
 def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mergeability contract: build one sketch per day, union the
-    binary sketches with ``hll_union_agg``, and require the merged estimate
-    to EQUAL the direct whole-corpus estimate (register-max merge is
-    associative, so both paths produce identical registers no matter how
-    Spark partitions the data). This is the plan shape that replaces
-    re-scanning raw data for every rollup window at 100 TB."""
+    binary sketches with ``hll_union_agg``, and require the MERGED
+    estimate to stay within the published error bound of the exact count,
+    same as the direct whole-corpus sketch. (The two estimates are NOT
+    required to be equal: register-max union is associative, but
+    DataSketches' direct-fed sketch carries the order-sensitive HIP
+    estimator, which a union legitimately discards — the accuracy
+    GUARANTEE survives merging, the estimator identity does not.) This is
+    the plan shape that replaces re-scanning raw data for every rollup
+    window at 100 TB: persisted daily sketches answer any window."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.hll_sketch_agg("user_id", F.lit(HLL_LG_K)).alias("day_sketch")
@@ -113,23 +118,22 @@ def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("direct_estimate"),
         F.countDistinct("user_id").alias("exact_distinct"),
     )
+    in_bound = lambda c: (  # noqa: E731 - tiny local predicate builder
+        F.abs(F.col(c) - F.col("exact_distinct"))
+        <= F.col("exact_distinct") * HLL_REL_TOL
+    )
     return merged.crossJoin(direct).select(
         "n_days",
         "exact_distinct",
-        (F.col("merged_estimate") == F.col("direct_estimate")).alias(
-            "merge_consistent"
-        ),
-        (
-            F.abs(F.col("merged_estimate") - F.col("exact_distinct"))
-            <= F.col("exact_distinct") * HLL_REL_TOL
-        ).alias("hll_within_bound"),
+        in_bound("merged_estimate").alias("merged_within_bound"),
+        in_bound("direct_estimate").alias("hll_within_bound"),
     )
 
 
 _HLL_MERGE_ORACLE = """
 SELECT count(DISTINCT date_trunc('day', ts)) AS n_days,
        count(DISTINCT user_id) AS exact_distinct,
-       TRUE AS merge_consistent,
+       TRUE AS merged_within_bound,
        TRUE AS hll_within_bound
 FROM events
 """
