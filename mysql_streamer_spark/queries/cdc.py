@@ -545,6 +545,50 @@ def q_cdc_live_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_position_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binlog continuity monitor: per log file, the observed event count
+    against the position-implied expectation ((max-min)/stride + 1) and a
+    gap flag — the integrity check an operator runs after a failover to
+    prove no events were skipped (the reference trusts its single-thread
+    reader for this; a distributed consumer must MEASURE it). One
+    aggregate keyed by log_file; positions stride by 4 in the fixture
+    (cdc/source.py mapping)."""
+    from mysql_streamer_spark.cdc.source import events_as_cdc
+    from mysql_streamer_spark.tables import load_table
+
+    cdc = events_as_cdc(load_table(spark, sf_dir, "events"))
+    per_file = cdc.groupBy("log_file").agg(
+        F.count("*").alias("n_events"),
+        F.min("log_pos").alias("min_pos"),
+        F.max("log_pos").alias("max_pos"),
+        F.countDistinct("log_pos").alias("n_positions"),
+    )
+    expected = (F.col("max_pos") - F.col("min_pos")) / 4 + 1
+    return per_file.select(
+        "log_file",
+        "n_events",
+        "min_pos",
+        "max_pos",
+        expected.cast("long").alias("expected_positions"),
+        (F.col("n_positions") < expected.cast("long")).alias("has_gap"),
+    )
+
+
+_POSITION_GAPS_ORACLE = f"""
+WITH {ORACLE_CDC_EVENTS_CTE.strip()}
+, per_file AS (
+  SELECT log_file, count(*) AS n_events,
+         min(log_pos) AS min_pos, max(log_pos) AS max_pos,
+         count(DISTINCT log_pos) AS n_positions
+  FROM cdc GROUP BY log_file
+)
+SELECT log_file, n_events, min_pos, max_pos,
+       CAST((max_pos - min_pos) // 4 + 1 AS BIGINT) AS expected_positions,
+       n_positions < (max_pos - min_pos) // 4 + 1 AS has_gap
+FROM per_file
+"""
+
+
 _LIVE_ROWS_ORACLE = _ORACLE_PIPELINE_CTES + """
 SELECT database AS database_name, "table" AS table_name,
   CAST(sum(CASE message_type WHEN 'create' THEN 1
@@ -565,6 +609,7 @@ SPECS = [
         _ORACLE_PIPELINE_CTES + _ENVELOPE_SELECT,
     ),
     QuerySpec("cdc_live_row_counts", q_cdc_live_row_counts, _LIVE_ROWS_ORACLE),
+    QuerySpec("cdc_position_gaps", q_cdc_position_gaps, _POSITION_GAPS_ORACLE),
     QuerySpec("cdc_compacted_table", q_cdc_compacted_table, _COMPACTED_ORACLE),
     QuerySpec("cdc_gtid_positions", q_cdc_gtid_positions, _GTID_ORACLE),
     QuerySpec("cdc_whitelist_envelope", q_cdc_whitelist_envelope, _WHITELIST_ORACLE),

@@ -802,6 +802,42 @@ WHERE doc_id NOT IN (SELECT doc_id FROM non_keepers)
 """
 
 
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplication rate PER SOURCE — the triage table that tells a
+    crawl owner which feeds re-send content (dedup effort goes where the
+    rate is). One md5 + one aggregate keyed by source; the rate divides
+    two exact counts once."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", F.md5("text").alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("h").alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            (F.col("n_docs") - F.col("n_unique")).alias("n_dups"),
+            (
+                (F.col("n_docs") - F.col("n_unique")).cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("dup_rate"),
+        )
+    )
+
+
+_RATE_BY_SOURCE_ORACLE = """
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_unique,
+       count(*) - count(DISTINCT md5(text)) AS n_dups,
+       CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS dup_rate
+FROM documents GROUP BY source
+"""
+
+
 #: Jaccard calibration points (>= JACCARD_THRESHOLD so one candidate
 #: generation serves every point)
 DEDUP_SWEEP_THRESHOLDS = (0.3, 0.5, 0.7)
@@ -919,6 +955,7 @@ SPECS = [
     QuerySpec(
         "dedup_threshold_sweep", q_dedup_threshold_sweep, _DEDUP_SWEEP_ORACLE
     ),
+    QuerySpec("dedup_rate_by_source", q_dedup_rate_by_source, _RATE_BY_SOURCE_ORACLE),
     QuerySpec(
         "dedup_fuzzy_survivors", q_dedup_fuzzy_survivors, _FUZZY_SURVIVORS_ORACLE
     ),
