@@ -18,7 +18,7 @@ def test_hll_flags_all_true(spark):
     rows = q_sketch_hll_distinct(spark, SF).collect()
     assert rows and all(r.hll_within_bound for r in rows)
     (m,) = q_sketch_hll_merge(spark, SF).collect()
-    assert m.merge_consistent and m.hll_within_bound
+    assert m.merged_within_bound and m.hll_within_bound
 
 
 def test_quantile_bound_flags(spark):
