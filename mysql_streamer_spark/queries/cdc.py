@@ -545,6 +545,89 @@ def q_cdc_live_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_heartbeat_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heartbeat cadence audit — per log file: beat count, exact-µs
+    min/max/mean inter-beat gap, and how many gaps exceed 2x the file's
+    mean (the reference alarms when replication delay crosses a fixed
+    threshold, simple_binlog_stream_reader_wrapper.py:102-108; a
+    distributed monitor derives the threshold from the measured cadence
+    instead). One lag window per log_file partition over the tiny
+    heartbeat side-channel, then one aggregate — integer µs throughout,
+    ONE division for the mean."""
+    from pyspark.sql import Window
+
+    from mysql_streamer_spark.cdc.pipeline import heartbeat_stream
+
+    hb = heartbeat_stream(spark, sf_dir)
+    w = Window.partitionBy("log_file").orderBy("timestamp", "serial")
+    gaps = (
+        hb.withColumn("prev_ts", F.lag("timestamp").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "log_file",
+            (
+                F.unix_micros("timestamp") - F.unix_micros("prev_ts")
+            ).alias("gap_us"),
+        )
+    )
+    per_file = gaps.groupBy("log_file").agg(
+        F.count("*").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.sum("gap_us").alias("total_gap_us"),
+    )
+    mean = F.col("total_gap_us").cast("double") / F.col("n_gaps").cast("double")
+    slow = gaps.join(
+        per_file.select("log_file", "n_gaps", "total_gap_us"), "log_file"
+    ).filter(
+        F.col("gap_us").cast("double") * F.col("n_gaps").cast("double")
+        > 2.0 * F.col("total_gap_us").cast("double")
+    ).groupBy("log_file").agg(F.count("*").alias("n_slow_beats"))
+    return (
+        per_file.join(slow, "log_file", "left")
+        .select(
+            "log_file",
+            "n_gaps",
+            "min_gap_us",
+            "max_gap_us",
+            mean.alias("mean_gap_us"),
+            F.coalesce(F.col("n_slow_beats"), F.lit(0)).cast("long").alias(
+                "n_slow_beats"
+            ),
+        )
+    )
+
+
+_HEARTBEAT_INTERVALS_ORACLE = f"""
+WITH {ORACLE_CDC_EVENTS_CTE.strip()}
+, hb AS (
+  SELECT event_id AS serial, timestamp, log_file FROM cdc
+  WHERE database = 'yelp_heartbeat'
+), gaps AS (
+  SELECT log_file,
+         epoch_us(timestamp) - epoch_us(lag(timestamp) OVER w) AS gap_us
+  FROM hb
+  WINDOW w AS (PARTITION BY log_file ORDER BY timestamp, serial)
+), g AS (SELECT * FROM gaps WHERE gap_us IS NOT NULL)
+, per_file AS (
+  SELECT log_file, count(*) AS n_gaps,
+         min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
+         CAST(sum(gap_us) AS BIGINT) AS total_gap_us
+  FROM g GROUP BY log_file
+), slow AS (
+  SELECT g.log_file, count(*) AS n_slow_beats
+  FROM g JOIN per_file USING (log_file)
+  WHERE CAST(gap_us AS DOUBLE) * CAST(n_gaps AS DOUBLE)
+        > 2.0 * CAST(total_gap_us AS DOUBLE)
+  GROUP BY g.log_file
+)
+SELECT per_file.log_file, n_gaps, min_gap_us, max_gap_us,
+       CAST(total_gap_us AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_us,
+       CAST(coalesce(n_slow_beats, 0) AS BIGINT) AS n_slow_beats
+FROM per_file LEFT JOIN slow ON per_file.log_file = slow.log_file
+"""
+
+
 def q_cdc_position_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binlog continuity monitor: per log file, the observed event count
     against the position-implied expectation ((max-min)/stride + 1) and a
@@ -610,6 +693,11 @@ SPECS = [
     ),
     QuerySpec("cdc_live_row_counts", q_cdc_live_row_counts, _LIVE_ROWS_ORACLE),
     QuerySpec("cdc_position_gaps", q_cdc_position_gaps, _POSITION_GAPS_ORACLE),
+    QuerySpec(
+        "cdc_heartbeat_intervals",
+        q_cdc_heartbeat_intervals,
+        _HEARTBEAT_INTERVALS_ORACLE,
+    ),
     QuerySpec("cdc_compacted_table", q_cdc_compacted_table, _COMPACTED_ORACLE),
     QuerySpec("cdc_gtid_positions", q_cdc_gtid_positions, _GTID_ORACLE),
     QuerySpec("cdc_whitelist_envelope", q_cdc_whitelist_envelope, _WHITELIST_ORACLE),
