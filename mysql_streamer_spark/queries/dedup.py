@@ -772,6 +772,33 @@ GROUP BY keeper_doc_id
 """
 
 
+def q_dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size distribution of the near-dup graph: how many clusters
+    exist at each size, plus the documents they absorb — the shape that
+    distinguishes benign pairwise duplication from a boilerplate blob
+    (one giant cluster). Aggregate over the CC labels, then an aggregate
+    of THAT aggregate — both tiny after the pair stage."""
+    pairs = minhash_candidate_pairs(load_table(spark, sf_dir, "documents"))
+    labels = connected_components(pairs.select("doc_a", "doc_b"))
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        (F.count("*") * F.col("cluster_size")).cast("long").alias("n_docs"),
+    )
+
+
+_CLUSTER_HISTOGRAM_ORACLE = _CLUSTERS_CTES + """
+, sizes AS (
+  SELECT keeper, count(*) AS cluster_size
+  FROM (SELECT doc_id, min(label) AS keeper FROM reach GROUP BY doc_id)
+  GROUP BY keeper
+)
+SELECT cluster_size, count(*) AS n_clusters,
+       CAST(count(*) * cluster_size AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size
+"""
+
+
 def q_dedup_fuzzy_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The APPLY form of fuzzy dedup: the corpus AFTER dropping every
     near-dup cluster member except its keeper (min doc_id) — what
@@ -956,6 +983,11 @@ SPECS = [
         "dedup_threshold_sweep", q_dedup_threshold_sweep, _DEDUP_SWEEP_ORACLE
     ),
     QuerySpec("dedup_rate_by_source", q_dedup_rate_by_source, _RATE_BY_SOURCE_ORACLE),
+    QuerySpec(
+        "dedup_cluster_histogram",
+        q_dedup_cluster_histogram,
+        _CLUSTER_HISTOGRAM_ORACLE,
+    ),
     QuerySpec(
         "dedup_fuzzy_survivors", q_dedup_fuzzy_survivors, _FUZZY_SURVIVORS_ORACLE
     ),

@@ -403,6 +403,88 @@ def _cell_score(qv: str, nrm: str) -> F.Column:
     return vx.cosine_col(qv, "cq", nrm, "cnrm")
 
 
+def q_sim_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid silhouette — per label: mean cosine of members to their
+    OWN centroid vs the best FOREIGN centroid, and the separation margin.
+    The scalable form of the silhouette score (per-pair silhouette is
+    O(n²); centroids make it one broadcast map pass, the same shape as
+    IVF assignment). Integer cosines quantized to 1e-6 before averaging
+    so the per-label means are exact integer sums."""
+    e = vx.with_quantized(_emb(spark, sf_dir)).select("vec_id", "label", "qv", "nrm")
+    cents = _centroids(e)
+    scored = (
+        e.crossJoin(F.broadcast(cents.withColumnRenamed("label", "clabel")))
+        .withColumn(
+            "cos_i",
+            F.floor(_cell_score("qv", "nrm") * 1_000_000).cast("long"),
+        )
+        .withColumn("own", F.col("label") == F.col("clabel"))
+    )
+    per_vec = scored.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("own"), F.col("cos_i"))).alias("own_cos_i"),
+        F.max(F.when(~F.col("own"), F.col("cos_i"))).alias("best_other_i"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("own_cos_i").alias("sum_own_i"),
+            F.sum("best_other_i").alias("sum_other_i"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            (F.col("sum_own_i").cast("double") / F.col("n_vecs") / 1e6).alias(
+                "mean_own_cos"
+            ),
+            (F.col("sum_other_i").cast("double") / F.col("n_vecs") / 1e6).alias(
+                "mean_best_other_cos"
+            ),
+            (
+                (F.col("sum_own_i") - F.col("sum_other_i")).cast("double")
+                / F.col("n_vecs")
+                / 1e6
+            ).alias("separation_margin"),
+        )
+    )
+
+
+_SILHOUETTE_ORACLE = f"""
+WITH qe AS (
+  SELECT vec_id, label, {vx.quantized_sql("embedding")} AS qv,
+         {vx.norm_sq_sql(vx.quantized_sql("embedding"))} AS nrm
+  FROM embeddings
+), per_dim AS (
+  SELECT label AS clabel, i - 1 AS dim,
+         CAST(floor(sum(qv[i]) / count(*)) AS BIGINT) AS cval
+  FROM qe CROSS JOIN (SELECT unnest(generate_series(1, {vx.DIM})) AS i) dims
+  GROUP BY clabel, dim
+), cents AS (
+  SELECT clabel, list(cval ORDER BY dim) AS cq
+  FROM per_dim GROUP BY clabel
+), cents2 AS (
+  SELECT clabel, cq, {vx.norm_sq_sql("cq")} AS cnrm FROM cents
+), scored AS (
+  SELECT vec_id, label, clabel,
+         CAST(floor({vx.cosine_sql("qv", "cq", "nrm", "cnrm")} * 1000000)
+           AS BIGINT) AS cos_i
+  FROM qe CROSS JOIN cents2
+), per_vec AS (
+  SELECT vec_id, label,
+         max(CASE WHEN label = clabel THEN cos_i END) AS own_cos_i,
+         max(CASE WHEN label != clabel THEN cos_i END) AS best_other_i
+  FROM scored GROUP BY vec_id, label
+)
+SELECT label, count(*) AS n_vecs,
+       CAST(sum(own_cos_i) AS DOUBLE) / count(*) / 1e6 AS mean_own_cos,
+       CAST(sum(best_other_i) AS DOUBLE) / count(*) / 1e6
+         AS mean_best_other_cos,
+       CAST(sum(own_cos_i) - sum(best_other_i) AS DOUBLE) / count(*) / 1e6
+         AS separation_margin
+FROM per_vec GROUP BY label
+"""
+
+
 def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF: assign every vector to its best coarse cell (10 centroid dots
     per vector, broadcast — map-only); each query probes its N_PROBES best
@@ -1190,6 +1272,9 @@ SPECS = [
     QuerySpec("sim_ivf_recall", q_sim_ivf_recall, _IVF_RECALL_ORACLE),
     QuerySpec(
         "sim_threshold_sweep", q_sim_threshold_sweep, _THRESHOLD_SWEEP_ORACLE
+    ),
+    QuerySpec(
+        "sim_label_silhouette", q_sim_label_silhouette, _SILHOUETTE_ORACLE
     ),
     QuerySpec("sim_kmeans", q_sim_kmeans, _KMEANS_ORACLE),
     QuerySpec("sim_lsh_ann", q_sim_lsh_ann, _ANN_ORACLE),

@@ -32,6 +32,8 @@ _BNLJ_OK = {
     "sim_ivf_ann",
     # same broadcast-query-dimension cross join as the brute-force baseline
     "sim_knn_classify",
+    # centroid-broadcast cross join, same shape as sim_kmeans / sim_ivf_ann
+    "sim_label_silhouette",
     # embeds the brute-force ground truth it evaluates recall against
     "sim_ann_recall",
     # three 1-row stage-count frames crossed into the single summary row
