@@ -545,6 +545,37 @@ def q_cdc_live_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_txn_order_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 ordering audit over the MULTI-ROW source (the regime the r1
+    packing collided in): within each log file, walking events by
+    (log_pos, offset) must find txn_order strictly increasing — the
+    packed key IS the binlog order, the substitute for the reference's
+    single-thread invariant. Emits per-file event counts and the
+    violation count, which must be zero. One lag window per log_file."""
+    from pyspark.sql import Window
+
+    from mysql_streamer_spark.cdc.pipeline import envelope_from_cdc
+    from mysql_streamer_spark.cdc.source import events_as_multirow_cdc
+    from mysql_streamer_spark.tables import load_table
+
+    env = envelope_from_cdc(
+        events_as_multirow_cdc(load_table(spark, sf_dir, "events"))
+    )
+    w = Window.partitionBy("log_file").orderBy("log_pos", "offset")
+    flagged = env.select(
+        "log_file",
+        (
+            F.col("txn_order") <= F.lag("txn_order").over(w)
+        ).alias("violation"),
+    )
+    return flagged.groupBy("log_file").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("violation"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_violations"),
+    )
+
+
 def q_cdc_heartbeat_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heartbeat cadence audit — per log file: beat count, exact-µs
     min/max/mean inter-beat gap, and how many gaps exceed 2x the file's
@@ -596,6 +627,21 @@ def q_cdc_heartbeat_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_TXN_ORDER_INVARIANT_ORACLE = _pipeline_ctes(ORACLE_MULTIROW_CDC_CTE, "cdc_rows") + """
+, flagged AS (
+  SELECT log_file,
+         txn_order <= lag(txn_order)
+           OVER (PARTITION BY log_file ORDER BY log_pos, "offset")
+           AS violation
+  FROM keyed
+)
+SELECT log_file, count(*) AS n_events,
+       CAST(sum(CASE WHEN violation THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations
+FROM flagged GROUP BY log_file
+"""
 
 
 _HEARTBEAT_INTERVALS_ORACLE = f"""
@@ -697,6 +743,11 @@ SPECS = [
         "cdc_heartbeat_intervals",
         q_cdc_heartbeat_intervals,
         _HEARTBEAT_INTERVALS_ORACLE,
+    ),
+    QuerySpec(
+        "cdc_txn_order_invariant",
+        q_cdc_txn_order_invariant,
+        _TXN_ORDER_INVARIANT_ORACLE,
     ),
     QuerySpec("cdc_compacted_table", q_cdc_compacted_table, _COMPACTED_ORACLE),
     QuerySpec("cdc_gtid_positions", q_cdc_gtid_positions, _GTID_ORACLE),
