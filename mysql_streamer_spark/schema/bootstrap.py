@@ -65,6 +65,12 @@ def bootstrap_ddl_stream() -> list[str]:
         "ALTER TABLE db_1.signup ADD amount decimal(12,2), "
         "ADD event_date date, ADD created_dt datetime, "
         "ADD wake_time time, ADD tags set('a','b','c')",
+        # Q4 end-to-end: RENAME moves the table's history to the new name
+        # and unregisters the old one — envelope events still arriving
+        # under the old name resolve to NO schema id (the reference's
+        # cache-reset window after schema_event_handler.py:115-121) until
+        # a re-registration happens.
+        "RENAME TABLE db_1.error TO db_1.error_archive",
         "BEGIN",
         "COMMIT",
     ]

@@ -132,3 +132,15 @@ def test_transform_with_state_profiles(spark):
     assert set(out) == set(expected)
     for uid, r in out.items():
         assert r.n_events == expected[uid].n_events
+
+
+def test_bootstrap_rename_moves_registry_entry():
+    """Q4 end-to-end: after the bootstrap RENAME, the registry serves the
+    new name (with the old history) and no longer serves the old one."""
+    from mysql_streamer_spark.schema.bootstrap import bootstrap_registry
+
+    bootstrap_registry.cache_clear()
+    reg = bootstrap_registry()
+    assert ("db_1", "error_archive") in reg.tables()
+    assert ("db_1", "error") not in reg.tables()
+    assert reg.get("db_1", "error_archive").version == 1
