@@ -100,6 +100,17 @@ def q_cdc_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return envelope_pipeline(spark, sf_dir)
 
 
+_CHANGELOG_ORACLE = _ORACLE_PIPELINE_CTES + """
+SELECT
+  1 AS schema_id,
+  database AS table_schema,
+  "table" AS table_name,
+  pk AS id,
+  message_type
+FROM routed
+"""
+
+
 def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changelog mode (P4): constant-schema {table_schema, table_name, id}."""
     cdc = cdc_events(spark, sf_dir)
@@ -757,16 +768,7 @@ SPECS = [
     QuerySpec(
         "cdc_changelog",
         q_cdc_changelog,
-        _ORACLE_PIPELINE_CTES
-        + """
-SELECT
-  1 AS schema_id,
-  database AS table_schema,
-  "table" AS table_name,
-  pk AS id,
-  message_type
-FROM routed
-""",
+        _CHANGELOG_ORACLE,
     ),
     QuerySpec(
         "cdc_latest_state",

@@ -200,6 +200,51 @@ JOIN events c
 """
 
 
+def q_streaming_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's changelog_mode as a CHECKPOINTED stream (its second
+    binary, batch/parse_replication_stream.py with changelog_mode: true):
+    each micro-batch projects admitted row events to the constant
+    {table_schema, table_name, id} changelog shape and appends under its
+    batch id. The oracle is the batch changelog SQL — streaming and batch
+    planes must agree row-for-row."""
+    from mysql_streamer_spark.cdc.envelope import reroute_refresh_tables
+    from mysql_streamer_spark.cdc.changelog import changelog_projection
+    from mysql_streamer_spark.cdc.filters import (
+        filter_blacklisted_schemas,
+        split_heartbeats,
+    )
+    from mysql_streamer_spark.cdc.source import events_as_cdc
+    from mysql_streamer_spark.streaming.runner import load_events_stream
+
+    work = _staged_source(sf_dir)
+    events = load_events_stream(spark, f"{work}/src", max_files_per_trigger=1)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        data, _ = split_heartbeats(events_as_cdc(batch_df))
+        rows = changelog_projection(
+            reroute_refresh_tables(filter_blacklisted_schemas(data))
+        )
+        rows.write.mode("overwrite").parquet(f"{work}/out/batch_id={batch_id}")
+
+    q = (
+        events.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{work}/out").drop("batch_id")
+
+
+def _streaming_changelog_oracle() -> str:
+    from mysql_streamer_spark.queries.cdc import _CHANGELOG_ORACLE
+
+    return _CHANGELOG_ORACLE
+
+
+_STREAMING_CHANGELOG_ORACLE = _streaming_changelog_oracle()
+
+
 def q_streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 ``transformWithStateInPandas`` (the StatefulProcessor API):
     a per-user profile maintained across TWO micro-batches (the source is
@@ -264,6 +309,11 @@ SPECS = [
         "streaming_envelope",
         q_streaming_envelope,
         _ORACLE_PIPELINE_CTES + _ENVELOPE_SELECT,
+    ),
+    QuerySpec(
+        "streaming_changelog",
+        q_streaming_changelog,
+        _STREAMING_CHANGELOG_ORACLE,
     ),
     # registered below only when google.protobuf is importable — the
     # transformWithState driver worker hard-requires it and this container

@@ -15,6 +15,7 @@ from mysql_streamer_spark.tables import TABLE_NAMES, load_table
 
 _SKIP = {
     # file-stream staging needs a non-empty source directory semantics
+    "streaming_changelog",
     "streaming_envelope",
     "streaming_windowed_counts",
     "streaming_stateful_sessions",
