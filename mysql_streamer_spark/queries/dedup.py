@@ -772,6 +772,105 @@ GROUP BY keeper_doc_id
 """
 
 
+#: containment cutoff: |A∩B| / min(|A|,|B|) — Broder's containment, the
+#: measure that catches a short document embedded in a long one (their
+#: Jaccard is diluted by the length difference; containment is not)
+CONTAINMENT_THRESHOLD = 0.6
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs over the same DF-capped inverted shingle
+    index as dedup_jaccard_ngram (steps 1-4 identical: postings -> capped
+    groups -> pair counts); only the verification formula changes —
+    |A∩B| / min(|A|,|B|) instead of over the union — so subset
+    duplication (quote blocks, excerpts, short-in-long mirrors) surfaces
+    even where Jaccard stays below any sane threshold. Reports both
+    measures per pair so downstream policy can separate 'same doc' from
+    'contained doc'."""
+    docs = load_table(spark, sf_dir, "documents")
+    posting = (
+        spread(docs)
+        .withColumn("toks", tx.tokens_col("text"))
+        .withColumn("sset", F.array_distinct(tx.shingles_col()))
+        .filter(F.size("sset") > 0)
+        .select("doc_id", F.explode("sset").alias("shingle"))
+    )
+    groups = (
+        posting.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") <= NGRAM_DF_CAP)
+        .select("ids")
+        .persist()
+    )
+    sizes = (
+        groups.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("set_sz"))
+    )
+    inter = (
+        groups.filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    containment = F.col("n_inter").cast("double") / F.least(
+        F.col("sa.set_sz"), F.col("sb.set_sz")
+    ).cast("double")
+    jaccard = F.col("n_inter").cast("double") / (
+        F.col("sa.set_sz") + F.col("sb.set_sz") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn("containment", containment)
+        .withColumn("jaccard", jaccard)
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select("doc_a", "doc_b", "containment", "jaccard")
+    )
+
+
+_CONTAINMENT_ORACLE = f"""
+WITH ssets AS (
+  SELECT doc_id,
+         list_distinct({tx.shingles_sql(tx.tokens_sql("text"))}) AS sset
+  FROM documents
+  WHERE len({tx.shingles_sql(tx.tokens_sql("text"))}) > 0
+), posting AS (
+  SELECT doc_id, unnest(sset) AS shingle FROM ssets
+), rare AS (
+  SELECT shingle FROM posting GROUP BY shingle
+  HAVING count(*) <= {NGRAM_DF_CAP}
+), p AS (
+  SELECT posting.doc_id, posting.shingle FROM posting
+  JOIN rare USING (shingle)
+), sz AS (
+  SELECT doc_id, count(*) AS set_sz FROM p GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+  CAST(n_inter AS DOUBLE) / CAST(least(sa.set_sz, sb.set_sz) AS DOUBLE)
+    AS containment,
+  CAST(n_inter AS DOUBLE)
+    / CAST(sa.set_sz + sb.set_sz - n_inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sz sa ON inter.doc_a = sa.doc_id
+JOIN sz sb ON inter.doc_b = sb.doc_id
+WHERE CAST(n_inter AS DOUBLE) / CAST(least(sa.set_sz, sb.set_sz) AS DOUBLE)
+      >= {CONTAINMENT_THRESHOLD}
+"""
+
+
 def q_dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-size distribution of the near-dup graph: how many clusters
     exist at each size, plus the documents they absorb — the shape that
@@ -988,6 +1087,7 @@ SPECS = [
         q_dedup_cluster_histogram,
         _CLUSTER_HISTOGRAM_ORACLE,
     ),
+    QuerySpec("dedup_containment", q_dedup_containment, _CONTAINMENT_ORACLE),
     QuerySpec(
         "dedup_fuzzy_survivors", q_dedup_fuzzy_survivors, _FUZZY_SURVIVORS_ORACLE
     ),
