@@ -1797,6 +1797,45 @@ GROUP BY prev_type, next_type
 # rolling 7-day average revenue (sliding frame over the daily aggregate)
 # ---------------------------------------------------------------------------
 
+def q_analytics_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase structure of the event stream: purchasing users
+    bucketed by purchase count, with each bucket's share of purchasers —
+    two stacked aggregates (events -> per-user counts -> bucket counts),
+    both map-side combinable, plus a 1-row purchaser total joined back
+    broadcast. The second aggregate's keyspace is tiny (distinct purchase
+    counts), so the heavy lifting is all in the first user-keyed pass."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("n_purchases"))
+    buckets = per_user.groupBy("n_purchases").agg(
+        F.count("*").alias("n_users")
+    )
+    total = per_user.agg(F.count("*").alias("n_purchasers"))
+    return buckets.crossJoin(F.broadcast(total)).select(
+        "n_purchases",
+        "n_users",
+        "n_purchasers",
+        (F.col("n_users").cast("double") / F.col("n_purchasers").cast("double")).alias(
+            "share_of_purchasers"
+        ),
+    )
+
+
+_REPEAT_PURCHASE_ORACLE = """
+WITH per_user AS (
+  SELECT user_id, count(*) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), buckets AS (
+  SELECT n_purchases, count(*) AS n_users FROM per_user GROUP BY n_purchases
+), total AS (SELECT count(*) AS n_purchasers FROM per_user)
+SELECT n_purchases, n_users, n_purchasers,
+       CAST(n_users AS DOUBLE) / CAST(n_purchasers AS DOUBLE)
+         AS share_of_purchasers
+FROM buckets, total
+"""
+
+
 def q_analytics_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day trailing mean of daily order revenue: the corpus-sized work
     is ONE day-keyed aggregate; the rolling frame slides over the tiny
@@ -1896,6 +1935,11 @@ SPECS = [
         _ROLLING_REVENUE_ORACLE,
     ),
     QuerySpec("analytics_yoy_growth", q_analytics_yoy_growth, _YOY_ORACLE),
+    QuerySpec(
+        "analytics_repeat_purchase",
+        q_analytics_repeat_purchase,
+        _REPEAT_PURCHASE_ORACLE,
+    ),
     QuerySpec(
         "analytics_retention_cohorts",
         q_analytics_retention_cohorts,

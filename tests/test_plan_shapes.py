@@ -38,6 +38,8 @@ _BNLJ_OK = {
     "sim_ann_recall",
     # three 1-row stage-count frames crossed into the single summary row
     "analytics_conversion_funnel",
+    # 1-row purchaser total crossed back onto the tiny bucket dimension
+    "analytics_repeat_purchase",
     # the global avg-balance scalar is a 1-row broadcast crossed with customer
     "analytics_inactive_customers",
     # the 1-row max-weight scalar crossed back onto the 20-row source dim
@@ -134,6 +136,7 @@ _SINGLE_PARTITION_OK = {
     "pipeline_mix_weights",         # 1-row max-weight broadcast back
     "text_bigram_pmi",              # 1-row corpus-total broadcast back
     "analytics_conversion_funnel",  # three 1-row stage counts
+    "analytics_repeat_purchase",    # 1-row purchaser-total broadcast back
     "analytics_small_qty_revenue",  # single-row revenue total
     "analytics_brand_disjunction",  # single-row revenue total
     "analytics_forecast_revenue",   # single-row revenue total (q6)
