@@ -57,9 +57,11 @@ def main() -> None:
         all_specs(),
         key=lambda s: (s.name not in r1_first, r1_first.index(s.name) if s.name in r1_first else 0),
     )
+    import gc
+
     timings: dict[str, float] = {}
     total = 0.0
-    for spec in specs:
+    for i, spec in enumerate(specs):
         t0 = time.time()
         run_query(spec.fn(spark, sf_dir))
         dt = round(time.time() - t0, 3)
@@ -69,6 +71,15 @@ def main() -> None:
         # cached blocks across the whole run; dropping them keeps every
         # query's measurement independent (and the driver's memory flat)
         spark.catalog.clearCache()
+        # A 150+-query session accumulates broadcast blocks and generated
+        # classes; Spark's ContextCleaner only reclaims them after the
+        # PYTHON references die and a JVM GC runs. Left alone, the heap
+        # creeps until late queries measure full-GC pauses instead of the
+        # plan (observed 2-10x inflation). Collect both sides periodically
+        # so every query runs against a quiet heap.
+        if i % 10 == 9:
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # the round-1 baseline (BENCH_r01) covered exactly these 7 queries;

@@ -184,7 +184,11 @@ _BANDS_ORACLE = (
 # LSH candidate pairs + exact Jaccard verification
 # ---------------------------------------------------------------------------
 
-def minhash_candidate_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    pre_shingled: bool = False,
+) -> DataFrame:
     """Near-duplicate pairs (doc_a < doc_b, jaccard >= threshold).
 
     Plan shape: ONE pass computes band keys (no self-join — a self-join
@@ -197,14 +201,17 @@ def minhash_candidate_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOL
     # (band keys + both sides of the Jaccard join). Materialize it once —
     # the in-session form of what a production pipeline does by writing
     # the signature/shingle table before pair generation.
-    shingled = (
-        spread(docs)
-        .withColumn("toks", tx.tokens_col("text"))
-        .withColumn("shingles", tx.shingles_col())
-        .filter(F.size("shingles") > 0)
-        .select("doc_id", "shingles")
-        .persist()
-    )
+    if pre_shingled:
+        shingled = docs
+    else:
+        shingled = (
+            spread(docs)
+            .withColumn("toks", tx.tokens_col("text"))
+            .withColumn("shingles", tx.shingles_col())
+            .filter(F.size("shingles") > 0)
+            .select("doc_id", "shingles")
+            .persist()
+        )
     bands = lsh_bands(shingled, pre_shingled=True)
     buckets = (
         bands.groupBy("band_id", "band_hash")
@@ -1073,8 +1080,102 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# MinHash estimator accuracy audit (signature agreement vs exact Jaccard)
+# ---------------------------------------------------------------------------
+
+def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ACCURACY audit: for every LSH candidate pair, the Jaccard
+    estimate implied by the signature (fraction of agreeing components)
+    next to the exact Jaccard — the per-pair twin of the aggregate
+    pair-agreement query, and the number that justifies N_HASHES. In a
+    production pipeline this runs on a sample to decide whether the
+    signature is wide enough before committing to a corpus-wide dedup.
+
+    Scale shape: identical to minhash_candidate_pairs (the signature table
+    is computed once and persisted; pairs generate in-bucket, id-only)
+    plus one extra join of the fixed-width signature row per pair — no new
+    shuffle of document content."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = (
+        spread(docs)
+        .withColumn("toks", tx.tokens_col("text"))
+        .withColumn("shingles", tx.shingles_col())
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", "shingles")
+        .persist()
+    )
+    sig = _with_signature(shingled, pre_shingled=True).select(
+        "doc_id", *[f"sig_{i}" for i in range(N_HASHES)]
+    )
+    pairs = minhash_candidate_pairs(shingled, threshold=0.0, pre_shingled=True)
+    matches = None
+    for i in range(N_HASHES):
+        term = (F.col(f"sa.sig_{i}") == F.col(f"sb.sig_{i}")).cast("int")
+        matches = term if matches is None else (matches + term)
+    return (
+        pairs.join(sig.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sig.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn("est_matches", matches)
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_matches",
+            (F.col("est_matches").cast("double") / F.lit(float(N_HASHES))).alias(
+                "est_jaccard"
+            ),
+            "jaccard",
+            F.abs(
+                F.col("est_matches").cast("double") / F.lit(float(N_HASHES))
+                - F.col("jaccard")
+            ).alias("abs_err"),
+        )
+    )
+
+
+_MINHASH_ESTIMATE_ORACLE = (
+    "WITH " + _signature_sql_cte() + _bands_sql_cte() + f"""
+, bsize AS (
+  SELECT band_id, band_hash, count(*) AS n FROM bands GROUP BY 1, 2
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+  JOIN bsize s
+    ON a.band_id = s.band_id AND a.band_hash = s.band_hash
+  WHERE s.n <= {MAX_BUCKET_SIZE}
+), ssets AS (
+  SELECT doc_id, list_distinct({tx.shingles_sql(tx.tokens_sql("text"))}) AS sset
+  FROM documents
+), scored AS (
+  SELECT doc_a, doc_b,
+    ({" + ".join(f"CASE WHEN ga.sig_{i} = gb.sig_{i} THEN 1 ELSE 0 END" for i in range(N_HASHES))})
+      AS est_matches,
+    CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(sa.sset, sb.sset))) AS DOUBLE)
+      AS jaccard
+  FROM pairs
+  JOIN ssets sa ON pairs.doc_a = sa.doc_id
+  JOIN ssets sb ON pairs.doc_b = sb.doc_id
+  JOIN sigs ga ON pairs.doc_a = ga.doc_id
+  JOIN sigs gb ON pairs.doc_b = gb.doc_id
+)
+SELECT doc_a, doc_b, est_matches,
+       CAST(est_matches AS DOUBLE) / {float(N_HASHES)} AS est_jaccard,
+       jaccard,
+       abs(CAST(est_matches AS DOUBLE) / {float(N_HASHES)} - jaccard) AS abs_err
+FROM scored
+"""
+)
+
+
 SPECS = [
     QuerySpec("dedup_exact", q_dedup_exact, _EXACT_ORACLE),
+    QuerySpec(
+        "dedup_minhash_estimate", q_dedup_minhash_estimate, _MINHASH_ESTIMATE_ORACLE
+    ),
     QuerySpec(
         "dedup_pair_agreement", q_dedup_pair_agreement, _PAIR_AGREEMENT_ORACLE
     ),

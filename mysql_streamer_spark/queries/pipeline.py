@@ -1107,8 +1107,156 @@ FROM epochs
 """
 
 
+# ---------------------------------------------------------------------------
+# model-based quality scoring (hashing-trick linear classifier)
+# ---------------------------------------------------------------------------
+
+#: Classifier gate: keep a document when its mean per-token score clears
+#: this bar, expressed as a cross-multiplied integer bound (score_sum >=
+#: SCORE_NUM * n_toks / SCORE_DEN) so neither engine divides.
+MODEL_SCORE_NUM = 1
+MODEL_SCORE_DEN = 2
+
+
+def q_pipeline_model_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering — the fineweb-edu / DCLM-style
+    classifier gate that follows the heuristic rules in a modern corpus
+    pipeline. The 'model' is a hashing-trick linear scorer: each token's
+    weight is derived closed-form from md5 (text.model_weight_expr_*), the
+    document score is the integer dot product <w, bag-of-words>, and the
+    gate is a cross-multiplied integer threshold on the mean weight.
+
+    Scale shape: in production the weight vector is a learned array
+    broadcast to executors and indexed by feature hash; deriving it from
+    the hash keeps the whole operator a map-side projection in whole-stage
+    codegen — ZERO shuffles, no Python, and the oracle replays it exactly.
+    A 100 TB corpus scores in one scan at input-bandwidth speed."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", tx.tokens_col("text")
+    )
+    n_toks = F.size("toks")
+    score = tx.model_score_col()
+    return docs.select(
+        "doc_id",
+        "source",
+        n_toks.alias("n_toks"),
+        score.alias("score_sum"),
+        (
+            score * MODEL_SCORE_DEN >= F.lit(MODEL_SCORE_NUM) * n_toks
+        ).alias("quality_pass"),
+    )
+
+
+_MODEL_SCORE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source, {tx.tokens_sql("text")} AS toks FROM documents
+)
+SELECT doc_id, source,
+       len(toks) AS n_toks,
+       {tx.model_score_sql()} AS score_sum,
+       {tx.model_score_sql()} * {MODEL_SCORE_DEN}
+         >= {MODEL_SCORE_NUM} * len(toks) AS quality_pass
+FROM tok
+"""
+
+
+# ---------------------------------------------------------------------------
+# full corpus-prep cascade (one-row cross-family attrition report)
+# ---------------------------------------------------------------------------
+
+def q_pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole corpus-prep cascade as ONE attrition report: raw corpus →
+    eval carve-out → exact dedup (keep min doc_id per content hash) →
+    quality rules → benchmark decontamination. Each stage is the
+    already-verified operator; this query composes them the way the real
+    pipeline runs them and reports cumulative survivor counts — the
+    dataset-card number everyone asks for ("how much is left after
+    cleaning?").
+
+    Scale shape: one corpus scan computes tokens + rule flags map-side;
+    exact-dup keeper is one window on md5(text) (the same shuffle the
+    dedup stage itself pays); the contamination flag joins against the
+    (small) contaminated-id set — id-only. Final answer is a single
+    scalar aggregate."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", tx.tokens_col("text")
+    )
+    rules = _rule_cols()
+    passes = None
+    for col in rules.values():
+        passes = col if passes is None else (passes & col)
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    contam = contaminated_docs(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.lit(True).alias("is_contaminated")
+    )
+    flagged = (
+        docs.select(
+            "doc_id",
+            (F.col("doc_id") % EVAL_MODULUS != 0).alias("is_train"),
+            (F.row_number().over(w) == 1).alias("is_exact_keeper"),
+            passes.alias("is_quality"),
+        )
+        .join(contam, "doc_id", "left")
+        .withColumn("is_clean", F.col("is_contaminated").isNull())
+    )
+    train = F.col("is_train")
+    kept = train & F.col("is_exact_keeper")
+    quality = kept & F.col("is_quality")
+    final = quality & F.col("is_clean")
+    return flagged.agg(
+        F.count("*").alias("n_raw"),
+        F.sum(train.cast("long")).alias("n_train"),
+        F.sum(kept.cast("long")).alias("n_exact_kept"),
+        F.sum(quality.cast("long")).alias("n_quality"),
+        F.sum(final.cast("long")).alias("n_final"),
+        (F.sum(final.cast("long")) * 100 / F.count("*")).alias("final_pct"),
+    )
+
+
+def _dedup_cascade_oracle() -> str:
+    rules = _rule_sqls()
+    conj = " AND ".join(f"({sql})" for sql in rules.values())
+    return f"""
+WITH tok AS (
+  SELECT doc_id, text, n_chars, source, {tx.tokens_sql("text")} AS toks
+  FROM documents
+), contam AS (
+  SELECT DISTINCT doc_id FROM ({_DECONTAMINATE_ORACLE}) c
+), flagged AS (
+  SELECT doc_id,
+         doc_id % {EVAL_MODULUS} != 0 AS is_train,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+           AS is_exact_keeper,
+         ({conj}) AS is_quality,
+         doc_id NOT IN (SELECT doc_id FROM contam) AS is_clean
+  FROM tok
+)
+SELECT
+  CAST(count(*) AS BIGINT) AS n_raw,
+  CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+  CAST(sum(CASE WHEN is_train AND is_exact_keeper THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_exact_kept,
+  CAST(sum(CASE WHEN is_train AND is_exact_keeper AND is_quality
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+  CAST(sum(CASE WHEN is_train AND is_exact_keeper AND is_quality AND is_clean
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+  CAST(sum(CASE WHEN is_train AND is_exact_keeper AND is_quality AND is_clean
+           THEN 1 ELSE 0 END) AS DOUBLE) * 100 / CAST(count(*) AS DOUBLE)
+    AS final_pct
+FROM flagged
+"""
+
+
 SPECS = [
     QuerySpec("pipeline_decontaminate", q_pipeline_decontaminate, _DECONTAMINATE_ORACLE),
+    QuerySpec(
+        "pipeline_model_quality_score",
+        q_pipeline_model_quality_score,
+        _MODEL_SCORE_ORACLE,
+    ),
+    QuerySpec(
+        "pipeline_dedup_cascade", q_pipeline_dedup_cascade, _dedup_cascade_oracle()
+    ),
     QuerySpec(
         "pipeline_dataset_card", q_pipeline_dataset_card, _dataset_card_oracle()
     ),

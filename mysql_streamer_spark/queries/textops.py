@@ -864,8 +864,59 @@ WHERE rank IN ({", ".join(str(p) for p in VOCAB_COVERAGE_POINTS)})
 """
 
 
+# ---------------------------------------------------------------------------
+# lexical diversity: hapax legomena / type-token profile per source
+# ---------------------------------------------------------------------------
+
+def q_text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical-diversity profile: vocabulary size, hapax
+    legomena (words seen exactly once) and the hapax share of the
+    vocabulary — the cheap signal that separates generative/templated
+    sources (low hapax share) from diverse natural text. Used next to the
+    quality rules when deciding per-source mixture weights.
+
+    Scale shape: one explode → one (source, token) count aggregate (Spark
+    partial-aggregates map-side, so the shuffle carries unique pairs, not
+    occurrences) → one 20-row source rollup. Integer-exact except the one
+    final share division."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    counts = (
+        docs.withColumn("toks", tx.tokens_col("text"))
+        .select("source", F.explode("toks").alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    return counts.groupBy("source").agg(
+        F.count("*").cast("long").alias("vocab_size"),
+        F.sum((F.col("n") == 1).cast("long")).alias("n_hapax"),
+        F.sum("n").cast("long").alias("total_tokens"),
+        (
+            F.sum((F.col("n") == 1).cast("long")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("hapax_share"),
+    )
+
+
+_HAPAX_ORACLE = f"""
+WITH tok AS (
+  SELECT source, unnest({tx.tokens_sql("text")}) AS token FROM documents
+), counts AS (
+  SELECT source, token, count(*) AS n FROM tok GROUP BY 1, 2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS vocab_size,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS hapax_share
+FROM counts
+GROUP BY source
+"""
+
+
 SPECS = [
     QuerySpec("text_token_stats", q_text_token_stats, _TOKEN_STATS_ORACLE),
+    QuerySpec("text_hapax_ratio", q_text_hapax_ratio, _HAPAX_ORACLE),
     QuerySpec("text_fertility", q_text_fertility, _FERTILITY_ORACLE),
     QuerySpec(
         "text_vocab_coverage", q_text_vocab_coverage, _VOCAB_COVERAGE_ORACLE

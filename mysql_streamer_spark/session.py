@@ -39,7 +39,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # single-JVM local mode: the "driver" heap IS the executor heap.
+        # 32g keeps a 150+-query session (accumulated broadcasts, codegen
+        # classes, shuffle buffers) out of full-GC churn — measured 2-10x
+        # per-query inflation late in a long run at 16g
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # call-site capture walks the Python stack and makes an extra py4j

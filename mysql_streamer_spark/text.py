@@ -218,6 +218,53 @@ def minhash_from_hashes_sql(seed: int, hashes: str = "hashes") -> str:
 
 
 # ---------------------------------------------------------------------------
+# hashing-trick linear model weights (model-based quality scoring)
+# ---------------------------------------------------------------------------
+
+#: Per-token "learned" weight derived closed-form from md5: two hex chars
+#: of the token's hash → a deterministic integer in
+#: [-MODEL_WEIGHT_CENTER, MODEL_WEIGHT_MOD - 1 - MODEL_WEIGHT_CENTER].
+#: This is the hashing trick with the weight vector shipped as an
+#: expression instead of a broadcast array — the document score stays a
+#: pure map-side integer aggregate in whole-stage codegen, and Spark and
+#: DuckDB agree bit-for-bit (ascii/substring/md5 are identical in both).
+MODEL_WEIGHT_MOD = 31
+MODEL_WEIGHT_CENTER = 15
+
+
+def model_weight_expr_spark(tok: str = "t") -> str:
+    return (
+        f"((ascii(substring(md5({tok}), 1, 1)) * 16 "
+        f"+ ascii(substring(md5({tok}), 2, 1))) % {MODEL_WEIGHT_MOD} "
+        f"- {MODEL_WEIGHT_CENTER})"
+    )
+
+
+def model_weight_expr_sql(tok: str = "t") -> str:
+    return (
+        f"((ascii(substring(md5({tok}), 1, 1)) * 16 "
+        f"+ ascii(substring(md5({tok}), 2, 1))) % {MODEL_WEIGHT_MOD} "
+        f"- {MODEL_WEIGHT_CENTER})"
+    )
+
+
+def model_score_col(toks: str = "toks") -> Column:
+    """Integer dot product <w, bag-of-words(doc)> — the linear-classifier
+    score, exact in both engines (no floats until the caller divides)."""
+    return F.expr(
+        f"aggregate({toks}, CAST(0 AS BIGINT), "
+        f"(acc, t) -> acc + {model_weight_expr_spark('t')})"
+    )
+
+
+def model_score_sql(toks: str = "toks") -> str:
+    return (
+        f"CAST(list_sum(list_transform({toks}, "
+        f"t -> {model_weight_expr_sql('t')})) AS BIGINT)"
+    )
+
+
+# ---------------------------------------------------------------------------
 # rolling (polynomial / Rabin-Karp) hashing over characters
 # ---------------------------------------------------------------------------
 

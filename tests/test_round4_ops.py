@@ -1,0 +1,81 @@
+"""Round-4 operators: model-based quality scoring, corpus-prep cascade,
+hapax lexical diversity, MinHash estimator accuracy."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_model_quality_score_is_deterministic_dot_product(spark):
+    """The doc score must equal the sum of per-token weights computed
+    independently (the hashing-trick contract), and the gate must follow
+    the cross-multiplied threshold exactly."""
+    from mysql_streamer_spark import text as tx
+    from mysql_streamer_spark.queries.pipeline import (
+        MODEL_SCORE_DEN,
+        MODEL_SCORE_NUM,
+        q_pipeline_model_quality_score,
+    )
+
+    rows = q_pipeline_model_quality_score(spark, SF).collect()
+    assert rows
+    # recompute a handful of docs token-by-token on the driver
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").limit(5).collect()
+    }
+    weights = (
+        spark.createDataFrame(
+            [(t,) for text in docs.values() for t in text.split(" ")], "t string"
+        )
+        .select("t", F.expr(tx.model_weight_expr_spark("t")).alias("w"))
+        .collect()
+    )
+    wmap = {r.t: r.w for r in weights}
+    by_id = {r.doc_id: r for r in rows}
+    for doc_id, text in docs.items():
+        expected = sum(wmap[t] for t in text.split(" "))
+        got = by_id[doc_id]
+        assert got.score_sum == expected
+        assert got.quality_pass == (
+            expected * MODEL_SCORE_DEN >= MODEL_SCORE_NUM * got.n_toks
+        )
+
+
+def test_dedup_cascade_counts_are_monotone(spark):
+    from mysql_streamer_spark.queries.pipeline import q_pipeline_dedup_cascade
+
+    (r,) = q_pipeline_dedup_cascade(spark, SF).collect()
+    assert r.n_raw >= r.n_train >= r.n_exact_kept >= r.n_quality >= r.n_final
+    assert r.n_final > 0
+    assert abs(r.final_pct - r.n_final * 100 / r.n_raw) < 1e-9
+
+
+def test_hapax_ratio_bounds(spark):
+    from mysql_streamer_spark.queries.textops import q_text_hapax_ratio
+
+    rows = q_text_hapax_ratio(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_hapax <= r.vocab_size <= r.total_tokens
+        assert abs(r.hapax_share - r.n_hapax / r.vocab_size) < 1e-12
+
+
+def test_minhash_estimate_err_in_range(spark):
+    """est_matches must be 0..N_HASHES, identical pairs estimate 1.0, and
+    abs_err must be |est - exact| exactly."""
+    from mysql_streamer_spark.queries.dedup import (
+        N_HASHES,
+        q_dedup_minhash_estimate,
+    )
+
+    rows = q_dedup_minhash_estimate(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.est_matches <= N_HASHES
+        assert abs(r.abs_err - abs(r.est_jaccard - r.jaccard)) < 1e-12
+        if r.jaccard == 1.0:
+            # identical shingle sets -> identical signatures
+            assert r.est_matches == N_HASHES
