@@ -1372,6 +1372,106 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Z-order (Morton) layout planner — multi-dimensional clustering for
+# scan pruning (the Delta/Iceberg OPTIMIZE ZORDER BY equivalent)
+# ---------------------------------------------------------------------------
+
+#: bits per dimension (8+8 -> 16-bit Morton code) and the Morton-range
+#: width mapped to one output file (1024 codes/file -> 64 files).
+ZORDER_BITS = 8
+ZORDER_CODES_PER_FILE = 1024
+
+
+def _morton_sql(x: str, y: str, intdiv: str) -> str:
+    """Bit-interleave via pure div/% integer arithmetic — no engine
+    shift/bit builtins, so Spark (`div`) and DuckDB (`//`) evaluate the
+    identical formula."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"((({x} {intdiv} {2 ** i}) % 2) * {2 ** (2 * i)})")
+        terms.append(f"((({y} {intdiv} {2 ** i}) % 2) * {2 ** (2 * i + 1)})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def q_analytics_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout planner over events on (user_id, event-day): map
+    both dimensions onto a 2^ZORDER_BITS grid, bit-interleave into a
+    Morton code, and assign Morton ranges to output files. The report is
+    each planned file's row count and its min/max box in BOTH dimensions
+    — tight boxes are the whole point: a reader filtering on user_id OR
+    day (or both) can prune most files from footer stats alone, which
+    one-dimensional sorting only delivers for the leading column.
+
+    Scale shape: one 1-row stats aggregate broadcast back (domain
+    bounds), then a map-side integer projection and ONE aggregate on the
+    file key. The real writer repartitions by zfile and writes; this
+    planner is the decision table, same as the compaction planner."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("dsec")
+    )
+    # integer-division day index everywhere: float `/` would round vs
+    # truncate differently across engines at the cast
+    stats = ev.agg(
+        F.max("user_id").alias("max_user"),
+        F.expr("min(dsec div 86400)").alias("min_day"),
+        F.expr("max(dsec div 86400)").alias("max_day"),
+    )
+    grid = 2 ** ZORDER_BITS
+    scaled = ev.crossJoin(F.broadcast(stats)).select(
+        F.expr(f"user_id * {grid} div (max_user + 1)").alias("x"),
+        F.expr(
+            f"((dsec div 86400) - min_day) * {grid} div (max_day - min_day + 1)"
+        ).alias("y"),
+    )
+    morton = _morton_sql("x", "y", "div")
+    return (
+        scaled.select(
+            F.expr(f"{morton} div {ZORDER_CODES_PER_FILE}").alias("zfile"),
+            "x",
+            "y",
+        )
+        .groupBy("zfile")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+            (
+                (F.max("x") - F.min("x") + 1) * (F.max("y") - F.min("y") + 1)
+            ).alias("bbox_area"),
+        )
+    )
+
+
+_ZORDER_ORACLE = f"""
+WITH ev AS (
+  -- epoch_us // 1e6 floors like Spark's unix_timestamp; epoch() returns a
+  -- DOUBLE whose BIGINT cast ROUNDS in DuckDB, which would disagree on
+  -- fractional-second timestamps
+  SELECT user_id, epoch_us(ts) // 1000000 AS dsec FROM events
+), stats AS (
+  SELECT max(user_id) AS max_user,
+         min(dsec // 86400) AS min_day,
+         max(dsec // 86400) AS max_day
+  FROM ev
+), scaled AS (
+  SELECT user_id * {2 ** ZORDER_BITS} // (max_user + 1) AS x,
+         ((dsec // 86400) - min_day) * {2 ** ZORDER_BITS}
+           // (max_day - min_day + 1) AS y
+  FROM ev CROSS JOIN stats
+)
+SELECT {_morton_sql("x", "y", "//")} // {ZORDER_CODES_PER_FILE} AS zfile,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(x) AS min_x, max(x) AS max_x,
+       min(y) AS min_y, max(y) AS max_y,
+       (max(x) - min(x) + 1) * (max(y) - min(y) + 1) AS bbox_area
+FROM scaled
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # hourly anomaly z-scores (exact-integer moments, deterministic sqrt)
 # ---------------------------------------------------------------------------
 
@@ -1962,6 +2062,7 @@ SPECS = [
     QuerySpec(
         "analytics_partition_plan", q_analytics_partition_plan, _PARTITION_PLAN_ORACLE
     ),
+    QuerySpec("analytics_zorder_layout", q_analytics_zorder_layout, _ZORDER_ORACLE),
     QuerySpec(
         "analytics_purchase_intervals",
         q_analytics_purchase_intervals,

@@ -63,6 +63,27 @@ def test_hapax_ratio_bounds(spark):
         assert abs(r.hapax_share - r.n_hapax / r.vocab_size) < 1e-12
 
 
+def test_zorder_layout_boxes_are_tight_grid_cells(spark):
+    """Each planned file's Morton range must map to a bounded grid box:
+    1024 codes = a 32x32 cell, so no file's bbox may exceed 32 in either
+    dimension — the tight-box property that makes the layout prunable."""
+    from mysql_streamer_spark.queries.analytics import (
+        ZORDER_BITS,
+        q_analytics_zorder_layout,
+    )
+
+    rows = q_analytics_zorder_layout(spark, SF).collect()
+    assert rows
+    grid = 2 ** ZORDER_BITS
+    for r in rows:
+        assert 0 <= r.min_x <= r.max_x < grid
+        assert 0 <= r.min_y <= r.max_y < grid
+        # 1024 = 2^10 Morton codes -> a 2^5 x 2^5 aligned cell
+        assert r.max_x - r.min_x < 32
+        assert r.max_y - r.min_y < 32
+        assert r.bbox_area == (r.max_x - r.min_x + 1) * (r.max_y - r.min_y + 1)
+
+
 def test_minhash_estimate_err_in_range(spark):
     """est_matches must be 0..N_HASHES, identical pairs estimate 1.0, and
     abs_err must be |est - exact| exactly."""
