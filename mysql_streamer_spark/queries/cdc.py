@@ -742,12 +742,80 @@ GROUP BY database, "table"
 """
 
 
+# ---------------------------------------------------------------------------
+# transaction reassembly (GTID-boundary grouping of row events)
+# ---------------------------------------------------------------------------
+
+#: Fixture model: TXN_EVENTS consecutive binlog events commit as one
+#: transaction (the reference sees this as the row events between two
+#: GtidEvents, base_parse_replication_stream.py handler dispatch; the
+#: transaction_id meta attribute util/transaction_id.py:22-68 is what ties
+#: the rows back together downstream).
+TXN_EVENTS = 5
+
+
+def q_cdc_txn_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reassemble row events into per-transaction commit records — the
+    downstream consumer's view of the stream: events between GTID
+    boundaries grouped into one record carrying row/event/table counts,
+    the begin→commit timestamp span, and the distinct change types. A
+    warehouse applying CDC atomically per upstream transaction needs
+    exactly this grouping before it merges.
+
+    Scale shape: ONE hash aggregate on the transaction key over the
+    multi-row source (partial aggregation map-side — a billion-row day
+    shuffles one partial row per txn per partition); heartbeats and
+    blacklisted databases drop before the aggregate."""
+    from mysql_streamer_spark.cdc.source import events_as_multirow_cdc
+    from mysql_streamer_spark.tables import load_table
+
+    cdc = events_as_multirow_cdc(load_table(spark, sf_dir, "events")).filter(
+        ~F.col("database").isin("yelp_heartbeat", "test")
+    )
+    return (
+        cdc.withColumn("txn_no", F.expr(f"event_id div {TXN_EVENTS}"))
+        .groupBy("txn_no")
+        .agg(
+            F.countDistinct("event_id").alias("n_events"),
+            F.count("*").alias("n_rows"),
+            F.countDistinct(
+                F.concat_ws(".", "database", "table")
+            ).alias("n_tables"),
+            F.min("timestamp").alias("begin_ts"),
+            F.max("timestamp").alias("commit_ts"),
+            F.array_join(
+                F.array_sort(F.collect_set("message_type")), ","
+            ).alias("change_types"),
+        )
+    )
+
+
+_TXN_REASSEMBLY_ORACLE = (
+    "WITH "
+    + ORACLE_MULTIROW_CDC_CTE.strip()
+    + f"""
+SELECT event_id // {TXN_EVENTS} AS txn_no,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT database || '.' || "table") AS BIGINT) AS n_tables,
+       min(timestamp) AS begin_ts,
+       max(timestamp) AS commit_ts,
+       string_agg(DISTINCT message_type, ',' ORDER BY message_type)
+         AS change_types
+FROM cdc_rows
+WHERE database NOT IN ('yelp_heartbeat', 'test')
+GROUP BY 1
+"""
+)
+
+
 SPECS = [
     QuerySpec(
         "cdc_envelope",
         q_cdc_envelope,
         _ORACLE_PIPELINE_CTES + _ENVELOPE_SELECT,
     ),
+    QuerySpec("cdc_txn_reassembly", q_cdc_txn_reassembly, _TXN_REASSEMBLY_ORACLE),
     QuerySpec("cdc_live_row_counts", q_cdc_live_row_counts, _LIVE_ROWS_ORACLE),
     QuerySpec("cdc_position_gaps", q_cdc_position_gaps, _POSITION_GAPS_ORACLE),
     QuerySpec(

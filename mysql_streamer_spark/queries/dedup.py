@@ -295,7 +295,9 @@ NGRAM_DF_CAP = 100
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    pre_shingled: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted shingle index.
 
@@ -326,13 +328,16 @@ def ngram_jaccard_pairs(
     math on integers (3-4x faster locally, and the gap widens with document
     size since verification cost no longer depends on |sset|).
     """
-    posting = (
-        spread(docs)
-        .withColumn("toks", tx.tokens_col("text"))
-        .withColumn("sset", F.array_distinct(tx.shingles_col()))
-        .filter(F.size("sset") > 0)
-        .select("doc_id", F.explode("sset").alias("shingle"))
-    )
+    if pre_shingled:  # docs is (doc_id, sset) — e.g. shared with the LSH path
+        posting = docs.select("doc_id", F.explode("sset").alias("shingle"))
+    else:
+        posting = (
+            spread(docs)
+            .withColumn("toks", tx.tokens_col("text"))
+            .withColumn("sset", F.array_distinct(tx.shingles_col()))
+            .filter(F.size("sset") > 0)
+            .select("doc_id", F.explode("sset").alias("shingle"))
+        )
     groups = (
         posting.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -1026,13 +1031,28 @@ def q_dedup_pair_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     differ (LSH can miss; the capped path scores over the sub-cap shingle
     space), and THIS query quantifies that: both/only-LSH/only-ngram
     counts plus the LSH path's agreement rate. The same evaluation shape
-    as sim_ann_recall, over text. Cost = both pipelines; the final
-    full-outer join moves id pairs only."""
+    as sim_ann_recall, over text. Cost = both pipelines, which here SHARE
+    one tokenize/shingle scan (persisted distinct-shingle sets feed the
+    LSH signatures, the LSH Jaccard verify, and the inverted index —
+    MinHash over distinct shingles equals MinHash over the raw bag, since
+    duplicates never change a min); the final full-outer join moves id
+    pairs only."""
     docs = load_table(spark, sf_dir, "documents")
-    lsh = minhash_candidate_pairs(docs).select("doc_a", "doc_b")
-    ng = ngram_jaccard_pairs(docs).select(
-        F.col("doc_a").alias("ng_a"), F.col("doc_b").alias("ng_b")
+    shingled = (
+        spread(docs)
+        .withColumn("toks", tx.tokens_col("text"))
+        .withColumn("shingles", F.array_distinct(tx.shingles_col()))
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", "shingles")
+        .persist()
     )
+    lsh = minhash_candidate_pairs(shingled, pre_shingled=True).select(
+        "doc_a", "doc_b"
+    )
+    ng = ngram_jaccard_pairs(
+        shingled.select("doc_id", F.col("shingles").alias("sset")),
+        pre_shingled=True,
+    ).select(F.col("doc_a").alias("ng_a"), F.col("doc_b").alias("ng_b"))
     joined = lsh.join(
         ng, (lsh.doc_a == ng.ng_a) & (lsh.doc_b == ng.ng_b), "full_outer"
     )

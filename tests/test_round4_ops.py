@@ -63,6 +63,20 @@ def test_hapax_ratio_bounds(spark):
         assert abs(r.hapax_share - r.n_hapax / r.vocab_size) < 1e-12
 
 
+def test_txn_reassembly_contract(spark):
+    """Every reassembled transaction: rows >= events (multi-row events),
+    commit >= begin, and at most TXN_EVENTS distinct events."""
+    from mysql_streamer_spark.queries.cdc import TXN_EVENTS, q_cdc_txn_reassembly
+
+    rows = q_cdc_txn_reassembly(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_events <= TXN_EVENTS
+        assert r.n_rows >= r.n_events
+        assert r.commit_ts >= r.begin_ts
+        assert set(r.change_types.split(",")) <= {"create", "update", "delete", "refresh"}
+
+
 def test_zorder_layout_boxes_are_tight_grid_cells(spark):
     """Each planned file's Morton range must map to a bounded grid box:
     1024 codes = a 32x32 cell, so no file's bbox may exceed 32 in either
