@@ -209,6 +209,48 @@ def resize_thumbnails(blobs: DataFrame) -> DataFrame:
     return images.select("doc_id", "payload").mapInPandas(run, RESIZE_SCHEMA)
 
 
+PHASH_SCHEMA = "doc_id long, phash long"
+
+
+def phash_images(blobs: DataFrame) -> DataFrame:
+    """Perceptual hash (aHash) over image payloads: downsample to the
+    THUMB_PIXELS box-filter thumbnail (same kernel as resize_thumbnails),
+    then one bit per bucket — set iff the bucket mean exceeds the
+    thumbnail's mean, compared as ``v * THUMB_PIXELS > total`` so the
+    whole hash is integer-exact. Images that differ only by re-encoding
+    or mild noise collide; the hash is the image dedup/clustering key a
+    multimodal corpus pipeline shuffles INSTEAD of pixels.
+
+    Same Arrow contract as the other decoders: bytes stream through in
+    columnar batches, one long per image comes out."""
+    import pandas as pd
+
+    images = blobs.filter(F.col("media_type") == "image")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                thumb = [
+                    sum(b[i * n // THUMB_PIXELS : (i + 1) * n // THUMB_PIXELS])
+                    // max(1, (i + 1) * n // THUMB_PIXELS - i * n // THUMB_PIXELS)
+                    for i in range(THUMB_PIXELS)
+                ]
+                total = sum(thumb)
+                ph = sum(
+                    1 << i
+                    for i, v in enumerate(thumb)
+                    if v * THUMB_PIXELS > total
+                )
+                ids.append(int(doc_id))
+                hashes.append(ph)
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    return images.select("doc_id", "payload").mapInPandas(run, PHASH_SCHEMA)
+
+
 #: Audio windowing: WINDOW_BYTES-wide non-overlapping energy windows, at
 #: most MAX_WINDOWS per clip (only FULL windows are emitted — a trailing
 #: partial window would make energies length-dependent noise).

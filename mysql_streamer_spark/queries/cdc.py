@@ -809,6 +809,123 @@ GROUP BY 1
 )
 
 
+# ---------------------------------------------------------------------------
+# PII pseudonymization (the reference's PII/encryption surface, Spark-form)
+# ---------------------------------------------------------------------------
+
+#: Tables whose rows carry personal data (reference marks whole schemas
+#: PII and encrypts their payloads before publish —
+#: tests/integration/end_to_end_test.py:551-600). The Spark-idiomatic
+#: equivalent is deterministic keyed pseudonymization + field
+#: suppression at envelope time, so downstream joins on the surrogate
+#: still work while the raw identifier never leaves the pipeline.
+PII_TABLES = ("signup", "purchase")
+PII_SALT = "pii:v1:"
+
+
+def q_cdc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The envelope with its PII policy applied: for PII-bearing tables
+    the primary key is replaced by a salted-hash surrogate (identical
+    input → identical token, so referential integrity survives across
+    tables and runs) and the sensitive payload value is suppressed;
+    non-PII tables pass through. Pure map-side projection over the
+    existing envelope — the policy costs nothing at 100 TB.
+
+    Reference parity: the PII/encryption golden tests
+    (end_to_end_test.py:551-600) assert payloads are unreadable on the
+    wire; hashing+suppression is the declarative form of that contract
+    (AES would need key distribution and a nondeterministic IV, which no
+    cross-engine oracle could check)."""
+    env = envelope_pipeline(spark, sf_dir)
+    is_pii = F.col("table_name").isin(*PII_TABLES)
+    token = F.md5(
+        F.concat(
+            F.lit(PII_SALT), F.col("cluster_name"), F.lit(":"), F.col("pk").cast("string")
+        )
+    )
+    return env.select(
+        "schema_id",
+        "cluster_name",
+        "database_name",
+        "table_name",
+        "message_type",
+        "timestamp",
+        "txn_order",
+        F.when(is_pii, token).otherwise(F.col("pk").cast("string")).alias("pk_token"),
+        "payload_k",
+        F.when(is_pii, F.lit(None).cast("double"))
+        .otherwise(F.col("payload_val"))
+        .alias("payload_val"),
+        is_pii.alias("is_redacted"),
+    )
+
+
+_PII_REDACTION_ORACLE = (
+    _ORACLE_PIPELINE_CTES
+    + f"""
+, env AS ({_ENVELOPE_SELECT.strip()})
+SELECT schema_id, cluster_name, database_name, table_name, message_type,
+       timestamp, txn_order,
+       CASE WHEN table_name IN {PII_TABLES}
+            THEN md5('{PII_SALT}' || cluster_name || ':' || CAST(pk AS VARCHAR))
+            ELSE CAST(pk AS VARCHAR) END AS pk_token,
+       payload_k,
+       CASE WHEN table_name IN {PII_TABLES} THEN NULL
+            ELSE payload_val END AS payload_val,
+       table_name IN {PII_TABLES} AS is_redacted
+FROM env
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# Kafka topic routing (K1's topic derivation + partition sizing)
+# ---------------------------------------------------------------------------
+
+#: messages per Kafka partition before the router recommends another one
+#: (stands in for the reference's producer buffer/throughput sizing).
+TOPIC_MSGS_PER_PARTITION = 500
+
+
+def q_cdc_topic_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The producer's routing table: one Kafka topic per
+    (cluster, database, table) — the reference derives the topic from the
+    registered schema (data_event_handler.py:54-67) — with its message
+    count, distinct-key cardinality (what key-hashing will spread), the
+    high-water transaction key, and a partition-count recommendation.
+    One aggregate on the topic key; this is the table an operator reads
+    before provisioning the sink."""
+    env = envelope_pipeline(spark, sf_dir)
+    topic = F.concat_ws(
+        ".", "cluster_name", "database_name", "table_name"
+    ).alias("topic")
+    return env.groupBy(topic).agg(
+        F.count("*").alias("n_messages"),
+        F.countDistinct("pk").alias("n_keys"),
+        F.max("txn_order").alias("high_water_txn"),
+        F.expr(
+            f"CAST((count(*) + {TOPIC_MSGS_PER_PARTITION - 1}) "
+            f"div {TOPIC_MSGS_PER_PARTITION} AS BIGINT)"
+        ).alias("suggested_partitions"),
+    )
+
+
+_TOPIC_ROUTING_ORACLE = (
+    _ORACLE_PIPELINE_CTES
+    + f"""
+, env AS ({_ENVELOPE_SELECT.strip()})
+SELECT cluster_name || '.' || database_name || '.' || table_name AS topic,
+       CAST(count(*) AS BIGINT) AS n_messages,
+       CAST(count(DISTINCT pk) AS BIGINT) AS n_keys,
+       max(txn_order) AS high_water_txn,
+       (count(*) + {TOPIC_MSGS_PER_PARTITION - 1})
+         // {TOPIC_MSGS_PER_PARTITION} AS suggested_partitions
+FROM env
+GROUP BY 1
+"""
+)
+
+
 SPECS = [
     QuerySpec(
         "cdc_envelope",
@@ -816,6 +933,8 @@ SPECS = [
         _ORACLE_PIPELINE_CTES + _ENVELOPE_SELECT,
     ),
     QuerySpec("cdc_txn_reassembly", q_cdc_txn_reassembly, _TXN_REASSEMBLY_ORACLE),
+    QuerySpec("cdc_pii_redaction", q_cdc_pii_redaction, _PII_REDACTION_ORACLE),
+    QuerySpec("cdc_topic_routing", q_cdc_topic_routing, _TOPIC_ROUTING_ORACLE),
     QuerySpec("cdc_live_row_counts", q_cdc_live_row_counts, _LIVE_ROWS_ORACLE),
     QuerySpec("cdc_position_gaps", q_cdc_position_gaps, _POSITION_GAPS_ORACLE),
     QuerySpec(

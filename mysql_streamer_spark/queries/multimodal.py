@@ -204,10 +204,62 @@ FROM wins
 """
 
 
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup via perceptual hash: every image's integer aHash
+    (multimodal.phash_images, Arrow-batched) plus how many images share
+    it — the multimodal twin of the text dedup family. At 100 TB the
+    shuffle carries ONE long per image (the hash), never pixels; the
+    oracle rebuilds thumbnail, bit threshold, and hash in pure SQL, so
+    the Python kernel is value-checked bit-for-bit."""
+    from mysql_streamer_spark.multimodal import phash_images
+    from mysql_streamer_spark.tables import spread
+    from pyspark.sql import Window
+
+    blobs = with_media_blob(spread(load_table(spark, sf_dir, "documents")))
+    ph = phash_images(blobs)
+    return ph.select(
+        "doc_id",
+        "phash",
+        F.count("*").over(Window.partitionBy("phash")).alias("n_same_hash"),
+    )
+
+
+def _phash_oracle() -> str:
+    from mysql_streamer_spark.multimodal import THUMB_PIXELS
+
+    bucket_vals = ", ".join(
+        f"""CAST(list_sum(list_transform(generate_series(
+              {i} * n // {THUMB_PIXELS} + 1, ({i} + 1) * n // {THUMB_PIXELS}),
+              j -> ascii(substring(text, j, 1))))
+            // greatest(1, ({i} + 1) * n // {THUMB_PIXELS} - {i} * n // {THUMB_PIXELS})
+            AS BIGINT)"""
+        for i in range(THUMB_PIXELS)
+    )
+    bits = " + ".join(
+        f"CASE WHEN thumb[{i + 1}] * {THUMB_PIXELS} > total THEN {1 << i} ELSE 0 END"
+        for i in range(THUMB_PIXELS)
+    )
+    return f"""
+WITH img AS (
+  SELECT doc_id, text, length(text) AS n
+  FROM documents WHERE doc_id % 3 = 0
+), buckets AS (
+  SELECT doc_id, [{bucket_vals}] AS thumb FROM img
+), hashed AS (
+  SELECT doc_id, CAST({bits} AS BIGINT) AS phash
+  FROM (SELECT doc_id, thumb, list_sum(thumb) AS total FROM buckets)
+)
+SELECT doc_id, phash,
+       count(*) OVER (PARTITION BY phash) AS n_same_hash
+FROM hashed
+"""
+
+
 SPECS = [
     QuerySpec(
         "multimodal_audio_energy", q_multimodal_audio_energy, _audio_energy_oracle()
     ),
+    QuerySpec("multimodal_phash_dedup", q_multimodal_phash_dedup, _phash_oracle()),
     QuerySpec("multimodal_resize", q_multimodal_resize, _resize_oracle()),
     QuerySpec("multimodal_metadata", q_multimodal_metadata, _METADATA_ORACLE),
     QuerySpec("multimodal_features", q_multimodal_features, _features_oracle()),

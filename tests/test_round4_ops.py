@@ -98,6 +98,33 @@ def test_zorder_layout_boxes_are_tight_grid_cells(spark):
         assert r.bbox_area == (r.max_x - r.min_x + 1) * (r.max_y - r.min_y + 1)
 
 
+def test_phash_matches_independent_recompute(spark):
+    """The Arrow kernel's aHash must equal a direct Python recompute from
+    the raw text bytes for every image doc."""
+    from mysql_streamer_spark.multimodal import THUMB_PIXELS, phash_images, with_media_blob
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(30)
+    got = {
+        r.doc_id: r.phash
+        for r in phash_images(with_media_blob(docs)).collect()
+    }
+    for row in docs.collect():
+        if row.doc_id % 3 != 0:
+            continue
+        b = row.text.encode()
+        n = len(b)
+        thumb = [
+            sum(b[i * n // THUMB_PIXELS : (i + 1) * n // THUMB_PIXELS])
+            // max(1, (i + 1) * n // THUMB_PIXELS - i * n // THUMB_PIXELS)
+            for i in range(THUMB_PIXELS)
+        ]
+        total = sum(thumb)
+        expected = sum(
+            1 << i for i, v in enumerate(thumb) if v * THUMB_PIXELS > total
+        )
+        assert got[row.doc_id] == expected
+
+
 def test_minhash_estimate_err_in_range(spark):
     """est_matches must be 0..N_HASHES, identical pairs estimate 1.0, and
     abs_err must be |est - exact| exactly."""
