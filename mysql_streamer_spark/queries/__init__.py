@@ -30,23 +30,92 @@ def all_specs() -> list[QuerySpec]:
     # correctness harness checks queries in registration order and may cap
     # how many it runs per round (r2 recorded exactly the first 50 of 104,
     # leaving whole families unchecked). Interleaving guarantees that any
-    # prefix of the registry covers every family roughly proportionally.
-    families = [
-        collect([m])
-        for m in (
-            cdc,
-            schema_registry,
-            streaming_q,
-            multimodal,
-            textops,
-            dedup,
-            similarity,
-            pipeline,
-            sketches,
-            analytics,
-            relational,
-        )
-    ]
+    # prefix of the registry covers every family roughly proportionally,
+    # and PRIORITY pins each family's core operators (the ones SURVEY.md
+    # §2 / the builder's brief name explicitly) to the front of its lane
+    # so they land inside any prefix the driver checks.
+    priority: dict[str, tuple[str, ...]] = {
+        "cdc": (
+            "cdc_envelope",
+            "cdc_latest_state",
+            "cdc_changelog",
+            "cdc_exactly_once_dedup",
+            "cdc_row_explode",
+            "cdc_typed_payload",
+            "cdc_txn_reassembly",
+            "cdc_pii_redaction",
+            "cdc_topic_routing",
+        ),
+        "streaming_q": (
+            "streaming_envelope",
+            "streaming_changelog",
+            "streaming_dedup_replay",
+            "streaming_upsert_state",
+            "streaming_windowed_counts",
+        ),
+        "multimodal": (
+            "multimodal_audio_energy",
+            "multimodal_phash_dedup",
+            "multimodal_features",
+            "multimodal_resize",
+        ),
+        "textops": (
+            "text_token_stats",
+            "text_langid",
+            "text_quality",
+            "text_fingerprint",
+            "text_hapax_ratio",
+        ),
+        "dedup": (
+            "dedup_exact",
+            "dedup_minhash_pairs",
+            "dedup_clusters",
+            "dedup_jaccard_ngram",
+            "dedup_simhash",
+        ),
+        "similarity": (
+            "sim_bruteforce_topk",
+            "sim_lsh_ann",
+            "sim_ivf_ann",
+            "sim_ann_recall",
+            "sim_topk_vectorized",
+        ),
+        "pipeline": (
+            "pipeline_decontaminate",
+            "pipeline_quality_funnel",
+            "pipeline_train_val_split",
+            "pipeline_model_quality_score",
+            "pipeline_dedup_cascade",
+        ),
+        "analytics": (
+            "analytics_pricing_summary",
+            "analytics_shipping_priority",
+            "analytics_asof_attribution",
+            "analytics_error_burst_join",
+            "analytics_sessions",
+            "analytics_zorder_layout",
+        ),
+    }
+    modules = (
+        cdc,
+        schema_registry,
+        streaming_q,
+        multimodal,
+        textops,
+        dedup,
+        similarity,
+        pipeline,
+        sketches,
+        analytics,
+        relational,
+    )
+    families = []
+    for m in modules:
+        specs = collect([m])
+        pri = priority.get(m.__name__.rsplit(".", 1)[-1], ())
+        rank = {name: i for i, name in enumerate(pri)}
+        specs.sort(key=lambda s: rank.get(s.name, len(rank)))  # stable
+        families.append(specs)
     interleaved: list[QuerySpec] = []
     for i in range(max(len(f) for f in families)):
         for fam in families:
