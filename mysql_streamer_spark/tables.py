@@ -39,7 +39,11 @@ def table_path(sf_dir: str, name: str) -> str:
 #: microseconds, matching DuckDB's ns->us truncation; newer generations store
 #: TIMESTAMP(MICROS) directly, which needs no conversion. The loader adapts
 #: to the actual parquet type so both generations hash-match the oracle.
-_TIMESTAMP_COLUMNS = {"events": ("ts",)}
+_TIMESTAMP_COLUMNS = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
 
 
 #: (applicationId, sf_dir, name) -> DataFrame. A DataFrame is an immutable
