@@ -976,6 +976,64 @@ FROM documents GROUP BY source
 """
 
 
+def q_dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH sources duplicate WHICH: near-dup pairs rolled up by the
+    unordered source pair — the mirror-detection table (a feed that
+    near-duplicates another feed is a mirror/scraper and one of them
+    should be down-weighted or dropped; the diagonal is in-source
+    duplication). min/max Jaccard per cell instead of a mean: exact and
+    order-independent, so the cross-engine check stays bit-stable.
+
+    Scale shape: the pair pipeline's cost (id-only shuffles) plus two
+    joins against the (doc_id, source) dimension and one aggregate on a
+    ≤ |sources|² key."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs)
+    src = docs.select("doc_id", "source")
+    joined = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            "doc_a",
+        ).join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            "doc_b",
+        )
+    )
+    return (
+        joined.select(
+            F.least("sa", "sb").alias("source_lo"),
+            F.greatest("sa", "sb").alias("source_hi"),
+            "jaccard",
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min("jaccard").alias("min_jaccard"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+
+
+_CROSS_SOURCE_ORACLE = f"""
+WITH pairs AS ({_PAIRS_ORACLE}),
+src AS (SELECT doc_id, source FROM documents),
+joined AS (
+  SELECT least(sa.source, sb.source) AS source_lo,
+         greatest(sa.source, sb.source) AS source_hi,
+         jaccard
+  FROM pairs
+  JOIN src sa ON pairs.doc_a = sa.doc_id
+  JOIN src sb ON pairs.doc_b = sb.doc_id
+)
+SELECT source_lo, source_hi,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       min(jaccard) AS min_jaccard,
+       max(jaccard) AS max_jaccard
+FROM joined
+GROUP BY 1, 2
+"""
+
+
 #: Jaccard calibration points (>= JACCARD_THRESHOLD so one candidate
 #: generation serves every point)
 DEDUP_SWEEP_THRESHOLDS = (0.3, 0.5, 0.7)
@@ -1203,6 +1261,11 @@ SPECS = [
         "dedup_threshold_sweep", q_dedup_threshold_sweep, _DEDUP_SWEEP_ORACLE
     ),
     QuerySpec("dedup_rate_by_source", q_dedup_rate_by_source, _RATE_BY_SOURCE_ORACLE),
+    QuerySpec(
+        "dedup_cross_source_matrix",
+        q_dedup_cross_source_matrix,
+        _CROSS_SOURCE_ORACLE,
+    ),
     QuerySpec(
         "dedup_cluster_histogram",
         q_dedup_cluster_histogram,
