@@ -44,6 +44,10 @@ DEBEZIUM_VALUE_SCHEMA = T.StructType(
                                 T.StructField("pos", T.LongType()),
                                 T.StructField("row", T.IntegerType()),
                                 T.StructField("ts_ms", T.LongType()),
+                                # Debezium >= 2.5 also publishes ts_us/ts_ns;
+                                # preferring ts_us keeps microsecond event
+                                # times lossless through the wire format
+                                T.StructField("ts_us", T.LongType()),
                             ]
                         ),
                     ),
@@ -84,7 +88,10 @@ def debezium_to_cdc(
             F.col("p.source.db").alias("database"),
             F.col("p.source.table").alias("table"),
             _op_to_message_type().alias("message_type"),
-            F.timestamp_millis(F.col("p.source.ts_ms")).alias("timestamp"),
+            F.coalesce(
+                F.timestamp_micros(F.col("p.source.ts_us")),
+                F.timestamp_millis(F.col("p.source.ts_ms")),
+            ).alias("timestamp"),
             F.col("p.source.file").alias("log_file"),
             F.col("p.source.pos").alias("log_pos"),
             F.coalesce(F.col("p.source.row"), F.lit(0)).alias("offset"),
@@ -93,6 +100,54 @@ def debezium_to_cdc(
             F.col("image")[val_field].cast("double").alias("payload_val"),
             before[val_field].cast("double").alias("before_val"),
         )
+    )
+
+
+def cdc_to_debezium_json(cdc: DataFrame) -> DataFrame:
+    """Inverse of ``debezium_to_cdc``: encode the engine's normalized CDC
+    shape as Debezium-format Kafka records (value JSON string + offset).
+    Used as the wire format of the Kafka producer path and to prove the
+    adapter lossless by roundtrip (parse(encode(x)) == x — the registered
+    ``cdc_debezium_roundtrip`` query hash-matches the direct path's
+    oracle). Pure column expressions; map-side."""
+    op = (
+        F.when(F.col("message_type") == "create", F.lit("c"))
+        .when(F.col("message_type") == "update", F.lit("u"))
+        .when(F.col("message_type") == "delete", F.lit("d"))
+        .otherwise(F.lit("r"))
+    )
+    image = F.create_map(
+        F.lit("pk"), F.col("pk").cast("string"),
+        F.lit("k"), F.col("payload_k").cast("string"),
+        F.lit("val"), F.col("payload_val").cast("string"),
+    )
+    before_image = F.when(
+        F.col("message_type") == "update",
+        F.create_map(
+            F.lit("pk"), F.col("pk").cast("string"),
+            F.lit("k"), F.col("payload_k").cast("string"),
+            F.lit("val"), F.col("before_val").cast("string"),
+        ),
+    )
+    payload = F.struct(
+        op.alias("op"),
+        (F.unix_micros("timestamp") / 1000).cast("long").alias("ts_ms"),
+        # Debezium's delete contract: the row image rides in `before`
+        F.when(op == "d", image).otherwise(before_image).alias("before"),
+        F.when(op != "d", image).alias("after"),
+        F.struct(
+            F.col("database").alias("db"),
+            F.col("table").alias("table"),
+            F.col("log_file").alias("file"),
+            F.col("log_pos").cast("long").alias("pos"),
+            F.col("offset").cast("int").alias("row"),
+            (F.unix_micros("timestamp") / 1000).cast("long").alias("ts_ms"),
+            F.unix_micros("timestamp").alias("ts_us"),
+        ).alias("source"),
+    )
+    return cdc.select(
+        F.to_json(F.struct(payload.alias("payload"))).alias("value"),
+        F.col("event_id").alias("offset"),
     )
 
 

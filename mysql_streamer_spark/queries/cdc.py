@@ -879,6 +879,36 @@ FROM env
 
 
 # ---------------------------------------------------------------------------
+# Debezium wire-format roundtrip (S1 as an oracle-checked path)
+# ---------------------------------------------------------------------------
+
+def q_cdc_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kafka/Debezium source path, value-checked end-to-end: the CDC
+    stream is ENCODED as Debezium-format JSON records (the adapter's wire
+    format, connectors/kafka.py:cdc_to_debezium_json), parsed back
+    through ``debezium_to_cdc`` (from_json against the documented
+    envelope, µs-lossless via Debezium's ts_us), and run through the full
+    envelope pipeline. The oracle is the DIRECT parquet path's envelope
+    SQL — so a hash match proves the adapter is lossless and the engine
+    is source-agnostic (reference S1,
+    low_level_binlog_stream_reader_wrapper.py:143-161).
+
+    Scale shape: encode + parse are map-side JSON projections fused into
+    the scan; everything after is the envelope plan unchanged."""
+    from mysql_streamer_spark.cdc.pipeline import envelope_from_cdc
+    from mysql_streamer_spark.cdc.source import events_as_cdc
+    from mysql_streamer_spark.connectors.kafka import (
+        cdc_to_debezium_json,
+        debezium_to_cdc,
+    )
+    from mysql_streamer_spark.tables import load_table
+
+    cdc = events_as_cdc(load_table(spark, sf_dir, "events"))
+    wire = cdc_to_debezium_json(cdc)
+    return envelope_from_cdc(debezium_to_cdc(wire))
+
+
+# ---------------------------------------------------------------------------
 # Kafka topic routing (K1's topic derivation + partition sizing)
 # ---------------------------------------------------------------------------
 
@@ -933,6 +963,11 @@ SPECS = [
         _ORACLE_PIPELINE_CTES + _ENVELOPE_SELECT,
     ),
     QuerySpec("cdc_txn_reassembly", q_cdc_txn_reassembly, _TXN_REASSEMBLY_ORACLE),
+    QuerySpec(
+        "cdc_debezium_roundtrip",
+        q_cdc_debezium_roundtrip,
+        _ORACLE_PIPELINE_CTES + _ENVELOPE_SELECT,
+    ),
     QuerySpec("cdc_pii_redaction", q_cdc_pii_redaction, _PII_REDACTION_ORACLE),
     QuerySpec("cdc_topic_routing", q_cdc_topic_routing, _TOPIC_ROUTING_ORACLE),
     QuerySpec("cdc_live_row_counts", q_cdc_live_row_counts, _LIVE_ROWS_ORACLE),

@@ -16,6 +16,9 @@ import pytest
 #: (a tiny broadcast side crossed with the corpus is the documented design)
 _BNLJ_OK = {
     "sim_bruteforce_topk",
+    # 1-row domain-stats frame (max user / day range) crossed onto every
+    # row before the Morton interleave
+    "analytics_zorder_layout",
     # same broadcast-query-dimension cross join, evaluated at two prefix
     # widths out of one scan
     "sim_matryoshka_recall",
@@ -119,6 +122,8 @@ def test_envelope_scan_is_column_pruned(spark, sf_dir):
 #: bug class this test exists to catch)
 _SINGLE_PARTITION_OK = {
     "cdc_heartbeat_lag",            # 1-row max broadcast back onto the stream
+    "pipeline_dedup_cascade",       # one-row cascade attrition report (scalar agg)
+    "analytics_zorder_layout",      # 1-row domain-stats aggregate feeding the grid
     "sketch_hll_merge",             # per-day sketches -> ONE union (scalar)
     "sketch_quantile_bound",        # single-row percentile summary
     # cumulative window over the AGGREGATED vocabulary dimension (orders of
