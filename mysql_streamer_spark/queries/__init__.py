@@ -39,6 +39,7 @@ def all_specs() -> list[QuerySpec]:
             "cdc_envelope",
             "cdc_latest_state",
             "cdc_changelog",
+            "cdc_debezium_roundtrip",
             "cdc_exactly_once_dedup",
             "cdc_row_explode",
             "cdc_typed_payload",
