@@ -1247,8 +1247,94 @@ FROM flagged
 """
 
 
+# ---------------------------------------------------------------------------
+# multi-signal curation (text quality x embedding-space gate)
+# ---------------------------------------------------------------------------
+
+#: Embedding admission: quantized norm² must clear this floor — the
+#: "drop near-zero/degenerate vectors" gate every embedding-based
+#: curation stage runs before similarity work (a zero-norm vector joins
+#: every cosine bucket and poisons ANN).
+EMB_NORM_SQ_MIN = 100_000
+
+
+def q_pipeline_multisignal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation by BOTH modalities: the text-side classifier gate joined
+    with the embedding-side norm gate on the shared document id — the
+    multi-signal admission a modern corpus pipeline runs when text alone
+    over-admits (boilerplate scores fine lexically but collapses in
+    embedding space). Reports per (source, label): totals and survivors
+    of each gate and their conjunction.
+
+    Scale shape: the two gates are map-side projections of their own
+    scans; one equi-join on the id (AQE picks broadcast while the
+    embedding side fits, shuffle-join beyond) and one small aggregate.
+    Nothing wide moves — the embedding array dies inside its scan
+    stage."""
+    from mysql_streamer_spark import vectors as vx
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", tx.tokens_col("text")
+    )
+    text_side = docs.select(
+        "doc_id",
+        "source",
+        (
+            tx.model_score_col() * MODEL_SCORE_DEN
+            >= F.lit(MODEL_SCORE_NUM) * F.size("toks")
+        ).alias("text_pass"),
+    )
+    emb = vx.with_quantized(load_table(spark, sf_dir, "embeddings")).select(
+        F.col("vec_id").alias("doc_id"),
+        "label",
+        (F.col("nrm") >= EMB_NORM_SQ_MIN).alias("emb_pass"),
+    )
+    joined = text_side.join(emb, "doc_id")
+    return joined.groupBy("source", "label").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("text_pass").cast("long")).alias("n_text_pass"),
+        F.sum(F.col("emb_pass").cast("long")).alias("n_emb_pass"),
+        F.sum((F.col("text_pass") & F.col("emb_pass")).cast("long")).alias(
+            "n_both_pass"
+        ),
+    )
+
+
+def _multisignal_oracle() -> str:
+    from mysql_streamer_spark import vectors as vx
+
+    return f"""
+WITH text_side AS (
+  SELECT doc_id, source,
+         {tx.model_score_sql(tx.tokens_sql("text"))} * {MODEL_SCORE_DEN}
+           >= {MODEL_SCORE_NUM} * len({tx.tokens_sql("text")}) AS text_pass
+  FROM documents
+), emb AS (
+  SELECT vec_id AS doc_id, label,
+         {vx.norm_sq_sql(vx.quantized_sql("embedding"))} >= {EMB_NORM_SQ_MIN}
+           AS emb_pass
+  FROM embeddings
+)
+SELECT source, label,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN text_pass THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_text_pass,
+       CAST(sum(CASE WHEN emb_pass THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_emb_pass,
+       CAST(sum(CASE WHEN text_pass AND emb_pass THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_both_pass
+FROM text_side JOIN emb USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
 SPECS = [
     QuerySpec("pipeline_decontaminate", q_pipeline_decontaminate, _DECONTAMINATE_ORACLE),
+    QuerySpec(
+        "pipeline_multisignal_filter",
+        q_pipeline_multisignal_filter,
+        _multisignal_oracle(),
+    ),
     QuerySpec(
         "pipeline_model_quality_score",
         q_pipeline_model_quality_score,
