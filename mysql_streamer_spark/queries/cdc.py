@@ -810,6 +810,100 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# wire-shape envelope (the reference's exact published message layout, F3)
+# ---------------------------------------------------------------------------
+
+def q_cdc_wire_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The envelope in the reference's PUBLISHED message shape
+    (FIXTURES.md §F3 / util/message_builder.py:51-78): ``payload_data``
+    and ``previous_payload_data`` as JSON documents,
+    ``upstream_position_info`` carrying {position, cluster, database,
+    table}, and ``meta`` as the log_transaction_id record list — what a
+    consumer of the reference's Kafka topic actually reads. JSON is
+    hand-assembled from columns (identically in the oracle) so the check
+    is byte-exact; doubles ride as their cast-to-string form, verified
+    identical across both engines for this corpus. Map-side projection
+    over the envelope — free at any scale."""
+    env = envelope_pipeline(spark, sf_dir)
+
+    def jnum(c):  # number-or-null JSON fragment
+        return F.coalesce(F.col(c).cast("string"), F.lit("null"))
+
+    payload = F.concat(
+        F.lit('{"pk":'), jnum("pk"),
+        F.lit(',"k":'), jnum("payload_k"),
+        F.lit(',"val":'), jnum("payload_val"),
+        F.lit("}"),
+    )
+    prev = F.when(
+        F.col("previous_payload_val").isNotNull(),
+        F.concat(
+            F.lit('{"pk":'), jnum("pk"),
+            F.lit(',"k":'), jnum("payload_k"),
+            F.lit(',"val":'), jnum("previous_payload_val"),
+            F.lit("}"),
+        ),
+    )
+    position = F.concat(
+        F.lit('{"position":{"log_file":"'), F.col("log_file"),
+        F.lit('","log_pos":'), F.col("log_pos").cast("string"),
+        F.lit(',"offset":'), F.col("offset").cast("string"),
+        F.lit('},"cluster_name":"'), F.col("cluster_name"),
+        F.lit('","database_name":"'), F.col("database_name"),
+        F.lit('","table_name":"'), F.col("table_name"),
+        F.lit('"}'),
+    )
+    meta = F.concat(
+        F.lit('[{"cluster_name":"'), F.col("cluster_name"),
+        F.lit('","log_file":"'), F.col("log_file"),
+        F.lit('","log_pos":'), F.col("log_pos").cast("string"),
+        F.lit("}]"),
+    )
+    return env.select(
+        "schema_id",
+        "message_type",
+        F.date_format("timestamp", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias(
+            "timestamp_iso"
+        ),
+        "txn_order",
+        payload.alias("payload_data"),
+        prev.alias("previous_payload_data"),
+        position.alias("upstream_position_info"),
+        meta.alias("meta"),
+    )
+
+
+_WIRE_ENVELOPE_ORACLE = (
+    _ORACLE_PIPELINE_CTES
+    + f"""
+, env AS ({_ENVELOPE_SELECT.strip()})
+SELECT schema_id, message_type,
+       strftime(timestamp, '%Y-%m-%dT%H:%M:%S.%f') AS timestamp_iso,
+       txn_order,
+       '{{"pk":' || COALESCE(CAST(pk AS VARCHAR), 'null')
+         || ',"k":' || COALESCE(CAST(payload_k AS VARCHAR), 'null')
+         || ',"val":' || COALESCE(CAST(payload_val AS VARCHAR), 'null')
+         || '}}' AS payload_data,
+       CASE WHEN previous_payload_val IS NOT NULL THEN
+         '{{"pk":' || COALESCE(CAST(pk AS VARCHAR), 'null')
+           || ',"k":' || COALESCE(CAST(payload_k AS VARCHAR), 'null')
+           || ',"val":' || CAST(previous_payload_val AS VARCHAR)
+           || '}}' END AS previous_payload_data,
+       '{{"position":{{"log_file":"' || log_file
+         || '","log_pos":' || CAST(log_pos AS VARCHAR)
+         || ',"offset":' || CAST("offset" AS VARCHAR)
+         || '}},"cluster_name":"' || cluster_name
+         || '","database_name":"' || database_name
+         || '","table_name":"' || table_name || '"}}' AS upstream_position_info,
+       '[{{"cluster_name":"' || cluster_name
+         || '","log_file":"' || log_file
+         || '","log_pos":' || CAST(log_pos AS VARCHAR) || '}}]' AS meta
+FROM env
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # PII pseudonymization (the reference's PII/encryption surface, Spark-form)
 # ---------------------------------------------------------------------------
 
@@ -969,6 +1063,7 @@ SPECS = [
         _ORACLE_PIPELINE_CTES + _ENVELOPE_SELECT,
     ),
     QuerySpec("cdc_pii_redaction", q_cdc_pii_redaction, _PII_REDACTION_ORACLE),
+    QuerySpec("cdc_wire_envelope", q_cdc_wire_envelope, _WIRE_ENVELOPE_ORACLE),
     QuerySpec("cdc_topic_routing", q_cdc_topic_routing, _TOPIC_ROUTING_ORACLE),
     QuerySpec("cdc_live_row_counts", q_cdc_live_row_counts, _LIVE_ROWS_ORACLE),
     QuerySpec("cdc_position_gaps", q_cdc_position_gaps, _POSITION_GAPS_ORACLE),
