@@ -1259,8 +1259,98 @@ GROUP BY query_id
 """
 
 
+# ---------------------------------------------------------------------------
+# embedding drift monitor (early vs late cohort centroids)
+# ---------------------------------------------------------------------------
+
+def q_sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-drift monitor over the embedding space: per label, the cosine
+    between the EARLY cohort's centroid and the LATE cohort's — the
+    number an ML-ops pipeline alerts on when the upstream distribution
+    moves under a deployed model. (The fixture's cohort key is vec_id
+    parity — deterministic; production uses the ingestion-date
+    partition.) Centroids are integer floor-of-mean like the k-means
+    update, so both engines agree exactly; only the final cosine
+    divides.
+
+    Scale shape: one posexplode → (label, cohort, dim) aggregate (fixed
+    output cardinality k×2×DIM regardless of corpus size), reassembled
+    declaratively, one k-row self-join. No per-pair work anywhere."""
+    e = vx.with_quantized(_emb(spark, sf_dir)).withColumn(
+        "cohort", (F.col("vec_id") % 2).cast("int")
+    )
+    per_dim = (
+        e.select("label", "cohort", F.posexplode("qv").alias("dim", "qval"))
+        .groupBy("label", "cohort", "dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(_floordiv_spark("sum(qval)", "count(*)")).alias("cval"),
+        )
+    )
+    cents = (
+        per_dim.groupBy("label", "cohort")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.expr(
+                "transform(sort_array(collect_list(struct(dim, cval))), s -> s.cval)"
+            ).alias("cq"),
+        )
+        .withColumn("cnrm", vx.norm_sq_col("cq"))
+    )
+    a = cents.filter(F.col("cohort") == 0).select(
+        "label",
+        F.col("n_vecs").alias("n_early"),
+        F.col("cq").alias("qa"),
+        F.col("cnrm").alias("na"),
+    )
+    b = cents.filter(F.col("cohort") == 1).select(
+        "label",
+        F.col("n_vecs").alias("n_late"),
+        F.col("cq").alias("qb"),
+        F.col("cnrm").alias("nb"),
+    )
+    return a.join(b, "label").select(
+        "label",
+        "n_early",
+        "n_late",
+        vx.cosine_col("qa", "qb", "na", "nb").alias("drift_cosine"),
+    )
+
+
+_DRIFT_ORACLE = f"""
+WITH qe AS (
+  SELECT vec_id, label, CAST(vec_id % 2 AS INT) AS cohort,
+         {vx.quantized_sql("embedding")} AS qv
+  FROM embeddings
+), exploded AS (
+  SELECT label, cohort, i - 1 AS dim, qv[i] AS qval
+  FROM qe CROSS JOIN (SELECT unnest(generate_series(1, {vx.DIM})) AS i) dims
+), per_dim AS (
+  SELECT label, cohort, dim, count(*) AS n,
+         {_floordiv_duck("CAST(sum(qval) AS BIGINT)", "count(*)")} AS cval
+  FROM exploded GROUP BY 1, 2, 3
+), cents AS (
+  SELECT label, cohort, max(n) AS n_vecs,
+         list_transform(list_sort(list(struct_pack(dim := dim, cval := cval))),
+                        s -> s.cval) AS cq
+  FROM per_dim GROUP BY 1, 2
+), normed AS (
+  SELECT label, cohort, n_vecs, cq,
+         {vx.norm_sq_sql("cq")} AS cnrm
+  FROM cents
+)
+SELECT a.label,
+       a.n_vecs AS n_early,
+       b.n_vecs AS n_late,
+       {vx.cosine_sql("a.cq", "b.cq", "a.cnrm", "b.cnrm")} AS drift_cosine
+FROM normed a JOIN normed b ON a.label = b.label
+WHERE a.cohort = 0 AND b.cohort = 1
+"""
+
+
 SPECS = [
     QuerySpec("sim_bruteforce_topk", q_sim_bruteforce_topk, _BRUTEFORCE_ORACLE),
+    QuerySpec("sim_embedding_drift", q_sim_embedding_drift, _DRIFT_ORACLE),
     QuerySpec(
         "sim_scalar_quantization",
         q_sim_scalar_quantization,
