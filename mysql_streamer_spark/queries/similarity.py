@@ -1348,8 +1348,222 @@ WHERE a.cohort = 0 AND b.cohort = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup inside coarse embedding clusters
+# ---------------------------------------------------------------------------
+
+#: Pairs at or above this quantized cosine inside the SAME coarse cell are
+#: semantic duplicates; the lowest vec_id in each neighbourhood survives.
+SEMDEDUP_TAU = 0.35
+
+
+def q_sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): remove semantically redundant items
+    by (1) assigning every embedding to a coarse cluster, (2) comparing
+    pairs ONLY within a cluster, (3) keeping one representative (lowest
+    vec_id) from each near-duplicate neighbourhood. The cross-cluster
+    pairs SemDeDup deliberately never examines are what makes it run at
+    corpus scale — pairwise work is Σ cell² with k chosen ∝ corpus size
+    so cells stay constant-sized.
+
+    Plan shape: centroid assignment is a 10-row broadcast map pass (same
+    as IVF); the intra-cell self-join carries (vec_id, qv) only; one
+    distinct on removed ids; one left join back for the keep flag. The
+    assignment is computed once and persisted — three consumers (both
+    pair sides + the final projection) would each redo the window.
+
+    Parity: the reference has no embedding ops; this is the scale
+    extension mandated by the builder's brief (SURVEY.md §7 phases 4-5).
+    """
+    e = vx.with_quantized(_emb(spark, sf_dir))
+    cents = _centroids(e.select("label", "qv"))
+    scored_cells = (
+        e.drop("label")
+        .crossJoin(F.broadcast(cents))
+        .withColumn("cscore", _cell_score("qv", "nrm"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cscore").desc(), F.col("label").asc()
+    )
+    assign = (
+        scored_cells.withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("label").alias("cell"), "qv", "nrm")
+        .persist()
+    )
+    a = assign.select(
+        F.col("vec_id").alias("a_id"),
+        "cell",
+        F.col("qv").alias("a_qv"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = assign.select(
+        F.col("vec_id").alias("b_id"),
+        "cell",
+        F.col("qv").alias("b_qv"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    removed = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cosine", vx.cosine_col("a_qv", "b_qv", "a_nrm", "b_nrm"))
+        .filter(F.col("cosine") >= SEMDEDUP_TAU)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("removed", F.lit(True))
+    )
+    return assign.join(removed, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.coalesce(~F.col("removed"), F.lit(True)).alias("keep"),
+    )
+
+
+_SEMDEDUP_ORACLE = f"""
+WITH qe AS (
+  SELECT vec_id, label, {vx.quantized_sql("embedding")} AS qv,
+         {vx.norm_sq_sql(vx.quantized_sql("embedding"))} AS nrm
+  FROM embeddings
+), per_dim AS (
+  SELECT label, i - 1 AS dim,
+         CAST(floor(sum(qv[i]) / count(*)) AS BIGINT) AS cval
+  FROM qe CROSS JOIN (SELECT unnest(generate_series(1, {vx.DIM})) AS i) dims
+  GROUP BY label, dim
+), cents AS (
+  SELECT label, list(cval ORDER BY dim) AS cq
+  FROM per_dim GROUP BY label
+), cents_n AS (
+  SELECT label, cq, {vx.norm_sq_sql("cq")} AS cnrm FROM cents
+), scored_cells AS (
+  SELECT qe.vec_id, qe.qv, qe.nrm, cents_n.label,
+         {vx.cosine_sql("qv", "cq", "nrm", "cnrm")} AS cscore
+  FROM qe CROSS JOIN cents_n
+), assign AS (
+  SELECT vec_id, label AS cell, qv, nrm FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cscore DESC, label ASC) AS rk
+    FROM scored_cells
+  ) WHERE rk = 1
+), removed AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {vx.cosine_sql("a.qv", "b.qv", "a.nrm", "b.nrm")} >= {SEMDEDUP_TAU}
+)
+SELECT assign.vec_id, cell,
+       removed.vec_id IS NULL AS keep
+FROM assign LEFT JOIN removed ON assign.vec_id = removed.vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining (contrastive training pairs)
+# ---------------------------------------------------------------------------
+
+def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per anchor: the most similar OTHER-label vector sharing any LSH
+    bucket — the 'hard negative' a contrastive trainer pairs with each
+    anchor (easy negatives are free; hard ones need a similarity search,
+    and mining them in-bucket is the standard scale trick: candidates
+    come from the same ANN structure the retrieval index uses).
+
+    Plan shape: the id->bucket table computes once (Arrow matmul kernel)
+    and feeds both join sides; candidate (anchor, cand) id pairs dedup
+    across the OR-amplified tables BEFORE any vector math; labels and
+    vectors join back only for surviving pairs; one window per anchor
+    picks the top negative. Mega-buckets are excluded like the near-dup
+    path."""
+    emb = _emb(spark, sf_dir)
+    b = vx.lsh_id_bucket_table(emb).persist()
+    ok = (
+        b.groupBy("table_id", "bucket")
+        .agg(F.count("*").alias("bsz"))
+        .filter(F.col("bsz") <= NEARDUP_MAX_BUCKET)
+        .select("table_id", "bucket")
+    )
+    b = b.join(ok, ["table_id", "bucket"])
+    pairs = (
+        b.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("anchor_id"),
+            F.col("b.vec_id").alias("neg_id"),
+        )
+        .distinct()
+    )
+    qe = vx.with_quantized(emb).select("vec_id", "label", "qv", "nrm")
+    scored = (
+        pairs.join(
+            qe.select(
+                F.col("vec_id").alias("anchor_id"),
+                F.col("label").alias("anchor_label"),
+                F.col("qv").alias("a_qv"),
+                F.col("nrm").alias("a_nrm"),
+            ),
+            "anchor_id",
+        )
+        .join(
+            qe.select(
+                F.col("vec_id").alias("neg_id"),
+                F.col("label").alias("neg_label"),
+                F.col("qv").alias("b_qv"),
+                F.col("nrm").alias("b_nrm"),
+            ),
+            "neg_id",
+        )
+        .filter(F.col("anchor_label") != F.col("neg_label"))
+        .withColumn("cosine", vx.cosine_col("a_qv", "b_qv", "a_nrm", "b_nrm"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("neg_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("anchor_id", "anchor_label", "neg_id", "neg_label", "cosine")
+    )
+
+
+_HARD_NEGATIVES_ORACLE = (
+    "WITH "
+    + vx.lsh_buckets_sql_cte()
+    + f"""
+, bok AS (
+  SELECT table_id, bucket FROM buckets GROUP BY 1, 2
+  HAVING count(*) <= {NEARDUP_MAX_BUCKET}
+), pairs AS (
+  SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS neg_id
+  FROM buckets a JOIN buckets b
+    ON a.table_id = b.table_id AND a.bucket = b.bucket
+   AND a.vec_id != b.vec_id
+  JOIN bok ON a.table_id = bok.table_id AND a.bucket = bok.bucket
+), scored AS (
+  SELECT anchor_id, al.label AS anchor_label, neg_id, bl.label AS neg_label,
+         {vx.cosine_sql("aa.qv", "bb.qv", "aa.nrm", "bb.nrm")} AS cosine
+  FROM pairs
+  JOIN qe aa ON pairs.anchor_id = aa.vec_id
+  JOIN qe bb ON pairs.neg_id = bb.vec_id
+  JOIN embeddings al ON pairs.anchor_id = al.vec_id
+  JOIN embeddings bl ON pairs.neg_id = bl.vec_id
+  WHERE al.label != bl.label
+)
+SELECT anchor_id, anchor_label, neg_id, neg_label, cosine FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY anchor_id ORDER BY cosine DESC, neg_id ASC) AS rk
+  FROM scored
+) WHERE rk = 1
+"""
+)
+
+
 SPECS = [
     QuerySpec("sim_bruteforce_topk", q_sim_bruteforce_topk, _BRUTEFORCE_ORACLE),
+    QuerySpec("sim_semdedup", q_sim_semdedup, _SEMDEDUP_ORACLE),
+    QuerySpec("sim_hard_negatives", q_sim_hard_negatives, _HARD_NEGATIVES_ORACLE),
     QuerySpec("sim_embedding_drift", q_sim_embedding_drift, _DRIFT_ORACLE),
     QuerySpec(
         "sim_scalar_quantization",
