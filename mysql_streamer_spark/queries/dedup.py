@@ -1249,8 +1249,124 @@ FROM scored
 )
 
 
+# ---------------------------------------------------------------------------
+# Bloom-filter delta membership (approximate set-membership dedup)
+# ---------------------------------------------------------------------------
+
+#: Bloom geometry: BLOOM_M bit positions, BLOOM_K probes per document.
+#: Deliberately undersized for the fixture (m/n ≈ 2.6 → theoretical FP
+#: rate (1-e^(-kn/m))^k ≈ 30%): the report's whole purpose is MEASURING
+#: the realized false-positive rate, so the filter must be tight enough
+#: to produce some — production sizes m/k from exactly this table.
+BLOOM_M = 1024
+BLOOM_K = 3
+
+
+def _bloom_pos_spark(j: int, h: str = "h") -> str:
+    return (
+        f"CAST(conv(substring(md5(concat('bloom{j}:', {h})), 1, 8), 16, 10) "
+        f"AS BIGINT) % {BLOOM_M}"
+    )
+
+
+def _bloom_pos_sql(j: int, h: str = "h") -> str:
+    return (
+        f"CAST('0x' || substring(md5('bloom{j}:' || {h}), 1, 8) AS BIGINT) "
+        f"% {BLOOM_M}"
+    )
+
+
+def q_dedup_bloom_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership test of a freshly crawled delta against the
+    already-indexed corpus — the constant-memory cousin of
+    ``dedup_incremental``: the index compresses to BLOOM_M bits however
+    many billions of documents it holds, so the delta check is a pure
+    map pass against a broadcast bitmap. Per delta doc: did all BLOOM_K
+    probe bits hit (bloom_maybe), is it REALLY in the index (exact_dup,
+    the ground truth), and is it a false positive — the measured FP rate
+    that sizes m and k for the production corpus.
+
+    Plan shape: the bit set is a ≤BLOOM_M-row distinct aggregate of the
+    index side (at scale: per-partition bitmap OR, 512 bytes total — the
+    relational form here has identical semantics and stays oracle-
+    checkable); probes explode to BLOOM_K rows per delta doc and join the
+    broadcast bit set; ground truth is one broadcast semi-join on the
+    16-byte content hash. Document text never shuffles."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "h", F.md5(F.col("text"))
+    )
+    is_delta = F.col("doc_id") % INCR_DELTA_MODULUS == 0
+    index = docs.filter(~is_delta)
+    delta = docs.filter(is_delta)
+
+    pos_arr = F.array(
+        *[F.expr(_bloom_pos_spark(j)) for j in range(BLOOM_K)]
+    )
+    index_bits = (
+        index.select(F.explode(pos_arr).alias("pos")).distinct()
+        .withColumn("bit_set", F.lit(True))
+    )
+    probes = delta.select(
+        "doc_id", "h", F.explode(pos_arr).alias("pos")
+    )
+    hits = (
+        probes.join(F.broadcast(index_bits), "pos", "left")
+        .groupBy("doc_id", "h")
+        .agg(
+            # misses are nulls from the left join; an all-miss group must
+            # aggregate to 0, not null
+            F.coalesce(
+                F.sum(F.col("bit_set").cast("int")), F.lit(0)
+            ).alias("n_hits")
+        )
+    )
+    index_hashes = index.select("h").distinct().withColumn("in_index", F.lit(True))
+    return (
+        hits.join(F.broadcast(index_hashes), "h", "left")
+        .select(
+            "doc_id",
+            (F.col("n_hits") == BLOOM_K).alias("bloom_maybe"),
+            F.coalesce(F.col("in_index"), F.lit(False)).alias("exact_dup"),
+            (
+                (F.col("n_hits") == BLOOM_K)
+                & ~F.coalesce(F.col("in_index"), F.lit(False))
+            ).alias("false_positive"),
+        )
+    )
+
+
+_BLOOM_POS_LIST_SQL = ", ".join(_bloom_pos_sql(j) for j in range(BLOOM_K))
+
+_BLOOM_ORACLE = f"""
+WITH hashed AS (
+  SELECT doc_id, md5(text) AS h,
+         doc_id % {INCR_DELTA_MODULUS} = 0 AS is_delta
+  FROM documents
+), index_bits AS (
+  SELECT DISTINCT unnest([{_BLOOM_POS_LIST_SQL}]) AS pos
+  FROM hashed WHERE NOT is_delta
+), probes AS (
+  SELECT doc_id, h, unnest([{_BLOOM_POS_LIST_SQL}]) AS pos
+  FROM hashed WHERE is_delta
+), hits AS (
+  SELECT probes.doc_id, probes.h,
+         sum(CASE WHEN index_bits.pos IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+  FROM probes LEFT JOIN index_bits ON probes.pos = index_bits.pos
+  GROUP BY 1, 2
+), index_hashes AS (
+  SELECT DISTINCT h FROM hashed WHERE NOT is_delta
+)
+SELECT hits.doc_id,
+       n_hits = {BLOOM_K} AS bloom_maybe,
+       index_hashes.h IS NOT NULL AS exact_dup,
+       n_hits = {BLOOM_K} AND index_hashes.h IS NULL AS false_positive
+FROM hits LEFT JOIN index_hashes ON hits.h = index_hashes.h
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact", q_dedup_exact, _EXACT_ORACLE),
+    QuerySpec("dedup_bloom_delta", q_dedup_bloom_delta, _BLOOM_ORACLE),
     QuerySpec(
         "dedup_minhash_estimate", q_dedup_minhash_estimate, _MINHASH_ESTIMATE_ORACLE
     ),
