@@ -1328,8 +1328,250 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# DSIR-style importance score (hashed n-gram distribution ratio)
+# ---------------------------------------------------------------------------
+
+#: hashing-trick feature space for the importance model
+DSIR_BUCKETS = 512
+
+#: Integer log2 proxy: length(bin(x)) = floor(log2(x)) + 1 for x >= 1 —
+#: exact in BOTH engines (no float log), so the importance score is a pure
+#: integer sum. The +1 inside shifts zero counts to bin(1).
+_DSIR_BITLEN_SPARK = "length(bin({x} + 1))"
+_DSIR_BITLEN_SQL = "length(bin({x} + 1))"
+
+
+def q_pipeline_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023): score every raw
+    document by how much its hashed-unigram distribution looks like the
+    TARGET distribution (here: the eval carve-out, doc_id ≡ 0 mod
+    EVAL_MODULUS) versus the RAW pool — Σ over tokens of
+    log2-proxy(target_count) - log2-proxy(raw_count) on the token's
+    feature bucket. Real DSIR uses float log-likelihood ratios; the
+    bit-length proxy keeps the ranking integer-exact so both engines
+    agree bit-for-bit (the ordering, which drives selection, is what
+    matters).
+
+    Plan shape: one tokenize+explode pass computed once (persisted, two
+    consumers); bucket counts are a DSIR_BUCKETS-row aggregate broadcast
+    back onto the posting stream; one per-doc sum. Token text never
+    shuffles — only (doc_id, bucket) pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_target = F.col("doc_id") % EVAL_MODULUS == 0
+    posting = (
+        spread(docs)
+        .withColumn("is_target", is_target)
+        .select(
+            "doc_id",
+            "source",
+            "is_target",
+            F.explode(tx.tokens_col("text")).alias("t"),
+        )
+        .withColumn(
+            "bucket",
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("t"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % DSIR_BUCKETS,
+        )
+        .drop("t")
+        .persist()
+    )
+    counts = posting.groupBy("bucket").agg(
+        F.sum(F.col("is_target").cast("long")).alias("tgt_n"),
+        F.sum((~F.col("is_target")).cast("long")).alias("raw_n"),
+    )
+    scored = (
+        posting.filter(~F.col("is_target"))
+        .join(F.broadcast(counts), "bucket")
+        .withColumn(
+            "tok_score",
+            F.expr(_DSIR_BITLEN_SPARK.format(x="tgt_n"))
+            - F.expr(_DSIR_BITLEN_SQL.format(x="raw_n")),
+        )
+    )
+    return scored.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("tok_score").cast("long").alias("dsir_score"),
+    )
+
+
+_DSIR_ORACLE = f"""
+WITH posting AS (
+  SELECT doc_id, source,
+         doc_id % {EVAL_MODULUS} = 0 AS is_target,
+         CAST('0x' || substring(md5('dsir:' || t), 1, 8) AS BIGINT)
+           % {DSIR_BUCKETS} AS bucket
+  FROM (SELECT doc_id, source, unnest({tx.tokens_sql("text")}) AS t
+        FROM documents)
+), counts AS (
+  SELECT bucket,
+         sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tgt_n,
+         sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS raw_n
+  FROM posting GROUP BY 1
+), scored AS (
+  SELECT doc_id, source,
+         {_DSIR_BITLEN_SQL.format(x="tgt_n")}
+           - {_DSIR_BITLEN_SQL.format(x="raw_n")} AS tok_score
+  FROM posting JOIN counts USING (bucket)
+  WHERE NOT is_target
+)
+SELECT doc_id, source, count(*) AS n_tokens,
+       CAST(sum(tok_score) AS BIGINT) AS dsir_score
+FROM scored GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# UniMax language-budget allocation (bounded-epoch waterfilling)
+# ---------------------------------------------------------------------------
+
+#: no language may repeat more than this many epochs (UniMax's cap);
+#: 3 with a 2-epoch budget makes the cap BIND on the fixture's smallest
+#: language, so both waterfill branches (saturated + even-split) are live
+UNIMAX_MAX_EPOCHS = 3
+#: total training budget as a multiple of the corpus token count (between
+#: 1 and UNIMAX_MAX_EPOCHS so the waterfill actually splits: low-resource
+#: languages saturate at the epoch cap, high-resource ones share the rest)
+UNIMAX_BUDGET_EPOCHS = 2
+
+
+def q_pipeline_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax (Chung et al. 2023) language sampling: allocate a global
+    token budget across languages as uniformly as possible subject to a
+    per-language epoch cap — low-resource languages take all their
+    tokens up to UNIMAX_MAX_EPOCHS epochs; what remains is split evenly
+    among high-resource ones. The closed-form waterfill: sort languages
+    by cap ascending; a language saturates while cap_i*(L-i)+cumsum_i ≤
+    budget; the remainder splits integer-evenly over the unsaturated
+    tail (deterministic remainder distribution by rank). All integer
+    arithmetic — both engines agree exactly.
+
+    Plan shape: one tokenize aggregate to L rows, then windows over the
+    L-row language dimension (L ≈ languages in the corpus — a designed
+    singleton plan over a provably tiny aggregate, like the other
+    summary queries)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.withColumn("toks", tx.tokens_col("text"))
+        .groupBy("lang")
+        .agg(F.sum(F.size("toks")).cast("long").alias("n_tokens"))
+        .withColumn("cap_tokens", F.col("n_tokens") * UNIMAX_MAX_EPOCHS)
+    )
+    tot = per.agg(
+        (F.sum("n_tokens") * UNIMAX_BUDGET_EPOCHS).cast("long").alias("budget"),
+        F.count("*").alias("n_langs"),
+    )
+    w_ord = Window.orderBy(F.col("cap_tokens").asc(), F.col("lang").asc())
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = w_ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("rk", F.row_number().over(w_ord))
+        .withColumn("cumsum_cap", F.sum("cap_tokens").over(w_cum))
+        .withColumn(
+            "sat_raw",
+            (
+                F.col("cap_tokens") * (F.col("n_langs") - F.col("rk"))
+                + F.col("cumsum_cap")
+                <= F.col("budget")
+            ).cast("int"),
+        )
+        .withColumn("saturated", F.min("sat_raw").over(w_cum) == 1)
+        .withColumn(
+            "k_sat", F.sum(F.col("saturated").cast("int")).over(w_all)
+        )
+        .withColumn(
+            "sat_tokens",
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("saturated"), F.col("cap_tokens"))
+                ).over(w_all),
+                F.lit(0),
+            ),
+        )
+    )
+    ranked = ranked.withColumn(
+        "n_unsat", F.col("n_langs") - F.col("k_sat")
+    ).withColumn("leftover", F.col("budget") - F.col("sat_tokens"))
+    # integer division (`div`), not float `/` + floor: exact at any corpus
+    # size, and identical to the oracle's `//`
+    base = F.expr("leftover div n_unsat")
+    rem = F.col("leftover") % F.col("n_unsat")
+    alloc = F.when(F.col("saturated"), F.col("cap_tokens")).otherwise(
+        base + ((F.col("rk") - F.col("k_sat")) <= rem).cast("long")
+    )
+    return ranked.select(
+        "lang",
+        "n_tokens",
+        "cap_tokens",
+        "saturated",
+        alloc.alias("alloc_tokens"),
+        (alloc.cast("double") / F.col("n_tokens")).alias("epochs"),
+    )
+
+
+_UNIMAX_ORACLE = f"""
+WITH per AS (
+  SELECT lang,
+         CAST(sum(len({tx.tokens_sql("text")})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+), capd AS (
+  SELECT lang, n_tokens, n_tokens * {UNIMAX_MAX_EPOCHS} AS cap_tokens FROM per
+), tot AS (
+  SELECT CAST(sum(n_tokens) * {UNIMAX_BUDGET_EPOCHS} AS BIGINT) AS budget,
+         count(*) AS n_langs
+  FROM per
+), ranked AS (
+  SELECT lang, n_tokens, cap_tokens, budget, n_langs,
+         row_number() OVER (ORDER BY cap_tokens ASC, lang ASC) AS rk,
+         sum(cap_tokens) OVER (ORDER BY cap_tokens ASC, lang ASC
+           ROWS UNBOUNDED PRECEDING) AS cumsum_cap
+  FROM capd CROSS JOIN tot
+), flagged AS (
+  SELECT *,
+         CASE WHEN cap_tokens * (n_langs - rk) + cumsum_cap <= budget
+              THEN 1 ELSE 0 END AS sat_raw
+  FROM ranked
+), prefixed AS (
+  SELECT *,
+         min(sat_raw) OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING) = 1
+           AS saturated
+  FROM flagged
+), totals AS (
+  SELECT *,
+         sum(CASE WHEN saturated THEN 1 ELSE 0 END)
+           OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS k_sat,
+         coalesce(sum(CASE WHEN saturated THEN cap_tokens END)
+           OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+           0) AS sat_tokens
+  FROM prefixed
+)
+SELECT lang, n_tokens, cap_tokens, saturated,
+       CAST(CASE WHEN saturated THEN cap_tokens
+            ELSE (budget - sat_tokens) // (n_langs - k_sat)
+                 + CASE WHEN rk - k_sat <= (budget - sat_tokens)
+                        % (n_langs - k_sat) THEN 1 ELSE 0 END
+       END AS BIGINT) AS alloc_tokens,
+       CAST(CASE WHEN saturated THEN cap_tokens
+            ELSE (budget - sat_tokens) // (n_langs - k_sat)
+                 + CASE WHEN rk - k_sat <= (budget - sat_tokens)
+                        % (n_langs - k_sat) THEN 1 ELSE 0 END
+       END AS DOUBLE) / n_tokens AS epochs
+FROM totals
+"""
+
+
 SPECS = [
     QuerySpec("pipeline_decontaminate", q_pipeline_decontaminate, _DECONTAMINATE_ORACLE),
+    QuerySpec("pipeline_dsir_score", q_pipeline_dsir_score, _DSIR_ORACLE),
+    QuerySpec("pipeline_unimax_budget", q_pipeline_unimax_budget, _UNIMAX_ORACLE),
     QuerySpec(
         "pipeline_multisignal_filter",
         q_pipeline_multisignal_filter,

@@ -914,8 +914,78 @@ GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# compression-ratio proxy (distinct / total character n-grams)
+# ---------------------------------------------------------------------------
+
+#: character n-gram width for the compressibility estimate
+COMPRESS_NGRAM = 4
+#: keep band on the distinct-ngram ratio: below LOW the text is machine-
+#: repetitive (a gzip would crush it), above HIGH it is high-entropy noise
+#: (random strings, encoded blobs) — the same band logic DCLM/RedPajama-2
+#: apply to the gzip ratio itself.
+COMPRESS_LOW = 0.30
+COMPRESS_HIGH = 0.98
+
+
+def q_text_compression_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressibility quality gate without running a compressor: the
+    distinct-to-total ratio of character 4-grams tracks the gzip ratio
+    (repeated substrings are exactly what LZ77 back-references remove),
+    and unlike gzip it is engine-exact, branch-free, and needs no UDF.
+    Low ratio → boilerplate/template spam; suspiciously high ratio →
+    random noise; both get dropped by the band rule.
+
+    Plan shape: pure per-row map over one pruned scan (doc_id, text,
+    source) — the n-gram array never leaves the row, no explode, no
+    shuffle. At 100 TB this runs at scan speed inside one codegen span."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    n = COMPRESS_NGRAM
+    total = F.greatest(F.length("text") - (n - 1), F.lit(0)).cast("long")
+    distinct = F.expr(
+        f"size(array_distinct(transform("
+        f"sequence(1, greatest(length(text) - {n - 1}, 0)), "
+        f"i -> substring(text, i, {n}))))"
+    ).cast("long")
+    ratio = distinct.cast("double") / total.cast("double")
+    return docs.select(
+        "doc_id",
+        "source",
+        total.alias("n_ngrams"),
+        distinct.alias("n_distinct"),
+        ratio.alias("distinct_ratio"),
+        ((ratio >= COMPRESS_LOW) & (ratio <= COMPRESS_HIGH)).alias("keep"),
+    ).filter(F.col("n_ngrams") > 0)
+
+
+_COMPRESS_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id, source,
+         CAST(greatest(len(text) - {COMPRESS_NGRAM - 1}, 0) AS BIGINT)
+           AS n_ngrams,
+         CAST(len(list_distinct(list_transform(
+             generate_series(1, greatest(len(text) - {COMPRESS_NGRAM - 1}, 0)),
+             i -> substr(text, i, {COMPRESS_NGRAM})))) AS BIGINT)
+           AS n_distinct
+  FROM documents
+)
+SELECT doc_id, source, n_ngrams, n_distinct,
+       CAST(n_distinct AS DOUBLE) / CAST(n_ngrams AS DOUBLE)
+         AS distinct_ratio,
+       CAST(n_distinct AS DOUBLE) / CAST(n_ngrams AS DOUBLE)
+           >= {COMPRESS_LOW}
+         AND CAST(n_distinct AS DOUBLE) / CAST(n_ngrams AS DOUBLE)
+           <= {COMPRESS_HIGH} AS keep
+FROM g
+WHERE n_ngrams > 0
+"""
+
+
 SPECS = [
     QuerySpec("text_token_stats", q_text_token_stats, _TOKEN_STATS_ORACLE),
+    QuerySpec(
+        "text_compression_proxy", q_text_compression_proxy, _COMPRESS_ORACLE
+    ),
     QuerySpec("text_hapax_ratio", q_text_hapax_ratio, _HAPAX_ORACLE),
     QuerySpec("text_fertility", q_text_fertility, _FERTILITY_ORACLE),
     QuerySpec(
