@@ -1,0 +1,133 @@
+"""Invariant tests for the round-5 operators: Bloom delta membership,
+UniMax waterfilling, SemDeDup, DSIR scoring, the compression proxy, and
+hard-negative mining. Each asserts the algebraic contract the oracle
+cannot state (the oracle proves Spark==DuckDB; these prove both are
+computing the RIGHT thing)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+
+def test_bloom_has_no_false_negatives(spark, sf_dir):
+    """A Bloom filter may lie 'maybe' but never 'no': every delta doc
+    whose content hash really is in the index must report bloom_maybe."""
+    from mysql_streamer_spark.queries.dedup import q_dedup_bloom_delta
+
+    rows = q_dedup_bloom_delta(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.exact_dup:
+            assert r.bloom_maybe, f"false negative on doc {r.doc_id}"
+        assert r.false_positive == (r.bloom_maybe and not r.exact_dup)
+
+
+def test_unimax_conserves_budget_and_respects_caps(spark, sf_dir):
+    from mysql_streamer_spark.queries.pipeline import (
+        UNIMAX_BUDGET_EPOCHS,
+        UNIMAX_MAX_EPOCHS,
+        q_pipeline_unimax_budget,
+    )
+
+    rows = q_pipeline_unimax_budget(spark, sf_dir).collect()
+    assert rows
+    budget = sum(r.n_tokens for r in rows) * UNIMAX_BUDGET_EPOCHS
+    total_cap = sum(r.cap_tokens for r in rows)
+    # exact conservation: the waterfill spends min(budget, total capacity)
+    assert sum(r.alloc_tokens for r in rows) == min(budget, total_cap)
+    for r in rows:
+        assert r.alloc_tokens <= r.cap_tokens
+        assert r.cap_tokens == r.n_tokens * UNIMAX_MAX_EPOCHS
+        assert 0 < r.epochs <= UNIMAX_MAX_EPOCHS
+    # unsaturated languages split evenly (within the integer remainder)
+    unsat = [r.alloc_tokens for r in rows if not r.saturated]
+    if unsat:
+        assert max(unsat) - min(unsat) <= 1
+
+
+def test_semdedup_keeps_cell_minimum(spark, sf_dir):
+    """The lowest vec_id in every cluster can never have a lower-id
+    neighbour, so it must always survive."""
+    from mysql_streamer_spark.queries.similarity import q_sim_semdedup
+
+    rows = q_sim_semdedup(spark, sf_dir).collect()
+    assert rows
+    by_cell: dict[str, list] = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    for cell, members in by_cell.items():
+        keeper = min(members, key=lambda r: r.vec_id)
+        assert keeper.keep, f"cell {cell} minimum {keeper.vec_id} was removed"
+
+
+def test_dsir_scores_exclude_target_docs(spark, sf_dir):
+    from mysql_streamer_spark.queries.pipeline import (
+        EVAL_MODULUS,
+        q_pipeline_dsir_score,
+    )
+
+    rows = q_pipeline_dsir_score(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_id % EVAL_MODULUS != 0  # target side never scored
+        assert isinstance(r.dsir_score, int)
+        assert r.n_tokens > 0
+
+
+def test_compression_proxy_matches_python(spark, sf_dir):
+    """Recompute one document's distinct-ngram ratio in plain Python."""
+    from mysql_streamer_spark.queries.textops import (
+        COMPRESS_NGRAM,
+        q_text_compression_proxy,
+    )
+    from mysql_streamer_spark.tables import load_table
+
+    out = {r.doc_id: r for r in q_text_compression_proxy(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").limit(5).collect()
+    checked = 0
+    for d in docs:
+        grams = [
+            d.text[i : i + COMPRESS_NGRAM]
+            for i in range(len(d.text) - COMPRESS_NGRAM + 1)
+        ]
+        if not grams:
+            assert d.doc_id not in out
+            continue
+        r = out[d.doc_id]
+        assert r.n_ngrams == len(grams)
+        assert r.n_distinct == len(set(grams))
+        assert abs(r.distinct_ratio - len(set(grams)) / len(grams)) < 1e-15
+        checked += 1
+    assert checked
+
+
+def test_hard_negatives_cross_label_only(spark, sf_dir):
+    from mysql_streamer_spark.queries.similarity import q_sim_hard_negatives
+
+    rows = q_sim_hard_negatives(spark, sf_dir).collect()
+    assert rows
+    anchors = [r.anchor_id for r in rows]
+    assert len(anchors) == len(set(anchors))  # one negative per anchor
+    for r in rows:
+        assert r.anchor_label != r.neg_label
+        assert -1.0 <= r.cosine <= 1.0
+
+
+def test_embedding_drift_cohorts_partition_labels(spark, sf_dir):
+    from mysql_streamer_spark.queries.similarity import q_sim_embedding_drift
+    from mysql_streamer_spark.tables import load_table
+
+    rows = q_sim_embedding_drift(spark, sf_dir).collect()
+    assert rows
+    counts = {
+        r.label: r.cnt
+        for r in load_table(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    for r in rows:
+        assert r.n_early + r.n_late == counts[r.label]
+        assert -1.0 <= r.drift_cosine <= 1.0
