@@ -255,9 +255,87 @@ FROM hashed
 """
 
 
+# ---------------------------------------------------------------------------
+# shot-boundary detection over sampled video frames
+# ---------------------------------------------------------------------------
+
+#: mean-byte jump between consecutive sampled frames that counts as a cut
+SHOT_THRESHOLD = 3.0
+
+
+def q_multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot/scene segmentation signal per video: consecutive sampled
+    frames whose mean-byte statistic jumps by more than SHOT_THRESHOLD
+    mark a cut; the per-video shot count is what a video curation
+    pipeline uses to drop static screen-recordings (0 cuts) and
+    strobe/noise clips (cuts everywhere). Runs on the SAME Arrow-batched
+    frame-sample stage as ``multimodal_frame_sample`` — the lag compares
+    a per-frame scalar, so the window shuffles (doc_id, idx, mean) rows,
+    never frame bytes; partitioned by video, skew-free.
+
+    The deterministic fake decode stands in for a real codec (not in
+    this container); the plumbing — fan-out stage, per-video ordered
+    window, boundary aggregate — is the production shape."""
+    from pyspark.sql import Window
+
+    from mysql_streamer_spark.multimodal import sample_frames
+    from mysql_streamer_spark.tables import spread
+
+    frames = sample_frames(
+        with_media_blob(spread(load_table(spark, sf_dir, "documents")))
+    ).select("doc_id", "frame_idx", "mean_byte")
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    flagged = frames.withColumn(
+        "jump", F.abs(F.col("mean_byte") - F.lag("mean_byte").over(w))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        # a 1-frame video has only a null jump: its cut count is 0, not null
+        F.coalesce(
+            F.sum((F.col("jump") > SHOT_THRESHOLD).cast("long")), F.lit(0)
+        ).alias("n_cuts"),
+        F.max(F.col("jump")).alias("max_jump"),
+    )
+
+
+def _shot_oracle() -> str:
+    from mysql_streamer_spark.multimodal import FRAME_BYTES, FRAME_STRIDE
+
+    frame = f"substring(text, start1, {FRAME_BYTES})"
+    return f"""
+WITH video AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+), frames AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text), {FRAME_STRIDE})) AS start1
+  FROM video
+), stats AS (
+  SELECT doc_id,
+         CAST((start1 - 1) / {FRAME_STRIDE} AS BIGINT) AS frame_idx,
+         CAST(list_sum(list_transform(string_split_regex({frame}, ''),
+                                      c -> ascii(c))) AS DOUBLE)
+           / length({frame}) AS mean_byte
+  FROM frames
+), flagged AS (
+  SELECT doc_id,
+         abs(mean_byte - lag(mean_byte) OVER (
+           PARTITION BY doc_id ORDER BY frame_idx)) AS jump
+  FROM stats
+)
+SELECT doc_id, count(*) AS n_frames,
+       CAST(sum(CASE WHEN jump > {SHOT_THRESHOLD} THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_cuts,
+       max(jump) AS max_jump
+FROM flagged GROUP BY doc_id
+"""
+
+
 SPECS = [
     QuerySpec(
         "multimodal_audio_energy", q_multimodal_audio_energy, _audio_energy_oracle()
+    ),
+    QuerySpec(
+        "multimodal_shot_boundaries", q_multimodal_shot_boundaries, _shot_oracle()
     ),
     QuerySpec("multimodal_phash_dedup", q_multimodal_phash_dedup, _phash_oracle()),
     QuerySpec("multimodal_resize", q_multimodal_resize, _resize_oracle()),

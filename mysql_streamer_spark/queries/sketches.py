@@ -140,6 +140,114 @@ FROM events
 
 
 # ---------------------------------------------------------------------------
+# sketch_hll_overlap — pairwise audience overlap via inclusion-exclusion
+# ---------------------------------------------------------------------------
+
+#: The intersection estimate |A|+|B|-|A∪B| compounds three estimates whose
+#: errors each scale with THEIR OWN cardinality, so the bound is relative
+#: to the UNION size (the dominant term), not the (possibly tiny)
+#: intersection — the standard caveat with inclusion-exclusion on HLL.
+HLL_OVERLAP_TOL = 3 * HLL_REL_TOL
+
+
+def q_sketch_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types from PERSISTED
+    sketches: |A∩B| ≈ est(A) + est(B) − est(A∪B), where est(A∪B) unions
+    the two stored register arrays — no rescan of the raw events, which
+    is the entire 100 TB win (the T per-type sketches answer all T²/2
+    pair overlaps). The exact intersection is computed in-plan as the
+    anchor, and the flag asserts the estimate lands within
+    HLL_OVERLAP_TOL of the union size.
+
+    Plan shape: one sketch aggregate to T rows (T = event types), a T²
+    self-join of 4 KiB sketches (tiny), and one distinct-pairs aggregate
+    for the exact anchor (dropped in production)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(HLL_LG_K)).alias("sk"),
+        F.countDistinct("user_id").alias("exact_n"),
+    )
+    a = per_type.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("exact_n").alias("exact_a"),
+    )
+    b = per_type.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("exact_n").alias("exact_b"),
+    )
+    est = (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .withColumn("est_a", F.hll_sketch_estimate("sk_a"))
+        .withColumn("est_b", F.hll_sketch_estimate("sk_b"))
+        .withColumn(
+            "est_union",
+            F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b")),
+        )
+        .withColumn(
+            "est_intersection",
+            F.col("est_a") + F.col("est_b") - F.col("est_union"),
+        )
+    )
+    ud = ev.select("event_type", "user_id").distinct()
+    exact_pairs = (
+        ud.alias("x")
+        .join(ud.alias("y"), F.col("x.user_id") == F.col("y.user_id"))
+        .filter(F.col("x.event_type") < F.col("y.event_type"))
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.countDistinct("x.user_id").alias("exact_intersection"))
+    )
+    return (
+        est.join(exact_pairs, ["type_a", "type_b"], "left")
+        .withColumn(
+            "exact_intersection",
+            F.coalesce(F.col("exact_intersection"), F.lit(0)),
+        )
+        .withColumn(
+            "exact_union",
+            F.col("exact_a") + F.col("exact_b") - F.col("exact_intersection"),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "exact_intersection",
+            (
+                F.abs(F.col("est_intersection") - F.col("exact_intersection"))
+                <= F.col("exact_union") * HLL_OVERLAP_TOL
+            ).alias("overlap_within_bound"),
+        )
+    )
+
+
+_HLL_OVERLAP_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), pairs AS (
+  SELECT x.event_type AS type_a, y.event_type AS type_b,
+         count(DISTINCT x.user_id) AS exact_intersection
+  FROM ud x JOIN ud y ON x.user_id = y.user_id
+  WHERE x.event_type < y.event_type
+  GROUP BY 1, 2
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), all_pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM types a JOIN types b ON a.event_type < b.event_type
+)
+SELECT all_pairs.type_a, all_pairs.type_b,
+       coalesce(exact_intersection, 0) AS exact_intersection,
+       TRUE AS overlap_within_bound
+FROM all_pairs
+LEFT JOIN pairs ON all_pairs.type_a = pairs.type_a
+               AND all_pairs.type_b = pairs.type_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # sketch_quantile_bound — percentile_approx within its rank-error guarantee
 # ---------------------------------------------------------------------------
 
@@ -189,6 +297,7 @@ def _quantile_oracle() -> str:
 SPECS = [
     QuerySpec("sketch_hll_distinct", q_sketch_hll_distinct, _HLL_DISTINCT_ORACLE),
     QuerySpec("sketch_hll_merge", q_sketch_hll_merge, _HLL_MERGE_ORACLE),
+    QuerySpec("sketch_hll_overlap", q_sketch_hll_overlap, _HLL_OVERLAP_ORACLE),
     QuerySpec(
         "sketch_quantile_bound", q_sketch_quantile_bound, _quantile_oracle()
     ),
