@@ -1329,6 +1329,82 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# curriculum ordering manifest (quality bands, interleaved schedule)
+# ---------------------------------------------------------------------------
+
+#: number of quality bands in the curriculum
+CURRICULUM_BANDS = 4
+
+
+def q_pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order manifest: rank documents by the (integer-exact)
+    model quality score, cut rank-based quartile bands, and interleave
+    the bands round-robin — the band-stratified schedule that keeps every
+    training window sampling the full difficulty spectrum (a pure
+    easy→hard curriculum is the degenerate band_rank ordering, also
+    derivable from this output). Rank-based bands (not value quantiles)
+    keep everything integer so both engines agree exactly.
+
+    Fixture plan: one global rank window — a designed singleton over the
+    scored manifest, like the other ordering/summary queries. At 100 TB
+    the same ranks come from repartitionByRange(score) + per-partition
+    offsets (the zipWithIndex pattern); band and interleave_rank are
+    closed-form over the rank either way."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = (
+        docs.withColumn("toks", tx.tokens_col("text"))
+        .select("doc_id", tx.model_score_col().alias("score"))
+    )
+    n1 = scored.agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("score").asc(), F.col("doc_id").asc())
+    ranked = (
+        scored.crossJoin(F.broadcast(n1))
+        .withColumn("r", F.row_number().over(w))
+        .withColumn(
+            "band",
+            F.expr(f"((r - 1) * {CURRICULUM_BANDS}) div n + 1").cast("int"),
+        )
+    )
+    w_band = Window.partitionBy("band").orderBy("r")
+    return (
+        ranked.withColumn("band_rank", F.row_number().over(w_band))
+        .select(
+            "doc_id",
+            "score",
+            "band",
+            "band_rank",
+            (
+                (F.col("band_rank").cast("long") - 1) * CURRICULUM_BANDS
+                + F.col("band")
+            ).alias("interleave_rank"),
+        )
+    )
+
+
+_CURRICULUM_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, {tx.model_score_sql(tx.tokens_sql("text"))} AS score
+  FROM documents
+), ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score ASC, doc_id ASC) AS r,
+         count(*) OVER () AS n
+  FROM scored
+), banded AS (
+  SELECT doc_id, score, r,
+         CAST((r - 1) * {CURRICULUM_BANDS} // n + 1 AS INT) AS band
+  FROM ranked
+)
+SELECT doc_id, score, band,
+       CAST(row_number() OVER (PARTITION BY band ORDER BY r) AS BIGINT)
+         AS band_rank,
+       CAST((row_number() OVER (PARTITION BY band ORDER BY r) - 1)
+            * {CURRICULUM_BANDS} + band AS BIGINT) AS interleave_rank
+FROM banded
+"""
+
+
+# ---------------------------------------------------------------------------
 # DSIR-style importance score (hashed n-gram distribution ratio)
 # ---------------------------------------------------------------------------
 
@@ -1571,6 +1647,9 @@ FROM totals
 SPECS = [
     QuerySpec("pipeline_decontaminate", q_pipeline_decontaminate, _DECONTAMINATE_ORACLE),
     QuerySpec("pipeline_dsir_score", q_pipeline_dsir_score, _DSIR_ORACLE),
+    QuerySpec(
+        "pipeline_curriculum_order", q_pipeline_curriculum_order, _CURRICULUM_ORACLE
+    ),
     QuerySpec("pipeline_unimax_budget", q_pipeline_unimax_budget, _UNIMAX_ORACLE),
     QuerySpec(
         "pipeline_multisignal_filter",
