@@ -1002,6 +1002,23 @@ def q_cdc_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return envelope_from_cdc(debezium_to_cdc(wire))
 
 
+def q_cdc_python_source_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The envelope pipeline fed through the PLUGGABLE Python DataSource
+    (connectors/python_source.py — Spark 4's ``pyspark.sql.datasource``
+    API, one InputPartition per parquet row group, Arrow-batch reads):
+    the Spark-native form of the reference's custom binlog source S1
+    (low_level_binlog_stream_reader_wrapper.py:143-161). The oracle is
+    the DIRECT parquet path's envelope SQL, so a hash match proves the
+    custom source byte-equivalent to the built-in scan — the engine is
+    source-pluggable, not parquet-shaped."""
+    from mysql_streamer_spark.cdc.pipeline import envelope_pipeline_df
+    from mysql_streamer_spark.connectors.python_source import (
+        events_from_python_source,
+    )
+
+    return envelope_pipeline_df(events_from_python_source(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Kafka topic routing (K1's topic derivation + partition sizing)
 # ---------------------------------------------------------------------------
@@ -1060,6 +1077,11 @@ SPECS = [
     QuerySpec(
         "cdc_debezium_roundtrip",
         q_cdc_debezium_roundtrip,
+        _ORACLE_PIPELINE_CTES + _ENVELOPE_SELECT,
+    ),
+    QuerySpec(
+        "cdc_python_source_envelope",
+        q_cdc_python_source_envelope,
         _ORACLE_PIPELINE_CTES + _ENVELOPE_SELECT,
     ),
     QuerySpec("cdc_pii_redaction", q_cdc_pii_redaction, _PII_REDACTION_ORACLE),
