@@ -33,6 +33,7 @@ try:  # the DataSource API needs pyspark >= 4
         DataSource,
         DataSourceReader,
         InputPartition,
+        SimpleDataSourceStreamReader,
     )
 
     HAS_PYTHON_DATASOURCE = True
@@ -46,6 +47,9 @@ except ImportError:  # pragma: no cover - older runtimes
         pass
 
     class InputPartition:  # type: ignore[no-redef]
+        pass
+
+    class SimpleDataSourceStreamReader:  # type: ignore[no-redef]
         pass
 
 
@@ -77,6 +81,9 @@ class BinlogEventsDataSource(DataSource):
 
     def reader(self, schema) -> "BinlogEventsReader":
         return BinlogEventsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "BinlogEventsStreamReader":
+        return BinlogEventsStreamReader(self.options)
 
 
 class BinlogEventsReader(DataSourceReader):
@@ -136,6 +143,84 @@ class BinlogEventsReader(DataSourceReader):
         yield from out.to_batches()
 
 
+#: rows per streaming micro-batch (the stream form of the reference's
+#: producer buffer, base_parse_replication_stream.py:84-89)
+STREAM_BATCH_ROWS = 500
+
+
+class BinlogEventsStreamReader(SimpleDataSourceStreamReader):
+    """The STREAMING form of the source: the binlog tail as an offset-
+    tracked `readStream`. The offset is the absolute row index into the
+    totally-ordered feed — the moral equivalent of (log_file, log_pos):
+    Spark checkpoints it, and after a crash calls ``readBetweenOffsets``
+    with the exact committed range, replaying the identical rows — the
+    deterministic-replay half of exactly-once that the reference built
+    by hand in its recovery handler (recovery_handler.py:127-229).
+
+    The driver-side read is row-at-a-time by design: SimpleStream
+    readers run on the driver and prefetch small batches; the heavy
+    lifting stays in the downstream plan. A production source would
+    implement the partitioned ``streamReader`` with executor-side Arrow
+    reads like the batch half; the offset/replay contract — the part
+    the test pins — is identical."""
+
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError("binlog_events source requires .option('path', ...)")
+        self.path = path
+        self.batch_rows = int(options.get("batchrows", STREAM_BATCH_ROWS))
+        self._table = None
+
+    def _load(self):
+        if self._table is None:
+            import pyarrow.parquet as pq
+
+            # the whole fixture table stands in for the unbounded binlog;
+            # sorted by event_id so offsets are stable and replayable
+            tbl = pq.read_table(self.path).sort_by("event_id")
+            self._table = tbl
+        return self._table
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def _rows(self, start_row: int, end_row: int):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        tbl = self._load().slice(start_row, end_row - start_row)
+        ts = tbl.column("ts")
+        ts_i64 = ts.cast(pa.int64(), safe=False)
+        if pa.types.is_timestamp(ts.type) and ts.type.unit == "ns":
+            ts_i64 = pc.divide(ts_i64, pa.scalar(1000, pa.int64()))
+        # a LIST, not a generator: Spark's prefetch cache copy.copy()s the
+        # iterator, which generators do not support
+        return [
+            (
+                tbl.column("event_id")[i].as_py(),
+                ts_i64[i].as_py(),
+                tbl.column("user_id")[i].as_py(),
+                tbl.column("event_type")[i].as_py(),
+                float(tbl.column("value")[i].as_py()),
+                tbl.column("props")[i].as_py(),
+            )
+            for i in range(tbl.num_rows)
+        ]
+
+    def read(self, start: dict):
+        total = self._load().num_rows
+        first = min(start["row"], total)
+        last = min(first + self.batch_rows, total)
+        return iter(self._rows(first, last)), {"row": last}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(start["row"], end["row"]))
+
+    def commit(self, end: dict) -> None:
+        pass  # the feed is immutable; nothing to prune
+
+
 #: application ids where the source is already registered (registration is
 #: per-SparkSession; re-registering the same name raises)
 _REGISTERED: set[str] = set()
@@ -162,6 +247,31 @@ def events_from_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = (
         spark.read.format("binlog_events")
         .option("path", os.path.join(sf_dir, "events.parquet"))
+        .load()
+    )
+    return raw.select(
+        "event_id",
+        F.timestamp_micros("ts_us").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def stream_events_from_python_source(
+    spark: SparkSession, sf_dir: str, batch_rows: int = STREAM_BATCH_ROWS
+) -> DataFrame:
+    """``readStream`` over the pluggable source: offset-tracked micro-
+    batches of the events feed, same columns as the batch path."""
+    import os
+
+    register_binlog_source(spark)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.format("binlog_events")
+        .option("path", os.path.join(sf_dir, "events.parquet"))
+        .option("batchrows", str(batch_rows))
         .load()
     )
     return raw.select(

@@ -1,0 +1,80 @@
+"""Streaming form of the pluggable source: offset tracking, checkpointed
+restart, and exactly-once delivery through an idempotent per-batch sink —
+the custom-source analogue of the file-source failure_recovery tests."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _run_stream(spark, sf_dir, out, ckpt, fail_after=None):
+    from mysql_streamer_spark.connectors.python_source import (
+        stream_events_from_python_source,
+    )
+
+    df = stream_events_from_python_source(spark, sf_dir, batch_rows=300)
+    seen = {"n": 0}
+
+    def handle(batch_df, batch_id):
+        # idempotent sink: a replayed batch overwrites its own batch-id
+        # directory instead of appending a duplicate
+        batch_df.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
+        seen["n"] += 1
+        if fail_after is not None and seen["n"] >= fail_after:
+            raise RuntimeError("injected crash")
+
+    q = (
+        df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        exc = q.exception()
+        q.stop()
+    if exc is not None:
+        raise RuntimeError(str(exc))
+    return seen["n"]
+
+
+def _read_out(spark, out):
+    return spark.read.option("basePath", out).parquet(f"{out}/batch_id=*")
+
+
+def test_stream_clean_run_delivers_everything_once(spark, sf_dir, tmp_path):
+    from mysql_streamer_spark.tables import load_table
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    n_batches = _run_stream(spark, sf_dir, out, ckpt)
+    expected = load_table(spark, sf_dir, "events")
+    n_expected = expected.count()
+    assert n_batches >= (n_expected + 299) // 300
+    got = _read_out(spark, out)
+    assert got.count() == n_expected
+    assert got.select("event_id").distinct().count() == n_expected
+
+
+def test_stream_crash_restart_is_exactly_once(spark, sf_dir, tmp_path):
+    from mysql_streamer_spark.tables import load_table
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    with pytest.raises(Exception, match="injected crash"):
+        _run_stream(spark, sf_dir, out, ckpt, fail_after=1)
+
+    expected = load_table(spark, sf_dir, "events")
+    n_expected = expected.count()
+    partial = _read_out(spark, out).count()
+    assert 0 < partial < n_expected
+
+    # restart from the SAME checkpoint: Spark replays the uncommitted
+    # offset range via readBetweenOffsets, then drains the rest
+    _run_stream(spark, sf_dir, out, ckpt)
+    got = _read_out(spark, out)
+    assert got.count() == n_expected, "lost or duplicated events"
+    assert got.select("event_id").distinct().count() == n_expected
+    # value-level equality with the batch path
+    direct = expected.select("event_id", "ts", "user_id")
+    via = got.select("event_id", "ts", "user_id")
+    assert via.exceptAll(direct).count() == 0
+    assert direct.exceptAll(via).count() == 0
