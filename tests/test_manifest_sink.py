@@ -1,0 +1,72 @@
+"""Manifest-commit sink: snapshot isolation and orphan invisibility."""
+
+from __future__ import annotations
+
+import os
+
+
+def test_manifest_sink_roundtrip(spark, sf_dir, tmp_path):
+    from mysql_streamer_spark.connectors.manifest_sink import (
+        read_committed,
+        read_manifest,
+        write_with_manifest,
+    )
+    from mysql_streamer_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").repartition(4)
+    out = str(tmp_path / "sink")
+    write_with_manifest(events, out)
+
+    manifest = read_manifest(out)
+    assert manifest["n_rows"] == events.count()
+    assert 1 <= len(manifest["files"]) <= 4
+
+    got = read_committed(spark, out)
+    assert got.count() == events.count()
+    assert got.select("event_id").distinct().count() == events.count()
+
+
+def test_manifest_reader_ignores_orphan_files(spark, sf_dir, tmp_path):
+    """A file from a crashed/duplicated task attempt sits in the directory
+    but is not in the manifest — readers must never see it."""
+    from mysql_streamer_spark.connectors.manifest_sink import (
+        read_committed,
+        write_with_manifest,
+    )
+    from mysql_streamer_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "sink")
+    write_with_manifest(events.repartition(2), out)
+    n = events.count()
+
+    # plant an orphan: a valid parquet part that no commit message covered
+    events.limit(7).toPandas().to_parquet(
+        os.path.join(out, "part-orphan.parquet")
+    )
+    assert read_committed(spark, out).count() == n  # orphan invisible
+    # a naive directory read would double-count
+    naive = spark.read.parquet(out)
+    assert naive.count() == n + 7
+
+
+def test_manifest_overwrite_is_a_swap(spark, sf_dir, tmp_path):
+    """A second commit replaces the manifest atomically: readers see the
+    old snapshot or the new one, never a mix."""
+    from mysql_streamer_spark.connectors.manifest_sink import (
+        read_committed,
+        read_manifest,
+        write_with_manifest,
+    )
+    from mysql_streamer_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "sink")
+    write_with_manifest(events, out)
+    first = set(f["file"] for f in read_manifest(out)["files"])
+
+    half = events.filter("event_id % 2 = 0")
+    write_with_manifest(half, out)
+    second = read_manifest(out)
+    assert set(f["file"] for f in second["files"]).isdisjoint(first)
+    assert read_committed(spark, out).count() == half.count()
