@@ -69,6 +69,20 @@ class _RowGroupPartition(InputPartition):
         self.row_group = row_group
 
 
+def _parquet_files(path: str) -> list[str]:
+    """A single parquet file, or every part file of a directory-shaped
+    table (what Spark itself writes)."""
+    import os
+
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+    return [path]
+
+
 class BinlogEventsDataSource(DataSource):
     """``spark.read.format("binlog_events").option("path", ...)``."""
 
@@ -96,13 +110,21 @@ class BinlogEventsReader(DataSourceReader):
     def partitions(self):
         import pyarrow.parquet as pq
 
-        n = pq.ParquetFile(self.path).metadata.num_row_groups
-        return [_RowGroupPartition(self.path, i) for i in range(n)]
+        parts = [
+            _RowGroupPartition(f, i)
+            for f in _parquet_files(self.path)
+            for i in range(pq.ParquetFile(f).metadata.num_row_groups)
+        ]
+        # an empty table (zero files or zero row groups) still needs one
+        # partition so the scan yields an empty result, not a plan error
+        return parts or [_RowGroupPartition("", -1)]
 
     def read(self, partition: _RowGroupPartition):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        if partition.row_group < 0:  # empty-table sentinel partition
+            return
         tbl = pq.ParquetFile(partition.path).read_row_group(
             partition.row_group,
             columns=[
