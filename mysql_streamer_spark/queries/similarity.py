@@ -1349,6 +1349,246 @@ WHERE a.cohort = 0 AND b.cohort = 1
 
 
 # ---------------------------------------------------------------------------
+# product quantization (PQ) — compressed-index retrieval + recall audit
+# ---------------------------------------------------------------------------
+
+#: PQ geometry: DIM is split into PQ_M subspaces of PQ_SUBDIM dims; each
+#: subvector is encoded as ONE codeword id, so a vector stores PQ_M bytes
+#: instead of DIM floats — the memory factor that makes a 100 TB corpus
+#: fit an in-RAM index. Codebooks here are the per-label subvector means
+#: (k=|labels| codewords per subspace), fully declarative.
+PQ_M = 8
+PQ_SUBDIM = vx.DIM // PQ_M
+
+
+def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization end-to-end: build per-subspace codebooks,
+    encode every vector to PQ_M codeword ids (argmin exact-integer L2,
+    broadcast codebooks, map-side), then run asymmetric-distance (ADC)
+    retrieval — query subvector vs the CODEWORD, never the original
+    vector — and report recall@k against exact-L2 ground truth per
+    query. This is the audit that decides whether the 32x-compressed
+    index is shippable.
+
+    Scale shape: encoding is rows x an 80-row broadcast codebook with a
+    (vec_id, subspace)-partitioned argmin window; ADC scoring touches
+    only (cand codes + query subvectors); the ground-truth branch exists
+    only for the audit (production drops it). All distances are exact
+    int64 (|v|² − 2v·c + |c|²); no floats until the final recall
+    division."""
+    e = vx.with_quantized(_emb(spark, sf_dir)).select("vec_id", "label", "qv")
+    subs = e.select(
+        "vec_id",
+        "label",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), "
+                f"s -> struct(s AS s, slice(qv, s * {PQ_SUBDIM} + 1, "
+                f"{PQ_SUBDIM}) AS sub))"
+            )
+        ).alias("x"),
+    ).select("vec_id", "label", F.col("x.s").alias("s"), F.col("x.sub").alias("sub"))
+
+    # codebooks: per (subspace, label) floor-mean subvector
+    per_dim = (
+        subs.select("label", "s", F.posexplode("sub").alias("dim", "v"))
+        .groupBy("label", "s", "dim")
+        .agg(F.floor(F.sum("v") / F.count("*")).cast("long").alias("cval"))
+    )
+    books = (
+        per_dim.groupBy("s", F.col("label").alias("cw"))
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(dim, cval))), p -> p.cval)"
+            ).alias("cvec")
+        )
+        .withColumn("cnrm", vx.norm_sq_col("cvec"))
+    )
+
+    # encode: argmin_{cw} ||sub - cvec||² = |sub|² - 2·sub·cvec + |cvec|²
+    scored = (
+        subs.join(F.broadcast(books), "s")
+        .withColumn(
+            "dist",
+            vx.norm_sq_col("sub")
+            - 2 * vx.dot_col("sub", "cvec")
+            + F.col("cnrm"),
+        )
+    )
+    w_enc = Window.partitionBy("vec_id", "s").orderBy(
+        F.col("dist").asc(), F.col("cw").asc()
+    )
+    codes = (
+        scored.withColumn("rk", F.row_number().over(w_enc))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "s", "cw", "cvec", "cnrm")
+    )
+
+    q_subs = subs.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        "s",
+        F.col("sub").alias("q_sub"),
+    )
+    # ADC: approximate distance = Σ_s ||q_s − codeword(cand, s)||²
+    adc = (
+        codes.join(F.broadcast(q_subs), "s")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "d_s",
+            vx.norm_sq_col("q_sub")
+            - 2 * vx.dot_col("q_sub", "cvec")
+            + F.col("cnrm"),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(F.sum("d_s").alias("adc_dist"), F.count("*").alias("n_s"))
+        .filter(F.col("n_s") == PQ_M)
+    )
+    # exact-L2 ground truth on the same integer grid
+    q_full = e.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
+    )
+    exact = (
+        e.select(F.col("vec_id").alias("cand_id"), F.col("qv").alias("c_qv"))
+        .crossJoin(F.broadcast(q_full))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn(
+            "l2",
+            vx.norm_sq_col("q_qv")
+            - 2 * vx.dot_col("q_qv", "c_qv")
+            + vx.norm_sq_col("c_qv"),
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("cand_id").asc()
+    )
+    w_ex = Window.partitionBy("query_id").orderBy(
+        F.col("l2").asc(), F.col("cand_id").asc()
+    )
+    top_adc = (
+        adc.withColumn("rk", F.row_number().over(w_adc))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "cand_id")
+    )
+    top_ex = (
+        exact.withColumn("rk", F.row_number().over(w_ex))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "cand_id")
+    )
+    return (
+        top_ex.join(
+            top_adc.withColumn("hit", F.lit(1)),
+            ["query_id", "cand_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_overlap")
+        )
+        .select(
+            "query_id",
+            "n_overlap",
+            (F.col("n_overlap").cast("double") / float(TOP_K)).alias(
+                "recall_at_k"
+            ),
+        )
+    )
+
+
+def _pq_sub_sql(src: str) -> str:
+    """subspace rows (vec_id, label, s, sub) from a quantized CTE."""
+    return " UNION ALL ".join(
+        f"SELECT vec_id, label, {s} AS s, "
+        f"qv[{s * PQ_SUBDIM + 1}:{(s + 1) * PQ_SUBDIM}] AS sub FROM {src}"
+        for s in range(PQ_M)
+    )
+
+
+def _sub_norm_sql(arr: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, {PQ_SUBDIM}), "
+        f"i -> {arr}[i] * {arr}[i])) AS BIGINT)"
+    )
+
+
+def _sub_dot_sql(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, {PQ_SUBDIM}), "
+        f"i -> {a}[i] * {b}[i])) AS BIGINT)"
+    )
+
+
+_PQ_RECALL_ORACLE = f"""
+WITH qe AS (
+  SELECT vec_id, label, {vx.quantized_sql("embedding")} AS qv FROM embeddings
+), subs AS (
+  {_pq_sub_sql("qe")}
+), per_dim AS (
+  SELECT label, s, i - 1 AS dim,
+         CAST(floor(sum(sub[i]) / count(*)) AS BIGINT) AS cval
+  FROM subs CROSS JOIN (SELECT unnest(generate_series(1, {PQ_SUBDIM})) AS i) d
+  GROUP BY 1, 2, 3
+), books AS (
+  SELECT s, label AS cw, list(cval ORDER BY dim) AS cvec
+  FROM per_dim GROUP BY 1, 2
+), books_n AS (
+  SELECT s, cw, cvec, {_sub_norm_sql("cvec")} AS cnrm FROM books
+), scored AS (
+  SELECT subs.vec_id, subs.s, books_n.cw, books_n.cvec, books_n.cnrm,
+         {_sub_norm_sql("sub")} - 2 * {_sub_dot_sql("sub", "cvec")} + cnrm
+           AS dist
+  FROM subs JOIN books_n ON subs.s = books_n.s
+), codes AS (
+  SELECT vec_id, s, cw, cvec, cnrm FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, s ORDER BY dist ASC, cw ASC) AS rk
+    FROM scored
+  ) WHERE rk = 1
+), q_subs AS (
+  SELECT vec_id AS query_id, s, sub AS q_sub FROM subs
+  WHERE vec_id < {N_QUERY}
+), adc AS (
+  SELECT query_id, codes.vec_id AS cand_id,
+         sum({_sub_norm_sql("q_sub")} - 2 * {_sub_dot_sql("q_sub", "cvec")}
+             + cnrm) AS adc_dist,
+         count(*) AS n_s
+  FROM codes JOIN q_subs ON codes.s = q_subs.s
+  WHERE codes.vec_id != q_subs.query_id
+  GROUP BY 1, 2
+  HAVING count(*) = {PQ_M}
+), q_full AS (
+  SELECT vec_id AS query_id, qv AS q_qv FROM qe WHERE vec_id < {N_QUERY}
+), exact AS (
+  SELECT query_id, qe.vec_id AS cand_id,
+         {vx.norm_sq_sql("q_qv")} - 2 * {vx.dot_sql("q_qv", "qv")}
+           + {vx.norm_sq_sql("qv")} AS l2
+  FROM qe CROSS JOIN q_full
+  WHERE qe.vec_id != q_full.query_id
+), top_adc AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY adc_dist ASC, cand_id ASC) AS rk
+    FROM adc
+  ) WHERE rk <= {TOP_K}
+), top_ex AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY l2 ASC, cand_id ASC) AS rk
+    FROM exact
+  ) WHERE rk <= {TOP_K}
+)
+SELECT top_ex.query_id,
+       CAST(coalesce(sum(CASE WHEN top_adc.cand_id IS NOT NULL
+                          THEN 1 END), 0) AS BIGINT) AS n_overlap,
+       CAST(coalesce(sum(CASE WHEN top_adc.cand_id IS NOT NULL
+                          THEN 1 END), 0) AS DOUBLE) / {TOP_K} AS recall_at_k
+FROM top_ex
+LEFT JOIN top_adc ON top_ex.query_id = top_adc.query_id
+                 AND top_ex.cand_id = top_adc.cand_id
+GROUP BY top_ex.query_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # SemDeDup: semantic dedup inside coarse embedding clusters
 # ---------------------------------------------------------------------------
 
@@ -1563,6 +1803,7 @@ SELECT anchor_id, anchor_label, neg_id, neg_label, cosine FROM (
 SPECS = [
     QuerySpec("sim_bruteforce_topk", q_sim_bruteforce_topk, _BRUTEFORCE_ORACLE),
     QuerySpec("sim_semdedup", q_sim_semdedup, _SEMDEDUP_ORACLE),
+    QuerySpec("sim_pq_recall", q_sim_pq_recall, _PQ_RECALL_ORACLE),
     QuerySpec("sim_hard_negatives", q_sim_hard_negatives, _HARD_NEGATIVES_ORACLE),
     QuerySpec("sim_embedding_drift", q_sim_embedding_drift, _DRIFT_ORACLE),
     QuerySpec(
