@@ -1444,6 +1444,137 @@ def q_analytics_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: file-skipping probe predicate: a rectangular band on the z-ordered
+#: grid (a user-id range AND a day range — the common dashboard slice)
+#: deliberately NOT aligned to Morton quadrant boundaries, so surviving
+#: files contain non-matching rows and the read-amplification figure is a
+#: real measurement, not 1.0 by construction
+ZSKIP_X_LO, ZSKIP_X_HI = 50, 140
+ZSKIP_Y_LO, ZSKIP_Y_HI = 20, 90
+
+
+def q_analytics_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The payoff measurement for the Z-order layout: against the planned
+    per-file bounding boxes, how many files does a (user-band AND
+    day-band) predicate PRUNE from footer stats alone, and what read
+    amplification remains (rows scanned in surviving files / rows that
+    actually match)? This is the number that justifies the OPTIMIZE
+    ZORDER rewrite — without it the layout table is just geometry.
+
+    Plan shape: the same map-side Morton projection, one aggregate to
+    per-file boxes + in-band row counts, one summary row. The probe adds
+    zero passes over the data beyond the planner's own aggregate."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("dsec")
+    )
+    stats = ev.agg(
+        F.max("user_id").alias("max_user"),
+        F.expr("min(dsec div 86400)").alias("min_day"),
+        F.expr("max(dsec div 86400)").alias("max_day"),
+    )
+    grid = 2 ** ZORDER_BITS
+    scaled = ev.crossJoin(F.broadcast(stats)).select(
+        F.expr(f"user_id * {grid} div (max_user + 1)").alias("x"),
+        F.expr(
+            f"((dsec div 86400) - min_day) * {grid} div (max_day - min_day + 1)"
+        ).alias("y"),
+    )
+    in_band = (
+        (F.col("x") >= ZSKIP_X_LO)
+        & (F.col("x") <= ZSKIP_X_HI)
+        & (F.col("y") >= ZSKIP_Y_LO)
+        & (F.col("y") <= ZSKIP_Y_HI)
+    )
+    morton = _morton_sql("x", "y", "div")
+    per_file = (
+        scaled.select(
+            F.expr(f"{morton} div {ZORDER_CODES_PER_FILE}").alias("zfile"),
+            "x",
+            "y",
+            in_band.cast("long").alias("match"),
+        )
+        .groupBy("zfile")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("match").alias("n_match"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+        .withColumn(
+            "kept",
+            ~(
+                (F.col("max_x") < ZSKIP_X_LO)
+                | (F.col("min_x") > ZSKIP_X_HI)
+                | (F.col("max_y") < ZSKIP_Y_LO)
+                | (F.col("min_y") > ZSKIP_Y_HI)
+            ),
+        )
+    )
+    return per_file.agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum((~F.col("kept")).cast("long")).alias("n_files_skipped"),
+        (
+            F.sum((~F.col("kept")).cast("long")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("skip_ratio"),
+        F.sum(F.when(F.col("kept"), F.col("n_rows")).otherwise(0)).alias(
+            "n_rows_scanned"
+        ),
+        F.sum("n_match").cast("long").alias("n_rows_matching"),
+        (
+            F.sum(F.when(F.col("kept"), F.col("n_rows")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum("n_match").cast("double")
+        ).alias("read_amplification"),
+    )
+
+
+_FILE_SKIPPING_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS dsec FROM events
+), stats AS (
+  SELECT max(user_id) AS max_user,
+         min(dsec // 86400) AS min_day,
+         max(dsec // 86400) AS max_day
+  FROM ev
+), scaled AS (
+  SELECT user_id * {2 ** ZORDER_BITS} // (max_user + 1) AS x,
+         ((dsec // 86400) - min_day) * {2 ** ZORDER_BITS}
+           // (max_day - min_day + 1) AS y
+  FROM ev CROSS JOIN stats
+), per_file AS (
+  SELECT {_morton_sql("x", "y", "//")} // {ZORDER_CODES_PER_FILE} AS zfile,
+         count(*) AS n_rows,
+         sum(CASE WHEN x BETWEEN {ZSKIP_X_LO} AND {ZSKIP_X_HI}
+                   AND y BETWEEN {ZSKIP_Y_LO} AND {ZSKIP_Y_HI}
+                  THEN 1 ELSE 0 END) AS n_match,
+         min(x) AS min_x, max(x) AS max_x,
+         min(y) AS min_y, max(y) AS max_y
+  FROM scaled
+  GROUP BY 1
+), flagged AS (
+  SELECT *,
+         NOT (max_x < {ZSKIP_X_LO} OR min_x > {ZSKIP_X_HI}
+              OR max_y < {ZSKIP_Y_LO} OR min_y > {ZSKIP_Y_HI}) AS kept
+  FROM per_file
+)
+SELECT CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_files_skipped,
+       CAST(sum(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS skip_ratio,
+       CAST(sum(CASE WHEN kept THEN n_rows ELSE 0 END) AS BIGINT)
+         AS n_rows_scanned,
+       CAST(sum(n_match) AS BIGINT) AS n_rows_matching,
+       CAST(sum(CASE WHEN kept THEN n_rows ELSE 0 END) AS DOUBLE)
+         / CAST(sum(n_match) AS DOUBLE) AS read_amplification
+FROM flagged
+"""
+
+
 _ZORDER_ORACLE = f"""
 WITH ev AS (
   -- epoch_us // 1e6 floors like Spark's unix_timestamp; epoch() returns a
@@ -2063,6 +2194,9 @@ SPECS = [
         "analytics_partition_plan", q_analytics_partition_plan, _PARTITION_PLAN_ORACLE
     ),
     QuerySpec("analytics_zorder_layout", q_analytics_zorder_layout, _ZORDER_ORACLE),
+    QuerySpec(
+        "analytics_file_skipping", q_analytics_file_skipping, _FILE_SKIPPING_ORACLE
+    ),
     QuerySpec(
         "analytics_purchase_intervals",
         q_analytics_purchase_intervals,
