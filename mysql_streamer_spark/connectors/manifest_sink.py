@@ -97,11 +97,20 @@ class ManifestSinkWriter(DataSourceArrowWriter):
             for m in messages
             if m is not None and m.filename
         ]
+        version = latest_version(self.path) + 1
         manifest = {
-            "version": 1,
+            "version": version,
             "files": files,
             "n_rows": sum(f["n_rows"] for f in files),
         }
+        # every commit writes an immutable versioned manifest (the log),
+        # then atomically repoints the HEAD manifest: readers pin a
+        # version for time travel or follow HEAD for latest — the
+        # Delta/Iceberg snapshot-log idea in one file pair
+        with open(
+            os.path.join(self.path, _versioned_name(version)), "w"
+        ) as fh:
+            json.dump(manifest, fh)
         tmp = os.path.join(self.path, f".{MANIFEST_NAME}.{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -136,15 +145,36 @@ def write_with_manifest(df: DataFrame, path: str) -> None:
     df.write.format("manifest_sink").option("path", path).mode("append").save()
 
 
-def read_manifest(path: str) -> dict:
-    with open(os.path.join(path, MANIFEST_NAME)) as fh:
+def _versioned_name(version: int) -> str:
+    return f"_MANIFEST-v{version:08d}.json"
+
+
+def latest_version(path: str) -> int:
+    """Highest committed version, 0 if the table does not exist yet."""
+    if not os.path.isdir(path):
+        return 0
+    versions = [
+        int(f[len("_MANIFEST-v") : -len(".json")])
+        for f in os.listdir(path)
+        if f.startswith("_MANIFEST-v") and f.endswith(".json")
+    ]
+    return max(versions, default=0)
+
+
+def read_manifest(path: str, version: int | None = None) -> dict:
+    name = MANIFEST_NAME if version is None else _versioned_name(version)
+    with open(os.path.join(path, name)) as fh:
         return json.load(fh)
 
 
-def read_committed(spark: SparkSession, path: str) -> DataFrame:
+def read_committed(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
     """Read ONLY manifested files — orphans from failed attempts (or any
-    concurrent writer that never committed) are invisible."""
-    manifest = read_manifest(path)
+    concurrent writer that never committed) are invisible. Pass
+    ``version`` for time travel: old parts are never deleted by a
+    commit, so every snapshot stays readable until explicit vacuum."""
+    manifest = read_manifest(path, version)
     files = [os.path.join(path, f["file"]) for f in manifest["files"]]
     if not files:
         raise ValueError(f"empty manifest at {path}")

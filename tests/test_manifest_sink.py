@@ -70,3 +70,27 @@ def test_manifest_overwrite_is_a_swap(spark, sf_dir, tmp_path):
     second = read_manifest(out)
     assert set(f["file"] for f in second["files"]).isdisjoint(first)
     assert read_committed(spark, out).count() == half.count()
+
+
+def test_manifest_time_travel(spark, sf_dir, tmp_path):
+    """Old snapshots stay readable by version: parts are immutable and a
+    commit only adds a manifest, never deletes data."""
+    from mysql_streamer_spark.connectors.manifest_sink import (
+        latest_version,
+        read_committed,
+        write_with_manifest,
+    )
+    from mysql_streamer_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "sink")
+    write_with_manifest(events, out)
+    n_v1 = events.count()
+    write_with_manifest(events.filter("event_id % 2 = 0"), out)
+
+    assert latest_version(out) == 2
+    assert read_committed(spark, out).count() < n_v1  # HEAD = v2
+    assert read_committed(spark, out, version=1).count() == n_v1
+    assert read_committed(spark, out, version=2).count() == read_committed(
+        spark, out
+    ).count()
