@@ -248,6 +248,100 @@ LEFT JOIN pairs ON all_pairs.type_a = pairs.type_a
 
 
 # ---------------------------------------------------------------------------
+# sketch_heavy_hitters — Misra-Gries candidates, exact-verified
+# ---------------------------------------------------------------------------
+
+#: counters per partition summary. The MG guarantee: a partition summary
+#: keeps every item whose partition count exceeds n_p/MG_COUNTERS, so the
+#: UNION of summaries contains every item with GLOBAL count > n/MG_COUNTERS
+#: (averaging argument) — choose the report threshold 1/HH_K coarser than
+#: 1/MG_COUNTERS and the candidate set provably covers it.
+MG_COUNTERS = 64
+HH_K = 32
+
+
+def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide frequent tokens via the two-phase heavy-hitters plan:
+    each partition streams its tokens through a Misra-Gries summary
+    (MG_COUNTERS counters, O(K) memory however many billions of tokens
+    pass), the tiny candidate union broadcasts back, and ONE exact count
+    restricted to candidates yields the final > n/HH_K report. This is
+    the shape that replaces a full (token, count) shuffle at 100 TB: the
+    shuffle carries ≤ K x partitions candidate rows, never the vocabulary.
+
+    The Python stage only PROPOSES candidates (its correctness bar is the
+    coverage guarantee, tested in pytest); everything the query RETURNS
+    is exact and oracle-checked."""
+    from mysql_streamer_spark.tables import load_table, spread
+
+    from mysql_streamer_spark import text as tx
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    posting = docs.select(F.explode(tx.tokens_col("text")).alias("t")).filter(
+        F.col("t") != ""
+    )
+
+    def mg(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t in pdf["t"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < MG_COUNTERS:
+                    counters[t] = 1
+                else:  # decrement-all step: evict zeroed counters
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame(
+            {"t": list(counters), "lower": list(counters.values())}
+        )
+
+    cands = posting.mapInPandas(mg, "t string, lower long").select("t").distinct()
+    tot = posting.agg(F.count("*").alias("n_total"))
+    return (
+        posting.join(F.broadcast(cands), "t")
+        .groupBy("t")
+        .agg(F.count("*").alias("n_occ"))
+        .crossJoin(F.broadcast(tot))
+        # integer cross-multiplication, no float threshold
+        .filter(F.col("n_occ") * HH_K > F.col("n_total"))
+        .select(
+            F.col("t").alias("token"),
+            "n_occ",
+            (F.col("n_occ").cast("double") / F.col("n_total").cast("double")).alias(
+                "share"
+            ),
+        )
+    )
+
+
+from mysql_streamer_spark import text as _tx
+
+_HEAVY_HITTERS_ORACLE = f"""
+WITH posting AS (
+  SELECT unnest({_tx.tokens_sql("text")}) AS t FROM documents
+), filtered AS (
+  SELECT t FROM posting WHERE t != ''
+), tot AS (
+  SELECT count(*) AS n_total FROM filtered
+)
+SELECT t AS token,
+       count(*) AS n_occ,
+       CAST(count(*) AS DOUBLE) / CAST(max(n_total) AS DOUBLE) AS share
+FROM filtered CROSS JOIN tot
+GROUP BY t, n_total
+HAVING count(*) * {HH_K} > n_total
+"""
+
+
+# ---------------------------------------------------------------------------
 # sketch_quantile_bound — percentile_approx within its rank-error guarantee
 # ---------------------------------------------------------------------------
 
@@ -298,6 +392,9 @@ SPECS = [
     QuerySpec("sketch_hll_distinct", q_sketch_hll_distinct, _HLL_DISTINCT_ORACLE),
     QuerySpec("sketch_hll_merge", q_sketch_hll_merge, _HLL_MERGE_ORACLE),
     QuerySpec("sketch_hll_overlap", q_sketch_hll_overlap, _HLL_OVERLAP_ORACLE),
+    QuerySpec(
+        "sketch_heavy_hitters", q_sketch_heavy_hitters, _HEAVY_HITTERS_ORACLE
+    ),
     QuerySpec(
         "sketch_quantile_bound", q_sketch_quantile_bound, _quantile_oracle()
     ),

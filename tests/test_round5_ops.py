@@ -131,3 +131,23 @@ def test_embedding_drift_cohorts_partition_labels(spark, sf_dir):
     for r in rows:
         assert r.n_early + r.n_late == counts[r.label]
         assert -1.0 <= r.drift_cosine <= 1.0
+
+
+def test_misra_gries_candidates_cover_heavy_hitters(spark, sf_dir):
+    """The MG guarantee behind sketch_heavy_hitters: the query's output
+    must contain EVERY token whose exact count exceeds n/HH_K (no false
+    negatives — false positives are filtered by the exact pass)."""
+    from mysql_streamer_spark import text as tx
+    from mysql_streamer_spark.queries.sketches import HH_K, q_sketch_heavy_hitters
+    from mysql_streamer_spark.tables import load_table
+
+    got = {r.token: r.n_occ for r in q_sketch_heavy_hitters(spark, sf_dir).collect()}
+    posting = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tx.tokens_col("text")).alias("t"))
+        .filter(F.col("t") != "")
+    )
+    counts = {r.t: r.n for r in posting.groupBy("t").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    expected = {t: n for t, n in counts.items() if n * HH_K > total}
+    assert got == expected
