@@ -1250,6 +1250,107 @@ FROM scored
 
 
 # ---------------------------------------------------------------------------
+# edit-distance verification (record-linkage style fuzzy matching)
+# ---------------------------------------------------------------------------
+
+#: candidate pairs at or above this normalized edit similarity
+#: (1 - lev/max_len) are confirmed duplicates
+EDIT_SIM_THRESHOLD = 0.6
+
+
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level verification of LSH candidates: Levenshtein
+    distance and normalized edit similarity per candidate pair — the
+    record-linkage/entity-resolution form of near-dup confirmation
+    (token Jaccard is blind to within-token edits; edit distance is the
+    stricter, order-sensitive check). O(len²) per pair is exactly why it
+    runs ONLY on LSH candidates, never all-pairs — the same blocking
+    discipline as every other near-dup path here.
+
+    Plan shape: bands -> bucket pair generation (id-only, mega-bucket
+    capped) -> ONE join back to the two texts -> map-side levenshtein
+    (JVM builtin, codegen) -> threshold. The candidate texts are the only
+    wide rows that move."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    shingled = (
+        docs.withColumn("toks", tx.tokens_col("text"))
+        .withColumn("shingles", tx.shingles_col())
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", "shingles")
+    )
+    bands = lsh_bands(shingled, pre_shingled=True)
+    buckets = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= MAX_BUCKET_SIZE))
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    texts = docs.select("doc_id", "text")
+    sim = 1.0 - F.col("lev").cast("double") / F.greatest(
+        F.length("ta"), F.length("tb")
+    ).cast("double")
+    return (
+        pairs.join(
+            texts.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta")),
+            "doc_a",
+        )
+        .join(
+            texts.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb")),
+            "doc_b",
+        )
+        .withColumn("lev", F.levenshtein("ta", "tb"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("lev").cast("long").alias("lev_dist"),
+            sim.alias("edit_sim"),
+            (sim >= EDIT_SIM_THRESHOLD).alias("is_dup"),
+        )
+    )
+
+
+_EDIT_DISTANCE_ORACLE = (
+    "WITH " + _signature_sql_cte() + _bands_sql_cte() + f"""
+, bsize AS (
+  SELECT band_id, band_hash, count(*) AS n FROM bands GROUP BY 1, 2
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+  JOIN bsize ON a.band_id = bsize.band_id AND a.band_hash = bsize.band_hash
+  WHERE bsize.n BETWEEN 2 AND {MAX_BUCKET_SIZE}
+), scored AS (
+  SELECT doc_a, doc_b,
+         CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev_dist,
+         1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+             / CAST(greatest(len(da.text), len(db.text)) AS DOUBLE)
+           AS edit_sim
+  FROM pairs
+  JOIN documents da ON pairs.doc_a = da.doc_id
+  JOIN documents db ON pairs.doc_b = db.doc_id
+)
+SELECT doc_a, doc_b, lev_dist, edit_sim,
+       edit_sim >= {EDIT_SIM_THRESHOLD} AS is_dup
+FROM scored
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # Bloom-filter delta membership (approximate set-membership dedup)
 # ---------------------------------------------------------------------------
 
@@ -1367,6 +1468,9 @@ FROM hits LEFT JOIN index_hashes ON hits.h = index_hashes.h
 SPECS = [
     QuerySpec("dedup_exact", q_dedup_exact, _EXACT_ORACLE),
     QuerySpec("dedup_bloom_delta", q_dedup_bloom_delta, _BLOOM_ORACLE),
+    QuerySpec(
+        "dedup_edit_distance", q_dedup_edit_distance, _EDIT_DISTANCE_ORACLE
+    ),
     QuerySpec(
         "dedup_minhash_estimate", q_dedup_minhash_estimate, _MINHASH_ESTIMATE_ORACLE
     ),
