@@ -217,18 +217,28 @@ class BinlogEventsStreamReader(SimpleDataSourceStreamReader):
         if pa.types.is_timestamp(ts.type) and ts.type.unit == "ns":
             ts_i64 = pc.divide(ts_i64, pa.scalar(1000, pa.int64()))
         # a LIST, not a generator: Spark's prefetch cache copy.copy()s the
-        # iterator, which generators do not support
-        return [
-            (
-                tbl.column("event_id")[i].as_py(),
-                ts_i64[i].as_py(),
-                tbl.column("user_id")[i].as_py(),
-                tbl.column("event_type")[i].as_py(),
-                float(tbl.column("value")[i].as_py()),
-                tbl.column("props")[i].as_py(),
+        # iterator, which generators do not support. Columnar to_pydict +
+        # zip beats per-scalar .as_py() indexing ~10x on wide batches.
+        cols = pa.table(
+            {
+                "event_id": tbl.column("event_id"),
+                "ts_us": ts_i64,
+                "user_id": tbl.column("user_id"),
+                "event_type": tbl.column("event_type"),
+                "value": tbl.column("value").cast(pa.float64()),
+                "props": tbl.column("props"),
+            }
+        ).to_pydict()
+        return list(
+            zip(
+                cols["event_id"],
+                cols["ts_us"],
+                cols["user_id"],
+                cols["event_type"],
+                cols["value"],
+                cols["props"],
             )
-            for i in range(tbl.num_rows)
-        ]
+        )
 
     def read(self, start: dict):
         total = self._load().num_rows

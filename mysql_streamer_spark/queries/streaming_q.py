@@ -41,6 +41,49 @@ def q_streaming_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_sink(spark, f"{work}/out")
 
 
+def q_streaming_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The envelope pipeline streamed from the PLUGGABLE Python source
+    (connectors/python_source.py SimpleDataSourceStreamReader): offset-
+    tracked micro-batches drain through foreachBatch into the idempotent
+    per-batch-id sink, and the result must be byte-identical to the batch
+    envelope — the streaming half of the custom-source equivalence that
+    ``cdc_python_source_envelope`` proves for batch. (Reference S1 as a
+    live source, low_level_binlog_stream_reader_wrapper.py:143-161.)"""
+    import tempfile as _tf
+
+    from mysql_streamer_spark.cdc.pipeline import envelope_pipeline_df
+    from mysql_streamer_spark.connectors.python_source import (
+        stream_events_from_python_source,
+    )
+
+    import pyarrow.parquet as _pq
+
+    work = _tf.mkdtemp(prefix="mss_pysrc_stream_")
+    out, ckpt = f"{work}/out", f"{work}/ckpt"
+    # size micro-batches to the feed (~4 batches at any SF): per-batch cost
+    # is dominated by fixed plan/commit overhead, not rows
+    total = _pq.ParquetFile(table_path(sf_dir, "events")).metadata.num_rows
+    env = envelope_pipeline_df(
+        stream_events_from_python_source(
+            spark, sf_dir, batch_rows=max(500, total // 4)
+        )
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
+
+    q = (
+        env.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_sink(spark, out)
+
+
 def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling windows in append mode: only windows finalized
     by the final watermark (max ts - 1 hour) are emitted — the oracle
@@ -314,6 +357,11 @@ SPECS = [
         "streaming_changelog",
         q_streaming_changelog,
         _STREAMING_CHANGELOG_ORACLE,
+    ),
+    QuerySpec(
+        "streaming_python_source",
+        q_streaming_python_source,
+        _ORACLE_PIPELINE_CTES + _ENVELOPE_SELECT,
     ),
     # registered below only when google.protobuf is importable — the
     # transformWithState driver worker hard-requires it and this container
