@@ -1615,7 +1615,14 @@ def q_sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Parity: the reference has no embedding ops; this is the scale
     extension mandated by the builder's brief (SURVEY.md §7 phases 4-5).
     """
-    e = vx.with_quantized(_emb(spark, sf_dir))
+    return semdedup_flags(_emb(spark, sf_dir))
+
+
+def semdedup_flags(emb: DataFrame) -> DataFrame:
+    """(vec_id, cell, keep) for any embeddings-shaped DataFrame — the
+    DF-parameterized core shared by the registered query and the scale
+    probe (tools/scale_probe.py)."""
+    e = vx.with_quantized(emb)
     cents = _centroids(e.select("label", "qv"))
     scored_cells = (
         e.drop("label")

@@ -60,9 +60,14 @@ def q_streaming_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = _tf.mkdtemp(prefix="mss_pysrc_stream_")
     out, ckpt = f"{work}/out", f"{work}/ckpt"
+    from mysql_streamer_spark.connectors.python_source import _parquet_files
+
     # size micro-batches to the feed (~4 batches at any SF): per-batch cost
     # is dominated by fixed plan/commit overhead, not rows
-    total = _pq.ParquetFile(table_path(sf_dir, "events")).metadata.num_rows
+    total = sum(
+        _pq.ParquetFile(f).metadata.num_rows
+        for f in _parquet_files(table_path(sf_dir, "events"))
+    )
     env = envelope_pipeline_df(
         stream_events_from_python_source(
             spark, sf_dir, batch_rows=max(500, total // 4)

@@ -23,6 +23,9 @@ _SKIP = {
     "streaming_interval_join",
     "streaming_upsert_state",
     "streaming_session_window",
+    # an all-empty feed never fires a micro-batch, so the sink directory
+    # is never created; the batch form is covered via cdc_python_source_envelope
+    "streaming_python_source",
 }
 
 

@@ -51,11 +51,31 @@ _BNLJ_OK = {
     "text_bigram_pmi",
     # the global stock-value total is a 1-row broadcast crossed with per-part
     "analytics_important_stock",
+    # T-row persisted-sketch self-join on type_a < type_b (T = event types)
+    "sketch_hll_overlap",
+    # 1-row corpus-token total crossed onto the candidate counts
+    "sketch_heavy_hitters",
+    # 10-row coarse-centroid frame broadcast against every vector (the
+    # same IVF-assignment shape as sim_kmeans / sim_ivf_ann)
+    "sim_semdedup",
+    # 80-row PQ codebook broadcast + the brute-force ground-truth branch
+    "sim_pq_recall",
+    # 1-row corpus-count frame crossed onto the scored manifest
+    "pipeline_curriculum_order",
+    # 1-row budget/lang-count frame crossed onto the L-row language dim
+    "pipeline_unimax_budget",
+    # 1-row domain-stats frame, same shape as analytics_zorder_layout
+    "analytics_file_skipping",
 }
 
 #: streaming roundtrips execute jobs at build time — plan-audited via their
 #: batch equivalents instead
-_SKIP = {"streaming_envelope", "streaming_windowed_counts", "streaming_stateful_sessions"}
+_SKIP = {
+    "streaming_envelope",
+    "streaming_windowed_counts",
+    "streaming_stateful_sessions",
+    "streaming_python_source",
+}
 
 
 def _plans(spark, sf_dir):
@@ -151,6 +171,15 @@ _SINGLE_PARTITION_OK = {
     # running sum over the score-bucket frame only (cardinality = distinct
     # per-doc token counts, ~dozens of rows); documents never hit it
     "pipeline_token_budget",
+    # 1-row corpus-token total (scalar aggregate) behind the exact pass
+    "sketch_heavy_hitters",
+    # global-order training manifest: the rank window IS the deliverable;
+    # production = repartitionByRange + per-partition offsets (docstring)
+    "pipeline_curriculum_order",
+    # singleton windows over the L-row language dimension only
+    "pipeline_unimax_budget",
+    # 1-row domain-stats + the one-row summary report
+    "analytics_file_skipping",
 }
 
 

@@ -102,6 +102,46 @@ def probe_embeddings(spark, sf_dir: str, max_k: int) -> None:
         k *= 2
 
 
+def probe_semdedup(spark, sf_dir: str, max_k: int) -> None:
+    """SemDeDup wall time vs corpus size. Healthy behaviour: the
+    assignment pass is linear in rows (10-centroid broadcast); the
+    in-cell pairwise stage grows with Σ cell² — in the dup regime every
+    replica lands in the SAME cell as its twin, so removed counts grow
+    ~k× while time tracks cell-pair counts, not corpus²."""
+    from mysql_streamer_spark.tables import load_table
+    from mysql_streamer_spark.queries.similarity import semdedup_flags
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    emb.count()
+    k = 1
+    while k <= max_k:
+        for regime in ("distinct", "dup"):
+            corpus = replicate_embeddings(emb, k, distinct=(regime == "distinct"))
+            corpus = corpus.persist()
+            n_rows = corpus.count()
+            t0 = time.time()
+            flags = semdedup_flags(corpus)
+            n_removed = flags.filter(~F.col("keep")).count()
+            dt = time.time() - t0
+            corpus.unpersist()
+            print(
+                json.dumps(
+                    {
+                        "probe": "semdedup",
+                        "regime": regime,
+                        "k": k,
+                        "rows": n_rows,
+                        "removed": n_removed,
+                        "sec": round(dt, 2),
+                    }
+                ),
+                flush=True,
+            )
+        k *= 2
+
+
 def probe_kmeans(spark, sf_dir: str, max_k: int) -> None:
     """k-means wall time vs corpus size: assignment is map-only against k
     broadcast centroids and the update aggregate has fixed (k x dim)
@@ -329,6 +369,7 @@ def main() -> int:
             )
         k *= 2
     probe_embeddings(spark, sf_dir, max_k)
+    probe_semdedup(spark, sf_dir, max_k)
     probe_kmeans(spark, sf_dir, max_k)
     probe_incremental(spark, sf_dir, max_k)
     probe_hll(spark, sf_dir, max_k)
