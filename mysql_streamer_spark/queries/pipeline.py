@@ -1329,6 +1329,58 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# packing-efficiency report (padding waste per source)
+# ---------------------------------------------------------------------------
+
+def q_pipeline_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The number that tunes PACK_BUDGET_TOKENS: per source, how many
+    training sequences the packer emits, their mean fill, and the
+    padding-waste fraction (1 - tokens/capacity) — every padded token is
+    compute burned on nothing, so at trillion-token scale a few percent
+    here is whole GPU-days. Derived from the same packing plan
+    (one extra aggregate over its ~|sequences| output rows); sequences
+    that a document OVERFLOWS past the budget count at their real length
+    (capacity = max(budget, seq_tokens)), matching the packer's
+    contiguous-fill semantics."""
+    seqs = q_pipeline_pack_sequences(spark, sf_dir)
+    cap = F.greatest(F.col("seq_tokens"), F.lit(PACK_BUDGET_TOKENS))
+    per = seqs.groupBy("source").agg(
+        F.count("*").alias("n_seqs"),
+        F.sum("seq_tokens").alias("packed_tokens"),
+        F.sum(cap).alias("capacity_tokens"),
+    )
+    return per.select(
+        "source",
+        "n_seqs",
+        "packed_tokens",
+        "capacity_tokens",
+        (
+            1.0
+            - F.col("packed_tokens").cast("double")
+            / F.col("capacity_tokens").cast("double")
+        ).alias("padding_waste"),
+    )
+
+
+def _pack_efficiency_oracle() -> str:
+    return f"""
+WITH seqs AS ({_PACK_ORACLE}), capped AS (
+  SELECT source, seq_tokens,
+         greatest(seq_tokens, {PACK_BUDGET_TOKENS}) AS cap
+  FROM seqs
+)
+SELECT source,
+       count(*) AS n_seqs,
+       CAST(sum(seq_tokens) AS BIGINT) AS packed_tokens,
+       CAST(sum(cap) AS BIGINT) AS capacity_tokens,
+       1.0 - CAST(sum(seq_tokens) AS DOUBLE) / CAST(sum(cap) AS DOUBLE)
+         AS padding_waste
+FROM capped
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # curriculum ordering manifest (quality bands, interleaved schedule)
 # ---------------------------------------------------------------------------
 
@@ -1696,4 +1748,9 @@ SPECS = [
     ),
     QuerySpec("pipeline_mix_report", q_pipeline_mix_report, _MIX_REPORT_ORACLE),
     QuerySpec("pipeline_pack_sequences", q_pipeline_pack_sequences, _PACK_ORACLE),
+    QuerySpec(
+        "pipeline_pack_efficiency",
+        q_pipeline_pack_efficiency,
+        _pack_efficiency_oracle(),
+    ),
 ]
