@@ -167,6 +167,38 @@ def read_manifest(path: str, version: int | None = None) -> dict:
         return json.load(fh)
 
 
+def vacuum(path: str, keep_versions: int = 1) -> dict:
+    """Delete part files no retained snapshot references (and the expired
+    manifests themselves) — the explicit retention step that bounds
+    storage, exactly like Delta's VACUUM: commits never delete data, so
+    reclamation is a separate, operator-controlled decision. Returns the
+    deletion report."""
+    if keep_versions < 1:
+        raise ValueError("must keep at least the latest version")
+    head = latest_version(path)
+    cutoff = head - keep_versions + 1
+    keep_files = {
+        f["file"]
+        for v in range(cutoff, head + 1)
+        for f in read_manifest(path, v)["files"]
+    }
+    removed_parts, removed_manifests = [], []
+    for f in os.listdir(path):
+        if f.startswith("part-") and f.endswith(".parquet") and f not in keep_files:
+            os.remove(os.path.join(path, f))
+            removed_parts.append(f)
+        elif f.startswith("_MANIFEST-v") and f.endswith(".json"):
+            if int(f[len("_MANIFEST-v") : -len(".json")]) < cutoff:
+                os.remove(os.path.join(path, f))
+                removed_manifests.append(f)
+    return {
+        "head_version": head,
+        "retained_from": cutoff,
+        "removed_parts": sorted(removed_parts),
+        "removed_manifests": sorted(removed_manifests),
+    }
+
+
 def read_committed(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:

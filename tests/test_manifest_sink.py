@@ -94,3 +94,35 @@ def test_manifest_time_travel(spark, sf_dir, tmp_path):
     assert read_committed(spark, out, version=2).count() == read_committed(
         spark, out
     ).count()
+
+
+def test_vacuum_reclaims_expired_snapshots(spark, sf_dir, tmp_path):
+    """Vacuum removes exactly the parts only expired snapshots reference;
+    the retained snapshots keep reading, expired ones become unreadable,
+    and orphans (never manifested) are also swept."""
+    import os
+    import pytest
+
+    from mysql_streamer_spark.connectors.manifest_sink import (
+        read_committed,
+        read_manifest,
+        vacuum,
+        write_with_manifest,
+    )
+    from mysql_streamer_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "sink")
+    write_with_manifest(events, out)                       # v1
+    write_with_manifest(events.filter("event_id % 2 = 0"), out)  # v2
+    v1_files = {f["file"] for f in read_manifest(out, 1)["files"]}
+    n_head = read_committed(spark, out).count()
+
+    report = vacuum(out, keep_versions=1)
+    assert set(report["removed_parts"]) == v1_files
+    assert report["removed_manifests"] == ["_MANIFEST-v00000001.json"]
+    assert read_committed(spark, out).count() == n_head  # HEAD intact
+    with pytest.raises(FileNotFoundError):
+        read_manifest(out, 1)
+    on_disk = {f for f in os.listdir(out) if f.endswith(".parquet")}
+    assert on_disk == {f["file"] for f in read_manifest(out)["files"]}
