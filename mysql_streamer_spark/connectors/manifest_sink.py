@@ -30,6 +30,7 @@ try:
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceArrowWriter,
+        DataSourceStreamArrowWriter,
         WriterCommitMessage,
     )
 
@@ -41,6 +42,9 @@ except ImportError:  # pragma: no cover - older runtimes
         pass
 
     class DataSourceArrowWriter:  # type: ignore[no-redef]
+        pass
+
+    class DataSourceStreamArrowWriter:  # type: ignore[no-redef]
         pass
 
     class WriterCommitMessage:  # type: ignore[no-redef]
@@ -65,6 +69,9 @@ class ManifestSinkDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> "ManifestSinkWriter":
         return ManifestSinkWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> "ManifestStreamWriter":
+        return ManifestStreamWriter(self.options)
 
 
 class ManifestSinkWriter(DataSourceArrowWriter):
@@ -125,6 +132,95 @@ class ManifestSinkWriter(DataSourceArrowWriter):
                     os.remove(os.path.join(self.path, m.filename))
                 except FileNotFoundError:
                     pass
+
+
+class ManifestStreamWriter(DataSourceStreamArrowWriter):
+    """STREAMING manifest commits: every micro-batch publishes one
+    versioned snapshot, and the batch->version ledger makes replay
+    idempotent — if Spark re-runs batch N after a crash, the writer sees
+    N already in the ledger and re-publishes the SAME version slot
+    instead of appending a duplicate snapshot. Combined with the
+    checkpointed source this is end-to-end exactly-once into a custom
+    sink — the reference's producer-flush-then-save-position contract
+    (util/misc.py:89-114) with the transactionality moved into the
+    commit protocol where it belongs.
+
+    Each snapshot is the micro-batch (a changelog ledger); readers union
+    retained versions or follow HEAD for the latest batch. Executors
+    stream Arrow batches into immutable parts exactly like the batch
+    writer; only driver-side commit() differs."""
+
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError("manifest_sink requires .option('path', ...)")
+        self.path = path
+        self._delegate = ManifestSinkWriter(options)
+
+    def write(self, iterator):
+        return self._delegate.write(iterator)
+
+    def _ledger_path(self) -> str:
+        return os.path.join(self.path, "_BATCHES.json")
+
+    def _ledger(self) -> dict:
+        try:
+            with open(self._ledger_path()) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {}
+
+    def commit(self, messages, batchId: int) -> None:
+        files = [
+            {"file": m.filename, "n_rows": m.n_rows}
+            for m in messages
+            if m is not None and m.filename
+        ]
+        ledger = self._ledger()
+        key = str(batchId)
+        # replayed batch: reuse its version slot (the old snapshot's parts
+        # become orphans — invisible to readers, reclaimed by vacuum)
+        version = ledger.get(key, latest_version(self.path) + 1)
+        manifest = {
+            "version": version,
+            "batch_id": batchId,
+            "files": files,
+            "n_rows": sum(f["n_rows"] for f in files),
+        }
+        with open(
+            os.path.join(self.path, _versioned_name(version)), "w"
+        ) as fh:
+            json.dump(manifest, fh)
+        ledger[key] = version
+        tmp = f"{self._ledger_path()}.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(ledger, fh)
+        os.replace(tmp, self._ledger_path())
+        tmp = os.path.join(self.path, f".{MANIFEST_NAME}.{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(self.path, MANIFEST_NAME))
+
+    def abort(self, messages, batchId: int) -> None:
+        self._delegate.abort(messages)
+
+
+def read_all_committed(spark: SparkSession, path: str) -> DataFrame:
+    """Union of every retained snapshot — the full streamed ledger."""
+    files = []
+    for v in range(1, latest_version(path) + 1):
+        try:
+            manifest = read_manifest(path, v)
+        except FileNotFoundError:  # vacuumed version
+            continue
+        files += [
+            os.path.join(path, f["file"])
+            for f in manifest["files"]
+            if os.path.exists(os.path.join(path, f["file"]))
+        ]
+    if not files:
+        raise ValueError(f"no committed data at {path}")
+    return spark.read.parquet(*files)
 
 
 _REGISTERED: set[str] = set()
