@@ -1002,6 +1002,50 @@ def q_cdc_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return envelope_from_cdc(debezium_to_cdc(wire))
 
 
+def q_cdc_fleet_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleet view: the reference runs ONE streamer instance per source
+    cluster (ZK-locked singleton, base_parse_replication_stream.py:126);
+    operating a fleet means unioning N per-cluster envelope streams into
+    one monitored surface. Here the fixture feed shards by pk parity
+    into two virtual clusters, each runs the ordinary envelope pipeline
+    under its own cluster_name, and the union reports per-cluster
+    message counts, table spread, and the high-water transaction key —
+    the fleet-health table an operator pages on.
+
+    Scale shape: per-shard plans are the unchanged envelope (map-side +
+    broadcast registry); the union adds no shuffle; one final aggregate
+    on the N-row cluster key."""
+    from mysql_streamer_spark.cdc.pipeline import envelope_from_cdc
+    from mysql_streamer_spark.cdc.source import events_as_cdc
+    from mysql_streamer_spark.tables import load_table
+
+    cdc = events_as_cdc(load_table(spark, sf_dir, "events"))
+    shards = [
+        envelope_from_cdc(
+            cdc.filter(F.col("pk") % 2 == i), cluster_name=f"shard_{i}"
+        )
+        for i in (0, 1)
+    ]
+    fleet = shards[0].unionByName(shards[1])
+    return fleet.groupBy("cluster_name").agg(
+        F.count("*").alias("n_messages"),
+        F.countDistinct(
+            F.concat_ws(".", "database_name", "table_name")
+        ).alias("n_tables"),
+        F.max("txn_order").alias("max_txn_order"),
+    )
+
+
+_FLEET_ORACLE = _ORACLE_PIPELINE_CTES + """
+SELECT 'shard_' || CAST(pk % 2 AS VARCHAR) AS cluster_name,
+       count(*) AS n_messages,
+       count(DISTINCT database || '.' || "table") AS n_tables,
+       max(txn_order) AS max_txn_order
+FROM keyed
+GROUP BY 1
+"""
+
+
 def q_cdc_python_source_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The envelope pipeline fed through the PLUGGABLE Python DataSource
     (connectors/python_source.py — Spark 4's ``pyspark.sql.datasource``
@@ -1084,6 +1128,7 @@ SPECS = [
         q_cdc_python_source_envelope,
         _ORACLE_PIPELINE_CTES + _ENVELOPE_SELECT,
     ),
+    QuerySpec("cdc_fleet_union", q_cdc_fleet_union, _FLEET_ORACLE),
     QuerySpec("cdc_pii_redaction", q_cdc_pii_redaction, _PII_REDACTION_ORACLE),
     QuerySpec("cdc_wire_envelope", q_cdc_wire_envelope, _WIRE_ENVELOPE_ORACLE),
     QuerySpec("cdc_topic_routing", q_cdc_topic_routing, _TOPIC_ROUTING_ORACLE),
