@@ -190,3 +190,39 @@ def test_single_partition_exchanges_only_for_scalar_aggregates(spark, sf_dir):
         if "SinglePartition" in plan and name not in _SINGLE_PARTITION_OK
     ]
     assert offenders == []
+
+
+#: queries SCALE.md documents as fully map-side (no shuffle exchange at
+#: all — filters/projections fused into the scan, dims broadcast); pin it
+#: so a regression (e.g. an accidental repartition or a join that stops
+#: broadcasting) fails loudly instead of silently costing a shuffle at
+#: 100 TB. ShuffleExchange is the thing asserted away; BroadcastExchange
+#: is fine.
+#: (text_compression_proxy is map-side too, but wraps its scan in
+#: tables.spread() — a deliberate round-robin repartition because the
+#: local fixture is ONE parquet split — so it carries that one exchange)
+_ZERO_SHUFFLE = (
+    "cdc_envelope",
+    "cdc_wire_envelope",
+    "cdc_pii_redaction",
+    "pipeline_model_quality_score",
+)
+
+
+def test_documented_map_side_plans_have_no_shuffle(spark, sf_dir):
+    from mysql_streamer_spark.queries import all_specs
+
+    by_name = {s.name: s for s in all_specs()}
+    offenders = []
+    for name in _ZERO_SHUFFLE:
+        plan = (
+            by_name[name]
+            .fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for line in plan.splitlines():
+            if "Exchange" in line and "BroadcastExchange" not in line:
+                offenders.append((name, line.strip()[:90]))
+    assert offenders == []
