@@ -22,7 +22,7 @@ integer counts with a final double division (bit-identical in both).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mysql_streamer_spark import text as tx
@@ -940,6 +940,141 @@ WHERE doc_id NOT IN (SELECT doc_id FROM non_keepers)
 """
 
 
+def q_dedup_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION table: for each strategy tier — exact content
+    hash, fuzzy MinHash-LSH clusters, sub-document span pressure,
+    embedding-semantic (SemDeDup, over the shared id space like the
+    multisignal gate) — how many documents and TOKENS it would remove,
+    as a fraction of the corpus. Fuzzy costs ~10x exact and semantic
+    needs embeddings for everything; this report is how an owner decides
+    which tiers pay for themselves before burning the compute. Composed
+    entirely from the already-oracle-verified stage operators; each tier
+    is measured independently (not cascaded — overlaps are visible by
+    comparing rows)."""
+    from mysql_streamer_spark.queries.pipeline import SPAN_MAX_DUP_FRAC
+    from mysql_streamer_spark.queries.pipeline import (
+        q_pipeline_span_dedup,
+    )
+    from mysql_streamer_spark.queries.similarity import q_sim_semdedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.size(tx.tokens_col("text")).alias("n_toks")
+    ).persist()
+    total = tok.agg(
+        F.count("*").alias("corpus_docs"),
+        F.sum("n_toks").alias("corpus_tokens"),
+    )
+
+    exact_removed = (
+        docs.select(
+            "doc_id",
+            F.row_number()
+            .over(
+                Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+            )
+            .alias("rn"),
+        )
+        .filter(F.col("rn") > 1)
+        .select("doc_id")
+    )
+    fuzzy_removed = (
+        connected_components(
+            minhash_candidate_pairs(docs).select("doc_a", "doc_b")
+        )
+        .filter(F.col("doc_id") != F.col("label"))
+        .select("doc_id")
+    )
+    span_removed = (
+        q_pipeline_span_dedup(spark, sf_dir)
+        .filter(~F.col("keep"))
+        .select("doc_id")
+    )
+    sem_removed = (
+        q_sim_semdedup(spark, sf_dir)
+        .filter(~F.col("keep"))
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+
+    def tier(name: str, removed: DataFrame) -> DataFrame:
+        return (
+            removed.join(tok, "doc_id")
+            .agg(
+                F.count("*").alias("n_docs_removed"),
+                F.coalesce(F.sum("n_toks"), F.lit(0)).alias(
+                    "n_tokens_removed"
+                ),
+            )
+            .withColumn("stage", F.lit(name))
+        )
+
+    report = (
+        tier("exact", exact_removed)
+        .unionByName(tier("fuzzy", fuzzy_removed))
+        .unionByName(tier("span", span_removed))
+        .unionByName(tier("semantic", sem_removed))
+    )
+    return report.crossJoin(F.broadcast(total)).select(
+        "stage",
+        "n_docs_removed",
+        "n_tokens_removed",
+        (
+            F.col("n_tokens_removed").cast("double")
+            / F.col("corpus_tokens").cast("double")
+        ).alias("frac_tokens_removed"),
+    )
+
+
+def _budget_report_oracle() -> str:
+    from mysql_streamer_spark.queries.pipeline import _SPAN_DEDUP_ORACLE
+    from mysql_streamer_spark.queries.similarity import _SEMDEDUP_ORACLE
+
+    return (
+        _CLUSTERS_CTES
+        + f"""
+, btok AS (
+  SELECT doc_id, len({tx.tokens_sql("text")}) AS n_toks FROM documents
+), total AS (
+  SELECT sum(n_toks) AS corpus_tokens FROM btok
+), exact_removed AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (
+      PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn > 1
+), fuzzy_removed AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, min(label) AS keeper FROM reach GROUP BY doc_id
+  ) WHERE doc_id != keeper
+), span_removed AS (
+  SELECT doc_id FROM ({_SPAN_DEDUP_ORACLE}) WHERE NOT keep
+), sem_removed AS (
+  SELECT vec_id AS doc_id FROM ({_SEMDEDUP_ORACLE}) WHERE NOT keep
+), tiers AS (
+  SELECT 'exact' AS stage, doc_id FROM exact_removed
+  UNION ALL SELECT 'fuzzy', doc_id FROM fuzzy_removed
+  UNION ALL SELECT 'span', doc_id FROM span_removed
+  UNION ALL SELECT 'semantic', doc_id FROM sem_removed
+), agg AS (
+  SELECT stage,
+         count(*) AS n_docs_removed,
+         CAST(sum(n_toks) AS BIGINT) AS n_tokens_removed
+  FROM tiers JOIN btok USING (doc_id)
+  GROUP BY stage
+), stage_names(stage) AS (
+  VALUES ('exact'), ('fuzzy'), ('span'), ('semantic')
+)
+SELECT s.stage,
+       CAST(coalesce(n_docs_removed, 0) AS BIGINT) AS n_docs_removed,
+       CAST(coalesce(n_tokens_removed, 0) AS BIGINT) AS n_tokens_removed,
+       CAST(coalesce(n_tokens_removed, 0) AS DOUBLE)
+         / CAST((SELECT corpus_tokens FROM total) AS DOUBLE)
+         AS frac_tokens_removed
+FROM stage_names s LEFT JOIN agg ON s.stage = agg.stage
+"""
+    )
+
+
 def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-duplication rate PER SOURCE — the triage table that tells a
     crawl owner which feeds re-send content (dedup effort goes where the
@@ -1481,6 +1616,9 @@ SPECS = [
         "dedup_threshold_sweep", q_dedup_threshold_sweep, _DEDUP_SWEEP_ORACLE
     ),
     QuerySpec("dedup_rate_by_source", q_dedup_rate_by_source, _RATE_BY_SOURCE_ORACLE),
+    QuerySpec(
+        "dedup_budget_report", q_dedup_budget_report, _budget_report_oracle()
+    ),
     QuerySpec(
         "dedup_cross_source_matrix",
         q_dedup_cross_source_matrix,
