@@ -66,6 +66,9 @@ _BNLJ_OK = {
     "pipeline_unimax_budget",
     # 1-row domain-stats frame, same shape as analytics_zorder_layout
     "analytics_file_skipping",
+    # composes the semdedup tier (10-row centroid broadcast) + 1-row
+    # corpus-total frame — both inherited designed shapes
+    "dedup_budget_report",
 }
 
 #: streaming roundtrips execute jobs at build time — plan-audited via their
@@ -180,6 +183,8 @@ _SINGLE_PARTITION_OK = {
     "pipeline_unimax_budget",
     # 1-row domain-stats + the one-row summary report
     "analytics_file_skipping",
+    # per-tier scalar aggregates + the 1-row corpus-total frame
+    "dedup_budget_report",
 }
 
 
