@@ -1575,6 +1575,136 @@ FROM flagged
 """
 
 
+#: files per layout in the comparison (same budget for both layouts)
+LAYOUT_N_FILES = 64
+
+
+def q_analytics_layout_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-to-head: the SAME (user-band AND day-band) predicate probed
+    against (a) a 1-D layout sorted by user_id and (b) the Z-order
+    layout, both with LAYOUT_N_FILES files. The 1-D sort prunes
+    perfectly on its leading column but every surviving file spans the
+    FULL day range, so the day predicate prunes nothing; Morton
+    interleaving bounds both dimensions per file. This two-row table is
+    the quantified argument for the OPTIMIZE ZORDER rewrite.
+
+    Plan shape: one scaled projection feeds both layouts (two file-key
+    expressions over the same map output), one aggregate per layout, a
+    two-row summary."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("dsec")
+    )
+    stats = ev.agg(
+        F.max("user_id").alias("max_user"),
+        F.expr("min(dsec div 86400)").alias("min_day"),
+        F.expr("max(dsec div 86400)").alias("max_day"),
+    )
+    grid = 2 ** ZORDER_BITS
+    scaled = ev.crossJoin(F.broadcast(stats)).select(
+        F.expr(f"user_id * {grid} div (max_user + 1)").alias("x"),
+        F.expr(
+            f"((dsec div 86400) - min_day) * {grid} div (max_day - min_day + 1)"
+        ).alias("y"),
+    )
+    in_band = (
+        (F.col("x") >= ZSKIP_X_LO)
+        & (F.col("x") <= ZSKIP_X_HI)
+        & (F.col("y") >= ZSKIP_Y_LO)
+        & (F.col("y") <= ZSKIP_Y_HI)
+    )
+    morton = _morton_sql("x", "y", "div")
+    keyed = scaled.select(
+        "x",
+        "y",
+        in_band.cast("long").alias("match"),
+        F.expr(f"x * {LAYOUT_N_FILES} div {grid}").alias("file_1d"),
+        F.expr(f"({morton}) div {ZORDER_CODES_PER_FILE}").alias("file_z"),
+    )
+
+    def layout(name: str, key: str) -> DataFrame:
+        per_file = keyed.groupBy(F.col(key).alias("f")).agg(
+            F.count("*").alias("n_rows"),
+            F.sum("match").alias("n_match"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+        kept = ~(
+            (F.col("max_x") < ZSKIP_X_LO)
+            | (F.col("min_x") > ZSKIP_X_HI)
+            | (F.col("max_y") < ZSKIP_Y_LO)
+            | (F.col("min_y") > ZSKIP_Y_HI)
+        )
+        return per_file.withColumn("kept", kept).agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum((~F.col("kept")).cast("long")).alias("n_files_skipped"),
+            F.sum(F.when(F.col("kept"), F.col("n_rows")).otherwise(0)).alias(
+                "n_rows_scanned"
+            ),
+            (
+                F.sum(F.when(F.col("kept"), F.col("n_rows")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.sum("n_match").cast("double")
+            ).alias("read_amplification"),
+        ).withColumn("layout", F.lit(name))
+
+    return layout("sort_1d_user", "file_1d").unionByName(
+        layout("zorder", "file_z")
+    )
+
+
+def _layout_compare_oracle() -> str:
+    grid = 2 ** ZORDER_BITS
+    out = []
+    for name, key in (
+        ("sort_1d_user", f"x * {LAYOUT_N_FILES} // {grid}"),
+        ("zorder", f"({_morton_sql('x', 'y', '//')}) // {ZORDER_CODES_PER_FILE}"),
+    ):
+        out.append(f"""
+SELECT '{name}' AS layout,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_files_skipped,
+       CAST(sum(CASE WHEN kept THEN n_rows ELSE 0 END) AS BIGINT)
+         AS n_rows_scanned,
+       CAST(sum(CASE WHEN kept THEN n_rows ELSE 0 END) AS DOUBLE)
+         / CAST(sum(n_match) AS DOUBLE) AS read_amplification
+FROM (
+  SELECT *,
+         NOT (max_x < {ZSKIP_X_LO} OR min_x > {ZSKIP_X_HI}
+              OR max_y < {ZSKIP_Y_LO} OR min_y > {ZSKIP_Y_HI}) AS kept
+  FROM (
+    SELECT {key} AS f,
+           count(*) AS n_rows,
+           sum(CASE WHEN x BETWEEN {ZSKIP_X_LO} AND {ZSKIP_X_HI}
+                     AND y BETWEEN {ZSKIP_Y_LO} AND {ZSKIP_Y_HI}
+                    THEN 1 ELSE 0 END) AS n_match,
+           min(x) AS min_x, max(x) AS max_x,
+           min(y) AS min_y, max(y) AS max_y
+    FROM scaled
+    GROUP BY 1
+  )
+)""")
+    return f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS dsec FROM events
+), stats AS (
+  SELECT max(user_id) AS max_user,
+         min(dsec // 86400) AS min_day,
+         max(dsec // 86400) AS max_day
+  FROM ev
+), scaled AS (
+  SELECT user_id * {grid} // (max_user + 1) AS x,
+         ((dsec // 86400) - min_day) * {grid}
+           // (max_day - min_day + 1) AS y
+  FROM ev CROSS JOIN stats
+)
+{" UNION ALL ".join(out)}
+"""
+
+
 _ZORDER_ORACLE = f"""
 WITH ev AS (
   -- epoch_us // 1e6 floors like Spark's unix_timestamp; epoch() returns a
@@ -2196,6 +2326,11 @@ SPECS = [
     QuerySpec("analytics_zorder_layout", q_analytics_zorder_layout, _ZORDER_ORACLE),
     QuerySpec(
         "analytics_file_skipping", q_analytics_file_skipping, _FILE_SKIPPING_ORACLE
+    ),
+    QuerySpec(
+        "analytics_layout_compare",
+        q_analytics_layout_compare,
+        _layout_compare_oracle(),
     ),
     QuerySpec(
         "analytics_purchase_intervals",
