@@ -69,6 +69,8 @@ _BNLJ_OK = {
     # composes the semdedup tier (10-row centroid broadcast) + 1-row
     # corpus-total frame — both inherited designed shapes
     "dedup_budget_report",
+    # 1-row domain-stats frame feeding both layouts' file keys
+    "analytics_layout_compare",
 }
 
 #: streaming roundtrips execute jobs at build time — plan-audited via their
@@ -185,6 +187,8 @@ _SINGLE_PARTITION_OK = {
     "analytics_file_skipping",
     # per-tier scalar aggregates + the 1-row corpus-total frame
     "dedup_budget_report",
+    # 1-row domain stats + the two-row layout summary
+    "analytics_layout_compare",
 }
 
 
