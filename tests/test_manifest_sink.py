@@ -197,3 +197,43 @@ def test_streaming_write_replay_reuses_version_slot(spark, sf_dir, tmp_path):
     got = read_all_committed(spark, out)
     assert got.count() == n_expected, "replayed batches double-published"
     assert got.select("event_id").distinct().count() == n_expected
+
+
+def test_capstone_custom_source_envelope_custom_sink(spark, sf_dir, tmp_path):
+    """The whole reference pipeline on pluggable parts: binlog feed via
+    the Python DataSource STREAM source -> the envelope plan -> the
+    manifest STREAMING sink — and the published table equals the batch
+    envelope byte-for-byte (S1 -> DML path -> K1, all custom, once)."""
+    from mysql_streamer_spark.cdc.pipeline import (
+        envelope_pipeline,
+        envelope_pipeline_df,
+    )
+    from mysql_streamer_spark.connectors.manifest_sink import (
+        read_all_committed,
+        register_manifest_sink,
+    )
+    from mysql_streamer_spark.connectors.python_source import (
+        stream_events_from_python_source,
+    )
+
+    register_manifest_sink(spark)
+    out, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    env = envelope_pipeline_df(
+        stream_events_from_python_source(spark, sf_dir, batch_rows=400)
+    )
+    q = (
+        env.writeStream.format("manifest_sink")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = read_all_committed(spark, out)
+    expected = envelope_pipeline(spark, sf_dir)
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
