@@ -1178,28 +1178,27 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jaccard threshold calibration from ONE MinHash pair generation:
     surviving pair / affected-document counts per cutoff — the dedup
     twin of sim_threshold_sweep (pick the production threshold from the
-    measured curve, not a guess). Conditional aggregation only."""
+    measured curve, not a guess). Scale shape: pairs explode to
+    (doc_id, jaccard) rows and every count is a conditional
+    sum/countDistinct — partial-aggregatable and parallel, no
+    collect_list pulling all surviving ids into one reducer's buffer
+    (each pair holds doc_a < doc_b, so n_pairs = exploded rows / 2)."""
     pairs = minhash_candidate_pairs(load_table(spark, sf_dir, "documents"))
+    ids = pairs.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc"), "jaccard"
+    )
     aggs = []
     for t in DEDUP_SWEEP_THRESHOLDS:
         tag = str(int(t * 100))
         aggs += [
-            F.sum(F.when(F.col("jaccard") >= t, 1).otherwise(0))
+            (F.sum(F.when(F.col("jaccard") >= t, 1).otherwise(0)) / 2)
             .cast("long")
             .alias(f"n_pairs_{tag}"),
-            F.size(
-                F.array_distinct(
-                    F.flatten(
-                        F.collect_list(
-                            F.when(
-                                F.col("jaccard") >= t, F.array("doc_a", "doc_b")
-                            ).otherwise(F.array().cast("array<bigint>"))
-                        )
-                    )
-                )
+            F.countDistinct(
+                F.when(F.col("jaccard") >= t, F.col("doc"))
             ).alias(f"n_docs_{tag}"),
         ]
-    return pairs.agg(*aggs)
+    return ids.agg(*aggs)
 
 
 def _dedup_sweep_oracle() -> str:

@@ -1397,37 +1397,54 @@ def q_pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     derivable from this output). Rank-based bands (not value quantiles)
     keep everything integer so both engines agree exactly.
 
-    Fixture plan: one global rank window — a designed singleton over the
-    scored manifest, like the other ordering/summary queries. At 100 TB
-    the same ranks come from repartitionByRange(score) + per-partition
-    offsets (the zipWithIndex pattern); band and interleave_rank are
-    closed-form over the rank either way."""
+    Scale shape (the zipWithIndex pattern): repartitionByRange on the
+    sort key gives ordered, non-overlapping partitions; the global rank
+    is a PARALLEL per-partition row_number plus a broadcast cumulative
+    offset computed from the per-partition counts (a bounded
+    #partitions-row frame). band, band_rank, and interleave_rank are all
+    closed-form over the global rank — a rank band is a contiguous rank
+    range, so band_rank = r - ceil((band-1)*n/B) needs no second window.
+    The ranged frame is persisted so the count branch and the rank branch
+    see the SAME sampled range boundaries."""
     docs = load_table(spark, sf_dir, "documents")
     scored = (
         docs.withColumn("toks", tx.tokens_col("text"))
         .select("doc_id", tx.model_score_col().alias("score"))
     )
-    n1 = scored.agg(F.count("*").alias("n"))
-    w = Window.orderBy(F.col("score").asc(), F.col("doc_id").asc())
-    ranked = (
-        scored.crossJoin(F.broadcast(n1))
-        .withColumn("r", F.row_number().over(w))
-        .withColumn(
-            "band",
-            F.expr(f"((r - 1) * {CURRICULUM_BANDS}) div n + 1").cast("int"),
-        )
+    B = CURRICULUM_BANDS
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    parts = scored.repartitionByRange(
+        nparts, F.col("score").asc(), F.col("doc_id").asc()
+    ).withColumn("pid", F.spark_partition_id())
+    # range sampling is re-drawn per computation; persist so both
+    # consumers below agree on partition boundaries
+    parts = parts.persist()
+    counts = parts.groupBy("pid").agg(F.count("*").alias("cnt"))
+    w_prior = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    w_band = Window.partitionBy("band").orderBy("r")
+    offsets = counts.select(
+        "pid",
+        F.coalesce(F.sum("cnt").over(w_prior), F.lit(0)).alias("offset"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    w_local = Window.partitionBy("pid").orderBy(
+        F.col("score").asc(), F.col("doc_id").asc()
+    )
     return (
-        ranked.withColumn("band_rank", F.row_number().over(w_band))
+        parts.withColumn("lr", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "pid")
+        .withColumn("r", F.col("offset") + F.col("lr"))
+        .withColumn("band", F.expr(f"((r - 1) * {B}) div n + 1").cast("int"))
+        .withColumn("band_start", F.expr(f"((band - 1) * n + {B} - 1) div {B}"))
         .select(
             "doc_id",
             "score",
             "band",
-            "band_rank",
+            (F.col("r") - F.col("band_start")).alias("band_rank"),
             (
-                (F.col("band_rank").cast("long") - 1) * CURRICULUM_BANDS
-                + F.col("band")
+                (F.col("r") - F.col("band_start") - 1) * B + F.col("band")
             ).alias("interleave_rank"),
         )
     )

@@ -276,30 +276,27 @@ def q_sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     affected vectors) survive at each candidate cosine cutoff — computed
     from ONE pair generation (the sweep points all sit at or above the
     LSH pair bound, so no re-bucketing). This is the table a dedup owner
-    reads to pick the production threshold; conditional aggregation over
-    the scored pairs, id-only shuffles throughout."""
+    reads to pick the production threshold. Scale shape: pairs explode
+    to (vec_id, cosine) rows and every count is a conditional
+    sum/countDistinct — partial-aggregatable and parallel, no
+    collect_list pulling all surviving ids into one reducer's buffer
+    (each pair holds vec_a < vec_b, so n_pairs = exploded rows / 2)."""
     pairs = cosine_neardup_pairs(_emb(spark, sf_dir))
+    ids = pairs.select(
+        F.explode(F.array("vec_a", "vec_b")).alias("vec"), "cosine"
+    )
     aggs = []
     for t in SWEEP_THRESHOLDS:
         tag = str(int(t * 100))
         aggs += [
-            F.sum(F.when(F.col("cosine") >= t, 1).otherwise(0))
+            (F.sum(F.when(F.col("cosine") >= t, 1).otherwise(0)) / 2)
             .cast("long")
             .alias(f"n_pairs_{tag}"),
-            F.size(
-                F.array_distinct(
-                    F.flatten(
-                        F.collect_list(
-                            F.when(
-                                F.col("cosine") >= t,
-                                F.array("vec_a", "vec_b"),
-                            ).otherwise(F.array().cast("array<bigint>"))
-                        )
-                    )
-                )
+            F.countDistinct(
+                F.when(F.col("cosine") >= t, F.col("vec"))
             ).alias(f"n_vectors_{tag}"),
         ]
-    return pairs.agg(*aggs)
+    return ids.agg(*aggs)
 
 
 def _threshold_sweep_oracle() -> str:

@@ -805,10 +805,12 @@ VOCAB_COVERAGE_POINTS = (5, 10, 20)
 def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """What fraction of all token occurrences a top-N vocabulary covers,
     at the standard budget points — the curve that sizes a vocabulary (or
-    proves the corpus Zipfian). One explode -> count aggregate, then a
-    window over the VOCABULARY (thousands of rows, not the corpus) builds
-    the cumulative sums; coverage is integer-exact until one final
-    division per point."""
+    proves the corpus Zipfian). One explode -> count aggregate; only the
+    top max(POINTS) tokens matter, so the cumulative sum runs over a
+    sort-limit (TakeOrderedAndProject: per-partition partial top-K, no
+    global sort shuffle) of BOUNDED size — the window never sees the
+    unbounded vocabulary domain. Coverage is integer-exact until one
+    final division per point."""
     from pyspark.sql import Window
 
     docs = spread(load_table(spark, sf_dir, "documents"))
@@ -818,10 +820,13 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("n"))
     )
+    top = vocab.orderBy(F.col("n").desc(), F.col("token").asc()).limit(
+        max(VOCAB_COVERAGE_POINTS)
+    )
     w = Window.orderBy(F.col("n").desc(), F.col("token").asc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    ranked = vocab.select(
+    ranked = top.select(
         F.row_number()
         .over(Window.orderBy(F.col("n").desc(), F.col("token").asc()))
         .alias("rank"),

@@ -60,8 +60,6 @@ _BNLJ_OK = {
     "sim_semdedup",
     # 80-row PQ codebook broadcast + the brute-force ground-truth branch
     "sim_pq_recall",
-    # 1-row corpus-count frame crossed onto the scored manifest
-    "pipeline_curriculum_order",
     # 1-row budget/lang-count frame crossed onto the L-row language dim
     "pipeline_unimax_budget",
     # 1-row domain-stats frame, same shape as analytics_zorder_layout
@@ -151,8 +149,7 @@ _SINGLE_PARTITION_OK = {
     "analytics_zorder_layout",      # 1-row domain-stats aggregate feeding the grid
     "sketch_hll_merge",             # per-day sketches -> ONE union (scalar)
     "sketch_quantile_bound",        # single-row percentile summary
-    # cumulative window over the AGGREGATED vocabulary dimension (orders of
-    # magnitude smaller than the corpus), like text_bigram_pmi's total
+    # cumulative window over the top-max(POINTS) sort-limit (20 rows)
     "text_vocab_coverage",
     # rolling frame over the one-row-per-day aggregate dimension
     "analytics_rolling_revenue",
@@ -178,8 +175,8 @@ _SINGLE_PARTITION_OK = {
     "pipeline_token_budget",
     # 1-row corpus-token total (scalar aggregate) behind the exact pass
     "sketch_heavy_hitters",
-    # global-order training manifest: the rank window IS the deliverable;
-    # production = repartitionByRange + per-partition offsets (docstring)
+    # cumulative offsets over the #shuffle-partitions-row count frame
+    # (the zipWithIndex pattern; the corpus rank itself is partitioned)
     "pipeline_curriculum_order",
     # singleton windows over the L-row language dimension only
     "pipeline_unimax_budget",
@@ -198,6 +195,61 @@ def test_single_partition_exchanges_only_for_scalar_aggregates(spark, sf_dir):
         for name, plan in _plans(spark, sf_dir)
         if "SinglePartition" in plan and name not in _SINGLE_PARTITION_OK
     ]
+    assert offenders == []
+
+
+#: queries whose plan contains an unpartitioned Window node BY DESIGN:
+#: every one runs over a BOUNDED domain (an aggregate dimension or an
+#: explicit limit), never the raw corpus. An unpartitioned window over an
+#: unbounded key domain moves every row to one task — the scale bug class
+#: this test exists to catch (pipeline_curriculum_order and
+#: text_vocab_coverage had exactly that shape before round 4).
+_UNPARTITIONED_WINDOW_OK = {
+    # running budget over the score-bucket dimension (cardinality =
+    # distinct per-doc token counts, ~dozens of rows)
+    "pipeline_token_budget",
+    # cumulative sum over the top-max(POINTS) (= 20-row) sort-limit
+    "text_vocab_coverage",
+    # cumulative offsets over the #shuffle-partitions-row count frame
+    # (the zipWithIndex pattern; the corpus rank itself is partitioned)
+    "pipeline_curriculum_order",
+    # waterfilling iterations over the L-row language dimension
+    "pipeline_unimax_budget",
+    # rolling frame over the one-row-per-day aggregate dimension
+    "analytics_rolling_revenue",
+}
+
+
+def _walk_plan(node):
+    yield node
+    children = node.children()
+    for i in range(children.size()):
+        yield from _walk_plan(children.apply(i))
+    # AQE wraps the real plan in a leaf-like node; descend into it
+    if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        yield from _walk_plan(node.initialPlan())
+
+
+def test_unpartitioned_windows_only_over_bounded_domains(spark, sf_dir):
+    """No WindowExec with an empty partitionSpec outside the allowlist of
+    designed bounded-domain frames (asserted on the JVM plan tree — the
+    plan STRING cannot distinguish partition from order expressions)."""
+    from mysql_streamer_spark.queries import all_specs
+
+    offenders = []
+    for spec in all_specs():
+        if spec.name in _SKIP:
+            continue
+        plan = spec.fn(spark, sf_dir)._jdf.queryExecution().executedPlan()
+        for node in _walk_plan(plan):
+            name = node.getClass().getSimpleName()
+            if (
+                "Window" in name
+                and "GroupLimit" not in name
+                and node.partitionSpec().isEmpty()
+                and spec.name not in _UNPARTITIONED_WINDOW_OK
+            ):
+                offenders.append((spec.name, name))
     assert offenders == []
 
 
