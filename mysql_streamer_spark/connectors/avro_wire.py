@@ -1,0 +1,312 @@
+"""Avro binary wire format for the CDC envelope — the reference's published
+message encoding, re-expressed as an Arrow-batched kernel.
+
+The reference registers per-table Avro schemas with its schema store and
+publishes every message Avro-encoded against them; the transaction-id meta
+record it attaches is ``schema/avro_schema/log_transaction_id_v1.avsc``
+({cluster_name: string, log_file: string, log_pos: int}, registered by
+replication_handler/components/schema_wrapper.py:97-141).
+
+This container ships neither the spark-avro datasource nor a Python avro
+package, so the binary encoding itself is implemented here from the public
+Avro 1.11 specification (https://avro.apache.org/docs/1.11.1/specification/):
+
+- ``int``/``long``: zigzag then base-128 little-endian varint;
+- ``double``: 8 bytes IEEE-754 little-endian;
+- ``string``/``bytes``: long length prefix + bytes;
+- ``union``: long branch index, then the branch value;
+- ``record``: field values concatenated in schema order;
+- ``array``: non-empty count blocks terminated by a zero count.
+
+The kernel is schema-driven (any schema built from the primitives above
+encodes/decodes), and Spark-side it runs under ``mapInArrow`` — Arrow batch
+transfer, no row-at-a-time Python UDF serialization — the same justified
+Python path as the multimodal decoders. Correctness is proven two ways:
+unit tests pin the spec's own byte examples (zigzag vectors, string
+framing), and the ``cdc_avro_roundtrip`` query encodes the full envelope,
+decodes it back, and hash-matches the DIRECT envelope oracle, mirroring
+``cdc_debezium_roundtrip``'s lossless-adapter proof.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from typing import Any, Iterator
+
+#: The meta record, field-for-field the reference's
+#: log_transaction_id_v1.avsc (log_pos is ``int`` there — binlog offsets are
+#: capped by max_binlog_size; values beyond 2^31 would need the v2 schema).
+TRANSACTION_ID_SCHEMA: dict = {
+    "type": "record",
+    "name": "transaction_id",
+    "namespace": "replication_handler",
+    "fields": [
+        {"name": "cluster_name", "type": "string"},
+        {"name": "log_file", "type": "string"},
+        {"name": "log_pos", "type": "int"},
+    ],
+}
+
+#: The envelope message schema: the flat published-message fields
+#: (util/message_builder.py:51-78's payload/position/meta surface) typed to
+#: the envelope DataFrame's exact Spark types.
+ENVELOPE_SCHEMA: dict = {
+    "type": "record",
+    "name": "envelope",
+    "namespace": "replication_handler",
+    "fields": [
+        {"name": "schema_id", "type": ["null", "int"]},
+        {"name": "cluster_name", "type": "string"},
+        {"name": "database_name", "type": ["null", "string"]},
+        {"name": "table_name", "type": ["null", "string"]},
+        {"name": "message_type", "type": "string"},
+        {
+            "name": "timestamp",
+            "type": ["null", {"type": "long", "logicalType": "timestamp-micros"}],
+        },
+        {"name": "log_file", "type": ["null", "string"]},
+        {"name": "log_pos", "type": ["null", "long"]},
+        {"name": "offset", "type": "int"},
+        {"name": "txn_order", "type": ["null", "long"]},
+        {"name": "pk", "type": ["null", "long"]},
+        {"name": "payload_k", "type": ["null", "int"]},
+        {"name": "payload_val", "type": ["null", "double"]},
+        {"name": "previous_payload_val", "type": ["null", "double"]},
+        {"name": "meta", "type": {"type": "array", "items": TRANSACTION_ID_SCHEMA}},
+    ],
+}
+
+ENVELOPE_SCHEMA_JSON = json.dumps(ENVELOPE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# encoding kernel (pure functions over python values)
+# ---------------------------------------------------------------------------
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def write_long(out: bytearray, n: int) -> None:
+    n = _zigzag(n) & 0xFFFFFFFFFFFFFFFF
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def read_long(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return _unzigzag(acc), pos
+        shift += 7
+
+
+def _branch_name(schema: Any) -> str:
+    if isinstance(schema, str):
+        return schema
+    return schema["type"] if isinstance(schema, dict) else str(schema)
+
+
+def encode_value(schema: Any, value: Any, out: bytearray) -> None:
+    """Append ``value`` encoded per ``schema`` (Avro binary spec) to out."""
+    if isinstance(schema, list):  # union: branch index then value
+        if value is None and "null" in schema:
+            write_long(out, schema.index("null"))
+            return
+        for i, branch in enumerate(schema):
+            if _branch_name(branch) != "null":
+                write_long(out, i)
+                encode_value(branch, value, out)
+                return
+        raise ValueError(f"no union branch for {value!r} in {schema!r}")
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            for field in schema["fields"]:
+                encode_value(field["type"], value[field["name"]], out)
+            return
+        if t == "array":
+            if value:
+                write_long(out, len(value))
+                for item in value:
+                    encode_value(schema["items"], item, out)
+            write_long(out, 0)
+            return
+        schema = t  # logical types ride on their base primitive
+    if schema in ("long", "int"):
+        write_long(out, value)
+    elif schema == "double":
+        out += struct.pack("<d", value)
+    elif schema == "string":
+        raw = value.encode("utf-8")
+        write_long(out, len(raw))
+        out += raw
+    elif schema == "bytes":
+        write_long(out, len(value))
+        out += value
+    elif schema == "boolean":
+        out.append(1 if value else 0)
+    elif schema == "null":
+        if value is not None:
+            raise ValueError("non-null value for null schema")
+    else:
+        raise ValueError(f"unsupported avro type: {schema!r}")
+
+
+def decode_value(schema: Any, buf: bytes, pos: int) -> tuple[Any, int]:
+    """Read one ``schema``-typed value from ``buf`` at ``pos``."""
+    if isinstance(schema, list):
+        idx, pos = read_long(buf, pos)
+        return decode_value(schema[idx], buf, pos)
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            rec = {}
+            for field in schema["fields"]:
+                rec[field["name"]], pos = decode_value(field["type"], buf, pos)
+            return rec, pos
+        if t == "array":
+            items = []
+            while True:
+                count, pos = read_long(buf, pos)
+                if count == 0:
+                    return items, pos
+                if count < 0:  # block with byte-size prefix (spec-legal)
+                    count = -count
+                    _, pos = read_long(buf, pos)
+                for _ in range(count):
+                    item, pos = decode_value(schema["items"], buf, pos)
+                    items.append(item)
+        schema = t
+    if schema in ("long", "int"):
+        return read_long(buf, pos)
+    if schema == "double":
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if schema == "string":
+        n, pos = read_long(buf, pos)
+        return buf[pos : pos + n].decode("utf-8"), pos + n
+    if schema == "bytes":
+        n, pos = read_long(buf, pos)
+        return bytes(buf[pos : pos + n]), pos + n
+    if schema == "boolean":
+        return buf[pos] == 1, pos + 1
+    if schema == "null":
+        return None, pos
+    raise ValueError(f"unsupported avro type: {schema!r}")
+
+
+# ---------------------------------------------------------------------------
+# Spark integration (Arrow-batched, schema-driven)
+# ---------------------------------------------------------------------------
+
+#: envelope columns in schema order, minus the derived ``meta`` array
+_FLAT_FIELDS = [f["name"] for f in ENVELOPE_SCHEMA["fields"] if f["name"] != "meta"]
+
+
+def envelope_to_avro(env):
+    """Envelope DataFrame -> one ``value: binary`` column of Avro-encoded
+    messages (plus the record count preserved 1:1). Arrow batch in, python
+    encode loop per row, Arrow batch out — map-side only, no shuffle."""
+    import pyarrow as pa
+
+    def encode_batches(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            rows = batch.to_pylist()
+            out = []
+            for row in rows:
+                rec = dict(row)
+                rec["meta"] = [
+                    {
+                        "cluster_name": row["cluster_name"],
+                        "log_file": row["log_file"] or "",
+                        "log_pos": int(row["log_pos"] or 0),
+                    }
+                ]
+                buf = bytearray()
+                encode_value(ENVELOPE_SCHEMA, rec, buf)
+                out.append(bytes(buf))
+            yield pa.RecordBatch.from_arrays([pa.array(out, pa.binary())], ["value"])
+
+    from pyspark.sql import functions as F
+
+    # timestamp rides as exact int64 micros (the timestamp-micros logical
+    # type's base encoding) — converted JVM-side so no float roundtrip
+    flat = env.select(
+        *[
+            F.unix_micros(F.col(c)).alias(c) if c == "timestamp" else F.col(c)
+            for c in _FLAT_FIELDS
+        ]
+    )
+    return flat.mapInArrow(encode_batches, "value binary")
+
+
+def avro_to_envelope(wire):
+    """Inverse of envelope_to_avro: binary messages -> the flat envelope
+    columns plus ``meta_ok`` (does the decoded meta array equal the
+    position columns it was derived from — the array-of-record path's own
+    roundtrip witness)."""
+    import pyarrow as pa
+
+    arrow_fields = [
+        pa.field("schema_id", pa.int32()),
+        pa.field("cluster_name", pa.string()),
+        pa.field("database_name", pa.string()),
+        pa.field("table_name", pa.string()),
+        pa.field("message_type", pa.string()),
+        pa.field("ts_us", pa.int64()),
+        pa.field("log_file", pa.string()),
+        pa.field("log_pos", pa.int64()),
+        pa.field("offset", pa.int32()),
+        pa.field("txn_order", pa.int64()),
+        pa.field("pk", pa.int64()),
+        pa.field("payload_k", pa.int32()),
+        pa.field("payload_val", pa.float64()),
+        pa.field("previous_payload_val", pa.float64()),
+        pa.field("meta_ok", pa.bool_()),
+    ]
+    out_schema = pa.schema(arrow_fields)
+
+    def decode_batches(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            cols: dict[str, list] = {f.name: [] for f in arrow_fields}
+            for raw in batch.column(0).to_pylist():
+                rec, end = decode_value(ENVELOPE_SCHEMA, raw, 0)
+                if end != len(raw):
+                    raise ValueError("trailing bytes after avro record")
+                meta = rec.pop("meta")
+                cols["meta_ok"].append(
+                    len(meta) == 1
+                    and meta[0]["cluster_name"] == rec["cluster_name"]
+                    and meta[0]["log_file"] == (rec["log_file"] or "")
+                    and meta[0]["log_pos"] == int(rec["log_pos"] or 0)
+                )
+                cols["ts_us"].append(rec.pop("timestamp"))
+                for k, v in rec.items():
+                    cols[k].append(v)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[f.name], f.type) for f in arrow_fields],
+                schema=out_schema,
+            )
+
+    spark_schema = (
+        "schema_id int, cluster_name string, database_name string, "
+        "table_name string, message_type string, ts_us long, log_file string, "
+        "log_pos long, offset int, txn_order long, pk long, payload_k int, "
+        "payload_val double, previous_payload_val double, meta_ok boolean"
+    )
+    return wire.mapInArrow(decode_batches, spark_schema)

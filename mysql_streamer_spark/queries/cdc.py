@@ -1002,6 +1002,58 @@ def q_cdc_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return envelope_from_cdc(debezium_to_cdc(wire))
 
 
+def q_cdc_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's PUBLISHED wire encoding, value-checked end-to-end:
+    the envelope is Avro-binary-ENCODED against the registry-derived
+    envelope schema — including the ``meta`` array of log_transaction_id
+    records matching schema/avro_schema/log_transaction_id_v1.avsc — and
+    DECODED back (connectors/avro_wire.py, an Arrow-batched kernel built
+    from the public Avro spec since this container ships no spark-avro
+    datasource). The oracle is the DIRECT envelope SQL, so a hash match
+    proves the binary encoding lossless for every field type the envelope
+    uses (unions, zigzag longs, doubles, strings, array-of-record), the
+    same proof pattern as cdc_debezium_roundtrip. ``meta_ok`` asserts the
+    decoded transaction-id records equal the position columns they were
+    built from.
+
+    Scale shape: encode and decode are both mapInArrow over the envelope
+    partitioning — no shuffle, no collect; the Python cost is the
+    documented per-row encode loop inside Arrow batches."""
+    from mysql_streamer_spark.connectors.avro_wire import (
+        avro_to_envelope,
+        envelope_to_avro,
+    )
+
+    env = envelope_pipeline(spark, sf_dir)
+    decoded = avro_to_envelope(envelope_to_avro(env))
+    return decoded.select(
+        "schema_id",
+        "cluster_name",
+        "database_name",
+        "table_name",
+        "message_type",
+        F.timestamp_micros("ts_us").alias("timestamp"),
+        "log_file",
+        "log_pos",
+        "offset",
+        "txn_order",
+        "pk",
+        "payload_k",
+        "payload_val",
+        "previous_payload_val",
+        "meta_ok",
+    )
+
+
+_AVRO_ROUNDTRIP_ORACLE = (
+    _ORACLE_PIPELINE_CTES
+    + f"""
+, env AS ({_ENVELOPE_SELECT.strip()})
+SELECT *, TRUE AS meta_ok FROM env
+"""
+)
+
+
 def q_cdc_fleet_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fleet view: the reference runs ONE streamer instance per source
     cluster (ZK-locked singleton, base_parse_replication_stream.py:126);
@@ -1122,6 +1174,11 @@ SPECS = [
         "cdc_debezium_roundtrip",
         q_cdc_debezium_roundtrip,
         _ORACLE_PIPELINE_CTES + _ENVELOPE_SELECT,
+    ),
+    QuerySpec(
+        "cdc_avro_roundtrip",
+        q_cdc_avro_roundtrip,
+        _AVRO_ROUNDTRIP_ORACLE,
     ),
     QuerySpec(
         "cdc_python_source_envelope",

@@ -1,0 +1,170 @@
+"""Avro binary kernel: spec byte-vector pins + roundtrip properties + the
+Spark envelope roundtrip (connectors/avro_wire.py).
+
+The byte vectors are the Avro specification's own examples
+(https://avro.apache.org/docs/1.11.1/specification/#binary-encoding) — they
+pin the ENCODER against the public standard, so the encode/decode pair
+can't be "consistently wrong together" (the failure mode a pure roundtrip
+check would miss).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mysql_streamer_spark.connectors.avro_wire import (
+    ENVELOPE_SCHEMA,
+    TRANSACTION_ID_SCHEMA,
+    decode_value,
+    encode_value,
+    read_long,
+    write_long,
+)
+
+
+def enc(schema, value) -> bytes:
+    out = bytearray()
+    encode_value(schema, value, out)
+    return bytes(out)
+
+
+# --- spec byte vectors ------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "n,expected",
+    [
+        (0, b"\x00"),
+        (-1, b"\x01"),
+        (1, b"\x02"),
+        (-2, b"\x03"),
+        (2, b"\x04"),
+        (-64, b"\x7f"),
+        (64, b"\x80\x01"),
+        (-65, b"\x81\x01"),
+        (8192, b"\x80\x80\x01"),
+        (-(2**63), b"\xff\xff\xff\xff\xff\xff\xff\xff\xff\x01"),
+        (2**63 - 1, b"\xfe\xff\xff\xff\xff\xff\xff\xff\xff\x01"),
+    ],
+)
+def test_zigzag_varint_spec_vectors(n, expected):
+    out = bytearray()
+    write_long(out, n)
+    assert bytes(out) == expected
+    back, pos = read_long(bytes(out), 0)
+    assert back == n and pos == len(expected)
+
+
+def test_string_spec_vector():
+    # the spec's example: "foo" -> 06 66 6f 6f
+    assert enc("string", "foo") == b"\x06foo"
+
+
+def test_array_of_longs_spec_vector():
+    # the spec's example: [3, 27] -> 04 06 36 00
+    assert enc({"type": "array", "items": "long"}, [3, 27]) == b"\x04\x06\x36\x00"
+
+
+def test_union_null_and_branch():
+    schema = ["null", "string"]
+    assert enc(schema, None) == b"\x00"  # branch 0 = null, no payload
+    assert enc(schema, "a") == b"\x02\x02a"  # branch 1, then length-1 string
+
+
+def test_record_concatenates_fields_in_order():
+    rec = {"cluster_name": "c", "log_file": "f.000001", "log_pos": 4}
+    raw = enc(TRANSACTION_ID_SCHEMA, rec)
+    assert raw == b"\x02c" + b"\x10f.000001" + b"\x08"
+    back, end = decode_value(TRANSACTION_ID_SCHEMA, raw, 0)
+    assert back == rec and end == len(raw)
+
+
+def test_double_is_ieee_little_endian():
+    import struct
+
+    assert enc("double", 1.5) == struct.pack("<d", 1.5)
+
+
+# --- roundtrip properties ---------------------------------------------------
+
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+def test_long_roundtrip_property(n):
+    out = bytearray()
+    write_long(out, n)
+    back, pos = read_long(bytes(out), 0)
+    assert back == n and pos == len(out)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.fixed_dictionaries(
+        {
+            "schema_id": st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1)),
+            "cluster_name": st.text(max_size=20),
+            "database_name": st.one_of(st.none(), st.text(max_size=20)),
+            "table_name": st.one_of(st.none(), st.text(max_size=20)),
+            "message_type": st.sampled_from(["create", "update", "delete", "refresh"]),
+            "timestamp": st.one_of(st.none(), st.integers(0, 2**52)),
+            "log_file": st.one_of(st.none(), st.text(max_size=20)),
+            "log_pos": st.one_of(st.none(), st.integers(0, 2**40)),
+            "offset": st.integers(0, 2**16),
+            "txn_order": st.one_of(st.none(), st.integers(0, 2**62)),
+            "pk": st.one_of(st.none(), st.integers(-(2**62), 2**62)),
+            "payload_k": st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1)),
+            "payload_val": st.one_of(
+                st.none(), st.floats(allow_nan=False, allow_infinity=True)
+            ),
+            "previous_payload_val": st.one_of(
+                st.none(), st.floats(allow_nan=False, allow_infinity=True)
+            ),
+        }
+    ),
+    st.lists(
+        st.fixed_dictionaries(
+            {
+                "cluster_name": st.text(max_size=10),
+                "log_file": st.text(max_size=10),
+                "log_pos": st.integers(-(2**31), 2**31 - 1),
+            }
+        ),
+        max_size=3,
+    ),
+)
+def test_envelope_record_roundtrip_property(flat, meta):
+    rec = dict(flat, meta=meta)
+    raw = enc(ENVELOPE_SCHEMA, rec)
+    back, end = decode_value(ENVELOPE_SCHEMA, raw, 0)
+    assert end == len(raw)
+    for k, v in rec.items():
+        if isinstance(v, float):
+            assert back[k] == v or (math.isnan(v) and math.isnan(back[k]))
+        else:
+            assert back[k] == v, k
+
+
+# --- the Spark path ---------------------------------------------------------
+
+def test_spark_envelope_avro_roundtrip_is_lossless(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mysql_streamer_spark.cdc.pipeline import envelope_pipeline
+    from mysql_streamer_spark.connectors.avro_wire import (
+        avro_to_envelope,
+        envelope_to_avro,
+    )
+
+    env = envelope_pipeline(spark, sf_dir)
+    decoded = avro_to_envelope(envelope_to_avro(env)).withColumn(
+        "timestamp", F.timestamp_micros("ts_us")
+    )
+    assert decoded.filter(~F.col("meta_ok")).count() == 0
+    cols = [c for c in env.columns]
+    left = env.select(*cols)
+    right = decoded.select(*cols)
+    # exact multiset equality both directions
+    assert left.exceptAll(right).count() == 0
+    assert right.exceptAll(left).count() == 0
+    assert left.count() == right.count() > 0
