@@ -108,20 +108,31 @@ def filter_after_position(cdc, position: LogPosition):
     )
 
 
-def position_for_timestamp(heartbeats, ts) -> HeartbeatPosition | None:
-    """R5/R6 — failover re-pointing: locate the newest heartbeat at or
-    before ``ts`` and return its master-independent HeartbeatPosition
-    (heartbeat (serial, timestamp) survives a primary switch; the reference
-    scans binlog files newest-to-oldest for the same answer,
-    heartbeat_searcher.py:53-64)."""
+def position_for_timestamp(heartbeats, ts, serial: int | None = None) -> HeartbeatPosition | None:
+    """R5/R6 — failover re-pointing: locate a heartbeat and return its
+    master-independent HeartbeatPosition (a heartbeat's (timestamp, serial)
+    survives a primary switch; the reference scans binlog files
+    newest-to-oldest for the same answer, heartbeat_searcher.py:53-64).
+
+    With ``serial`` the lookup is the reference CLI's EXACT contract
+    (``mysql_heartbeat_search TS SERIAL``): only the heartbeat whose
+    (timestamp, serial) both match is returned
+    (heartbeat_searcher.py:121-127's ``hb_serial == hb_serial and
+    hb_timestamp == hb_timestamp``) — two heartbeats sharing a timestamp
+    resolve to the one the caller asked for, or to None if that exact pair
+    never fired. Without ``serial`` it is the re-pointing form: the newest
+    heartbeat at or before ``ts``, serial as tiebreaker."""
     from pyspark.sql import functions as F
 
-    row = (
-        heartbeats.filter(F.col("timestamp") <= ts)
-        .orderBy(F.col("timestamp").desc(), F.col("serial").desc())
-        .limit(1)
-        .collect()
-    )
+    if serial is not None:
+        matched = heartbeats.filter(
+            (F.col("timestamp") == ts) & (F.col("serial") == int(serial))
+        )
+    else:
+        matched = heartbeats.filter(F.col("timestamp") <= ts).orderBy(
+            F.col("timestamp").desc(), F.col("serial").desc()
+        )
+    row = matched.limit(1).collect()
     if not row:
         return None
     r = row[0]

@@ -8,8 +8,9 @@
   via the checkpoint.
 - ``changelog``         — entry point 2 (``changelog_mode: true``): same
   drain, changelog projection instead of envelopes.
-- ``heartbeat-search``  — entry point 3 (``mysql_heartbeat_search TS``):
-  timestamp -> binlog position via the heartbeat side channel.
+- ``heartbeat-search``  — entry point 3 (``mysql_heartbeat_search TS
+  SERIAL``): (timestamp, serial) -> binlog position via the heartbeat side
+  channel; exact-match with SERIAL, newest-at-or-before without.
 - ``registry-dump``     — the schema-dump surface (mysql_dump parity):
   print every registered table schema as JSON lines.
 
@@ -79,29 +80,25 @@ def cmd_changelog(args: argparse.Namespace) -> int:
 
 
 def cmd_heartbeat_search(args: argparse.Namespace) -> int:
-    from pyspark.sql import functions as F
-
+    """Reference CLI parity: ``mysql_heartbeat_search TS [SERIAL]``. With
+    SERIAL the match is exact on (timestamp, serial)
+    (heartbeat_searcher.py:121-127); without it, newest-at-or-before TS."""
     from mysql_streamer_spark.cdc.pipeline import heartbeat_stream
+    from mysql_streamer_spark.cdc.positions import position_for_timestamp
 
     hb = heartbeat_stream(_spark(), args.sf_dir)
-    row = (
-        hb.filter(F.col("timestamp") <= F.lit(args.timestamp).cast("timestamp"))
-        .orderBy(F.col("timestamp").desc(), F.col("serial").desc())
-        .limit(1)
-        .collect()
-    )
-    if not row:
+    pos = position_for_timestamp(hb, args.timestamp, serial=args.serial)
+    if pos is None:
         print(json.dumps({"found": False}))
         return 1
-    r = row[0]
     print(
         json.dumps(
             {
                 "found": True,
-                "serial": r.serial,
-                "timestamp": str(r.timestamp),
-                "log_file": r.log_file,
-                "log_pos": r.log_pos,
+                "serial": pos.hb_serial,
+                "timestamp": pos.hb_timestamp,
+                "log_file": pos.log_file,
+                "log_pos": pos.log_pos,
             }
         )
     )
@@ -179,9 +176,17 @@ def build_parser() -> argparse.ArgumentParser:
     c.set_defaults(fn=cmd_changelog)
 
     h = sub.add_parser(
-        "heartbeat-search", help="timestamp -> binlog position (R5)"
+        "heartbeat-search", help="timestamp [serial] -> binlog position (R5)"
     )
     h.add_argument("timestamp")
+    h.add_argument(
+        "serial",
+        nargs="?",
+        type=int,
+        default=None,
+        help="exact-match the (timestamp, serial) pair like the reference "
+        "mysql_heartbeat_search CLI; omit for newest-at-or-before",
+    )
     h.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     h.set_defaults(fn=cmd_heartbeat_search)
 

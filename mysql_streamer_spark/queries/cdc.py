@@ -187,6 +187,55 @@ def q_cdc_offset_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_heartbeat_exact_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5's EXACT contract (``mysql_heartbeat_search TS SERIAL``): only
+    the heartbeat whose (timestamp, serial) BOTH match is returned
+    (heartbeat_searcher.py:121-127) — the serial is a match key, not a
+    tiebreaker. The target pair is derived deterministically from the
+    fixture (the newest heartbeat at or before the anchor timestamp) and
+    fed through the exact-match join, so the oracle checks the exact-match
+    path end-to-end at every SF. Scale shape: the 1-row target frame is
+    broadcast; the probe is a filter-join, no sort of the heartbeat
+    stream."""
+    hb = heartbeat_stream(spark, sf_dir)
+    target = (
+        hb.filter(
+            F.col("timestamp") <= F.lit("2024-03-01 00:00:00").cast("timestamp")
+        )
+        .orderBy(F.col("timestamp").desc(), F.col("serial").desc())
+        .limit(1)
+        .select(
+            F.col("timestamp").alias("t_ts"), F.col("serial").alias("t_serial")
+        )
+    )
+    return (
+        hb.join(
+            F.broadcast(target),
+            (F.col("timestamp") == F.col("t_ts"))
+            & (F.col("serial") == F.col("t_serial")),
+        )
+        .select("serial", "timestamp", "log_file", "log_pos")
+    )
+
+
+_HEARTBEAT_EXACT_ORACLE = (
+    "WITH "
+    + ORACLE_CDC_EVENTS_CTE
+    + """
+, hbs AS (
+  SELECT event_id AS serial, timestamp, log_file, log_pos
+  FROM cdc WHERE database = 'yelp_heartbeat'
+), target AS (
+  SELECT timestamp AS t_ts, serial AS t_serial
+  FROM hbs WHERE timestamp <= TIMESTAMP '2024-03-01 00:00:00'
+  ORDER BY timestamp DESC, serial DESC LIMIT 1
+)
+SELECT serial, timestamp, log_file, log_pos
+FROM hbs JOIN target ON timestamp = t_ts AND serial = t_serial
+"""
+)
+
+
 def q_cdc_message_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ops/stats counters (R8): messages per (database, table, type) —
     partial-aggregated map-side before the shuffle."""
@@ -1245,6 +1294,11 @@ WHERE database = 'yelp_heartbeat'
 ORDER BY timestamp DESC, serial DESC
 LIMIT 1
 """,
+    ),
+    QuerySpec(
+        "cdc_heartbeat_exact_lookup",
+        q_cdc_heartbeat_exact_lookup,
+        _HEARTBEAT_EXACT_ORACLE,
     ),
     QuerySpec(
         "cdc_message_counts",

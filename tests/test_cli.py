@@ -101,3 +101,22 @@ def test_query_command_unknown_name_fails(spark, sf_dir, capsys):
     from mysql_streamer_spark.cli import main
 
     assert main(["query", "no_such_query", "--sf-dir", sf_dir]) == 2
+
+
+def test_heartbeat_search_with_serial_exact_matches(spark, sf_dir, capsys):
+    """CLI parity with mysql_heartbeat_search TS SERIAL: the serial is an
+    exact match key, so the right serial finds its heartbeat and a serial
+    that never fired at that timestamp fails."""
+    from mysql_streamer_spark.cdc.pipeline import heartbeat_stream
+
+    r = heartbeat_stream(spark, sf_dir).orderBy("serial").limit(1).collect()[0]
+    ts = str(r.timestamp)
+    rc = main(["heartbeat-search", ts, str(r.serial), "--sf-dir", sf_dir])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["found"] is True
+    assert out["serial"] == r.serial
+    assert out["log_file"] == r.log_file and out["log_pos"] == r.log_pos
+
+    rc = main(["heartbeat-search", ts, str(r.serial + 10**9), "--sf-dir", sf_dir])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and out["found"] is False

@@ -88,3 +88,33 @@ def test_failover_repoint_resumes_from_heartbeat(spark, sf_dir):
     ).count()
     assert bad == 0
     assert resumed.count() < cdc.count()
+
+
+def test_exact_heartbeat_lookup_disambiguates_shared_timestamp(spark):
+    """Reference parity (heartbeat_searcher.py:121-127): with a serial the
+    lookup matches (timestamp, serial) EXACTLY — two heartbeats sharing a
+    timestamp each resolve to their own position, and a serial that never
+    fired at that timestamp returns None (not the tiebreak winner)."""
+    from mysql_streamer_spark.cdc.positions import position_for_timestamp
+
+    hb = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", "binlog.000001", 100),
+            (2, "2024-01-01 00:00:00", "binlog.000001", 200),
+            (3, "2024-01-02 00:00:00", "binlog.000002", 4),
+        ],
+        "serial long, timestamp string, log_file string, log_pos long",
+    ).selectExpr(
+        "serial", "CAST(timestamp AS TIMESTAMP) AS timestamp", "log_file", "log_pos"
+    )
+
+    p1 = position_for_timestamp(hb, "2024-01-01 00:00:00", serial=1)
+    p2 = position_for_timestamp(hb, "2024-01-01 00:00:00", serial=2)
+    assert (p1.hb_serial, p1.log_pos) == (1, 100)
+    assert (p2.hb_serial, p2.log_pos) == (2, 200)
+    # exact contract: no heartbeat with that (ts, serial) pair -> None,
+    # even though serial 3 exists at a LATER timestamp
+    assert position_for_timestamp(hb, "2024-01-01 00:00:00", serial=3) is None
+    # without a serial: newest-at-or-before with serial DESC tiebreak
+    p = position_for_timestamp(hb, "2024-01-01 12:00:00")
+    assert (p.hb_serial, p.log_pos) == (2, 200)
