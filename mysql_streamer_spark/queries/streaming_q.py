@@ -299,7 +299,14 @@ def q_streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFr
     split in half, one file per trigger), so the second batch's emitted
     profiles are provably state-merged with the first. The final view —
     latest emitted row per user — must equal the batch aggregate over ALL
-    events, which is the oracle."""
+    events, which is the oracle.
+
+    Where google.protobuf is absent (the transformWithState Python worker
+    hard-requires it and pyspark ships it only as a 'connect' extra) the
+    stream runs the semantically identical applyInPandasWithState fallback
+    (streaming/transform_state.py:profile_stream) — same state layout,
+    same emitted rows, same oracle; the StatefulProcessor path activates
+    automatically wherever protobuf exists."""
     import duckdb
 
     from mysql_streamer_spark.streaming.transform_state import run_profile_stream
@@ -368,10 +375,11 @@ SPECS = [
         q_streaming_python_source,
         _ORACLE_PIPELINE_CTES + _ENVELOPE_SELECT,
     ),
-    # registered below only when google.protobuf is importable — the
-    # transformWithState driver worker hard-requires it and this container
-    # ships without it; applyInPandasWithState (streaming_stateful_sessions)
-    # remains the always-exercised arbitrary-state path
+    QuerySpec(
+        "streaming_transform_with_state",
+        q_streaming_transform_with_state,
+        _TRANSFORM_STATE_ORACLE,
+    ),
     QuerySpec(
         "streaming_windowed_counts",
         q_streaming_windowed_counts,
@@ -405,24 +413,3 @@ SPECS = [
 ]
 
 
-def _protobuf_available() -> bool:
-    """transformWithStateInPandas speaks to the JVM state server over a
-    protobuf protocol; the pure-Python implementation is complete but can
-    only RUN where google.protobuf exists (pyspark declares it only as an
-    optional 'connect' extra)."""
-    import importlib.util
-
-    try:
-        return importlib.util.find_spec("google.protobuf") is not None
-    except ModuleNotFoundError:  # no 'google' namespace package at all
-        return False
-
-
-if _protobuf_available():  # pragma: no cover — absent in the CI container
-    SPECS.append(
-        QuerySpec(
-            "streaming_transform_with_state",
-            q_streaming_transform_with_state,
-            _TRANSFORM_STATE_ORACLE,
-        )
-    )

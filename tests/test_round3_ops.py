@@ -100,21 +100,10 @@ def test_local_supplier_revenue_matches_sql(spark):
     assert all(r.revenue_c > 0 for r in rows)
 
 
-def _protobuf_missing() -> bool:
-    try:
-        import importlib.util
-
-        return importlib.util.find_spec("google.protobuf") is None
-    except ModuleNotFoundError:
-        return True
-
-
-@pytest.mark.skipif(
-    _protobuf_missing(),
-    reason="transformWithStateInPandas needs google.protobuf (pyspark "
-    "optional dependency not shipped in this container)",
-)
 def test_transform_with_state_profiles(spark):
+    """Runs on every environment: the query picks the StatefulProcessor
+    path where google.protobuf exists and the semantically identical
+    applyInPandasWithState fallback otherwise (transform_state.py)."""
     from mysql_streamer_spark.queries.streaming_q import (
         q_streaming_transform_with_state,
     )
