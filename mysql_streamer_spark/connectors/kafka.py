@@ -131,7 +131,7 @@ def cdc_to_debezium_json(cdc: DataFrame) -> DataFrame:
     )
     payload = F.struct(
         op.alias("op"),
-        (F.unix_micros("timestamp") / 1000).cast("long").alias("ts_ms"),
+        F.floor(F.unix_micros("timestamp") / 1000).cast("long").alias("ts_ms"),
         # Debezium's delete contract: the row image rides in `before`
         F.when(op == "d", image).otherwise(before_image).alias("before"),
         F.when(op != "d", image).alias("after"),
@@ -141,7 +141,7 @@ def cdc_to_debezium_json(cdc: DataFrame) -> DataFrame:
             F.col("log_file").alias("file"),
             F.col("log_pos").cast("long").alias("pos"),
             F.col("offset").cast("int").alias("row"),
-            (F.unix_micros("timestamp") / 1000).cast("long").alias("ts_ms"),
+            F.floor(F.unix_micros("timestamp") / 1000).cast("long").alias("ts_ms"),
             F.unix_micros("timestamp").alias("ts_us"),
         ).alias("source"),
     )

@@ -68,18 +68,19 @@ class ManifestSinkDataSource(DataSource):
         return "manifest_sink"
 
     def writer(self, schema, overwrite: bool) -> "ManifestSinkWriter":
-        return ManifestSinkWriter(self.options)
+        return ManifestSinkWriter(self.options, overwrite=overwrite)
 
     def streamWriter(self, schema, overwrite: bool) -> "ManifestStreamWriter":
         return ManifestStreamWriter(self.options)
 
 
 class ManifestSinkWriter(DataSourceArrowWriter):
-    def __init__(self, options):
+    def __init__(self, options, overwrite: bool = True):
         path = options.get("path")
         if not path:
             raise ValueError("manifest_sink requires .option('path', ...)")
         self.path = path
+        self.overwrite = overwrite
 
     def write(self, iterator) -> _PartCommit:
         import pyarrow as pa
@@ -104,7 +105,14 @@ class ManifestSinkWriter(DataSourceArrowWriter):
             for m in messages
             if m is not None and m.filename
         ]
-        version = latest_version(self.path) + 1
+        head = latest_version(self.path)
+        # honor the save mode: mode('append') carries the previous HEAD's
+        # files forward into the new snapshot, mode('overwrite') swaps —
+        # accepting append while implementing replace would silently drop
+        # all previously committed rows for HEAD readers
+        if not self.overwrite and head:
+            files = read_manifest(self.path)["files"] + files
+        version = head + 1
         manifest = {
             "version": version,
             "files": files,
@@ -237,8 +245,12 @@ def register_manifest_sink(spark: SparkSession) -> None:
 
 
 def write_with_manifest(df: DataFrame, path: str) -> None:
+    """Publish ``df`` as the new HEAD snapshot (replace semantics — prior
+    versions stay readable via time travel until vacuum). For accumulating
+    writes use ``mode("append")``, which carries the previous HEAD's files
+    forward into the new manifest."""
     register_manifest_sink(df.sparkSession)
-    df.write.format("manifest_sink").option("path", path).mode("append").save()
+    df.write.format("manifest_sink").option("path", path).mode("overwrite").save()
 
 
 def _versioned_name(version: int) -> str:
@@ -272,12 +284,15 @@ def vacuum(path: str, keep_versions: int = 1) -> dict:
     if keep_versions < 1:
         raise ValueError("must keep at least the latest version")
     head = latest_version(path)
-    cutoff = head - keep_versions + 1
-    keep_files = {
-        f["file"]
-        for v in range(cutoff, head + 1)
-        for f in read_manifest(path, v)["files"]
-    }
+    # clamp: retention larger than history keeps everything, and versions
+    # already reclaimed by an earlier, tighter vacuum are simply skipped
+    cutoff = max(1, head - keep_versions + 1)
+    keep_files = set()
+    for v in range(cutoff, head + 1):
+        try:
+            keep_files.update(f["file"] for f in read_manifest(path, v)["files"])
+        except FileNotFoundError:  # vacuumed earlier with smaller retention
+            continue
     removed_parts, removed_manifests = [], []
     for f in os.listdir(path):
         if f.startswith("part-") and f.endswith(".parquet") and f not in keep_files:

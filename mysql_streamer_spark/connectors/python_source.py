@@ -213,9 +213,21 @@ class BinlogEventsStreamReader(SimpleDataSourceStreamReader):
 
         tbl = self._load().slice(start_row, end_row - start_row)
         ts = tbl.column("ts")
+        # mirror the batch reader's type handling exactly: TIMESTAMP(NANOS)
+        # generations may surface as either timestamp[ns] OR plain int64
+        # nanos, and both must truncate ns -> µs; unknown shapes raise
+        # instead of silently passing through 1000x-off values
+        if pa.types.is_timestamp(ts.type):
+            unit = ts.type.unit
+        elif pa.types.is_int64(ts.type):
+            unit = "ns"
+        else:  # pragma: no cover - unknown future generation
+            raise TypeError(f"unsupported ts type {ts.type}")
         ts_i64 = ts.cast(pa.int64(), safe=False)
-        if pa.types.is_timestamp(ts.type) and ts.type.unit == "ns":
+        if unit == "ns":
             ts_i64 = pc.divide(ts_i64, pa.scalar(1000, pa.int64()))
+        elif unit != "us":  # pragma: no cover
+            raise TypeError(f"unsupported ts unit {unit}")
         # a LIST, not a generator: Spark's prefetch cache copy.copy()s the
         # iterator, which generators do not support. Columnar to_pydict +
         # zip beats per-scalar .as_py() indexing ~10x on wide batches.

@@ -362,8 +362,119 @@ def _ddl_admission_oracle() -> str:
     )
 
 
+#: The reference's BDD ALTER-chain corpus
+#: (acceptance/complex_statements.feature: ADD … AFTER reorder, table
+#: renames both syntaxes, MODIFY widen), extended with the CHANGE-with-type
+#: -change and FIRST placements the same feature family covers.
+_ALTER_CHAIN_STATEMENTS: tuple[str, ...] = (
+    "CREATE TABLE `employee` ("
+    "`id` int(11) DEFAULT NULL, `name` varchar(64) DEFAULT NULL, "
+    "`is_active` tinyint(1) NOT NULL DEFAULT 0, "
+    "`salary` float(10, 2) NOT NULL DEFAULT 0.00, "
+    "`job_description` text DEFAULT NULL, `created_at` int(11) NOT NULL, "
+    "`update_at` int(11) NOT NULL) ENGINE=InnoDB DEFAULT CHARSET=utf8",
+    "ALTER TABLE `employee` ADD `office` varchar(64) DEFAULT NULL"
+    " AFTER `job_description`",
+    "RENAME TABLE `employee` TO `employee_backup`",
+    "ALTER TABLE `employee_backup` RENAME TO `employee_new`",
+    "ALTER TABLE `employee_new` MODIFY office varchar(128)",
+    "ALTER TABLE `employee_new` CHANGE update_at updated_at bigint NOT NULL",
+    "ALTER TABLE `employee_new` ADD badge_id int FIRST",
+)
+
+
+def _classify_evolution(prev, cur) -> str:
+    """Mechanical compatibility label between consecutive versions."""
+    if prev is None:
+        return "create"
+    p = {f.name: f.dataType.simpleString() for f in prev.struct.fields}
+    c = {f.name: f.dataType.simpleString() for f in cur.struct.fields}
+    added, removed = sorted(set(c) - set(p)), sorted(set(p) - set(c))
+    if len(added) == 1 and len(removed) == 1:
+        return f"change:{removed[0]}->{added[0]}"
+    if added:
+        return "add:" + ",".join(added)
+    if removed:
+        return "drop:" + ",".join(removed)
+    retyped = sorted(n for n in c if p[n] != c[n])
+    if retyped:
+        return "modify:" + ",".join(retyped)
+    # DDL applied but invisible to the Spark type (e.g. varchar widen)
+    return "redefine"
+
+
+def q_schema_registry_alter_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2/T3 parity with the reference's complex-statements acceptance
+    chain: replay CREATE -> ADD…AFTER (column reorder) -> RENAME TABLE ->
+    ALTER…RENAME -> MODIFY (widen) -> CHANGE with type change -> ADD…FIRST
+    on a FRESH registry, and emit every version's exact column ORDER,
+    tracked DEFAULT literals, and a mechanical compatibility label. The
+    oracle is a hand-written golden table — independent of the registry
+    code — so a regression in placement, rename-history-move, default
+    tracking, or CHANGE semantics breaks the hash."""
+    from mysql_streamer_spark.schema.registry import SchemaRegistry
+
+    reg = SchemaRegistry()
+    for stmt in _ALTER_CHAIN_STATEMENTS:
+        reg.apply_statement(stmt, default_database="rbrsource")
+    rows = []
+    prev = None
+    for e in reg.history("rbrsource", "employee_new"):
+        rows.append(
+            (
+                e.database,
+                e.table,
+                e.version,
+                e.schema_id,
+                ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}" for f in e.struct.fields
+                ),
+                ", ".join(f"{k}={v}" for k, v in sorted(e.defaults.items())),
+                _classify_evolution(prev, e),
+            )
+        )
+        prev = e
+    return spark.createDataFrame(
+        rows,
+        "database string, `table` string, version int, schema_id int, "
+        "columns string, defaults string, change_kind string",
+    )
+
+
+#: hand-written golden expectation (NOT generated from the registry)
+_ALTER_CHAINS_ORACLE = """
+SELECT * FROM (VALUES
+  ('rbrsource', 'employee_new', 1, 1,
+   'id int, name string, is_active tinyint, salary float, job_description string, created_at int, update_at int',
+   'id=NULL, is_active=0, job_description=NULL, name=NULL, salary=0.00',
+   'create'),
+  ('rbrsource', 'employee_new', 2, 2,
+   'id int, name string, is_active tinyint, salary float, job_description string, office string, created_at int, update_at int',
+   'id=NULL, is_active=0, job_description=NULL, name=NULL, office=NULL, salary=0.00',
+   'add:office'),
+  ('rbrsource', 'employee_new', 3, 3,
+   'id int, name string, is_active tinyint, salary float, job_description string, office string, created_at int, update_at int',
+   'id=NULL, is_active=0, job_description=NULL, name=NULL, office=NULL, salary=0.00',
+   'redefine'),
+  ('rbrsource', 'employee_new', 4, 4,
+   'id int, name string, is_active tinyint, salary float, job_description string, office string, created_at int, updated_at bigint',
+   'id=NULL, is_active=0, job_description=NULL, name=NULL, office=NULL, salary=0.00',
+   'change:update_at->updated_at'),
+  ('rbrsource', 'employee_new', 5, 5,
+   'badge_id int, id int, name string, is_active tinyint, salary float, job_description string, office string, created_at int, updated_at bigint',
+   'id=NULL, is_active=0, job_description=NULL, name=NULL, office=NULL, salary=0.00',
+   'add:badge_id')
+) AS t(database, "table", version, schema_id, columns, defaults, change_kind)
+"""
+
+
 SPECS = [
     QuerySpec("schema_registry_state", q_schema_registry_state, registry_state_values_sql()),
+    QuerySpec(
+        "schema_registry_alter_chains",
+        q_schema_registry_alter_chains,
+        _ALTER_CHAINS_ORACLE,
+    ),
     QuerySpec("cdc_ddl_admission", q_cdc_ddl_admission, _ddl_admission_oracle()),
     QuerySpec(
         "cdc_schema_version_routing",

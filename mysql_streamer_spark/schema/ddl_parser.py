@@ -51,17 +51,24 @@ class ColumnDef:
     name: str
     type_str: str
     nullable: bool = True
+    #: the DEFAULT clause's literal, verbatim ("0", "0.00", "'x'", "NULL",
+    #: "CURRENT_TIMESTAMP"); None when the column declares no default
+    default_str: str | None = None
 
 
 @dataclass(frozen=True)
 class AlterOp:
     """One clause of an ALTER TABLE: op in {add, drop, modify, change,
-    rename}; ``column``/``new_column``/``type_str`` as applicable."""
+    rename}; ``column``/``new_column``/``type_str`` as applicable.
+    ``position`` carries MySQL's column-placement clause: None (append /
+    keep place), "FIRST", or ("AFTER", column)."""
 
     op: str
     column: str | None = None
     new_column: str | None = None
     type_str: str | None = None
+    default_str: str | None = None
+    position: str | tuple[str, str] | None = None
 
 
 @dataclass(frozen=True)
@@ -252,6 +259,32 @@ _COLUMN_DEF_RE = re.compile(
 )
 
 
+#: the DEFAULT clause literal: quoted string (with '' escapes), or one bare
+#: token (number, NULL, CURRENT_TIMESTAMP, b'…'-style constants)
+_DEFAULT_RE = re.compile(
+    r"\bDEFAULT\s+(?P<lit>'(?:[^']|'')*'|[^\s,]+)", re.IGNORECASE
+)
+
+#: column placement inside ADD/MODIFY/CHANGE clauses (MySQL reorder syntax)
+_POSITION_RE = re.compile(
+    rf"\b(?:(?P<first>FIRST)|AFTER\s+(?P<after>{_IDENT}))\s*$", re.IGNORECASE
+)
+
+
+def _parse_default(entry: str) -> str | None:
+    m = _DEFAULT_RE.search(entry)
+    return m.group("lit") if m else None
+
+
+def _parse_position(clause: str) -> str | tuple[str, str] | None:
+    m = _POSITION_RE.search(clause)
+    if not m:
+        return None
+    if m.group("first"):
+        return "FIRST"
+    return ("AFTER", unquote(m.group("after")))
+
+
 def _parse_column_def(entry: str) -> ColumnDef | None:
     if _NON_COLUMN_PREFIX.match(entry):
         return None
@@ -259,7 +292,12 @@ def _parse_column_def(entry: str) -> ColumnDef | None:
     if not m:
         return None
     nullable = not re.search(r"\bNOT\s+NULL\b", entry, re.IGNORECASE)
-    return ColumnDef(unquote(m.group("name")), m.group("type").strip(), nullable)
+    return ColumnDef(
+        unquote(m.group("name")),
+        m.group("type").strip(),
+        nullable,
+        default_str=_parse_default(entry),
+    )
 
 
 def _extract_create_columns(sql: str) -> tuple[ColumnDef, ...]:
@@ -338,12 +376,15 @@ def _parse_alter_ops(tail: str) -> tuple[AlterOp, ...]:
             if not m:
                 continue
             gd = m.groupdict()
+            has_coldef = op_name in ("add", "modify", "change")
             ops.append(
                 AlterOp(
                     op=op_name,
                     column=unquote(gd["col"]) if gd.get("col") else None,
                     new_column=unquote(gd["new"]) if gd.get("new") else None,
                     type_str=gd.get("type"),
+                    default_str=_parse_default(clause) if has_coldef else None,
+                    position=_parse_position(clause) if has_coldef else None,
                 )
             )
             break

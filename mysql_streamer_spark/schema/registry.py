@@ -46,6 +46,11 @@ class SchemaEntry:
     #: column -> wire-transform tag (set/timestamp/datetime/time), the
     #: reference's transformation_map (schema_wrapper.py:146-162)
     transformation_map: dict[str, str] = field(default_factory=dict)
+    #: column -> DEFAULT literal verbatim ("0", "'x'", "NULL") — the
+    #: reference registers defaults into the Avro schema it publishes
+    #: (acceptance/complex_statements.feature's expected schemas carry
+    #: them); tracked here so evolution preserves/retires them correctly
+    defaults: dict[str, str] = field(default_factory=dict)
     source_ddl: str = ""
 
     def to_row(self) -> dict:
@@ -64,14 +69,16 @@ class UnsupportedDDLError(ValueError):
     pass
 
 
-def _struct_from_columns(columns) -> tuple[T.StructType, dict[str, str]]:
-    fields, tmap = [], {}
+def _struct_from_columns(columns) -> tuple[T.StructType, dict[str, str], dict[str, str]]:
+    fields, tmap, defaults = [], {}, {}
     for c in columns:
         mapped = mysql_type_to_spark(c.type_str)
         fields.append(T.StructField(c.name, mapped.spark_type, c.nullable))
         if mapped.wire_transform:
             tmap[c.name] = mapped.wire_transform
-    return T.StructType(fields), tmap
+        if c.default_str is not None:
+            defaults[c.name] = c.default_str
+    return T.StructType(fields), tmap, defaults
 
 
 class SchemaRegistry:
@@ -107,6 +114,7 @@ class SchemaRegistry:
         struct: T.StructType,
         tmap: dict[str, str],
         ddl: str,
+        defaults: dict[str, str] | None = None,
     ) -> SchemaEntry:
         versions = self._entries.setdefault((database, table), [])
         entry = SchemaEntry(
@@ -116,6 +124,7 @@ class SchemaRegistry:
             schema_id=self._next_schema_id,
             struct=struct,
             transformation_map=tmap,
+            defaults=dict(defaults or {}),
             source_ddl=ddl,
         )
         self._next_schema_id += 1
@@ -136,8 +145,8 @@ class SchemaRegistry:
         if k is StatementKind.CREATE_TABLE:
             if p.if_not_exists and self.get(p.database, p.table) is not None:
                 return self.get(p.database, p.table)
-            struct, tmap = _struct_from_columns(p.columns)
-            return self._register(p.database, p.table, struct, tmap, p.raw)
+            struct, tmap, defaults = _struct_from_columns(p.columns)
+            return self._register(p.database, p.table, struct, tmap, p.raw, defaults)
         if k is StatementKind.ALTER_TABLE:
             if p.is_rename:
                 # a combined "ADD c int, RENAME TO t2" must evolve the schema
@@ -180,32 +189,65 @@ class SchemaRegistry:
             raise KeyError(f"ALTER on unknown table {p.database}.{p.table}")
         fields = list(current.struct.fields)
         tmap = dict(current.transformation_map)
+        defaults = dict(current.defaults)
         by_name = {f.name: i for i, f in enumerate(fields)}
 
-        def mapped_field(name: str, type_str: str) -> T.StructField:
+        def mapped_field(name: str, type_str: str, default_str) -> T.StructField:
             m = mysql_type_to_spark(type_str)
             if m.wire_transform:
                 tmap[name] = m.wire_transform
             else:
                 tmap.pop(name, None)
+            if default_str is not None:
+                defaults[name] = default_str
             return T.StructField(name, m.spark_type, True)
+
+        def place(f: T.StructField, op, from_idx: int | None) -> None:
+            """Honor MySQL column placement (FIRST / AFTER c / keep place
+            or append) — the reorder semantics
+            acceptance/complex_statements.feature exercises with
+            ``ADD … AFTER job_description``."""
+            if from_idx is not None:
+                fields.pop(from_idx)
+            if op.position == "FIRST":
+                at = 0
+            elif isinstance(op.position, tuple):
+                anchor = op.position[1]
+                names = [x.name for x in fields]
+                at = names.index(anchor) + 1 if anchor in names else len(fields)
+            elif from_idx is not None:  # modify/change without placement
+                at = from_idx
+            else:  # plain ADD appends
+                at = len(fields)
+            fields.insert(at, f)
+            by_name.clear()
+            by_name.update({x.name: i for i, x in enumerate(fields)})
 
         for op in p.alter_ops:
             if op.op == "add" and op.type_str:
-                fields.append(mapped_field(op.column, op.type_str))
-                by_name[op.column] = len(fields) - 1
+                place(mapped_field(op.column, op.type_str, op.default_str), op, None)
             elif op.op == "drop" and op.column in by_name:
                 idx = by_name.pop(op.column)
                 fields.pop(idx)
                 tmap.pop(op.column, None)
+                defaults.pop(op.column, None)
                 by_name = {f.name: i for i, f in enumerate(fields)}
             elif op.op == "modify" and op.column in by_name:
-                fields[by_name[op.column]] = mapped_field(op.column, op.type_str)
+                place(
+                    mapped_field(op.column, op.type_str, op.default_str),
+                    op,
+                    by_name[op.column],
+                )
             elif op.op == "change" and op.column in by_name:
-                idx = by_name.pop(op.column)
+                idx = by_name[op.column]
                 tmap.pop(op.column, None)
-                fields[idx] = mapped_field(op.new_column, op.type_str)
-                by_name[op.new_column] = idx
+                if op.column in defaults:
+                    defaults[op.new_column] = defaults.pop(op.column)
+                place(
+                    mapped_field(op.new_column, op.type_str, op.default_str),
+                    op,
+                    idx,
+                )
             elif op.op == "rename_column" and op.column in by_name:
                 # MySQL 8.0 RENAME COLUMN: identity changes, type stays
                 idx = by_name.pop(op.column)
@@ -213,9 +255,11 @@ class SchemaRegistry:
                 fields[idx] = T.StructField(op.new_column, old.dataType, old.nullable)
                 if op.column in tmap:
                     tmap[op.new_column] = tmap.pop(op.column)
+                if op.column in defaults:
+                    defaults[op.new_column] = defaults.pop(op.column)
                 by_name[op.new_column] = idx
         return self._register(
-            p.database, p.table, T.StructType(fields), tmap, p.raw
+            p.database, p.table, T.StructType(fields), tmap, p.raw, defaults
         )
 
     def diff(self, database: str, table: str) -> tuple[T.StructType | None, T.StructType | None]:

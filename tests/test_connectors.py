@@ -141,3 +141,26 @@ def test_kafka_wire_roundtrip_preserves_envelope(spark, sf_dir):
     ]
     assert parsed.exceptAll(env).count() == 0
     assert env.exceptAll(parsed).count() == 0
+
+
+def test_debezium_ts_ms_floors_pre_epoch_timestamps(spark):
+    """Debezium's source.ts_ms is epoch MILLIS with floor semantics; a
+    truncate-toward-zero derivation is off by one for pre-1970 timestamps
+    whose micros are not on a millisecond boundary."""
+    from mysql_streamer_spark.connectors.kafka import cdc_to_debezium_json
+    import json as _json
+
+    cdc = spark.createDataFrame(
+        [(1, "db", "t", "create", "1969-12-31 23:59:59.9995", "binlog.000001", 4, 0, 1, 1, 1.0, None)],
+        "event_id long, database string, table string, message_type string, "
+        "ts string, log_file string, log_pos long, offset int, pk long, "
+        "payload_k int, payload_val double, before_val double",
+    ).selectExpr(
+        "event_id", "database", "table", "message_type",
+        "CAST(ts AS TIMESTAMP) AS timestamp", "log_file", "log_pos",
+        "offset", "pk", "payload_k", "payload_val", "before_val",
+    )
+    row = cdc_to_debezium_json(cdc).collect()[0]
+    payload = _json.loads(row.value)
+    # -500 µs before epoch floors to -1 ms (truncation would give 0)
+    assert payload["payload"]["source"]["ts_ms"] == -1

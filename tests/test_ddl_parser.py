@@ -144,3 +144,81 @@ def test_combined_add_and_rename_keeps_both_ops():
     assert p.renames == (("d.t", "d.t2"),)
     ops = {o.op: o for o in p.alter_ops}
     assert ops["add"].column == "c"
+
+
+# --- ALTER-chain corpus (reference acceptance/complex_statements.feature) ---
+
+def test_add_column_captures_after_placement_and_default():
+    from mysql_streamer_spark.schema.ddl_parser import parse_statement
+
+    p = parse_statement(
+        "ALTER TABLE `employee` ADD `office` varchar(64) DEFAULT NULL"
+        " AFTER `job_description`",
+        default_database="db",
+    )
+    (op,) = p.alter_ops
+    assert op.op == "add" and op.column == "office"
+    assert op.position == ("AFTER", "job_description")
+    assert op.default_str == "NULL"
+
+
+def test_add_column_first_placement():
+    from mysql_streamer_spark.schema.ddl_parser import parse_statement
+
+    (op,) = parse_statement(
+        "ALTER TABLE t ADD badge_id int FIRST", default_database="db"
+    ).alter_ops
+    assert op.position == "FIRST" and op.default_str is None
+
+
+def test_modify_keeps_place_without_position_clause():
+    from mysql_streamer_spark.schema.ddl_parser import parse_statement
+
+    (op,) = parse_statement(
+        "ALTER TABLE t MODIFY office varchar(128)", default_database="db"
+    ).alter_ops
+    assert op.op == "modify" and op.position is None
+
+
+def test_change_with_type_change_and_quoted_default():
+    from mysql_streamer_spark.schema.ddl_parser import parse_statement
+
+    (op,) = parse_statement(
+        "ALTER TABLE t CHANGE update_at updated_at bigint NOT NULL DEFAULT '0'",
+        default_database="db",
+    ).alter_ops
+    assert (op.column, op.new_column) == ("update_at", "updated_at")
+    assert op.type_str.lower().startswith("bigint")
+    assert op.default_str == "'0'"
+
+
+def test_create_table_captures_column_defaults():
+    from mysql_streamer_spark.schema.ddl_parser import parse_statement
+
+    p = parse_statement(
+        "CREATE TABLE t (a int DEFAULT NULL, b varchar(8) NOT NULL DEFAULT 'x',"
+        " c float(10,2) NOT NULL DEFAULT 0.00, d int NOT NULL)",
+        default_database="db",
+    )
+    defaults = {c.name: c.default_str for c in p.columns}
+    assert defaults == {"a": "NULL", "b": "'x'", "c": "0.00", "d": None}
+
+
+def test_registry_replays_reference_alter_chain_in_order(spark):
+    """End-to-end BDD-chain parity: after the full chain the latest schema
+    has office (widened) between job_description and created_at, the
+    renamed updated_at as bigint, and badge_id first — the expected
+    SHOW CREATE TABLE column order of complex_statements.feature."""
+    from mysql_streamer_spark.queries.schema_registry import (
+        q_schema_registry_alter_chains,
+    )
+
+    rows = q_schema_registry_alter_chains(spark, "").orderBy("version").collect()
+    assert [r.version for r in rows] == [1, 2, 3, 4, 5]
+    assert rows[-1].columns == (
+        "badge_id int, id int, name string, is_active tinyint, salary float, "
+        "job_description string, office string, created_at int, updated_at bigint"
+    )
+    assert rows[1].change_kind == "add:office"
+    assert rows[3].change_kind == "change:update_at->updated_at"
+    assert "is_active=0" in rows[0].defaults and "salary=0.00" in rows[0].defaults

@@ -237,3 +237,68 @@ def test_capstone_custom_source_envelope_custom_sink(spark, sf_dir, tmp_path):
     assert got.count() == expected.count()
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_append_mode_carries_previous_head_forward(spark, sf_dir, tmp_path):
+    """mode('append') must accumulate: the new snapshot's manifest unions
+    the previous HEAD's files, so HEAD readers keep every committed row
+    (write_with_manifest stays the documented replace/swap)."""
+    from mysql_streamer_spark.connectors.manifest_sink import (
+        read_committed,
+        register_manifest_sink,
+        write_with_manifest,
+    )
+    from mysql_streamer_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "sink")
+    first = events.filter("event_id % 2 = 0")
+    second = events.filter("event_id % 2 = 1")
+    write_with_manifest(first, out)
+    register_manifest_sink(spark)
+    second.write.format("manifest_sink").option("path", out).mode("append").save()
+    got = read_committed(spark, out)
+    assert got.count() == events.count()
+    # and overwrite still swaps
+    write_with_manifest(first, out)
+    assert read_committed(spark, out).count() == first.count()
+
+
+def test_vacuum_retention_larger_than_history_keeps_everything(
+    spark, sf_dir, tmp_path
+):
+    from mysql_streamer_spark.connectors.manifest_sink import (
+        read_committed,
+        vacuum,
+        write_with_manifest,
+    )
+    from mysql_streamer_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "sink")
+    write_with_manifest(events, out)  # v1
+    write_with_manifest(events.limit(10), out)  # v2
+    report = vacuum(out, keep_versions=10)  # > history: no-op, no crash
+    assert report["removed_parts"] == [] and report["removed_manifests"] == []
+    assert read_committed(spark, out, version=1).count() == events.count()
+
+
+def test_vacuum_after_tighter_vacuum_skips_missing_manifests(
+    spark, sf_dir, tmp_path
+):
+    from mysql_streamer_spark.connectors.manifest_sink import (
+        read_committed,
+        vacuum,
+        write_with_manifest,
+    )
+    from mysql_streamer_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "sink")
+    for k in (2, 3, 4):  # v1..v3
+        write_with_manifest(events.limit(k), out)
+    vacuum(out, keep_versions=1)  # drops v1+v2 manifests
+    # wider retention window now includes already-deleted versions
+    report = vacuum(out, keep_versions=3)
+    assert report["head_version"] == 3
+    assert read_committed(spark, out).count() == 4

@@ -78,3 +78,34 @@ def test_stream_crash_restart_is_exactly_once(spark, sf_dir, tmp_path):
     via = got.select("event_id", "ts", "user_id")
     assert via.exceptAll(direct).count() == 0
     assert direct.exceptAll(via).count() == 0
+
+
+def test_stream_reader_handles_int64_nanos_ts(tmp_path):
+    """The legacy generation surfaces ts as plain int64 NANOS; the
+    streaming reader must divide to µs exactly like the batch reader
+    (previously only timestamp[ns] was converted and int64 passed through
+    1000x too large)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mysql_streamer_spark.connectors.python_source import (
+        BinlogEventsStreamReader,
+    )
+
+    path = str(tmp_path / "events_int64.parquet")
+    ns = 1_700_000_000_000_000_000
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array([ns, ns + 2_000], pa.int64()),
+                "user_id": pa.array([7, 8], pa.int64()),
+                "event_type": pa.array(["a", "b"], pa.string()),
+                "value": pa.array([1.0, 2.0], pa.float64()),
+                "props": pa.array(["{}", "{}"], pa.string()),
+            }
+        ),
+        path,
+    )
+    rows = BinlogEventsStreamReader({"path": path})._rows(0, 2)
+    assert [r[1] for r in rows] == [ns // 1000, (ns + 2_000) // 1000]
