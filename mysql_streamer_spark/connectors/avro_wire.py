@@ -48,6 +48,18 @@ TRANSACTION_ID_SCHEMA: dict = {
     ],
 }
 
+#: GTID-mode meta record, field-for-field the reference's
+#: global_transaction_id_v1.avsc.
+GLOBAL_TRANSACTION_ID_SCHEMA: dict = {
+    "type": "record",
+    "name": "global_transaction_id",
+    "namespace": "replication_handler",
+    "fields": [
+        {"name": "cluster_name", "type": "string"},
+        {"name": "gtid", "type": "string"},
+    ],
+}
+
 #: The envelope message schema: the flat published-message fields
 #: (util/message_builder.py:51-78's payload/position/meta surface) typed to
 #: the envelope DataFrame's exact Spark types.
@@ -78,6 +90,27 @@ ENVELOPE_SCHEMA: dict = {
 }
 
 ENVELOPE_SCHEMA_JSON = json.dumps(ENVELOPE_SCHEMA)
+
+#: GTID-mode message: adds the gtid key and metas become the UNION of both
+#: transaction-id record kinds — the reference attaches log_transaction_id
+#: in binlog-position mode and global_transaction_id in GTID mode
+#: (util/transaction_id.py:22-68), so one reader schema must accept either.
+GTID_ENVELOPE_SCHEMA: dict = {
+    "type": "record",
+    "name": "gtid_envelope",
+    "namespace": "replication_handler",
+    "fields": [
+        *[f for f in ENVELOPE_SCHEMA["fields"] if f["name"] != "meta"],
+        {"name": "gtid", "type": "string"},
+        {
+            "name": "meta",
+            "type": {
+                "type": "array",
+                "items": [TRANSACTION_ID_SCHEMA, GLOBAL_TRANSACTION_ID_SCHEMA],
+            },
+        },
+    ],
+}
 
 
 # ---------------------------------------------------------------------------
@@ -128,11 +161,26 @@ def encode_value(schema: Any, value: Any, out: bytearray) -> None:
         if value is None and "null" in schema:
             write_long(out, schema.index("null"))
             return
-        for i, branch in enumerate(schema):
-            if _branch_name(branch) != "null":
-                write_long(out, i)
-                encode_value(branch, value, out)
-                return
+        branches = [(i, b) for i, b in enumerate(schema) if _branch_name(b) != "null"]
+        if len(branches) > 1:
+            # multi-branch union (e.g. the two transaction-id record
+            # kinds): select the record branch whose field names match
+            # the value — the spec's resolution is by branch schema
+            for i, b in branches:
+                if (
+                    isinstance(b, dict)
+                    and b.get("type") == "record"
+                    and isinstance(value, dict)
+                    and {f["name"] for f in b["fields"]} == set(value.keys())
+                ):
+                    write_long(out, i)
+                    encode_value(b, value, out)
+                    return
+            raise ValueError(f"no union branch matches {value!r} in {schema!r}")
+        for i, branch in branches:
+            write_long(out, i)
+            encode_value(branch, value, out)
+            return
         raise ValueError(f"no union branch for {value!r} in {schema!r}")
     if isinstance(schema, dict):
         t = schema["type"]
@@ -218,11 +266,17 @@ def decode_value(schema: Any, buf: bytes, pos: int) -> tuple[Any, int]:
 _FLAT_FIELDS = [f["name"] for f in ENVELOPE_SCHEMA["fields"] if f["name"] != "meta"]
 
 
-def envelope_to_avro(env):
+def envelope_to_avro(env, gtid_mode: bool = False):
     """Envelope DataFrame -> one ``value: binary`` column of Avro-encoded
     messages (plus the record count preserved 1:1). Arrow batch in, python
-    encode loop per row, Arrow batch out — map-side only, no shuffle."""
+    encode loop per row, Arrow batch out — map-side only, no shuffle.
+
+    ``gtid_mode`` mirrors the reference's two transaction-id kinds: the
+    input must carry a ``gtid`` column, and the meta array encodes the
+    global_transaction_id record through the UNION branch."""
     import pyarrow as pa
+
+    schema = GTID_ENVELOPE_SCHEMA if gtid_mode else ENVELOPE_SCHEMA
 
     def encode_batches(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         for batch in batches:
@@ -230,36 +284,46 @@ def envelope_to_avro(env):
             out = []
             for row in rows:
                 rec = dict(row)
-                rec["meta"] = [
-                    {
-                        "cluster_name": row["cluster_name"],
-                        "log_file": row["log_file"] or "",
-                        "log_pos": int(row["log_pos"] or 0),
-                    }
-                ]
+                if gtid_mode:
+                    rec["meta"] = [
+                        {
+                            "cluster_name": row["cluster_name"],
+                            "gtid": row["gtid"],
+                        }
+                    ]
+                else:
+                    rec["meta"] = [
+                        {
+                            "cluster_name": row["cluster_name"],
+                            "log_file": row["log_file"] or "",
+                            "log_pos": int(row["log_pos"] or 0),
+                        }
+                    ]
                 buf = bytearray()
-                encode_value(ENVELOPE_SCHEMA, rec, buf)
+                encode_value(schema, rec, buf)
                 out.append(bytes(buf))
             yield pa.RecordBatch.from_arrays([pa.array(out, pa.binary())], ["value"])
 
     from pyspark.sql import functions as F
 
+    cols = _FLAT_FIELDS + (["gtid"] if gtid_mode else [])
     # timestamp rides as exact int64 micros (the timestamp-micros logical
     # type's base encoding) — converted JVM-side so no float roundtrip
     flat = env.select(
         *[
             F.unix_micros(F.col(c)).alias(c) if c == "timestamp" else F.col(c)
-            for c in _FLAT_FIELDS
+            for c in cols
         ]
     )
     return flat.mapInArrow(encode_batches, "value binary")
 
 
-def avro_to_envelope(wire):
+def avro_to_envelope(wire, gtid_mode: bool = False):
     """Inverse of envelope_to_avro: binary messages -> the flat envelope
     columns plus ``meta_ok`` (does the decoded meta array equal the
     position columns it was derived from — the array-of-record path's own
-    roundtrip witness)."""
+    roundtrip witness; in gtid_mode the witness checks the decoded
+    global_transaction_id union branch instead)."""
     import pyarrow as pa
 
     arrow_fields = [
@@ -277,24 +341,37 @@ def avro_to_envelope(wire):
         pa.field("payload_k", pa.int32()),
         pa.field("payload_val", pa.float64()),
         pa.field("previous_payload_val", pa.float64()),
-        pa.field("meta_ok", pa.bool_()),
     ]
+    if gtid_mode:
+        arrow_fields.append(pa.field("gtid", pa.string()))
+    arrow_fields.append(pa.field("meta_ok", pa.bool_()))
     out_schema = pa.schema(arrow_fields)
+    schema = GTID_ENVELOPE_SCHEMA if gtid_mode else ENVELOPE_SCHEMA
 
     def decode_batches(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         for batch in batches:
             cols: dict[str, list] = {f.name: [] for f in arrow_fields}
             for raw in batch.column(0).to_pylist():
-                rec, end = decode_value(ENVELOPE_SCHEMA, raw, 0)
+                rec, end = decode_value(schema, raw, 0)
                 if end != len(raw):
                     raise ValueError("trailing bytes after avro record")
                 meta = rec.pop("meta")
-                cols["meta_ok"].append(
-                    len(meta) == 1
-                    and meta[0]["cluster_name"] == rec["cluster_name"]
-                    and meta[0]["log_file"] == (rec["log_file"] or "")
-                    and meta[0]["log_pos"] == int(rec["log_pos"] or 0)
-                )
+                if gtid_mode:
+                    cols["meta_ok"].append(
+                        len(meta) == 1
+                        and meta[0]
+                        == {
+                            "cluster_name": rec["cluster_name"],
+                            "gtid": rec["gtid"],
+                        }
+                    )
+                else:
+                    cols["meta_ok"].append(
+                        len(meta) == 1
+                        and meta[0]["cluster_name"] == rec["cluster_name"]
+                        and meta[0]["log_file"] == (rec["log_file"] or "")
+                        and meta[0]["log_pos"] == int(rec["log_pos"] or 0)
+                    )
                 cols["ts_us"].append(rec.pop("timestamp"))
                 for k, v in rec.items():
                     cols[k].append(v)
@@ -307,6 +384,8 @@ def avro_to_envelope(wire):
         "schema_id int, cluster_name string, database_name string, "
         "table_name string, message_type string, ts_us long, log_file string, "
         "log_pos long, offset int, txn_order long, pk long, payload_k int, "
-        "payload_val double, previous_payload_val double, meta_ok boolean"
+        "payload_val double, previous_payload_val double, "
+        + ("gtid string, " if gtid_mode else "")
+        + "meta_ok boolean"
     )
     return wire.mapInArrow(decode_batches, spark_schema)

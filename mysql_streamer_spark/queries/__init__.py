@@ -78,6 +78,11 @@ def all_specs() -> list[QuerySpec]:
     # so they land inside any prefix the driver checks.
     priority: dict[str, tuple[str, ...]] = {
         "cdc": (
+            # round-4 additions pinned first so their debut round
+            # driver-checks them (both are tier-1 never-checked anyway)
+            "cdc_avro_roundtrip",
+            "cdc_avro_gtid_roundtrip",
+            "cdc_heartbeat_exact_lookup",
             "cdc_envelope",
             "cdc_latest_state",
             "cdc_changelog",

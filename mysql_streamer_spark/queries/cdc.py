@@ -1103,6 +1103,58 @@ SELECT *, TRUE AS meta_ok FROM env
 )
 
 
+def q_cdc_avro_gtid_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GTID-mode Avro wire parity: the reference publishes a
+    global_transaction_id meta record instead of log_transaction_id when
+    running in GTID mode (util/transaction_id.py:22-68;
+    schema/avro_schema/global_transaction_id_v1.avsc), so the reader
+    schema's meta items are a UNION of the two record types. This query
+    stamps the envelope with the derived `uuid:txn_order` gtid, encodes
+    through the union branch, decodes back, and hash-matches the direct
+    oracle — proving union-of-records branch selection on top of
+    everything cdc_avro_roundtrip already proves. Same map-only shape."""
+    from mysql_streamer_spark.connectors.avro_wire import (
+        avro_to_envelope,
+        envelope_to_avro,
+    )
+
+    env = envelope_pipeline(spark, sf_dir).withColumn(
+        "gtid",
+        F.concat_ws(":", F.lit(GTID_SOURCE_UUID), F.col("txn_order").cast("string")),
+    )
+    decoded = avro_to_envelope(envelope_to_avro(env, gtid_mode=True), gtid_mode=True)
+    return decoded.select(
+        "schema_id",
+        "cluster_name",
+        "database_name",
+        "table_name",
+        "message_type",
+        F.timestamp_micros("ts_us").alias("timestamp"),
+        "log_file",
+        "log_pos",
+        "offset",
+        "txn_order",
+        "pk",
+        "payload_k",
+        "payload_val",
+        "previous_payload_val",
+        "gtid",
+        "meta_ok",
+    )
+
+
+_AVRO_GTID_ORACLE = (
+    _ORACLE_PIPELINE_CTES
+    + f"""
+, env AS ({_ENVELOPE_SELECT.strip()})
+SELECT *,
+       '{GTID_SOURCE_UUID}:' || CAST(txn_order AS VARCHAR) AS gtid,
+       TRUE AS meta_ok
+FROM env
+"""
+)
+
+
 def q_cdc_fleet_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fleet view: the reference runs ONE streamer instance per source
     cluster (ZK-locked singleton, base_parse_replication_stream.py:126);
@@ -1228,6 +1280,11 @@ SPECS = [
         "cdc_avro_roundtrip",
         q_cdc_avro_roundtrip,
         _AVRO_ROUNDTRIP_ORACLE,
+    ),
+    QuerySpec(
+        "cdc_avro_gtid_roundtrip",
+        q_cdc_avro_gtid_roundtrip,
+        _AVRO_GTID_ORACLE,
     ),
     QuerySpec(
         "cdc_python_source_envelope",

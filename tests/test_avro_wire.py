@@ -168,3 +168,45 @@ def test_spark_envelope_avro_roundtrip_is_lossless(spark, sf_dir):
     assert left.exceptAll(right).count() == 0
     assert right.exceptAll(left).count() == 0
     assert left.count() == right.count() > 0
+
+
+# --- union-of-records (GTID mode) -------------------------------------------
+
+def test_union_of_records_selects_branch_by_field_names():
+    from mysql_streamer_spark.connectors.avro_wire import (
+        GLOBAL_TRANSACTION_ID_SCHEMA,
+    )
+
+    union = [TRANSACTION_ID_SCHEMA, GLOBAL_TRANSACTION_ID_SCHEMA]
+    log_rec = {"cluster_name": "c", "log_file": "f", "log_pos": 4}
+    gtid_rec = {"cluster_name": "c", "gtid": "u:1"}
+    for rec, idx in ((log_rec, 0), (gtid_rec, 1)):
+        raw = enc(union, rec)
+        assert raw[0] == idx * 2  # zigzag(branch index)
+        back, end = decode_value(union, raw, 0)
+        assert back == rec and end == len(raw)
+    with pytest.raises(ValueError):
+        enc(union, {"cluster_name": "c", "unknown": 1})
+
+
+def test_spark_gtid_envelope_avro_roundtrip(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mysql_streamer_spark.cdc.pipeline import envelope_pipeline
+    from mysql_streamer_spark.connectors.avro_wire import (
+        avro_to_envelope,
+        envelope_to_avro,
+    )
+    from mysql_streamer_spark.queries.cdc import GTID_SOURCE_UUID
+
+    env = envelope_pipeline(spark, sf_dir).withColumn(
+        "gtid",
+        F.concat_ws(":", F.lit(GTID_SOURCE_UUID), F.col("txn_order").cast("string")),
+    )
+    decoded = avro_to_envelope(
+        envelope_to_avro(env, gtid_mode=True), gtid_mode=True
+    ).withColumn("timestamp", F.timestamp_micros("ts_us"))
+    assert decoded.filter(~F.col("meta_ok")).count() == 0
+    cols = env.columns
+    assert env.select(*cols).exceptAll(decoded.select(*cols)).count() == 0
+    assert decoded.select(*cols).exceptAll(env.select(*cols)).count() == 0
