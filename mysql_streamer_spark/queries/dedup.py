@@ -1599,8 +1599,71 @@ FROM hits LEFT JOIN index_hashes ON hits.h = index_hashes.h
 """
 
 
+# ---------------------------------------------------------------------------
+# boilerplate-phrase report (the table reviewed before writing removal rules)
+# ---------------------------------------------------------------------------
+
+#: report the top-K most document-spread shingles
+BOILERPLATE_TOP_K = 20
+#: only phrases appearing in at least this many distinct docs qualify
+BOILERPLATE_MIN_DOCS = 3
+
+
+def q_dedup_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate DISCOVERY: the k-token phrases
+    that recur across the most distinct documents — headers, footers,
+    license blurbs, templated navigation — ranked by document spread.
+    This is the table a curation owner reads BEFORE writing removal
+    rules; span-level removal itself is pipeline_span_dedup.
+
+    Scale shape: one explode -> one (phrase-hash) aggregate whose map-side
+    partial min(phrase) sends at most ONE phrase string per hash per
+    partition into the shuffle (occurrences travel as counts), then
+    TakeOrderedAndProject keeps the top K — the unbounded phrase universe
+    never sorts globally and never lands on one reducer."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    phrases = (
+        docs.withColumn("toks", tx.tokens_col("text"))
+        .select("doc_id", F.explode(tx.shingles_col()).alias("phrase"))
+    )
+    counts = phrases.groupBy(F.md5("phrase").alias("h")).agg(
+        F.min("phrase").alias("phrase"),
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return (
+        counts.filter(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)
+        .select("phrase", "n_occurrences", "n_docs")
+        .orderBy(F.col("n_docs").desc(), F.col("phrase").asc())
+        .limit(BOILERPLATE_TOP_K)
+    )
+
+
+_BOILERPLATE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {tx.tokens_sql("text")} AS toks FROM documents
+), phr AS (
+  SELECT doc_id, unnest({tx.shingles_sql()}) AS phrase FROM tok
+), counts AS (
+  SELECT phrase,
+         CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM phr GROUP BY 1
+)
+SELECT phrase, n_occurrences, n_docs
+FROM counts WHERE n_docs >= {BOILERPLATE_MIN_DOCS}
+ORDER BY n_docs DESC, phrase ASC
+LIMIT {BOILERPLATE_TOP_K}
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact", q_dedup_exact, _EXACT_ORACLE),
+    QuerySpec(
+        "dedup_boilerplate_phrases",
+        q_dedup_boilerplate_phrases,
+        _BOILERPLATE_ORACLE,
+    ),
     QuerySpec("dedup_bloom_delta", q_dedup_bloom_delta, _BLOOM_ORACLE),
     QuerySpec(
         "dedup_edit_distance", q_dedup_edit_distance, _EDIT_DISTANCE_ORACLE
