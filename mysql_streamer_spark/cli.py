@@ -91,12 +91,20 @@ def cmd_heartbeat_search(args: argparse.Namespace) -> int:
     if pos is None:
         print(json.dumps({"found": False}))
         return 1
+    # output contract: timestamp as the 'YYYY-MM-DD HH:MM:SS[.ffffff]'
+    # string (UTC) — exactly the str(datetime) format consumers parsed
+    # before the position-object refactor
+    from datetime import datetime, timezone
+
+    ts = datetime.fromtimestamp(pos.hb_timestamp, tz=timezone.utc).replace(
+        tzinfo=None
+    )
     print(
         json.dumps(
             {
                 "found": True,
                 "serial": pos.hb_serial,
-                "timestamp": pos.hb_timestamp,
+                "timestamp": str(ts),
                 "log_file": pos.log_file,
                 "log_pos": pos.log_pos,
             }

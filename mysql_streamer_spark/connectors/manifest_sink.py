@@ -109,9 +109,16 @@ class ManifestSinkWriter(DataSourceArrowWriter):
         # honor the save mode: mode('append') carries the previous HEAD's
         # files forward into the new snapshot, mode('overwrite') swaps —
         # accepting append while implementing replace would silently drop
-        # all previously committed rows for HEAD readers
+        # all previously committed rows for HEAD readers. The carried files
+        # come from the VERSIONED manifest at `head` (the same source
+        # latest_version derives from), not the HEAD pointer file — a crash
+        # between the versioned write and the pointer swap would otherwise
+        # make the two disagree and drop the crashed commit's rows.
         if not self.overwrite and head:
-            files = read_manifest(self.path)["files"] + files
+            try:
+                files = read_manifest(self.path, head)["files"] + files
+            except FileNotFoundError:  # pointer-only table (never happens
+                files = read_manifest(self.path)["files"] + files  # via commit)
         version = head + 1
         manifest = {
             "version": version,

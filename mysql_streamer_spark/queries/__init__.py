@@ -15,10 +15,24 @@ from mysql_streamer_spark.queries.registry import QuerySpec, collect
 
 
 def _driver_checked_names() -> tuple[frozenset[str], frozenset[str]]:
-    """(green, failed) query-name sets from recorded driver CORRECTNESS rows."""
+    """(green, failed) query-name sets from recorded driver CORRECTNESS rows.
+
+    The driver's per-round harness checks the first N (observed: 50)
+    registry entries.  To push cumulative driver-verified coverage toward
+    100% we demote already-green queries to the back of their family lane
+    each round, so every round's prefix is mostly never-checked queries.
+    Reading the recorded CORRECTNESS_r*.json files at import time makes the
+    rotation automatic: as soon as a round lands, its green queries rotate
+    out of the prefix for the next round.
+
+    A query's tier comes from its LATEST recorded row only (files are read
+    in round order and later rounds overwrite): a query green in r1 but
+    red in r5 counts as FAILED and sorts to the very FRONT of its lane so
+    the driver re-checks the fix — a union across rounds would let any old
+    green row mask the regression forever.
+    """
     root = Path(__file__).resolve().parents[2]
-    green: set[str] = set()
-    checked: set[str] = set()
+    last_green: dict[str, bool] = {}
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
             rows = json.loads(path.read_text())
@@ -29,28 +43,14 @@ def _driver_checked_names() -> tuple[frozenset[str], frozenset[str]]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            checked.add(name)
-            if row.get("err") is None and row.get("rows_match") and (
-                row.get("hash_match") or row.get("hash_match") is None
-            ):
-                green.add(name)
-    return frozenset(green), frozenset(checked - green)
-
-
-def _driver_green_names() -> frozenset[str]:
-    """Names of queries that already have a green driver CORRECTNESS row.
-
-    The driver's per-round harness checks the first N (observed: 50)
-    registry entries.  To push cumulative driver-verified coverage toward
-    100% we demote already-green queries to the back of their family lane
-    each round, so every round's prefix is mostly never-checked queries.
-    Reading the recorded CORRECTNESS_r*.json files at import time makes the
-    rotation automatic: as soon as a round lands, its green queries rotate
-    out of the prefix for the next round.  A query with a non-green row
-    (hash mismatch / error) is deliberately NOT demoted so it gets
-    re-checked after a fix; it sorts to the very FRONT of its lane.
-    """
-    return _driver_checked_names()[0]
+            last_green[name] = bool(
+                row.get("err") is None
+                and row.get("rows_match")
+                and (row.get("hash_match") or row.get("hash_match") is None)
+            )
+    green = frozenset(n for n, ok in last_green.items() if ok)
+    failed = frozenset(n for n, ok in last_green.items() if not ok)
+    return green, failed
 
 
 def all_specs() -> list[QuerySpec]:

@@ -1118,9 +1118,16 @@ def q_cdc_avro_gtid_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         envelope_to_avro,
     )
 
+    # coalesce keeps Spark (concat_ws skips NULLs) and DuckDB ('||' yields
+    # NULL) in lock-step if a position field is ever NULL, and satisfies
+    # the avro schema's non-null gtid string either way
     env = envelope_pipeline(spark, sf_dir).withColumn(
         "gtid",
-        F.concat_ws(":", F.lit(GTID_SOURCE_UUID), F.col("txn_order").cast("string")),
+        F.concat_ws(
+            ":",
+            F.lit(GTID_SOURCE_UUID),
+            F.coalesce(F.col("txn_order"), F.lit(-1)).cast("string"),
+        ),
     )
     decoded = avro_to_envelope(envelope_to_avro(env, gtid_mode=True), gtid_mode=True)
     return decoded.select(
@@ -1148,7 +1155,7 @@ _AVRO_GTID_ORACLE = (
     + f"""
 , env AS ({_ENVELOPE_SELECT.strip()})
 SELECT *,
-       '{GTID_SOURCE_UUID}:' || CAST(txn_order AS VARCHAR) AS gtid,
+       '{GTID_SOURCE_UUID}:' || CAST(COALESCE(txn_order, -1) AS VARCHAR) AS gtid,
        TRUE AS meta_ok
 FROM env
 """

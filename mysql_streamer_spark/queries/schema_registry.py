@@ -454,15 +454,15 @@ SELECT * FROM (VALUES
    'add:office'),
   ('rbrsource', 'employee_new', 3, 3,
    'id int, name string, is_active tinyint, salary float, job_description string, office string, created_at int, update_at int',
-   'id=NULL, is_active=0, job_description=NULL, name=NULL, office=NULL, salary=0.00',
+   'id=NULL, is_active=0, job_description=NULL, name=NULL, salary=0.00',
    'redefine'),
   ('rbrsource', 'employee_new', 4, 4,
    'id int, name string, is_active tinyint, salary float, job_description string, office string, created_at int, updated_at bigint',
-   'id=NULL, is_active=0, job_description=NULL, name=NULL, office=NULL, salary=0.00',
+   'id=NULL, is_active=0, job_description=NULL, name=NULL, salary=0.00',
    'change:update_at->updated_at'),
   ('rbrsource', 'employee_new', 5, 5,
    'badge_id int, id int, name string, is_active tinyint, salary float, job_description string, office string, created_at int, updated_at bigint',
-   'id=NULL, is_active=0, job_description=NULL, name=NULL, office=NULL, salary=0.00',
+   'id=NULL, is_active=0, job_description=NULL, name=NULL, salary=0.00',
    'add:badge_id')
 ) AS t(database, "table", version, schema_id, columns, defaults, change_kind)
 """

@@ -259,11 +259,13 @@ _COLUMN_DEF_RE = re.compile(
 )
 
 
-#: the DEFAULT clause literal: quoted string (with '' escapes), or one bare
-#: token (number, NULL, CURRENT_TIMESTAMP, b'…'-style constants)
-_DEFAULT_RE = re.compile(
-    r"\bDEFAULT\s+(?P<lit>'(?:[^']|'')*'|[^\s,]+)", re.IGNORECASE
-)
+#: the DEFAULT keyword, searched over the QUOTE-MASKED clause so a literal
+#: "DEFAULT" inside a COMMENT '…' string never counts
+_DEFAULT_KW_RE = re.compile(r"\bDEFAULT\s+", re.IGNORECASE)
+#: the literal after it: quoted string (with '' escapes) or one bare token
+#: (number, NULL, CURRENT_TIMESTAMP, b'…'-style constants) — matched
+#: against the ORIGINAL text so quoted default values survive intact
+_DEFAULT_LIT_RE = re.compile(r"'(?:[^']|'')*'|[^\s,]+")
 
 #: column placement inside ADD/MODIFY/CHANGE clauses (MySQL reorder syntax)
 _POSITION_RE = re.compile(
@@ -271,13 +273,44 @@ _POSITION_RE = re.compile(
 )
 
 
+def _mask_quoted(s: str) -> str:
+    """Blank the CONTENTS of single-quoted strings ('' escapes included),
+    preserving length and quote positions, so keyword searches never match
+    inside string literals (e.g. COMMENT 'uses DEFAULT 5')."""
+    out = []
+    in_q = False
+    i = 0
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if in_q:
+            if c == "'":
+                if i + 1 < n and s[i + 1] == "'":  # escaped quote
+                    out.append("  ")
+                    i += 2
+                    continue
+                in_q = False
+                out.append("'")
+            else:
+                out.append(" ")
+        else:
+            if c == "'":
+                in_q = True
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def _parse_default(entry: str) -> str | None:
-    m = _DEFAULT_RE.search(entry)
-    return m.group("lit") if m else None
+    m = _DEFAULT_KW_RE.search(_mask_quoted(entry))
+    if not m:
+        return None
+    lit = _DEFAULT_LIT_RE.match(entry, m.end())
+    return lit.group(0) if lit else None
 
 
 def _parse_position(clause: str) -> str | tuple[str, str] | None:
-    m = _POSITION_RE.search(clause)
+    m = _POSITION_RE.search(_mask_quoted(clause))
     if not m:
         return None
     if m.group("first"):

@@ -198,8 +198,13 @@ class SchemaRegistry:
                 tmap[name] = m.wire_transform
             else:
                 tmap.pop(name, None)
+            # ADD/MODIFY/CHANGE carry a FULL column definition in MySQL:
+            # omitting DEFAULT means the column has no explicit default
+            # afterwards, so a stale entry must drop, not persist
             if default_str is not None:
                 defaults[name] = default_str
+            else:
+                defaults.pop(name, None)
             return T.StructField(name, m.spark_type, True)
 
         def place(f: T.StructField, op, from_idx: int | None) -> None:
@@ -241,8 +246,10 @@ class SchemaRegistry:
             elif op.op == "change" and op.column in by_name:
                 idx = by_name[op.column]
                 tmap.pop(op.column, None)
-                if op.column in defaults:
-                    defaults[op.new_column] = defaults.pop(op.column)
+                # CHANGE redefines the column under the new name; the old
+                # name's default dies with it (mapped_field sets the new
+                # one only if the new definition declares DEFAULT)
+                defaults.pop(op.column, None)
                 place(
                     mapped_field(op.new_column, op.type_str, op.default_str),
                     op,

@@ -39,6 +39,38 @@ OUTPUT_SCHEMA = (
 )
 _STATE_SCHEMA = "first long, last long, n long, total_c long"
 
+_OUT_COLUMNS = ["user_id", "first_ts_us", "last_ts_us", "n_events", "total_value_c"]
+
+
+def _merge_profile(pdf_iter, prev: tuple | None) -> tuple:
+    """The ONE associative merge both stateful APIs share: fold this
+    batch's rows into (min ts_us, max ts_us, count, exact cents-sum) and
+    combine with the previous state tuple. Cents use floor(value*100+0.5),
+    identical to the batch oracle. Keeping it in one place is what makes
+    the two paths byte-identical by construction."""
+    import numpy as np
+    import pandas as pd
+
+    first = last = None
+    n = 0
+    total_c = 0
+    for pdf in pdf_iter:
+        ts_us = pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+        cents = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64")
+        b_first = int(ts_us.min())
+        b_last = int(ts_us.max())
+        first = b_first if first is None else min(first, b_first)
+        last = b_last if last is None else max(last, b_last)
+        n += int(len(pdf))
+        total_c += int(cents.sum())
+    if prev is not None:
+        p_first, p_last, p_n, p_total = prev
+        first = min(first, p_first)
+        last = max(last, p_last)
+        n += p_n
+        total_c += p_total
+    return (first, last, n, total_c)
+
 
 class UserProfileProcessor(StatefulProcessor):
     """Associative merge of (min ts, max ts, count, cents-sum) per user."""
@@ -66,39 +98,10 @@ class UserProfileProcessor(StatefulProcessor):
         import pandas as pd
 
         (user_id,) = key
-        first = last = None
-        n = 0
-        total_c = 0
-        for pdf in rows:
-            import numpy as np
-
-            ts_us = pd.to_datetime(pdf["ts"]).astype("int64") // 1000
-            # exact integer cents, floor semantics identical to the batch
-            # oracle's floor(value*100+0.5) (values are positive doubles)
-            cents = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64")
-            b_first = int(ts_us.min())
-            b_last = int(ts_us.max())
-            first = b_first if first is None else min(first, b_first)
-            last = b_last if last is None else max(last, b_last)
-            n += int(len(pdf))
-            total_c += int(cents.sum())
-        if self._profile.exists():
-            p_first, p_last, p_n, p_total = self._profile.get()
-            first = min(first, p_first)
-            last = max(last, p_last)
-            n += p_n
-            total_c += p_total
-        self._profile.update((first, last, n, total_c))
-        yield pd.DataFrame(
-            [(user_id, first, last, n, total_c)],
-            columns=[
-                "user_id",
-                "first_ts_us",
-                "last_ts_us",
-                "n_events",
-                "total_value_c",
-            ],
-        )
+        prev = self._profile.get() if self._profile.exists() else None
+        merged = _merge_profile(rows, prev)
+        self._profile.update(merged)
+        yield pd.DataFrame([(user_id, *merged)], columns=_OUT_COLUMNS)
 
     def close(self) -> None:
         pass
@@ -118,38 +121,18 @@ def protobuf_available() -> bool:
 
 
 def _merge_profile_groups(key: tuple, pdf_iter: Iterator[Any], state: Any):
-    """The SAME associative profile merge as UserProfileProcessor, expressed
-    against ``applyInPandasWithState``'s GroupState — the fallback engine
-    for environments without google.protobuf. One state tuple of 4 longs
-    per user; emits the merged profile row each batch, so the sink contract
-    (latest row per key = batch aggregate) is identical on both paths."""
-    import numpy as np
+    """_merge_profile expressed against ``applyInPandasWithState``'s
+    GroupState — the fallback engine for environments without
+    google.protobuf. One state tuple of 4 longs per user; emits the merged
+    profile row each batch, so the sink contract (latest row per key =
+    batch aggregate) is identical on both paths by construction (both
+    wrappers call the same merge)."""
     import pandas as pd
 
     (user_id,) = key
-    first = last = None
-    n = 0
-    total_c = 0
-    for pdf in pdf_iter:
-        ts_us = pd.to_datetime(pdf["ts"]).astype("int64") // 1000
-        cents = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64")
-        b_first = int(ts_us.min())
-        b_last = int(ts_us.max())
-        first = b_first if first is None else min(first, b_first)
-        last = b_last if last is None else max(last, b_last)
-        n += int(len(pdf))
-        total_c += int(cents.sum())
-    if state.exists:
-        p_first, p_last, p_n, p_total = state.get
-        first = min(first, p_first)
-        last = max(last, p_last)
-        n += p_n
-        total_c += p_total
-    state.update((first, last, n, total_c))
-    yield pd.DataFrame(
-        [(user_id, first, last, n, total_c)],
-        columns=["user_id", "first_ts_us", "last_ts_us", "n_events", "total_value_c"],
-    )
+    merged = _merge_profile(pdf_iter, state.get if state.exists else None)
+    state.update(merged)
+    yield pd.DataFrame([(user_id, *merged)], columns=_OUT_COLUMNS)
 
 
 def profile_stream(events: DataFrame, use_transform_with_state: bool | None = None) -> DataFrame:

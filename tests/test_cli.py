@@ -116,6 +116,8 @@ def test_heartbeat_search_with_serial_exact_matches(spark, sf_dir, capsys):
     assert rc == 0 and out["found"] is True
     assert out["serial"] == r.serial
     assert out["log_file"] == r.log_file and out["log_pos"] == r.log_pos
+    # output contract: timestamp is the str(datetime) form, not epoch floats
+    assert out["timestamp"] == str(r.timestamp)
 
     rc = main(["heartbeat-search", ts, str(r.serial + 10**9), "--sf-dir", sf_dir])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])

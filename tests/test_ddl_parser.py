@@ -222,3 +222,60 @@ def test_registry_replays_reference_alter_chain_in_order(spark):
     assert rows[1].change_kind == "add:office"
     assert rows[3].change_kind == "change:update_at->updated_at"
     assert "is_active=0" in rows[0].defaults and "salary=0.00" in rows[0].defaults
+    # MODIFY without DEFAULT is a full redefinition: office's default dies at v3
+    assert "office=NULL" in rows[1].defaults
+    assert "office" not in rows[2].defaults
+
+
+def test_default_keyword_inside_comment_string_is_ignored():
+    from mysql_streamer_spark.schema.ddl_parser import parse_statement
+
+    (op,) = parse_statement(
+        "ALTER TABLE t ADD c int COMMENT 'uses DEFAULT 5 internally'",
+        default_database="db",
+    ).alter_ops
+    assert op.default_str is None
+    # ...while a real DEFAULT next to a comment is still captured
+    (op2,) = parse_statement(
+        "ALTER TABLE t ADD c int DEFAULT 7 COMMENT 'x DEFAULT y'",
+        default_database="db",
+    ).alter_ops
+    assert op2.default_str == "7"
+
+
+def test_quoted_default_with_escaped_quote():
+    from mysql_streamer_spark.schema.ddl_parser import parse_statement
+
+    p = parse_statement(
+        "CREATE TABLE t (a varchar(8) DEFAULT 'it''s')", default_database="db"
+    )
+    assert p.columns[0].default_str == "'it''s'"
+
+
+def test_after_keyword_inside_comment_string_is_ignored():
+    from mysql_streamer_spark.schema.ddl_parser import parse_statement
+
+    (op,) = parse_statement(
+        "ALTER TABLE t ADD c int COMMENT 'goes AFTER everything'",
+        default_database="db",
+    ).alter_ops
+    assert op.position is None
+
+
+def test_modify_without_default_drops_stale_default():
+    from mysql_streamer_spark.schema.registry import SchemaRegistry
+
+    reg = SchemaRegistry()
+    reg.apply_statement(
+        "CREATE TABLE t (a int DEFAULT 5, b int DEFAULT 6)", default_database="db"
+    )
+    reg.apply_statement("ALTER TABLE t MODIFY a bigint", default_database="db")
+    assert reg.get("db", "t").defaults == {"b": "6"}
+    reg.apply_statement(
+        "ALTER TABLE t CHANGE b b2 bigint NOT NULL", default_database="db"
+    )
+    assert reg.get("db", "t").defaults == {}
+    reg.apply_statement(
+        "ALTER TABLE t MODIFY a int DEFAULT 9", default_database="db"
+    )
+    assert reg.get("db", "t").defaults == {"a": "9"}
