@@ -210,3 +210,17 @@ def test_spark_gtid_envelope_avro_roundtrip(spark, sf_dir):
     cols = env.columns
     assert env.select(*cols).exceptAll(decoded.select(*cols)).count() == 0
     assert decoded.select(*cols).exceptAll(env.select(*cols)).count() == 0
+
+
+def test_decode_negative_block_count_array_form():
+    """Spec-legal alternative array framing: a NEGATIVE item count followed
+    by the block's byte size (writers may emit it for skippability). Our
+    encoder never writes it, but a compliant reader must accept it."""
+    out = bytearray()
+    write_long(out, -2)            # block of 2 items, size-prefixed form
+    write_long(out, 2)             # byte size of the block (2 varint bytes)
+    write_long(out, 3)             # item 1
+    write_long(out, 27)            # item 2
+    write_long(out, 0)             # terminator
+    items, end = decode_value({"type": "array", "items": "long"}, bytes(out), 0)
+    assert items == [3, 27] and end == len(out)
