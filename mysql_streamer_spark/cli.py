@@ -165,6 +165,58 @@ def cmd_run_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def register_sql_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Temp-view catalog for ad-hoc SQL: every fixture table plus the
+    engine's derived CDC surfaces (envelope, changelog, heartbeats, the
+    schema registry) — what a user of the reference would query after
+    switching. Views are lazy plans; registration costs nothing until a
+    query touches one."""
+    from mysql_streamer_spark.cdc.changelog import changelog_projection
+    from mysql_streamer_spark.cdc.envelope import reroute_refresh_tables
+    from mysql_streamer_spark.cdc.filters import (
+        filter_blacklisted_schemas,
+        split_heartbeats,
+    )
+    from mysql_streamer_spark.cdc.pipeline import (
+        cdc_events,
+        envelope_pipeline,
+        heartbeat_stream,
+    )
+    from mysql_streamer_spark.schema.bootstrap import bootstrap_registry
+    from mysql_streamer_spark.tables import TABLE_NAMES, load_table
+
+    names = []
+    for t in TABLE_NAMES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        names.append(t)
+    envelope_pipeline(spark, sf_dir).createOrReplaceTempView("envelope")
+    data, _ = split_heartbeats(cdc_events(spark, sf_dir))
+    changelog_projection(
+        reroute_refresh_tables(filter_blacklisted_schemas(data))
+    ).createOrReplaceTempView("changelog")
+    heartbeat_stream(spark, sf_dir).createOrReplaceTempView("heartbeats")
+    bootstrap_registry().to_dataframe(spark, latest_only=False).createOrReplaceTempView(
+        "schema_registry"
+    )
+    return names + ["envelope", "changelog", "heartbeats", "schema_registry"]
+
+
+def cmd_sql(args: argparse.Namespace) -> int:
+    """Ad-hoc SQL over the fixture tables and the engine's derived views —
+    the switch-over surface: anything the reference's consumers read is
+    one SELECT away, planned by Catalyst like any registered query."""
+    spark = _spark()
+    register_sql_views(spark, args.sf_dir)
+    try:
+        df = spark.sql(args.query)
+    except Exception as exc:  # noqa: BLE001 - CLI error surface
+        print(json.dumps({"error": str(exc).splitlines()[0][:200]}), file=sys.stderr)
+        return 2
+    for row in df.limit(args.limit).collect():
+        print(json.dumps({k: str(v) for k, v in row.asDict().items()}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="mysql_streamer_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -210,6 +262,14 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     q.add_argument("--limit", type=int, default=20)
     q.set_defaults(fn=cmd_run_query)
+
+    x = sub.add_parser(
+        "sql", help="ad-hoc SQL over fixture tables + envelope/changelog views"
+    )
+    x.add_argument("query")
+    x.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    x.add_argument("--limit", type=int, default=20)
+    x.set_defaults(fn=cmd_sql)
     return p
 
 

@@ -31,7 +31,10 @@ def _driver_checked_names() -> tuple[frozenset[str], frozenset[str]]:
     the driver re-checks the fix — a union across rounds would let any old
     green row mask the regression forever.
     """
-    root = Path(__file__).resolve().parents[2]
+    return _checked_names_under(Path(__file__).resolve().parents[2])
+
+
+def _checked_names_under(root: Path) -> tuple[frozenset[str], frozenset[str]]:
     last_green: dict[str, bool] = {}
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
         try:

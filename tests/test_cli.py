@@ -122,3 +122,45 @@ def test_heartbeat_search_with_serial_exact_matches(spark, sf_dir, capsys):
     rc = main(["heartbeat-search", ts, str(r.serial + 10**9), "--sf-dir", sf_dir])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 1 and out["found"] is False
+
+
+def test_sql_verb_queries_envelope_view(spark, sf_dir, capsys):
+    rc = main(
+        [
+            "sql",
+            "SELECT message_type, count(*) AS n FROM envelope"
+            " GROUP BY 1 ORDER BY 1",
+            "--sf-dir",
+            sf_dir,
+        ]
+    )
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rc == 0 and len(lines) >= 2
+    assert {"message_type", "n"} <= set(lines[0])
+    from mysql_streamer_spark.cdc.pipeline import envelope_pipeline
+
+    total = sum(int(l["n"]) for l in lines)
+    assert total == envelope_pipeline(spark, sf_dir).count()
+
+
+def test_sql_verb_joins_fixture_table_to_registry(spark, sf_dir, capsys):
+    rc = main(
+        [
+            "sql",
+            "SELECT e.table_name, r.schema_id FROM envelope e "
+            "JOIN schema_registry r ON e.database_name = r.database "
+            "AND e.table_name = r.table LIMIT 1",
+            "--sf-dir",
+            sf_dir,
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "schema_id" in out
+
+
+def test_sql_verb_reports_bad_sql(spark, sf_dir, capsys):
+    rc = main(["sql", "SELECT FROM nowhere", "--sf-dir", sf_dir])
+    assert rc == 2
+    err = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    assert "error" in err
