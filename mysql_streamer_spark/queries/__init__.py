@@ -85,6 +85,7 @@ def all_specs() -> list[QuerySpec]:
             # driver-checks them (both are tier-1 never-checked anyway)
             "cdc_avro_roundtrip",
             "cdc_avro_gtid_roundtrip",
+            "cdc_avro_file_roundtrip",
             "cdc_heartbeat_exact_lookup",
             "cdc_envelope",
             "cdc_latest_state",

@@ -1150,6 +1150,47 @@ def q_cdc_avro_gtid_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_avro_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro Object Container Files end-to-end (connectors/avro_file.py):
+    the envelope written as deflate-compressed OCF part files — one per
+    input partition, executor-side, no driver involvement — then read
+    back through the binaryFile listing + file-parallel block decode, and
+    hash-matched against the DIRECT envelope oracle. This is the at-rest
+    interchange format the reference's Avro ecosystem exchanges; with the
+    wire roundtrips it completes the Avro surface: record encoding
+    (cdc_avro_roundtrip), union metas (cdc_avro_gtid_roundtrip), and the
+    container framing + codec here. Staging dir is per-call temp, like
+    the streaming queries'."""
+    import tempfile
+
+    from mysql_streamer_spark.connectors.avro_file import (
+        read_envelope_avro_files,
+        write_envelope_avro_files,
+    )
+
+    work = tempfile.mkdtemp(prefix="mss_ocf_")
+    env = envelope_pipeline(spark, sf_dir)
+    write_envelope_avro_files(env, work, codec="deflate")
+    decoded = read_envelope_avro_files(spark, work)
+    return decoded.select(
+        "schema_id",
+        "cluster_name",
+        "database_name",
+        "table_name",
+        "message_type",
+        F.timestamp_micros("ts_us").alias("timestamp"),
+        "log_file",
+        "log_pos",
+        "offset",
+        "txn_order",
+        "pk",
+        "payload_k",
+        "payload_val",
+        "previous_payload_val",
+        "meta_ok",
+    )
+
+
 _AVRO_GTID_ORACLE = (
     _ORACLE_PIPELINE_CTES
     + f"""
@@ -1292,6 +1333,11 @@ SPECS = [
         "cdc_avro_gtid_roundtrip",
         q_cdc_avro_gtid_roundtrip,
         _AVRO_GTID_ORACLE,
+    ),
+    QuerySpec(
+        "cdc_avro_file_roundtrip",
+        q_cdc_avro_file_roundtrip,
+        _AVRO_ROUNDTRIP_ORACLE,
     ),
     QuerySpec(
         "cdc_python_source_envelope",
