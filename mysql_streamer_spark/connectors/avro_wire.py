@@ -259,6 +259,163 @@ def decode_value(schema: Any, buf: bytes, pos: int) -> tuple[Any, int]:
 
 
 # ---------------------------------------------------------------------------
+# registry -> Avro schema (the Schematizer's CREATE TABLE -> Avro role)
+# ---------------------------------------------------------------------------
+
+#: Spark simpleString -> Avro primitive
+_SPARK_TO_AVRO = {
+    "tinyint": "int",
+    "smallint": "int",
+    "int": "int",
+    "bigint": "long",
+    "float": "float",
+    "double": "double",
+    "boolean": "boolean",
+    "string": "string",
+    "binary": "bytes",
+}
+
+
+def _default_json(lit: str, avro_type: str):
+    """Registry DEFAULT literal -> the Avro-default JSON value."""
+    if lit.upper() == "NULL":
+        return None
+    if lit.startswith("'"):
+        return lit[1:-1].replace("''", "'")
+    if avro_type in ("int", "long"):
+        return int(lit)
+    if avro_type in ("float", "double"):
+        return float(lit)
+    if avro_type == "boolean":
+        return lit == "1" or lit.lower() == "true"
+    return lit
+
+
+def avro_schema_for_entry(entry) -> dict:
+    """One SchemaEntry (schema/registry.py) -> the Avro record schema the
+    reference's Schematizer would register for it
+    (schema_wrapper.py:97-141 registers the CREATE/ALTER statements and
+    gets back exactly this kind of record — see the expected avro schema
+    in acceptance/complex_statements.feature). Nullable columns become
+    unions; a column's tracked DEFAULT literal becomes the Avro default,
+    with branch order chosen so the default matches the first branch as
+    the spec requires (null default -> ["null", T]; typed default ->
+    [T, "null"])."""
+    fields = []
+    for f in entry.struct.fields:
+        base = _SPARK_TO_AVRO.get(f.dataType.simpleString())
+        if base is None:
+            # timestamps and anything exotic ride as logical-typed longs
+            base = {"type": "long", "logicalType": "timestamp-micros"}
+        field: dict = {"name": f.name}
+        lit = entry.defaults.get(f.name)
+        if f.nullable:
+            default = None if lit is None else _default_json(lit, _type_name(base))
+            if default is None:
+                field["type"] = ["null", base]
+                field["default"] = None
+            else:
+                field["type"] = [base, "null"]
+                field["default"] = default
+        else:
+            field["type"] = base
+            if lit is not None:
+                field["default"] = _default_json(lit, _type_name(base))
+        fields.append(field)
+    return {
+        "type": "record",
+        "name": entry.table,
+        "namespace": f"replication_handler.{entry.database}",
+        "fields": fields,
+    }
+
+
+# ---------------------------------------------------------------------------
+# schema resolution (reader-schema evolution, per the spec's rules)
+# ---------------------------------------------------------------------------
+
+#: spec-legal primitive promotions writer -> reader
+_PROMOTIONS = {
+    ("int", "long"): int,
+    ("int", "float"): float,
+    ("int", "double"): float,
+    ("long", "float"): float,
+    ("long", "double"): float,
+    ("float", "double"): float,
+}
+
+
+def _type_name(schema: Any) -> str:
+    if isinstance(schema, str):
+        return schema
+    if isinstance(schema, list):
+        return "union"
+    return schema["type"]
+
+
+def decode_resolved(writer: Any, reader: Any, buf: bytes, pos: int) -> tuple[Any, int]:
+    """Decode bytes written with ``writer`` as ``reader`` sees them — the
+    spec's schema-resolution rules, the runtime half of the registry's
+    compatibility classification (schema_registry_compat decides whether
+    this call CAN succeed; this call is what consumers then run):
+
+    - reader fields missing from the writer take their ``default``;
+    - writer fields missing from the reader are decoded and discarded;
+    - primitive promotions (int->long->float->double) apply;
+    - unions resolve recursively against the writer's actual branch.
+    """
+    if isinstance(writer, list):  # writer union: branch then resolve
+        idx, pos = read_long(buf, pos)
+        return decode_resolved(writer[idx], reader, buf, pos)
+    if isinstance(reader, list):  # reader union: first matching branch
+        for branch in reader:
+            try:
+                return decode_resolved(writer, branch, buf, pos)
+            except _Unresolvable:
+                continue
+        raise _Unresolvable(f"no reader branch for writer {writer!r}")
+    wt, rt = _type_name(writer), _type_name(reader)
+    if wt == "record" and rt == "record":
+        w_fields = writer["fields"]
+        r_by_name = {f["name"]: f for f in reader["fields"]}
+        rec: dict = {}
+        for wf in w_fields:
+            val, pos = decode_value(wf["type"], buf, pos)
+            if wf["name"] in r_by_name:
+                rec[wf["name"]] = val  # (promotion of nested prims implicit)
+        w_names = {f["name"] for f in w_fields}
+        for rf in reader["fields"]:
+            if rf["name"] not in w_names:
+                if "default" not in rf:
+                    raise _Unresolvable(f"reader field {rf['name']!r} has no default")
+                rec[rf["name"]] = rf["default"]
+        return rec, pos
+    if wt == "array" and rt == "array":
+        items = []
+        while True:
+            count, pos = read_long(buf, pos)
+            if count == 0:
+                return items, pos
+            if count < 0:
+                count = -count
+                _, pos = read_long(buf, pos)
+            for _ in range(count):
+                item, pos = decode_resolved(writer["items"], reader["items"], buf, pos)
+                items.append(item)
+    if wt == rt:
+        return decode_value(writer, buf, pos)
+    promote = _PROMOTIONS.get((wt, rt))
+    if promote is not None:
+        val, pos = decode_value(writer, buf, pos)
+        return promote(val), pos
+    raise _Unresolvable(f"cannot resolve writer {wt!r} as reader {rt!r}")
+
+
+class _Unresolvable(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
 # Spark integration (Arrow-batched, schema-driven)
 # ---------------------------------------------------------------------------
 

@@ -69,6 +69,8 @@ class AlterOp:
     type_str: str | None = None
     default_str: str | None = None
     position: str | tuple[str, str] | None = None
+    #: NOT NULL absent from the (quote-masked) clause -> nullable
+    nullable: bool = True
 
 
 @dataclass(frozen=True)
@@ -418,6 +420,12 @@ def _parse_alter_ops(tail: str) -> tuple[AlterOp, ...]:
                     type_str=gd.get("type"),
                     default_str=_parse_default(clause) if has_coldef else None,
                     position=_parse_position(clause) if has_coldef else None,
+                    nullable=not (
+                        has_coldef
+                        and re.search(
+                            r"\bNOT\s+NULL\b", _mask_quoted(clause), re.IGNORECASE
+                        )
+                    ),
                 )
             )
             break

@@ -192,7 +192,9 @@ class SchemaRegistry:
         defaults = dict(current.defaults)
         by_name = {f.name: i for i, f in enumerate(fields)}
 
-        def mapped_field(name: str, type_str: str, default_str) -> T.StructField:
+        def mapped_field(
+            name: str, type_str: str, default_str, nullable: bool = True
+        ) -> T.StructField:
             m = mysql_type_to_spark(type_str)
             if m.wire_transform:
                 tmap[name] = m.wire_transform
@@ -205,7 +207,7 @@ class SchemaRegistry:
                 defaults[name] = default_str
             else:
                 defaults.pop(name, None)
-            return T.StructField(name, m.spark_type, True)
+            return T.StructField(name, m.spark_type, nullable)
 
         def place(f: T.StructField, op, from_idx: int | None) -> None:
             """Honor MySQL column placement (FIRST / AFTER c / keep place
@@ -230,7 +232,7 @@ class SchemaRegistry:
 
         for op in p.alter_ops:
             if op.op == "add" and op.type_str:
-                place(mapped_field(op.column, op.type_str, op.default_str), op, None)
+                place(mapped_field(op.column, op.type_str, op.default_str, op.nullable), op, None)
             elif op.op == "drop" and op.column in by_name:
                 idx = by_name.pop(op.column)
                 fields.pop(idx)
@@ -239,7 +241,7 @@ class SchemaRegistry:
                 by_name = {f.name: i for i, f in enumerate(fields)}
             elif op.op == "modify" and op.column in by_name:
                 place(
-                    mapped_field(op.column, op.type_str, op.default_str),
+                    mapped_field(op.column, op.type_str, op.default_str, op.nullable),
                     op,
                     by_name[op.column],
                 )
@@ -251,7 +253,7 @@ class SchemaRegistry:
                 # one only if the new definition declares DEFAULT)
                 defaults.pop(op.column, None)
                 place(
-                    mapped_field(op.new_column, op.type_str, op.default_str),
+                    mapped_field(op.new_column, op.type_str, op.default_str, op.nullable),
                     op,
                     idx,
                 )

@@ -224,3 +224,88 @@ def test_decode_negative_block_count_array_form():
     write_long(out, 0)             # terminator
     items, end = decode_value({"type": "array", "items": "long"}, bytes(out), 0)
     assert items == [3, 27] and end == len(out)
+
+
+# --- registry -> avro schema + reader-schema resolution ----------------------
+
+def _chain_registry():
+    from mysql_streamer_spark.schema.registry import SchemaRegistry
+
+    reg = SchemaRegistry()
+    reg.apply_statement(
+        "CREATE TABLE emp (id int DEFAULT NULL, name varchar(64) NOT NULL,"
+        " score int NOT NULL DEFAULT 0)",
+        default_database="db",
+    )
+    return reg
+
+
+def test_registry_entry_to_avro_schema_shapes():
+    from mysql_streamer_spark.connectors.avro_wire import avro_schema_for_entry
+
+    reg = _chain_registry()
+    s = avro_schema_for_entry(reg.get("db", "emp"))
+    by = {f["name"]: f for f in s["fields"]}
+    # nullable + DEFAULT NULL -> ["null", T] with default null
+    assert by["id"]["type"] == ["null", "int"] and by["id"]["default"] is None
+    # NOT NULL, no default -> bare type, no default key
+    assert by["name"]["type"] == "string" and "default" not in by["name"]
+    # NOT NULL DEFAULT 0 -> typed default
+    assert by["score"]["type"] == "int" and by["score"]["default"] == 0
+
+
+def test_reader_schema_evolution_fills_added_default():
+    """Encode under v1, ALTER ADD a defaulted column, decode the v1 bytes
+    under v2 — the added field takes its registry default, exactly the
+    consumer upgrade path the Schematizer's compatibility rules protect."""
+    from mysql_streamer_spark.connectors.avro_wire import (
+        avro_schema_for_entry,
+        decode_resolved,
+    )
+
+    reg = _chain_registry()
+    v1 = avro_schema_for_entry(reg.get("db", "emp"))
+    row = {"id": 7, "name": "x", "score": 3}
+    raw = enc(v1, row)
+    reg.apply_statement(
+        "ALTER TABLE emp ADD office varchar(32) DEFAULT 'hq'", default_database="db"
+    )
+    v2 = avro_schema_for_entry(reg.get("db", "emp"))
+    got, end = decode_resolved(v1, v2, raw, 0)
+    assert end == len(raw)
+    assert got == {"id": 7, "name": "x", "score": 3, "office": "hq"}
+
+
+def test_reader_schema_evolution_drops_removed_and_promotes():
+    from mysql_streamer_spark.connectors.avro_wire import (
+        avro_schema_for_entry,
+        decode_resolved,
+    )
+
+    reg = _chain_registry()
+    v1 = avro_schema_for_entry(reg.get("db", "emp"))
+    raw = enc(v1, {"id": 7, "name": "x", "score": 3})
+    reg.apply_statement("ALTER TABLE emp DROP name", default_database="db")
+    reg.apply_statement("ALTER TABLE emp MODIFY score bigint NOT NULL", default_database="db")
+    v3 = avro_schema_for_entry(reg.get("db", "emp"))
+    got, _ = decode_resolved(v1, v3, raw, 0)
+    # name decoded-and-discarded; score int -> long promotion
+    assert got == {"id": 7, "score": 3}
+    assert isinstance(got["score"], int)
+
+
+def test_resolution_fails_without_default():
+    from mysql_streamer_spark.connectors.avro_wire import (
+        avro_schema_for_entry,
+        decode_resolved,
+    )
+
+    reg = _chain_registry()
+    v1 = avro_schema_for_entry(reg.get("db", "emp"))
+    raw = enc(v1, {"id": 1, "name": "a", "score": 0})
+    reg.apply_statement(
+        "ALTER TABLE emp ADD must_have int NOT NULL", default_database="db"
+    )
+    v2 = avro_schema_for_entry(reg.get("db", "emp"))
+    with pytest.raises(ValueError, match="no default"):
+        decode_resolved(v1, v2, raw, 0)
