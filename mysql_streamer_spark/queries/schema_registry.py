@@ -441,6 +441,44 @@ def q_schema_registry_alter_chains(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_schema_registry_avro_schemas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Schematizer's output surface: every version of the replayed
+    acceptance chain rendered as the Avro record schema the reference
+    would register (acceptance/complex_statements.feature's 'expected
+    avro schema' step — nullable columns as ["null", T] unions with
+    default null, tracked DEFAULT literals as typed Avro defaults, NOT
+    NULL columns bare). The oracle is the five schema JSONs pasted as a
+    golden table, so the registry->Avro derivation
+    (connectors/avro_wire.py:avro_schema_for_entry) is pinned end-to-end,
+    independent of the code that computes it."""
+    import json as _json
+
+    from mysql_streamer_spark.connectors.avro_wire import avro_schema_for_entry
+    from mysql_streamer_spark.schema.registry import SchemaRegistry
+
+    reg = SchemaRegistry()
+    for stmt in _ALTER_CHAIN_STATEMENTS:
+        reg.apply_statement(stmt, default_database="rbrsource")
+    rows = [
+        (e.version, _json.dumps(avro_schema_for_entry(e), sort_keys=True))
+        for e in reg.history("rbrsource", "employee_new")
+    ]
+    return spark.createDataFrame(rows, "version int, avro_schema string")
+
+
+#: the five expected schemas, golden (see the BDD feature's expected-avro
+#: step for the shape contract this pins)
+_AVRO_SCHEMAS_ORACLE = """
+SELECT * FROM (VALUES
+ (1, '{"fields": [{"default": null, "name": "id", "type": ["null", "int"]}, {"default": null, "name": "name", "type": ["null", "string"]}, {"default": 0, "name": "is_active", "type": "int"}, {"default": 0.0, "name": "salary", "type": "float"}, {"default": null, "name": "job_description", "type": ["null", "string"]}, {"name": "created_at", "type": "int"}, {"name": "update_at", "type": "int"}], "name": "employee_new", "namespace": "replication_handler.rbrsource", "type": "record"}'),
+ (2, '{"fields": [{"default": null, "name": "id", "type": ["null", "int"]}, {"default": null, "name": "name", "type": ["null", "string"]}, {"default": 0, "name": "is_active", "type": "int"}, {"default": 0.0, "name": "salary", "type": "float"}, {"default": null, "name": "job_description", "type": ["null", "string"]}, {"default": null, "name": "office", "type": ["null", "string"]}, {"name": "created_at", "type": "int"}, {"name": "update_at", "type": "int"}], "name": "employee_new", "namespace": "replication_handler.rbrsource", "type": "record"}'),
+ (3, '{"fields": [{"default": null, "name": "id", "type": ["null", "int"]}, {"default": null, "name": "name", "type": ["null", "string"]}, {"default": 0, "name": "is_active", "type": "int"}, {"default": 0.0, "name": "salary", "type": "float"}, {"default": null, "name": "job_description", "type": ["null", "string"]}, {"default": null, "name": "office", "type": ["null", "string"]}, {"name": "created_at", "type": "int"}, {"name": "update_at", "type": "int"}], "name": "employee_new", "namespace": "replication_handler.rbrsource", "type": "record"}'),
+ (4, '{"fields": [{"default": null, "name": "id", "type": ["null", "int"]}, {"default": null, "name": "name", "type": ["null", "string"]}, {"default": 0, "name": "is_active", "type": "int"}, {"default": 0.0, "name": "salary", "type": "float"}, {"default": null, "name": "job_description", "type": ["null", "string"]}, {"default": null, "name": "office", "type": ["null", "string"]}, {"name": "created_at", "type": "int"}, {"name": "updated_at", "type": "long"}], "name": "employee_new", "namespace": "replication_handler.rbrsource", "type": "record"}'),
+ (5, '{"fields": [{"default": null, "name": "badge_id", "type": ["null", "int"]}, {"default": null, "name": "id", "type": ["null", "int"]}, {"default": null, "name": "name", "type": ["null", "string"]}, {"default": 0, "name": "is_active", "type": "int"}, {"default": 0.0, "name": "salary", "type": "float"}, {"default": null, "name": "job_description", "type": ["null", "string"]}, {"default": null, "name": "office", "type": ["null", "string"]}, {"name": "created_at", "type": "int"}, {"name": "updated_at", "type": "long"}], "name": "employee_new", "namespace": "replication_handler.rbrsource", "type": "record"}')
+) AS t(version, avro_schema)
+"""
+
+
 #: hand-written golden expectation (NOT generated from the registry)
 _ALTER_CHAINS_ORACLE = """
 SELECT * FROM (VALUES
@@ -474,6 +512,11 @@ SPECS = [
         "schema_registry_alter_chains",
         q_schema_registry_alter_chains,
         _ALTER_CHAINS_ORACLE,
+    ),
+    QuerySpec(
+        "schema_registry_avro_schemas",
+        q_schema_registry_avro_schemas,
+        _AVRO_SCHEMAS_ORACLE,
     ),
     QuerySpec("cdc_ddl_admission", q_cdc_ddl_admission, _ddl_admission_oracle()),
     QuerySpec(
