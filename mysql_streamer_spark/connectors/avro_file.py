@@ -31,8 +31,6 @@ from typing import Any, Iterator
 
 from mysql_streamer_spark.connectors.avro_wire import (
     ENVELOPE_SCHEMA_JSON,
-    decode_value,
-    encode_value,
     read_long,
     write_long,
 )
@@ -81,6 +79,9 @@ def write_ocf(records: Iterator[dict], schema: Any, schema_json: str,
     """Stream ``records`` into one OCF on ``fh``; returns the record count.
     The sync marker is derived deterministically from ``sync_seed`` (the
     spec only requires it be stable within the file)."""
+    from mysql_streamer_spark.connectors.avro_wire import compile_encoder
+
+    enc = compile_encoder(schema)
     sync = hashlib.md5(("ocf-sync:" + sync_seed).encode()).digest()
     meta = {
         "avro.schema": schema_json.encode("utf-8"),
@@ -98,7 +99,7 @@ def write_ocf(records: Iterator[dict], schema: Any, schema_json: str,
             return
         body = bytearray()
         for rec in block:
-            encode_value(schema, rec, body)
+            enc(rec, body)
         raw = bytes(body)
         if codec == "deflate":
             comp = zlib.compressobj(wbits=-15)
@@ -128,6 +129,9 @@ def read_ocf(buf: bytes, schema: Any) -> list[dict]:
         raise ValueError("not an avro object container file")
     meta, pos = _decode_meta_map(buf, 4)
     codec = meta.get("avro.codec", b"null").decode("utf-8")
+    from mysql_streamer_spark.connectors.avro_wire import compile_decoder
+
+    dec = compile_decoder(schema)
     sync = buf[pos : pos + 16]
     pos += 16
     out: list[dict] = []
@@ -143,7 +147,7 @@ def read_ocf(buf: bytes, schema: Any) -> list[dict]:
             raise ValueError(f"unsupported avro codec {codec!r}")
         at = 0
         for _ in range(count):
-            rec, at = decode_value(schema, body, at)
+            rec, at = dec(body, at)
             out.append(rec)
         if at != len(body):
             raise ValueError("trailing bytes in avro block")
