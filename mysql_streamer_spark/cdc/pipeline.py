@@ -78,6 +78,22 @@ def envelope_pipeline(
     )
 
 
+def changelog_from_cdc(
+    cdc: DataFrame, blacklist: Iterable[str] = DEFAULT_SCHEMA_BLACKLIST
+) -> DataFrame:
+    """Changelog mode (P4) over an already-normalized CDC stream: the ONE
+    composition (heartbeat split -> blacklist -> refresh rerouting ->
+    constant-schema projection) shared by the batch query, the streaming
+    foreachBatch body, the CLI verb, and the SQL view."""
+    from mysql_streamer_spark.cdc.changelog import changelog_projection
+    from mysql_streamer_spark.cdc.envelope import reroute_refresh_tables
+
+    data, _ = split_heartbeats(cdc)
+    return changelog_projection(
+        reroute_refresh_tables(filter_blacklisted_schemas(data, blacklist))
+    )
+
+
 def heartbeat_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The heartbeat side-channel (serial=event_id, timestamp), F4 fixture."""
     _, hb = split_heartbeats(cdc_events(spark, sf_dir))

@@ -47,25 +47,16 @@ def cmd_stream(args: argparse.Namespace) -> int:
 
 
 def cmd_changelog(args: argparse.Namespace) -> int:
-    from mysql_streamer_spark.cdc.changelog import changelog_projection
-    from mysql_streamer_spark.cdc.pipeline import envelope_pipeline_df
     from mysql_streamer_spark.streaming.runner import load_events_stream
 
     spark = _spark()
     events = load_events_stream(spark, args.source_dir, args.max_files_per_trigger)
 
     def process(batch_df, batch_id):
+        from mysql_streamer_spark.cdc.pipeline import changelog_from_cdc
         from mysql_streamer_spark.cdc.source import events_as_cdc
-        from mysql_streamer_spark.cdc.filters import (
-            filter_blacklisted_schemas,
-            split_heartbeats,
-        )
-        from mysql_streamer_spark.cdc.envelope import reroute_refresh_tables
 
-        data, _ = split_heartbeats(events_as_cdc(batch_df))
-        rows = changelog_projection(
-            reroute_refresh_tables(filter_blacklisted_schemas(data))
-        )
+        rows = changelog_from_cdc(events_as_cdc(batch_df))
         rows.write.mode("overwrite").parquet(f"{args.out_dir}/batch_id={batch_id}")
 
     q = (
@@ -171,14 +162,9 @@ def register_sql_views(spark: SparkSession, sf_dir: str) -> list[str]:
     schema registry) — what a user of the reference would query after
     switching. Views are lazy plans; registration costs nothing until a
     query touches one."""
-    from mysql_streamer_spark.cdc.changelog import changelog_projection
-    from mysql_streamer_spark.cdc.envelope import reroute_refresh_tables
-    from mysql_streamer_spark.cdc.filters import (
-        filter_blacklisted_schemas,
-        split_heartbeats,
-    )
     from mysql_streamer_spark.cdc.pipeline import (
         cdc_events,
+        changelog_from_cdc,
         envelope_pipeline,
         heartbeat_stream,
     )
@@ -190,10 +176,7 @@ def register_sql_views(spark: SparkSession, sf_dir: str) -> list[str]:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
         names.append(t)
     envelope_pipeline(spark, sf_dir).createOrReplaceTempView("envelope")
-    data, _ = split_heartbeats(cdc_events(spark, sf_dir))
-    changelog_projection(
-        reroute_refresh_tables(filter_blacklisted_schemas(data))
-    ).createOrReplaceTempView("changelog")
+    changelog_from_cdc(cdc_events(spark, sf_dir)).createOrReplaceTempView("changelog")
     heartbeat_stream(spark, sf_dir).createOrReplaceTempView("heartbeats")
     bootstrap_registry().to_dataframe(spark, latest_only=False).createOrReplaceTempView(
         "schema_registry"
@@ -210,7 +193,8 @@ def cmd_sql(args: argparse.Namespace) -> int:
     try:
         df = spark.sql(args.query)
     except Exception as exc:  # noqa: BLE001 - CLI error surface
-        print(json.dumps({"error": str(exc).splitlines()[0][:200]}), file=sys.stderr)
+        first = (str(exc).splitlines() or [type(exc).__name__])[0]
+        print(json.dumps({"error": first[:200]}), file=sys.stderr)
         return 2
     for row in df.limit(args.limit).collect():
         print(json.dumps({k: str(v) for k, v in row.asDict().items()}))

@@ -82,6 +82,8 @@ def write_ocf(records: Iterator[dict], schema: Any, schema_json: str,
     from mysql_streamer_spark.connectors.avro_wire import compile_encoder
 
     enc = compile_encoder(schema)
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro codec {codec!r}")
     sync = hashlib.md5(("ocf-sync:" + sync_seed).encode()).digest()
     meta = {
         "avro.schema": schema_json.encode("utf-8"),
@@ -164,7 +166,9 @@ def read_ocf(buf: bytes, schema: Any) -> list[dict]:
 def write_envelope_avro_files(env, path: str, codec: str = "deflate") -> None:
     """Distributed OCF sink: one ``part-*.avro`` per input partition,
     written executor-side (mapInArrow pass whose output is the 1-row
-    per-partition manifest of what it wrote)."""
+    per-partition manifest of what it wrote). ``path`` must be visible to
+    every executor AND the driver (shared filesystem); local mode always
+    qualifies."""
     import pyarrow as pa
 
     from mysql_streamer_spark.connectors.avro_wire import (
@@ -176,6 +180,11 @@ def write_envelope_avro_files(env, path: str, codec: str = "deflate") -> None:
     os.makedirs(path, exist_ok=True)
 
     def write_batches(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        # executor-side too: on a cluster the driver's makedirs only
+        # touched ITS node; path must be a shared filesystem (NFS/DFS
+        # mount) for the distributed write+list contract to hold — an
+        # object-store flavor would swap open() for the Hadoop FS API
+        os.makedirs(path, exist_ok=True)
         fname = f"part-{uuid.uuid4().hex}.avro"
 
         def rows() -> Iterator[dict]:

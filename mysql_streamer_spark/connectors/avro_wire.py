@@ -12,7 +12,7 @@ package, so the binary encoding itself is implemented here from the public
 Avro 1.11 specification (https://avro.apache.org/docs/1.11.1/specification/):
 
 - ``int``/``long``: zigzag then base-128 little-endian varint;
-- ``double``: 8 bytes IEEE-754 little-endian;
+- ``float``/``double``: 4/8 bytes IEEE-754 little-endian;
 - ``string``/``bytes``: long length prefix + bytes;
 - ``union``: long branch index, then the branch value;
 - ``record``: field values concatenated in schema order;
@@ -200,6 +200,8 @@ def encode_value(schema: Any, value: Any, out: bytearray) -> None:
         write_long(out, value)
     elif schema == "double":
         out += struct.pack("<d", value)
+    elif schema == "float":
+        out += struct.pack("<f", value)
     elif schema == "string":
         raw = value.encode("utf-8")
         write_long(out, len(raw))
@@ -245,6 +247,8 @@ def decode_value(schema: Any, buf: bytes, pos: int) -> tuple[Any, int]:
         return read_long(buf, pos)
     if schema == "double":
         return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if schema == "float":
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
     if schema == "string":
         n, pos = read_long(buf, pos)
         return buf[pos : pos + n].decode("utf-8"), pos + n
@@ -340,6 +344,13 @@ def compile_encoder(schema: Any):
             out += _p("<d", v)
 
         return enc_double
+    if schema == "float":
+        pack = struct.pack
+
+        def enc_float(v, out, _p=pack):
+            out += _p("<f", v)
+
+        return enc_float
     if schema == "string":
 
         def enc_string(v, out):
@@ -411,6 +422,13 @@ def compile_decoder(schema: Any):
             return _u("<d", buf, pos)[0], pos + 8
 
         return dec_double
+    if schema == "float":
+        unpack = struct.unpack_from
+
+        def dec_float(buf, pos, _u=unpack):
+            return _u("<f", buf, pos)[0], pos + 4
+
+        return dec_float
     if schema == "string":
 
         def dec_string(buf, pos):
@@ -554,9 +572,13 @@ def decode_resolved(writer: Any, reader: Any, buf: bytes, pos: int) -> tuple[Any
         r_by_name = {f["name"]: f for f in reader["fields"]}
         rec: dict = {}
         for wf in w_fields:
-            val, pos = decode_value(wf["type"], buf, pos)
-            if wf["name"] in r_by_name:
-                rec[wf["name"]] = val  # (promotion of nested prims implicit)
+            rf = r_by_name.get(wf["name"])
+            if rf is None:  # removed in reader: decode and discard
+                _, pos = decode_value(wf["type"], buf, pos)
+                continue
+            # matched field: resolve writer-typed bytes AS the reader's
+            # type (promotions + nested record/union resolution apply)
+            rec[wf["name"]], pos = decode_resolved(wf["type"], rf["type"], buf, pos)
         w_names = {f["name"] for f in w_fields}
         for rf in reader["fields"]:
             if rf["name"] not in w_names:

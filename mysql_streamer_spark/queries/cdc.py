@@ -113,10 +113,9 @@ FROM routed
 
 def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changelog mode (P4): constant-schema {table_schema, table_name, id}."""
-    cdc = cdc_events(spark, sf_dir)
-    data, _ = split_heartbeats(cdc)
-    admitted = filter_blacklisted_schemas(data)
-    return changelog_projection(reroute_refresh_tables(admitted))
+    from mysql_streamer_spark.cdc.pipeline import changelog_from_cdc
+
+    return changelog_from_cdc(cdc_events(spark, sf_dir))
 
 
 def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:

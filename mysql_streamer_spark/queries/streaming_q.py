@@ -255,12 +255,6 @@ def q_streaming_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     {table_schema, table_name, id} changelog shape and appends under its
     batch id. The oracle is the batch changelog SQL — streaming and batch
     planes must agree row-for-row."""
-    from mysql_streamer_spark.cdc.envelope import reroute_refresh_tables
-    from mysql_streamer_spark.cdc.changelog import changelog_projection
-    from mysql_streamer_spark.cdc.filters import (
-        filter_blacklisted_schemas,
-        split_heartbeats,
-    )
     from mysql_streamer_spark.cdc.source import events_as_cdc
     from mysql_streamer_spark.streaming.runner import load_events_stream
 
@@ -268,10 +262,9 @@ def q_streaming_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_events_stream(spark, f"{work}/src", max_files_per_trigger=1)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        data, _ = split_heartbeats(events_as_cdc(batch_df))
-        rows = changelog_projection(
-            reroute_refresh_tables(filter_blacklisted_schemas(data))
-        )
+        from mysql_streamer_spark.cdc.pipeline import changelog_from_cdc
+
+        rows = changelog_from_cdc(events_as_cdc(batch_df))
         rows.write.mode("overwrite").parquet(f"{work}/out/batch_id={batch_id}")
 
     q = (

@@ -94,3 +94,9 @@ def test_spark_envelope_ocf_roundtrip(spark, sf_dir, tmp_path):
     cols = env.columns
     assert env.select(*cols).exceptAll(decoded.select(*cols)).count() == 0
     assert decoded.select(*cols).exceptAll(env.select(*cols)).count() == 0
+
+
+def test_write_ocf_rejects_unknown_codec():
+    fh = io.BytesIO()
+    with pytest.raises(ValueError, match="unsupported avro codec"):
+        write_ocf(iter(_RECS), TRANSACTION_ID_SCHEMA, _SCHEMA_JSON, fh, codec="snappy")

@@ -382,3 +382,59 @@ def test_compiled_union_of_records_matches_reference():
         assert bytes(out) == ref
         assert compile_decoder(union)(ref, 0) == decode_value(union, ref, 0)
     assert GTID_ENVELOPE_SCHEMA  # imported symbol exercised
+
+
+def test_float_primitive_roundtrips_and_promotes():
+    """FLOAT columns exist in the acceptance chain's own derived schema
+    (salary float) — the codec must encode/decode them and promote
+    float->double on resolution."""
+    import struct
+
+    from mysql_streamer_spark.connectors.avro_wire import (
+        compile_decoder,
+        compile_encoder,
+        decode_resolved,
+    )
+
+    assert enc("float", 1.5) == struct.pack("<f", 1.5)
+    out = bytearray()
+    compile_encoder("float")(2.5, out)
+    assert bytes(out) == struct.pack("<f", 2.5)
+    assert compile_decoder("float")(bytes(out), 0) == (2.5, 4)
+    schema_w = {"type": "record", "name": "r", "fields": [{"name": "salary", "type": "float"}]}
+    schema_r = {"type": "record", "name": "r", "fields": [{"name": "salary", "type": "double"}]}
+    raw = enc(schema_w, {"salary": 1.5})
+    got, end = decode_resolved(schema_w, schema_r, raw, 0)
+    assert got == {"salary": 1.5} and end == len(raw)
+
+
+def test_resolution_applies_reader_type_to_matched_fields():
+    """A matched field must resolve against the READER's type: promotions
+    apply, and an incompatible type change raises instead of silently
+    returning writer-typed values."""
+    from mysql_streamer_spark.connectors.avro_wire import decode_resolved
+
+    w = {"type": "record", "name": "r", "fields": [{"name": "x", "type": "int"}]}
+    r_prom = {"type": "record", "name": "r", "fields": [{"name": "x", "type": "double"}]}
+    raw = enc(w, {"x": 3})
+    got, _ = decode_resolved(w, r_prom, raw, 0)
+    assert got == {"x": 3.0} and isinstance(got["x"], float)
+    r_bad = {"type": "record", "name": "r", "fields": [{"name": "x", "type": "string"}]}
+    with pytest.raises(ValueError, match="cannot resolve"):
+        decode_resolved(w, r_bad, raw, 0)
+
+
+def test_resolution_fills_nested_added_default():
+    from mysql_streamer_spark.connectors.avro_wire import decode_resolved
+
+    inner_w = {"type": "record", "name": "i", "fields": [{"name": "a", "type": "int"}]}
+    inner_r = {
+        "type": "record",
+        "name": "i",
+        "fields": [{"name": "a", "type": "int"}, {"name": "b", "type": "int", "default": 9}],
+    }
+    w = {"type": "record", "name": "r", "fields": [{"name": "n", "type": inner_w}]}
+    r = {"type": "record", "name": "r", "fields": [{"name": "n", "type": inner_r}]}
+    raw = enc(w, {"n": {"a": 1}})
+    got, _ = decode_resolved(w, r, raw, 0)
+    assert got == {"n": {"a": 1, "b": 9}}
