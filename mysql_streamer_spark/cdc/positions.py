@@ -132,7 +132,16 @@ def position_for_timestamp(heartbeats, ts, serial: int | None = None) -> Heartbe
         matched = heartbeats.filter(F.col("timestamp") <= ts).orderBy(
             F.col("timestamp").desc(), F.col("serial").desc()
         )
-    row = matched.limit(1).collect()
+    # The stored epoch is computed JVM-side (micros since the UTC epoch)
+    # rather than via ``collected_naive_datetime.timestamp()``: a collected
+    # timestamp is a NAIVE datetime whose rendering zone depends on the
+    # driver process, and re-parsing it is ambiguous around DST folds — so
+    # the epoch must never pass through a naive datetime at all.
+    row = (
+        matched.withColumn("__ts_us", F.unix_micros(F.col("timestamp")))
+        .limit(1)
+        .collect()
+    )
     if not row:
         return None
     r = row[0]
@@ -141,5 +150,5 @@ def position_for_timestamp(heartbeats, ts, serial: int | None = None) -> Heartbe
         log_pos=r.log_pos,
         offset=0,
         hb_serial=r.serial,
-        hb_timestamp=r.timestamp.timestamp(),
+        hb_timestamp=r["__ts_us"] / 1_000_000,
     )

@@ -468,16 +468,29 @@ _SPARK_TO_AVRO = {
 }
 
 
+#: sentinel: the DEFAULT literal has no representable Avro-default value
+#: (e.g. CURRENT_TIMESTAMP on a long-based logical type) — omit the default.
+_NO_DEFAULT = object()
+
+
 def _default_json(lit: str, avro_type: str):
-    """Registry DEFAULT literal -> the Avro-default JSON value."""
+    """Registry DEFAULT literal -> the Avro-default JSON value.
+
+    MySQL allows expression defaults (CURRENT_TIMESTAMP and friends) whose
+    value is not a constant of the column's Avro base type; those return
+    ``_NO_DEFAULT`` so the caller omits the ``default`` key rather than
+    crash coercing ``int('CURRENT_TIMESTAMP')``."""
     if lit.upper() == "NULL":
         return None
     if lit.startswith("'"):
         return lit[1:-1].replace("''", "'")
-    if avro_type in ("int", "long"):
-        return int(lit)
-    if avro_type in ("float", "double"):
-        return float(lit)
+    try:
+        if avro_type in ("int", "long"):
+            return int(lit)
+        if avro_type in ("float", "double"):
+            return float(lit)
+    except ValueError:
+        return _NO_DEFAULT
     if avro_type == "boolean":
         return lit == "1" or lit.lower() == "true"
     return lit
@@ -503,16 +516,19 @@ def avro_schema_for_entry(entry) -> dict:
         lit = entry.defaults.get(f.name)
         if f.nullable:
             default = None if lit is None else _default_json(lit, _type_name(base))
-            if default is None:
+            if default is None or default is _NO_DEFAULT:
                 field["type"] = ["null", base]
-                field["default"] = None
+                if default is None:
+                    field["default"] = None
             else:
                 field["type"] = [base, "null"]
                 field["default"] = default
         else:
             field["type"] = base
             if lit is not None:
-                field["default"] = _default_json(lit, _type_name(base))
+                default = _default_json(lit, _type_name(base))
+                if default is not _NO_DEFAULT:
+                    field["default"] = default
         fields.append(field)
     return {
         "type": "record",
@@ -646,11 +662,23 @@ def envelope_to_avro(env, gtid_mode: bool = False):
                         }
                     ]
                 else:
+                    # the v1 meta schema types log_pos as Avro ``int``;
+                    # a 64-bit position would encode as a varint spec-strict
+                    # int decoders reject, so fail loudly instead (the fix
+                    # is a v2 long-typed meta schema, as the reference's
+                    # schema store would version it)
+                    log_pos = int(row["log_pos"] or 0)
+                    if not -(2**31) <= log_pos < 2**31:
+                        raise ValueError(
+                            f"log_pos {log_pos} exceeds the v1 meta schema's "
+                            "32-bit int range; register a long-typed v2 meta "
+                            "schema before encoding"
+                        )
                     rec["meta"] = [
                         {
                             "cluster_name": row["cluster_name"],
                             "log_file": row["log_file"] or "",
-                            "log_pos": int(row["log_pos"] or 0),
+                            "log_pos": log_pos,
                         }
                     ]
                 buf = bytearray()

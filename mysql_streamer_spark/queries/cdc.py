@@ -1295,6 +1295,63 @@ def q_cdc_topic_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_encrypted_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encrypted-publish parity (reference golden:
+    tests/integration/end_to_end_test.py:551-600, reconfigure with
+    ``encryption_type='AES_MODE_CBC-1'`` + a ``key_location`` holding
+    key-1.key): the envelope's payload columns are AES-CBC encrypted into
+    the published form (cdc/encryption.py — plaintext = canonical payload
+    JSON, PKCS#7, per-message IV carried in the message), then decrypted
+    back the way a key-holding consumer would, and hash-matched against
+    the DIRECT envelope oracle — the same lossless-roundtrip proof as
+    cdc_avro_roundtrip. ``cipher_ok`` witnesses the ciphertext is real:
+    present, AES-block-aligned, and at least one block long.
+
+    Scale shape: both directions are vectorized pandas UDFs over the
+    envelope partitioning — map-only, no shuffle, no collect."""
+    from mysql_streamer_spark.cdc.encryption import (
+        EncryptionConfig,
+        decrypt_envelope,
+        encrypt_envelope,
+        resource_key_location,
+    )
+
+    cfg = EncryptionConfig("AES_MODE_CBC-1", resource_key_location())
+    env = envelope_pipeline(spark, sf_dir)
+    published = encrypt_envelope(env, cfg).withColumn(
+        "cipher_ok",
+        F.col("payload_ciphertext").isNotNull()
+        & (F.length("payload_ciphertext") > 0)
+        & (F.length("payload_ciphertext") % 16 == 0),
+    )
+    return decrypt_envelope(published, cfg).select(
+        "schema_id",
+        "cluster_name",
+        "database_name",
+        "table_name",
+        "message_type",
+        "timestamp",
+        "log_file",
+        "log_pos",
+        "offset",
+        "txn_order",
+        "pk",
+        "payload_k",
+        "payload_val",
+        "previous_payload_val",
+        "cipher_ok",
+    )
+
+
+_ENCRYPTED_ENVELOPE_ORACLE = (
+    _ORACLE_PIPELINE_CTES
+    + f"""
+, env AS ({_ENVELOPE_SELECT.strip()})
+SELECT *, TRUE AS cipher_ok FROM env
+"""
+)
+
+
 _TOPIC_ROUTING_ORACLE = (
     _ORACLE_PIPELINE_CTES
     + f"""
@@ -1327,6 +1384,11 @@ SPECS = [
         "cdc_avro_roundtrip",
         q_cdc_avro_roundtrip,
         _AVRO_ROUNDTRIP_ORACLE,
+    ),
+    QuerySpec(
+        "cdc_encrypted_envelope",
+        q_cdc_encrypted_envelope,
+        _ENCRYPTED_ENVELOPE_ORACLE,
     ),
     QuerySpec(
         "cdc_avro_gtid_roundtrip",

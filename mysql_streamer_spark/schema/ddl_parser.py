@@ -269,9 +269,12 @@ _DEFAULT_KW_RE = re.compile(r"\bDEFAULT\s+", re.IGNORECASE)
 #: against the ORIGINAL text so quoted default values survive intact
 _DEFAULT_LIT_RE = re.compile(r"'(?:[^']|'')*'|[^\s,]+")
 
-#: column placement inside ADD/MODIFY/CHANGE clauses (MySQL reorder syntax)
+#: column placement inside ADD/MODIFY/CHANGE clauses (MySQL reorder syntax).
+#: Searched anywhere in the quote-masked attribute tail AFTER the column
+#: type (not anchored at $): MySQL tolerates trailing attribute clauses
+#: like ``AFTER id COMMENT 'x'`` and the placement must still register.
 _POSITION_RE = re.compile(
-    rf"\b(?:(?P<first>FIRST)|AFTER\s+(?P<after>{_IDENT}))\s*$", re.IGNORECASE
+    rf"\b(?:(?P<first>FIRST)\b|AFTER\s+(?P<after>{_IDENT}))", re.IGNORECASE
 )
 
 
@@ -311,8 +314,10 @@ def _parse_default(entry: str) -> str | None:
     return lit.group(0) if lit else None
 
 
-def _parse_position(clause: str) -> str | tuple[str, str] | None:
-    m = _POSITION_RE.search(_mask_quoted(clause))
+def _parse_position(clause: str, start: int = 0) -> str | tuple[str, str] | None:
+    """``start`` should point past the column type so a column literally
+    named ``first``/``after`` never reads as a placement token."""
+    m = _POSITION_RE.search(_mask_quoted(clause), start)
     if not m:
         return None
     if m.group("first"):
@@ -419,7 +424,7 @@ def _parse_alter_ops(tail: str) -> tuple[AlterOp, ...]:
                     new_column=unquote(gd["new"]) if gd.get("new") else None,
                     type_str=gd.get("type"),
                     default_str=_parse_default(clause) if has_coldef else None,
-                    position=_parse_position(clause) if has_coldef else None,
+                    position=_parse_position(clause, m.end()) if has_coldef else None,
                     nullable=not (
                         has_coldef
                         and re.search(

@@ -1,0 +1,163 @@
+"""AES-CBC envelope encryption (cdc/encryption.py): the reference's
+encrypted-publish contract (end_to_end_test.py:551-600) — config parsing,
+key derivation, lossless roundtrip, tamper/ wrong-key failure, and the
+redaction+encryption composition."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def config():
+    from mysql_streamer_spark.cdc.encryption import (
+        EncryptionConfig,
+        resource_key_location,
+    )
+
+    return EncryptionConfig("AES_MODE_CBC-1", resource_key_location())
+
+
+def _envelope(spark, sf_dir):
+    from mysql_streamer_spark.cdc.pipeline import envelope_pipeline
+
+    return envelope_pipeline(spark, sf_dir)
+
+
+def test_encryption_type_parses_algo_and_key_id(config):
+    assert config.algorithm == "AES_MODE_CBC"
+    assert config.key_id == 1
+
+
+def test_unknown_algorithm_rejected():
+    from mysql_streamer_spark.cdc.encryption import EncryptionConfig
+
+    with pytest.raises(ValueError, match="unsupported"):
+        EncryptionConfig("ROT13_MODE_X-1", "/tmp").algorithm
+    with pytest.raises(ValueError, match="ALGO-KEYID"):
+        EncryptionConfig("AES_MODE_CBC", "/tmp").key_id  # no key id
+
+
+def test_key_is_32_bytes_and_deterministic(config):
+    k1, k2 = config.load_key(), config.load_key()
+    assert k1 == k2 and len(k1) == 32
+
+
+def test_roundtrip_restores_every_payload_column(spark, sf_dir, config):
+    from mysql_streamer_spark.cdc.encryption import (
+        decrypt_envelope,
+        encrypt_envelope,
+    )
+
+    env = _envelope(spark, sf_dir).cache()
+    cols = [
+        "txn_order",
+        "pk",
+        "payload_k",
+        "payload_val",
+        "previous_payload_val",
+    ]
+    restored = decrypt_envelope(encrypt_envelope(env, config), config)
+    orig = {r.txn_order: r for r in env.select(*cols).collect()}
+    back = {r.txn_order: r for r in restored.select(*cols).collect()}
+    env.unpersist()
+    assert orig.keys() == back.keys() and len(orig) > 0
+    for k in orig:
+        assert orig[k] == back[k]
+
+
+def test_published_form_has_no_plaintext_payload(spark, sf_dir, config):
+    from mysql_streamer_spark.cdc.encryption import encrypt_envelope
+
+    published = encrypt_envelope(_envelope(spark, sf_dir), config)
+    assert {"pk", "payload_k", "payload_val", "previous_payload_val"}.isdisjoint(
+        published.columns
+    )
+    row = published.filter(F.col("payload_ciphertext").isNotNull()).first()
+    assert row.encryption_type == "AES_MODE_CBC-1"
+    assert len(row.initialization_vector) == 16
+    assert len(row.payload_ciphertext) % 16 == 0 and len(row.payload_ciphertext) > 0
+    # ciphertext must not contain the canonical-JSON field markers
+    assert b'"pk"' not in row.payload_ciphertext
+
+
+def test_wrong_key_fails_loudly_not_garbage(spark, sf_dir, config, tmp_path):
+    from mysql_streamer_spark.cdc.encryption import (
+        EncryptionConfig,
+        decrypt_envelope,
+        encrypt_envelope,
+    )
+
+    (tmp_path / "key-1.key").write_text("a different key entirely")
+    wrong = EncryptionConfig("AES_MODE_CBC-1", str(tmp_path))
+    published = encrypt_envelope(_envelope(spark, sf_dir), config)
+    with pytest.raises(Exception) as ei:
+        decrypt_envelope(published, wrong).collect()
+    # PKCS#7 unpadding rejects the mis-decrypted block
+    assert "padd" in str(ei.value).lower() or "Invalid" in str(ei.value)
+
+
+def test_redaction_then_encryption_compose(spark, sf_dir, config):
+    """The reference applies PII policy AND encryption to the same stream
+    (the golden test's table is the pii-bearing one): redact first, then
+    encrypt the redacted envelope — decrypting must give back exactly the
+    redacted rows, with redacted values still suppressed."""
+    from mysql_streamer_spark.cdc.encryption import (
+        _aes_cbc_decrypt_udf,
+        _aes_cbc_encrypt_udf,
+        _message_iv,
+    )
+    from mysql_streamer_spark.queries.cdc import q_cdc_pii_redaction
+
+    redacted = q_cdc_pii_redaction(spark, sf_dir).cache()
+    key = config.load_key()
+    enc, dec = _aes_cbc_encrypt_udf(key), _aes_cbc_decrypt_udf(key)
+    iv = F.unhex(F.md5(F.col("txn_order").cast("string")))
+    wire = redacted.select(
+        "txn_order",
+        "is_redacted",
+        iv.alias("iv"),
+        enc(
+            F.to_json(F.struct("pk_token", "payload_k", "payload_val")).cast(
+                "binary"
+            ),
+            iv,
+        ).alias("ct"),
+    )
+    back = wire.select(
+        "txn_order",
+        "is_redacted",
+        F.from_json(
+            dec(F.col("ct"), F.col("iv")).cast("string"),
+            "pk_token string, payload_k int, payload_val double",
+        ).alias("p"),
+    )
+    joined = (
+        redacted.select("txn_order", "pk_token", "payload_val", "is_redacted")
+        .join(
+            back.select(
+                "txn_order",
+                F.col("p.pk_token").alias("rt_pk_token"),
+                F.col("p.payload_val").alias("rt_payload_val"),
+            ),
+            "txn_order",
+        )
+        .cache()
+    )
+    assert joined.count() > 0
+    assert joined.filter(F.col("pk_token") != F.col("rt_pk_token")).count() == 0
+    mismatch = joined.filter(
+        ~(
+            (F.col("payload_val") == F.col("rt_payload_val"))
+            | (F.col("payload_val").isNull() & F.col("rt_payload_val").isNull())
+        )
+    ).count()
+    assert mismatch == 0
+    # redacted rows stay redacted through the cipher roundtrip
+    leaked = joined.filter(
+        F.col("is_redacted") & F.col("rt_payload_val").isNotNull()
+    ).count()
+    assert leaked == 0
+    redacted.unpersist()
+    joined.unpersist()
