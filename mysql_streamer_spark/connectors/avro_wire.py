@@ -635,15 +635,106 @@ class _Unresolvable(ValueError):
 _FLAT_FIELDS = [f["name"] for f in ENVELOPE_SCHEMA["fields"] if f["name"] != "meta"]
 
 
-def envelope_to_avro(env, gtid_mode: bool = False):
+_JVM_AVRO_PROBE_SCHEMA = (
+    '{"type":"record","name":"probe","fields":[{"name":"x","type":"int"}]}'
+)
+_jvm_avro_cache: dict[int, bool] = {}
+
+
+def jvm_avro_available(spark) -> bool:
+    """True when the spark-avro datasource is on the JVM classpath (its
+    ``to_avro``/``from_avro`` expressions actually evaluate). This
+    container ships Spark without the spark-avro module, so the answer
+    here is False and the Python kernel carries the codec; a production
+    100 TB deployment loads the jar and the same API silently takes the
+    whole-stage-codegen JVM path instead. Probed once per session."""
+    key = id(spark)
+    if key not in _jvm_avro_cache:
+        try:
+            from pyspark.sql import functions as F
+            from pyspark.sql.avro.functions import to_avro
+
+            spark.range(1).select(
+                to_avro(
+                    F.struct(F.lit(1).alias("x")), _JVM_AVRO_PROBE_SCHEMA
+                ).alias("v")
+            ).collect()
+            _jvm_avro_cache[key] = True
+        except Exception:
+            _jvm_avro_cache[key] = False
+    return _jvm_avro_cache[key]
+
+
+def _envelope_struct_for_jvm(env, gtid_mode: bool):
+    """Envelope columns -> one struct column laid out field-for-field like
+    ENVELOPE_SCHEMA/GTID_ENVELOPE_SCHEMA, ready for spark-avro's to_avro.
+    Timestamps stay TimestampType (spark-avro writes timestamp-micros);
+    the v1 meta int range check is enforced with raise_error so the JVM
+    path fails as loudly as the kernel path."""
+    from pyspark.sql import functions as F
+
+    checked_pos = F.when(
+        (F.col("log_pos") >= F.lit(2**31)) | (F.col("log_pos") < F.lit(-(2**31))),
+        F.raise_error(
+            F.concat(
+                F.lit("log_pos "),
+                F.col("log_pos").cast("string"),
+                F.lit(
+                    " exceeds the v1 meta schema's 32-bit int range; "
+                    "register a long-typed v2 meta schema before encoding"
+                ),
+            )
+        ).cast("long"),
+    ).otherwise(F.coalesce(F.col("log_pos"), F.lit(0)))
+    if gtid_mode:
+        meta = F.array(
+            F.struct(
+                F.col("cluster_name").alias("cluster_name"),
+                F.col("gtid").alias("gtid"),
+            )
+        )
+    else:
+        meta = F.array(
+            F.struct(
+                F.col("cluster_name").alias("cluster_name"),
+                F.coalesce(F.col("log_file"), F.lit("")).alias("log_file"),
+                checked_pos.cast("int").alias("log_pos"),
+            )
+        )
+    cols = [
+        F.col(c) for c in _FLAT_FIELDS
+    ] + ([F.col("gtid")] if gtid_mode else [])
+    return F.struct(*cols, meta.alias("meta"))
+
+
+def envelope_to_avro(env, gtid_mode: bool = False, use_jvm: bool | None = None):
     """Envelope DataFrame -> one ``value: binary`` column of Avro-encoded
     messages (plus the record count preserved 1:1). Arrow batch in, python
     encode loop per row, Arrow batch out — map-side only, no shuffle.
 
     ``gtid_mode`` mirrors the reference's two transaction-id kinds: the
     input must carry a ``gtid`` column, and the meta array encodes the
-    global_transaction_id record through the UNION branch."""
+    global_transaction_id record through the UNION branch.
+
+    ``use_jvm`` selects the spark-avro ``to_avro`` fast path (None =
+    auto-detect via jvm_avro_available): same schema, same bytes, but the
+    codec runs inside whole-stage codegen with zero Python transfer —
+    the branch a real cluster with the spark-avro jar takes."""
     import pyarrow as pa
+
+    if use_jvm is None:
+        use_jvm = jvm_avro_available(env.sparkSession)
+    if use_jvm:
+        from pyspark.sql.avro.functions import to_avro
+
+        schema_json = json.dumps(
+            GTID_ENVELOPE_SCHEMA if gtid_mode else ENVELOPE_SCHEMA
+        )
+        return env.select(
+            to_avro(_envelope_struct_for_jvm(env, gtid_mode), schema_json).alias(
+                "value"
+            )
+        )
 
     schema = GTID_ENVELOPE_SCHEMA if gtid_mode else ENVELOPE_SCHEMA
 
@@ -700,13 +791,65 @@ def envelope_to_avro(env, gtid_mode: bool = False):
     return flat.mapInArrow(encode_batches, "value binary")
 
 
-def avro_to_envelope(wire, gtid_mode: bool = False):
+def avro_to_envelope(wire, gtid_mode: bool = False, use_jvm: bool | None = None):
     """Inverse of envelope_to_avro: binary messages -> the flat envelope
     columns plus ``meta_ok`` (does the decoded meta array equal the
     position columns it was derived from — the array-of-record path's own
     roundtrip witness; in gtid_mode the witness checks the decoded
-    global_transaction_id union branch instead)."""
+    global_transaction_id union branch instead).
+
+    ``use_jvm`` selects spark-avro's ``from_avro`` (None = auto-detect):
+    same columns out, decoded inside whole-stage codegen."""
     import pyarrow as pa
+
+    if use_jvm is None:
+        use_jvm = jvm_avro_available(wire.sparkSession)
+    if use_jvm:
+        from pyspark.sql import functions as F
+        from pyspark.sql.avro.functions import from_avro
+
+        schema_json = json.dumps(
+            GTID_ENVELOPE_SCHEMA if gtid_mode else ENVELOPE_SCHEMA
+        )
+        r = wire.select(from_avro(F.col("value"), schema_json).alias("r"))
+        meta0 = F.col("r.meta").getItem(0)
+        if gtid_mode:
+            meta_ok = (
+                (F.size("r.meta") == 1)
+                & (meta0.getField("cluster_name") == F.col("r.cluster_name"))
+                & (meta0.getField("gtid") == F.col("r.gtid"))
+            )
+        else:
+            meta_ok = (
+                (F.size("r.meta") == 1)
+                & (meta0.getField("cluster_name") == F.col("r.cluster_name"))
+                & (
+                    meta0.getField("log_file")
+                    == F.coalesce(F.col("r.log_file"), F.lit(""))
+                )
+                & (
+                    meta0.getField("log_pos").cast("long")
+                    == F.coalesce(F.col("r.log_pos"), F.lit(0))
+                )
+            )
+        return r.select(
+            F.col("r.schema_id").alias("schema_id"),
+            F.col("r.cluster_name").alias("cluster_name"),
+            F.col("r.database_name").alias("database_name"),
+            F.col("r.table_name").alias("table_name"),
+            F.col("r.message_type").alias("message_type"),
+            F.unix_micros(F.col("r.timestamp")).alias("ts_us"),
+            F.col("r.log_file").alias("log_file"),
+            F.col("r.log_pos").alias("log_pos"),
+            F.col("r.offset").alias("offset"),
+            F.col("r.txn_order").alias("txn_order"),
+            F.col("r.pk").alias("pk"),
+            F.col("r.payload_k").alias("payload_k"),
+            F.col("r.payload_val").alias("payload_val"),
+            F.col("r.previous_payload_val").alias("previous_payload_val"),
+            *([F.col("r.gtid").alias("gtid")] if gtid_mode else []),
+            meta_ok.alias("meta_ok"),
+        )
 
     arrow_fields = [
         pa.field("schema_id", pa.int32()),
