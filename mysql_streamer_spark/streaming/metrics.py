@@ -24,6 +24,20 @@ class BatchMetric:
     num_input_rows: int
     duration_ms: int
     alert: bool
+    #: wall-clock seconds from the batch's trigger start to the moment the
+    #: completion event is observed — an upper bound on how long a message
+    #: arriving at trigger time waited to be committed. This is the
+    #: engine's contribution to the reference's replication-delay gauge
+    #: (total delay ≤ trigger interval + this).
+    commit_lag_s: float = 0.0
+
+
+def _percentile(sorted_vals: list[float], q: float) -> float:
+    """Nearest-rank percentile over a pre-sorted list (empty -> 0.0)."""
+    if not sorted_vals:
+        return 0.0
+    idx = min(len(sorted_vals) - 1, max(0, int(round(q * (len(sorted_vals) - 1)))))
+    return sorted_vals[idx]
 
 
 @dataclass
@@ -41,6 +55,21 @@ class MetricsCollector:
     def alerts(self) -> list[BatchMetric]:
         return [b for b in self.batches if b.alert]
 
+    def lag_percentiles(self, non_empty_only: bool = True) -> dict[str, float]:
+        """p50/p99/max commit lag across recorded batches (empty-input
+        trigger ticks excluded by default — they commit nothing)."""
+        lags = sorted(
+            b.commit_lag_s
+            for b in self.batches
+            if b.num_input_rows > 0 or not non_empty_only
+        )
+        return {
+            "p50_s": round(_percentile(lags, 0.50), 3),
+            "p99_s": round(_percentile(lags, 0.99), 3),
+            "max_s": round(lags[-1] if lags else 0.0, 3),
+            "batches": len(lags),
+        }
+
 
 class EnvelopeStreamListener(StreamingQueryListener):
     """Attach with ``spark.streams.addListener``; detach with
@@ -53,14 +82,25 @@ class EnvelopeStreamListener(StreamingQueryListener):
         pass
 
     def onQueryProgress(self, event) -> None:  # noqa: N802
+        import datetime as _dt
+
         p = event.progress
         duration = p.durationMs.get("triggerExecution", 0)
+        # p.timestamp is the trigger's start instant (ISO-8601, UTC)
+        try:
+            started = _dt.datetime.fromisoformat(
+                p.timestamp.replace("Z", "+00:00")
+            ).timestamp()
+            lag = max(0.0, _dt.datetime.now(_dt.timezone.utc).timestamp() - started)
+        except (ValueError, AttributeError):
+            lag = duration / 1000.0
         self.collector.batches.append(
             BatchMetric(
                 batch_id=p.batchId,
                 num_input_rows=p.numInputRows,
                 duration_ms=duration,
                 alert=duration / 1000.0 > self.collector.max_batch_seconds,
+                commit_lag_s=lag,
             )
         )
 

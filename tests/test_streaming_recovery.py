@@ -123,6 +123,14 @@ def test_state_table_and_metrics(spark, multi_file_events, tmp_path):
     assert len(data_batches) == 2
     assert collector.total_rows == spark.read.parquet(src).count()
     assert collector.alerts == []
+    # R8 commit-lag gauge: every batch recorded a positive lag that at
+    # least covers its own execution time, and the percentile summary is
+    # ordered and counts only data batches
+    for b in data_batches:
+        assert b.commit_lag_s >= b.duration_ms / 1000.0
+    lags = collector.lag_percentiles()
+    assert lags["batches"] == len(data_batches)
+    assert 0 < lags["p50_s"] <= lags["p99_s"] <= lags["max_s"]
 
 
 def test_topic_offsets_checkpoint(spark, multi_file_events, tmp_path):

@@ -325,7 +325,95 @@ def probe_tfidf(spark, sf_dir: str, max_k: int) -> None:
         k *= 2
 
 
+#: the most expensive bench queries (BENCH_DETAIL top of table) — the ones
+#: where a super-linear surprise would hide (VERDICT r4 item 5)
+_TOP5_BENCH = (
+    "dedup_budget_report",
+    "dedup_jaccard_ngram",
+    "dedup_containment",
+    "dedup_pair_agreement",
+    "streaming_python_source",
+)
+
+
+def _materialize_scaled_sf(spark, sf_dir: str, k: int, out_dir: str) -> None:
+    """Write a k-fold replica of an sf_dir that registry queries can read
+    unchanged: documents/embeddings replicate in the distinct regime
+    (unique ids, rotated content — pure row-count scaling), events
+    replicate with shifted event_ids (distinct binlog positions), and the
+    small relational tables symlink to the originals."""
+    import os
+
+    from mysql_streamer_spark.tables import TABLE_NAMES, load_table, table_path
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name in TABLE_NAMES:
+        dst = table_path(out_dir, name)
+        if os.path.exists(dst):
+            continue
+        if name == "documents":
+            replicate(load_table(spark, sf_dir, name), k, distinct=True).write.parquet(dst)
+        elif name == "embeddings":
+            replicate_embeddings(
+                load_table(spark, sf_dir, name), k, distinct=True
+            ).write.parquet(dst)
+        elif name == "events":
+            # dense re-ids (id*k + i), NOT the 10M stride: binlog file
+            # numbers derive from event_id div 1000 and feed the
+            # txn_order 2^48 shift — a sparse stride overflows long
+            ev = load_table(spark, sf_dir, name)
+            parts = [
+                ev.withColumn("event_id", F.col("event_id") * F.lit(k) + F.lit(i))
+                .withColumn("user_id", F.col("user_id") + F.lit(i * _OFFSET))
+                for i in range(k)
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            out.write.parquet(dst)
+        else:
+            os.symlink(table_path(sf_dir, name), dst)
+
+
+def probe_bench_top5(spark, sf_dir: str, ks=(1, 4, 10)) -> None:
+    """Wall clock of the top-5 bench queries at k-fold input, run through
+    the REGISTRY (same code path as bench/driver). The noop-format write
+    forces full materialization of every column (a bare count() would let
+    Spark prune map-side work). Healthy behaviour: ≤~linear growth in k."""
+    import shutil
+    import tempfile
+
+    from mysql_streamer_spark.queries import all_specs
+
+    specs = {s.name: s for s in all_specs()}
+    for k in ks:
+        tmp = tempfile.mkdtemp(prefix=f"scale_probe_sf_k{k}_")
+        try:
+            _materialize_scaled_sf(spark, sf_dir, k, tmp)
+            for name in _TOP5_BENCH:
+                t0 = time.time()
+                specs[name].fn(spark, tmp).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = time.time() - t0
+                print(
+                    json.dumps(
+                        {"probe": "bench_top5", "query": name, "k": k,
+                         "sec": round(dt, 2)}
+                    ),
+                    flush=True,
+                )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--top5":
+        from mysql_streamer_spark.session import get_spark
+
+        sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+        probe_bench_top5(get_spark("scale_probe_top5"), sf_dir)
+        return 0
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     max_k = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 
