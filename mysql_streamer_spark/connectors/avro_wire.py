@@ -48,6 +48,21 @@ TRANSACTION_ID_SCHEMA: dict = {
     ],
 }
 
+#: v2 of the meta record: log_pos widened to ``long`` — the schema the
+#: reference's store would register once binlog positions outgrow 32 bits
+#: (int->long is a spec-legal promotion, so v2 READERS consume v1 data via
+#: decode_resolved with no migration).
+TRANSACTION_ID_V2_SCHEMA: dict = {
+    "type": "record",
+    "name": "transaction_id",
+    "namespace": "replication_handler",
+    "fields": [
+        {"name": "cluster_name", "type": "string"},
+        {"name": "log_file", "type": "string"},
+        {"name": "log_pos", "type": "long"},
+    ],
+}
+
 #: GTID-mode meta record, field-for-field the reference's
 #: global_transaction_id_v1.avsc.
 GLOBAL_TRANSACTION_ID_SCHEMA: dict = {
@@ -90,6 +105,15 @@ ENVELOPE_SCHEMA: dict = {
 }
 
 ENVELOPE_SCHEMA_JSON = json.dumps(ENVELOPE_SCHEMA)
+
+#: envelope with the v2 (long log_pos) meta items — same flat fields
+ENVELOPE_SCHEMA_V2: dict = {
+    **ENVELOPE_SCHEMA,
+    "fields": [
+        *[f for f in ENVELOPE_SCHEMA["fields"] if f["name"] != "meta"],
+        {"name": "meta", "type": {"type": "array", "items": TRANSACTION_ID_V2_SCHEMA}},
+    ],
+}
 
 #: GTID-mode message: adds the gtid key and metas become the UNION of both
 #: transaction-id record kinds — the reference attaches log_transaction_id
@@ -665,12 +689,24 @@ def jvm_avro_available(spark) -> bool:
     return _jvm_avro_cache[key]
 
 
-def _envelope_struct_for_jvm(env, gtid_mode: bool):
+def _select_envelope_schema(gtid_mode: bool, meta_version: int) -> dict:
+    if gtid_mode:
+        if meta_version != 1:
+            raise ValueError("gtid meta has no v2; meta_version applies to binlog mode")
+        return GTID_ENVELOPE_SCHEMA
+    if meta_version == 1:
+        return ENVELOPE_SCHEMA
+    if meta_version == 2:
+        return ENVELOPE_SCHEMA_V2
+    raise ValueError(f"unknown meta_version {meta_version}")
+
+
+def _envelope_struct_for_jvm(env, gtid_mode: bool, meta_version: int = 1):
     """Envelope columns -> one struct column laid out field-for-field like
-    ENVELOPE_SCHEMA/GTID_ENVELOPE_SCHEMA, ready for spark-avro's to_avro.
+    the selected envelope schema, ready for spark-avro's to_avro.
     Timestamps stay TimestampType (spark-avro writes timestamp-micros);
     the v1 meta int range check is enforced with raise_error so the JVM
-    path fails as loudly as the kernel path."""
+    path fails as loudly as the kernel path (v2 carries long natively)."""
     from pyspark.sql import functions as F
 
     checked_pos = F.when(
@@ -694,11 +730,16 @@ def _envelope_struct_for_jvm(env, gtid_mode: bool):
             )
         )
     else:
+        pos = (
+            checked_pos.cast("int")
+            if meta_version == 1
+            else F.coalesce(F.col("log_pos"), F.lit(0))
+        )
         meta = F.array(
             F.struct(
                 F.col("cluster_name").alias("cluster_name"),
                 F.coalesce(F.col("log_file"), F.lit("")).alias("log_file"),
-                checked_pos.cast("int").alias("log_pos"),
+                pos.alias("log_pos"),
             )
         )
     cols = [
@@ -707,7 +748,12 @@ def _envelope_struct_for_jvm(env, gtid_mode: bool):
     return F.struct(*cols, meta.alias("meta"))
 
 
-def envelope_to_avro(env, gtid_mode: bool = False, use_jvm: bool | None = None):
+def envelope_to_avro(
+    env,
+    gtid_mode: bool = False,
+    use_jvm: bool | None = None,
+    meta_version: int = 1,
+):
     """Envelope DataFrame -> one ``value: binary`` column of Avro-encoded
     messages (plus the record count preserved 1:1). Arrow batch in, python
     encode loop per row, Arrow batch out — map-side only, no shuffle.
@@ -719,7 +765,12 @@ def envelope_to_avro(env, gtid_mode: bool = False, use_jvm: bool | None = None):
     ``use_jvm`` selects the spark-avro ``to_avro`` fast path (None =
     auto-detect via jvm_avro_available): same schema, same bytes, but the
     codec runs inside whole-stage codegen with zero Python transfer —
-    the branch a real cluster with the spark-avro jar takes."""
+    the branch a real cluster with the spark-avro jar takes.
+
+    ``meta_version=2`` publishes the long-typed transaction-id meta
+    (TRANSACTION_ID_V2_SCHEMA) — required once binlog positions exceed 32
+    bits; v1 fails loudly on such positions rather than emit varints
+    spec-strict int decoders reject."""
     import pyarrow as pa
 
     if use_jvm is None:
@@ -727,16 +778,14 @@ def envelope_to_avro(env, gtid_mode: bool = False, use_jvm: bool | None = None):
     if use_jvm:
         from pyspark.sql.avro.functions import to_avro
 
-        schema_json = json.dumps(
-            GTID_ENVELOPE_SCHEMA if gtid_mode else ENVELOPE_SCHEMA
-        )
+        schema_json = json.dumps(_select_envelope_schema(gtid_mode, meta_version))
         return env.select(
-            to_avro(_envelope_struct_for_jvm(env, gtid_mode), schema_json).alias(
-                "value"
-            )
+            to_avro(
+                _envelope_struct_for_jvm(env, gtid_mode, meta_version), schema_json
+            ).alias("value")
         )
 
-    schema = GTID_ENVELOPE_SCHEMA if gtid_mode else ENVELOPE_SCHEMA
+    schema = _select_envelope_schema(gtid_mode, meta_version)
 
     def encode_batches(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         enc = compile_encoder(schema)
@@ -756,14 +805,14 @@ def envelope_to_avro(env, gtid_mode: bool = False, use_jvm: bool | None = None):
                     # the v1 meta schema types log_pos as Avro ``int``;
                     # a 64-bit position would encode as a varint spec-strict
                     # int decoders reject, so fail loudly instead (the fix
-                    # is a v2 long-typed meta schema, as the reference's
-                    # schema store would version it)
+                    # is meta_version=2, the long-typed schema the
+                    # reference's store would register)
                     log_pos = int(row["log_pos"] or 0)
-                    if not -(2**31) <= log_pos < 2**31:
+                    if meta_version == 1 and not -(2**31) <= log_pos < 2**31:
                         raise ValueError(
                             f"log_pos {log_pos} exceeds the v1 meta schema's "
-                            "32-bit int range; register a long-typed v2 meta "
-                            "schema before encoding"
+                            "32-bit int range; encode with meta_version=2 "
+                            "(long-typed meta schema)"
                         )
                     rec["meta"] = [
                         {
@@ -791,7 +840,12 @@ def envelope_to_avro(env, gtid_mode: bool = False, use_jvm: bool | None = None):
     return flat.mapInArrow(encode_batches, "value binary")
 
 
-def avro_to_envelope(wire, gtid_mode: bool = False, use_jvm: bool | None = None):
+def avro_to_envelope(
+    wire,
+    gtid_mode: bool = False,
+    use_jvm: bool | None = None,
+    meta_version: int = 1,
+):
     """Inverse of envelope_to_avro: binary messages -> the flat envelope
     columns plus ``meta_ok`` (does the decoded meta array equal the
     position columns it was derived from — the array-of-record path's own
@@ -799,7 +853,11 @@ def avro_to_envelope(wire, gtid_mode: bool = False, use_jvm: bool | None = None)
     global_transaction_id union branch instead).
 
     ``use_jvm`` selects spark-avro's ``from_avro`` (None = auto-detect):
-    same columns out, decoded inside whole-stage codegen."""
+    same columns out, decoded inside whole-stage codegen.
+
+    ``meta_version`` must match the writer's (consumers reading ACROSS
+    versions go through decode_resolved, which applies the spec's
+    int->long promotion for v1 data under a v2 reader)."""
     import pyarrow as pa
 
     if use_jvm is None:
@@ -808,9 +866,7 @@ def avro_to_envelope(wire, gtid_mode: bool = False, use_jvm: bool | None = None)
         from pyspark.sql import functions as F
         from pyspark.sql.avro.functions import from_avro
 
-        schema_json = json.dumps(
-            GTID_ENVELOPE_SCHEMA if gtid_mode else ENVELOPE_SCHEMA
-        )
+        schema_json = json.dumps(_select_envelope_schema(gtid_mode, meta_version))
         r = wire.select(from_avro(F.col("value"), schema_json).alias("r"))
         meta0 = F.col("r.meta").getItem(0)
         if gtid_mode:
@@ -871,7 +927,7 @@ def avro_to_envelope(wire, gtid_mode: bool = False, use_jvm: bool | None = None)
         arrow_fields.append(pa.field("gtid", pa.string()))
     arrow_fields.append(pa.field("meta_ok", pa.bool_()))
     out_schema = pa.schema(arrow_fields)
-    schema = GTID_ENVELOPE_SCHEMA if gtid_mode else ENVELOPE_SCHEMA
+    schema = _select_envelope_schema(gtid_mode, meta_version)
 
     def decode_batches(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         dec = compile_decoder(schema)

@@ -92,6 +92,58 @@ def test_log_pos_beyond_int32_raises(spark):
     assert "32-bit int range" in str(ei.value)
 
 
+def test_v2_meta_schema_carries_64bit_log_pos(spark):
+    """meta_version=2 (long-typed transaction-id meta) roundtrips the
+    positions v1 must reject — the schema-versioning path the reference's
+    store would take."""
+    from pyspark.sql import functions as F
+
+    from mysql_streamer_spark.connectors.avro_wire import (
+        avro_to_envelope,
+        envelope_to_avro,
+    )
+
+    big = 2**40 + 123
+    base = spark.range(1).select(
+        F.lit(None).cast("int").alias("schema_id"),
+        F.lit("c").alias("cluster_name"),
+        F.lit("db").alias("database_name"),
+        F.lit("t").alias("table_name"),
+        F.lit("insert").alias("message_type"),
+        F.current_timestamp().alias("timestamp"),
+        F.lit("binlog.000001").alias("log_file"),
+        F.lit(big).cast("long").alias("log_pos"),
+        F.lit(0).alias("offset"),
+        F.lit(1).cast("long").alias("txn_order"),
+        F.lit(1).cast("long").alias("pk"),
+        F.lit(None).cast("int").alias("payload_k"),
+        F.lit(None).cast("double").alias("payload_val"),
+        F.lit(None).cast("double").alias("previous_payload_val"),
+    )
+    wire = envelope_to_avro(base, meta_version=2)
+    row = avro_to_envelope(wire, meta_version=2).collect()[0]
+    assert row.log_pos == big and row.meta_ok
+
+
+def test_v1_bytes_resolve_under_v2_reader():
+    """Consumer upgrade: v1-written meta (int log_pos) decodes under the
+    v2 reader via the spec's int->long promotion inside array-of-record."""
+    from mysql_streamer_spark.connectors.avro_wire import (
+        TRANSACTION_ID_SCHEMA,
+        TRANSACTION_ID_V2_SCHEMA,
+        compile_encoder,
+        decode_resolved,
+    )
+
+    value = {"cluster_name": "c", "log_file": "binlog.000009", "log_pos": 3992}
+    out = bytearray()
+    compile_encoder(TRANSACTION_ID_SCHEMA)(value, out)
+    got, end = decode_resolved(
+        TRANSACTION_ID_SCHEMA, TRANSACTION_ID_V2_SCHEMA, bytes(out), 0
+    )
+    assert end == len(out) and got == value
+
+
 def test_log_pos_at_int32_boundary_encodes(spark):
     from pyspark.sql import functions as F
 

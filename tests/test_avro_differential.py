@@ -287,6 +287,44 @@ def test_jvm_fast_path_parity_with_kernel(spark, sf_dir):
     env.unpersist()
 
 
+def test_v2_envelope_encoding_matches_java(spark):
+    """The long-typed v2 meta schema, with a beyond-int32 position,
+    byte-exact vs the Java implementation."""
+    from mysql_streamer_spark.connectors.avro_wire import (
+        ENVELOPE_SCHEMA_V2,
+        compile_encoder,
+    )
+
+    row = {
+        "schema_id": None,
+        "cluster_name": "c",
+        "database_name": "db",
+        "table_name": "t",
+        "message_type": "insert",
+        "timestamp": 1704067200000000,
+        "log_file": "binlog.000001",
+        "log_pos": 2**40 + 123,
+        "offset": 0,
+        "txn_order": 1,
+        "pk": 1,
+        "payload_k": None,
+        "payload_val": None,
+        "previous_payload_val": None,
+        "meta": [
+            {
+                "cluster_name": "c",
+                "log_file": "binlog.000001",
+                "log_pos": 2**40 + 123,
+            }
+        ],
+    }
+    out = bytearray()
+    compile_encoder(ENVELOPE_SCHEMA_V2)(row, out)
+    avro_json = json.dumps(_to_avro_json(ENVELOPE_SCHEMA_V2, row))
+    theirs = _java_encode(spark, json.dumps(ENVELOPE_SCHEMA_V2), avro_json)
+    assert bytes(out) == theirs
+
+
 def test_gtid_union_branch_selection_matches_java(spark):
     """The two transaction-id record kinds ride a union inside the meta
     array; branch INDEX bytes must agree with Java's resolution."""
