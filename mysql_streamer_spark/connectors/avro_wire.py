@@ -971,3 +971,138 @@ def avro_to_envelope(
         + "meta_ok boolean"
     )
     return wire.mapInArrow(decode_batches, spark_schema)
+
+
+# ---------------------------------------------------------------------------
+# secure envelope: the encrypted-publish wire format (encryption + Avro)
+# ---------------------------------------------------------------------------
+
+#: flat (non-payload) envelope fields shared with the plaintext schema
+_SECURE_FLAT = [
+    f
+    for f in ENVELOPE_SCHEMA["fields"]
+    if f["name"]
+    not in ("pk", "payload_k", "payload_val", "previous_payload_val", "meta")
+]
+
+#: The message layout the reference actually ships when
+#: ``encryption_type`` is configured: routing/position fields plaintext
+#: (partition routing must work without the key), payloads as AES-CBC
+#: ciphertext with the IV and encryption_type carried in the message
+#: (end_to_end_test.py:551-600's behavioral contract; the ciphertext
+#: columns come from cdc/encryption.py).
+SECURE_ENVELOPE_SCHEMA: dict = {
+    "type": "record",
+    "name": "secure_envelope",
+    "namespace": "replication_handler",
+    "fields": [
+        *_SECURE_FLAT,
+        {"name": "encryption_type", "type": "string"},
+        {"name": "initialization_vector", "type": "bytes"},
+        {"name": "payload_ciphertext", "type": ["null", "bytes"]},
+        {"name": "previous_payload_ciphertext", "type": ["null", "bytes"]},
+        {"name": "meta", "type": {"type": "array", "items": TRANSACTION_ID_SCHEMA}},
+    ],
+}
+
+_SECURE_FLAT_NAMES = [f["name"] for f in SECURE_ENVELOPE_SCHEMA["fields"] if f["name"] != "meta"]
+
+
+def secure_envelope_to_avro(published):
+    """Encrypted envelope (cdc/encryption.py's published form) -> Avro
+    binary messages. Same map-only mapInArrow shape as envelope_to_avro;
+    the ciphertext columns ride the spec's ``bytes`` framing."""
+    import pyarrow as pa
+
+    def encode_batches(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        enc = compile_encoder(SECURE_ENVELOPE_SCHEMA)
+        for batch in batches:
+            out = []
+            for row in batch.to_pylist():
+                rec = dict(row)
+                log_pos = int(row["log_pos"] or 0)
+                if not -(2**31) <= log_pos < 2**31:
+                    raise ValueError(
+                        f"log_pos {log_pos} exceeds the v1 meta schema's "
+                        "32-bit int range; encode with meta_version=2"
+                    )
+                rec["meta"] = [
+                    {
+                        "cluster_name": row["cluster_name"],
+                        "log_file": row["log_file"] or "",
+                        "log_pos": log_pos,
+                    }
+                ]
+                buf = bytearray()
+                enc(rec, buf)
+                out.append(bytes(buf))
+            yield pa.RecordBatch.from_arrays([pa.array(out, pa.binary())], ["value"])
+
+    from pyspark.sql import functions as F
+
+    flat = published.select(
+        *[
+            F.unix_micros(F.col(c)).alias(c) if c == "timestamp" else F.col(c)
+            for c in _SECURE_FLAT_NAMES
+        ]
+    )
+    return flat.mapInArrow(encode_batches, "value binary")
+
+
+def avro_to_secure_envelope(wire):
+    """Inverse of secure_envelope_to_avro: binary messages back to the
+    encrypted-envelope columns (plus ``meta_ok``), ready for
+    cdc/encryption.py's decrypt_envelope."""
+    import pyarrow as pa
+
+    arrow_fields = [
+        pa.field("schema_id", pa.int32()),
+        pa.field("cluster_name", pa.string()),
+        pa.field("database_name", pa.string()),
+        pa.field("table_name", pa.string()),
+        pa.field("message_type", pa.string()),
+        pa.field("ts_us", pa.int64()),
+        pa.field("log_file", pa.string()),
+        pa.field("log_pos", pa.int64()),
+        pa.field("offset", pa.int32()),
+        pa.field("txn_order", pa.int64()),
+        pa.field("encryption_type", pa.string()),
+        pa.field("initialization_vector", pa.binary()),
+        pa.field("payload_ciphertext", pa.binary()),
+        pa.field("previous_payload_ciphertext", pa.binary()),
+        pa.field("meta_ok", pa.bool_()),
+    ]
+    out_schema = pa.schema(arrow_fields)
+
+    def decode_batches(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        dec = compile_decoder(SECURE_ENVELOPE_SCHEMA)
+        for batch in batches:
+            cols: dict[str, list] = {f.name: [] for f in arrow_fields}
+            for raw in batch.column(0).to_pylist():
+                rec, end = dec(raw, 0)
+                if end != len(raw):
+                    raise ValueError("trailing bytes after avro record")
+                meta = rec.pop("meta")
+                cols["meta_ok"].append(
+                    len(meta) == 1
+                    and meta[0]["cluster_name"] == rec["cluster_name"]
+                    and meta[0]["log_file"] == (rec["log_file"] or "")
+                    and meta[0]["log_pos"] == int(rec["log_pos"] or 0)
+                )
+                cols["ts_us"].append(rec.pop("timestamp"))
+                for k, v in rec.items():
+                    cols[k].append(v)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[f.name], f.type) for f in arrow_fields],
+                schema=out_schema,
+            )
+
+    spark_schema = (
+        "schema_id int, cluster_name string, database_name string, "
+        "table_name string, message_type string, ts_us long, log_file string, "
+        "log_pos long, offset int, txn_order long, "
+        "encryption_type string, initialization_vector binary, "
+        "payload_ciphertext binary, previous_payload_ciphertext binary, "
+        "meta_ok boolean"
+    )
+    return wire.mapInArrow(decode_batches, spark_schema)

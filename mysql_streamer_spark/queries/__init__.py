@@ -101,6 +101,7 @@ def all_specs() -> list[QuerySpec]:
     priority: dict[str, tuple[str, ...]] = {
         "cdc": (
             "cdc_encrypted_envelope",
+            "cdc_secure_wire_roundtrip",
             "cdc_avro_roundtrip",
             "cdc_avro_gtid_roundtrip",
             "cdc_avro_file_roundtrip",

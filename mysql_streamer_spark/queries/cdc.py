@@ -1352,6 +1352,75 @@ SELECT *, TRUE AS cipher_ok FROM env
 )
 
 
+def q_cdc_secure_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL publish stack, composed and value-checked end-to-end:
+    envelope -> AES-CBC encrypt (cdc/encryption.py) -> Avro wire encode
+    against SECURE_ENVELOPE_SCHEMA (ciphertext as spec ``bytes``, IV +
+    encryption_type in the message, transaction-id meta array) -> Avro
+    decode -> decrypt -> the original envelope, hash-matched against the
+    DIRECT envelope oracle. This is the exact shape the reference ships
+    when ``encryption_type`` is configured: Avro-encoded messages whose
+    payloads only a key-holder can read, with routing and position fields
+    in the clear. ``meta_ok`` witnesses the meta array; ``cipher_ok``
+    witnesses real block-aligned ciphertext ON THE WIRE (checked after
+    Avro decode, so it also proves the bytes framing preserved it).
+
+    Scale shape: every stage is map-only (pandas UDF cipher, mapInArrow
+    codec) over the envelope partitioning — no shuffle, no collect."""
+    from mysql_streamer_spark.cdc.encryption import (
+        EncryptionConfig,
+        decrypt_envelope,
+        encrypt_envelope,
+        resource_key_location,
+    )
+    from mysql_streamer_spark.connectors.avro_wire import (
+        avro_to_secure_envelope,
+        secure_envelope_to_avro,
+    )
+
+    cfg = EncryptionConfig("AES_MODE_CBC-1", resource_key_location())
+    env = envelope_pipeline(spark, sf_dir)
+    wire = secure_envelope_to_avro(encrypt_envelope(env, cfg))
+    landed = avro_to_secure_envelope(wire).withColumn(
+        "cipher_ok",
+        F.col("payload_ciphertext").isNotNull()
+        & (F.length("payload_ciphertext") > 0)
+        & (F.length("payload_ciphertext") % 16 == 0)
+        & (F.col("encryption_type") == F.lit("AES_MODE_CBC-1")),
+    )
+    restored = decrypt_envelope(
+        landed.withColumn("timestamp", F.timestamp_micros("ts_us")).drop("ts_us"),
+        cfg,
+    )
+    return restored.select(
+        "schema_id",
+        "cluster_name",
+        "database_name",
+        "table_name",
+        "message_type",
+        "timestamp",
+        "log_file",
+        "log_pos",
+        "offset",
+        "txn_order",
+        "pk",
+        "payload_k",
+        "payload_val",
+        "previous_payload_val",
+        "cipher_ok",
+        "meta_ok",
+    )
+
+
+_SECURE_WIRE_ORACLE = (
+    _ORACLE_PIPELINE_CTES
+    + f"""
+, env AS ({_ENVELOPE_SELECT.strip()})
+SELECT *, TRUE AS cipher_ok, TRUE AS meta_ok FROM env
+"""
+)
+
+
 _TOPIC_ROUTING_ORACLE = (
     _ORACLE_PIPELINE_CTES
     + f"""
@@ -1389,6 +1458,11 @@ SPECS = [
         "cdc_encrypted_envelope",
         q_cdc_encrypted_envelope,
         _ENCRYPTED_ENVELOPE_ORACLE,
+    ),
+    QuerySpec(
+        "cdc_secure_wire_roundtrip",
+        q_cdc_secure_wire_roundtrip,
+        _SECURE_WIRE_ORACLE,
     ),
     QuerySpec(
         "cdc_avro_gtid_roundtrip",

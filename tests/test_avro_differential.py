@@ -325,6 +325,45 @@ def test_v2_envelope_encoding_matches_java(spark):
     assert bytes(out) == theirs
 
 
+def test_secure_envelope_encoding_matches_java(spark):
+    """The encrypted-publish wire schema (ciphertext as Avro bytes, IV +
+    encryption_type in the message) byte-exact vs Java — including a null
+    previous-payload union branch and non-UTF8 ciphertext bytes."""
+    from mysql_streamer_spark.connectors.avro_wire import (
+        SECURE_ENVELOPE_SCHEMA,
+        compile_encoder,
+    )
+
+    row = {
+        "schema_id": 3,
+        "cluster_name": "refresh_primary",
+        "database_name": "yelp",
+        "table_name": "secret_table",
+        "message_type": "create",
+        "timestamp": 1704067200123456,
+        "log_file": "binlog.000002",
+        "log_pos": 777,
+        "offset": 0,
+        "txn_order": 42,
+        "encryption_type": "AES_MODE_CBC-1",
+        "initialization_vector": bytes(range(16)),
+        "payload_ciphertext": bytes([0xFF, 0x00, 0x80, 0x7F] * 8),
+        "previous_payload_ciphertext": None,
+        "meta": [
+            {
+                "cluster_name": "refresh_primary",
+                "log_file": "binlog.000002",
+                "log_pos": 777,
+            }
+        ],
+    }
+    out = bytearray()
+    compile_encoder(SECURE_ENVELOPE_SCHEMA)(row, out)
+    avro_json = json.dumps(_to_avro_json(SECURE_ENVELOPE_SCHEMA, row))
+    theirs = _java_encode(spark, json.dumps(SECURE_ENVELOPE_SCHEMA), avro_json)
+    assert bytes(out) == theirs
+
+
 def test_gtid_union_branch_selection_matches_java(spark):
     """The two transaction-id record kinds ride a union inside the meta
     array; branch INDEX bytes must agree with Java's resolution."""
