@@ -140,6 +140,39 @@ def _aes_cbc_decrypt_udf(key: bytes):
     return dec
 
 
+def _aes_cbc_keyring_decrypt_udf(key_ring: dict[str, bytes]):
+    """Decrypt with the key EACH MESSAGE names in its encryption_type —
+    the key-rotation contract the reference's ``key-{id}.key`` directory
+    layout implies: a consumer holds every historical key and a mixed
+    stream (messages written before and after a rotation) decrypts
+    transparently. An encryption_type not in the ring fails loudly."""
+
+    @F.pandas_udf("binary")
+    def dec(data: pd.Series, iv: pd.Series, etype: pd.Series) -> pd.Series:
+        from cryptography.hazmat.primitives import padding
+        from cryptography.hazmat.primitives.ciphers import (
+            Cipher,
+            algorithms,
+            modes,
+        )
+
+        out = []
+        for d, v, t in zip(data, iv, etype):
+            if d is None:
+                out.append(None)
+                continue
+            key = key_ring.get(t)
+            if key is None:
+                raise ValueError(f"no key in ring for encryption_type {t!r}")
+            c = Cipher(algorithms.AES(key), modes.CBC(bytes(v))).decryptor()
+            padded = c.update(bytes(d)) + c.finalize()
+            unpadder = padding.PKCS7(128).unpadder()
+            out.append(unpadder.update(padded) + unpadder.finalize())
+        return pd.Series(out)
+
+    return dec
+
+
 def _message_iv() -> "F.Column":
     """Deterministic 16-byte per-message IV from the binlog position
     (unique per message by construction), computed JVM-side."""
@@ -187,6 +220,42 @@ def encrypt_envelope(env: DataFrame, config: EncryptionConfig) -> DataFrame:
     )
 
 
+def load_key_ring(key_location: str) -> dict[str, bytes]:
+    """Every ``key-{id}.key`` under key_location -> {encryption_type: key}.
+    The ring is what a long-lived consumer holds across key rotations."""
+    ring: dict[str, bytes] = {}
+    for path in sorted(Path(key_location).glob("key-*.key")):
+        m = re.match(r"key-(\d+)\.key$", path.name)
+        if not m:
+            continue
+        ring[f"AES_MODE_CBC-{m.group(1)}"] = hashlib.sha256(
+            path.read_bytes()
+        ).digest()
+    if not ring:
+        raise ValueError(f"no key-*.key files under {key_location!r}")
+    return ring
+
+
+def decrypt_envelope_with_ring(published: DataFrame, key_location: str) -> DataFrame:
+    """Key-rotation-aware decrypt: each message is decrypted with the key
+    its own ``encryption_type`` column names, so a stream spanning a key
+    rotation (old messages under key N, new under key N+1) restores
+    transparently. Same vectorized map-only shape as decrypt_envelope."""
+    ring = load_key_ring(key_location)
+    dec = _aes_cbc_keyring_decrypt_udf(ring)
+    payload = dec(
+        F.col("payload_ciphertext"),
+        F.col("initialization_vector"),
+        F.col("encryption_type"),
+    ).cast("string")
+    prev = dec(
+        F.col("previous_payload_ciphertext"),
+        F.col("initialization_vector"),
+        F.col("encryption_type"),
+    ).cast("string")
+    return _restore_payload_columns(published, payload, prev)
+
+
 def decrypt_envelope(published: DataFrame, config: EncryptionConfig) -> DataFrame:
     """Inverse of encrypt_envelope: the consumer-side transparent decrypt.
 
@@ -200,6 +269,10 @@ def decrypt_envelope(published: DataFrame, config: EncryptionConfig) -> DataFram
     prev = dec(
         F.col("previous_payload_ciphertext"), F.col("initialization_vector")
     ).cast("string")
+    return _restore_payload_columns(published, payload, prev)
+
+
+def _restore_payload_columns(published: DataFrame, payload, prev) -> DataFrame:
     payload_schema = "pk long, payload_k int, payload_val double"
     prev_schema = "payload_k int, previous_payload_val double"
     return (

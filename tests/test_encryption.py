@@ -98,6 +98,68 @@ def test_wrong_key_fails_loudly_not_garbage(spark, sf_dir, config, tmp_path):
     assert "padd" in str(ei.value).lower() or "Invalid" in str(ei.value)
 
 
+def test_key_rotation_mixed_stream_decrypts_by_message_key(spark, sf_dir):
+    """A stream spanning a key rotation: half the messages encrypted
+    under key-1, half under key-2. The ring decrypt restores every row
+    with the key its own encryption_type names; a single-key decrypt of
+    the mixed stream must fail."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mysql_streamer_spark.cdc.encryption import (
+        EncryptionConfig,
+        decrypt_envelope,
+        decrypt_envelope_with_ring,
+        encrypt_envelope,
+        load_key_ring,
+        resource_key_location,
+    )
+
+    loc = resource_key_location()
+    ring = load_key_ring(loc)
+    assert set(ring) >= {"AES_MODE_CBC-1", "AES_MODE_CBC-2"}
+
+    env = _envelope(spark, sf_dir).cache()
+    # txn_order is always even by construction (offset 0, pos a multiple
+    # of 4) — split on pk parity for a genuinely mixed stream
+    old = env.filter(F.coalesce(F.col("pk"), F.lit(0)) % 2 == 0)
+    new = env.filter(F.coalesce(F.col("pk"), F.lit(0)) % 2 == 1)
+    mixed = encrypt_envelope(
+        old, EncryptionConfig("AES_MODE_CBC-1", loc)
+    ).unionByName(encrypt_envelope(new, EncryptionConfig("AES_MODE_CBC-2", loc)))
+
+    restored = decrypt_envelope_with_ring(mixed, loc)
+    cols = ["txn_order", "pk", "payload_k", "payload_val", "previous_payload_val"]
+    orig = {r.txn_order: r for r in env.select(*cols).collect()}
+    back = {r.txn_order: r for r in restored.select(*cols).collect()}
+    assert orig.keys() == back.keys() and len(orig) > 0
+    for k in orig:
+        assert orig[k] == back[k]
+    # both key generations actually present in the published stream
+    types = {r.encryption_type for r in mixed.select("encryption_type").distinct().collect()}
+    assert types == {"AES_MODE_CBC-1", "AES_MODE_CBC-2"}
+    # a single-key consumer cannot read across the rotation
+    with _pytest.raises(Exception):
+        decrypt_envelope(mixed, EncryptionConfig("AES_MODE_CBC-1", loc)).collect()
+    env.unpersist()
+
+
+def test_key_ring_rejects_unknown_encryption_type(spark, sf_dir, config, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mysql_streamer_spark.cdc.encryption import (
+        decrypt_envelope_with_ring,
+        encrypt_envelope,
+    )
+
+    published = encrypt_envelope(_envelope(spark, sf_dir), config)
+    # a ring that only knows key-9 must refuse AES_MODE_CBC-1 messages
+    (tmp_path / "key-9.key").write_text("some other key")
+    with pytest.raises(Exception) as ei:
+        decrypt_envelope_with_ring(published, str(tmp_path)).collect()
+    assert "no key in ring" in str(ei.value)
+
+
 def test_redaction_then_encryption_compose(spark, sf_dir, config):
     """The reference applies PII policy AND encryption to the same stream
     (the golden test's table is the pii-bearing one): redact first, then
