@@ -102,6 +102,7 @@ def all_specs() -> list[QuerySpec]:
         "cdc": (
             "cdc_encrypted_envelope",
             "cdc_secure_wire_roundtrip",
+            "cdc_keyring_envelope",
             "cdc_avro_roundtrip",
             "cdc_avro_gtid_roundtrip",
             "cdc_avro_file_roundtrip",

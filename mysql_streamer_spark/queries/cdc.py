@@ -1421,6 +1421,64 @@ SELECT *, TRUE AS cipher_ok, TRUE AS meta_ok FROM env
 )
 
 
+def q_cdc_keyring_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key rotation end-to-end: the stream is split on pk parity and
+    published under TWO key generations (key-1 for even, key-2 for odd —
+    the before/after of a rotation), then decrypted by the RING consumer
+    (cdc/encryption.py:decrypt_envelope_with_ring), which picks the key
+    each message's own ``encryption_type`` names. Hash-matches the direct
+    envelope oracle; ``key_generation`` carries which key each row rode
+    so the oracle also proves the split reached the wire (the reference's
+    key-{id}.key directory layout is exactly this consumer contract).
+
+    Scale shape: two map-side encrypt branches unioned (no shuffle — a
+    union is a plan concatenation), one map-side ring decrypt."""
+    from mysql_streamer_spark.cdc.encryption import (
+        EncryptionConfig,
+        decrypt_envelope_with_ring,
+        encrypt_envelope,
+        resource_key_location,
+    )
+
+    loc = resource_key_location()
+    env = envelope_pipeline(spark, sf_dir)
+    even = env.filter(F.coalesce(F.col("pk"), F.lit(0)) % 2 == 0)
+    odd = env.filter(F.coalesce(F.col("pk"), F.lit(0)) % 2 != 0)
+    mixed = encrypt_envelope(
+        even, EncryptionConfig("AES_MODE_CBC-1", loc)
+    ).unionByName(encrypt_envelope(odd, EncryptionConfig("AES_MODE_CBC-2", loc)))
+    keyed = mixed.withColumn("key_generation", F.col("encryption_type"))
+    return decrypt_envelope_with_ring(keyed, loc).select(
+        "schema_id",
+        "cluster_name",
+        "database_name",
+        "table_name",
+        "message_type",
+        "timestamp",
+        "log_file",
+        "log_pos",
+        "offset",
+        "txn_order",
+        "pk",
+        "payload_k",
+        "payload_val",
+        "previous_payload_val",
+        "key_generation",
+    )
+
+
+_KEYRING_ORACLE = (
+    _ORACLE_PIPELINE_CTES
+    + f"""
+, env AS ({_ENVELOPE_SELECT.strip()})
+SELECT *,
+       CASE WHEN COALESCE(pk, 0) % 2 = 0 THEN 'AES_MODE_CBC-1'
+            ELSE 'AES_MODE_CBC-2' END AS key_generation
+FROM env
+"""
+)
+
+
 _TOPIC_ROUTING_ORACLE = (
     _ORACLE_PIPELINE_CTES
     + f"""
@@ -1463,6 +1521,11 @@ SPECS = [
         "cdc_secure_wire_roundtrip",
         q_cdc_secure_wire_roundtrip,
         _SECURE_WIRE_ORACLE,
+    ),
+    QuerySpec(
+        "cdc_keyring_envelope",
+        q_cdc_keyring_envelope,
+        _KEYRING_ORACLE,
     ),
     QuerySpec(
         "cdc_avro_gtid_roundtrip",

@@ -267,6 +267,10 @@ _ZERO_SHUFFLE = (
     "cdc_wire_envelope",
     "cdc_pii_redaction",
     "pipeline_model_quality_score",
+    # AES cipher + Avro codec stages are all map-side (pandas UDF /
+    # mapInArrow); only the schema-id dim broadcast joins in
+    "cdc_encrypted_envelope",
+    "cdc_secure_wire_roundtrip",
 )
 
 
