@@ -188,6 +188,15 @@ def _message_iv() -> "F.Column":
     )
 
 
+def _prev_iv(iv: "F.Column") -> "F.Column":
+    """Distinct IV for the previous-payload ciphertext, derived from the
+    carried message IV (md5 of its hex) so BOTH sides compute it without
+    a second wire field. A (key, IV) pair must never encrypt two
+    different plaintexts under CBC — same-IV pairs leak shared-prefix
+    structure — so the two ciphertexts in one message use distinct IVs."""
+    return F.unhex(F.md5(F.hex(iv)))
+
+
 def encrypt_envelope(env: DataFrame, config: EncryptionConfig) -> DataFrame:
     """Envelope -> published form with encrypted payloads.
 
@@ -213,7 +222,10 @@ def encrypt_envelope(env: DataFrame, config: EncryptionConfig) -> DataFrame:
         )
         .withColumn(
             "previous_payload_ciphertext",
-            enc(prev_json.cast("binary"), F.col("initialization_vector")),
+            enc(
+                prev_json.cast("binary"),
+                _prev_iv(F.col("initialization_vector")),
+            ),
         )
         .withColumn("encryption_type", F.lit(config.encryption_type))
         .drop("pk", "payload_k", "payload_val", "previous_payload_val")
@@ -250,7 +262,7 @@ def decrypt_envelope_with_ring(published: DataFrame, key_location: str) -> DataF
     ).cast("string")
     prev = dec(
         F.col("previous_payload_ciphertext"),
-        F.col("initialization_vector"),
+        _prev_iv(F.col("initialization_vector")),
         F.col("encryption_type"),
     ).cast("string")
     return _restore_payload_columns(published, payload, prev)
@@ -267,7 +279,8 @@ def decrypt_envelope(published: DataFrame, config: EncryptionConfig) -> DataFram
         F.col("payload_ciphertext"), F.col("initialization_vector")
     ).cast("string")
     prev = dec(
-        F.col("previous_payload_ciphertext"), F.col("initialization_vector")
+        F.col("previous_payload_ciphertext"),
+        _prev_iv(F.col("initialization_vector")),
     ).cast("string")
     return _restore_payload_columns(published, payload, prev)
 

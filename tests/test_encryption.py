@@ -98,6 +98,43 @@ def test_wrong_key_fails_loudly_not_garbage(spark, sf_dir, config, tmp_path):
     assert "padd" in str(ei.value).lower() or "Invalid" in str(ei.value)
 
 
+def test_prev_payload_uses_distinct_iv(spark, sf_dir, config):
+    """CBC must never encrypt two plaintexts under one (key, IV): the
+    previous-payload ciphertext derives its own IV from the carried one,
+    so equal-prefix plaintexts cannot produce equal-prefix ciphertexts."""
+    from pyspark.sql import functions as F
+
+    from mysql_streamer_spark.cdc.encryption import (
+        _aes_cbc_encrypt_udf,
+        _message_iv,
+        _prev_iv,
+        encrypt_envelope,
+    )
+
+    # the derived IV differs from the message IV on every row
+    env = _envelope(spark, sf_dir)
+    same = (
+        env.select(_message_iv().alias("iv"))
+        .select((F.col("iv") == _prev_iv(F.col("iv"))).alias("eq"))
+        .filter("eq")
+        .count()
+    )
+    assert same == 0
+    # identical plaintext under the two IVs yields different ciphertext
+    enc = _aes_cbc_encrypt_udf(config.load_key())
+    pt = F.lit("identical plaintext").cast("binary")
+    row = (
+        env.limit(1)
+        .select(_message_iv().alias("iv"))
+        .select(
+            enc(pt, F.col("iv")).alias("a"),
+            enc(pt, _prev_iv(F.col("iv"))).alias("b"),
+        )
+        .collect()[0]
+    )
+    assert row.a != row.b
+
+
 def test_key_rotation_mixed_stream_decrypts_by_message_key(spark, sf_dir):
     """A stream spanning a key rotation: half the messages encrypted
     under key-1, half under key-2. The ring decrypt restores every row
