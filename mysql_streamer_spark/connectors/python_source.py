@@ -32,6 +32,7 @@ try:  # the DataSource API needs pyspark >= 4
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceStreamReader,
         InputPartition,
         SimpleDataSourceStreamReader,
     )
@@ -44,6 +45,9 @@ except ImportError:  # pragma: no cover - older runtimes
         pass
 
     class DataSourceReader:  # type: ignore[no-redef]
+        pass
+
+    class DataSourceStreamReader:  # type: ignore[no-redef]
         pass
 
     class InputPartition:  # type: ignore[no-redef]
@@ -99,6 +103,16 @@ class BinlogEventsDataSource(DataSource):
     def simpleStreamReader(self, schema) -> "BinlogEventsStreamReader":
         return BinlogEventsStreamReader(self.options)
 
+    def streamReader(self, schema) -> "BinlogEventsPartitionedStreamReader":
+        """The EXECUTOR-PARALLEL streaming form, selected with
+        ``.option("partitioned", "true")``. Without the option this
+        raises PySparkNotImplementedError (the base implementation), so
+        Spark falls back to the paced driver-side simpleStreamReader —
+        both contracts stay live and separately tested."""
+        if str(self.options.get("partitioned", "")).lower() != "true":
+            return super().streamReader(schema)  # raises NotImplemented
+        return BinlogEventsPartitionedStreamReader(self.options)
+
 
 class BinlogEventsReader(DataSourceReader):
     def __init__(self, options):
@@ -120,49 +134,52 @@ class BinlogEventsReader(DataSourceReader):
         return parts or [_RowGroupPartition("", -1)]
 
     def read(self, partition: _RowGroupPartition):
-        import pyarrow as pa
         import pyarrow.parquet as pq
 
         if partition.row_group < 0:  # empty-table sentinel partition
             return
         tbl = pq.ParquetFile(partition.path).read_row_group(
-            partition.row_group,
-            columns=[
-                "event_id",
-                "ts",
-                "user_id",
-                "event_type",
-                "value",
-                "props",
-            ],
+            partition.row_group, columns=_EVENT_COLUMNS
         )
-        ts = tbl.column("ts")
-        ts_type = ts.type
-        if pa.types.is_timestamp(ts_type):
-            unit = ts_type.unit
-        elif pa.types.is_int64(ts_type):
-            unit = "ns"  # legacy TIMESTAMP(NANOS) generations read as int64
-        else:  # pragma: no cover - unknown future generation
-            raise TypeError(f"unsupported ts type {ts_type}")
-        ts_i64 = ts.cast(pa.int64(), safe=False)
-        if unit == "ns":
-            import pyarrow.compute as pc
+        yield from _normalize_events(tbl).to_batches()
 
-            # ns -> µs truncation, same as tables.load_table / DuckDB
-            ts_i64 = pc.divide(ts_i64, pa.scalar(1000, pa.int64()))
-        elif unit != "us":  # pragma: no cover
-            raise TypeError(f"unsupported ts unit {unit}")
-        out = pa.table(
-            {
-                "event_id": tbl.column("event_id").cast(pa.int64()),
-                "ts_us": ts_i64.cast(pa.int64()),
-                "user_id": tbl.column("user_id").cast(pa.int64()),
-                "event_type": tbl.column("event_type").cast(pa.string()),
-                "value": tbl.column("value").cast(pa.float64()),
-                "props": tbl.column("props").cast(pa.string()),
-            }
-        )
-        yield from out.to_batches()
+
+_EVENT_COLUMNS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def _normalize_events(tbl):
+    """Source-edge normalization shared by every reader form: ts to int64
+    MICROSECONDS (nanos or micros parquet generations both land on
+    ``ts_us``, matching tables.load_table / DuckDB truncation) and exact
+    output types for BINLOG_SOURCE_SCHEMA."""
+    import pyarrow as pa
+
+    ts = tbl.column("ts")
+    ts_type = ts.type
+    if pa.types.is_timestamp(ts_type):
+        unit = ts_type.unit
+    elif pa.types.is_int64(ts_type):
+        unit = "ns"  # legacy TIMESTAMP(NANOS) generations read as int64
+    else:  # pragma: no cover - unknown future generation
+        raise TypeError(f"unsupported ts type {ts_type}")
+    ts_i64 = ts.cast(pa.int64(), safe=False)
+    if unit == "ns":
+        import pyarrow.compute as pc
+
+        # ns -> µs truncation, same as tables.load_table / DuckDB
+        ts_i64 = pc.divide(ts_i64, pa.scalar(1000, pa.int64()))
+    elif unit != "us":  # pragma: no cover
+        raise TypeError(f"unsupported ts unit {unit}")
+    return pa.table(
+        {
+            "event_id": tbl.column("event_id").cast(pa.int64()),
+            "ts_us": ts_i64.cast(pa.int64()),
+            "user_id": tbl.column("user_id").cast(pa.int64()),
+            "event_type": tbl.column("event_type").cast(pa.string()),
+            "value": tbl.column("value").cast(pa.float64()),
+            "props": tbl.column("props").cast(pa.string()),
+        }
+    )
 
 
 #: rows per streaming micro-batch (the stream form of the reference's
@@ -270,6 +287,102 @@ class BinlogEventsStreamReader(SimpleDataSourceStreamReader):
 _REGISTERED: set[str] = set()
 
 
+class _RowRangePartition(InputPartition):
+    """One executor read: rows [start_row, end_row) of one parquet file
+    (file-local indices)."""
+
+    def __init__(self, path: str, start_row: int, end_row: int):
+        self.path = path
+        self.start_row = start_row
+        self.end_row = end_row
+
+
+class BinlogEventsPartitionedStreamReader(DataSourceStreamReader):
+    """Executor-parallel streaming reader — the scale form of the source.
+
+    Offsets are {"row": N} over the file-concatenation order of the feed
+    (files sorted by name, rows in file order — the binlog's arrival
+    order), the same replayable contract as the simple reader.
+    ``latestOffset`` reports everything currently available (computed
+    from parquet FOOTER metadata only — no data read on the driver), so
+    a micro-batch drains what has arrived since the last trigger;
+    ``partitions`` splits the offset range into per-file row ranges
+    capped at ``partitionrows`` (default 20k), and each partition is read
+    ON AN EXECUTOR as Arrow batches with row-group pruning. The reader
+    keeps NO pacing state: offsets are a pure function of the files on
+    disk, so crash/restart replay (Spark re-issues partitions() with the
+    WAL's exact offsets) is deterministic by construction.
+
+    vs the simpleStreamReader: that one paces fixed-size batches through
+    the driver (the incremental tail-follower); this one is the
+    1000-executor drain/backfill path the batch reader already has."""
+
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError("binlog_events source requires .option('path', ...)")
+        self.path = path
+        self.partition_rows = int(options.get("partitionrows", 20_000))
+
+    def _file_rows(self) -> list[tuple[str, int]]:
+        import pyarrow.parquet as pq
+
+        return [
+            (f, pq.ParquetFile(f).metadata.num_rows)
+            for f in _parquet_files(self.path)
+        ]
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def latestOffset(self) -> dict:
+        return {"row": sum(n for _, n in self._file_rows())}
+
+    def partitions(self, start: dict, end: dict):
+        s, e = int(start["row"]), int(end["row"])
+        parts: list[_RowRangePartition] = []
+        base = 0
+        for path, n in self._file_rows():
+            lo, hi = max(s - base, 0), min(e - base, n)
+            pos = lo
+            while pos < hi:
+                step = min(self.partition_rows, hi - pos)
+                parts.append(_RowRangePartition(path, pos, pos + step))
+                pos += step
+            base += n
+        # an empty range still needs one partition for an empty batch
+        return parts or [_RowRangePartition("", 0, 0)]
+
+    def read(self, partition: _RowRangePartition):
+        import pyarrow.parquet as pq
+
+        if partition.end_row <= partition.start_row:
+            return
+        pf = pq.ParquetFile(partition.path)
+        md = pf.metadata
+        # row-group pruning: read only the groups overlapping the range
+        first_kept = None
+        base = 0
+        groups = []
+        for g in range(md.num_row_groups):
+            n = md.row_group(g).num_rows
+            if base + n > partition.start_row and base < partition.end_row:
+                if first_kept is None:
+                    first_kept = g
+                    skipped_rows = base
+                groups.append(g)
+            base += n
+        if not groups:
+            return
+        tbl = pf.read_row_groups(groups, columns=_EVENT_COLUMNS)
+        local = partition.start_row - skipped_rows
+        tbl = tbl.slice(local, partition.end_row - partition.start_row)
+        yield from _normalize_events(tbl).to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are a pure function of the files; nothing to prune
+
+
 def register_binlog_source(spark: SparkSession) -> None:
     if not HAS_PYTHON_DATASOURCE:  # pragma: no cover
         raise RuntimeError("pyspark.sql.datasource requires Spark >= 4")
@@ -304,10 +417,18 @@ def events_from_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stream_events_from_python_source(
-    spark: SparkSession, sf_dir: str, batch_rows: int = STREAM_BATCH_ROWS
+    spark: SparkSession,
+    sf_dir: str,
+    batch_rows: int = STREAM_BATCH_ROWS,
+    partitioned: bool = False,
 ) -> DataFrame:
     """``readStream`` over the pluggable source: offset-tracked micro-
-    batches of the events feed, same columns as the batch path."""
+    batches of the events feed, same columns as the batch path.
+
+    ``partitioned=True`` selects the executor-parallel streamReader
+    (drain/backfill: each trigger takes everything available, read in
+    parallel row ranges); the default is the paced driver-side simple
+    reader (incremental tail: ``batch_rows`` per trigger)."""
     import os
 
     register_binlog_source(spark)
@@ -316,6 +437,7 @@ def stream_events_from_python_source(
         spark.readStream.format("binlog_events")
         .option("path", os.path.join(sf_dir, "events.parquet"))
         .option("batchrows", str(batch_rows))
+        .option("partitioned", "true" if partitioned else "false")
         .load()
     )
     return raw.select(

@@ -119,6 +119,7 @@ def all_specs() -> list[QuerySpec]:
             "cdc_topic_routing",
         ),
         "streaming_q": (
+            "streaming_partitioned_source",
             "streaming_envelope",
             "streaming_changelog",
             "streaming_dedup_replay",

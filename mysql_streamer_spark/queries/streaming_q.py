@@ -89,6 +89,46 @@ def q_streaming_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_sink(spark, out)
 
 
+def q_streaming_partitioned_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The envelope pipeline streamed from the EXECUTOR-PARALLEL form of
+    the pluggable source (connectors/python_source.py
+    BinlogEventsPartitionedStreamReader, ``.option("partitioned",
+    "true")``): offsets are a pure function of the files on disk,
+    ``partitions()`` tiles the offset range into per-file row ranges and
+    each range is read on an executor as Arrow batches with row-group
+    pruning — the 1000-executor drain/backfill path, where the
+    simpleStreamReader remains the paced driver-side tail-follower. Same
+    oracle as streaming_python_source: the result must hash-match the
+    batch envelope, proving the parallel read loses and duplicates
+    nothing."""
+    import tempfile as _tf
+
+    from mysql_streamer_spark.cdc.pipeline import envelope_pipeline_df
+    from mysql_streamer_spark.connectors.python_source import (
+        stream_events_from_python_source,
+    )
+
+    work = _tf.mkdtemp(prefix="mss_pysrc_part_stream_")
+    out, ckpt = f"{work}/out", f"{work}/ckpt"
+    env = envelope_pipeline_df(
+        stream_events_from_python_source(spark, sf_dir, partitioned=True)
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
+
+    q = (
+        env.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_sink(spark, out)
+
+
 def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling windows in append mode: only windows finalized
     by the final watermark (max ts - 1 hour) are emitted — the oracle
@@ -366,6 +406,11 @@ SPECS = [
     QuerySpec(
         "streaming_python_source",
         q_streaming_python_source,
+        _ORACLE_PIPELINE_CTES + _ENVELOPE_SELECT,
+    ),
+    QuerySpec(
+        "streaming_partitioned_source",
+        q_streaming_partitioned_source,
         _ORACLE_PIPELINE_CTES + _ENVELOPE_SELECT,
     ),
     QuerySpec(

@@ -78,6 +78,7 @@ _SKIP = {
     "streaming_windowed_counts",
     "streaming_stateful_sessions",
     "streaming_python_source",
+    "streaming_partitioned_source",
 }
 
 

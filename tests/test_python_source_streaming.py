@@ -7,12 +7,14 @@ from __future__ import annotations
 import pytest
 
 
-def _run_stream(spark, sf_dir, out, ckpt, fail_after=None):
+def _run_stream(spark, sf_dir, out, ckpt, fail_after=None, partitioned=False):
     from mysql_streamer_spark.connectors.python_source import (
         stream_events_from_python_source,
     )
 
-    df = stream_events_from_python_source(spark, sf_dir, batch_rows=300)
+    df = stream_events_from_python_source(
+        spark, sf_dir, batch_rows=300, partitioned=partitioned
+    )
     seen = {"n": 0}
 
     def handle(batch_df, batch_id):
@@ -109,3 +111,72 @@ def test_stream_reader_handles_int64_nanos_ts(tmp_path):
     )
     rows = BinlogEventsStreamReader({"path": path})._rows(0, 2)
     assert [r[1] for r in rows] == [ns // 1000, (ns + 2_000) // 1000]
+
+
+def test_partitioned_stream_delivers_everything_once(spark, sf_dir, tmp_path):
+    """The executor-parallel streamReader drains the feed with the same
+    exactly-once set semantics as the paced simple reader."""
+    from mysql_streamer_spark.tables import load_table
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    n_batches = _run_stream(spark, sf_dir, out, ckpt, partitioned=True)
+    assert n_batches >= 1
+    expected = load_table(spark, sf_dir, "events")
+    n_expected = expected.count()
+    got = _read_out(spark, out)
+    assert got.count() == n_expected
+    assert got.select("event_id").distinct().count() == n_expected
+    direct = expected.select("event_id", "ts", "user_id")
+    via = got.select("event_id", "ts", "user_id")
+    assert via.exceptAll(direct).count() == 0
+    assert direct.exceptAll(via).count() == 0
+
+
+def test_partitioned_stream_crash_restart_is_exactly_once(spark, sf_dir, tmp_path):
+    """Crash mid-batch, restart from the checkpoint: Spark re-issues
+    partitions() with the WAL's exact offsets (the reader holds no pacing
+    state, so replay is a pure function of the files) and the idempotent
+    sink absorbs the overwrite."""
+    import pytest as _pytest
+
+    from mysql_streamer_spark.tables import load_table
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    with _pytest.raises(Exception, match="injected crash"):
+        _run_stream(spark, sf_dir, out, ckpt, fail_after=1, partitioned=True)
+    _run_stream(spark, sf_dir, out, ckpt, partitioned=True)
+    expected = load_table(spark, sf_dir, "events")
+    n_expected = expected.count()
+    got = _read_out(spark, out)
+    assert got.count() == n_expected, "lost or duplicated events"
+    assert got.select("event_id").distinct().count() == n_expected
+
+
+def test_partitioned_reader_splits_ranges_and_prunes_row_groups(sf_dir):
+    """Driver-side unit contract: partitions() tiles [start, end) into
+    per-file row ranges capped at partitionrows, and read() returns
+    exactly the requested slice."""
+    import os
+
+    import pyarrow as pa
+
+    from mysql_streamer_spark.connectors.python_source import (
+        BinlogEventsPartitionedStreamReader,
+    )
+
+    path = os.path.join(sf_dir, "events.parquet")
+    r = BinlogEventsPartitionedStreamReader(
+        {"path": path, "partitionrows": "100"}
+    )
+    total = r.latestOffset()["row"]
+    assert total > 0 and r.initialOffset() == {"row": 0}
+    parts = r.partitions({"row": 50}, {"row": 450})
+    assert sum(p.end_row - p.start_row for p in parts) == 400
+    assert all(p.end_row - p.start_row <= 100 for p in parts)
+    rows = pa.Table.from_batches(
+        [b for p in parts for b in r.read(p)]
+    )
+    assert rows.num_rows == 400
+    # empty range -> one sentinel partition, zero rows
+    empty = r.partitions({"row": 10}, {"row": 10})
+    assert len(empty) == 1 and list(r.read(empty[0])) == []
