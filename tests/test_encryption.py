@@ -98,6 +98,49 @@ def test_wrong_key_fails_loudly_not_garbage(spark, sf_dir, config, tmp_path):
     assert "padd" in str(ei.value).lower() or "Invalid" in str(ei.value)
 
 
+def test_extreme_doubles_survive_the_json_cipher_path(spark, config):
+    """The plaintext is canonical JSON, so payload_val must roundtrip
+    exactly through to_json -> AES -> from_json for every double shape:
+    subnormals, near-overflow, negative zero, long mantissas."""
+    from pyspark.sql import functions as F
+
+    from mysql_streamer_spark.cdc.encryption import (
+        decrypt_envelope,
+        encrypt_envelope,
+    )
+
+    vals = [
+        0.0,
+        -0.0,
+        5e-324,            # smallest subnormal
+        2.2250738585072014e-308,
+        1.7976931348623157e308,
+        -1.7976931348623157e308,
+        0.1,
+        1 / 3,
+        123456789.123456789,
+        -2.718281828459045,
+        None,
+    ]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    env = spark.createDataFrame(rows, "pk long, payload_val double").select(
+        "pk",
+        F.lit(1).alias("payload_k"),
+        "payload_val",
+        F.lit(None).cast("double").alias("previous_payload_val"),
+        F.lit("binlog.000001").alias("log_file"),
+        F.col("pk").alias("log_pos"),
+        F.lit(0).alias("offset"),
+    )
+    back = decrypt_envelope(encrypt_envelope(env, config), config)
+    got = {r.pk: r.payload_val for r in back.collect()}
+    for i, v in enumerate(vals):
+        if v is None:
+            assert got[i] is None
+        else:
+            assert got[i] == v and str(got[i]) == str(v), (i, v, got[i])
+
+
 def test_prev_payload_uses_distinct_iv(spark, sf_dir, config):
     """CBC must never encrypt two plaintexts under one (key, IV): the
     previous-payload ciphertext derives its own IV from the carried one,
