@@ -92,26 +92,34 @@ def _parse(encryption_type: str) -> tuple[str, int]:
     return algo, int(m.group("key_id"))
 
 
+def _cbc(key: bytes, data: bytes, iv: bytes, encrypt: bool) -> bytes:
+    """One AES-CBC+PKCS#7 operation — the single cipher kernel every UDF
+    form wraps (so a padding/mode change happens in exactly one place).
+    The imports stay function-local-but-cached (sys.modules) so the
+    module imports cleanly where cryptography is absent; only actually
+    using the cipher requires it."""
+    from cryptography.hazmat.primitives import padding
+    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+
+    cipher = Cipher(algorithms.AES(key), modes.CBC(bytes(iv)))
+    if encrypt:
+        padder = padding.PKCS7(128).padder()
+        padded = padder.update(bytes(data)) + padder.finalize()
+        c = cipher.encryptor()
+        return c.update(padded) + c.finalize()
+    c = cipher.decryptor()
+    padded = c.update(bytes(data)) + c.finalize()
+    unpadder = padding.PKCS7(128).unpadder()
+    return unpadder.update(padded) + unpadder.finalize()
+
+
 def _aes_cbc_encrypt_udf(key: bytes):
     @F.pandas_udf("binary")
     def enc(data: pd.Series, iv: pd.Series) -> pd.Series:
-        from cryptography.hazmat.primitives import padding
-        from cryptography.hazmat.primitives.ciphers import (
-            Cipher,
-            algorithms,
-            modes,
+        return pd.Series(
+            None if d is None else _cbc(key, d, v, encrypt=True)
+            for d, v in zip(data, iv)
         )
-
-        out = []
-        for d, v in zip(data, iv):
-            if d is None:
-                out.append(None)
-                continue
-            padder = padding.PKCS7(128).padder()
-            padded = padder.update(bytes(d)) + padder.finalize()
-            c = Cipher(algorithms.AES(key), modes.CBC(bytes(v))).encryptor()
-            out.append(c.update(padded) + c.finalize())
-        return pd.Series(out)
 
     return enc
 
@@ -119,43 +127,23 @@ def _aes_cbc_encrypt_udf(key: bytes):
 def _aes_cbc_decrypt_udf(key: bytes):
     @F.pandas_udf("binary")
     def dec(data: pd.Series, iv: pd.Series) -> pd.Series:
-        from cryptography.hazmat.primitives import padding
-        from cryptography.hazmat.primitives.ciphers import (
-            Cipher,
-            algorithms,
-            modes,
+        return pd.Series(
+            None if d is None else _cbc(key, d, v, encrypt=False)
+            for d, v in zip(data, iv)
         )
-
-        out = []
-        for d, v in zip(data, iv):
-            if d is None:
-                out.append(None)
-                continue
-            c = Cipher(algorithms.AES(key), modes.CBC(bytes(v))).decryptor()
-            padded = c.update(bytes(d)) + c.finalize()
-            unpadder = padding.PKCS7(128).unpadder()
-            out.append(unpadder.update(padded) + unpadder.finalize())
-        return pd.Series(out)
 
     return dec
 
 
-def _aes_cbc_keyring_decrypt_udf(key_ring: dict[str, bytes]):
-    """Decrypt with the key EACH MESSAGE names in its encryption_type —
+def _aes_cbc_keyring_udf(key_ring: dict[str, bytes], encrypt: bool):
+    """Cipher with the key EACH MESSAGE names in its encryption_type —
     the key-rotation contract the reference's ``key-{id}.key`` directory
     layout implies: a consumer holds every historical key and a mixed
     stream (messages written before and after a rotation) decrypts
     transparently. An encryption_type not in the ring fails loudly."""
 
     @F.pandas_udf("binary")
-    def dec(data: pd.Series, iv: pd.Series, etype: pd.Series) -> pd.Series:
-        from cryptography.hazmat.primitives import padding
-        from cryptography.hazmat.primitives.ciphers import (
-            Cipher,
-            algorithms,
-            modes,
-        )
-
+    def run(data: pd.Series, iv: pd.Series, etype: pd.Series) -> pd.Series:
         out = []
         for d, v, t in zip(data, iv, etype):
             if d is None:
@@ -164,13 +152,14 @@ def _aes_cbc_keyring_decrypt_udf(key_ring: dict[str, bytes]):
             key = key_ring.get(t)
             if key is None:
                 raise ValueError(f"no key in ring for encryption_type {t!r}")
-            c = Cipher(algorithms.AES(key), modes.CBC(bytes(v))).decryptor()
-            padded = c.update(bytes(d)) + c.finalize()
-            unpadder = padding.PKCS7(128).unpadder()
-            out.append(unpadder.update(padded) + unpadder.finalize())
+            out.append(_cbc(key, d, v, encrypt))
         return pd.Series(out)
 
-    return dec
+    return run
+
+
+def _aes_cbc_keyring_decrypt_udf(key_ring: dict[str, bytes]):
+    return _aes_cbc_keyring_udf(key_ring, encrypt=False)
 
 
 def _message_iv() -> "F.Column":
@@ -205,8 +194,27 @@ def encrypt_envelope(env: DataFrame, config: EncryptionConfig) -> DataFrame:
     serialization) plus the ``encryption_type`` and ``initialization_vector``
     the consumer needs. Routing and position columns stay plaintext, as in
     the reference (partition routing must work without the key)."""
-    key = config.load_key()
-    enc = _aes_cbc_encrypt_udf(key)
+    return _encrypt_with_ring(
+        env,
+        {config.encryption_type: config.load_key()},
+        F.lit(config.encryption_type),
+    )
+
+
+def encrypt_envelope_with_ring(
+    env: DataFrame, key_location: str, encryption_type_col: "F.Column"
+) -> DataFrame:
+    """Encrypt each row under the key generation a per-row COLUMN names
+    (e.g. a rollout where new rows take the rotated key while a backfill
+    still writes the old one) — one pipeline, one pass, no per-key
+    branch-and-union."""
+    return _encrypt_with_ring(env, load_key_ring(key_location), encryption_type_col)
+
+
+def _encrypt_with_ring(
+    env: DataFrame, ring: dict[str, bytes], etype_col: "F.Column"
+) -> DataFrame:
+    enc = _aes_cbc_keyring_udf(ring, encrypt=True)
     iv = _message_iv()
     payload_json = F.to_json(F.struct(*[F.col(c) for c in PAYLOAD_FIELDS]))
     # previous payload exists only for updates — NULL rides through as NULL
@@ -215,19 +223,24 @@ def encrypt_envelope(env: DataFrame, config: EncryptionConfig) -> DataFrame:
         F.to_json(F.struct(*[F.col(c) for c in PREVIOUS_PAYLOAD_FIELDS])),
     )
     return (
-        env.withColumn("initialization_vector", iv)
+        env.withColumn("encryption_type", etype_col)
+        .withColumn("initialization_vector", iv)
         .withColumn(
             "payload_ciphertext",
-            enc(payload_json.cast("binary"), F.col("initialization_vector")),
+            enc(
+                payload_json.cast("binary"),
+                F.col("initialization_vector"),
+                F.col("encryption_type"),
+            ),
         )
         .withColumn(
             "previous_payload_ciphertext",
             enc(
                 prev_json.cast("binary"),
                 _prev_iv(F.col("initialization_vector")),
+                F.col("encryption_type"),
             ),
         )
-        .withColumn("encryption_type", F.lit(config.encryption_type))
         .drop("pk", "payload_k", "payload_val", "previous_payload_val")
     )
 
@@ -253,7 +266,10 @@ def decrypt_envelope_with_ring(published: DataFrame, key_location: str) -> DataF
     its own ``encryption_type`` column names, so a stream spanning a key
     rotation (old messages under key N, new under key N+1) restores
     transparently. Same vectorized map-only shape as decrypt_envelope."""
-    ring = load_key_ring(key_location)
+    return _decrypt_with_ring(published, load_key_ring(key_location))
+
+
+def _decrypt_with_ring(published: DataFrame, ring: dict[str, bytes]) -> DataFrame:
     dec = _aes_cbc_keyring_decrypt_udf(ring)
     payload = dec(
         F.col("payload_ciphertext"),
@@ -269,20 +285,14 @@ def decrypt_envelope_with_ring(published: DataFrame, key_location: str) -> DataF
 
 
 def decrypt_envelope(published: DataFrame, config: EncryptionConfig) -> DataFrame:
-    """Inverse of encrypt_envelope: the consumer-side transparent decrypt.
-
-    Restores the original typed payload columns from the ciphertext; a
-    mismatched key surfaces as a padding error, not silent garbage."""
-    key = config.load_key()
-    dec = _aes_cbc_decrypt_udf(key)
-    payload = dec(
-        F.col("payload_ciphertext"), F.col("initialization_vector")
-    ).cast("string")
-    prev = dec(
-        F.col("previous_payload_ciphertext"),
-        _prev_iv(F.col("initialization_vector")),
-    ).cast("string")
-    return _restore_payload_columns(published, payload, prev)
+    """Inverse of encrypt_envelope: the consumer-side transparent decrypt
+    — the single-key special case of the ring (a one-entry ring holding
+    the configured key). A mismatched key surfaces as a padding error, a
+    message naming a DIFFERENT encryption_type than the config's as a
+    no-key-in-ring error — never silent garbage."""
+    return _decrypt_with_ring(
+        published, {config.encryption_type: config.load_key()}
+    )
 
 
 def _restore_payload_columns(published: DataFrame, payload, prev) -> DataFrame:

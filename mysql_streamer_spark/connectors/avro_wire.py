@@ -662,7 +662,7 @@ _FLAT_FIELDS = [f["name"] for f in ENVELOPE_SCHEMA["fields"] if f["name"] != "me
 _JVM_AVRO_PROBE_SCHEMA = (
     '{"type":"record","name":"probe","fields":[{"name":"x","type":"int"}]}'
 )
-_jvm_avro_cache: dict[int, bool] = {}
+_jvm_avro_cache: dict[str, bool] = {}
 
 
 def jvm_avro_available(spark) -> bool:
@@ -671,8 +671,10 @@ def jvm_avro_available(spark) -> bool:
     container ships Spark without the spark-avro module, so the answer
     here is False and the Python kernel carries the codec; a production
     100 TB deployment loads the jar and the same API silently takes the
-    whole-stage-codegen JVM path instead. Probed once per session."""
-    key = id(spark)
+    whole-stage-codegen JVM path instead. Probed once per session (keyed
+    by applicationId — stable for the session's lifetime, never reused
+    by a rebuilt session the way a recycled id() could be)."""
+    key = spark.sparkContext.applicationId
     if key not in _jvm_avro_cache:
         try:
             from pyspark.sql import functions as F
@@ -701,12 +703,15 @@ def _select_envelope_schema(gtid_mode: bool, meta_version: int) -> dict:
     raise ValueError(f"unknown meta_version {meta_version}")
 
 
-def _envelope_struct_for_jvm(env, gtid_mode: bool, meta_version: int = 1):
+def _envelope_struct_for_jvm(env, meta_version: int = 1):
     """Envelope columns -> one struct column laid out field-for-field like
     the selected envelope schema, ready for spark-avro's to_avro.
     Timestamps stay TimestampType (spark-avro writes timestamp-micros);
     the v1 meta int range check is enforced with raise_error so the JVM
-    path fails as loudly as the kernel path (v2 carries long natively)."""
+    path fails as loudly as the kernel path (v2 carries long natively).
+    Binlog-position mode only: the GTID wire's union-of-records meta has
+    no faithful spark-avro struct mapping, so gtid_mode never routes
+    here (see envelope_to_avro)."""
     from pyspark.sql import functions as F
 
     checked_pos = F.when(
@@ -722,30 +727,39 @@ def _envelope_struct_for_jvm(env, gtid_mode: bool, meta_version: int = 1):
             )
         ).cast("long"),
     ).otherwise(F.coalesce(F.col("log_pos"), F.lit(0)))
-    if gtid_mode:
-        meta = F.array(
-            F.struct(
-                F.col("cluster_name").alias("cluster_name"),
-                F.col("gtid").alias("gtid"),
-            )
+    pos = (
+        checked_pos.cast("int")
+        if meta_version == 1
+        else F.coalesce(F.col("log_pos"), F.lit(0))
+    )
+    meta = F.array(
+        F.struct(
+            F.col("cluster_name").alias("cluster_name"),
+            F.coalesce(F.col("log_file"), F.lit("")).alias("log_file"),
+            pos.alias("log_pos"),
         )
-    else:
-        pos = (
-            checked_pos.cast("int")
-            if meta_version == 1
-            else F.coalesce(F.col("log_pos"), F.lit(0))
+    )
+    return F.struct(*[F.col(c) for c in _FLAT_FIELDS], meta.alias("meta"))
+
+
+def _meta_for_row(row: dict, meta_version: int) -> list[dict]:
+    """The transaction-id meta array for one binlog-position-mode row —
+    shared by the plaintext and secure envelope encoders. v1 range-checks
+    log_pos against the schema's 32-bit int (a 64-bit position would
+    encode as a varint spec-strict int decoders reject); v2 carries long."""
+    log_pos = int(row["log_pos"] or 0)
+    if meta_version == 1 and not -(2**31) <= log_pos < 2**31:
+        raise ValueError(
+            f"log_pos {log_pos} exceeds the v1 meta schema's 32-bit int "
+            "range; encode with meta_version=2 (long-typed meta schema)"
         )
-        meta = F.array(
-            F.struct(
-                F.col("cluster_name").alias("cluster_name"),
-                F.coalesce(F.col("log_file"), F.lit("")).alias("log_file"),
-                pos.alias("log_pos"),
-            )
-        )
-    cols = [
-        F.col(c) for c in _FLAT_FIELDS
-    ] + ([F.col("gtid")] if gtid_mode else [])
-    return F.struct(*cols, meta.alias("meta"))
+    return [
+        {
+            "cluster_name": row["cluster_name"],
+            "log_file": row["log_file"] or "",
+            "log_pos": log_pos,
+        }
+    ]
 
 
 def envelope_to_avro(
@@ -773,6 +787,12 @@ def envelope_to_avro(
     spec-strict int decoders reject."""
     import pyarrow as pa
 
+    if gtid_mode:
+        # spark-avro maps a non-null multi-record union (the two
+        # transaction-id meta kinds) to struct<member0,member1>, which the
+        # plain meta struct cannot satisfy — the GTID wire stays on the
+        # kernel path even where the jar is loadable
+        use_jvm = False
     if use_jvm is None:
         use_jvm = jvm_avro_available(env.sparkSession)
     if use_jvm:
@@ -781,7 +801,7 @@ def envelope_to_avro(
         schema_json = json.dumps(_select_envelope_schema(gtid_mode, meta_version))
         return env.select(
             to_avro(
-                _envelope_struct_for_jvm(env, gtid_mode, meta_version), schema_json
+                _envelope_struct_for_jvm(env, meta_version), schema_json
             ).alias("value")
         )
 
@@ -860,34 +880,31 @@ def avro_to_envelope(
     int->long promotion for v1 data under a v2 reader)."""
     import pyarrow as pa
 
+    if gtid_mode:
+        # same union-of-records limitation as the encode side
+        use_jvm = False
     if use_jvm is None:
         use_jvm = jvm_avro_available(wire.sparkSession)
     if use_jvm:
         from pyspark.sql import functions as F
         from pyspark.sql.avro.functions import from_avro
 
-        schema_json = json.dumps(_select_envelope_schema(gtid_mode, meta_version))
+        # binlog-position mode only; gtid never routes here
+        schema_json = json.dumps(_select_envelope_schema(False, meta_version))
         r = wire.select(from_avro(F.col("value"), schema_json).alias("r"))
         meta0 = F.col("r.meta").getItem(0)
-        if gtid_mode:
-            meta_ok = (
-                (F.size("r.meta") == 1)
-                & (meta0.getField("cluster_name") == F.col("r.cluster_name"))
-                & (meta0.getField("gtid") == F.col("r.gtid"))
+        meta_ok = (
+            (F.size("r.meta") == 1)
+            & (meta0.getField("cluster_name") == F.col("r.cluster_name"))
+            & (
+                meta0.getField("log_file")
+                == F.coalesce(F.col("r.log_file"), F.lit(""))
             )
-        else:
-            meta_ok = (
-                (F.size("r.meta") == 1)
-                & (meta0.getField("cluster_name") == F.col("r.cluster_name"))
-                & (
-                    meta0.getField("log_file")
-                    == F.coalesce(F.col("r.log_file"), F.lit(""))
-                )
-                & (
-                    meta0.getField("log_pos").cast("long")
-                    == F.coalesce(F.col("r.log_pos"), F.lit(0))
-                )
+            & (
+                meta0.getField("log_pos").cast("long")
+                == F.coalesce(F.col("r.log_pos"), F.lit(0))
             )
+        )
         return r.select(
             F.col("r.schema_id").alias("schema_id"),
             F.col("r.cluster_name").alias("cluster_name"),
@@ -903,7 +920,6 @@ def avro_to_envelope(
             F.col("r.payload_k").alias("payload_k"),
             F.col("r.payload_val").alias("payload_val"),
             F.col("r.previous_payload_val").alias("previous_payload_val"),
-            *([F.col("r.gtid").alias("gtid")] if gtid_mode else []),
             meta_ok.alias("meta_ok"),
         )
 

@@ -323,14 +323,27 @@ class BinlogEventsPartitionedStreamReader(DataSourceStreamReader):
             raise ValueError("binlog_events source requires .option('path', ...)")
         self.path = path
         self.partition_rows = int(options.get("partitionrows", 20_000))
+        #: (path, size, mtime_ns) -> num_rows. Parquet files are immutable
+        #: once written, so footer row counts are cached and each trigger
+        #: (latestOffset AND partitions both need the counts) costs stat
+        #: calls plus one footer parse per NEW file, not 2xN re-parses.
+        self._rows_cache: dict[tuple[str, int, int], int] = {}
 
     def _file_rows(self) -> list[tuple[str, int]]:
+        import os
+
         import pyarrow.parquet as pq
 
-        return [
-            (f, pq.ParquetFile(f).metadata.num_rows)
-            for f in _parquet_files(self.path)
-        ]
+        out = []
+        for f in _parquet_files(self.path):
+            st = os.stat(f)
+            key = (f, st.st_size, st.st_mtime_ns)
+            n = self._rows_cache.get(key)
+            if n is None:
+                n = pq.ParquetFile(f).metadata.num_rows
+                self._rows_cache[key] = n
+            out.append((f, n))
+        return out
 
     def initialOffset(self) -> dict:
         return {"row": 0}

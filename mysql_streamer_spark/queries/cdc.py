@@ -1431,22 +1431,21 @@ def q_cdc_keyring_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle also proves the split reached the wire (the reference's
     key-{id}.key directory layout is exactly this consumer contract).
 
-    Scale shape: two map-side encrypt branches unioned (no shuffle — a
-    union is a plan concatenation), one map-side ring decrypt."""
+    Scale shape: ONE pipeline, one pass — the key generation is a per-row
+    column fed to the ring-keyed encrypt UDF (no per-key branch-and-union,
+    so the envelope is computed once), one map-side ring decrypt."""
     from mysql_streamer_spark.cdc.encryption import (
-        EncryptionConfig,
         decrypt_envelope_with_ring,
-        encrypt_envelope,
+        encrypt_envelope_with_ring,
         resource_key_location,
     )
 
     loc = resource_key_location()
     env = envelope_pipeline(spark, sf_dir)
-    even = env.filter(F.coalesce(F.col("pk"), F.lit(0)) % 2 == 0)
-    odd = env.filter(F.coalesce(F.col("pk"), F.lit(0)) % 2 != 0)
-    mixed = encrypt_envelope(
-        even, EncryptionConfig("AES_MODE_CBC-1", loc)
-    ).unionByName(encrypt_envelope(odd, EncryptionConfig("AES_MODE_CBC-2", loc)))
+    etype = F.when(
+        F.coalesce(F.col("pk"), F.lit(0)) % 2 == 0, F.lit("AES_MODE_CBC-1")
+    ).otherwise(F.lit("AES_MODE_CBC-2"))
+    mixed = encrypt_envelope_with_ring(env, loc, etype)
     keyed = mixed.withColumn("key_generation", F.col("encryption_type"))
     return decrypt_envelope_with_ring(keyed, loc).select(
         "schema_id",

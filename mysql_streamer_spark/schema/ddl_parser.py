@@ -279,28 +279,31 @@ _POSITION_RE = re.compile(
 
 
 def _mask_quoted(s: str) -> str:
-    """Blank the CONTENTS of single-quoted strings ('' escapes included),
-    preserving length and quote positions, so keyword searches never match
-    inside string literals (e.g. COMMENT 'uses DEFAULT 5')."""
+    """Blank the CONTENTS of quoted strings — single-quoted AND
+    double-quoted (MySQL's default sql_mode treats both as string
+    literals; identifiers here are backticked or bare), doubled-quote
+    escapes included — preserving length and quote positions, so keyword
+    searches never match inside literals (COMMENT 'uses DEFAULT 5',
+    COMMENT "insert AFTER id")."""
     out = []
-    in_q = False
+    quote: str | None = None  # the active quote char, if inside a literal
     i = 0
     n = len(s)
     while i < n:
         c = s[i]
-        if in_q:
-            if c == "'":
-                if i + 1 < n and s[i + 1] == "'":  # escaped quote
+        if quote is not None:
+            if c == quote:
+                if i + 1 < n and s[i + 1] == quote:  # escaped quote
                     out.append("  ")
                     i += 2
                     continue
-                in_q = False
-                out.append("'")
+                quote = None
+                out.append(c)
             else:
                 out.append(" ")
         else:
-            if c == "'":
-                in_q = True
+            if c in ("'", '"'):
+                quote = c
             out.append(c)
         i += 1
     return "".join(out)

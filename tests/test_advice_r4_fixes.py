@@ -207,6 +207,27 @@ def test_quoted_after_in_comment_is_not_a_placement():
     assert op.position is None
 
 
+def test_double_quoted_after_in_comment_is_not_a_placement():
+    """MySQL's default sql_mode allows double-quoted string literals;
+    FIRST/AFTER inside one must not register as a placement."""
+    from mysql_streamer_spark.schema.ddl_parser import parse_statement
+
+    p = parse_statement(
+        'ALTER TABLE db.t ADD office varchar(64) COMMENT "insert AFTER id"'
+    )
+    (op,) = p.alter_ops
+    assert op.position is None
+    p2 = parse_statement('ALTER TABLE db.t ADD office varchar(64) COMMENT "FIRST"')
+    (op2,) = p2.alter_ops
+    assert op2.position is None
+    # placement BEFORE a double-quoted comment still registers
+    p3 = parse_statement(
+        'ALTER TABLE db.t ADD office varchar(64) AFTER id COMMENT "x"'
+    )
+    (op3,) = p3.alter_ops
+    assert op3.position == ("AFTER", "id")
+
+
 def test_placement_applies_in_registry_replay():
     """End-to-end: the trailing-COMMENT placement must actually position
     the column in the replayed schema, not silently append it."""
