@@ -822,25 +822,7 @@ def envelope_to_avro(
                         }
                     ]
                 else:
-                    # the v1 meta schema types log_pos as Avro ``int``;
-                    # a 64-bit position would encode as a varint spec-strict
-                    # int decoders reject, so fail loudly instead (the fix
-                    # is meta_version=2, the long-typed schema the
-                    # reference's store would register)
-                    log_pos = int(row["log_pos"] or 0)
-                    if meta_version == 1 and not -(2**31) <= log_pos < 2**31:
-                        raise ValueError(
-                            f"log_pos {log_pos} exceeds the v1 meta schema's "
-                            "32-bit int range; encode with meta_version=2 "
-                            "(long-typed meta schema)"
-                        )
-                    rec["meta"] = [
-                        {
-                            "cluster_name": row["cluster_name"],
-                            "log_file": row["log_file"] or "",
-                            "log_pos": log_pos,
-                        }
-                    ]
+                    rec["meta"] = _meta_for_row(row, meta_version)
                 buf = bytearray()
                 enc(rec, buf)
                 out.append(bytes(buf))
@@ -1036,19 +1018,7 @@ def secure_envelope_to_avro(published):
             out = []
             for row in batch.to_pylist():
                 rec = dict(row)
-                log_pos = int(row["log_pos"] or 0)
-                if not -(2**31) <= log_pos < 2**31:
-                    raise ValueError(
-                        f"log_pos {log_pos} exceeds the v1 meta schema's "
-                        "32-bit int range; encode with meta_version=2"
-                    )
-                rec["meta"] = [
-                    {
-                        "cluster_name": row["cluster_name"],
-                        "log_file": row["log_file"] or "",
-                        "log_pos": log_pos,
-                    }
-                ]
+                rec["meta"] = _meta_for_row(row, meta_version=1)
                 buf = bytearray()
                 enc(rec, buf)
                 out.append(bytes(buf))
