@@ -151,3 +151,59 @@ def test_misra_gries_candidates_cover_heavy_hitters(spark, sf_dir):
     total = sum(counts.values())
     expected = {t: n for t, n in counts.items() if n * HH_K > total}
     assert got == expected
+
+
+def test_pii_scrub_detects_injected_and_leaves_zero_residual(spark, sf_dir):
+    """The injection rule (doc_id % {3,4,5}) fixes the expected counts
+    exactly; the scrub must remove every match (zero residual) and the
+    scrubbed text must still contain the placeholder tokens."""
+    from mysql_streamer_spark.queries.textops import q_text_pii_scrub
+
+    rows = q_text_pii_scrub(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_emails == (1 if r.doc_id % 3 == 0 else 0)
+        assert r.n_ipv4 == (1 if r.doc_id % 4 == 0 else 0)
+        assert r.n_phones == (1 if r.doc_id % 5 == 0 else 0)
+        assert r.pii_total == r.n_emails + r.n_ipv4 + r.n_phones
+        assert r.n_residual == 0
+
+
+def test_pii_scrub_patterns_on_adversarial_strings(spark):
+    """Pattern unit-behavior on handwritten edge cases, independent of the
+    corpus: boundary-anchored IPs, greedy email local parts, phones with
+    separators — and non-PII lookalikes that must NOT match."""
+    from mysql_streamer_spark.queries.textops import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+    )
+
+    cases = [
+        # text, n_emails, n_ipv4, n_phones
+        ("a.b+c_d%e@sub.domain.co", 1, 0, 0),
+        ("ip 192.168.0.1 end", 0, 1, 0),
+        ("v1.2.3.4a is a version string", 0, 0, 0),  # \b rejects trailing a
+        ("call +1-555-0100 now", 0, 0, 1),
+        ("plus sign + alone and 1-2 dashes", 0, 0, 0),
+        ("two mails x@y.io z@w.ai and 10.0.0.255", 2, 1, 0),
+        ("no pii at all", 0, 0, 0),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, *_) in enumerate(cases)], "i int, s string"
+    )
+
+    def n(pat):
+        return F.size(F.regexp_extract_all(F.col("s"), F.lit(pat), F.lit(0)))
+
+    got = {
+        r.i: (r.e, r.p4, r.ph)
+        for r in df.select(
+            "i",
+            n(PII_EMAIL_RE).alias("e"),
+            n(PII_IPV4_RE).alias("p4"),
+            n(PII_PHONE_RE).alias("ph"),
+        ).collect()
+    }
+    for i, (_, e, p4, ph) in enumerate(cases):
+        assert got[i] == (e, p4, ph), f"case {i}: {cases[i][0]!r} -> {got[i]}"
