@@ -17,6 +17,7 @@ from mysql_streamer_spark.queries.cdc import (
     _ENVELOPE_SELECT,
     _LATEST_STATE_ORACLE,
     _ORACLE_PIPELINE_CTES,
+    _SECURE_WIRE_ORACLE,
 )
 from mysql_streamer_spark.queries.registry import QuerySpec
 from mysql_streamer_spark.streaming import read_sink, run_envelope_stream
@@ -392,11 +393,101 @@ GROUP BY user_id
 """
 
 
+def q_streaming_secure_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's encrypted-publish golden behavior, STREAMED: the
+    pluggable executor-parallel source drains micro-batches through
+    envelope -> AES-CBC encrypt -> secure Avro wire encode, the raw wire
+    BYTES land in the idempotent per-batch sink (what Kafka would carry),
+    and the consumer side decodes + decrypts the sink back to the original
+    envelope — hash-matched against the DIRECT batch envelope oracle. This
+    is the streaming half of ``cdc_secure_wire_roundtrip``: the reference
+    only ever publishes encrypted messages from its replication LOOP, so
+    the parity claim needs the stream-shaped proof, not just the batch one
+    (/root/reference/tests/integration/end_to_end_test.py:551-600).
+
+    Scale shape: encrypt (pandas UDF) and Avro encode (mapInArrow) are
+    map-only stages inside each micro-batch plan — no stateful operator,
+    no shuffle; the checkpointed source offsets give exactly-once wire
+    output under restart like every other stream here."""
+    import tempfile as _tf
+
+    from mysql_streamer_spark.cdc.encryption import (
+        EncryptionConfig,
+        decrypt_envelope,
+        encrypt_envelope,
+        resource_key_location,
+    )
+    from mysql_streamer_spark.cdc.pipeline import envelope_pipeline_df
+    from mysql_streamer_spark.connectors.avro_wire import (
+        avro_to_secure_envelope,
+        secure_envelope_to_avro,
+    )
+    from mysql_streamer_spark.connectors.python_source import (
+        stream_events_from_python_source,
+    )
+
+    work = _tf.mkdtemp(prefix="mss_secure_stream_")
+    out, ckpt = f"{work}/out", f"{work}/ckpt"
+    cfg = EncryptionConfig("AES_MODE_CBC-1", resource_key_location())
+    env = envelope_pipeline_df(
+        stream_events_from_python_source(spark, sf_dir, partitioned=True)
+    )
+    wire = secure_envelope_to_avro(encrypt_envelope(env, cfg))
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
+
+    q = (
+        wire.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    landed = avro_to_secure_envelope(read_sink(spark, out)).withColumn(
+        "cipher_ok",
+        F.col("payload_ciphertext").isNotNull()
+        & (F.length("payload_ciphertext") > 0)
+        & (F.length("payload_ciphertext") % 16 == 0)
+        & (F.col("encryption_type") == F.lit("AES_MODE_CBC-1")),
+    )
+    restored = decrypt_envelope(
+        landed.withColumn("timestamp", F.timestamp_micros("ts_us")).drop("ts_us"),
+        cfg,
+    )
+    return restored.select(
+        "schema_id",
+        "cluster_name",
+        "database_name",
+        "table_name",
+        "message_type",
+        "timestamp",
+        "log_file",
+        "log_pos",
+        "offset",
+        "txn_order",
+        "pk",
+        "payload_k",
+        "payload_val",
+        "previous_payload_val",
+        "cipher_ok",
+        "meta_ok",
+    )
+
+
 SPECS = [
     QuerySpec(
         "streaming_envelope",
         q_streaming_envelope,
         _ORACLE_PIPELINE_CTES + _ENVELOPE_SELECT,
+    ),
+    QuerySpec(
+        "streaming_secure_publish",
+        q_streaming_secure_publish,
+        _SECURE_WIRE_ORACLE,
     ),
     QuerySpec(
         "streaming_changelog",

@@ -207,3 +207,50 @@ def test_pii_scrub_patterns_on_adversarial_strings(spark):
     }
     for i, (_, e, p4, ph) in enumerate(cases):
         assert got[i] == (e, p4, ph), f"case {i}: {cases[i][0]!r} -> {got[i]}"
+
+
+def test_streaming_secure_publish_wire_is_opaque(spark, sf_dir):
+    """The streamed wire bytes must carry routing fields in the clear
+    (consumers partition without the key) but NO plaintext payload: the
+    payload JSON's field names must not appear anywhere in any message."""
+    import tempfile
+
+    from mysql_streamer_spark.cdc.encryption import (
+        EncryptionConfig,
+        encrypt_envelope,
+        resource_key_location,
+    )
+    from mysql_streamer_spark.cdc.pipeline import envelope_pipeline_df
+    from mysql_streamer_spark.connectors.avro_wire import secure_envelope_to_avro
+    from mysql_streamer_spark.connectors.python_source import (
+        stream_events_from_python_source,
+    )
+
+    work = tempfile.mkdtemp(prefix="mss_opaque_")
+    out, ckpt = f"{work}/out", f"{work}/ckpt"
+    cfg = EncryptionConfig("AES_MODE_CBC-1", resource_key_location())
+    env = envelope_pipeline_df(
+        stream_events_from_python_source(spark, sf_dir, partitioned=True)
+    )
+    wire = secure_envelope_to_avro(encrypt_envelope(env, cfg))
+    q = (
+        wire.writeStream.foreachBatch(
+            lambda df, bid: df.write.mode("overwrite").parquet(
+                f"{out}/batch_id={bid}"
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(out).collect()
+    assert rows and set(rows[0].asDict()) == {"value", "batch_id"}
+    leaked = sum(
+        1 for r in rows if b"payload_k" in r.value or b"payload_val" in r.value
+    )
+    assert leaked == 0
+    # routing stays plaintext on the wire (the reference's contract)
+    assert any(b"refresh_primary" in r.value or b"primary" in r.value for r in rows)
