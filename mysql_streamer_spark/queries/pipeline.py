@@ -1713,8 +1713,72 @@ FROM totals
 """
 
 
+# ---------------------------------------------------------------------------
+# hashing-trick features (fastText-style linear-classifier statistics)
+# ---------------------------------------------------------------------------
+
+#: feature dimension for the hashing trick — deliberately small so bucket
+#: collisions actually occur in the test corpus and the collision metric
+#: (n_words > 1) is exercised, not vacuous
+HASHED_FEATURE_DIM = 256
+
+
+def q_pipeline_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-words sufficient statistics per source — the feature
+    extraction + training aggregates of a fastText-style linear quality
+    classifier (the standard cheap doc-quality model in corpus pipelines):
+    every token hashes into one of HASHED_FEATURE_DIM buckets (hashing
+    trick, md5-based so both engines agree), and the per-(source, bucket)
+    token count / document frequency / distinct-word (collision) count are
+    exactly the sufficient statistics a multinomial NB or logistic model
+    trains from.
+
+    Scale shape: explode to (doc_id, source, w), hash map-side, ONE
+    hash-aggregate on (source, bucket) with map-side partials (count and
+    the two countDistincts partial-aggregate via Spark's two-phase
+    distinct expansion); the result is <= n_sources x DIM rows — a model,
+    not a dataset. Text never shuffles, only tokens."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", "source", F.explode(tx.tokens_col("text")).alias("w")
+    )
+    feat = toks.withColumn(
+        "bucket",
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+        % HASHED_FEATURE_DIM,
+    )
+    return feat.groupBy("source", "bucket").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.countDistinct("w").alias("n_words"),
+    )
+
+
+_HASHED_FEATURES_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest({tx.tokens_sql("text")}) AS w FROM documents
+), f AS (
+  SELECT doc_id, source, w,
+         CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+           % {HASHED_FEATURE_DIM} AS bucket
+  FROM tok
+)
+SELECT source, bucket,
+       count(*) AS n_tokens,
+       count(DISTINCT doc_id) AS n_docs,
+       count(DISTINCT w) AS n_words
+FROM f
+GROUP BY 1, 2
+"""
+
+
 SPECS = [
     QuerySpec("pipeline_decontaminate", q_pipeline_decontaminate, _DECONTAMINATE_ORACLE),
+    QuerySpec(
+        "pipeline_hashed_features",
+        q_pipeline_hashed_features,
+        _HASHED_FEATURES_ORACLE,
+    ),
     QuerySpec("pipeline_dsir_score", q_pipeline_dsir_score, _DSIR_ORACLE),
     QuerySpec(
         "pipeline_curriculum_order", q_pipeline_curriculum_order, _CURRICULUM_ORACLE

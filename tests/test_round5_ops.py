@@ -254,3 +254,31 @@ def test_streaming_secure_publish_wire_is_opaque(spark, sf_dir):
     assert leaked == 0
     # routing stays plaintext on the wire (the reference's contract)
     assert any(b"refresh_primary" in r.value or b"primary" in r.value for r in rows)
+
+
+def test_hashed_features_conserve_token_mass(spark, sf_dir):
+    """The hashing trick repartitions tokens, it must not create or drop
+    any: per-source bucket counts sum back to the exploded token total,
+    buckets stay in range, and the small dimension forces real collisions
+    (some bucket with n_words > 1) so the collision metric is exercised."""
+    from pyspark.sql import functions as F
+
+    from mysql_streamer_spark import text as tx
+    from mysql_streamer_spark.queries.pipeline import (
+        HASHED_FEATURE_DIM,
+        q_pipeline_hashed_features,
+    )
+    from mysql_streamer_spark.tables import load_table
+
+    rows = q_pipeline_hashed_features(spark, sf_dir).collect()
+    assert rows
+    assert all(0 <= r.bucket < HASHED_FEATURE_DIM for r in rows)
+    assert all(r.n_words >= 1 and r.n_docs >= 1 for r in rows)
+    assert any(r.n_words > 1 for r in rows)
+    total = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.size(tx.tokens_col("text")).alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert sum(r.n_tokens for r in rows) == total
