@@ -1657,8 +1657,114 @@ LIMIT {BOILERPLATE_TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# substring-level duplication profile (exact-substring dedup metric)
+# ---------------------------------------------------------------------------
+
+#: token width of the exact-substring window — small enough that the
+#: synthetic corpus contains real duplicated runs, wide enough that a
+#: match is a meaningful repeated passage, not a common phrase
+SUBSTR_K = 8
+
+
+def q_dedup_substring_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-substring profile: the fraction of each
+    document's k-token windows that occur more than once corpus-wide —
+    the document-level triage metric of exact-substring deduplication
+    (which documents carry repeated passages, and whether the repeats are
+    self-repetition or cross-document boilerplate). ``n_dup_kgrams``
+    counts windows whose content appears >1 time anywhere (including
+    within the same document); ``n_crossdoc_kgrams`` the subset whose
+    content spans documents.
+
+    Scale shape: the inverted-index pattern shared by the n-gram Jaccard
+    family — only (doc_id, 32-hex window hash) postings shuffle, never
+    text; one count aggregate on the hash (map-side partials), one
+    shuffle join of postings against the duplicated-hash side (which is
+    the vast minority of windows — the join's build side shrinks with
+    corpus cleanliness), one final per-doc aggregate. At 100 TB each
+    stage is the standard postings shape with no skew hotter than the
+    most-repeated passage; dup_frac is ONE exact-integer division."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.withColumn("toks", tx.tokens_col("text"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(toks) >= {SUBSTR_K} THEN "
+                f"transform(sequence(1, size(toks) - {SUBSTR_K} + 1), "
+                f"i -> md5(concat_ws(' ', slice(toks, i, {SUBSTR_K})))) "
+                "ELSE array() END"
+            )
+        ).alias("h"),
+    )
+    counts = grams.groupBy("h").agg(
+        F.count("*").alias("n_occ"),
+        F.countDistinct("doc_id").alias("n_docs_g"),
+    )
+    dup = counts.filter(F.col("n_occ") > 1)
+    per_doc_all = grams.groupBy("doc_id").agg(F.count("*").alias("n_kgrams"))
+    per_doc_dup = (
+        grams.join(dup, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("dup_k"),
+            F.sum(F.when(F.col("n_docs_g") > 1, 1).otherwise(0)).alias("cross_k"),
+        )
+    )
+    return per_doc_all.join(per_doc_dup, "doc_id", "left").select(
+        "doc_id",
+        "n_kgrams",
+        F.coalesce(F.col("dup_k"), F.lit(0)).cast("long").alias("n_dup_kgrams"),
+        F.coalesce(F.col("cross_k"), F.lit(0))
+        .cast("long")
+        .alias("n_crossdoc_kgrams"),
+        (
+            F.coalesce(F.col("dup_k"), F.lit(0)).cast("double")
+            / F.col("n_kgrams").cast("double")
+        ).alias("dup_frac"),
+    )
+
+
+_SUBSTRING_PROFILE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {tx.tokens_sql("text")} AS toks FROM documents
+), g AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= {SUBSTR_K} THEN
+      list_transform(generate_series(1, len(toks) - {SUBSTR_K} + 1),
+        i -> md5(array_to_string(list_slice(toks, i, i + {SUBSTR_K} - 1), ' ')))
+    ELSE [] END) AS h
+  FROM tok
+), c AS (
+  SELECT h, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs_g
+  FROM g GROUP BY 1
+), alln AS (
+  SELECT doc_id, count(*) AS n_kgrams FROM g GROUP BY 1
+), d AS (
+  SELECT doc_id, count(*) AS dup_k,
+         CAST(sum(CASE WHEN n_docs_g > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS cross_k
+  FROM g JOIN c USING (h)
+  WHERE n_occ > 1
+  GROUP BY 1
+)
+SELECT doc_id, n_kgrams,
+       COALESCE(dup_k, 0) AS n_dup_kgrams,
+       COALESCE(cross_k, 0) AS n_crossdoc_kgrams,
+       CAST(COALESCE(dup_k, 0) AS DOUBLE) / CAST(n_kgrams AS DOUBLE)
+         AS dup_frac
+FROM alln LEFT JOIN d USING (doc_id)
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact", q_dedup_exact, _EXACT_ORACLE),
+    QuerySpec(
+        "dedup_substring_profile",
+        q_dedup_substring_profile,
+        _SUBSTRING_PROFILE_ORACLE,
+    ),
     QuerySpec(
         "dedup_boilerplate_phrases",
         q_dedup_boilerplate_phrases,

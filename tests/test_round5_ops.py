@@ -282,3 +282,35 @@ def test_hashed_features_conserve_token_mass(spark, sf_dir):
         .collect()[0][0]
     )
     assert sum(r.n_tokens for r in rows) == total
+
+
+def test_substring_profile_invariants(spark, sf_dir):
+    """Cross-doc duplication is a subset of duplication; fractions bound
+    in [0,1]; a doc sharing an identical text with another doc must show
+    every window duplicated (dup_frac == 1.0 for exact-dup pairs)."""
+    from mysql_streamer_spark.queries.dedup import q_dedup_substring_profile
+
+    rows = q_dedup_substring_profile(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_crossdoc_kgrams <= r.n_dup_kgrams <= r.n_kgrams
+        assert 0.0 <= r.dup_frac <= 1.0
+    assert any(r.n_dup_kgrams > 0 for r in rows)
+    # exact-duplicate docs must profile as 100% duplicated
+    from mysql_streamer_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    dup_texts = (
+        docs.groupBy("text").count().filter(F.col("count") > 1).select("text")
+    )
+    exact = {
+        r.doc_id
+        for r in docs.join(dup_texts, "text").select("doc_id").collect()
+    }
+    prof = {r.doc_id: r for r in rows}
+    checked = 0
+    for d in exact:
+        if d in prof:
+            assert prof[d].dup_frac == 1.0, d
+            checked += 1
+    assert checked > 0 or not exact
