@@ -388,8 +388,137 @@ def _quantile_oracle() -> str:
     return f"SELECT count(*) AS n,\n       {flags}\nFROM events"
 
 
+# ---------------------------------------------------------------------------
+# count-min sketch (approximate frequency, never-underestimate contract)
+# ---------------------------------------------------------------------------
+
+#: depth (independent hash rows) x width (buckets per row). 4x512 keeps
+#: the counter table at 2048 cells — a model-sized broadcast — while the
+#: sf0.01 events table (~60k rows) makes real collisions, so the
+#: overcount column is exercised, not vacuous.
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+CMS_TOP_K = 40
+
+
+def _cms_bucket_spark(j: int, key: str) -> "F.Column":
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"cms{j}:"), F.col(key).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CMS_WIDTH
+    )
+
+
+def _cms_bucket_sql(j: str, key: str) -> str:
+    return (
+        f"CAST('0x' || substring(md5('cms' || CAST({j} AS VARCHAR) || ':' || "
+        f"CAST({key} AS VARCHAR)), 1, 8) AS BIGINT) % {CMS_WIDTH}"
+    )
+
+
+def q_sketch_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over per-user event counts, audited against exact
+    counts for the top-K heaviest users. The CMS is the streaming-side
+    frequency sketch HLL cannot provide: a fixed DEPTHxWIDTH counter grid
+    that partial-aggregates map-side and merges by cell-wise addition, so
+    the shuffle moves 2048 longs per partition regardless of user
+    cardinality. The md5-derived hash rows make the sketch a pure function
+    of the data — both engines build the identical grid, so the estimate
+    itself is hash-checkable (stronger than a bound-only check), and
+    ``never_under`` states the CMS contract (min over rows can only
+    overcount, never undercount) as a literal TRUE the oracle must match.
+
+    Scale shape: a DEPTH-way explode (map-only), ONE fixed-size aggregate,
+    exact top-K true counts (hash-aggregate + TakeOrdered), then the K x
+    DEPTH probe side joins the 2048-cell grid — broadcast-sized both
+    sides. Nothing scales with user cardinality except the exact-count
+    audit, which is the point of comparison, not the sketch."""
+    from mysql_streamer_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    rows = ev.withColumn(
+        "j", F.explode(F.array(*[F.lit(j) for j in range(CMS_DEPTH)]))
+    )
+    # one bucket expression per depth row, dispatched on j (keeps the hash
+    # seed inside the md5 input, same as the oracle)
+    bucket = F.lit(None).cast("long")
+    for j in range(CMS_DEPTH):
+        bucket = F.when(F.col("j") == j, _cms_bucket_spark(j, "user_id")).otherwise(
+            bucket
+        )
+    counters = (
+        rows.withColumn("bucket", bucket)
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    true_counts = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("true_n"))
+        .orderBy(F.col("true_n").desc(), F.col("user_id").asc())
+        .limit(CMS_TOP_K)
+    )
+    probes = true_counts.withColumn(
+        "j", F.explode(F.array(*[F.lit(j) for j in range(CMS_DEPTH)]))
+    )
+    pbucket = F.lit(None).cast("long")
+    for j in range(CMS_DEPTH):
+        pbucket = F.when(
+            F.col("j") == j, _cms_bucket_spark(j, "user_id")
+        ).otherwise(pbucket)
+    est = (
+        probes.withColumn("bucket", pbucket)
+        .join(counters, ["j", "bucket"])
+        .groupBy("user_id", "true_n")
+        .agg(F.min("c").alias("est_n"))
+    )
+    return est.select(
+        "user_id",
+        "true_n",
+        "est_n",
+        (F.col("est_n") >= F.col("true_n")).alias("never_under"),
+        (F.col("est_n") - F.col("true_n")).alias("overcount"),
+    )
+
+
+def _cms_oracle() -> str:
+    js = ", ".join(str(j) for j in range(CMS_DEPTH))
+    return f"""
+WITH ev AS (
+  SELECT user_id FROM events
+), r AS (
+  SELECT user_id, j FROM ev CROSS JOIN (SELECT unnest([{js}]) AS j) js
+), b AS (
+  SELECT j, {_cms_bucket_sql("j", "user_id")} AS bucket FROM r
+), counters AS (
+  SELECT j, bucket, count(*) AS c FROM b GROUP BY 1, 2
+), t AS (
+  SELECT user_id, count(*) AS true_n FROM ev GROUP BY 1
+  ORDER BY true_n DESC, user_id ASC LIMIT {CMS_TOP_K}
+), kb AS (
+  SELECT user_id, true_n, j, {_cms_bucket_sql("j", "user_id")} AS bucket
+  FROM t CROSS JOIN (SELECT unnest([{js}]) AS j) js
+), est AS (
+  SELECT user_id, true_n, min(c) AS est_n
+  FROM kb JOIN counters USING (j, bucket)
+  GROUP BY 1, 2
+)
+SELECT user_id, true_n, est_n,
+       est_n >= true_n AS never_under,
+       est_n - true_n AS overcount
+FROM est
+"""
+
+
 SPECS = [
     QuerySpec("sketch_hll_distinct", q_sketch_hll_distinct, _HLL_DISTINCT_ORACLE),
+    QuerySpec("sketch_cms_counts", q_sketch_cms_counts, _cms_oracle()),
     QuerySpec("sketch_hll_merge", q_sketch_hll_merge, _HLL_MERGE_ORACLE),
     QuerySpec("sketch_hll_overlap", q_sketch_hll_overlap, _HLL_OVERLAP_ORACLE),
     QuerySpec(

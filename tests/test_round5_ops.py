@@ -314,3 +314,26 @@ def test_substring_profile_invariants(spark, sf_dir):
             assert prof[d].dup_frac == 1.0, d
             checked += 1
     assert checked > 0 or not exact
+
+
+def test_cms_never_underestimates_and_stays_bounded(spark, sf_dir):
+    """The count-min contract: min over depth rows can only overcount.
+    The error side is probabilistic (eps = e/width per row), so the bound
+    is asserted with a generous constant — a real sketch bug (wrong
+    bucketing, dropped cells) overshoots it by orders of magnitude."""
+    import math
+
+    from mysql_streamer_spark.queries.sketches import (
+        CMS_WIDTH,
+        q_sketch_cms_counts,
+    )
+    from mysql_streamer_spark.tables import load_table
+
+    rows = q_sketch_cms_counts(spark, sf_dir).collect()
+    assert rows
+    n_total = load_table(spark, sf_dir, "events").count()
+    eps_n = math.e / CMS_WIDTH * n_total
+    for r in rows:
+        assert r.never_under and r.est_n >= r.true_n
+        assert r.overcount == r.est_n - r.true_n
+        assert r.overcount <= 8 * eps_n, (r.user_id, r.overcount, eps_n)

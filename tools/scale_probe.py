@@ -375,11 +375,12 @@ def _materialize_scaled_sf(spark, sf_dir: str, k: int, out_dir: str) -> None:
             os.symlink(table_path(sf_dir, name), dst)
 
 
-def probe_bench_top5(spark, sf_dir: str, ks=(1, 4, 10)) -> None:
-    """Wall clock of the top-5 bench queries at k-fold input, run through
-    the REGISTRY (same code path as bench/driver). The noop-format write
-    forces full materialization of every column (a bare count() would let
-    Spark prune map-side work). Healthy behaviour: ≤~linear growth in k."""
+def probe_bench_top5(spark, sf_dir: str, ks=(1, 4, 10), names=_TOP5_BENCH) -> None:
+    """Wall clock of the named registry queries at k-fold input, run
+    through the REGISTRY (same code path as bench/driver). The noop-format
+    write forces full materialization of every column (a bare count()
+    would let Spark prune map-side work). Healthy behaviour: ≤~linear
+    growth in k."""
     import shutil
     import tempfile
 
@@ -390,7 +391,7 @@ def probe_bench_top5(spark, sf_dir: str, ks=(1, 4, 10)) -> None:
         tmp = tempfile.mkdtemp(prefix=f"scale_probe_sf_k{k}_")
         try:
             _materialize_scaled_sf(spark, sf_dir, k, tmp)
-            for name in _TOP5_BENCH:
+            for name in names:
                 t0 = time.time()
                 specs[name].fn(spark, tmp).write.format("noop").mode(
                     "overwrite"
@@ -413,6 +414,13 @@ def main() -> int:
 
         sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
         probe_bench_top5(get_spark("scale_probe_top5"), sf_dir)
+        return 0
+    if len(sys.argv) > 2 and sys.argv[1] == "--queries":
+        from mysql_streamer_spark.session import get_spark
+
+        names = tuple(sys.argv[2].split(","))
+        sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+        probe_bench_top5(get_spark("scale_probe_named"), sf_dir, names=names)
         return 0
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     max_k = int(sys.argv[2]) if len(sys.argv) > 2 else 4
