@@ -19,12 +19,25 @@ This module implements that contract Spark-first:
   the 32-byte AES-256 key (a published KDF step, since the public key
   file is an arbitrary text blob, not a raw 32-byte key);
 - per-message IV: the CBC initialization vector is carried next to the
-  ciphertext (the standard CBC contract). It is derived deterministically
-  as ``md5(log_file || ':' || log_pos || ':' || offset)`` — unique per
-  binlog position by construction (a position identifies one message),
-  computed JVM-side, and reproducible so the oracle roundtrip can
-  hash-match; a production deployment can swap in random IVs without
-  touching the cipher path;
+  ciphertext (the standard CBC contract). Two modes:
+  ``iv_mode="random"`` (the production default posture: 16 bytes of
+  ``os.urandom`` per message, unpredictable, generated executor-side in
+  the same Arrow batch pass) and ``iv_mode="deterministic"`` (opt-in,
+  used by the test oracle so the roundtrip is reproducible): the IV is
+  ``md5`` over the FULL message identity — cluster_name, database_name,
+  table_name, log_file, log_pos, offset — computed JVM-side. The scope
+  columns matter: binlog positions are only unique within one cluster
+  (every MySQL server has a binlog.000001), so an IV keyed on position
+  alone would reuse (key, IV) pairs across clusters sharing a key,
+  leaking shared-prefix structure under CBC. Deterministic IVs remain
+  predictable by design — that is why they are the opt-in, not the
+  default;
+- integrity: encrypt-then-MAC. Every ciphertext carries a trailing
+  HMAC-SHA256 tag over (IV || ciphertext) under a MAC key derived from
+  the encryption key; decrypt verifies the tag (constant-time compare)
+  BEFORE touching the padding, so bit-flipped ciphertexts and truncations
+  fail loudly as authentication errors rather than decrypting to garbage
+  JSON or exposing a padding oracle;
 - the serialized plaintext is the canonical JSON of the payload struct
   (``to_json``, JVM-side), padded with PKCS#7;
 - the cipher itself runs in a VECTORIZED pandas UDF over (payload, iv)
@@ -92,11 +105,21 @@ def _parse(encryption_type: str) -> tuple[str, int]:
     return algo, int(m.group("key_id"))
 
 
+_MAC_TAG_BYTES = 32  # HMAC-SHA256
+_MAC_KEY_INFO = b"::mss-hmac-sha256-v1"
+
+
+def _mac_key(key: bytes) -> bytes:
+    """MAC key derived from (never equal to) the encryption key, so a
+    cipher break cannot be parlayed into forgeries and vice versa."""
+    return hashlib.sha256(key + _MAC_KEY_INFO).digest()
+
+
 def _cbc(key: bytes, data: bytes, iv: bytes, encrypt: bool) -> bytes:
-    """One AES-CBC+PKCS#7 operation — the single cipher kernel every UDF
-    form wraps (so a padding/mode change happens in exactly one place).
-    The imports stay function-local-but-cached (sys.modules) so the
-    module imports cleanly where cryptography is absent; only actually
+    """One raw AES-CBC+PKCS#7 operation — the single cipher kernel the
+    seal/open pair wraps (so a padding/mode change happens in exactly one
+    place). The imports stay function-local-but-cached (sys.modules) so
+    the module imports cleanly where cryptography is absent; only actually
     using the cipher requires it."""
     from cryptography.hazmat.primitives import padding
     from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
@@ -113,12 +136,42 @@ def _cbc(key: bytes, data: bytes, iv: bytes, encrypt: bool) -> bytes:
     return unpadder.update(padded) + unpadder.finalize()
 
 
+def _seal(key: bytes, data: bytes, iv: bytes) -> bytes:
+    """Encrypt-then-MAC: AES-CBC ciphertext || HMAC-SHA256(IV || ct)."""
+    import hmac as _hmac
+
+    ct = _cbc(key, data, iv, encrypt=True)
+    tag = _hmac.new(_mac_key(key), bytes(iv) + ct, hashlib.sha256).digest()
+    return ct + tag
+
+
+def _open(key: bytes, data: bytes, iv: bytes) -> bytes:
+    """Verify the trailing HMAC tag (constant-time) BEFORE unpadding —
+    a flipped bit or truncation fails here as an authentication error,
+    never as a padding oracle or silent garbage JSON."""
+    import hmac as _hmac
+
+    data = bytes(data)
+    if len(data) < _MAC_TAG_BYTES + 16:
+        raise ValueError(
+            "Invalid ciphertext: shorter than one AES block plus the "
+            "HMAC-SHA256 tag — truncated or not sealed by this module"
+        )
+    ct, tag = data[:-_MAC_TAG_BYTES], data[-_MAC_TAG_BYTES:]
+    want = _hmac.new(_mac_key(key), bytes(iv) + ct, hashlib.sha256).digest()
+    if not _hmac.compare_digest(tag, want):
+        raise ValueError(
+            "Invalid ciphertext: HMAC authentication failed "
+            "(tampered message or wrong key)"
+        )
+    return _cbc(key, ct, iv, encrypt=False)
+
+
 def _aes_cbc_encrypt_udf(key: bytes):
     @F.pandas_udf("binary")
     def enc(data: pd.Series, iv: pd.Series) -> pd.Series:
         return pd.Series(
-            None if d is None else _cbc(key, d, v, encrypt=True)
-            for d, v in zip(data, iv)
+            None if d is None else _seal(key, d, v) for d, v in zip(data, iv)
         )
 
     return enc
@@ -128,8 +181,7 @@ def _aes_cbc_decrypt_udf(key: bytes):
     @F.pandas_udf("binary")
     def dec(data: pd.Series, iv: pd.Series) -> pd.Series:
         return pd.Series(
-            None if d is None else _cbc(key, d, v, encrypt=False)
-            for d, v in zip(data, iv)
+            None if d is None else _open(key, d, v) for d, v in zip(data, iv)
         )
 
     return dec
@@ -152,7 +204,7 @@ def _aes_cbc_keyring_udf(key_ring: dict[str, bytes], encrypt: bool):
             key = key_ring.get(t)
             if key is None:
                 raise ValueError(f"no key in ring for encryption_type {t!r}")
-            out.append(_cbc(key, d, v, encrypt))
+            out.append(_seal(key, d, v) if encrypt else _open(key, d, v))
         return pd.Series(out)
 
     return run
@@ -162,19 +214,59 @@ def _aes_cbc_keyring_decrypt_udf(key_ring: dict[str, bytes]):
     return _aes_cbc_keyring_udf(key_ring, encrypt=False)
 
 
-def _message_iv() -> "F.Column":
-    """Deterministic 16-byte per-message IV from the binlog position
-    (unique per message by construction), computed JVM-side."""
+#: every column that scopes a message's identity. cluster_name is
+#: load-bearing: binlog positions repeat across clusters (every server
+#: has a binlog.000001), so two clusters sharing a key MUST NOT derive
+#: the same IV for different plaintexts; database/table further scope
+#: multi-source topologies that reuse position counters.
+IV_SCOPE_COLUMNS = (
+    "cluster_name",
+    "database_name",
+    "table_name",
+    "log_file",
+    "log_pos",
+    "offset",
+)
+
+
+def _message_iv(columns: "list[str] | None" = None) -> "F.Column":
+    """Deterministic 16-byte per-message IV from the FULL message identity
+    (cluster + database + table + binlog position — unique per message
+    across a shared-key fleet by construction), computed JVM-side.
+    ``columns`` narrows the scope to the columns a synthetic frame
+    actually has (tests); real envelopes always carry all six."""
+    cols = (
+        IV_SCOPE_COLUMNS
+        if columns is None
+        else tuple(c for c in IV_SCOPE_COLUMNS if c in columns)
+    )
     return F.unhex(
         F.md5(
             F.concat_ws(
                 ":",
-                F.coalesce(F.col("log_file"), F.lit("")),
-                F.coalesce(F.col("log_pos"), F.lit(-1)).cast("string"),
-                F.coalesce(F.col("offset"), F.lit(-1)).cast("string"),
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                    for c in cols
+                ],
             )
         )
     )
+
+
+def _random_iv_udf():
+    """16 bytes of os.urandom per message — unpredictable, the default
+    CBC posture for production. Marked nondeterministic so Catalyst never
+    collapses or re-derives it; a published frame must be materialized
+    (written to its sink) before consumption, which is the publish
+    contract anyway."""
+
+    @F.pandas_udf("binary")
+    def riv(anchor: pd.Series) -> pd.Series:
+        import os as _os
+
+        return pd.Series(_os.urandom(16) for _ in range(len(anchor)))
+
+    return riv.asNondeterministic()
 
 
 def _prev_iv(iv: "F.Column") -> "F.Column":
@@ -186,36 +278,59 @@ def _prev_iv(iv: "F.Column") -> "F.Column":
     return F.unhex(F.md5(F.hex(iv)))
 
 
-def encrypt_envelope(env: DataFrame, config: EncryptionConfig) -> DataFrame:
+def encrypt_envelope(
+    env: DataFrame, config: EncryptionConfig, iv_mode: str = "deterministic"
+) -> DataFrame:
     """Envelope -> published form with encrypted payloads.
 
     Replaces the plaintext payload columns with ``payload_ciphertext`` /
-    ``previous_payload_ciphertext`` (AES-CBC over the canonical-JSON
-    serialization) plus the ``encryption_type`` and ``initialization_vector``
-    the consumer needs. Routing and position columns stay plaintext, as in
-    the reference (partition routing must work without the key)."""
+    ``previous_payload_ciphertext`` (AES-CBC + HMAC over the
+    canonical-JSON serialization) plus the ``encryption_type`` and
+    ``initialization_vector`` the consumer needs. Routing and position
+    columns stay plaintext, as in the reference (partition routing must
+    work without the key).
+
+    ``iv_mode``: "deterministic" derives the IV from the full message
+    identity (IV_SCOPE_COLUMNS — reproducible, used by the test oracle);
+    "random" draws os.urandom per message (unpredictable — prefer it in
+    production; requires the published frame to be materialized before
+    consumption, which publishing does by definition)."""
     return _encrypt_with_ring(
         env,
         {config.encryption_type: config.load_key()},
         F.lit(config.encryption_type),
+        iv_mode=iv_mode,
     )
 
 
 def encrypt_envelope_with_ring(
-    env: DataFrame, key_location: str, encryption_type_col: "F.Column"
+    env: DataFrame,
+    key_location: str,
+    encryption_type_col: "F.Column",
+    iv_mode: str = "deterministic",
 ) -> DataFrame:
     """Encrypt each row under the key generation a per-row COLUMN names
     (e.g. a rollout where new rows take the rotated key while a backfill
     still writes the old one) — one pipeline, one pass, no per-key
     branch-and-union."""
-    return _encrypt_with_ring(env, load_key_ring(key_location), encryption_type_col)
+    return _encrypt_with_ring(
+        env, load_key_ring(key_location), encryption_type_col, iv_mode=iv_mode
+    )
 
 
 def _encrypt_with_ring(
-    env: DataFrame, ring: dict[str, bytes], etype_col: "F.Column"
+    env: DataFrame,
+    ring: dict[str, bytes],
+    etype_col: "F.Column",
+    iv_mode: str = "deterministic",
 ) -> DataFrame:
     enc = _aes_cbc_keyring_udf(ring, encrypt=True)
-    iv = _message_iv()
+    if iv_mode == "deterministic":
+        iv = _message_iv(env.columns)
+    elif iv_mode == "random":
+        iv = _random_iv_udf()(F.lit(1))
+    else:
+        raise ValueError(f"iv_mode must be 'deterministic' or 'random', got {iv_mode!r}")
     payload_json = F.to_json(F.struct(*[F.col(c) for c in PAYLOAD_FIELDS]))
     # previous payload exists only for updates — NULL rides through as NULL
     prev_json = F.when(
@@ -287,9 +402,11 @@ def _decrypt_with_ring(published: DataFrame, ring: dict[str, bytes]) -> DataFram
 def decrypt_envelope(published: DataFrame, config: EncryptionConfig) -> DataFrame:
     """Inverse of encrypt_envelope: the consumer-side transparent decrypt
     — the single-key special case of the ring (a one-entry ring holding
-    the configured key). A mismatched key surfaces as a padding error, a
-    message naming a DIFFERENT encryption_type than the config's as a
-    no-key-in-ring error — never silent garbage."""
+    the configured key). A mismatched key or a tampered/truncated
+    ciphertext surfaces as an HMAC authentication error BEFORE any
+    unpadding runs, a message naming a DIFFERENT encryption_type than
+    the config's as a no-key-in-ring error — never silent garbage, and
+    no padding-oracle surface."""
     return _decrypt_with_ring(
         published, {config.encryption_type: config.load_key()}
     )

@@ -300,9 +300,15 @@ class _RowRangePartition(InputPartition):
 class BinlogEventsPartitionedStreamReader(DataSourceStreamReader):
     """Executor-parallel streaming reader — the scale form of the source.
 
-    Offsets are {"row": N} over the file-concatenation order of the feed
-    (files sorted by name, rows in file order — the binlog's arrival
-    order), the same replayable contract as the simple reader.
+    Offsets carry the per-file manifest: ``{"files": [[name, rows], ...],
+    "row": N}`` over the file-concatenation order of the feed (files
+    sorted by name, rows in file order — the binlog's arrival order).
+    The manifest is the safety rail (ADVICE r5): a bare row count would
+    silently remap already-committed offsets if a late-arriving file
+    sorted BEFORE existing ones (duplicating/dropping rows on restart or
+    between latestOffset and partitions within one trigger). Instead,
+    every trigger verifies the observed file list is an APPEND-ONLY
+    EXTENSION of the offset's manifest and fails loudly when it is not.
     ``latestOffset`` reports everything currently available (computed
     from parquet FOOTER metadata only — no data read on the driver), so
     a micro-batch drains what has arrived since the last trigger;
@@ -311,7 +317,9 @@ class BinlogEventsPartitionedStreamReader(DataSourceStreamReader):
     ON AN EXECUTOR as Arrow batches with row-group pruning. The reader
     keeps NO pacing state: offsets are a pure function of the files on
     disk, so crash/restart replay (Spark re-issues partitions() with the
-    WAL's exact offsets) is deterministic by construction.
+    WAL's exact offsets) is deterministic by construction. V1 ``{"row":
+    N}`` offsets from older checkpoints are still accepted (rows-only,
+    no manifest to verify against).
 
     vs the simpleStreamReader: that one paces fixed-size batches through
     the driver (the incremental tail-follower); this one is the
@@ -328,6 +336,11 @@ class BinlogEventsPartitionedStreamReader(DataSourceStreamReader):
         #: (latestOffset AND partitions both need the counts) costs stat
         #: calls plus one footer parse per NEW file, not 2xN re-parses.
         self._rows_cache: dict[tuple[str, int, int], int] = {}
+        #: manifest from the newest offset this reader instance has
+        #: produced or validated — latestOffset checks monotonicity
+        #: against it so a mid-run file-list mutation is caught at the
+        #: trigger that observes it, not at the next restart.
+        self._last_manifest: list[list] | None = None
 
     def _file_rows(self) -> list[tuple[str, int]]:
         import os
@@ -345,17 +358,56 @@ class BinlogEventsPartitionedStreamReader(DataSourceStreamReader):
             out.append((f, n))
         return out
 
+    @staticmethod
+    def _manifest_of(files: list[tuple[str, int]]) -> list[list]:
+        import os
+
+        return [[os.path.basename(p), n] for p, n in files]
+
+    @staticmethod
+    def _require_extension(prev: list[list], cur: list[list], where: str) -> None:
+        """Fail loudly unless ``cur`` is ``prev`` plus zero or more files
+        appended AFTER it in sort order — the only mutation an immutable,
+        name-ordered binlog feed can legally undergo. Anything else
+        (a file inserted before existing ones, renamed, shrunk, grown, or
+        removed) would remap committed offsets to different rows."""
+        prev_t = [tuple(x) for x in prev]
+        cur_t = [tuple(x) for x in cur]
+        if cur_t[: len(prev_t)] != prev_t:
+            raise ValueError(
+                f"binlog_events feed mutated non-append-only ({where}): "
+                f"committed manifest {prev_t} is not a prefix of observed "
+                f"{cur_t}; refusing to remap committed offsets"
+            )
+
+    @staticmethod
+    def _offset_rows(off: dict) -> int:
+        if "files" in off:
+            return sum(int(n) for _, n in off["files"])
+        return int(off["row"])  # v1 checkpoint compatibility
+
     def initialOffset(self) -> dict:
-        return {"row": 0}
+        return {"files": [], "row": 0}
 
     def latestOffset(self) -> dict:
-        return {"row": sum(n for _, n in self._file_rows())}
+        manifest = self._manifest_of(self._file_rows())
+        if self._last_manifest is not None:
+            self._require_extension(self._last_manifest, manifest, "latestOffset")
+        self._last_manifest = manifest
+        return {"files": manifest, "row": sum(n for _, n in manifest)}
 
     def partitions(self, start: dict, end: dict):
-        s, e = int(start["row"]), int(end["row"])
+        files = self._file_rows()
+        observed = self._manifest_of(files)
+        # the offsets' manifests must chain: start ⊑ end ⊑ observed
+        if "files" in end:
+            self._require_extension(end["files"], observed, "partitions/end")
+        if "files" in start and "files" in end:
+            self._require_extension(start["files"], end["files"], "partitions/start")
+        s, e = self._offset_rows(start), self._offset_rows(end)
         parts: list[_RowRangePartition] = []
         base = 0
-        for path, n in self._file_rows():
+        for path, n in files:
             lo, hi = max(s - base, 0), min(e - base, n)
             pos = lo
             while pos < hi:

@@ -24,12 +24,19 @@ class BatchMetric:
     num_input_rows: int
     duration_ms: int
     alert: bool
-    #: wall-clock seconds from the batch's trigger start to the moment the
-    #: completion event is observed — an upper bound on how long a message
-    #: arriving at trigger time waited to be committed. This is the
-    #: engine's contribution to the reference's replication-delay gauge
-    #: (total delay ≤ trigger interval + this).
+    #: seconds from the batch's trigger start to its commit, derived from
+    #: the ENGINE's progress report (triggerExecution duration) — how long
+    #: a message arriving at trigger time waited to be committed. This is
+    #: the engine's contribution to the reference's replication-delay
+    #: gauge (total delay ≤ trigger interval + this). Listener-queue
+    #: delay is deliberately excluded (ADVICE r5: wall-clock now() in the
+    #: callback inflated p99 with scheduling noise).
     commit_lag_s: float = 0.0
+    #: "progress" when commit_lag_s came from the progress report;
+    #: "wallclock" when durations were missing and the listener's own
+    #: observation time stood in (different semantics — includes listener
+    #: queue delay; summaries count these separately, never silently mix).
+    lag_source: str = "progress"
 
 
 def _percentile(sorted_vals: list[float], q: float) -> float:
@@ -57,17 +64,23 @@ class MetricsCollector:
 
     def lag_percentiles(self, non_empty_only: bool = True) -> dict[str, float]:
         """p50/p99/max commit lag across recorded batches (empty-input
-        trigger ticks excluded by default — they commit nothing)."""
-        lags = sorted(
-            b.commit_lag_s
-            for b in self.batches
-            if b.num_input_rows > 0 or not non_empty_only
-        )
+        trigger ticks excluded by default — they commit nothing).
+        Percentiles are computed over progress-derived lags only;
+        ``wallclock_batches`` counts the fallback-derived observations
+        that were EXCLUDED (different semantics — they include listener
+        queue delay and must not inflate the SLO numbers)."""
+        eligible = [
+            b for b in self.batches if b.num_input_rows > 0 or not non_empty_only
+        ]
+        lags = sorted(b.commit_lag_s for b in eligible if b.lag_source == "progress")
         return {
             "p50_s": round(_percentile(lags, 0.50), 3),
             "p99_s": round(_percentile(lags, 0.99), 3),
             "max_s": round(lags[-1] if lags else 0.0, 3),
             "batches": len(lags),
+            "wallclock_batches": sum(
+                1 for b in eligible if b.lag_source != "progress"
+            ),
         }
 
 
@@ -85,15 +98,25 @@ class EnvelopeStreamListener(StreamingQueryListener):
         import datetime as _dt
 
         p = event.progress
-        duration = p.durationMs.get("triggerExecution", 0)
-        # p.timestamp is the trigger's start instant (ISO-8601, UTC)
-        try:
-            started = _dt.datetime.fromisoformat(
-                p.timestamp.replace("Z", "+00:00")
-            ).timestamp()
-            lag = max(0.0, _dt.datetime.now(_dt.timezone.utc).timestamp() - started)
-        except (ValueError, AttributeError):
-            lag = duration / 1000.0
+        duration = p.durationMs.get("triggerExecution")
+        if duration is not None:
+            # progress-reported: trigger start + triggerExecution IS the
+            # commit instant, so the lag is the engine's own duration —
+            # immune to how long this callback sat in the listener queue
+            lag, lag_source = duration / 1000.0, "progress"
+        else:  # pragma: no cover — engines always report triggerExecution
+            duration = 0
+            try:
+                # p.timestamp is the trigger's start instant (ISO-8601, UTC)
+                started = _dt.datetime.fromisoformat(
+                    p.timestamp.replace("Z", "+00:00")
+                ).timestamp()
+                lag = max(
+                    0.0, _dt.datetime.now(_dt.timezone.utc).timestamp() - started
+                )
+            except (ValueError, AttributeError):
+                lag = 0.0
+            lag_source = "wallclock"
         self.collector.batches.append(
             BatchMetric(
                 batch_id=p.batchId,
@@ -101,6 +124,7 @@ class EnvelopeStreamListener(StreamingQueryListener):
                 duration_ms=duration,
                 alert=duration / 1000.0 > self.collector.max_batch_seconds,
                 commit_lag_s=lag,
+                lag_source=lag_source,
             )
         )
 

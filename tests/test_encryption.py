@@ -94,8 +94,92 @@ def test_wrong_key_fails_loudly_not_garbage(spark, sf_dir, config, tmp_path):
     published = encrypt_envelope(_envelope(spark, sf_dir), config)
     with pytest.raises(Exception) as ei:
         decrypt_envelope(published, wrong).collect()
-    # PKCS#7 unpadding rejects the mis-decrypted block
-    assert "padd" in str(ei.value).lower() or "Invalid" in str(ei.value)
+    # encrypt-then-MAC: the wrong key fails HMAC verification BEFORE any
+    # unpadding runs — an authentication error, not a padding oracle
+    assert "authentication failed" in str(ei.value)
+
+
+def test_tampered_ciphertext_fails_authentication(spark, sf_dir, config):
+    """ADVICE r5: unauthenticated CBC is malleable — a flipped bit in a
+    non-final block used to decrypt to garbage JSON that from_json nulled
+    out silently. With encrypt-then-MAC every bit flip (and truncation)
+    must fail loudly at tag verification."""
+    from pyspark.sql import functions as F
+
+    from mysql_streamer_spark.cdc.encryption import (
+        decrypt_envelope,
+        encrypt_envelope,
+    )
+
+    published = encrypt_envelope(_envelope(spark, sf_dir), config)
+    # overwrite the FIRST block (far from the trailing tag bytes)
+    flipped = published.withColumn(
+        "payload_ciphertext",
+        F.concat(F.lit(bytes(16)), F.expr("substring(payload_ciphertext, 17)")),
+    )
+    with pytest.raises(Exception, match="authentication failed"):
+        decrypt_envelope(flipped, config).collect()
+    # truncation (tag sheared off) also fails loudly, never unpads
+    truncated = published.withColumn(
+        "payload_ciphertext", F.expr("substring(payload_ciphertext, 1, 16)")
+    )
+    with pytest.raises(Exception, match="Invalid ciphertext"):
+        decrypt_envelope(truncated, config).collect()
+
+
+def test_random_iv_mode_roundtrips_and_is_unpredictable(spark, sf_dir, config, tmp_path):
+    """iv_mode='random': os.urandom IVs — no two messages share an IV,
+    the IV is not the deterministic derivation, and the roundtrip through
+    a MATERIALIZED published frame (parquet, as a real publish would) is
+    lossless."""
+    from pyspark.sql import functions as F
+
+    from mysql_streamer_spark.cdc.encryption import (
+        _message_iv,
+        decrypt_envelope,
+        encrypt_envelope,
+    )
+
+    env = _envelope(spark, sf_dir).cache()
+    published = encrypt_envelope(env, config, iv_mode="random")
+    out = str(tmp_path / "published")
+    published.write.mode("overwrite").parquet(out)
+    landed = spark.read.parquet(out)
+    n = landed.count()
+    assert landed.select("initialization_vector").distinct().count() == n
+    # and none equals the deterministic derivation for its own row
+    det = landed.withColumn("det_iv", _message_iv(landed.columns))
+    assert det.filter(F.col("initialization_vector") == F.col("det_iv")).count() == 0
+    cols = ["txn_order", "pk", "payload_k", "payload_val", "previous_payload_val"]
+    orig = {r.txn_order: r for r in env.select(*cols).collect()}
+    back = {
+        r.txn_order: r for r in decrypt_envelope(landed, config).select(*cols).collect()
+    }
+    env.unpersist()
+    assert orig.keys() == back.keys() and len(orig) > 0
+    for k in orig:
+        assert orig[k] == back[k]
+
+
+def test_deterministic_iv_is_scoped_by_cluster(spark):
+    """ADVICE r5 (medium): binlog positions repeat across clusters, so two
+    clusters sharing a key MUST derive different IVs at the same
+    (log_file, log_pos, offset) — otherwise CBC reuses a (key, IV) pair
+    on different plaintexts and leaks shared-prefix structure."""
+    from mysql_streamer_spark.cdc.encryption import IV_SCOPE_COLUMNS, _message_iv
+
+    assert "cluster_name" in IV_SCOPE_COLUMNS
+    rows = [
+        ("cluster_a", "db", "t", "binlog.000001", 4, 0),
+        ("cluster_b", "db", "t", "binlog.000001", 4, 0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "cluster_name string, database_name string, table_name string,"
+        " log_file string, log_pos long, offset long",
+    )
+    ivs = [r.iv for r in df.select(_message_iv(df.columns).alias("iv")).collect()]
+    assert ivs[0] != ivs[1]
 
 
 def test_extreme_doubles_survive_the_json_cipher_path(spark, config):

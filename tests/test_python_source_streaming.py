@@ -169,7 +169,8 @@ def test_partitioned_reader_splits_ranges_and_prunes_row_groups(sf_dir):
         {"path": path, "partitionrows": "100"}
     )
     total = r.latestOffset()["row"]
-    assert total > 0 and r.initialOffset() == {"row": 0}
+    assert total > 0 and r.initialOffset() == {"files": [], "row": 0}
+    # v1 {"row": N} offsets (pre-manifest checkpoints) still tile correctly
     parts = r.partitions({"row": 50}, {"row": 450})
     assert sum(p.end_row - p.start_row for p in parts) == 400
     assert all(p.end_row - p.start_row <= 100 for p in parts)
@@ -180,3 +181,55 @@ def test_partitioned_reader_splits_ranges_and_prunes_row_groups(sf_dir):
     # empty range -> one sentinel partition, zero rows
     empty = r.partitions({"row": 10}, {"row": 10})
     assert len(empty) == 1 and list(r.read(empty[0])) == []
+
+
+def test_partitioned_reader_offsets_carry_manifest_and_reject_mutation(tmp_path):
+    """ADVICE r5: offsets were bare row counts over files sorted by name,
+    so a late file sorting BEFORE existing ones silently remapped
+    committed offsets. Offsets now carry the per-file manifest; any
+    non-append-only change to the feed fails loudly at the next trigger
+    instead of duplicating/dropping rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from mysql_streamer_spark.connectors.python_source import (
+        BinlogEventsPartitionedStreamReader,
+    )
+
+    def _write(name: str, n: int, base: int) -> None:
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(base, base + n), pa.int64()),
+                    "ts": pa.array([1_700_000_000_000_000 + i for i in range(n)], pa.int64()),
+                    "user_id": pa.array([1] * n, pa.int64()),
+                    "event_type": pa.array(["insert"] * n),
+                    "value": pa.array([1.0] * n, pa.float64()),
+                    "props": pa.array(["{}"] * n),
+                }
+            ),
+            str(tmp_path / name),
+        )
+
+    _write("part-bb.parquet", 10, 0)
+    r = BinlogEventsPartitionedStreamReader({"path": str(tmp_path)})
+    first = r.latestOffset()
+    assert first["files"] == [["part-bb.parquet", 10]] and first["row"] == 10
+
+    # append-only growth (a file sorting AFTER) is the legal mutation
+    _write("part-cc.parquet", 5, 10)
+    second = r.latestOffset()
+    assert second["files"] == [["part-bb.parquet", 10], ["part-cc.parquet", 5]]
+    parts = r.partitions(first, second)
+    assert sum(p.end_row - p.start_row for p in parts) == 5
+
+    # a file arriving that sorts BEFORE committed ones must fail loudly
+    _write("part-aa.parquet", 3, 100)
+    with pytest.raises(ValueError, match="non-append-only"):
+        r.latestOffset()
+    # and partitions() against the stale manifest refuses too (fresh
+    # reader instance = the restart case, no in-memory last manifest)
+    r2 = BinlogEventsPartitionedStreamReader({"path": str(tmp_path)})
+    with pytest.raises(ValueError, match="non-append-only"):
+        r2.partitions(first, second)
