@@ -1758,8 +1758,201 @@ FROM alln LEFT JOIN d USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# content-defined chunking (CDC) dedup — variable-size chunks, shift-robust
+# ---------------------------------------------------------------------------
+
+#: rolling-window width (tokens) for the boundary hash
+CDC_W = 4
+#: boundary divisor: a window ends a chunk when its hash ≡ 0 (mod this),
+#: giving ~CDC_DIVISOR-token average chunks on random content
+CDC_DIVISOR = 16
+
+
+def _cdc_window_hash_spark(end: str, toks: str = "toks") -> str:
+    return (
+        f"CAST(conv(substring(md5(concat_ws(' ', "
+        f"slice({toks}, {end} - {CDC_W - 1}, {CDC_W}))), 1, 8), 16, 10) AS BIGINT)"
+    )
+
+
+def _cdc_window_hash_sql(end: str, toks: str = "toks") -> str:
+    return (
+        f"CAST('0x' || substring(md5(array_to_string("
+        f"list_slice({toks}, {end} - {CDC_W - 1}, {end}), ' ')), 1, 8) AS BIGINT)"
+    )
+
+
+def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (the FastCDC/LBFS idea, token
+    granularity): chunk boundaries are placed where a W-token rolling
+    window's hash ≡ 0 (mod CDC_DIVISOR), so boundaries are a function of
+    LOCAL content — insert a sentence into a document and every chunk
+    outside the edited neighborhood keeps its identity, which is exactly
+    what fixed k-gram windows (``dedup_substring_profile``) and whole-doc
+    hashes cannot offer. Chunks are then deduplicated corpus-wide and
+    each document reports its duplicated / cross-document chunk token
+    mass.
+
+    Scale shape: boundary detection and chunk hashing are pure array
+    expressions in the scan projection (codegen, no Python, no shuffle);
+    the corpus-wide chunk index is the standard postings shape — only
+    (doc_id, 32-hex chunk hash, chunk length) shuffles, never text; one
+    count aggregate with map-side partials plus one join of postings
+    against the duplicated minority. Average chunk size is set by
+    CDC_DIVISOR, so postings volume is ~n_tokens/CDC_DIVISOR rows — an
+    order less than the k-gram profile's one-posting-per-position."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.withColumn("toks", tx.tokens_col("text"))
+    with_bends = toks.withColumn(
+        "bends",
+        F.expr(
+            f"concat(CASE WHEN size(toks) > {CDC_W} THEN "
+            f"filter(sequence({CDC_W}, size(toks) - 1), "
+            f"e -> {_cdc_window_hash_spark('e')} % {CDC_DIVISOR} = 0) "
+            "ELSE array() END, array(size(toks)))"
+        ),
+    )
+    start = (
+        "CASE WHEN c = 1 THEN 1 ELSE element_at(bends, c - 1) + 1 END"
+    )
+    chunks = with_bends.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(bends)), c -> struct("
+                f"md5(concat_ws(' ', slice(toks, {start}, "
+                f"element_at(bends, c) - ({start}) + 1))) AS ch, "
+                f"element_at(bends, c) - ({start}) + 1 AS clen))"
+            )
+        ).alias("k"),
+    ).select("doc_id", "k.ch", "k.clen")
+    counts = chunks.groupBy("ch").agg(
+        F.count("*").alias("n_occ"),
+        F.countDistinct("doc_id").alias("n_docs_c"),
+    )
+    return (
+        chunks.join(counts, "ch")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("clen").alias("n_tokens"),
+            F.sum(F.when(F.col("n_occ") > 1, F.col("clen")).otherwise(0))
+            .cast("long")
+            .alias("dup_chunk_tokens"),
+            F.sum(F.when(F.col("n_docs_c") > 1, F.col("clen")).otherwise(0))
+            .cast("long")
+            .alias("crossdoc_chunk_tokens"),
+        )
+        .withColumn(
+            "chunk_dup_frac",
+            F.col("dup_chunk_tokens").cast("double")
+            / F.col("n_tokens").cast("double"),
+        )
+    )
+
+
+_CDC_START_SQL = "CASE WHEN c = 1 THEN 1 ELSE bends[c - 1] + 1 END"
+
+_CDC_CHUNKS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {tx.tokens_sql("text")} AS toks FROM documents
+), b AS (
+  SELECT doc_id, toks,
+         list_concat(
+           CASE WHEN len(toks) > {CDC_W} THEN
+             list_filter(generate_series({CDC_W}, len(toks) - 1),
+               e -> {_cdc_window_hash_sql('e')} % {CDC_DIVISOR} = 0)
+           ELSE [] END,
+           [len(toks)]) AS bends
+  FROM tok
+), ck AS (
+  SELECT doc_id, unnest(
+    list_transform(generate_series(1, len(bends)), c -> struct_pack(
+      ch := md5(array_to_string(
+        list_slice(toks, {_CDC_START_SQL}, bends[c]), ' ')),
+      clen := bends[c] - ({_CDC_START_SQL}) + 1))) AS k
+  FROM b
+), chunks AS (
+  SELECT doc_id, k.ch AS ch, k.clen AS clen FROM ck
+), counts AS (
+  SELECT ch, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs_c
+  FROM chunks GROUP BY 1
+)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(clen) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN n_occ > 1 THEN clen ELSE 0 END) AS BIGINT)
+         AS dup_chunk_tokens,
+       CAST(sum(CASE WHEN n_docs_c > 1 THEN clen ELSE 0 END) AS BIGINT)
+         AS crossdoc_chunk_tokens,
+       CAST(sum(CASE WHEN n_occ > 1 THEN clen ELSE 0 END) AS DOUBLE)
+         / CAST(sum(clen) AS DOUBLE) AS chunk_dup_frac
+FROM chunks JOIN counts USING (ch)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# normalized (canonicalization) dedup — the C4/RefinedWeb "exact-ish" tier
+# ---------------------------------------------------------------------------
+
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization dedup: lowercase, collapse every non-alphanumeric
+    run to one space, trim, THEN hash — the cheap tier between byte-exact
+    and MinHash that catches trivially reformatted copies (case flips,
+    punctuation/whitespace churn) production corpus preps run first
+    (C4-style). Emits one row per normalized-content group with the raw
+    variant count, so ``normalization_only`` marks clusters invisible to
+    ``dedup_exact``.
+
+    Scale shape: identical to ``dedup_exact`` — normalization is a
+    codegen'd regexp in the scan projection, then ONE hash-aggregate with
+    map-side partials over (norm_hash); only the 64-hex hash + counters
+    shuffle, never text."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+    )
+    return (
+        docs.select(
+            F.sha2(norm, 256).alias("norm_hash"),
+            F.sha2("text", 256).alias("raw_hash"),
+            "doc_id",
+            "n_chars",
+        )
+        .groupBy("norm_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("raw_hash").alias("n_raw_variants"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .withColumn(
+            "normalization_only",
+            (F.col("n_docs") > 1) & (F.col("n_raw_variants") > 1),
+        )
+    )
+
+
+_NORMALIZED_ORACLE = """
+SELECT sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+         AS norm_hash,
+       count(*) AS n_docs,
+       CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_raw_variants,
+       min(doc_id) AS keeper_doc_id,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       count(*) > 1 AND count(DISTINCT sha256(text)) > 1
+         AS normalization_only
+FROM documents
+GROUP BY 1
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact", q_dedup_exact, _EXACT_ORACLE),
+    QuerySpec("dedup_normalized", q_dedup_normalized, _NORMALIZED_ORACLE),
+    QuerySpec("dedup_cdc_chunks", q_dedup_cdc_chunks, _CDC_CHUNKS_ORACLE),
     QuerySpec(
         "dedup_substring_profile",
         q_dedup_substring_profile,

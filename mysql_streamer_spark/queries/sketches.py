@@ -516,8 +516,167 @@ FROM est
 """
 
 
+# ---------------------------------------------------------------------------
+# sketch_kmv_distinct — k-minimum-values distinct estimator + merge proof
+# ---------------------------------------------------------------------------
+
+#: KMV sketch size. 64 keeps the sketch saturated (estimator branch live)
+#: from sf0.01 up (150 distinct users per event_type) while the sf0.001
+#: fixture (15 users) exercises the exact under-fill branch. RSE for KMV is
+#: 1/sqrt(K-2) ~ 12.7%; the audit flag allows 5 RSE, same policy as HLL.
+KMV_K = 64
+KMV_HASH_SPACE = 1 << 32
+
+
+def _kmv_hash_spark(col: str) -> F.Column:
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("kmv:"), F.col(col))), 1, 8), 16, 10
+        ).cast("long")
+        + 1
+    )
+
+
+def _kmv_hash_sql(expr: str) -> str:
+    return f"CAST('0x' || substring(md5('kmv:' || {expr}), 1, 8) AS BIGINT) + 1"
+
+
+def q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al. 2002) per
+    event_type, plus an ``__all__`` row REBUILT BY MERGING the per-type
+    sketches — the union of per-group k-smallest sets re-truncated to its
+    k smallest is exactly the KMV of the union, which is the mergeability
+    property that makes the sketch useful at 100 TB (per-day / per-shard
+    sketches persisted once answer any rollup without rescanning raw
+    data; cf. the HLL family above — KMV adds set-INTERSECTION support
+    HLL lacks, via the Jaccard of the combined sample).
+
+    Both engines derive the hash from md5, so the sketch is a pure
+    function of the data and the ESTIMATE ITSELF hash-checks (same
+    standard as ``sketch_cms_counts``): estimate = (K-1) * 2^32 / h_(K)
+    is one division of exact integers. Under-filled groups (< K distinct)
+    report the sketch's exact count — KMV is lossless below K.
+
+    Scale shape: distinct (event_type, user_id) hash-aggregates with
+    map-side partials, and the ``rnk <= K`` filter is rewritten by
+    Catalyst into Partial -> Final ``WindowGroupLimit`` (verified in the
+    physical plan), so every input partition truncates to its k smallest
+    hashes per group BEFORE the shuffle — the shuffle moves ≤ K rows per
+    group per partition regardless of user cardinality, which is the
+    production sketch plan, not an audit shortcut. The merged ``__all__``
+    re-rank runs over ≤ K * n_groups already-truncated rows (bounded by
+    construction). Only the exact-count audit column scales with
+    cardinality — it is the point of comparison, not the sketch."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hashed = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .withColumn("h", _kmv_hash_spark("user_id"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("h").asc())
+    ranked = hashed.withColumn("rnk", F.row_number().over(w))
+    sketch = ranked.filter(F.col("rnk") <= KMV_K)
+
+    # merged '__all__' sketch: k smallest of the union of per-type sketches
+    merged = (
+        sketch.select("h")
+        .distinct()
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy(F.lit(1)).orderBy(F.col("h").asc())
+            ),
+        )
+        .filter(F.col("rnk") <= KMV_K)
+        .withColumn("event_type", F.lit("__all__"))
+    )
+
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    exact_all = ev.agg(
+        F.lit("__all__").alias("event_type"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+
+    def finalize(sk: DataFrame) -> DataFrame:
+        return sk.groupBy("event_type").agg(
+            F.count("*").alias("sketch_fill"),
+            F.max(F.when(F.col("rnk") == KMV_K, F.col("h"))).alias("kth_hash"),
+        )
+
+    per_type = finalize(sketch).join(exact, "event_type")
+    all_row = finalize(merged).join(F.broadcast(exact_all), "event_type")
+    combined = per_type.unionByName(all_row)
+    est = F.when(
+        F.col("sketch_fill") < KMV_K, F.col("sketch_fill").cast("double")
+    ).otherwise(
+        F.lit(float(KMV_K - 1) * KMV_HASH_SPACE) / F.col("kth_hash").cast("double")
+    )
+    return combined.select(
+        "event_type",
+        "n_exact",
+        "sketch_fill",
+        "kth_hash",
+        est.alias("est_distinct"),
+        (
+            F.abs(est - F.col("n_exact").cast("double"))
+            <= F.lit(5.0 / (KMV_K - 2) ** 0.5) * F.col("n_exact").cast("double")
+        ).alias("within_bound"),
+    )
+
+
+_KMV_ORACLE = f"""
+WITH du AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), hashed AS (
+  SELECT event_type, {_kmv_hash_sql("user_id")} AS h FROM du
+), ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rnk
+  FROM hashed
+), sketch AS (
+  SELECT event_type, h, rnk FROM ranked WHERE rnk <= {KMV_K}
+), merged AS (
+  SELECT '__all__' AS event_type, h,
+         row_number() OVER (ORDER BY h ASC) AS rnk
+  FROM (SELECT DISTINCT h FROM sketch)
+), both_sketches AS (
+  SELECT * FROM sketch
+  UNION ALL
+  SELECT * FROM merged WHERE rnk <= {KMV_K}
+), finalized AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS sketch_fill,
+         max(CASE WHEN rnk = {KMV_K} THEN h END) AS kth_hash
+  FROM both_sketches GROUP BY 1
+), exact AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1
+  UNION ALL
+  SELECT '__all__', CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+), joined AS (
+  SELECT f.event_type, e.n_exact, f.sketch_fill, f.kth_hash,
+         CASE WHEN f.sketch_fill < {KMV_K}
+              THEN CAST(f.sketch_fill AS DOUBLE)
+              ELSE CAST({float(KMV_K - 1) * KMV_HASH_SPACE} AS DOUBLE)
+                   / CAST(f.kth_hash AS DOUBLE)
+         END AS est_distinct
+  FROM finalized f JOIN exact e USING (event_type)
+)
+SELECT event_type, n_exact, sketch_fill, kth_hash, est_distinct,
+       abs(est_distinct - CAST(n_exact AS DOUBLE))
+         <= {5.0 / (KMV_K - 2) ** 0.5} * CAST(n_exact AS DOUBLE)
+         AS within_bound
+FROM joined
+"""
+
+
 SPECS = [
     QuerySpec("sketch_hll_distinct", q_sketch_hll_distinct, _HLL_DISTINCT_ORACLE),
+    QuerySpec("sketch_kmv_distinct", q_sketch_kmv_distinct, _KMV_ORACLE),
     QuerySpec("sketch_cms_counts", q_sketch_cms_counts, _cms_oracle()),
     QuerySpec("sketch_hll_merge", q_sketch_hll_merge, _HLL_MERGE_ORACLE),
     QuerySpec("sketch_hll_overlap", q_sketch_hll_overlap, _HLL_OVERLAP_ORACLE),

@@ -1102,8 +1102,145 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# bigram-LM cross-entropy scoring (the CCNet/KenLM perplexity filter shape)
+# ---------------------------------------------------------------------------
+
+#: integer log2 proxy shared with the DSIR scorer: length(bin(x)) =
+#: floor(log2(x)) + 1 for x >= 1, exact in both engines (no float log)
+_LM_BITLEN = "length(bin({x}))"
+
+#: band half-width around the CORPUS-MEAN surprise (bits/bigram). Surprise
+#: of a bigram is bitlen(prefix_count) - bitlen(bigram_count) ~
+#: log2(1/P(w2|w1)); below mean - δ = boilerplate the LM has memorized,
+#: above mean + δ = rare/garbled text — perplexity filters cut BOTH tails
+#: (CCNet keeps the middle). Relative-to-mean banding keeps all three
+#: bands live at every scale factor (the synthetic corpus is homogeneous,
+#: so absolute edges would collapse to one band); the mean is ONE division
+#: of exact corpus totals, so the edges are bit-identical in both engines.
+LM_BAND_DELTA = 0.12
+
+
+def q_text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM document scoring — the shape of a KenLM/CCNet perplexity
+    filter with the model trained ON the corpus itself: every bigram's
+    surprise is the integer log2 proxy of 1/P(w2|w1) (bit-length of the
+    prefix count minus bit-length of the bigram count, cf. the DSIR
+    scorer's discipline — no float log, so both engines agree
+    bit-for-bit), and a document's score is its mean surprise in
+    bits/bigram with ONE final IEEE division. ``band`` buckets the
+    corpus the way production filters act on it: 'memorized' (low
+    surprise = boilerplate), 'mid' (kept), 'surprising' (rare/garbled).
+
+    Scale shape: one tokenize+bigram explode computed once (persisted,
+    two consumers: the LM counts and the scoring stream); the 'model' is
+    two vocabulary-sized count aggregates with map-side partials joined
+    back onto the bigram stream (AQE picks broadcast vs shuffle — at
+    100 TB a real deployment trains the LM offline on a sample and
+    broadcasts it; the plan below IS that join with the sample = corpus);
+    then one per-doc integer-sum aggregate. Only (doc_id, w1, w2) pairs
+    shuffle, never text."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.withColumn("toks", tx.tokens_col("text"))
+    bi = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(toks) >= 2 THEN "
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> struct(toks[i - 1] AS w1, toks[i] AS w2)) "
+                    "ELSE array() END"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+        .persist()
+    )
+    lm = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    prefix = lm.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    scored = (
+        bi.join(lm, ["w1", "w2"])
+        .join(prefix, "w1")
+        .withColumn(
+            "surprise",
+            F.expr(_LM_BITLEN.format(x="c1"))
+            - F.expr(_LM_BITLEN.format(x="c12")),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("surprise").cast("long").alias("surprise_bits"),
+    )
+    corpus = per_doc.agg(
+        F.sum("n_bigrams").alias("tot_bigrams"),
+        F.sum("surprise_bits").alias("tot_bits"),
+    )
+    avg = F.col("surprise_bits").cast("double") / F.col("n_bigrams").cast(
+        "double"
+    )
+    mean = F.col("tot_bits").cast("double") / F.col("tot_bigrams").cast("double")
+    return per_doc.crossJoin(F.broadcast(corpus)).select(
+        "doc_id",
+        "n_bigrams",
+        "surprise_bits",
+        avg.alias("avg_surprise_bits"),
+        mean.alias("corpus_mean_bits"),
+        F.when(avg < mean - LM_BAND_DELTA, F.lit("memorized"))
+        .when(avg > mean + LM_BAND_DELTA, F.lit("surprising"))
+        .otherwise(F.lit("mid"))
+        .alias("band"),
+    )
+
+
+_LM_PERPLEXITY_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {tx.tokens_sql("text")} AS toks FROM documents
+), bi AS (
+  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                   i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS b
+    FROM tok WHERE len(toks) >= 2
+  )
+), lm AS (
+  SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2
+), prefix AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM lm GROUP BY 1
+), scored AS (
+  SELECT doc_id,
+         {_LM_BITLEN.format(x="c1")} - {_LM_BITLEN.format(x="c12")}
+           AS surprise
+  FROM bi JOIN lm USING (w1, w2) JOIN prefix USING (w1)
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         CAST(sum(surprise) AS BIGINT) AS surprise_bits
+  FROM scored GROUP BY 1
+), corpus AS (
+  SELECT CAST(sum(n_bigrams) AS BIGINT) AS tot_bigrams,
+         CAST(sum(surprise_bits) AS BIGINT) AS tot_bits
+  FROM per_doc
+)
+SELECT doc_id, n_bigrams, surprise_bits,
+       CAST(surprise_bits AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+         AS avg_surprise_bits,
+       CAST(tot_bits AS DOUBLE) / CAST(tot_bigrams AS DOUBLE)
+         AS corpus_mean_bits,
+       CASE WHEN CAST(surprise_bits AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+                 < CAST(tot_bits AS DOUBLE) / CAST(tot_bigrams AS DOUBLE)
+                   - {LM_BAND_DELTA} THEN 'memorized'
+            WHEN CAST(surprise_bits AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+                 > CAST(tot_bits AS DOUBLE) / CAST(tot_bigrams AS DOUBLE)
+                   + {LM_BAND_DELTA} THEN 'surprising'
+            ELSE 'mid' END AS band
+FROM per_doc CROSS JOIN corpus
+"""
+
+
 SPECS = [
     QuerySpec("text_token_stats", q_text_token_stats, _TOKEN_STATS_ORACLE),
+    QuerySpec(
+        "text_lm_perplexity", q_text_lm_perplexity, _LM_PERPLEXITY_ORACLE
+    ),
     QuerySpec("text_pii_scrub", q_text_pii_scrub, _PII_SCRUB_ORACLE),
     QuerySpec(
         "text_compression_proxy", q_text_compression_proxy, _COMPRESS_ORACLE

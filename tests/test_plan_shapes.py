@@ -218,6 +218,9 @@ _UNPARTITIONED_WINDOW_OK = {
     "pipeline_unimax_budget",
     # rolling frame over the one-row-per-day aggregate dimension
     "analytics_rolling_revenue",
+    # merged-sketch re-rank over the union of per-type KMV sketches
+    # (≤ KMV_K x n_event_types = 320 rows by construction)
+    "sketch_kmv_distinct",
 }
 
 
