@@ -1772,7 +1772,106 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# output shard plan — the training-data writer's balance audit
+# ---------------------------------------------------------------------------
+
+#: number of output shards the writer would produce (at 100 TB this is
+#: thousands; 64 keeps every shard populated from sf0.001 up)
+N_SHARDS = 64
+#: a shard is overloaded when its char mass exceeds this multiple of the
+#: ideal 1/N share (integer cross-multiplication, no float threshold)
+SHARD_SKEW_LIMIT = 2
+
+
+def q_pipeline_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The writer-side shard plan a training-data export runs BEFORE the
+    expensive write: every document is assigned a deterministic shard by
+    content-independent id hash (md5 — stable across reruns and engine
+    versions, unlike Spark's internal ``hash``), and the plan reports
+    per-shard document/char/token mass plus a balance audit — the
+    ``share_x_n`` column is 1.0 for a perfectly balanced shard and the
+    ``overloaded`` flag trips at SHARD_SKEW_LIMIT x ideal, which is the
+    condition under which a real writer would re-split before committing
+    (skewed output files gate downstream dataloader throughput).
+
+    Scale shape: shard assignment is a scan-projection expression (the
+    same expression ``df.repartition(N_SHARDS, shard)`` would shuffle on
+    — this query IS the dry run of that writer); ONE fixed-width
+    (N_SHARDS-row) aggregate with map-side partials; the corpus total is
+    a broadcast 1-row dimension. Nothing scales with corpus size except
+    the scan."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sharded = docs.select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("shard:"), F.col("doc_id"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % N_SHARDS
+        ).alias("shard"),
+        "n_chars",
+        F.size(tx.tokens_col("text")).alias("n_toks"),
+    )
+    per_shard = sharded.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+    )
+    totals = per_shard.agg(F.sum("total_chars").alias("corpus_chars"))
+    return (
+        per_shard.crossJoin(F.broadcast(totals))
+        .select(
+            "shard",
+            F.format_string("part-%05d.parquet", F.col("shard").cast("int")).alias(
+                "shard_file"
+            ),
+            "n_docs",
+            "total_chars",
+            "total_tokens",
+            (
+                (F.col("total_chars") * N_SHARDS).cast("double")
+                / F.col("corpus_chars").cast("double")
+            ).alias("share_x_n"),
+            (
+                F.col("total_chars") * N_SHARDS
+                > F.lit(SHARD_SKEW_LIMIT) * F.col("corpus_chars")
+            ).alias("overloaded"),
+        )
+    )
+
+
+_SHARD_PLAN_ORACLE = f"""
+WITH sharded AS (
+  SELECT CAST('0x' || substring(md5('shard:' || doc_id), 1, 8) AS BIGINT)
+           % {N_SHARDS} AS shard,
+         n_chars,
+         len({tx.tokens_sql("text")}) AS n_toks
+  FROM documents
+), per_shard AS (
+  SELECT shard, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(sum(n_toks) AS BIGINT) AS total_tokens
+  FROM sharded GROUP BY 1
+), totals AS (
+  SELECT CAST(sum(total_chars) AS BIGINT) AS corpus_chars FROM per_shard
+)
+SELECT shard,
+       printf('part-%05d.parquet', shard) AS shard_file,
+       n_docs, total_chars, total_tokens,
+       CAST(total_chars * {N_SHARDS} AS DOUBLE)
+         / CAST(corpus_chars AS DOUBLE) AS share_x_n,
+       total_chars * {N_SHARDS} > {SHARD_SKEW_LIMIT} * corpus_chars
+         AS overloaded
+FROM per_shard CROSS JOIN totals
+"""
+
+
 SPECS = [
+    QuerySpec("pipeline_shard_plan", q_pipeline_shard_plan, _SHARD_PLAN_ORACLE),
     QuerySpec("pipeline_decontaminate", q_pipeline_decontaminate, _DECONTAMINATE_ORACLE),
     QuerySpec(
         "pipeline_hashed_features",

@@ -1804,8 +1804,190 @@ SELECT anchor_id, anchor_label, neg_id, neg_label, cosine FROM (
 )
 
 
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of lexical + embedding legs
+# ---------------------------------------------------------------------------
+
+#: candidate depth each leg contributes to the fusion
+FUSE_DEPTH = 30
+#: the RRF smoothing constant from Cormack et al. 2009
+RRF_K = 60
+
+
+def q_sim_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the RAG-stack shape where a lexical (BM25-ish)
+    ranking and an embedding-cosine ranking are fused by reciprocal-rank
+    fusion (Cormack et al. 2009): rrf = Σ_legs 1/(RRF_K + rank). The
+    lexical leg scores candidates by idf-weighted distinct-token overlap
+    with the query document, with idf as the integer bit-length log2
+    proxy (bitlen(N_docs) - bitlen(df)) so the score is an exact integer
+    sum; the embedding leg is the quantized cosine shared with the ANN
+    family. Ranks — not scores — cross the fusion boundary, which is why
+    RRF is the production default: no cross-leg score calibration.
+
+    Scale shape: the lexical leg is the inverted-index pattern — the
+    query side's distinct tokens (N_QUERY docs) broadcast onto the
+    corpus posting list, idf is a vocabulary-sized dimension AQE joins,
+    and only (query_id, cand_id, integer score) leaves the overlap
+    aggregate. The embedding leg broadcasts N_QUERY vectors. Both rank
+    windows partition by query_id and truncate to FUSE_DEPTH via
+    WindowGroupLimit; the fusion itself is a FUSE_DEPTH-bounded full
+    outer join per query. Missing-leg contributions are 0 (the standard
+    variant) with rank sentinels of -1 so no nullable ints cross the
+    gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    from mysql_streamer_spark import text as tx
+    from mysql_streamer_spark.tables import spread
+
+    toks = spread(docs, "doc_id").select(
+        "doc_id", F.explode(F.array_distinct(tx.tokens_col("text"))).alias("t")
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    df_t = toks.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    q_toks = toks.filter(F.col("doc_id") < N_QUERY).select(
+        F.col("doc_id").alias("query_id"), "t"
+    )
+    lex_scored = (
+        toks.withColumnRenamed("doc_id", "cand_id")
+        .join(F.broadcast(q_toks), "t")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .join(df_t, "t")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("query_id", "cand_id")
+        .agg(
+            F.sum(
+                F.expr("length(bin(n_docs)) - length(bin(df))")
+            )
+            .cast("long")
+            .alias("lex_score")
+        )
+    )
+    w_lex = Window.partitionBy("query_id").orderBy(
+        F.col("lex_score").desc(), F.col("cand_id").asc()
+    )
+    lex = (
+        lex_scored.withColumn("lex_rank", F.row_number().over(w_lex))
+        .filter(F.col("lex_rank") <= FUSE_DEPTH)
+        .select("query_id", "cand_id", "lex_rank")
+    )
+
+    e = vx.with_quantized(_emb(spark, sf_dir))
+    q = e.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    emb_scored = (
+        e.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("qv").alias("c_qv"),
+            F.col("nrm").alias("c_nrm"),
+        )
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cosine", vx.cosine_col("q_qv", "c_qv", "q_nrm", "c_nrm"))
+    )
+    w_emb = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    emb = (
+        emb_scored.withColumn("emb_rank", F.row_number().over(w_emb))
+        .filter(F.col("emb_rank") <= FUSE_DEPTH)
+        .select("query_id", "cand_id", "emb_rank")
+    )
+
+    fused = (
+        lex.join(emb, ["query_id", "cand_id"], "full_outer")
+        .withColumn(
+            "rrf_score",
+            F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")).cast("double"),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("emb_rank")).cast("double"),
+                F.lit(0.0),
+            ),
+        )
+        .withColumn("lex_rank", F.coalesce("lex_rank", F.lit(-1)))
+        .withColumn("emb_rank", F.coalesce("emb_rank", F.lit(-1)))
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("cand_id").asc()
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_f))
+        .filter(F.col("fused_rank") <= TOP_K)
+        .select(
+            "query_id", "cand_id", "lex_rank", "emb_rank", "rrf_score",
+            "fused_rank",
+        )
+    )
+
+
+from mysql_streamer_spark import text as _fusion_tx
+
+_RANK_FUSION_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_fusion_tx.tokens_sql("text")})) AS t
+  FROM documents
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), df_t AS (
+  SELECT t, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+), lex_scored AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+         CAST(sum(length(bin(n_docs)) - length(bin(df))) AS BIGINT)
+           AS lex_score
+  FROM toks c
+  JOIN (SELECT doc_id, t FROM toks WHERE doc_id < {N_QUERY}) q USING (t)
+  JOIN df_t USING (t)
+  CROSS JOIN n
+  WHERE c.doc_id != q.doc_id
+  GROUP BY 1, 2
+), lex AS (
+  SELECT query_id, cand_id, lex_rank FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY lex_score DESC, cand_id ASC) AS lex_rank
+    FROM lex_scored
+  ) WHERE lex_rank <= {FUSE_DEPTH}
+), qe AS (
+  SELECT vec_id, {vx.quantized_sql("embedding")} AS qv,
+         {vx.norm_sq_sql(vx.quantized_sql("embedding"))} AS nrm
+  FROM embeddings
+), emb_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         {vx.cosine_sql("q.qv", "c.qv", "q.nrm", "c.nrm")} AS cosine
+  FROM qe c CROSS JOIN (SELECT * FROM qe WHERE vec_id < {N_QUERY}) q
+  WHERE c.vec_id != q.vec_id
+), emb AS (
+  SELECT query_id, cand_id, emb_rank FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS emb_rank
+    FROM emb_scored
+  ) WHERE emb_rank <= {FUSE_DEPTH}
+), fused AS (
+  SELECT COALESCE(lex.query_id, emb.query_id) AS query_id,
+         COALESCE(lex.cand_id, emb.cand_id) AS cand_id,
+         COALESCE(1.0 / CAST({RRF_K} + lex_rank AS DOUBLE), 0.0)
+           + COALESCE(1.0 / CAST({RRF_K} + emb_rank AS DOUBLE), 0.0)
+           AS rrf_score,
+         COALESCE(lex_rank, -1) AS lex_rank,
+         COALESCE(emb_rank, -1) AS emb_rank
+  FROM lex FULL OUTER JOIN emb
+    ON lex.query_id = emb.query_id AND lex.cand_id = emb.cand_id
+)
+SELECT query_id, cand_id, lex_rank, emb_rank, rrf_score, fused_rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY rrf_score DESC, cand_id ASC) AS fused_rank
+  FROM fused
+) WHERE fused_rank <= {TOP_K}
+"""
+
+
 SPECS = [
     QuerySpec("sim_bruteforce_topk", q_sim_bruteforce_topk, _BRUTEFORCE_ORACLE),
+    QuerySpec("sim_rank_fusion", q_sim_rank_fusion, _RANK_FUSION_ORACLE),
     QuerySpec("sim_semdedup", q_sim_semdedup, _SEMDEDUP_ORACLE),
     QuerySpec("sim_pq_recall", q_sim_pq_recall, _PQ_RECALL_ORACLE),
     QuerySpec("sim_hard_negatives", q_sim_hard_negatives, _HARD_NEGATIVES_ORACLE),

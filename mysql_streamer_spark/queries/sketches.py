@@ -596,10 +596,7 @@ def q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_exact")
     )
-    exact_all = ev.agg(
-        F.lit("__all__").alias("event_type"),
-        F.countDistinct("user_id").alias("n_exact"),
-    )
+    exact_all = ev.agg(F.countDistinct("user_id").alias("n_exact"))
 
     def finalize(sk: DataFrame) -> DataFrame:
         return sk.groupBy("event_type").agg(
@@ -608,7 +605,8 @@ def q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     per_type = finalize(sketch).join(exact, "event_type")
-    all_row = finalize(merged).join(F.broadcast(exact_all), "event_type")
+    # 1-row merged summary x 1-row exact total — a designed scalar cross
+    all_row = finalize(merged).crossJoin(F.broadcast(exact_all))
     combined = per_type.unionByName(all_row)
     est = F.when(
         F.col("sketch_fill") < KMV_K, F.col("sketch_fill").cast("double")

@@ -69,6 +69,14 @@ _BNLJ_OK = {
     "dedup_budget_report",
     # 1-row domain-stats frame feeding both layouts' file keys
     "analytics_layout_compare",
+    # 1-row corpus-total (bigram mass) crossed back onto per-doc scores
+    "text_lm_perplexity",
+    # 1-row corpus-chars total crossed onto the N_SHARDS-row shard dim
+    "pipeline_shard_plan",
+    # 1-row doc-count scalar (idf base) crossed onto the posting stream
+    "sim_rank_fusion",
+    # 1-row merged-sketch summary crossed with the 1-row exact total
+    "sketch_kmv_distinct",
 }
 
 #: streaming roundtrips execute jobs at build time — plan-audited via their
@@ -187,6 +195,14 @@ _SINGLE_PARTITION_OK = {
     "dedup_budget_report",
     # 1-row domain stats + the two-row layout summary
     "analytics_layout_compare",
+    # 1-row corpus-total scalar aggregate (bigram mass)
+    "text_lm_perplexity",
+    # 1-row corpus-chars scalar aggregate behind the shard audit
+    "pipeline_shard_plan",
+    # 1-row doc-count scalar + the ≤K*n_groups merged-sketch re-rank
+    "sketch_kmv_distinct",
+    # 1-row doc-count scalar (idf base)
+    "sim_rank_fusion",
 }
 
 

@@ -1,0 +1,241 @@
+"""Invariant tests for the round-6 operators: KMV distinct sketch,
+normalized dedup, content-defined chunking, bigram-LM perplexity,
+reciprocal-rank fusion, and the output shard plan. Each asserts the
+algebraic contract the oracle cannot state (the oracle proves
+Spark==DuckDB; these prove both are computing the RIGHT thing)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch
+# ---------------------------------------------------------------------------
+
+def _kmv_hash_py(user_id: int) -> int:
+    return int(hashlib.md5(f"kmv:{user_id}".encode()).hexdigest()[:8], 16) + 1
+
+
+def test_kmv_matches_reference_estimator(spark, sf_dir):
+    """The per-type kth hash must equal the true kth-smallest md5 hash of
+    the group's distinct users (computed independently in Python), and
+    the merged __all__ row must equal the direct KMV over ALL distinct
+    users — the merge rule loses nothing below K."""
+    from mysql_streamer_spark.queries.sketches import (
+        KMV_K,
+        q_sketch_kmv_distinct,
+    )
+
+    rows = {r.event_type: r for r in q_sketch_kmv_distinct(spark, sf_dir).collect()}
+    assert "__all__" in rows and len(rows) >= 2
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    by_type: dict[str, set[int]] = {}
+    for r in ev.select("event_type", "user_id").distinct().collect():
+        by_type.setdefault(r.event_type, set()).add(r.user_id)
+    all_users = set().union(*by_type.values())
+
+    def expected(users: set[int]):
+        hs = sorted(_kmv_hash_py(u) for u in users)
+        fill = min(len(hs), KMV_K)
+        kth = hs[KMV_K - 1] if len(hs) >= KMV_K else None
+        return fill, kth
+
+    for etype, users in by_type.items():
+        fill, kth = expected(users)
+        r = rows[etype]
+        assert r.n_exact == len(users)
+        assert r.sketch_fill == fill
+        assert r.kth_hash == kth
+        if fill < KMV_K:  # under-filled sketches are lossless
+            assert r.est_distinct == float(len(users))
+    fill, kth = expected(all_users)
+    r = rows["__all__"]
+    assert r.n_exact == len(all_users)
+    assert (r.sketch_fill, r.kth_hash) == (fill, kth)
+
+
+# ---------------------------------------------------------------------------
+# normalized dedup
+# ---------------------------------------------------------------------------
+
+def test_normalized_dedup_conserves_and_refines_exact(spark, sf_dir):
+    """Normalized groups partition the corpus, and every byte-exact group
+    maps inside ONE normalized group (normalization is a coarsening)."""
+    from mysql_streamer_spark.queries.dedup import (
+        q_dedup_exact,
+        q_dedup_normalized,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    norm = q_dedup_normalized(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in norm) == n_docs
+    for r in norm:
+        assert 1 <= r.n_raw_variants <= r.n_docs
+        assert r.normalization_only == (r.n_docs > 1 and r.n_raw_variants > 1)
+    # coarsening: #normalized groups <= #exact groups
+    assert len(norm) <= q_dedup_exact(spark, sf_dir).count()
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking
+# ---------------------------------------------------------------------------
+
+def test_cdc_chunks_conserve_tokens_and_mark_exact_copies(spark, sf_dir):
+    from mysql_streamer_spark import text as tx
+    from mysql_streamer_spark.queries.dedup import q_dedup_cdc_chunks
+
+    prof = {r.doc_id: r for r in q_dedup_cdc_chunks(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok_counts = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(tx.tokens_col("text")).alias("n")
+        ).collect()
+    }
+    assert set(prof) == set(tok_counts)
+    for doc_id, r in prof.items():
+        # chunks partition the token stream exactly
+        assert r.n_tokens == tok_counts[doc_id]
+        assert r.n_chunks >= 1
+        assert 0 <= r.dup_chunk_tokens <= r.n_tokens
+        assert r.crossdoc_chunk_tokens <= r.dup_chunk_tokens
+    # byte-exact duplicate documents chunk identically -> 100% dup mass
+    dups = (
+        docs.groupBy(F.sha2("text", 256).alias("h"))
+        .agg(F.collect_list("doc_id").alias("ids"), F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .collect()
+    )
+    # the sf0.001 fixture has no byte-exact pairs; assert when present
+    for g in dups:
+        for doc_id in g.ids:
+            assert prof[doc_id].dup_chunk_tokens == prof[doc_id].n_tokens
+
+
+def test_cdc_chunks_survive_prefix_insertion(spark, tmp_path):
+    """The CDC property fixed-offset windows lack: prepending text to a
+    document must leave most downstream chunk identities intact, so the
+    two versions share the bulk of their chunk token mass."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mysql_streamer_spark.queries.dedup import q_dedup_cdc_chunks
+
+    base = " ".join(f"tok{i * 7919 % 1000}x{i}" for i in range(200))
+    shifted = "inserted prefix tokens change early offsets only " + base
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array([base, shifted]),
+            "lang": pa.array(["en", "en"]),
+            "source": pa.array(["t", "t"]),
+            "n_chars": pa.array([len(base), len(shifted)], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = {
+        r.doc_id: r for r in q_dedup_cdc_chunks(spark, str(tmp_path)).collect()
+    }
+    # the shared suffix re-synchronizes: well over half of the base doc's
+    # token mass lands in chunks that also appear in the shifted doc
+    assert rows[1].crossdoc_chunk_tokens > rows[1].n_tokens // 2
+    assert rows[2].crossdoc_chunk_tokens > rows[1].n_tokens // 2
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM perplexity
+# ---------------------------------------------------------------------------
+
+def test_lm_perplexity_accounting_and_bands(spark, sf_dir):
+    from mysql_streamer_spark import text as tx
+    from mysql_streamer_spark.queries.textops import (
+        LM_BAND_DELTA,
+        q_text_lm_perplexity,
+    )
+
+    rows = q_text_lm_perplexity(spark, sf_dir).collect()
+    assert rows
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    expected_bigrams = docs.select(
+        F.sum(F.greatest(F.size(tx.tokens_col("text")) - 1, F.lit(0))).alias("n")
+    ).collect()[0].n
+    assert sum(r.n_bigrams for r in rows) == expected_bigrams
+    tot_bits = sum(r.surprise_bits for r in rows)
+    mean = rows[0].corpus_mean_bits
+    assert mean == tot_bits / expected_bigrams
+    bands = set()
+    for r in rows:
+        assert r.surprise_bits >= 0
+        assert r.avg_surprise_bits == r.surprise_bits / r.n_bigrams
+        if r.avg_surprise_bits < mean - LM_BAND_DELTA:
+            assert r.band == "memorized"
+        elif r.avg_surprise_bits > mean + LM_BAND_DELTA:
+            assert r.band == "surprising"
+        else:
+            assert r.band == "mid"
+        bands.add(r.band)
+    assert bands == {"memorized", "mid", "surprising"}
+
+
+# ---------------------------------------------------------------------------
+# reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+def test_rank_fusion_math_and_ordering(spark, sf_dir):
+    from mysql_streamer_spark.queries.similarity import (
+        RRF_K,
+        TOP_K,
+        q_sim_rank_fusion,
+    )
+
+    rows = q_sim_rank_fusion(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        assert len(rs) == TOP_K
+        rs.sort(key=lambda r: r.fused_rank)
+        assert [r.fused_rank for r in rs] == list(range(1, TOP_K + 1))
+        prev = None
+        for r in rs:
+            expect = (
+                (1.0 / (RRF_K + r.lex_rank) if r.lex_rank != -1 else 0.0)
+                + (1.0 / (RRF_K + r.emb_rank) if r.emb_rank != -1 else 0.0)
+            )
+            assert r.rrf_score == expect
+            assert r.lex_rank != -1 or r.emb_rank != -1
+            if prev is not None:  # sorted by fused score, ties by cand_id
+                assert (prev.rrf_score, -prev.cand_id) >= (r.rrf_score, -r.cand_id)
+            prev = r
+
+
+# ---------------------------------------------------------------------------
+# output shard plan
+# ---------------------------------------------------------------------------
+
+def test_shard_plan_conserves_and_audits(spark, sf_dir):
+    from mysql_streamer_spark.queries.pipeline import (
+        N_SHARDS,
+        SHARD_SKEW_LIMIT,
+        q_pipeline_shard_plan,
+    )
+
+    rows = q_pipeline_shard_plan(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert sum(r.total_chars for r in rows) == (
+        docs.agg(F.sum("n_chars")).collect()[0][0]
+    )
+    corpus_chars = sum(r.total_chars for r in rows)
+    for r in rows:
+        assert 0 <= r.shard < N_SHARDS
+        assert r.shard_file == f"part-{r.shard:05d}.parquet"
+        assert r.share_x_n == r.total_chars * N_SHARDS / corpus_chars
+        assert r.overloaded == (
+            r.total_chars * N_SHARDS > SHARD_SKEW_LIMIT * corpus_chars
+        )
