@@ -478,12 +478,105 @@ def q_streaming_secure_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# cross-batch late-data audit: watermark drops vs accepts, deterministically
+# ---------------------------------------------------------------------------
+
+#: every 5th event BEFORE the cut is withheld from its natural batch and
+#: redelivered in the final micro-batch — genuinely late data
+LATE_MODULUS = 5
+#: event-time boundary between micro-batch A and micro-batch B (the
+#: fixture spans Jan 2024 at every scale factor)
+LATE_CUT = "2024-01-19 00:00:00"
+
+
+def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data semantics of watermarked aggregation, exercised ACROSS
+    micro-batches and hash-checked. Delivery schedule: batch A = events
+    before LATE_CUT minus a withheld 20% sample; batch B = events from
+    LATE_CUT on (advancing the watermark past A's windows); batch C =
+    the withheld sample, now genuinely late. Spark filters late rows
+    against the PREVIOUS batch's watermark and evicts/emits against the
+    current one (the two-watermark design of SPARK-24634: a row is late
+    only once its window was actually finalized in an earlier batch) —
+    so C-rows whose window end ≤ max(A) - 1 h are DROPPED, C-rows in the
+    boundary band (end inside (max(A) - 1 h, LATE_CUT + 1 h]) are
+    ACCEPTED into still-open state, and the trailing no-data batch
+    flushes everything the final watermark (max ts - 1 h) passes. The
+    oracle replays exactly this schedule in SQL — batch-A watermark as a
+    scalar subquery, the window_end acceptance predicate, final-
+    watermark emission — so a hash match proves the engine's
+    drop/accept/flush behaviour row for row, not just that 'some windows
+    came out'. Both drop and accept branches are non-empty at every
+    scale factor (asserted in tests).
+
+    Scale shape: the streaming plan is the same watermarked tumbling
+    aggregate as ``streaming_windowed_counts`` (RocksDB state, append
+    mode); state is bounded by open windows x event types, never by
+    history. File mtimes pin micro-batch order, mirroring a production
+    source's ordered offsets."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    work = tempfile.mkdtemp(prefix="mss_late_")
+    src = f"{work}/src"
+    os.makedirs(src)
+    # split with pyarrow so the TIMESTAMP(NANOS) ts column passes through
+    # byte-identical to the fixture load_events_stream already handles
+    tbl = pq.read_table(table_path(sf_dir, "events"))
+    ts = tbl["ts"].to_numpy().astype("datetime64[ns]")
+    ids = tbl["event_id"].to_numpy()
+    early = ts < np.datetime64(LATE_CUT.replace(" ", "T"))
+    withheld = early & (ids % LATE_MODULUS == 0)
+    for name, mask, mtime in (
+        ("a_early.parquet", early & ~withheld, 1_000_000),
+        ("b_tail.parquet", ~early, 2_000_000),
+        ("c_late.parquet", withheld, 3_000_000),
+    ):
+        pq.write_table(tbl.filter(pa.array(mask)), f"{src}/{name}")
+        # FileStreamSource orders new files by modification time: pin it
+        os.utime(f"{src}/{name}", (mtime, mtime))
+    run_windowed_stream(spark, src, f"{work}/out", f"{work}/ckpt")
+    return spark.read.parquet(f"{work}/out")
+
+
+_LATE_DATA_ORACLE = f"""
+WITH early AS (
+  SELECT * FROM events WHERE ts < TIMESTAMP '{LATE_CUT}'
+), a AS (
+  SELECT * FROM early WHERE event_id % {LATE_MODULUS} != 0
+), c AS (
+  SELECT * FROM early WHERE event_id % {LATE_MODULUS} = 0
+), wm_a AS (
+  -- watermark after batch A: the late-filter boundary batch C sees
+  SELECT max(ts) - INTERVAL 1 HOUR AS wa FROM a
+), wm_f AS (
+  SELECT max(ts) - INTERVAL 1 HOUR AS wf FROM events
+), accepted AS (
+  SELECT ts, event_type FROM a
+  UNION ALL
+  SELECT ts, event_type FROM events WHERE ts >= TIMESTAMP '{LATE_CUT}'
+  UNION ALL
+  SELECT c.ts, c.event_type FROM c, wm_a
+  WHERE date_trunc('hour', c.ts) + INTERVAL 1 HOUR > wa
+)
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events
+FROM accepted, wm_f
+GROUP BY 1, 2, wf
+HAVING window_start + INTERVAL 1 HOUR <= wf
+"""
+
+
 SPECS = [
     QuerySpec(
         "streaming_envelope",
         q_streaming_envelope,
         _ORACLE_PIPELINE_CTES + _ENVELOPE_SELECT,
     ),
+    QuerySpec("streaming_late_data", q_streaming_late_data, _LATE_DATA_ORACLE),
     QuerySpec(
         "streaming_secure_publish",
         q_streaming_secure_publish,

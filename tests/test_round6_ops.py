@@ -215,6 +215,49 @@ def test_rank_fusion_math_and_ordering(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# streaming late-data audit
+# ---------------------------------------------------------------------------
+
+def test_late_data_drops_and_accepts_both_fire(spark, sf_dir):
+    """The delivery schedule must exercise BOTH late branches: some
+    withheld rows dropped (window finalized before redelivery), some
+    accepted into still-open state — and the emitted totals must equal
+    the accepted rows inside flushed windows, exactly."""
+    import datetime as dt
+
+    from mysql_streamer_spark.queries.streaming_q import (
+        LATE_CUT,
+        LATE_MODULUS,
+        q_streaming_late_data,
+    )
+
+    from mysql_streamer_spark.tables import load_table
+
+    out = q_streaming_late_data(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    ).collect()
+    cut = dt.datetime.fromisoformat(LATE_CUT)
+    hour = dt.timedelta(hours=1)
+
+    def win_end(ts):
+        return ts.replace(minute=0, second=0, microsecond=0) + hour
+
+    a = [r for r in ev if r.ts < cut and r.event_id % LATE_MODULUS != 0]
+    b = [r for r in ev if r.ts >= cut]
+    c = [r for r in ev if r.ts < cut and r.event_id % LATE_MODULUS == 0]
+    wm_a = max(r.ts for r in a) - hour
+    wm_f = max(r.ts for r in ev) - hour
+    dropped = [r for r in c if win_end(r.ts) <= wm_a]
+    accepted_late = [r for r in c if win_end(r.ts) > wm_a]
+    assert dropped and accepted_late, "both late branches must be live"
+    expected = sum(
+        1 for r in a + b + accepted_late if win_end(r.ts) <= wm_f
+    )
+    assert sum(r.n_events for r in out) == expected
+
+
+# ---------------------------------------------------------------------------
 # output shard plan
 # ---------------------------------------------------------------------------
 
