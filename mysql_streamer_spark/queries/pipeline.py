@@ -1773,6 +1773,281 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# BPE merge-pair counting — the tokenizer-training inner loop, vocab-sized
+# ---------------------------------------------------------------------------
+
+#: merge candidates reported (the first BPE iteration's ranking)
+BPE_TOP_K = 40
+
+
+def q_pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE tokenizer training (Sennrich et al.
+    2016): count adjacent character pairs over the corpus, weighted by
+    word frequency, and rank merge candidates. The load-bearing scale
+    trick is the one real BPE trainers use — pair counting runs over the
+    DISTINCT-WORD table (vocabulary-sized, Heaps-law sublinear) with
+    each word's corpus frequency as a weight, never over the corpus
+    itself; a 100 TB corpus costs one word-count aggregate plus work
+    proportional to its vocabulary.
+
+    Plan shape: one token-count hash-aggregate (map-side partials), a
+    character-pair explode over distinct words only, one fixed-width
+    pair aggregate, TakeOrdered top-K. Only (pair, count) rows move."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = (
+        docs.select(F.explode(tx.tokens_col("text")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = words.select(
+        "freq",
+        "w",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), "
+                "i -> concat(substring(w, i, 1), '+', substring(w, i + 1, 1)))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("freq").cast("long").alias("n_occurrences"),
+            F.countDistinct("w").alias("n_words"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+        .limit(BPE_TOP_K)
+    )
+
+
+_BPE_MERGES_ORACLE = f"""
+WITH words AS (
+  SELECT w, count(*) AS freq
+  FROM (SELECT unnest({tx.tokens_sql("text")}) AS w FROM documents)
+  WHERE length(w) >= 2
+  GROUP BY 1
+), pairs AS (
+  SELECT freq, w, unnest(
+    list_transform(generate_series(1, length(w) - 1),
+      i -> substring(w, i, 1) || '+' || substring(w, i + 1, 1))) AS pair
+  FROM words
+)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT w) AS BIGINT) AS n_words
+FROM pairs GROUP BY 1
+ORDER BY n_occurrences DESC, pair ASC
+LIMIT {BPE_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# quantized ROC-AUC — classifier evaluation without a global sort
+# ---------------------------------------------------------------------------
+
+#: score quantization buckets — the rank statistic runs over this bounded
+#: dimension instead of a corpus-wide sort
+AUC_BUCKETS = 256
+
+
+def q_pipeline_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of a quality signal against gold labels — the evaluation
+    every model-based filter needs before it gates a corpus. Signal: the
+    English-stopword hit rate (the langid family's scoring feature);
+    label: lang == 'en'. The AUC is the Mann-Whitney U statistic
+    computed WITHOUT a global sort: scores quantize to AUC_BUCKETS
+    integer buckets ((hits * B) div n_toks — exact integer arithmetic),
+    per-bucket positive/negative counts aggregate with map-side
+    partials, and U folds over the bounded bucket dimension with the
+    standard half-credit for ties. 2U stays an exact integer; AUC is ONE
+    final division, so both engines agree bit-for-bit.
+
+    Scale shape: one map-side projection + one ≤B-row aggregate + a
+    window over the bounded bucket dimension. A corpus-wide sort (the
+    textbook AUC plan) would shuffle every row to order by score; this
+    plan moves B rows. Quantization costs at most 1/B of rank
+    resolution — the documented sketch tradeoff, same family as the
+    quantile/CMS sketches.
+
+    On the synthetic fixture the text is label-independent (every doc's
+    words are English-like regardless of its ``lang`` tag), so the
+    CORRECT answer is AUC ~ 0.5 — the operator reporting a near-null
+    result on a signal-free corpus is the honest behaviour, and the
+    invariant test verifies the U-statistic against an independent exact
+    recomputation rather than against signal strength."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", tx.tokens_col("text")
+    )
+    scored = docs.select(
+        (F.col("lang") == "en").alias("is_pos"),
+        # exact integer arithmetic: counts are far below 2^53, so the
+        # floored double division equals integer division in both engines
+        F.floor(
+            (tx.stopword_hits_col("en") * AUC_BUCKETS).cast("long")
+            / F.greatest(F.size("toks"), F.lit(1)).cast("long")
+        )
+        .cast("long")
+        .alias("bucket"),
+    )
+    per_bucket = scored.groupBy("bucket").agg(
+        F.sum(F.col("is_pos").cast("long")).alias("p_b"),
+        F.sum((~F.col("is_pos")).cast("long")).alias("n_b"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    folded = per_bucket.withColumn(
+        "cum_n_below", F.coalesce(F.sum("n_b").over(w), F.lit(0))
+    ).select(
+        (F.col("p_b") * (2 * F.col("cum_n_below") + F.col("n_b"))).alias("u2_b"),
+        "p_b",
+        "n_b",
+    )
+    agg = folded.agg(
+        F.sum("p_b").cast("long").alias("n_pos"),
+        F.sum("n_b").cast("long").alias("n_neg"),
+        F.sum("u2_b").cast("long").alias("u2"),
+    )
+    auc = F.col("u2").cast("double") / (
+        F.lit(2.0) * (F.col("n_pos") * F.col("n_neg")).cast("double")
+    )
+    return agg.select(
+        "n_pos", "n_neg", "u2", auc.alias("auc"),
+        (auc * 2 - 1).alias("gini"),
+    )
+
+
+_SCORE_AUC_ORACLE = f"""
+WITH scored AS (
+  SELECT lang = 'en' AS is_pos,
+         CAST(({tx.stopword_hits_sql("en", tx.tokens_sql("text"))} * {AUC_BUCKETS})
+           // greatest(len({tx.tokens_sql("text")}), 1) AS BIGINT) AS bucket
+  FROM documents
+), per_bucket AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS p_b,
+         CAST(sum(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+  FROM scored GROUP BY 1
+), folded AS (
+  SELECT p_b, n_b,
+         COALESCE(CAST(sum(n_b) OVER (ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+           AS cum_n_below
+  FROM per_bucket
+), agg AS (
+  SELECT CAST(sum(p_b) AS BIGINT) AS n_pos,
+         CAST(sum(n_b) AS BIGINT) AS n_neg,
+         CAST(sum(p_b * (2 * cum_n_below + n_b)) AS BIGINT) AS u2
+  FROM folded
+)
+SELECT n_pos, n_neg, u2,
+       CAST(u2 AS DOUBLE) / (2.0 * CAST(n_pos * n_neg AS DOUBLE)) AS auc,
+       CAST(u2 AS DOUBLE) / (2.0 * CAST(n_pos * n_neg AS DOUBLE)) * 2 - 1
+         AS gini
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# padding-waste audit — what length-bucketed batching buys the dataloader
+# ---------------------------------------------------------------------------
+
+#: dataloader batch size for the padding audit
+PAD_BATCH = 16
+#: (strategy label, length-bucket width in tokens); the id-shard baseline
+#: batches in doc_id order with no length awareness
+PAD_STRATEGIES = (("bucket_w64", 64), ("bucket_w16", 16))
+#: id-shard width for the no-length-awareness baseline
+PAD_ID_SHARD = 64
+
+
+def q_pipeline_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit of dataloader batching strategies: every
+    fixed-length batch pads its members to the batch max, and the audit
+    quantifies how much compute that padding burns for (a) the baseline
+    — batches formed in doc_id order within id-shards, the shard-local
+    batching every distributed dataloader does — versus (b) length-
+    bucketed batching at two granularities. Waste per batch is
+    count*max(len) - sum(len), exact integers; waste_frac is ONE final
+    division. The measured ordering (finer buckets => less padding) is
+    asserted in tests.
+
+    Scale shape: every strategy's row_number window partitions by its
+    bucket key (id-shards or length buckets — both bounded-width
+    partitions), batches aggregate by (bucket, batch) with map-side
+    partials, and each strategy reduces to one summary row. No global
+    sort, no unpartitioned window; only (bucket, len) pairs move."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    lens = docs.select(
+        "doc_id", F.size(tx.tokens_col("text")).alias("n_toks")
+    )
+
+    def strategy(label: str, bucket_col) -> DataFrame:
+        win = Window.partitionBy("bucket").orderBy("doc_id")
+        batched = (
+            lens.withColumn("bucket", bucket_col)
+            .withColumn("seq", F.row_number().over(win))
+            .withColumn("batch", (F.col("seq") - 1) / PAD_BATCH)
+            .withColumn("batch", F.floor("batch"))
+        )
+        per_batch = batched.groupBy("bucket", "batch").agg(
+            F.count("*").alias("cnt"),
+            F.max("n_toks").alias("mx"),
+            F.sum("n_toks").alias("useful"),
+        )
+        return per_batch.agg(
+            F.lit(label).alias("strategy"),
+            F.count("*").alias("n_batches"),
+            F.sum(F.col("cnt") * F.col("mx")).cast("long").alias("padded_tokens"),
+            F.sum("useful").cast("long").alias("useful_tokens"),
+        )
+
+    out = strategy("id_shard", (F.col("doc_id") / PAD_ID_SHARD).cast("long"))
+    for label, width in PAD_STRATEGIES:
+        out = out.unionByName(
+            strategy(label, (F.col("n_toks") / width).cast("long"))
+        )
+    return out.withColumn(
+        "waste_frac",
+        (F.col("padded_tokens") - F.col("useful_tokens")).cast("double")
+        / F.col("padded_tokens").cast("double"),
+    )
+
+
+def _padding_oracle() -> str:
+    def leg(label: str, bucket_expr: str) -> str:
+        return f"""
+  SELECT '{label}' AS strategy, count(*) AS n_batches,
+         CAST(sum(cnt * mx) AS BIGINT) AS padded_tokens,
+         CAST(sum(useful) AS BIGINT) AS useful_tokens
+  FROM (
+    SELECT bucket, batch, count(*) AS cnt, max(n_toks) AS mx,
+           sum(n_toks) AS useful
+    FROM (
+      SELECT doc_id, n_toks, bucket,
+             (row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1)
+               // {PAD_BATCH} AS batch
+      FROM (SELECT doc_id, n_toks, {bucket_expr} AS bucket FROM lens)
+    )
+    GROUP BY 1, 2
+  )"""
+
+    legs = [leg("id_shard", f"doc_id // {PAD_ID_SHARD}")]
+    for label, width in PAD_STRATEGIES:
+        legs.append(leg(label, f"n_toks // {width}"))
+    union = "\n  UNION ALL\n".join(legs)
+    return f"""
+WITH lens AS (
+  SELECT doc_id, len({tx.tokens_sql("text")}) AS n_toks FROM documents
+), strategies AS (
+{union}
+)
+SELECT strategy, n_batches, padded_tokens, useful_tokens,
+       CAST(padded_tokens - useful_tokens AS DOUBLE)
+         / CAST(padded_tokens AS DOUBLE) AS waste_frac
+FROM strategies
+"""
+
+
+# ---------------------------------------------------------------------------
 # output shard plan — the training-data writer's balance audit
 # ---------------------------------------------------------------------------
 
@@ -1872,6 +2147,11 @@ FROM per_shard CROSS JOIN totals
 
 SPECS = [
     QuerySpec("pipeline_shard_plan", q_pipeline_shard_plan, _SHARD_PLAN_ORACLE),
+    QuerySpec("pipeline_bpe_merges", q_pipeline_bpe_merges, _BPE_MERGES_ORACLE),
+    QuerySpec("pipeline_score_auc", q_pipeline_score_auc, _SCORE_AUC_ORACLE),
+    QuerySpec(
+        "pipeline_padding_waste", q_pipeline_padding_waste, _padding_oracle()
+    ),
     QuerySpec("pipeline_decontaminate", q_pipeline_decontaminate, _DECONTAMINATE_ORACLE),
     QuerySpec(
         "pipeline_hashed_features",

@@ -203,6 +203,10 @@ _SINGLE_PARTITION_OK = {
     "sketch_kmv_distinct",
     # 1-row doc-count scalar (idf base)
     "sim_rank_fusion",
+    # ≤AUC_BUCKETS-row bucket fold + the one-row U summary
+    "pipeline_score_auc",
+    # three one-row per-strategy summaries (scalar aggregates)
+    "pipeline_padding_waste",
 }
 
 
@@ -237,6 +241,8 @@ _UNPARTITIONED_WINDOW_OK = {
     # merged-sketch re-rank over the union of per-type KMV sketches
     # (≤ KMV_K x n_event_types = 320 rows by construction)
     "sketch_kmv_distinct",
+    # U-statistic fold over the ≤AUC_BUCKETS-row score-bucket dimension
+    "pipeline_score_auc",
 }
 
 

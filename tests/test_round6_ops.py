@@ -215,6 +215,110 @@ def test_rank_fusion_math_and_ordering(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# BPE merge-pair counting
+# ---------------------------------------------------------------------------
+
+def test_bpe_merges_match_reference_counter(spark, sf_dir):
+    """Pair counts must equal an independent Python recount over the
+    corpus (frequency-weighted, occurrence multiplicity included)."""
+    from collections import Counter
+
+    from mysql_streamer_spark.queries.pipeline import (
+        BPE_TOP_K,
+        q_pipeline_bpe_merges,
+    )
+
+    rows = q_pipeline_bpe_merges(spark, sf_dir).collect()
+    assert 0 < len(rows) <= BPE_TOP_K
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    word_freq = Counter()
+    for d in docs:
+        for w in d.text.split(" "):
+            if len(w) >= 2:
+                word_freq[w] += 1
+    occ = Counter()
+    words_with = {}
+    for w, f in word_freq.items():
+        for i in range(len(w) - 1):
+            p = f"{w[i]}+{w[i + 1]}"
+            occ[p] += f
+            words_with.setdefault(p, set()).add(w)
+    expected = sorted(occ.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP_K]
+    got = [(r.pair, r.n_occurrences) for r in rows]
+    assert got == expected
+    for r in rows:
+        assert r.n_words == len(words_with[r.pair])
+
+
+# ---------------------------------------------------------------------------
+# quantized ROC-AUC
+# ---------------------------------------------------------------------------
+
+def test_score_auc_matches_exact_u_statistic(spark, sf_dir):
+    """The folded 2U must equal the exact Mann-Whitney U (with ties at
+    half credit) over the quantized buckets, recomputed independently."""
+    from mysql_streamer_spark.queries.pipeline import (
+        AUC_BUCKETS,
+        q_pipeline_score_auc,
+    )
+    from mysql_streamer_spark import text as tx
+
+    [r] = q_pipeline_score_auc(spark, sf_dir).collect()
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn("toks", tx.tokens_col("text"))
+        .select(
+            (F.col("lang") == "en").alias("is_pos"),
+            tx.stopword_hits_col("en").alias("hits"),
+            F.size("toks").alias("n"),
+        )
+        .collect()
+    )
+    scored = [
+        (d.is_pos, d.hits * AUC_BUCKETS // max(d.n, 1)) for d in docs
+    ]
+    pos = sorted(b for p, b in scored if p)
+    neg = sorted(b for p, b in scored if not p)
+    u2 = 0
+    for pb in pos:
+        for nb in neg:
+            if pb > nb:
+                u2 += 2
+            elif pb == nb:
+                u2 += 1
+    assert (r.n_pos, r.n_neg, r.u2) == (len(pos), len(neg), u2)
+    assert r.auc == u2 / (2 * len(pos) * len(neg))
+    assert r.gini == r.auc * 2 - 1
+    # the fixture's text is label-independent: near-null separation
+    assert 0.35 < r.auc < 0.65
+
+
+# ---------------------------------------------------------------------------
+# padding-waste audit
+# ---------------------------------------------------------------------------
+
+def test_padding_waste_orders_by_bucket_granularity(spark, sf_dir):
+    """Useful tokens are conserved across strategies, padded >= useful
+    everywhere, and finer length buckets strictly reduce waste on the
+    fixture (the property the operator exists to demonstrate)."""
+    from mysql_streamer_spark.queries.pipeline import q_pipeline_padding_waste
+
+    rows = {r.strategy: r for r in q_pipeline_padding_waste(spark, sf_dir).collect()}
+    assert set(rows) == {"id_shard", "bucket_w64", "bucket_w16"}
+    useful = {r.useful_tokens for r in rows.values()}
+    assert len(useful) == 1  # conservation: same corpus under every strategy
+    for r in rows.values():
+        assert r.padded_tokens >= r.useful_tokens
+        assert r.waste_frac == (r.padded_tokens - r.useful_tokens) / r.padded_tokens
+    assert (
+        rows["id_shard"].waste_frac
+        > rows["bucket_w64"].waste_frac
+        > rows["bucket_w16"].waste_frac
+    )
+
+
+# ---------------------------------------------------------------------------
 # streaming late-data audit
 # ---------------------------------------------------------------------------
 
