@@ -523,9 +523,15 @@ def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="mss_late_")
     src = f"{work}/src"
     os.makedirs(src)
-    # split with pyarrow so the TIMESTAMP(NANOS) ts column passes through
-    # byte-identical to the fixture load_events_stream already handles
+    # split with pyarrow; normalize ts to µs (the same ns->µs truncation
+    # tables.load_table applies) so the stream reader sees one type no
+    # matter whether the input dir carries µs or ns timestamps
     tbl = pq.read_table(table_path(sf_dir, "events"))
+    if tbl.schema.field("ts").type != pa.timestamp("us"):
+        idx = tbl.schema.get_field_index("ts")
+        tbl = tbl.set_column(
+            idx, "ts", tbl["ts"].cast(pa.timestamp("us"))
+        )
     ts = tbl["ts"].to_numpy().astype("datetime64[ns]")
     ids = tbl["event_id"].to_numpy()
     early = ts < np.datetime64(LATE_CUT.replace(" ", "T"))
