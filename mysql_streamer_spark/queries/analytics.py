@@ -2283,8 +2283,101 @@ WINDOW w AS (PARTITION BY priority ORDER BY year)
 """
 
 
+# ---------------------------------------------------------------------------
+# time-constrained funnel (the ClickHouse windowFunnel / Flink CEP shape)
+# ---------------------------------------------------------------------------
+
+#: each funnel step must land within this much of the PREVIOUS step
+FUNNEL_WINDOW = "INTERVAL 1 DAY"
+
+
+def q_analytics_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel — ``analytics_conversion_funnel`` with the time
+    constraint that makes it the ClickHouse ``windowFunnel`` / Flink CEP
+    shape: every step must occur within FUNNEL_WINDOW of the PREVIOUS
+    step's chosen timestamp (first-match semantics: each stage anchors
+    at the user's earliest qualifying event). Timeout is what separates
+    'eventually purchased' from 'converted by the campaign', so the two
+    funnels report genuinely different numbers.
+
+    Scale shape: same as the unconstrained funnel — one filtered
+    min-aggregate per stage chained through user_id equi-joins (AQE
+    picks broadcast vs shuffle-hash), nothing wider than (user_id, ts)
+    moves, and the summary is three 1-row scalar counts crossed
+    together. The time predicate rides the join filter; no windows, no
+    self-join row-to-row."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    gap = F.expr(FUNNEL_WINDOW)
+    t1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[1])
+        .join(t1, "user_id")
+        .filter((F.col("ts") >= F.col("t1")) & (F.col("ts") <= F.col("t1") + gap))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[2])
+        .join(t2, "user_id")
+        .filter((F.col("ts") >= F.col("t2")) & (F.col("ts") <= F.col("t2") + gap))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        ev.agg(F.countDistinct("user_id").alias("n_users"))
+        .crossJoin(t1.agg(F.count("*").alias("n_step1")))
+        .crossJoin(t2.agg(F.count("*").alias("n_step2")))
+        .crossJoin(t3.agg(F.count("*").alias("n_step3")))
+    )
+    return counts.select(
+        "n_users",
+        "n_step1",
+        "n_step2",
+        "n_step3",
+        (F.col("n_step2").cast("double") / F.col("n_step1").cast("double")).alias(
+            "windowed_click_rate"
+        ),
+        (F.col("n_step3").cast("double") / F.col("n_step2").cast("double")).alias(
+            "windowed_purchase_rate"
+        ),
+    )
+
+
+_WINDOW_FUNNEL_ORACLE = f"""
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY 1
+), t2 AS (
+  SELECT e.user_id, min(ts) AS t2 FROM events e JOIN t1 USING (user_id)
+  WHERE event_type = '{FUNNEL_STAGES[1]}'
+    AND ts >= t1 AND ts <= t1 + {FUNNEL_WINDOW}
+  GROUP BY 1
+), t3 AS (
+  SELECT e.user_id, min(ts) AS t3 FROM events e JOIN t2 USING (user_id)
+  WHERE event_type = '{FUNNEL_STAGES[2]}'
+    AND ts >= t2 AND ts <= t2 + {FUNNEL_WINDOW}
+  GROUP BY 1
+)
+SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events) AS n_users,
+       (SELECT count(*) FROM t1) AS n_step1,
+       (SELECT count(*) FROM t2) AS n_step2,
+       (SELECT count(*) FROM t3) AS n_step3,
+       CAST((SELECT count(*) FROM t2) AS DOUBLE)
+         / CAST((SELECT count(*) FROM t1) AS DOUBLE) AS windowed_click_rate,
+       CAST((SELECT count(*) FROM t3) AS DOUBLE)
+         / CAST((SELECT count(*) FROM t2) AS DOUBLE) AS windowed_purchase_rate
+"""
+
+
 SPECS = [
     QuerySpec("analytics_pricing_summary", q_analytics_pricing_summary, _PRICING_ORACLE),
+    QuerySpec(
+        "analytics_window_funnel", q_analytics_window_funnel, _WINDOW_FUNNEL_ORACLE
+    ),
     QuerySpec(
         "analytics_event_transitions",
         q_analytics_event_transitions,

@@ -672,9 +672,169 @@ FROM joined
 """
 
 
+# ---------------------------------------------------------------------------
+# sketch_kmv_jaccard — set intersection from merged KMV samples (HLL can't)
+# ---------------------------------------------------------------------------
+
+def q_sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jaccard similarity between event-type activity sets from
+    KMV sketches — the capability that justifies KMV next to HLL:
+    because a KMV sketch is a uniform bottom-k SAMPLE of the set's hash
+    space, the k smallest hashes of A ∪ B form an unbiased sample of the
+    union, and the fraction of that sample present in BOTH per-set
+    sketches estimates |A∩B|/|A∪B| directly (Beyer et al. 2007). HLL
+    supports union only; intersection via inclusion-exclusion explodes
+    the relative error for small overlaps.
+
+    The item domain is (user_id, day-of-month) activity cells — the
+    fixture's per-type user sets are identical (every user emits every
+    type), so user-level Jaccard would be degenerately 1.0; activity
+    cells give real overlaps (~0.2-0.6). Hashes derive from md5, so the
+    estimate itself hash-checks against the exact Jaccard, and the
+    ``within_bound`` contract flag allows 5 standard errors of the
+    bottom-k binomial (σ ≈ √(J(1−J)/K)).
+
+    Scale shape: per-type sketches truncate map-side via
+    WindowGroupLimit exactly like ``sketch_kmv_distinct``; every pair
+    stage after that operates on ≤ 2K rows per pair (union tag, re-rank,
+    fold) — constant work per pair regardless of set cardinality. Only
+    the exact-Jaccard audit columns scale with the data."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    items = (
+        ev.select(
+            "event_type",
+            (F.col("user_id") * 100 + F.dayofmonth("ts")).alias("item"),
+        )
+        .distinct()
+        .withColumn("h", _kmv_hash_spark("item"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("h").asc())
+    sketch = (
+        items.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KMV_K)
+        .select("event_type", "h")
+    )
+    types = sketch.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("ta"))
+        .crossJoin(types.select(F.col("event_type").alias("tb")))
+        .filter(F.col("ta") < F.col("tb"))
+    )
+    tagged = (
+        pairs.join(sketch, F.col("event_type").isin(F.col("ta"), F.col("tb")))
+        .groupBy("ta", "tb", "h")
+        .agg(
+            F.max((F.col("event_type") == F.col("ta")).cast("int")).alias("in_a"),
+            F.max((F.col("event_type") == F.col("tb")).cast("int")).alias("in_b"),
+        )
+    )
+    wu = Window.partitionBy("ta", "tb").orderBy(F.col("h").asc())
+    union_k = tagged.withColumn("rnk", F.row_number().over(wu)).filter(
+        F.col("rnk") <= KMV_K
+    )
+    est = union_k.groupBy("ta", "tb").agg(
+        F.count("*").alias("k_eff"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+    )
+    exact_pair = (
+        items.select(F.col("event_type").alias("ta"), "item")
+        .join(items.select(F.col("event_type").alias("tb"), "item"), "item")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = items.groupBy("event_type").agg(F.count("*").alias("n"))
+    j_est = F.col("n_both").cast("double") / F.col("k_eff").cast("double")
+    j_exact = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    return (
+        est.join(exact_pair, ["ta", "tb"])
+        .join(sizes.select(F.col("event_type").alias("ta"), F.col("n").alias("n_a")), "ta")
+        .join(sizes.select(F.col("event_type").alias("tb"), F.col("n").alias("n_b")), "tb")
+        .select(
+            "ta",
+            "tb",
+            "n_a",
+            "n_b",
+            "n_inter",
+            "k_eff",
+            "n_both",
+            j_exact.alias("jaccard_exact"),
+            j_est.alias("jaccard_est"),
+            (
+                F.abs(j_est - j_exact)
+                <= F.lit(5.0) * F.sqrt(j_exact * (1 - j_exact) / KMV_K)
+            ).alias("within_bound"),
+        )
+    )
+
+
+_KMV_JACCARD_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT event_type,
+         user_id * 100 + date_part('day', ts) AS item
+  FROM events
+), hashed AS (
+  SELECT event_type, item, {_kmv_hash_sql("item")} AS h FROM items
+), sketch AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rnk
+    FROM hashed
+  ) WHERE rnk <= {KMV_K}
+), types AS (
+  SELECT DISTINCT event_type FROM sketch
+), pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb
+  FROM types a, types b WHERE a.event_type < b.event_type
+), tagged AS (
+  SELECT ta, tb, h,
+         max(CASE WHEN s.event_type = ta THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN s.event_type = tb THEN 1 ELSE 0 END) AS in_b
+  FROM pairs JOIN sketch s ON s.event_type IN (ta, tb)
+  GROUP BY 1, 2, 3
+), union_k AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY ta, tb ORDER BY h ASC) AS rnk
+    FROM tagged
+  ) WHERE rnk <= {KMV_K}
+), est AS (
+  SELECT ta, tb, CAST(count(*) AS BIGINT) AS k_eff,
+         CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+  FROM union_k GROUP BY 1, 2
+), exact_pair AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n_inter
+  FROM hashed a JOIN hashed b ON a.item = b.item
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT event_type, count(*) AS n FROM items GROUP BY 1
+)
+SELECT ta, tb, sa.n AS n_a, sb.n AS n_b, n_inter, k_eff, n_both,
+       CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE)
+         AS jaccard_exact,
+       CAST(n_both AS DOUBLE) / CAST(k_eff AS DOUBLE) AS jaccard_est,
+       abs(CAST(n_both AS DOUBLE) / CAST(k_eff AS DOUBLE)
+           - CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE))
+         <= 5.0 * sqrt(CAST(n_inter AS DOUBLE)
+                       / CAST(sa.n + sb.n - n_inter AS DOUBLE)
+                       * (1 - CAST(n_inter AS DOUBLE)
+                              / CAST(sa.n + sb.n - n_inter AS DOUBLE))
+                       / {KMV_K}) AS within_bound
+FROM est
+JOIN exact_pair USING (ta, tb)
+JOIN sizes sa ON ta = sa.event_type
+JOIN sizes sb ON tb = sb.event_type
+"""
+
+
 SPECS = [
     QuerySpec("sketch_hll_distinct", q_sketch_hll_distinct, _HLL_DISTINCT_ORACLE),
     QuerySpec("sketch_kmv_distinct", q_sketch_kmv_distinct, _KMV_ORACLE),
+    QuerySpec("sketch_kmv_jaccard", q_sketch_kmv_jaccard, _KMV_JACCARD_ORACLE),
     QuerySpec("sketch_cms_counts", q_sketch_cms_counts, _cms_oracle()),
     QuerySpec("sketch_hll_merge", q_sketch_hll_merge, _HLL_MERGE_ORACLE),
     QuerySpec("sketch_hll_overlap", q_sketch_hll_overlap, _HLL_OVERLAP_ORACLE),

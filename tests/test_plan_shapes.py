@@ -77,6 +77,11 @@ _BNLJ_OK = {
     "sim_rank_fusion",
     # 1-row merged-sketch summary crossed with the 1-row exact total
     "sketch_kmv_distinct",
+    # T-row type-pair frame x the ≤T*K-row sketch (IN-condition join),
+    # same designed shape as sketch_hll_overlap
+    "sketch_kmv_jaccard",
+    # four 1-row stage counts crossed into the single summary row
+    "analytics_window_funnel",
 }
 
 #: streaming roundtrips execute jobs at build time — plan-audited via their
@@ -207,6 +212,10 @@ _SINGLE_PARTITION_OK = {
     "pipeline_score_auc",
     # three one-row per-strategy summaries (scalar aggregates)
     "pipeline_padding_waste",
+    # four 1-row stage-count scalar aggregates
+    "analytics_window_funnel",
+    # T-row type dimension feeding the pair frame
+    "sketch_kmv_jaccard",
 }
 
 

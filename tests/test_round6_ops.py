@@ -362,6 +362,62 @@ def test_late_data_drops_and_accepts_both_fire(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# windowed funnel
+# ---------------------------------------------------------------------------
+
+def test_window_funnel_is_tighter_than_unconstrained(spark, sf_dir):
+    """The time constraint can only REMOVE conversions: each windowed
+    stage count is bounded by the unconstrained funnel's, the funnel is
+    monotone, and the constraint actually binds on the fixture."""
+    from mysql_streamer_spark.queries.analytics import (
+        q_analytics_conversion_funnel,
+        q_analytics_window_funnel,
+    )
+
+    [w] = q_analytics_window_funnel(spark, sf_dir).collect()
+    [u] = q_analytics_conversion_funnel(spark, sf_dir).collect()
+    assert w.n_step1 == u.n_stage1  # stage 1 has no predecessor window
+    assert w.n_step1 >= w.n_step2 >= w.n_step3
+    assert w.n_step2 <= u.n_stage2 and w.n_step3 <= u.n_stage3
+    assert w.n_step2 < u.n_stage2, "window must bind on the fixture"
+    assert w.n_users >= w.n_step1
+
+
+# ---------------------------------------------------------------------------
+# KMV Jaccard
+# ---------------------------------------------------------------------------
+
+def test_kmv_jaccard_matches_reference_sample(spark, sf_dir):
+    """The bottom-k union sample and its in-both count must match an
+    independent Python KMV built from the raw (user, day) cells, and a
+    saturated sketch's estimate must be usefully close to exact."""
+    from mysql_streamer_spark.queries.sketches import (
+        KMV_K,
+        q_sketch_kmv_jaccard,
+    )
+    from mysql_streamer_spark.tables import load_table
+
+    rows = q_sketch_kmv_jaccard(spark, sf_dir).collect()
+    assert len(rows) == 10  # C(5,2) event-type pairs
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") * 100 + F.dayofmonth("ts")).alias("item")
+    ).distinct().collect()
+    by_type: dict[str, set[int]] = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, set()).add(r.item)
+    for r in rows:
+        a, b = by_type[r.ta], by_type[r.tb]
+        assert (r.n_a, r.n_b, r.n_inter) == (len(a), len(b), len(a & b))
+        assert r.jaccard_exact == len(a & b) / len(a | b)
+        sk_a = set(sorted(_kmv_hash_py(i) for i in a)[:KMV_K])
+        sk_b = set(sorted(_kmv_hash_py(i) for i in b)[:KMV_K])
+        union_k = sorted(sk_a | sk_b)[:KMV_K]
+        assert r.k_eff == len(union_k)
+        assert r.n_both == sum(1 for h in union_k if h in sk_a and h in sk_b)
+        assert r.jaccard_est == r.n_both / r.k_eff
+
+
+# ---------------------------------------------------------------------------
 # output shard plan
 # ---------------------------------------------------------------------------
 
