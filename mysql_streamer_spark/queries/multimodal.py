@@ -330,9 +330,135 @@ FROM flagged GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# banded Hamming near-dup over perceptual hashes
+# ---------------------------------------------------------------------------
+
+#: Hamming radius for image near-duplicates
+PHASH_HAM_T = 3
+#: band layout over the 16-bit aHash: 4 bands x 4 bits. Pigeonhole: two
+#: hashes within Hamming distance 3 differ in at most 3 of the 4 bands,
+#: so they MUST agree on at least one band — the band join has exact
+#: recall at this radius, not probabilistic recall.
+PHASH_BANDS = 4
+PHASH_BAND_BITS = 4
+
+
+def q_multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate PAIRS by perceptual-hash Hamming distance —
+    the crop/noise-robust tier above ``multimodal_phash_dedup``'s exact
+    hash equality. Banding (split the hash into PHASH_BANDS bit slices,
+    candidates meet on any equal band) turns the all-pairs Hamming
+    search into an equi-join, and at radius PHASH_HAM_T the pigeonhole
+    bound makes recall EXACT. Verification is one ``bit_count(xor)`` per
+    candidate pair — both JVM-side intrinsics.
+
+    Scale shape: hashes come from the Arrow-batched Python kernel (one
+    long per image leaves the stage, never pixels), the band explode is
+    map-only (PHASH_BANDS rows per image), candidates meet in an
+    equi-join on (band, value), and only (id, hash) pairs shuffle. The
+    stub's 16-bit hash gives 2^4 buckets per band; a production 64-bit
+    phash with 8-bit bands has 256 buckets per band and the identical
+    plan. The text-LSH family's mega-bucket guard applies unchanged if a
+    degenerate band value ever gets hot."""
+    from mysql_streamer_spark.multimodal import phash_images
+    from mysql_streamer_spark.tables import spread
+
+    blobs = with_media_blob(spread(load_table(spark, sf_dir, "documents")))
+    ph = phash_images(blobs).select("doc_id", "phash")
+    bands = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(PHASH_BANDS)])
+        ).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(
+            f"shiftright(phash, band * {PHASH_BAND_BITS})"
+            f" % {1 << PHASH_BAND_BITS}"
+        ),
+    )
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash").alias("pa"),
+        "band",
+        "band_val",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("pb"),
+        "band",
+        "band_val",
+    )
+    pairs = (
+        left.join(right, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", "pb")
+        .distinct()
+        .withColumn("hamming", F.expr("bit_count(pa ^ pb)"))
+        .filter(F.col("hamming") <= PHASH_HAM_T)
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "hamming",
+        (F.col("hamming") == 0).alias("exact_hash_dup"),
+    )
+
+
+def _phash_neardup_oracle() -> str:
+    from mysql_streamer_spark.multimodal import THUMB_PIXELS
+
+    bucket_vals = ", ".join(
+        f"""CAST(list_sum(list_transform(generate_series(
+              {i} * n // {THUMB_PIXELS} + 1, ({i} + 1) * n // {THUMB_PIXELS}),
+              j -> ascii(substring(text, j, 1))))
+            // greatest(1, ({i} + 1) * n // {THUMB_PIXELS} - {i} * n // {THUMB_PIXELS})
+            AS BIGINT)"""
+        for i in range(THUMB_PIXELS)
+    )
+    bits = " + ".join(
+        f"CASE WHEN thumb[{i + 1}] * {THUMB_PIXELS} > total THEN {1 << i} ELSE 0 END"
+        for i in range(THUMB_PIXELS)
+    )
+    band_ids = ", ".join(str(b) for b in range(PHASH_BANDS))
+    return f"""
+WITH img AS (
+  SELECT doc_id, text, length(text) AS n
+  FROM documents WHERE doc_id % 3 = 0
+), buckets AS (
+  SELECT doc_id, [{bucket_vals}] AS thumb FROM img
+), hashed AS (
+  SELECT doc_id, CAST({bits} AS BIGINT) AS phash
+  FROM (SELECT doc_id, thumb, list_sum(thumb) AS total FROM buckets)
+), bands AS (
+  SELECT doc_id, phash, band,
+         (phash >> (band * {PHASH_BAND_BITS})) % {1 << PHASH_BAND_BITS}
+           AS band_val
+  FROM hashed CROSS JOIN (SELECT unnest([{band_ids}]) AS band) b
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.phash AS pa, b.phash AS pb
+  FROM bands a JOIN bands b USING (band, band_val)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(pa, pb)) AS INT) AS hamming,
+       bit_count(xor(pa, pb)) = 0 AS exact_hash_dup
+FROM pairs
+WHERE bit_count(xor(pa, pb)) <= {PHASH_HAM_T}
+"""
+
+
 SPECS = [
     QuerySpec(
         "multimodal_audio_energy", q_multimodal_audio_energy, _audio_energy_oracle()
+    ),
+    QuerySpec(
+        "multimodal_phash_neardup",
+        q_multimodal_phash_neardup,
+        _phash_neardup_oracle(),
     ),
     QuerySpec(
         "multimodal_shot_boundaries", q_multimodal_shot_boundaries, _shot_oracle()

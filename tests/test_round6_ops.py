@@ -418,6 +418,41 @@ def test_kmv_jaccard_matches_reference_sample(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# banded phash near-dup
+# ---------------------------------------------------------------------------
+
+def test_phash_neardup_has_exact_recall(spark, sf_dir):
+    """Pigeonhole guarantee: at radius 3 over 4 bands the band join must
+    find EVERY pair within Hamming distance 3 — compare against the
+    brute-force all-pairs scan in Python."""
+    from mysql_streamer_spark.multimodal import phash_images, with_media_blob
+    from mysql_streamer_spark.queries.multimodal import (
+        PHASH_HAM_T,
+        q_multimodal_phash_neardup,
+    )
+    from mysql_streamer_spark.tables import load_table, spread
+
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in q_multimodal_phash_neardup(spark, sf_dir).collect()
+    }
+    hashes = {
+        r.doc_id: r.phash
+        for r in phash_images(
+            with_media_blob(spread(load_table(spark, sf_dir, "documents")))
+        ).collect()
+    }
+    ids = sorted(hashes)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin(hashes[a] ^ hashes[b]).count("1")
+            if d <= PHASH_HAM_T:
+                expected[(a, b)] = d
+    assert got == expected and expected
+
+
+# ---------------------------------------------------------------------------
 # output shard plan
 # ---------------------------------------------------------------------------
 
