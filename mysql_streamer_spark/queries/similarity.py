@@ -1586,6 +1586,275 @@ GROUP BY top_ex.query_id
 
 
 # ---------------------------------------------------------------------------
+# IVF+PQ: the billion-scale ANN index shape (FAISS IVFPQ), end-to-end
+# ---------------------------------------------------------------------------
+
+def q_sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN composition (Jégou et al. 2011, the FAISS
+    IVFPQ design): coarse IVF cells prune the candidate set to the
+    query's N_PROBES nearest cells, and within those cells distance is
+    evaluated against PQ codes (asymmetric ADC — query subvector vs
+    codeword, never the original vector). This is the index layout every
+    billion-scale deployment ships: the inverted lists bound how much is
+    scanned, PQ bounds the bytes per scanned item, and the recall@k
+    audit against exact-L2 ground truth is the number that decides
+    whether the compressed index is shippable. Both error sources
+    (pruned cells + quantized distances) are live in the result; note
+    they do NOT compose monotonically per query — pruning a cell can
+    remove a distractor that ADC would have mis-ranked above a true
+    neighbour, so a query's IVFPQ recall can exceed its pure-PQ recall
+    (observed on the fixture), which is exactly why this composed audit
+    exists instead of multiplying the two component recalls.
+
+    Scale shape: cell assignment is the IVF broadcast map; codebooks are
+    an 80-row broadcast; the ADC join touches only (probed-candidate id,
+    PQ_M codeword rows) — candidate volume is set by N_PROBES/cell size,
+    bytes per candidate by PQ_M, and nothing all-pairs exists outside
+    the ground-truth audit branch (which production drops). All
+    distances exact int64; recall is ONE division."""
+    e = vx.with_quantized(_emb(spark, sf_dir)).select(
+        "vec_id", "label", "qv", "nrm"
+    )
+    cents = _centroids(e)
+    scored_cells = (
+        e.drop("label")
+        .crossJoin(F.broadcast(cents))
+        .withColumn("cscore", _cell_score("qv", "nrm"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cscore").desc(), F.col("label").asc()
+    )
+    assign = (
+        scored_cells.withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("label").alias("cell"))
+    )
+    probes = (
+        scored_cells.filter(F.col("vec_id") < N_QUERY)
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") <= N_PROBES)
+        .select(F.col("vec_id").alias("query_id"), F.col("label").alias("cell"))
+    )
+
+    subs = e.select(
+        "vec_id",
+        "label",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), "
+                f"s -> struct(s AS s, slice(qv, s * {PQ_SUBDIM} + 1, "
+                f"{PQ_SUBDIM}) AS sub))"
+            )
+        ).alias("x"),
+    ).select("vec_id", "label", F.col("x.s").alias("s"), F.col("x.sub").alias("sub"))
+    per_dim = (
+        subs.select("label", "s", F.posexplode("sub").alias("dim", "v"))
+        .groupBy("label", "s", "dim")
+        .agg(F.floor(F.sum("v") / F.count("*")).cast("long").alias("cval"))
+    )
+    books = (
+        per_dim.groupBy("s", F.col("label").alias("cw"))
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(dim, cval))), p -> p.cval)"
+            ).alias("cvec")
+        )
+        .withColumn("cnrm", vx.norm_sq_col("cvec"))
+    )
+    enc_scored = subs.join(F.broadcast(books), "s").withColumn(
+        "dist",
+        vx.norm_sq_col("sub") - 2 * vx.dot_col("sub", "cvec") + F.col("cnrm"),
+    )
+    w_enc = Window.partitionBy("vec_id", "s").orderBy(
+        F.col("dist").asc(), F.col("cw").asc()
+    )
+    codes = (
+        enc_scored.withColumn("rk", F.row_number().over(w_enc))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "s", "cvec", "cnrm")
+    )
+
+    cand_ids = (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    q_subs = subs.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), "s", F.col("sub").alias("q_sub")
+    )
+    adc = (
+        codes.join(cand_ids, "vec_id")
+        .join(F.broadcast(q_subs), ["query_id", "s"])
+        .withColumn(
+            "d_s",
+            vx.norm_sq_col("q_sub")
+            - 2 * vx.dot_col("q_sub", "cvec")
+            + F.col("cnrm"),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(F.sum("d_s").alias("adc_dist"), F.count("*").alias("n_s"))
+        .filter(F.col("n_s") == PQ_M)
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("cand_id").asc()
+    )
+    top_adc = (
+        adc.withColumn("rk", F.row_number().over(w_adc))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "cand_id")
+    )
+
+    q_full = e.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
+    )
+    exact = (
+        e.select(F.col("vec_id").alias("cand_id"), F.col("qv").alias("c_qv"))
+        .crossJoin(F.broadcast(q_full))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn(
+            "l2",
+            vx.norm_sq_col("q_qv")
+            - 2 * vx.dot_col("q_qv", "c_qv")
+            + vx.norm_sq_col("c_qv"),
+        )
+    )
+    w_ex = Window.partitionBy("query_id").orderBy(
+        F.col("l2").asc(), F.col("cand_id").asc()
+    )
+    top_ex = (
+        exact.withColumn("rk", F.row_number().over(w_ex))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "cand_id")
+    )
+    n_cands = cand_ids.groupBy("query_id").agg(F.count("*").alias("n_cands"))
+    return (
+        top_ex.join(
+            top_adc.withColumn("hit", F.lit(1)),
+            ["query_id", "cand_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_overlap")
+        )
+        .join(n_cands, "query_id")
+        .select(
+            "query_id",
+            "n_cands",
+            "n_overlap",
+            (F.col("n_overlap").cast("double") / TOP_K).alias("recall_at_k"),
+        )
+    )
+
+
+_IVFPQ_RECALL_ORACLE = f"""
+WITH qe AS (
+  SELECT vec_id, label, {vx.quantized_sql("embedding")} AS qv,
+         {vx.norm_sq_sql(vx.quantized_sql("embedding"))} AS nrm
+  FROM embeddings
+), cdim AS (
+  SELECT label, i - 1 AS dim,
+         CAST(floor(sum(qv[i]) / count(*)) AS BIGINT) AS cval
+  FROM qe CROSS JOIN (SELECT unnest(generate_series(1, {vx.DIM})) AS i) dims
+  GROUP BY label, dim
+), cents AS (
+  SELECT label, list(cval ORDER BY dim) AS cq FROM cdim GROUP BY label
+), cents_n AS (
+  SELECT label, cq, {vx.norm_sq_sql("cq")} AS cnrm FROM cents
+), scored_cells AS (
+  SELECT qe.vec_id, qe.qv, qe.nrm, cents_n.label,
+         {vx.cosine_sql("qv", "cq", "nrm", "cnrm")} AS cscore
+  FROM qe CROSS JOIN cents_n
+), assign AS (
+  SELECT vec_id, label AS cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cscore DESC, label ASC) AS rk
+    FROM scored_cells
+  ) WHERE rk = 1
+), probes AS (
+  SELECT vec_id AS query_id, label AS cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cscore DESC, label ASC) AS rk
+    FROM scored_cells WHERE vec_id < {N_QUERY}
+  ) WHERE rk <= {N_PROBES}
+), subs AS (
+  {_pq_sub_sql("qe")}
+), pdim AS (
+  SELECT label, s, i - 1 AS dim,
+         CAST(floor(sum(sub[i]) / count(*)) AS BIGINT) AS cval
+  FROM subs CROSS JOIN (SELECT unnest(generate_series(1, {PQ_SUBDIM})) AS i) d
+  GROUP BY 1, 2, 3
+), books AS (
+  SELECT s, label AS cw, list(cval ORDER BY dim) AS cvec
+  FROM pdim GROUP BY 1, 2
+), books_n AS (
+  SELECT s, cw, cvec, {_sub_norm_sql("cvec")} AS cnrm FROM books
+), enc AS (
+  SELECT subs.vec_id, subs.s, books_n.cw, books_n.cvec, books_n.cnrm,
+         {_sub_norm_sql("sub")} - 2 * {_sub_dot_sql("sub", "cvec")} + cnrm
+           AS dist
+  FROM subs JOIN books_n ON subs.s = books_n.s
+), codes AS (
+  SELECT vec_id, s, cvec, cnrm FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, s ORDER BY dist ASC, cw ASC) AS rk
+    FROM enc
+  ) WHERE rk = 1
+), cand_ids AS (
+  SELECT query_id, assign.vec_id
+  FROM assign JOIN probes USING (cell)
+  WHERE assign.vec_id != probes.query_id
+), q_subs AS (
+  SELECT vec_id AS query_id, s, sub AS q_sub FROM subs
+  WHERE vec_id < {N_QUERY}
+), adc AS (
+  SELECT cand_ids.query_id AS query_id, codes.vec_id AS cand_id,
+         sum({_sub_norm_sql("q_sub")} - 2 * {_sub_dot_sql("q_sub", "cvec")}
+             + cnrm) AS adc_dist,
+         count(*) AS n_s
+  FROM codes
+  JOIN cand_ids ON codes.vec_id = cand_ids.vec_id
+  JOIN q_subs ON codes.s = q_subs.s AND cand_ids.query_id = q_subs.query_id
+  GROUP BY 1, 2
+  HAVING count(*) = {PQ_M}
+), top_adc AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY adc_dist ASC, cand_id ASC) AS rk
+    FROM adc
+  ) WHERE rk <= {TOP_K}
+), q_full AS (
+  SELECT vec_id AS query_id, qv AS q_qv FROM qe WHERE vec_id < {N_QUERY}
+), exact AS (
+  SELECT query_id, qe.vec_id AS cand_id,
+         {vx.norm_sq_sql("q_qv")} - 2 * {vx.dot_sql("q_qv", "qv")}
+           + {vx.norm_sq_sql("qv")} AS l2
+  FROM qe CROSS JOIN q_full
+  WHERE qe.vec_id != q_full.query_id
+), top_ex AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY l2 ASC, cand_id ASC) AS rk
+    FROM exact
+  ) WHERE rk <= {TOP_K}
+), n_cands AS (
+  SELECT query_id, count(*) AS n_cands FROM cand_ids GROUP BY 1
+), overlap AS (
+  SELECT top_ex.query_id,
+         CAST(coalesce(sum(CASE WHEN top_adc.cand_id IS NOT NULL
+                            THEN 1 END), 0) AS BIGINT) AS n_overlap
+  FROM top_ex
+  LEFT JOIN top_adc ON top_ex.query_id = top_adc.query_id
+                   AND top_ex.cand_id = top_adc.cand_id
+  GROUP BY 1
+)
+SELECT query_id, n_cands, n_overlap,
+       CAST(n_overlap AS DOUBLE) / {TOP_K} AS recall_at_k
+FROM overlap JOIN n_cands USING (query_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # SemDeDup: semantic dedup inside coarse embedding clusters
 # ---------------------------------------------------------------------------
 
@@ -1988,6 +2257,7 @@ SELECT query_id, cand_id, lex_rank, emb_rank, rrf_score, fused_rank FROM (
 SPECS = [
     QuerySpec("sim_bruteforce_topk", q_sim_bruteforce_topk, _BRUTEFORCE_ORACLE),
     QuerySpec("sim_rank_fusion", q_sim_rank_fusion, _RANK_FUSION_ORACLE),
+    QuerySpec("sim_ivfpq_recall", q_sim_ivfpq_recall, _IVFPQ_RECALL_ORACLE),
     QuerySpec("sim_semdedup", q_sim_semdedup, _SEMDEDUP_ORACLE),
     QuerySpec("sim_pq_recall", q_sim_pq_recall, _PQ_RECALL_ORACLE),
     QuerySpec("sim_hard_negatives", q_sim_hard_negatives, _HARD_NEGATIVES_ORACLE),

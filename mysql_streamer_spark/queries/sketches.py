@@ -673,6 +673,128 @@ FROM joined
 
 
 # ---------------------------------------------------------------------------
+# sketch_ams_f2 — second frequency moment (self-join size) via AMS
+# ---------------------------------------------------------------------------
+
+#: AMS estimator rows (mean-of-R); variance of the mean is 2*F2^2/R
+AMS_R = 16
+
+
+def _ams_sign_spark(r: int, col: str) -> F.Column:
+    """±1 four-wise-ish sign for row r, md5-derived like every sketch
+    hash here (pure function of the data — both engines agree)."""
+    return (
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"ams{r}:"), F.col(col))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+    )
+
+
+def _ams_sign_sql(r: str, expr: str) -> str:
+    return (
+        f"CASE WHEN CAST('0x' || substring(md5('ams' || {r} || ':' || {expr}),"
+        f" 1, 8) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END"
+    )
+
+
+def q_sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second frequency moment F2 = Σ_u c_u² (the self-join size /
+    skew statistic that sizes shuffle-join outputs and flags hot keys)
+    via the AMS tug-of-war sketch (Alon-Matias-Szegedy 1996): R
+    independent ±1-signed sums X_r = Σ_u s_r(u)·c_u, each X_r² an
+    unbiased F2 estimate, averaged. This completes the sketch family:
+    HLL/KMV estimate F0, CMS answers point queries, AMS estimates F2 —
+    none substitutes for another.
+
+    The signs are md5-derived, so the sketch is a pure function of the
+    data and the ESTIMATE ITSELF hash-checks; X_r and ΣX_r² are exact
+    integers, the estimate is ONE division, and ``within_bound`` states
+    the mean-of-R variance contract (|est−F2| ≤ 3·√(2/R)·F2) as a value
+    the oracle must reproduce.
+
+    Scale shape: an R-way explode (map-only), then ONE aggregate whose
+    state is R signed longs per partition — constant-size regardless of
+    user cardinality, the same partial-aggregate story as CMS. Only the
+    exact-F2 audit (one count aggregate on user_id) scales with data."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    rows = ev.withColumn(
+        "r", F.explode(F.array(*[F.lit(r) for r in range(AMS_R)]))
+    )
+    sign = F.lit(None).cast("long")
+    for r in range(AMS_R):
+        sign = F.when(F.col("r") == r, _ams_sign_spark(r, "user_id")).otherwise(
+            sign
+        )
+    sketch = (
+        rows.withColumn("s", sign)
+        .groupBy("r")
+        .agg(F.sum("s").cast("long").alias("x"))
+        .agg(F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_x2"))
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_exact"))
+    )
+    est = F.col("sum_x2").cast("double") / F.lit(float(AMS_R))
+    bound = F.lit(3.0 * (2.0 / AMS_R) ** 0.5)
+    return sketch.crossJoin(F.broadcast(exact)).select(
+        "f2_exact",
+        "sum_x2",
+        est.alias("f2_est"),
+        (
+            (est - F.col("f2_exact").cast("double"))
+            / F.col("f2_exact").cast("double")
+        ).alias("rel_err"),
+        (
+            F.abs(est - F.col("f2_exact").cast("double"))
+            <= bound * F.col("f2_exact").cast("double")
+        ).alias("within_bound"),
+    )
+
+
+def _ams_oracle() -> str:
+    rs = ", ".join(str(r) for r in range(AMS_R))
+    bound = 3.0 * (2.0 / AMS_R) ** 0.5
+    return f"""
+WITH ev AS (
+  SELECT user_id FROM events
+), rows_r AS (
+  SELECT user_id, r FROM ev CROSS JOIN (SELECT unnest([{rs}]) AS r) js
+), signed AS (
+  SELECT r, {_ams_sign_sql("r", "user_id")} AS s FROM rows_r
+), sketch AS (
+  SELECT CAST(sum(x * x) AS BIGINT) AS sum_x2 FROM (
+    SELECT r, CAST(sum(s) AS BIGINT) AS x FROM signed GROUP BY 1
+  )
+), exact AS (
+  SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact FROM (
+    SELECT user_id, count(*) AS c FROM ev GROUP BY 1
+  )
+)
+SELECT f2_exact, sum_x2,
+       CAST(sum_x2 AS DOUBLE) / {float(AMS_R)} AS f2_est,
+       (CAST(sum_x2 AS DOUBLE) / {float(AMS_R)} - CAST(f2_exact AS DOUBLE))
+         / CAST(f2_exact AS DOUBLE) AS rel_err,
+       abs(CAST(sum_x2 AS DOUBLE) / {float(AMS_R)}
+           - CAST(f2_exact AS DOUBLE))
+         <= {bound} * CAST(f2_exact AS DOUBLE) AS within_bound
+FROM sketch CROSS JOIN exact
+"""
+
+
+# ---------------------------------------------------------------------------
 # sketch_kmv_jaccard — set intersection from merged KMV samples (HLL can't)
 # ---------------------------------------------------------------------------
 
@@ -835,6 +957,7 @@ SPECS = [
     QuerySpec("sketch_hll_distinct", q_sketch_hll_distinct, _HLL_DISTINCT_ORACLE),
     QuerySpec("sketch_kmv_distinct", q_sketch_kmv_distinct, _KMV_ORACLE),
     QuerySpec("sketch_kmv_jaccard", q_sketch_kmv_jaccard, _KMV_JACCARD_ORACLE),
+    QuerySpec("sketch_ams_f2", q_sketch_ams_f2, _ams_oracle()),
     QuerySpec("sketch_cms_counts", q_sketch_cms_counts, _cms_oracle()),
     QuerySpec("sketch_hll_merge", q_sketch_hll_merge, _HLL_MERGE_ORACLE),
     QuerySpec("sketch_hll_overlap", q_sketch_hll_overlap, _HLL_OVERLAP_ORACLE),

