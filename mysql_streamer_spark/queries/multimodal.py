@@ -137,15 +137,30 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_thumbnails(blobs)
 
 
-def _resize_oracle() -> str:
+def _thumb_bucket_vals_sql(cast: str) -> str:
+    """The ONE SQL reconstruction of the fake-decoder box filter (pixel i
+    = floor mean of its byte range) — every oracle that needs the
+    thumbnail derives it from here so the kernel and its SQL mirror can
+    only change together."""
     from mysql_streamer_spark.multimodal import THUMB_PIXELS
 
-    bucket_vals = ", ".join(
+    return ", ".join(
         f"""CAST(list_sum(list_transform(generate_series(
               {i} * n // {THUMB_PIXELS} + 1, ({i} + 1) * n // {THUMB_PIXELS}),
               j -> ascii(substring(text, j, 1))))
             // greatest(1, ({i} + 1) * n // {THUMB_PIXELS} - {i} * n // {THUMB_PIXELS})
-            AS INT)"""
+            AS {cast})"""
+        for i in range(THUMB_PIXELS)
+    )
+
+
+def _ahash_hashed_ctes() -> str:
+    """img -> buckets -> hashed CTE chain reconstructing the integer
+    aHash in SQL; shared by every phash oracle."""
+    from mysql_streamer_spark.multimodal import THUMB_PIXELS
+
+    bits = " + ".join(
+        f"CASE WHEN thumb[{i + 1}] * {THUMB_PIXELS} > total THEN {1 << i} ELSE 0 END"
         for i in range(THUMB_PIXELS)
     )
     return f"""
@@ -153,7 +168,22 @@ WITH img AS (
   SELECT doc_id, text, length(text) AS n
   FROM documents WHERE doc_id % 3 = 0
 ), buckets AS (
-  SELECT doc_id, n, [{bucket_vals}] AS thumb
+  SELECT doc_id, [{_thumb_bucket_vals_sql("BIGINT")}] AS thumb FROM img
+), hashed AS (
+  SELECT doc_id, CAST({bits} AS BIGINT) AS phash
+  FROM (SELECT doc_id, thumb, list_sum(thumb) AS total FROM buckets)
+)"""
+
+
+def _resize_oracle() -> str:
+    from mysql_streamer_spark.multimodal import THUMB_PIXELS
+
+    return f"""
+WITH img AS (
+  SELECT doc_id, text, length(text) AS n
+  FROM documents WHERE doc_id % 3 = 0
+), buckets AS (
+  SELECT doc_id, n, [{_thumb_bucket_vals_sql("INT")}] AS thumb
   FROM img
 )
 SELECT doc_id,
@@ -225,30 +255,7 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _phash_oracle() -> str:
-    from mysql_streamer_spark.multimodal import THUMB_PIXELS
-
-    bucket_vals = ", ".join(
-        f"""CAST(list_sum(list_transform(generate_series(
-              {i} * n // {THUMB_PIXELS} + 1, ({i} + 1) * n // {THUMB_PIXELS}),
-              j -> ascii(substring(text, j, 1))))
-            // greatest(1, ({i} + 1) * n // {THUMB_PIXELS} - {i} * n // {THUMB_PIXELS})
-            AS BIGINT)"""
-        for i in range(THUMB_PIXELS)
-    )
-    bits = " + ".join(
-        f"CASE WHEN thumb[{i + 1}] * {THUMB_PIXELS} > total THEN {1 << i} ELSE 0 END"
-        for i in range(THUMB_PIXELS)
-    )
-    return f"""
-WITH img AS (
-  SELECT doc_id, text, length(text) AS n
-  FROM documents WHERE doc_id % 3 = 0
-), buckets AS (
-  SELECT doc_id, [{bucket_vals}] AS thumb FROM img
-), hashed AS (
-  SELECT doc_id, CAST({bits} AS BIGINT) AS phash
-  FROM (SELECT doc_id, thumb, list_sum(thumb) AS total FROM buckets)
-)
+    return f"""{_ahash_hashed_ctes()}
 SELECT doc_id, phash,
        count(*) OVER (PARTITION BY phash) AS n_same_hash
 FROM hashed
@@ -408,31 +415,8 @@ def q_multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _phash_neardup_oracle() -> str:
-    from mysql_streamer_spark.multimodal import THUMB_PIXELS
-
-    bucket_vals = ", ".join(
-        f"""CAST(list_sum(list_transform(generate_series(
-              {i} * n // {THUMB_PIXELS} + 1, ({i} + 1) * n // {THUMB_PIXELS}),
-              j -> ascii(substring(text, j, 1))))
-            // greatest(1, ({i} + 1) * n // {THUMB_PIXELS} - {i} * n // {THUMB_PIXELS})
-            AS BIGINT)"""
-        for i in range(THUMB_PIXELS)
-    )
-    bits = " + ".join(
-        f"CASE WHEN thumb[{i + 1}] * {THUMB_PIXELS} > total THEN {1 << i} ELSE 0 END"
-        for i in range(THUMB_PIXELS)
-    )
     band_ids = ", ".join(str(b) for b in range(PHASH_BANDS))
-    return f"""
-WITH img AS (
-  SELECT doc_id, text, length(text) AS n
-  FROM documents WHERE doc_id % 3 = 0
-), buckets AS (
-  SELECT doc_id, [{bucket_vals}] AS thumb FROM img
-), hashed AS (
-  SELECT doc_id, CAST({bits} AS BIGINT) AS phash
-  FROM (SELECT doc_id, thumb, list_sum(thumb) AS total FROM buckets)
-), bands AS (
+    return f"""{_ahash_hashed_ctes()}, bands AS (
   SELECT doc_id, phash, band,
          (phash >> (band * {PHASH_BAND_BITS})) % {1 << PHASH_BAND_BITS}
            AS band_val

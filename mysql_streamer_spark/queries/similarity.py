@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from mysql_streamer_spark import vectors as vx
 from mysql_streamer_spark.queries.registry import QuerySpec
+from mysql_streamer_spark import text as tx
 from mysql_streamer_spark.tables import load_table
 
 #: Fixed query set (first N vectors) and neighbourhood size.
@@ -2105,7 +2106,6 @@ def q_sim_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant) with rank sentinels of -1 so no nullable ints cross the
     gate."""
     docs = load_table(spark, sf_dir, "documents")
-    from mysql_streamer_spark import text as tx
     from mysql_streamer_spark.tables import spread
 
     toks = spread(docs, "doc_id").select(
@@ -2194,11 +2194,9 @@ def q_sim_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from mysql_streamer_spark import text as _fusion_tx
-
 _RANK_FUSION_ORACLE = f"""
 WITH toks AS (
-  SELECT doc_id, unnest(list_distinct({_fusion_tx.tokens_sql("text")})) AS t
+  SELECT doc_id, unnest(list_distinct({tx.tokens_sql("text")})) AS t
   FROM documents
 ), n AS (
   SELECT count(*) AS n_docs FROM documents

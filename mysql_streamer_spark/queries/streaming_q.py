@@ -517,7 +517,6 @@ def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     source's ordered offsets."""
     import numpy as np
     import pyarrow as pa
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     work = tempfile.mkdtemp(prefix="mss_late_")
