@@ -1587,6 +1587,220 @@ GROUP BY top_ex.query_id
 
 
 # ---------------------------------------------------------------------------
+# IVF probe sweep — recall/cost as a function of nprobe, from ONE index pass
+# ---------------------------------------------------------------------------
+
+#: nprobe values evaluated by the sweep (max must stay ≤ the number of
+#: coarse cells)
+PROBE_SWEEP = (1, 2, 4)
+
+
+def q_sim_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe tuning curve every IVF deployment measures before
+    picking its operating point: recall@k and candidate volume per query
+    at each nprobe in PROBE_SWEEP, all derived from ONE cell-assignment
+    pass — each candidate pair is tagged with the probe rank of the cell
+    that discovered it (min over shared cells), so 'nprobe = p' is a
+    filter, not a re-run. This is the 'measure, don't guess' sibling of
+    the dedup/sim threshold sweeps: the knee of this curve (recall gain
+    per extra candidate scanned) is the number that sets nprobe in
+    production.
+
+    Scale shape: identical to ``sim_ivf_ann`` up to candidate
+    generation (broadcast centroids, cell equi-join); the sweep explode
+    multiplies only the already-bounded candidate set by
+    len(PROBE_SWEEP); windows partition by (nprobe, query)."""
+    e = vx.with_quantized(_emb(spark, sf_dir)).select(
+        "vec_id", "label", "qv", "nrm"
+    )
+    cents = _centroids(e)
+    scored_cells = (
+        e.drop("label")
+        .crossJoin(F.broadcast(cents))
+        .withColumn("cscore", _cell_score("qv", "nrm"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cscore").desc(), F.col("label").asc()
+    )
+    assign = (
+        scored_cells.withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("label").alias("cell"), "qv", "nrm")
+    )
+    max_p = max(PROBE_SWEEP)
+    probes = (
+        scored_cells.filter(F.col("vec_id") < N_QUERY)
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") <= max_p)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("cell"),
+            F.col("rk").alias("probe_rk"),
+            F.col("qv").alias("q_qv"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    pairs = (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.min("probe_rk").alias("first_probe"),
+            F.first("qv").alias("c_qv"),
+            F.first("nrm").alias("c_nrm"),
+            F.first("q_qv").alias("q_qv"),
+            F.first("q_nrm").alias("q_nrm"),
+        )
+        .withColumn("cosine", vx.cosine_col("q_qv", "c_qv", "q_nrm", "c_nrm"))
+        .select("query_id", "vec_id", "first_probe", "cosine")
+    )
+    swept = pairs.join(
+        F.broadcast(
+            spark.createDataFrame(
+                [(p,) for p in PROBE_SWEEP], "n_probes int"
+            )
+        ),
+        F.col("first_probe") <= F.col("n_probes"),
+    )
+    w_rank = Window.partitionBy("n_probes", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    top_ivf = (
+        swept.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("n_probes", "query_id", F.col("vec_id").alias("cand_id"))
+    )
+    n_cands = swept.groupBy("n_probes", "query_id").agg(
+        F.count("*").alias("n_cands")
+    )
+
+    q = e.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    exact = (
+        e.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("qv").alias("c_qv"),
+            F.col("nrm").alias("c_nrm"),
+        )
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cosine", vx.cosine_col("q_qv", "c_qv", "q_nrm", "c_nrm"))
+    )
+    w_ex = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    top_ex = (
+        exact.withColumn("rnk", F.row_number().over(w_ex))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "cand_id")
+    )
+    overlap = (
+        top_ex.join(top_ivf, ["query_id", "cand_id"])
+        .groupBy("n_probes", "query_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        n_cands.join(overlap, ["n_probes", "query_id"], "left")
+        .select(
+            "n_probes",
+            "query_id",
+            "n_cands",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (
+                F.coalesce("n_overlap", F.lit(0)).cast("double") / TOP_K
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+_PROBE_SWEEP_ORACLE = f"""
+WITH qe AS (
+  SELECT vec_id, label, {vx.quantized_sql("embedding")} AS qv,
+         {vx.norm_sq_sql(vx.quantized_sql("embedding"))} AS nrm
+  FROM embeddings
+), cdim AS (
+  SELECT label, i - 1 AS dim,
+         CAST(floor(sum(qv[i]) / count(*)) AS BIGINT) AS cval
+  FROM qe CROSS JOIN (SELECT unnest(generate_series(1, {vx.DIM})) AS i) dims
+  GROUP BY label, dim
+), cents AS (
+  SELECT label, list(cval ORDER BY dim) AS cq FROM cdim GROUP BY label
+), cents_n AS (
+  SELECT label, cq, {vx.norm_sq_sql("cq")} AS cnrm FROM cents
+), scored_cells AS (
+  SELECT qe.vec_id, qe.qv, qe.nrm, cents_n.label,
+         {vx.cosine_sql("qv", "cq", "nrm", "cnrm")} AS cscore
+  FROM qe CROSS JOIN cents_n
+), assign AS (
+  SELECT vec_id, label AS cell, qv, nrm FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cscore DESC, label ASC) AS rk
+    FROM scored_cells
+  ) WHERE rk = 1
+), probes AS (
+  SELECT vec_id AS query_id, label AS cell, rk AS probe_rk,
+         qv AS q_qv, nrm AS q_nrm
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cscore DESC, label ASC) AS rk
+    FROM scored_cells WHERE vec_id < {N_QUERY}
+  ) WHERE rk <= {max(PROBE_SWEEP)}
+), pairs0 AS (
+  SELECT query_id, assign.vec_id AS vec_id, min(probe_rk) AS first_probe
+  FROM assign JOIN probes USING (cell)
+  WHERE assign.vec_id != probes.query_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT query_id, pairs0.vec_id AS vec_id, first_probe,
+         {vx.cosine_sql("qq.qv", "cc.qv", "qq.nrm", "cc.nrm")} AS cosine
+  FROM pairs0
+  JOIN qe cc ON pairs0.vec_id = cc.vec_id
+  JOIN qe qq ON pairs0.query_id = qq.vec_id
+), swept AS (
+  SELECT n_probes, query_id, vec_id, cosine
+  FROM pairs CROSS JOIN (SELECT unnest([{", ".join(map(str, PROBE_SWEEP))}])
+                         AS n_probes) p
+  WHERE first_probe <= n_probes
+), top_ivf AS (
+  SELECT n_probes, query_id, vec_id AS cand_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY n_probes, query_id
+      ORDER BY cosine DESC, vec_id ASC) AS rnk
+    FROM swept
+  ) WHERE rnk <= {TOP_K}
+), cand_counts AS (
+  SELECT n_probes, query_id, count(*) AS n_cands
+  FROM swept GROUP BY 1, 2
+), exact AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         {vx.cosine_sql("q.qv", "c.qv", "q.nrm", "c.nrm")} AS cosine
+  FROM qe c CROSS JOIN (SELECT * FROM qe WHERE vec_id < {N_QUERY}) q
+  WHERE c.vec_id != q.vec_id
+), top_ex AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
+    FROM exact
+  ) WHERE rnk <= {TOP_K}
+), overlap AS (
+  SELECT n_probes, top_ivf.query_id AS query_id, count(*) AS n_overlap
+  FROM top_ex JOIN top_ivf USING (query_id, cand_id)
+  GROUP BY 1, 2
+)
+SELECT cand_counts.n_probes AS n_probes, cand_counts.query_id AS query_id,
+       n_cands,
+       CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST(COALESCE(n_overlap, 0) AS DOUBLE) / {TOP_K} AS recall_at_k
+FROM cand_counts
+LEFT JOIN overlap ON cand_counts.n_probes = overlap.n_probes
+                 AND cand_counts.query_id = overlap.query_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # IVF+PQ: the billion-scale ANN index shape (FAISS IVFPQ), end-to-end
 # ---------------------------------------------------------------------------
 
@@ -2256,6 +2470,9 @@ SPECS = [
     QuerySpec("sim_bruteforce_topk", q_sim_bruteforce_topk, _BRUTEFORCE_ORACLE),
     QuerySpec("sim_rank_fusion", q_sim_rank_fusion, _RANK_FUSION_ORACLE),
     QuerySpec("sim_ivfpq_recall", q_sim_ivfpq_recall, _IVFPQ_RECALL_ORACLE),
+    QuerySpec(
+        "sim_ivf_probe_sweep", q_sim_ivf_probe_sweep, _PROBE_SWEEP_ORACLE
+    ),
     QuerySpec("sim_semdedup", q_sim_semdedup, _SEMDEDUP_ORACLE),
     QuerySpec("sim_pq_recall", q_sim_pq_recall, _PQ_RECALL_ORACLE),
     QuerySpec("sim_hard_negatives", q_sim_hard_negatives, _HARD_NEGATIVES_ORACLE),

@@ -1236,11 +1236,90 @@ FROM per_doc CROSS JOIN corpus
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus novelty curve — marginal value of each additional document
+# ---------------------------------------------------------------------------
+
+def q_text_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty in ingestion order (doc_id as the
+    arrival sequence): the fraction of a document's k-token shingles
+    whose FIRST corpus occurrence is this document — the marginal-
+    information curve data engineers read to decide when a source has
+    stopped paying for its ingestion (novelty decays toward the
+    boilerplate floor as a crawl saturates). ``novel_frac`` counts
+    distinct novel shingle types; docs also report total occurrences so
+    self-repetition is visible separately.
+
+    Scale shape: the inverted-index pattern — one shingle explode, one
+    min(doc_id) aggregate per 32-hex shingle hash (map-side partials),
+    one postings join back; only (doc_id, hash) pairs shuffle. The
+    'order' is data (min over doc_id), NOT a window — no global sort
+    exists anywhere in the plan."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    grams = (
+        docs.withColumn("toks", tx.tokens_col("text"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(tx.shingles_col()).alias("g"),
+        )
+        .select("doc_id", "source", F.md5("g").alias("h"))
+    )
+    first = grams.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first, "h")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.countDistinct("h").alias("n_types"),
+            F.countDistinct(
+                F.when(F.col("first_doc") == F.col("doc_id"), F.col("h"))
+            ).alias("n_novel_types"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "source",
+        "n_shingles",
+        "n_types",
+        "n_novel_types",
+        (
+            F.col("n_novel_types").cast("double")
+            / F.col("n_types").cast("double")
+        ).alias("novel_frac"),
+    )
+
+
+_NOVELTY_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source, {tx.tokens_sql("text")} AS toks FROM documents
+), grams AS (
+  SELECT doc_id, source, md5(g) AS h
+  FROM (SELECT doc_id, source, unnest({tx.shingles_sql("toks")}) AS g
+        FROM tok)
+), first AS (
+  SELECT h, min(doc_id) AS first_doc FROM grams GROUP BY 1
+), per_doc AS (
+  SELECT doc_id, source,
+         count(*) AS n_shingles,
+         CAST(count(DISTINCT h) AS BIGINT) AS n_types,
+         CAST(count(DISTINCT CASE WHEN first_doc = doc_id THEN h END)
+           AS BIGINT) AS n_novel_types
+  FROM grams JOIN first USING (h)
+  GROUP BY 1, 2
+)
+SELECT doc_id, source, n_shingles, n_types, n_novel_types,
+       CAST(n_novel_types AS DOUBLE) / CAST(n_types AS DOUBLE) AS novel_frac
+FROM per_doc
+"""
+
+
 SPECS = [
     QuerySpec("text_token_stats", q_text_token_stats, _TOKEN_STATS_ORACLE),
     QuerySpec(
         "text_lm_perplexity", q_text_lm_perplexity, _LM_PERPLEXITY_ORACLE
     ),
+    QuerySpec("text_novelty_curve", q_text_novelty_curve, _NOVELTY_ORACLE),
     QuerySpec("text_pii_scrub", q_text_pii_scrub, _PII_SCRUB_ORACLE),
     QuerySpec(
         "text_compression_proxy", q_text_compression_proxy, _COMPRESS_ORACLE

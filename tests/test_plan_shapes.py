@@ -62,6 +62,8 @@ _BNLJ_OK = {
     "sim_pq_recall",
     # 10-row coarse-centroid + 80-row codebook broadcasts + ground truth
     "sim_ivfpq_recall",
+    # centroid broadcast + the 3-row nprobe frame (non-equi by design)
+    "sim_ivf_probe_sweep",
     # 1-row budget/lang-count frame crossed onto the L-row language dim
     "pipeline_unimax_budget",
     # 1-row domain-stats frame, same shape as analytics_zorder_layout

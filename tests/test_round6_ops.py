@@ -443,6 +443,66 @@ def test_ivfpq_prunes_and_scores_consistently(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# IVF probe sweep
+# ---------------------------------------------------------------------------
+
+def test_probe_sweep_is_monotone_in_nprobe(spark, sf_dir):
+    """More probes can only ADD candidates, so per query both the
+    candidate count and the recall must be non-decreasing in nprobe,
+    and the sweep must actually spread (bigger nprobe finds more
+    somewhere on the fixture)."""
+    from mysql_streamer_spark.queries.similarity import (
+        PROBE_SWEEP,
+        TOP_K,
+        q_sim_ivf_probe_sweep,
+    )
+
+    rows = q_sim_ivf_probe_sweep(spark, sf_dir).collect()
+    by_q: dict[int, dict[int, object]] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, {})[r.n_probes] = r
+        assert r.recall_at_k == r.n_overlap / TOP_K
+    improved = False
+    for q, per_p in by_q.items():
+        assert set(per_p) == set(PROBE_SWEEP)
+        ordered = [per_p[p] for p in sorted(PROBE_SWEEP)]
+        for a, b in zip(ordered, ordered[1:]):
+            assert a.n_cands <= b.n_cands
+            assert a.n_overlap <= b.n_overlap
+            improved = improved or b.n_overlap > a.n_overlap
+    assert improved
+
+
+# ---------------------------------------------------------------------------
+# corpus novelty curve
+# ---------------------------------------------------------------------------
+
+def test_novelty_curve_accounting(spark, sf_dir):
+    """Doc 0 (nothing before it) must be fully novel; every doc's novel
+    types are bounded by its distinct types; and corpus-wide, novel
+    types sum to the number of distinct shingle types (each type is
+    novel exactly once)."""
+    from mysql_streamer_spark import text as tx
+    from mysql_streamer_spark.queries.textops import q_text_novelty_curve
+    from mysql_streamer_spark.tables import load_table
+
+    rows = {r.doc_id: r for r in q_text_novelty_curve(spark, sf_dir).collect()}
+    first_doc = min(rows)
+    assert rows[first_doc].novel_frac == 1.0
+    total_types = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("toks", tx.tokens_col("text"))
+        .select(F.explode(tx.shingles_col()).alias("g"))
+        .select(F.countDistinct("g"))
+        .collect()[0][0]
+    )
+    assert sum(r.n_novel_types for r in rows.values()) == total_types
+    for r in rows.values():
+        assert 0 <= r.n_novel_types <= r.n_types <= r.n_shingles
+        assert r.novel_frac == r.n_novel_types / r.n_types
+
+
+# ---------------------------------------------------------------------------
 # AMS F2 sketch
 # ---------------------------------------------------------------------------
 
