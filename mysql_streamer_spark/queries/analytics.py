@@ -2373,7 +2373,124 @@ SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events) AS n_users,
 """
 
 
+# ---------------------------------------------------------------------------
+# market-basket co-occurrence with lift (frequent-itemset pairs)
+# ---------------------------------------------------------------------------
+
+#: pairs reported by the basket analysis (deterministic tiebreak on ids)
+BASKET_TOP_K = 100
+
+
+def q_analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-pair co-occurrence with support and lift — the frequent-
+    itemset/association-rule primitive (the pair level of Apriori) over
+    lineitem baskets: which parts are ordered together more often than
+    their independent popularity predicts. ``lift`` follows the
+    integer-exact PMI trick from ``text_bigram_pmi``: one division of
+    exact integer cross-products (pair_n * n_orders) / (item_a * item_b),
+    so both engines emit the identical double with no float accumulation.
+
+    Scale shape: the per-order self-join shuffles BOTH sides on
+    l_orderkey once (co-partitioned equi-join) and its fanout is bounded
+    by basket size squared (TPC-H baskets are <= 7 items — at 100 TB the
+    pair stream is ~20x lineitem, still linear in rows); pair counts
+    hash-aggregate with map-side partials; the per-part popularity dim is
+    part-cardinality (AQE broadcasts it); the 1-row order count is a
+    broadcast cross; top-K is TakeOrderedAndProject, never a global
+    sort."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pair_counts = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("pair_n"))
+    )
+    item_counts = li.groupBy("l_partkey").agg(F.count("*").alias("item_n"))
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_orders")
+    )
+    scored = (
+        pair_counts.join(
+            item_counts.select(
+                F.col("l_partkey").alias("part_a"),
+                F.col("item_n").alias("n_orders_a"),
+            ),
+            "part_a",
+        )
+        .join(
+            item_counts.select(
+                F.col("l_partkey").alias("part_b"),
+                F.col("item_n").alias("n_orders_b"),
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_n",
+            "n_orders_a",
+            "n_orders_b",
+            (
+                F.col("pair_n").cast("double") / F.col("n_orders")
+            ).alias("support"),
+            (
+                (F.col("pair_n") * F.col("n_orders")).cast("double")
+                / (F.col("n_orders_a") * F.col("n_orders_b"))
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pair_n").desc(),
+        F.col("lift").desc(),
+        F.col("part_a").asc(),
+        F.col("part_b").asc(),
+    ).limit(BASKET_TOP_K)
+
+
+_MARKET_BASKET_ORACLE = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pair_counts AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS pair_n
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+), item_counts AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS item_n FROM li GROUP BY 1
+), n AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM li
+)
+SELECT part_a, part_b, pair_n,
+       ia.item_n AS n_orders_a, ib.item_n AS n_orders_b,
+       CAST(pair_n AS DOUBLE) / n_orders AS support,
+       CAST(pair_n * n_orders AS DOUBLE) / (ia.item_n * ib.item_n) AS lift
+FROM pair_counts
+JOIN item_counts ia ON part_a = ia.l_partkey
+JOIN item_counts ib ON part_b = ib.l_partkey
+CROSS JOIN n
+ORDER BY pair_n DESC, lift DESC, part_a ASC, part_b ASC
+LIMIT {BASKET_TOP_K}
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "analytics_market_basket",
+        q_analytics_market_basket,
+        _MARKET_BASKET_ORACLE,
+    ),
     QuerySpec("analytics_pricing_summary", q_analytics_pricing_summary, _PRICING_ORACLE),
     QuerySpec(
         "analytics_window_funnel", q_analytics_window_funnel, _WINDOW_FUNNEL_ORACLE

@@ -517,6 +517,174 @@ FROM est
 
 
 # ---------------------------------------------------------------------------
+# count-sketch (signed frequency sketch, unbiased median-of-rows estimate)
+# ---------------------------------------------------------------------------
+
+#: same grid geometry as the CMS so the two sketches are directly
+#: comparable on the fixture: 4 independent (sign, bucket) hash rows over
+#: 512 counters each.
+CS_DEPTH = 4
+CS_WIDTH = 512
+CS_TOP_K = 40
+
+
+def _cs_bucket_spark(j: int, key: str) -> "F.Column":
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"cs{j}:"), F.col(key).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CS_WIDTH
+    )
+
+
+def _cs_sign_spark(j: int, key: str) -> "F.Column":
+    parity = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(f"cs-sign{j}:"), F.col(key).cast("string"))
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    return F.lit(1) - F.lit(2) * parity
+
+
+def _cs_bucket_sql(j: str, key: str) -> str:
+    return (
+        f"CAST('0x' || substring(md5('cs' || CAST({j} AS VARCHAR) || ':' || "
+        f"CAST({key} AS VARCHAR)), 1, 8) AS BIGINT) % {CS_WIDTH}"
+    )
+
+
+def _cs_sign_sql(j: str, key: str) -> str:
+    return (
+        f"1 - 2 * (CAST('0x' || substring(md5('cs-sign' || "
+        f"CAST({j} AS VARCHAR) || ':' || CAST({key} AS VARCHAR)), 1, 1) "
+        f"AS BIGINT) % 2)"
+    )
+
+
+def q_sketch_count_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Sketch over per-user event counts, audited against exact
+    counts for the top-K heaviest users — the signed sibling of
+    ``sketch_cms_counts``. Where the CMS only ever overcounts (min over
+    unsigned rows), the Count-Sketch multiplies each update by a
+    +/-1 hash so colliding keys cancel in expectation, and the
+    median over depth rows is an UNBIASED estimate that can err in
+    either direction. That property is what makes it the sketch behind
+    heavy-hitter detection in adversarial/skewed streams and the
+    hashing-trick feature compressor (`pipeline_hashed_features` is the
+    learning-side cousin). The md5-derived (bucket, sign) rows make the
+    grid a pure function of the data, so the estimate is hash-checked
+    against DuckDB building the identical grid; ``err`` exposes the
+    signed deviation the CMS cannot represent. Median over an even
+    DEPTH=4 is the midpoint of the two central values in both engines —
+    exact .5 arithmetic on integer counters, no rounding hazard.
+
+    Scale shape: identical to the CMS — a DEPTH-way explode (map-only),
+    ONE fixed 2048-cell signed aggregate (map-side partials), exact
+    top-K true counts via hash-aggregate + TakeOrdered, then the K x
+    DEPTH probe side joins the grid. Shuffle volume is constant in user
+    cardinality; only the exact-count audit scales with rows."""
+    from mysql_streamer_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    rows = ev.withColumn(
+        "j", F.explode(F.array(*[F.lit(j) for j in range(CS_DEPTH)]))
+    )
+    bucket = F.lit(None).cast("long")
+    sign = F.lit(None).cast("long")
+    for j in range(CS_DEPTH):
+        bucket = F.when(
+            F.col("j") == j, _cs_bucket_spark(j, "user_id")
+        ).otherwise(bucket)
+        sign = F.when(F.col("j") == j, _cs_sign_spark(j, "user_id")).otherwise(
+            sign
+        )
+    counters = (
+        rows.withColumn("bucket", bucket)
+        .withColumn("s", sign)
+        .groupBy("j", "bucket")
+        .agg(F.sum("s").alias("c"))
+    )
+    true_counts = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("true_n"))
+        .orderBy(F.col("true_n").desc(), F.col("user_id").asc())
+        .limit(CS_TOP_K)
+    )
+    probes = true_counts.withColumn(
+        "j", F.explode(F.array(*[F.lit(j) for j in range(CS_DEPTH)]))
+    )
+    pbucket = F.lit(None).cast("long")
+    psign = F.lit(None).cast("long")
+    for j in range(CS_DEPTH):
+        pbucket = F.when(
+            F.col("j") == j, _cs_bucket_spark(j, "user_id")
+        ).otherwise(pbucket)
+        psign = F.when(
+            F.col("j") == j, _cs_sign_spark(j, "user_id")
+        ).otherwise(psign)
+    est = (
+        probes.withColumn("bucket", pbucket)
+        .withColumn("s", psign)
+        .join(counters, ["j", "bucket"])
+        .groupBy("user_id", "true_n")
+        .agg(F.median(F.col("s") * F.col("c")).alias("est_n"))
+    )
+    return est.select(
+        "user_id",
+        "true_n",
+        F.col("est_n").cast("double").alias("est_n"),
+        (F.col("est_n").cast("double") - F.col("true_n")).alias("err"),
+    )
+
+
+def _count_sketch_oracle() -> str:
+    js = ", ".join(str(j) for j in range(CS_DEPTH))
+    return f"""
+WITH ev AS (
+  SELECT user_id FROM events
+), r AS (
+  SELECT user_id, j FROM ev CROSS JOIN (SELECT unnest([{js}]) AS j) js
+), b AS (
+  SELECT j, {_cs_bucket_sql("j", "user_id")} AS bucket,
+         {_cs_sign_sql("j", "user_id")} AS s
+  FROM r
+), counters AS (
+  SELECT j, bucket, CAST(sum(s) AS BIGINT) AS c FROM b GROUP BY 1, 2
+), t AS (
+  SELECT user_id, count(*) AS true_n FROM ev GROUP BY 1
+  ORDER BY true_n DESC, user_id ASC LIMIT {CS_TOP_K}
+), kb AS (
+  SELECT user_id, true_n, j,
+         {_cs_bucket_sql("j", "user_id")} AS bucket,
+         {_cs_sign_sql("j", "user_id")} AS s
+  FROM t CROSS JOIN (SELECT unnest([{js}]) AS j) js
+), est AS (
+  SELECT user_id, true_n, median(s * c) AS est_n
+  FROM kb JOIN counters USING (j, bucket)
+  GROUP BY 1, 2
+)
+SELECT user_id, true_n, CAST(est_n AS DOUBLE) AS est_n,
+       CAST(est_n AS DOUBLE) - true_n AS err
+FROM est
+"""
+
+
+# ---------------------------------------------------------------------------
 # sketch_kmv_distinct — k-minimum-values distinct estimator + merge proof
 # ---------------------------------------------------------------------------
 
@@ -959,6 +1127,9 @@ SPECS = [
     QuerySpec("sketch_kmv_jaccard", q_sketch_kmv_jaccard, _KMV_JACCARD_ORACLE),
     QuerySpec("sketch_ams_f2", q_sketch_ams_f2, _ams_oracle()),
     QuerySpec("sketch_cms_counts", q_sketch_cms_counts, _cms_oracle()),
+    QuerySpec(
+        "sketch_count_sketch", q_sketch_count_sketch, _count_sketch_oracle()
+    ),
     QuerySpec("sketch_hll_merge", q_sketch_hll_merge, _HLL_MERGE_ORACLE),
     QuerySpec("sketch_hll_overlap", q_sketch_hll_overlap, _HLL_OVERLAP_ORACLE),
     QuerySpec(

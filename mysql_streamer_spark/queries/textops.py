@@ -1314,8 +1314,108 @@ FROM per_doc
 """
 
 
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth curve — corpus-level diminishing returns
+# ---------------------------------------------------------------------------
+
+#: number of equal-width doc_id checkpoints the growth curve is sampled at
+HEAPS_DECILES = 10
+
+
+def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law): cumulative distinct word
+    types vs cumulative tokens at ten doc_id checkpoints — the
+    corpus-level companion to ``text_novelty_curve`` (which is per-doc).
+    Data engineers read this curve to see whether a source's vocabulary
+    is still growing (worth ingesting) or saturated; ``type_token_ratio``
+    falling with the decile index is the Heaps/Herdan signature. All
+    cells are exact integers plus single divisions — no log fit, so the
+    curve itself is the hash-checked artifact (the exponent is a reader-
+    side regression over 10 points).
+
+    Scale shape: one min(doc_id)-per-word aggregate (map-side partials
+    over the token explode; only (word, doc_id) moves) and one per-doc
+    token count, each joined to a broadcast 10-row checkpoint frame
+    (non-equi `<=` by design, bounded fanout x10) and re-aggregated to
+     10 rows. No windows, no global sort, nothing driver-side."""
+    docs = _docs_with_tokens(spark, sf_dir).select(
+        "doc_id", "toks", F.size("toks").alias("n_tokens")
+    )
+    max_doc = docs.agg(F.max("doc_id").alias("m"))
+    cps = (
+        spark.range(1, HEAPS_DECILES + 1)
+        .withColumnRenamed("id", "decile")
+        .crossJoin(F.broadcast(max_doc))
+        .select(
+            "decile",
+            F.expr(f"(decile * m) div {HEAPS_DECILES}").alias("cutoff_doc"),
+        )
+    )
+    first_seen = (
+        docs.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    cum_types = (
+        first_seen.join(
+            F.broadcast(cps), F.col("first_doc") <= F.col("cutoff_doc")
+        )
+        .groupBy("decile", "cutoff_doc")
+        .agg(F.count("*").alias("cum_types"))
+    )
+    cum_tokens = (
+        docs.select("doc_id", "n_tokens")
+        .join(F.broadcast(cps), F.col("doc_id") <= F.col("cutoff_doc"))
+        .groupBy("decile", "cutoff_doc")
+        .agg(F.sum("n_tokens").alias("cum_tokens"))
+    )
+    return (
+        cum_tokens.join(cum_types, ["decile", "cutoff_doc"])
+        .select(
+            "decile",
+            "cutoff_doc",
+            "cum_tokens",
+            "cum_types",
+            (
+                F.col("cum_types").cast("double")
+                / F.col("cum_tokens").cast("double")
+            ).alias("type_token_ratio"),
+        )
+    )
+
+
+_HEAPS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {tx.tokens_sql("text")} AS toks FROM documents
+), docs AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens FROM tok
+), cps AS (
+  SELECT decile, (decile * (SELECT max(doc_id) FROM docs)) // {HEAPS_DECILES}
+           AS cutoff_doc
+  FROM (SELECT unnest(generate_series(1, {HEAPS_DECILES})) AS decile)
+), first_seen AS (
+  SELECT w, min(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest(toks) AS w FROM docs)
+  GROUP BY 1
+), cum_types AS (
+  SELECT decile, cutoff_doc, CAST(count(*) AS BIGINT) AS cum_types
+  FROM first_seen JOIN cps ON first_doc <= cutoff_doc
+  GROUP BY 1, 2
+), cum_tokens AS (
+  SELECT decile, cutoff_doc, CAST(sum(n_tokens) AS BIGINT) AS cum_tokens
+  FROM docs JOIN cps ON doc_id <= cutoff_doc
+  GROUP BY 1, 2
+)
+SELECT decile, cutoff_doc, cum_tokens, cum_types,
+       CAST(cum_types AS DOUBLE) / CAST(cum_tokens AS DOUBLE)
+         AS type_token_ratio
+FROM cum_tokens JOIN cum_types USING (decile, cutoff_doc)
+"""
+
+
 SPECS = [
     QuerySpec("text_token_stats", q_text_token_stats, _TOKEN_STATS_ORACLE),
+    QuerySpec("text_heaps_law", q_text_heaps_law, _HEAPS_ORACLE),
     QuerySpec(
         "text_lm_perplexity", q_text_lm_perplexity, _LM_PERPLEXITY_ORACLE
     ),

@@ -88,6 +88,11 @@ _BNLJ_OK = {
     "sketch_ams_f2",
     # four 1-row stage counts crossed into the single summary row
     "analytics_window_funnel",
+    # 1-row order-count scalar crossed onto the pair-count table
+    "analytics_market_basket",
+    # 1-row max-doc scalar + the 10-row checkpoint frame (non-equi `<=`
+    # cumulative joins by design, bounded fanout x10)
+    "text_heaps_law",
 }
 
 #: streaming roundtrips execute jobs at build time — plan-audited via their
@@ -224,6 +229,10 @@ _SINGLE_PARTITION_OK = {
     "sketch_kmv_jaccard",
     # two 1-row scalar aggregates (sketch fold + exact F2)
     "sketch_ams_f2",
+    # 1-row order-count scalar aggregate (support/lift denominator)
+    "analytics_market_basket",
+    # 1-row max-doc scalar aggregate feeding the 10-row checkpoint frame
+    "text_heaps_law",
 }
 
 

@@ -598,3 +598,144 @@ def test_shard_plan_conserves_and_audits(spark, sf_dir):
         assert r.overloaded == (
             r.total_chars * N_SHARDS > SHARD_SKEW_LIMIT * corpus_chars
         )
+
+
+# ---------------------------------------------------------------------------
+# Count-Sketch
+# ---------------------------------------------------------------------------
+
+def test_count_sketch_matches_reference_estimator(spark, sf_dir):
+    """The est_n for every audited user must equal the median over depth
+    rows of sign * counter computed independently in Python from the raw
+    events — and the estimator must actually err in BOTH directions
+    somewhere on the fixture (the property CMS cannot have)."""
+    import statistics
+
+    from mysql_streamer_spark.queries.sketches import (
+        CS_DEPTH,
+        CS_WIDTH,
+        q_sketch_count_sketch,
+    )
+
+    def bucket(j: int, u: int) -> int:
+        return int(
+            hashlib.md5(f"cs{j}:{u}".encode()).hexdigest()[:8], 16
+        ) % CS_WIDTH
+
+    def sign(j: int, u: int) -> int:
+        return 1 - 2 * (
+            int(hashlib.md5(f"cs-sign{j}:{u}".encode()).hexdigest()[:1], 16)
+            % 2
+        )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    counts: dict[int, int] = {}
+    for r in ev.select("user_id").collect():
+        counts[r.user_id] = counts.get(r.user_id, 0) + 1
+    grid = [[0] * CS_WIDTH for _ in range(CS_DEPTH)]
+    for u, n in counts.items():
+        for j in range(CS_DEPTH):
+            grid[j][bucket(j, u)] += sign(j, u) * n
+
+    rows = q_sketch_count_sketch(spark, sf_dir).collect()
+    assert rows
+    signs_of_err = set()
+    for r in rows:
+        expect = statistics.median(
+            sign(j, r.user_id) * grid[j][bucket(j, r.user_id)]
+            for j in range(CS_DEPTH)
+        )
+        assert r.true_n == counts[r.user_id]
+        assert r.est_n == float(expect)
+        assert r.err == r.est_n - r.true_n
+        if r.err:
+            signs_of_err.add(r.err > 0)
+    # the signed-cancellation property: error direction must match the
+    # Python reference exactly — on collision-free fixtures (sf0.001's 15
+    # users across 512 buckets) that means zero error everywhere, while a
+    # collided fixture must err in BOTH directions (the property the
+    # always-overcounting CMS cannot have)
+    expected_signs = set()
+    for u, n in counts.items():
+        med = statistics.median(
+            sign(j, u) * grid[j][bucket(j, u)] for j in range(CS_DEPTH)
+        )
+        if med != n:
+            expected_signs.add(med > n)
+    assert signs_of_err <= expected_signs
+    if not expected_signs:
+        assert not signs_of_err
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law growth curve
+# ---------------------------------------------------------------------------
+
+def test_heaps_curve_is_cumulative_and_exact(spark, sf_dir):
+    """Each decile's cum_tokens/cum_types must be non-decreasing, the
+    last decile must equal the exact corpus totals, and type_token_ratio
+    must fall from the first decile to the last (Heaps/Herdan
+    signature: vocabulary grows sub-linearly in tokens)."""
+    from mysql_streamer_spark import text as tx
+    from mysql_streamer_spark.queries.textops import (
+        HEAPS_DECILES,
+        q_text_heaps_law,
+    )
+    from mysql_streamer_spark.tables import load_table
+
+    rows = sorted(q_text_heaps_law(spark, sf_dir).collect(), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, HEAPS_DECILES + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert a.cutoff_doc <= b.cutoff_doc
+        assert a.cum_tokens <= b.cum_tokens
+        assert a.cum_types <= b.cum_types
+    toks = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", tx.tokens_col("text")
+    )
+    total_tokens, total_types = toks.select(
+        F.sum(F.size("toks")), F.size(F.array_distinct(F.flatten(F.collect_list("toks"))))
+    ).collect()[0]
+    assert rows[-1].cum_tokens == total_tokens
+    assert rows[-1].cum_types == total_types
+    assert rows[-1].type_token_ratio < rows[0].type_token_ratio
+
+
+# ---------------------------------------------------------------------------
+# Market basket
+# ---------------------------------------------------------------------------
+
+def test_market_basket_counts_and_lift(spark, sf_dir):
+    """Every reported pair's co-occurrence count must equal a Python
+    recount from raw lineitem, pair_n <= min(item counts), and lift must
+    be the exact rational pair_n*n_orders/(item_a*item_b)."""
+    from mysql_streamer_spark.queries.analytics import (
+        q_analytics_market_basket,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    baskets: dict[int, set[int]] = {}
+    for r in li.select("l_orderkey", "l_partkey").collect():
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    item: dict[int, int] = {}
+    pair: dict[tuple[int, int], int] = {}
+    for parts in baskets.values():
+        ordered = sorted(parts)
+        for p in ordered:
+            item[p] = item.get(p, 0) + 1
+        for i, p1 in enumerate(ordered):
+            for p2 in ordered[i + 1:]:
+                pair[(p1, p2)] = pair.get((p1, p2), 0) + 1
+    n_orders = len(baskets)
+
+    rows = q_analytics_market_basket(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        key = (r.part_a, r.part_b)
+        assert r.pair_n == pair[key]
+        assert r.n_orders_a == item[r.part_a]
+        assert r.n_orders_b == item[r.part_b]
+        assert r.pair_n <= min(r.n_orders_a, r.n_orders_b)
+        assert r.support == r.pair_n / n_orders
+        assert r.lift == (r.pair_n * n_orders) / (r.n_orders_a * r.n_orders_b)
+    top_n = max(p for p in pair.values())
+    assert rows[0].pair_n == top_n
