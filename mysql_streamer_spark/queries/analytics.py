@@ -2485,11 +2485,152 @@ LIMIT {BASKET_TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# iterative PageRank over the co-purchase graph (integer-exact)
+# ---------------------------------------------------------------------------
+
+#: fixed power-iteration count (data-independent, so both engines unroll
+#: the identical computation)
+PR_ITERS = 5
+#: micro-units per unit of rank mass — every rank is an exact BIGINT
+PR_SCALE = 10**12
+PR_TOP_K = 50
+
+
+def q_analytics_copurchase_pagerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PageRank over the part co-purchase graph — the iterative-algorithm
+    shape (power iteration) the rest of the registry lacks: a fixed
+    PR_ITERS-step loop where each step is one equi-join + one
+    hash-aggregate over the edge list. Ranks live in exact BIGINT
+    micro-units (PR_SCALE) with integer division at every step, so the
+    computation is bit-identical in both engines — no float accumulation,
+    no order sensitivity — while remaining a faithful damped PageRank
+    (quantization error <= 1 micro-unit per node per step).
+
+    Scale shape: the edge list builds once from an orderkey-co-partitioned
+    self-join (basket-size-bounded fanout) and persists; each iteration
+    shuffles only (node, contribution) pairs on dst — the canonical
+    Pregel-on-DataFrames plan (GraphX/GraphFrames compile to exactly
+    this). The rank vector is node-cardinality, never wider; top-K is
+    TakeOrdered. 5 iterations = 5 shuffles, independent of corpus size."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
+    )
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = deg.select(F.col("src").alias("part"), "deg").persist()
+    base = nodes.agg(
+        F.expr(f"{PR_SCALE} div count(*)").alias("base")
+    )
+    r = (
+        nodes.crossJoin(F.broadcast(base))
+        .select("part", F.col("base").alias("r"))
+    )
+    for _ in range(PR_ITERS):
+        contrib = r.join(
+            nodes.select(F.col("part"), "deg"), "part"
+        ).select(F.col("part").alias("src"), F.expr("r div deg").alias("c"))
+        sums = (
+            edges.join(contrib, "src")
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        r = (
+            nodes.select("part")
+            .crossJoin(F.broadcast(base))
+            .join(sums, F.col("part") == F.col("dst"), "left")
+            .select(
+                "part",
+                (
+                    F.expr("(15 * base) div 100")
+                    + F.expr("(85 * coalesce(s, 0L)) div 100")
+                ).alias("r"),
+            )
+        )
+    ranked = r.join(nodes, "part").select(
+        "part",
+        "deg",
+        F.col("r").alias("rank_micros"),
+        (F.col("r").cast("double") / PR_SCALE).alias("rank_frac"),
+    )
+    return ranked.orderBy(
+        F.col("rank_micros").desc(), F.col("part").asc()
+    ).limit(PR_TOP_K)
+
+
+def _pagerank_oracle() -> str:
+    iters = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        iters.append(
+            f"""r{i} AS (
+  SELECT nodes.part,
+         (15 * base) // 100
+           + (85 * COALESCE(s, 0)) // 100 AS r
+  FROM nodes CROSS JOIN base
+  LEFT JOIN (
+    SELECT dst AS part, CAST(sum({prev}.r // deg.deg) AS BIGINT) AS s
+    FROM edges
+    JOIN {prev} ON edges.src = {prev}.part
+    JOIN deg ON edges.src = deg.src
+    GROUP BY 1
+  ) sums ON nodes.part = sums.part
+)"""
+        )
+        prev = f"r{i}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey != b.l_partkey
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1
+), nodes AS (
+  SELECT src AS part, deg FROM deg
+), base AS (
+  SELECT {PR_SCALE} // count(*) AS base FROM nodes
+), r0 AS (
+  SELECT part, base AS r FROM nodes CROSS JOIN base
+),
+{chain}
+SELECT {prev}.part AS part, nodes.deg AS deg,
+       {prev}.r AS rank_micros,
+       CAST({prev}.r AS DOUBLE) / {PR_SCALE} AS rank_frac
+FROM {prev} JOIN nodes USING (part)
+ORDER BY rank_micros DESC, part ASC
+LIMIT {PR_TOP_K}
+"""
+
+
 SPECS = [
     QuerySpec(
         "analytics_market_basket",
         q_analytics_market_basket,
         _MARKET_BASKET_ORACLE,
+    ),
+    QuerySpec(
+        "analytics_copurchase_pagerank",
+        q_analytics_copurchase_pagerank,
+        _pagerank_oracle(),
     ),
     QuerySpec("analytics_pricing_summary", q_analytics_pricing_summary, _PRICING_ORACLE),
     QuerySpec(

@@ -685,6 +685,166 @@ FROM est
 
 
 # ---------------------------------------------------------------------------
+# Bloom-filter membership (semi-join pruning sketch, no-false-negatives)
+# ---------------------------------------------------------------------------
+
+#: bit-array size / hash count. 8192 bits over ~300 hot customers at
+#: sf0.01 gives a low-but-nonzero false-positive rate, so the FP audit
+#: column is exercised; BLOOM_K=5 is near-optimal for that load factor.
+BLOOM_M = 8192
+BLOOM_K = 5
+
+#: build-side predicate: the "hot customer" set the filter summarizes
+BLOOM_ACCTBAL_MIN = 7000.0
+
+
+def _bloom_pos_spark(i: int, key: str) -> "F.Column":
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(f"bloom{i}:"), F.col(key).cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % BLOOM_M
+    )
+
+
+def _bloom_pos_sql(i: str, key: str) -> str:
+    return (
+        f"CAST('0x' || substring(md5('bloom' || CAST({i} AS VARCHAR) || ':' "
+        f"|| CAST({key} AS VARCHAR)), 1, 8) AS BIGINT) % {BLOOM_M}"
+    )
+
+
+def q_sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning, audited per market segment: the
+    hot-customer set (acctbal above BLOOM_ACCTBAL_MIN) is summarized as
+    an M-bit array, then every ordering customer probes it, and the
+    result is compared to the exact semi-join. This is the sketch behind
+    Spark's own runtime bloom-filter join pruning (and every distributed
+    semi-join pushdown): the build side compresses to M bits broadcast
+    everywhere, the probe side never shuffles. The md5-derived positions
+    make the bit array a pure function of the data, so per-segment
+    probe/hit/false-positive counts are hash-checked against DuckDB
+    building the identical array; ``no_false_negatives`` states the Bloom
+    contract (a set bit can lie positive, never negative) as a literal
+    the oracle must agree on.
+
+    Scale shape: build side folds to <= M distinct positions (map-side
+    partials) and BROADCASTS; probe side is a K-way explode (map-only)
+    joined to that broadcast, then one segment-sized aggregate. Nothing
+    shuffles with customer cardinality except the exact-truth audit,
+    which is the point of comparison."""
+    from mysql_streamer_spark.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    hot = cust.filter(F.col("c_acctbal") > BLOOM_ACCTBAL_MIN).select(
+        "c_custkey"
+    )
+    bits = (
+        hot.withColumn(
+            "i", F.explode(F.array(*[F.lit(i) for i in range(BLOOM_K)]))
+        )
+        .select(_seeded_bloom_pos().alias("pos"))
+        .distinct()
+    )
+    probes = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    probe_pos = probes.withColumn(
+        "i", F.explode(F.array(*[F.lit(i) for i in range(BLOOM_K)]))
+    ).select("c_custkey", _seeded_bloom_pos().alias("pos"))
+    matched = (
+        probe_pos.join(F.broadcast(bits), "pos")
+        .groupBy("c_custkey")
+        .agg(F.count("*").alias("n_set"))
+    )
+    flags = (
+        probes.join(matched, "c_custkey", "left")
+        .withColumn(
+            "est_member", F.coalesce(F.col("n_set"), F.lit(0)) == BLOOM_K
+        )
+        .join(hot.withColumn("true_member", F.lit(True)), "c_custkey", "left")
+        .withColumn(
+            "true_member", F.coalesce(F.col("true_member"), F.lit(False))
+        )
+        .join(F.broadcast(cust.select("c_custkey", "c_mktsegment")), "c_custkey")
+    )
+    return flags.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_probes"),
+        F.sum(F.col("true_member").cast("long")).alias("n_true"),
+        F.sum(F.col("est_member").cast("long")).alias("n_est"),
+        F.sum(
+            (F.col("est_member") & ~F.col("true_member")).cast("long")
+        ).alias("n_false_pos"),
+        (
+            F.sum((F.col("true_member") & ~F.col("est_member")).cast("long"))
+            == 0
+        ).alias("no_false_negatives"),
+    )
+
+
+def _seeded_bloom_pos() -> "F.Column":
+    """Dispatch the per-seed position expression on the exploded i."""
+    pos = F.lit(None).cast("long")
+    for i in range(BLOOM_K):
+        pos = F.when(F.col("i") == i, _bloom_pos_spark(i, "c_custkey")).otherwise(
+            pos
+        )
+    return pos
+
+
+def _bloom_oracle() -> str:
+    seeds = ", ".join(str(i) for i in range(BLOOM_K))
+    return f"""
+WITH hot AS (
+  SELECT c_custkey FROM customer WHERE c_acctbal > {BLOOM_ACCTBAL_MIN}
+), bits AS (
+  SELECT DISTINCT {_bloom_pos_sql("i", "c_custkey")} AS pos
+  FROM hot CROSS JOIN (SELECT unnest([{seeds}]) AS i) seeds
+), probes AS (
+  SELECT DISTINCT o_custkey AS c_custkey FROM orders
+), probe_pos AS (
+  SELECT c_custkey, {_bloom_pos_sql("i", "c_custkey")} AS pos
+  FROM probes CROSS JOIN (SELECT unnest([{seeds}]) AS i) seeds
+), matched AS (
+  SELECT c_custkey, count(*) AS n_set
+  FROM probe_pos JOIN bits USING (pos)
+  GROUP BY 1
+), flags AS (
+  SELECT p.c_custkey,
+         COALESCE(m.n_set, 0) = {BLOOM_K} AS est_member,
+         h.c_custkey IS NOT NULL AS true_member,
+         c.c_mktsegment
+  FROM probes p
+  LEFT JOIN matched m ON p.c_custkey = m.c_custkey
+  LEFT JOIN hot h ON p.c_custkey = h.c_custkey
+  JOIN customer c ON p.c_custkey = c.c_custkey
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_probes,
+       CAST(sum(CASE WHEN true_member THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       CAST(sum(CASE WHEN est_member THEN 1 ELSE 0 END) AS BIGINT) AS n_est,
+       CAST(sum(CASE WHEN est_member AND NOT true_member THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_false_pos,
+       sum(CASE WHEN true_member AND NOT est_member THEN 1 ELSE 0 END) = 0
+         AS no_false_negatives
+FROM flags
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # sketch_kmv_distinct — k-minimum-values distinct estimator + merge proof
 # ---------------------------------------------------------------------------
 
@@ -1129,6 +1289,9 @@ SPECS = [
     QuerySpec("sketch_cms_counts", q_sketch_cms_counts, _cms_oracle()),
     QuerySpec(
         "sketch_count_sketch", q_sketch_count_sketch, _count_sketch_oracle()
+    ),
+    QuerySpec(
+        "sketch_bloom_membership", q_sketch_bloom_membership, _bloom_oracle()
     ),
     QuerySpec("sketch_hll_merge", q_sketch_hll_merge, _HLL_MERGE_ORACLE),
     QuerySpec("sketch_hll_overlap", q_sketch_hll_overlap, _HLL_OVERLAP_ORACLE),

@@ -93,6 +93,8 @@ _BNLJ_OK = {
     # 1-row max-doc scalar + the 10-row checkpoint frame (non-equi `<=`
     # cumulative joins by design, bounded fanout x10)
     "text_heaps_law",
+    # 1-row teleport-base scalar crossed onto the node set each iteration
+    "analytics_copurchase_pagerank",
 }
 
 #: streaming roundtrips execute jobs at build time — plan-audited via their
@@ -233,6 +235,8 @@ _SINGLE_PARTITION_OK = {
     "analytics_market_basket",
     # 1-row max-doc scalar aggregate feeding the 10-row checkpoint frame
     "text_heaps_law",
+    # 1-row teleport-base scalar aggregate (PR_SCALE div n)
+    "analytics_copurchase_pagerank",
 }
 
 

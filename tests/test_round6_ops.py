@@ -739,3 +739,119 @@ def test_market_basket_counts_and_lift(spark, sf_dir):
         assert r.lift == (r.pair_n * n_orders) / (r.n_orders_a * r.n_orders_b)
     top_n = max(p for p in pair.values())
     assert rows[0].pair_n == top_n
+
+
+# ---------------------------------------------------------------------------
+# Bloom membership
+# ---------------------------------------------------------------------------
+
+def test_bloom_membership_reference_and_contract(spark, sf_dir):
+    """Per-segment counts must match a Python re-simulation of the exact
+    same bit array, and the no-false-negative contract must hold by
+    construction (recomputed, not just echoed)."""
+    from mysql_streamer_spark.queries.sketches import (
+        BLOOM_ACCTBAL_MIN,
+        BLOOM_K,
+        BLOOM_M,
+        q_sketch_bloom_membership,
+    )
+
+    def positions(key: int) -> list[int]:
+        return [
+            int(hashlib.md5(f"bloom{i}:{key}".encode()).hexdigest()[:8], 16)
+            % BLOOM_M
+            for i in range(BLOOM_K)
+        ]
+
+    cust = {
+        r.c_custkey: (r.c_acctbal, r.c_mktsegment)
+        for r in spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    }
+    hot = {k for k, (bal, _) in cust.items() if bal > BLOOM_ACCTBAL_MIN}
+    bits = {p for k in hot for p in positions(k)}
+    probes = {
+        r.o_custkey
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .collect()
+    }
+    expect: dict[str, list[int]] = {}
+    for k in probes:
+        seg = cust[k][1]
+        est = all(p in bits for p in positions(k))
+        true = k in hot
+        agg = expect.setdefault(seg, [0, 0, 0, 0])
+        agg[0] += 1
+        agg[1] += true
+        agg[2] += est
+        agg[3] += est and not true
+        assert not (true and not est)  # Bloom contract, per key
+
+    rows = q_sketch_bloom_membership(spark, sf_dir).collect()
+    assert {r.c_mktsegment for r in rows} == set(expect)
+    for r in rows:
+        n, t, e, fp = expect[r.c_mktsegment]
+        assert (r.n_probes, r.n_true, r.n_est, r.n_false_pos) == (n, t, e, fp)
+        assert r.no_false_negatives
+
+
+# ---------------------------------------------------------------------------
+# co-purchase PageRank
+# ---------------------------------------------------------------------------
+
+def test_pagerank_matches_python_power_iteration(spark, sf_dir):
+    """The returned ranks must equal an exact integer power iteration in
+    Python over the same edge list (bit-for-bit — the integer-division
+    quantization is part of the spec), and total rank mass must stay
+    within n nodes x (1 micro-unit per division) of PR_SCALE."""
+    from mysql_streamer_spark.queries.analytics import (
+        PR_ITERS,
+        PR_SCALE,
+        q_analytics_copurchase_pagerank,
+    )
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets: dict[int, set[int]] = {}
+    for r in li:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    edges: set[tuple[int, int]] = set()
+    for parts in baskets.values():
+        for p1 in parts:
+            for p2 in parts:
+                if p1 != p2:
+                    edges.add((p1, p2))
+    out: dict[int, list[int]] = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    nodes = sorted(out)
+    n = len(nodes)
+    base = PR_SCALE // n
+    r = {u: base for u in nodes}
+    for _ in range(PR_ITERS):
+        sums = {u: 0 for u in nodes}
+        for s in nodes:
+            c = r[s] // len(out[s])
+            for d in out[s]:
+                sums[d] += c
+        r = {u: (15 * base) // 100 + (85 * sums[u]) // 100 for u in nodes}
+
+    rows = q_analytics_copurchase_pagerank(spark, sf_dir).collect()
+    assert rows
+    expect_top = sorted(nodes, key=lambda u: (-r[u], u))[: len(rows)]
+    assert [row.part for row in rows] == expect_top
+    for row in rows:
+        assert row.rank_micros == r[row.part]
+        assert row.deg == len(out[row.part])
+        assert row.rank_frac == row.rank_micros / PR_SCALE
+    # quantization loss per iteration: up to deg_u - 1 units per node in
+    # the contribution division plus 2 units per node in the 15/85 split,
+    # plus n units in the initial base truncation — mass only leaks DOWN
+    n_edges = len(edges)
+    max_loss = PR_ITERS * (n_edges + 2 * n) + n
+    assert PR_SCALE - max_loss <= sum(r.values()) <= PR_SCALE
