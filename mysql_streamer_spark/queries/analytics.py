@@ -2531,6 +2531,10 @@ def q_analytics_copurchase_pagerank(
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
+        # cache pre-partitioned on the per-iteration join key so every
+        # power step reads the cached layout instead of re-shuffling the
+        # (node-squared-bounded) edge list PR_ITERS times
+        .repartition("src")
         .persist()
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
