@@ -1949,8 +1949,123 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# sorted-neighborhood dedup — rank-adjacency blocking (Hernandez-Stolfo)
+# ---------------------------------------------------------------------------
+
+#: sliding-window size: each document meets its SNM_W - 1 predecessors in
+#: the normalized-key sort order
+SNM_W = 4
+#: normalized sort-key prefix length (chars)
+SNM_KEY_LEN = 40
+#: edit-distance-on-key threshold for calling a windowed pair a match
+SNM_MAX_DIST = 12
+
+
+def q_dedup_sorted_neighborhood(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sorted-neighborhood blocking: sort the corpus by a canonicalized
+    key, slide a width-SNM_W window over the sort order, and verify each
+    windowed pair with edit distance on the key prefix — the classic
+    record-linkage alternative to hash blocking (LSH meets docs that
+    agree on a band; SNM meets docs that are merely CLOSE in sort order,
+    catching near-misses hashing scatters). One row per windowed pair
+    with the rank gap, key distance, and match verdict.
+
+    Scale shape (rank without a global window): repartitionByRange on the
+    key gives ordered non-overlapping partitions; the global rank is a
+    parallel per-partition row_number plus broadcast cumulative offsets
+    (the zipWithIndex pattern, #partitions-row frame only). Window pairs
+    form by an EQUI-join on rank after a map-only (SNM_W - 1)-way explode
+    — no non-equi range join, no boundary loss at partition edges, and
+    only (doc_id, rank, SNM_KEY_LEN-char key) triples shuffle, never
+    text. Pair volume is exactly n * (SNM_W - 1) — linear by
+    construction, the whole point of SNM blocking."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", ""),
+            1,
+            SNM_KEY_LEN,
+        ).alias("key"),
+    )
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    parts = (
+        docs.repartitionByRange(
+            nparts, F.col("key").asc(), F.col("doc_id").asc()
+        )
+        .withColumn("pid", F.spark_partition_id())
+        # range boundaries are sampled per computation; persist so the
+        # count branch and the rank branch agree on them
+        .persist()
+    )
+    counts = parts.groupBy("pid").agg(F.count("*").alias("cnt"))
+    w_prior = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "pid",
+        F.coalesce(F.sum("cnt").over(w_prior), F.lit(0)).alias("offset"),
+    )
+    w_local = Window.partitionBy("pid").orderBy(
+        F.col("key").asc(), F.col("doc_id").asc()
+    )
+    ranked = (
+        parts.withColumn("lr", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "pid")
+        .select("doc_id", "key", (F.col("offset") + F.col("lr")).alias("r"))
+        .persist()
+    )
+    probe = ranked.withColumn(
+        "gap",
+        F.explode(F.array(*[F.lit(i).cast("long") for i in range(1, SNM_W)])),
+    ).select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("key").alias("key_b"),
+        (F.col("r") - F.col("gap")).alias("ra"),
+        "gap",
+    )
+    pairs = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("key").alias("key_a"),
+        F.col("r").alias("ra"),
+    ).join(probe, "ra")
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "gap",
+        F.levenshtein("key_a", "key_b").cast("long").alias("key_dist"),
+        (F.levenshtein("key_a", "key_b") <= SNM_MAX_DIST).alias("is_match"),
+    )
+
+
+_SORTED_NEIGHBORHOOD_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         substring(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'),
+                   1, {SNM_KEY_LEN}) AS key
+  FROM documents
+), ranked AS (
+  SELECT doc_id, key, row_number() OVER (ORDER BY key, doc_id) AS r
+  FROM keyed
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       b.r - a.r AS gap,
+       CAST(levenshtein(a.key, b.key) AS BIGINT) AS key_dist,
+       levenshtein(a.key, b.key) <= {SNM_MAX_DIST} AS is_match
+FROM ranked a
+JOIN ranked b ON b.r - a.r BETWEEN 1 AND {SNM_W - 1}
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact", q_dedup_exact, _EXACT_ORACLE),
+    QuerySpec(
+        "dedup_sorted_neighborhood",
+        q_dedup_sorted_neighborhood,
+        _SORTED_NEIGHBORHOOD_ORACLE,
+    ),
     QuerySpec("dedup_normalized", q_dedup_normalized, _NORMALIZED_ORACLE),
     QuerySpec("dedup_cdc_chunks", q_dedup_cdc_chunks, _CDC_CHUNKS_ORACLE),
     QuerySpec(

@@ -205,6 +205,7 @@ _SINGLE_PARTITION_OK = {
     # cumulative offsets over the #shuffle-partitions-row count frame
     # (the zipWithIndex pattern; the corpus rank itself is partitioned)
     "pipeline_curriculum_order",
+    "dedup_sorted_neighborhood",
     # singleton windows over the L-row language dimension only
     "pipeline_unimax_budget",
     # 1-row domain-stats + the one-row summary report
@@ -264,6 +265,7 @@ _UNPARTITIONED_WINDOW_OK = {
     # cumulative offsets over the #shuffle-partitions-row count frame
     # (the zipWithIndex pattern; the corpus rank itself is partitioned)
     "pipeline_curriculum_order",
+    "dedup_sorted_neighborhood",
     # waterfilling iterations over the L-row language dimension
     "pipeline_unimax_budget",
     # rolling frame over the one-row-per-day aggregate dimension

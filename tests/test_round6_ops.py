@@ -855,3 +855,54 @@ def test_pagerank_matches_python_power_iteration(spark, sf_dir):
     n_edges = len(edges)
     max_loss = PR_ITERS * (n_edges + 2 * n) + n
     assert PR_SCALE - max_loss <= sum(r.values()) <= PR_SCALE
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood dedup
+# ---------------------------------------------------------------------------
+
+def test_sorted_neighborhood_matches_python_resim(spark, sf_dir):
+    """Pairs must equal a Python re-simulation of the exact sort order:
+    every document meets exactly its SNM_W - 1 predecessors (no boundary
+    loss at range-partition edges), gaps are exact rank deltas, and the
+    match verdict re-derives from an independent edit distance."""
+    from mysql_streamer_spark.queries.dedup import (
+        SNM_KEY_LEN,
+        SNM_MAX_DIST,
+        SNM_W,
+        q_dedup_sorted_neighborhood,
+    )
+
+    import re
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    keyed = sorted(
+        (re.sub(r"[^a-z0-9]+", "", r.text.lower())[:SNM_KEY_LEN], r.doc_id)
+        for r in docs
+    )
+    expect = {}
+    for idx_b in range(len(keyed)):
+        for gap in range(1, SNM_W):
+            idx_a = idx_b - gap
+            if idx_a < 0:
+                continue
+            d = lev(keyed[idx_a][0], keyed[idx_b][0])
+            expect[(keyed[idx_a][1], keyed[idx_b][1])] = (
+                gap, d, d <= SNM_MAX_DIST
+            )
+
+    rows = q_dedup_sorted_neighborhood(spark, sf_dir).collect()
+    assert len(rows) == len(expect)  # exactly n*(W-1) minus the head ramp
+    for r in rows:
+        assert (r.gap, r.key_dist, r.is_match) == expect[(r.doc_a, r.doc_b)]
