@@ -2145,8 +2145,160 @@ FROM per_shard CROSS JOIN totals
 """
 
 
+# ---------------------------------------------------------------------------
+# PPS systematic sampling — probability-proportional-to-size draws
+# ---------------------------------------------------------------------------
+
+#: target number of systematic sample points over the char-mass line
+PPS_N_SAMPLE = 64
+
+
+def q_pipeline_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS (probability-proportional-to-size) sampling: lay
+    every document's char mass end-to-end in a deterministic md5 order,
+    then take one pick every ``stride = total div N`` chars starting at
+    ``stride div 2`` — the textbook weighted sampler mixture construction
+    uses when draws must be reproducible and big documents must be
+    drawable more than once (a doc spanning k sample points yields
+    multiplicity k). Output is the per-source audit: corpus char share vs
+    realized pick share, which systematic sampling keeps within one pick
+    per contiguous run by construction.
+
+    Scale shape: the global running char total uses the zipWithIndex
+    pattern (repartitionByRange on the md5 key -> per-partition cumsum +
+    broadcast per-partition offsets; the only unpartitioned frame is the
+    #partitions-row offset table). Pick multiplicity is closed-form from
+    (cum_before, cum_after] — no sample-point table is ever materialized,
+    and only (doc_id, source, two longs) move. All arithmetic is BIGINT
+    with positive operands, so Spark ``div`` and DuckDB ``//`` agree."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("w"),
+        F.md5(F.col("doc_id").cast("string")).alias("key"),
+    )
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    parts = (
+        docs.repartitionByRange(
+            nparts, F.col("key").asc(), F.col("doc_id").asc()
+        )
+        .withColumn("pid", F.spark_partition_id())
+        # range boundaries are sampled per computation; persist so the
+        # offset branch and the cumsum branch agree on them
+        .persist()
+    )
+    psums = parts.groupBy("pid").agg(F.sum("w").alias("cnt"))
+    w_prior = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = psums.select(
+        "pid",
+        F.coalesce(F.sum("cnt").over(w_prior), F.lit(0)).alias("offset"),
+    )
+    total = docs.agg(F.sum("w").alias("total"))
+    w_local = Window.partitionBy("pid").orderBy(
+        F.col("key").asc(), F.col("doc_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    laid = (
+        parts.withColumn("lcum", F.sum("w").over(w_local))
+        .join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn("stride", F.expr(f"total div {PPS_N_SAMPLE}"))
+        .withColumn("cum_after", F.col("offset") + F.col("lcum"))
+        .withColumn("cum_before", F.col("cum_after") - F.col("w"))
+        # picks land at (stride div 2) + k*stride; count of points in
+        # (cum_before, cum_after] — the +stride bias keeps every div
+        # operand positive so truncation == floor in both engines
+        .withColumn(
+            "n_picks",
+            F.expr(
+                "(cum_after + stride - (stride div 2)) div stride"
+                " - (cum_before + stride - (stride div 2)) div stride"
+            ),
+        )
+    )
+    per_source = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+        )
+    )
+    picked = (
+        laid.filter(F.col("n_picks") > 0)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_sampled_docs"),
+            F.sum("n_picks").alias("n_picks"),
+        )
+    )
+    return (
+        per_source.join(picked, "source", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            (
+                F.col("total_chars").cast("double")
+                / F.col("total").cast("double")
+            ).alias("char_share"),
+            F.coalesce(F.col("n_sampled_docs"), F.lit(0)).alias(
+                "n_sampled_docs"
+            ),
+            F.coalesce(F.col("n_picks"), F.lit(0)).alias("n_picks"),
+            (
+                F.coalesce(F.col("n_picks"), F.lit(0)).cast("double")
+                / F.lit(float(PPS_N_SAMPLE))
+            ).alias("pick_share"),
+        )
+    )
+
+
+_PPS_SAMPLE_ORACLE = f"""
+WITH laid AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+         sum(CAST(n_chars AS BIGINT)) OVER (
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS cum_after
+  FROM documents
+), totals AS (
+  SELECT CAST(sum(n_chars) AS BIGINT) AS total,
+         CAST(sum(n_chars) AS BIGINT) // {PPS_N_SAMPLE} AS stride
+  FROM documents
+), picks AS (
+  SELECT source,
+         (cum_after + stride - (stride // 2)) // stride
+           - (cum_after - w + stride - (stride // 2)) // stride AS n_picks
+  FROM laid CROSS JOIN totals
+), per_source AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM documents GROUP BY 1
+), picked AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_sampled_docs,
+         CAST(sum(n_picks) AS BIGINT) AS n_picks
+  FROM picks WHERE n_picks > 0 GROUP BY 1
+)
+SELECT s.source, s.n_docs, s.total_chars,
+       CAST(s.total_chars AS DOUBLE) / CAST(t.total AS DOUBLE)
+         AS char_share,
+       COALESCE(p.n_sampled_docs, 0) AS n_sampled_docs,
+       COALESCE(p.n_picks, 0) AS n_picks,
+       CAST(COALESCE(p.n_picks, 0) AS DOUBLE) / {float(PPS_N_SAMPLE)}
+         AS pick_share
+FROM per_source s
+LEFT JOIN picked p ON s.source = p.source
+CROSS JOIN totals t
+"""
+
+
 SPECS = [
     QuerySpec("pipeline_shard_plan", q_pipeline_shard_plan, _SHARD_PLAN_ORACLE),
+    QuerySpec(
+        "pipeline_pps_sample", q_pipeline_pps_sample, _PPS_SAMPLE_ORACLE
+    ),
     QuerySpec("pipeline_bpe_merges", q_pipeline_bpe_merges, _BPE_MERGES_ORACLE),
     QuerySpec("pipeline_score_auc", q_pipeline_score_auc, _SCORE_AUC_ORACLE),
     QuerySpec(

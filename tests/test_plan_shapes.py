@@ -206,6 +206,7 @@ _SINGLE_PARTITION_OK = {
     # (the zipWithIndex pattern; the corpus rank itself is partitioned)
     "pipeline_curriculum_order",
     "dedup_sorted_neighborhood",
+    "pipeline_pps_sample",
     # singleton windows over the L-row language dimension only
     "pipeline_unimax_budget",
     # 1-row domain-stats + the one-row summary report
@@ -266,6 +267,7 @@ _UNPARTITIONED_WINDOW_OK = {
     # (the zipWithIndex pattern; the corpus rank itself is partitioned)
     "pipeline_curriculum_order",
     "dedup_sorted_neighborhood",
+    "pipeline_pps_sample",
     # waterfilling iterations over the L-row language dimension
     "pipeline_unimax_budget",
     # rolling frame over the one-row-per-day aggregate dimension

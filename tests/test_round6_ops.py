@@ -906,3 +906,48 @@ def test_sorted_neighborhood_matches_python_resim(spark, sf_dir):
     assert len(rows) == len(expect)  # exactly n*(W-1) minus the head ramp
     for r in rows:
         assert (r.gap, r.key_dist, r.is_match) == expect[(r.doc_a, r.doc_b)]
+
+
+# ---------------------------------------------------------------------------
+# PPS systematic sample
+# ---------------------------------------------------------------------------
+
+def test_pps_sample_matches_python_resim(spark, sf_dir):
+    """Per-source pick counts must equal an exact Python re-simulation of
+    the systematic sweep, the total pick count must be N or N+1 (the
+    stride-truncation tail point), and per-doc multiplicity must respect
+    the w/stride + 1 systematic bound."""
+    from mysql_streamer_spark.queries.pipeline import (
+        PPS_N_SAMPLE,
+        q_pipeline_pps_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    laid = sorted(
+        (hashlib.md5(str(r.doc_id).encode()).hexdigest(), r.doc_id,
+         r.source, r.n_chars)
+        for r in docs
+    )
+    total = sum(r.n_chars for r in docs)
+    stride = total // PPS_N_SAMPLE
+    off = stride // 2
+    expect: dict[str, list[int]] = {}
+    cum = 0
+    total_picks = 0
+    for _, _, source, w in laid:
+        before, cum = cum, cum + w
+        n = (cum + stride - off) // stride - (before + stride - off) // stride
+        assert n <= w // stride + 1
+        total_picks += n
+        agg = expect.setdefault(source, [0, 0])
+        if n > 0:
+            agg[0] += 1
+            agg[1] += n
+    assert total_picks in (PPS_N_SAMPLE, PPS_N_SAMPLE + 1)
+
+    rows = q_pipeline_pps_sample(spark, sf_dir).collect()
+    assert sum(r.n_picks for r in rows) == total_picks
+    for r in rows:
+        n_sampled, n_picks = expect.get(r.source, [0, 0])
+        assert (r.n_sampled_docs, r.n_picks) == (n_sampled, n_picks)
+        assert r.pick_share == r.n_picks / PPS_N_SAMPLE
