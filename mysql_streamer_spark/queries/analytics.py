@@ -2539,8 +2539,10 @@ def q_analytics_copurchase_pagerank(
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = deg.select(F.col("src").alias("part"), "deg").persist()
+    # greatest(.., 1) only guards the empty-graph edge case (ANSI div by
+    # zero); on any non-empty graph it is exactly count(*)
     base = nodes.agg(
-        F.expr(f"{PR_SCALE} div count(*)").alias("base")
+        F.expr(f"{PR_SCALE} div greatest(count(*), 1)").alias("base")
     )
     r = (
         nodes.crossJoin(F.broadcast(base))

@@ -95,6 +95,8 @@ _BNLJ_OK = {
     "text_heaps_law",
     # 1-row teleport-base scalar crossed onto the node set each iteration
     "analytics_copurchase_pagerank",
+    # 1-row char-total/stride scalar crossed onto the laid-out corpus
+    "pipeline_pps_sample",
 }
 
 #: streaming roundtrips execute jobs at build time — plan-audited via their
