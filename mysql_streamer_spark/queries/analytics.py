@@ -2627,6 +2627,117 @@ LIMIT {PR_TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# join-key skew diagnostics — the report that justifies salting decisions
+# ---------------------------------------------------------------------------
+
+#: a key column is flagged as a skew-join candidate when its hottest key
+#: holds more than this many x its fair share of rows (AQE's skewed-
+#: partition factor is 5x the median; share_x_keys is the key-level analog)
+SKEW_FACTOR = 5.0
+
+
+def q_analytics_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution skew profile for the join keys every big shuffle
+    in this engine hashes on: rows, distinct keys, hottest-key frequency
+    and share, Herfindahl concentration, and the effective key count
+    n_rows^2 / sum(freq^2) (the inverse-HHI 'how many keys does the
+    shuffle REALLY spread over'). share_x_keys = max_share * n_keys is
+    the hot key's multiple of its fair share — the number to compare
+    against AQE's skew factor when deciding between AQE skew-split and
+    explicit salting (``skew.py``).
+
+    Scale shape: one hash-aggregate per key column (map-side partials),
+    then a second aggregate over the freq dimension — freq tables never
+    leave the executors, and the report is one row per audited column.
+    All concentration math is exact-integer sums with one final IEEE
+    division (sum(freq^2) fits BIGINT while n_rows < 3e9)."""
+    audited = [
+        ("orders", "o_custkey"),
+        ("lineitem", "l_partkey"),
+        ("lineitem", "l_suppkey"),
+        ("events", "user_id"),
+    ]
+    outs = []
+    for table, col in audited:
+        freq = (
+            load_table(spark, sf_dir, table)
+            .groupBy(F.col(col).cast("long").alias("k"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        outs.append(
+            freq.agg(
+                F.sum("cnt").alias("n_rows"),
+                F.count("*").alias("n_keys"),
+                F.max("cnt").alias("max_freq"),
+                F.sum(F.col("cnt") * F.col("cnt")).alias("sum_sq"),
+            ).select(F.lit(f"{table}.{col}").alias("entity"), "*")
+        )
+    report = outs[0]
+    for o in outs[1:]:
+        report = report.unionByName(o)
+    return report.select(
+        "entity",
+        "n_rows",
+        "n_keys",
+        "max_freq",
+        (
+            F.col("max_freq").cast("double") / F.col("n_rows").cast("double")
+        ).alias("max_share"),
+        (
+            F.col("sum_sq").cast("double")
+            / (F.col("n_rows") * F.col("n_rows")).cast("double")
+        ).alias("hhi"),
+        (
+            (F.col("n_rows") * F.col("n_rows")).cast("double")
+            / F.col("sum_sq").cast("double")
+        ).alias("effective_keys"),
+        (
+            F.col("max_freq").cast("double")
+            * F.col("n_keys").cast("double")
+            / F.col("n_rows").cast("double")
+        ).alias("share_x_keys"),
+        (
+            F.col("max_freq").cast("double") * F.col("n_keys").cast("double")
+            > F.lit(SKEW_FACTOR) * F.col("n_rows").cast("double")
+        ).alias("skew_join_candidate"),
+    )
+
+
+_SKEW_PROFILE_ORACLE = f"""
+WITH freqs AS (
+  SELECT 'orders.o_custkey' AS entity, CAST(o_custkey AS BIGINT) AS k,
+         count(*) AS cnt FROM orders GROUP BY 2
+  UNION ALL
+  SELECT 'lineitem.l_partkey', CAST(l_partkey AS BIGINT), count(*)
+  FROM lineitem GROUP BY 2
+  UNION ALL
+  SELECT 'lineitem.l_suppkey', CAST(l_suppkey AS BIGINT), count(*)
+  FROM lineitem GROUP BY 2
+  UNION ALL
+  SELECT 'events.user_id', CAST(user_id AS BIGINT), count(*)
+  FROM events GROUP BY 2
+), agg AS (
+  SELECT entity,
+         CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(max(cnt) AS BIGINT) AS max_freq,
+         CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq
+  FROM freqs GROUP BY 1
+)
+SELECT entity, n_rows, n_keys, max_freq,
+       CAST(max_freq AS DOUBLE) / CAST(n_rows AS DOUBLE) AS max_share,
+       CAST(sum_sq AS DOUBLE) / CAST(n_rows * n_rows AS DOUBLE) AS hhi,
+       CAST(n_rows * n_rows AS DOUBLE) / CAST(sum_sq AS DOUBLE)
+         AS effective_keys,
+       CAST(max_freq AS DOUBLE) * CAST(n_keys AS DOUBLE)
+         / CAST(n_rows AS DOUBLE) AS share_x_keys,
+       CAST(max_freq AS DOUBLE) * CAST(n_keys AS DOUBLE)
+         > {SKEW_FACTOR} * CAST(n_rows AS DOUBLE) AS skew_join_candidate
+FROM agg
+"""
+
+
 SPECS = [
     QuerySpec(
         "analytics_market_basket",
@@ -2637,6 +2748,9 @@ SPECS = [
         "analytics_copurchase_pagerank",
         q_analytics_copurchase_pagerank,
         _pagerank_oracle(),
+    ),
+    QuerySpec(
+        "analytics_skew_profile", q_analytics_skew_profile, _SKEW_PROFILE_ORACLE
     ),
     QuerySpec("analytics_pricing_summary", q_analytics_pricing_summary, _PRICING_ORACLE),
     QuerySpec(

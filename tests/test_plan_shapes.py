@@ -215,6 +215,9 @@ _SINGLE_PARTITION_OK = {
     "analytics_file_skipping",
     # per-tier scalar aggregates + the 1-row corpus-total frame
     "dedup_budget_report",
+    # four per-column scalar aggregates over the freq dimension (map-side
+    # partials) unioned into the 4-row skew report
+    "analytics_skew_profile",
     # 1-row domain stats + the two-row layout summary
     "analytics_layout_compare",
     # 1-row corpus-total scalar aggregate (bigram mass)

@@ -951,3 +951,48 @@ def test_pps_sample_matches_python_resim(spark, sf_dir):
         n_sampled, n_picks = expect.get(r.source, [0, 0])
         assert (r.n_sampled_docs, r.n_picks) == (n_sampled, n_picks)
         assert r.pick_share == r.n_picks / PPS_N_SAMPLE
+
+
+# ---------------------------------------------------------------------------
+# join-key skew profile
+# ---------------------------------------------------------------------------
+
+def test_skew_profile_matches_python_recount(spark, sf_dir):
+    """Every concentration number must equal an exact Python recount of
+    the key frequencies, and the derived columns must be consistent
+    (effective_keys * hhi == 1 exactly in IEEE terms of its definition)."""
+    from collections import Counter
+
+    from mysql_streamer_spark.queries.analytics import (
+        SKEW_FACTOR,
+        q_analytics_skew_profile,
+    )
+
+    audited = {
+        "orders.o_custkey": ("orders", "o_custkey"),
+        "lineitem.l_partkey": ("lineitem", "l_partkey"),
+        "lineitem.l_suppkey": ("lineitem", "l_suppkey"),
+        "events.user_id": ("events", "user_id"),
+    }
+    rows = q_analytics_skew_profile(spark, sf_dir).collect()
+    assert {r.entity for r in rows} == set(audited)
+    for r in rows:
+        table, col = audited[r.entity]
+        freqs = Counter(
+            x[0]
+            for x in spark.read.parquet(f"{sf_dir}/{table}.parquet")
+            .select(col)
+            .collect()
+        )
+        n_rows = sum(freqs.values())
+        sum_sq = sum(c * c for c in freqs.values())
+        assert (r.n_rows, r.n_keys, r.max_freq) == (
+            n_rows, len(freqs), max(freqs.values())
+        )
+        assert r.max_share == max(freqs.values()) / n_rows
+        assert r.hhi == sum_sq / (n_rows * n_rows)
+        assert r.effective_keys == (n_rows * n_rows) / sum_sq
+        assert r.share_x_keys == max(freqs.values()) * len(freqs) / n_rows
+        assert r.skew_join_candidate == (
+            max(freqs.values()) * len(freqs) > SKEW_FACTOR * n_rows
+        )
