@@ -2531,10 +2531,6 @@ def q_analytics_copurchase_pagerank(
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
-        # cache pre-partitioned on the per-iteration join key so every
-        # power step reads the cached layout instead of re-shuffling the
-        # (node-squared-bounded) edge list PR_ITERS times
-        .repartition("src")
         .persist()
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
@@ -2544,32 +2540,42 @@ def q_analytics_copurchase_pagerank(
     base = nodes.agg(
         F.expr(f"{PR_SCALE} div greatest(count(*), 1)").alias("base")
     )
+    # the rank frame carries deg alongside r: contributions derive map-side
+    # from the frame itself, and neither the per-iteration deg lookup nor
+    # the final re-join against nodes exists (one fewer join per power
+    # step — measured ~25% of the wall at sf0.1 pre-r7)
     r = (
         nodes.crossJoin(F.broadcast(base))
-        .select("part", F.col("base").alias("r"))
+        .select("part", "deg", F.col("base").alias("r"))
     )
     for _ in range(PR_ITERS):
-        contrib = r.join(
-            nodes.select(F.col("part"), "deg"), "part"
-        ).select(F.col("part").alias("src"), F.expr("r div deg").alias("c"))
+        contrib = r.select(
+            F.col("part").alias("src"), F.expr("r div deg").alias("c")
+        )
+        # contrib and sums are node-cardinality (the PART dimension, not
+        # the fact table) — broadcasting them keeps the cached edge list
+        # un-shuffled and leaves ONE shuffle per power step (the map-side
+        # partially-aggregated groupBy dst). At node counts past the
+        # broadcast threshold, drop the hints and AQE falls back to the
+        # shuffle plan with runtime sizes — the shape stays valid.
         sums = (
-            edges.join(contrib, "src")
+            edges.join(F.broadcast(contrib), "src")
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
         r = (
-            nodes.select("part")
-            .crossJoin(F.broadcast(base))
-            .join(sums, F.col("part") == F.col("dst"), "left")
+            nodes.crossJoin(F.broadcast(base))
+            .join(F.broadcast(sums), F.col("part") == F.col("dst"), "left")
             .select(
                 "part",
+                "deg",
                 (
                     F.expr("(15 * base) div 100")
                     + F.expr("(85 * coalesce(s, 0L)) div 100")
                 ).alias("r"),
             )
         )
-    ranked = r.join(nodes, "part").select(
+    ranked = r.select(
         "part",
         "deg",
         F.col("r").alias("rank_micros"),

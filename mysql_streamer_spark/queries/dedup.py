@@ -157,10 +157,16 @@ def _bands_sql_cte() -> str:
     return f", bands AS ({selects})"
 
 
-def lsh_bands(docs: DataFrame, pre_shingled: bool = False) -> DataFrame:
+def lsh_bands(
+    docs: DataFrame, pre_shingled: bool = False, pre_signed: bool = False
+) -> DataFrame:
     """(doc_id, band_id, band_hash): the LSH bucket keys — the unit that
-    gets shuffled, tiny and fixed-width regardless of document size."""
-    sig = _with_signature(docs, pre_shingled)
+    gets shuffled, tiny and fixed-width regardless of document size.
+
+    ``pre_signed`` means ``docs`` already carries sig_0..sig_{H-1} (e.g. a
+    persisted signature table): band keys derive from the cached columns
+    instead of re-running the shingle→hash→slice-min pipeline."""
+    sig = docs if pre_signed else _with_signature(docs, pre_shingled)
     stack_args = ", ".join(f"{b}, band_{b}" for b in range(BANDS))
     for b in range(BANDS):
         sig = sig.withColumn(f"band_{b}", _band_hash_col(b))
@@ -188,6 +194,7 @@ def minhash_candidate_pairs(
     docs: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
     pre_shingled: bool = False,
+    pre_signed: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs (doc_a < doc_b, jaccard >= threshold).
 
@@ -201,7 +208,7 @@ def minhash_candidate_pairs(
     # (band keys + both sides of the Jaccard join). Materialize it once —
     # the in-session form of what a production pipeline does by writing
     # the signature/shingle table before pair generation.
-    if pre_shingled:
+    if pre_shingled or pre_signed:
         shingled = docs
     else:
         shingled = (
@@ -212,7 +219,7 @@ def minhash_candidate_pairs(
             .select("doc_id", "shingles")
             .persist()
         )
-    bands = lsh_bands(shingled, pre_shingled=True)
+    bands = lsh_bands(shingled, pre_shingled=True, pre_signed=pre_signed)
     buckets = (
         bands.groupBy("band_id", "band_hash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -231,9 +238,14 @@ def minhash_candidate_pairs(
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    shingle_sets = shingled.select(
-        "doc_id", F.array_distinct("shingles").alias("sset")
-    )
+    # a caller that already carries a distinct shingle set (column `sset`)
+    # skips the two array_distinct passes over the cached arrays
+    if "sset" in shingled.columns:
+        shingle_sets = shingled.select("doc_id", "sset")
+    else:
+        shingle_sets = shingled.select(
+            "doc_id", F.array_distinct("shingles").alias("sset")
+        )
     inter = F.size(F.array_intersect("sa.sset", "sb.sset"))
     union = F.size(F.array_union("sa.sset", "sb.sset"))
     return (
@@ -1307,20 +1319,26 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to minhash_candidate_pairs (the signature table
     is computed once and persisted; pairs generate in-bucket, id-only)
     plus one extra join of the fixed-width signature row per pair — no new
-    shuffle of document content."""
+    shuffle of document content.
+
+    The persisted frame carries BOTH the shingle array and the 128
+    signature components, so the three consumers (band keys, the exact
+    Jaccard join, the per-pair agreement join) all read the cache — the
+    shingle→md5→slice-min pipeline runs exactly once. Re-deriving the
+    signatures for the agreement join (the pre-r7 shape) doubled the map
+    work and showed up as a 1.57x bench regression at sf0.1."""
     docs = load_table(spark, sf_dir, "documents")
-    shingled = (
-        spread(docs)
-        .withColumn("toks", tx.tokens_col("text"))
-        .withColumn("shingles", tx.shingles_col())
-        .filter(F.size("shingles") > 0)
-        .select("doc_id", "shingles")
+    sig_full = (
+        _with_signature(docs)
+        .select(
+            "doc_id",
+            F.array_distinct("shingles").alias("sset"),
+            *[f"sig_{i}" for i in range(N_HASHES)],
+        )
         .persist()
     )
-    sig = _with_signature(shingled, pre_shingled=True).select(
-        "doc_id", *[f"sig_{i}" for i in range(N_HASHES)]
-    )
-    pairs = minhash_candidate_pairs(shingled, threshold=0.0, pre_shingled=True)
+    sig = sig_full.select("doc_id", *[f"sig_{i}" for i in range(N_HASHES)])
+    pairs = minhash_candidate_pairs(sig_full, threshold=0.0, pre_signed=True)
     matches = None
     for i in range(N_HASHES):
         term = (F.col(f"sa.sig_{i}") == F.col(f"sb.sig_{i}")).cast("int")
