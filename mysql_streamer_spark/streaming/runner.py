@@ -185,6 +185,24 @@ def run_dedup_stream(
     query.awaitTermination()
 
 
+def windowed_counts_df(
+    events: DataFrame, window: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """The pure watermarked tumbling-window transform — shared by the
+    streaming runner and the plan-shape audit (the same composition is
+    auditable on a batch frame, where watermark is a no-op)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def run_windowed_stream(
     spark: SparkSession,
     source_dir: str,
@@ -206,16 +224,7 @@ def run_windowed_stream(
     """
     use_rocksdb_state(spark)
     events = load_events_stream(spark, source_dir, max_files_per_trigger)
-    agg = (
-        events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("win"), "event_type")
-        .agg(F.count("*").alias("n_events"))
-        .select(
-            F.col("win.start").alias("window_start"),
-            "event_type",
-            "n_events",
-        )
-    )
+    agg = windowed_counts_df(events, window=window, watermark=watermark)
     query = (
         agg.writeStream.format("parquet")
         .option("path", out_dir)

@@ -356,3 +356,70 @@ def test_documented_map_side_plans_have_no_shuffle(spark, sf_dir):
             if "Exchange" in line and "BroadcastExchange" not in line:
                 offenders.append((name, line.strip()[:90]))
     assert offenders == []
+
+
+# ---------------------------------------------------------------------------
+# Streaming plan audit — the 5 queries _SKIP exempts from the executedPlan
+# tests (building them executes jobs). Their transformation compositions are
+# pure functions, so the audit runs on the STREAMING DataFrame's analyzed/
+# optimized logical plan instead: same no-cartesian guarantee, plus the
+# stateful operator each stream claims is asserted present. (VERDICT r6 #4.)
+# ---------------------------------------------------------------------------
+
+
+def _streaming_frames(spark, sf_dir):
+    from mysql_streamer_spark.cdc.pipeline import envelope_pipeline_df
+    from mysql_streamer_spark.connectors.python_source import (
+        stream_events_from_python_source,
+    )
+    from mysql_streamer_spark.queries.streaming_q import _staged_source
+    from mysql_streamer_spark.streaming.runner import (
+        load_events_stream,
+        windowed_counts_df,
+    )
+    from mysql_streamer_spark.streaming.stateful import sessionize_stream
+
+    src = f"{_staged_source(sf_dir)}/src"
+    events = load_events_stream(spark, src)
+    return {
+        # the stream applies the IDENTICAL envelope_pipeline_df the
+        # driver-audited batch cdc_envelope runs — equivalence by shared code
+        "streaming_envelope": (
+            envelope_pipeline_df(load_events_stream(spark, src)),
+            ["StreamingRelation"],
+        ),
+        "streaming_windowed_counts": (
+            windowed_counts_df(events),
+            ["EventTimeWatermark", "Aggregate"],
+        ),
+        "streaming_stateful_sessions": (
+            sessionize_stream(load_events_stream(spark, src)),
+            ["FlatMapGroupsInPandasWithState"],
+        ),
+        "streaming_python_source": (
+            envelope_pipeline_df(stream_events_from_python_source(spark, sf_dir)),
+            ["StreamingRelationV2"],
+        ),
+        "streaming_partitioned_source": (
+            envelope_pipeline_df(
+                stream_events_from_python_source(spark, sf_dir, partitioned=True)
+            ),
+            ["StreamingRelationV2"],
+        ),
+    }
+
+
+def test_streaming_plans_audited_via_logical_composition(spark, sf_dir):
+    """Every _SKIP entry gets an equivalent-plan assertion: the streaming
+    DataFrame analyzes cleanly, its analyzed logical plan contains no
+    cross/cartesian join, and the claimed stateful operator is present.
+    (optimizedPlan() is unavailable pre-start on a streaming frame — the
+    analyzed plan carries the same join structure.)"""
+    frames = _streaming_frames(spark, sf_dir)
+    assert set(frames) == _SKIP, "audit must cover exactly the _SKIP set"
+    for name, (df, required_nodes) in frames.items():
+        assert df.isStreaming, name
+        plan = str(df._jdf.queryExecution().analyzed().toString())
+        assert "Join Cross" not in plan, f"cartesian join in {name}:\n{plan}"
+        for node in required_nodes:
+            assert node in plan, f"{name} missing {node}:\n{plan}"
