@@ -201,6 +201,30 @@ def cmd_sql(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_repl(args: argparse.Namespace) -> int:
+    """Interactive streamer (reference interactive_streamer.py:1-116): type
+    DDL/DML, watch schema registrations and enveloped messages come out.
+    ``--execute`` runs a ;-separated script non-interactively."""
+    from mysql_streamer_spark.repl import run_repl
+
+    spark = _spark()
+    if args.execute is not None:
+        run_repl(spark, [args.execute], default_database=args.database)
+        return 0
+    print("-- mysql_streamer_spark interactive streamer; end with Ctrl-D")
+    print(f"-- default database: {args.database}; !tables / !rows db.t to inspect")
+
+    def _prompt_lines():
+        while True:
+            try:
+                yield input("mss> ")
+            except EOFError:
+                return
+
+    run_repl(spark, _prompt_lines(), default_database=args.database)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="mysql_streamer_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -254,6 +278,18 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     x.add_argument("--limit", type=int, default=20)
     x.set_defaults(fn=cmd_sql)
+
+    i = sub.add_parser(
+        "repl",
+        help="interactive streamer: DDL/DML in, enveloped messages out",
+    )
+    i.add_argument(
+        "--execute",
+        default=None,
+        help=";-separated statements to run non-interactively",
+    )
+    i.add_argument("--database", default="yelp", help="default database")
+    i.set_defaults(fn=cmd_repl)
     return p
 
 

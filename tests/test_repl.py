@@ -1,0 +1,147 @@
+"""Interactive streamer (repl.py) — the reference's dev loop
+(interactive_streamer.py:1-116): type DDL/DML, watch schema registrations
+and enveloped messages. The VERDICT-r6 acceptance sequence is the core
+test: CREATE → INSERT → ALTER → INSERT, asserting the printed envelopes."""
+
+from __future__ import annotations
+
+import io
+import json
+
+import pytest
+
+from mysql_streamer_spark.repl import ReplSession, run_repl
+
+
+@pytest.fixture()
+def sess(spark):
+    return ReplSession(spark)
+
+
+def _msgs(lines):
+    return [json.loads(l) for l in lines if not l.startswith("--")]
+
+
+def test_create_insert_alter_insert(sess):
+    out = sess.execute("CREATE TABLE yelp.biz (id int, name varchar(64))")
+    assert out == ["-- schema yelp.biz v1 schema_id=1: id int, name string"]
+
+    m1 = _msgs(sess.execute("INSERT INTO biz (id, name) VALUES (1, 'Cafe')"))
+    assert len(m1) == 1
+    assert m1[0]["message_type"] == "create"
+    assert m1[0]["schema_id"] == 1
+    assert m1[0]["database_name"] == "yelp" and m1[0]["table_name"] == "biz"
+    assert json.loads(m1[0]["payload_data"]) == {"id": 1, "name": "Cafe"}
+    assert m1[0]["previous_payload_data"] is None
+
+    out = sess.execute("ALTER TABLE biz ADD COLUMN rating int DEFAULT 5")
+    assert out == [
+        "-- schema yelp.biz v2 schema_id=2: id int, name string, rating int"
+    ]
+
+    m2 = _msgs(sess.execute("INSERT INTO biz (id, name) VALUES (2, 'Bar')"))
+    # post-ALTER inserts publish under the NEW schema id with the default
+    assert m2[0]["schema_id"] == 2
+    assert json.loads(m2[0]["payload_data"]) == {"id": 2, "name": "Bar", "rating": 5}
+
+
+def test_update_carries_before_image(sess):
+    sess.execute("CREATE TABLE t (id int, v varchar(8))")
+    sess.execute("INSERT INTO t VALUES (1, 'a'), (2, 'b')")
+    m = _msgs(sess.execute("UPDATE t SET v = 'z' WHERE id = 2"))
+    assert len(m) == 1
+    assert m[0]["message_type"] == "update"
+    assert json.loads(m[0]["payload_data"]) == {"id": 2, "v": "z"}
+    assert json.loads(m[0]["previous_payload_data"]) == {"id": 2, "v": "b"}
+
+
+def test_delete_publishes_removed_row(sess):
+    sess.execute("CREATE TABLE t (id int, v int)")
+    sess.execute("INSERT INTO t VALUES (1, 10), (2, 20)")
+    m = _msgs(sess.execute("DELETE FROM t WHERE id = 1"))
+    assert m[0]["message_type"] == "delete"
+    assert json.loads(m[0]["payload_data"]) == {"id": 1, "v": 10}
+    # the row store no longer matches it
+    assert _msgs(sess.execute("DELETE FROM t WHERE id = 1")) == []
+
+
+def test_multirow_insert_gets_per_row_offsets(sess):
+    """S3 row-explode parity: one statement carrying N rows publishes N
+    messages sharing the position, ordered by intra-statement offset."""
+    sess.execute("CREATE TABLE t (id int)")
+    m = _msgs(sess.execute("INSERT INTO t VALUES (1), (2), (3)"))
+    assert [x["offset"] for x in m] == [0, 1, 2]
+    assert len({x["log_pos"] for x in m}) == 1
+    assert sorted({x["txn_order"] for x in m}) == [x["txn_order"] for x in m]
+
+
+def test_refresh_table_rerouting(sess):
+    """S4: rows typed at <t>_data_pipeline_refresh come out relabeled to the
+    base table as message_type=refresh with no previous payload."""
+    sess.execute("CREATE TABLE t (id int, v int)")
+    m = _msgs(
+        sess.execute("INSERT INTO t_data_pipeline_refresh VALUES (7, 70)")
+    )
+    assert m[0]["table_name"] == "t"
+    assert m[0]["message_type"] == "refresh"
+    assert m[0]["previous_payload_data"] is None
+
+
+def test_rename_moves_identity(sess):
+    sess.execute("CREATE TABLE a (id int)")
+    sess.execute("RENAME TABLE a TO b")
+    m = _msgs(sess.execute("INSERT INTO b VALUES (1)"))
+    assert m[0]["table_name"] == "b" and m[0]["schema_id"] == 1
+    with pytest.raises(Exception):
+        # the old identity is gone
+        _ = [l for l in sess.execute("INSERT INTO a VALUES (2)")]
+
+
+def test_unsupported_statement_is_dropped_not_fatal(sess):
+    out = sess.execute("GRANT ALL ON *.* TO 'x'")
+    assert out and out[0].startswith("-- ignored")
+
+
+def test_dml_before_create_is_a_schema_miss(sess):
+    from mysql_streamer_spark.repl import ReplError
+
+    with pytest.raises(ReplError, match="no schema registered"):
+        sess._dml("INSERT INTO nope VALUES (1)")
+
+
+def test_run_repl_script(spark):
+    buf = io.StringIO()
+    n = run_repl(
+        spark,
+        [
+            "CREATE TABLE t (id int, v varchar(4));"
+            "INSERT INTO t VALUES (1, 'x');"
+            "UPDATE t SET v = 'y' WHERE id = 1"
+        ],
+        out=buf,
+    )
+    assert n == 3
+    lines = buf.getvalue().strip().splitlines()
+    assert lines[0].startswith("-- schema yelp.t v1")
+    msgs = _msgs(lines)
+    assert [m["message_type"] for m in msgs] == ["create", "update"]
+    # statement errors print, they don't kill the loop
+    buf2 = io.StringIO()
+    run_repl(spark, ["INSERT INTO missing VALUES (1)", "!tables"], out=buf2)
+    assert "-- error: no schema registered" in buf2.getvalue()
+
+
+def test_cli_repl_execute(spark, capsys):
+    from mysql_streamer_spark.cli import main
+
+    rc = main(
+        [
+            "repl",
+            "--execute",
+            "CREATE TABLE t (id int); INSERT INTO t VALUES (9)",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "-- schema yelp.t v1" in out
+    assert '"message_type": "create"' in out.replace("'", '"') or '"create"' in out
