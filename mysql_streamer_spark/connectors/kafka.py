@@ -146,7 +146,14 @@ def cdc_to_debezium_json(cdc: DataFrame) -> DataFrame:
         ).alias("source"),
     )
     return cdc.select(
-        F.to_json(F.struct(payload.alias("payload"))).alias("value"),
+        # genuine Debezium JSON carries explicit nulls ("before": null on
+        # inserts, "after": null on deletes) — keep them, the default
+        # drop-null behavior is a wire-format drift the golden corpus
+        # (tests/fixtures/debezium/) caught
+        F.to_json(
+            F.struct(payload.alias("payload")),
+            {"ignoreNullFields": "false"},
+        ).alias("value"),
         F.col("event_id").alias("offset"),
     )
 
