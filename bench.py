@@ -22,6 +22,49 @@ def run_query(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+#: per-family wall budget: flag a family whose total over the COMMON query
+#: subset (so new queries can't explain the growth away) grows more than
+#: this factor round-over-round...
+BUDGET_GROWTH_FACTOR = 1.25
+#: ...and by more than this many absolute seconds (sub-second families
+#: double on host noise alone; that is not a budget signal)
+BUDGET_MIN_DELTA_SEC = 2.0
+
+
+def _family(name: str) -> str:
+    return name.split("_", 1)[0]
+
+
+def family_budget_flags(
+    prev: dict[str, float], cur: dict[str, float]
+) -> list[dict]:
+    """The bench-budget gate: compare per-family wall totals against the
+    previous run OVER THE COMMON QUERIES ONLY. A >25% AND >2s growth with
+    the query set held fixed means existing plans got slower — the creep
+    that ate 277->327s across r5->r6 — and gets flagged for a root-cause,
+    while genuinely new queries never trip it (they are excluded from both
+    sides)."""
+    common = set(prev) & set(cur)
+    fam_prev: dict[str, float] = {}
+    fam_cur: dict[str, float] = {}
+    for q in common:
+        fam_prev[_family(q)] = fam_prev.get(_family(q), 0.0) + prev[q]
+        fam_cur[_family(q)] = fam_cur.get(_family(q), 0.0) + cur[q]
+    flags = []
+    for fam in sorted(fam_cur):
+        p, c = fam_prev[fam], fam_cur[fam]
+        if c > p * BUDGET_GROWTH_FACTOR and c - p > BUDGET_MIN_DELTA_SEC:
+            flags.append(
+                {
+                    "family": fam,
+                    "prev_sec": round(p, 3),
+                    "cur_sec": round(c, 3),
+                    "growth": round(c / p, 3) if p else None,
+                }
+            )
+    return flags
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from mysql_streamer_spark.session import get_spark
@@ -115,6 +158,18 @@ def main() -> None:
     # printed LAST is compact — totals plus only the 7-query r1 subset —
     # so it always survives tail-capture intact.
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    # budget gate: compare against the PREVIOUS detail file before we
+    # overwrite it (same sf only — cross-sf comparisons are meaningless)
+    budget_flags: list[dict] = []
+    try:
+        with open(detail_path) as f:
+            prev_detail = json.load(f)
+        if prev_detail.get("sf") == float(sf):
+            budget_flags = family_budget_flags(
+                prev_detail.get("queries", {}), timings
+            )
+    except (OSError, ValueError):
+        pass
     with open(detail_path, "w") as f:
         json.dump(
             {
@@ -122,6 +177,7 @@ def main() -> None:
                 "policy": "min_of_2_uniform",
                 "queries": timings,
                 "first_run": first_run,
+                "budget_flags": budget_flags,
             },
             f,
             indent=1,
@@ -140,6 +196,7 @@ def main() -> None:
                 ),
                 "policy": "min_of_2_uniform",
                 "detail": "BENCH_DETAIL.json",
+                "budget_flags": [fl["family"] for fl in budget_flags],
                 "sf": float(sf),
             }
         )

@@ -1823,6 +1823,71 @@ _PIVOT_ORACLE = "SELECT strftime(ts, '%Y-%m-%d') AS day, " + ", ".join(
 ) + " FROM events GROUP BY 1"
 
 
+def q_analytics_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via the VARIANT type (Spark 4's open-format
+    binary JSON): ``parse_json`` once into a variant column, typed paths
+    out with ``variant_get`` — the schema-on-read path for payloads whose
+    shape is NOT known at write time (where ``from_json`` with a pinned
+    schema, analytics_props_json, stops working). Variant keeps the
+    shredded binary in the scan stage, so repeated path extraction costs
+    no re-parse — at 100 TB that is the difference between one JSON parse
+    per row and one per (row x path).
+
+    Output: per (event_type, k-parity) — a predicate ON the extracted
+    path — row counts and k stats; pure codegen aggregate after the one
+    parse."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v", F.parse_json("props")
+    )
+    k = F.expr("variant_get(v, '$.k', 'bigint')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type", F.expr("pmod(k, 2)").alias("k_parity"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+    )
+
+
+_VARIANT_PROPS_ORACLE = """
+SELECT event_type,
+       CAST(CAST(props->>'$.k' AS BIGINT) % 2 AS BIGINT) AS k_parity,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(count(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS BIGINT)
+         AS n_distinct_k
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_analytics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot→unpivot round trip (``DataFrame.unpivot`` / SQL UNPIVOT —
+    the melt half of the reshaping API): the daily crosstab goes wide
+    then back to long (day, event_type, n_events), dropping the zero
+    cells the widening manufactured so the long form equals the direct
+    group-by. Unpivot is a per-row columnar expansion (a generate, no
+    shuffle) — the only shuffle in the plan is the crosstab's own
+    aggregate."""
+    wide = q_analytics_event_type_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ids=["day"],
+        values=list(PIVOT_EVENT_TYPES),
+        variableColumnName="event_type",
+        valueColumnName="n_events",
+    ).filter(F.col("n_events") > 0)
+
+
+_UNPIVOT_ORACLE = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # within-group quartiles (partitioned ntile)
 # ---------------------------------------------------------------------------
@@ -2633,6 +2698,127 @@ LIMIT {PR_TOP_K}
 """
 
 
+def q_analytics_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph — the second classic
+    distributed-graph shape next to PageRank: global triangle count, wedge
+    (open-triple) count, and the global clustering coefficient
+    3*triangles/wedges.
+
+    Plan shape: the DEGREE-ORDERED orientation (Schank-Wagner / the
+    standard MapReduce triangle algorithm): every undirected edge points
+    from its lower-(degree, id) endpoint to the higher one, so out-degrees
+    are bounded by O(sqrt(m)) and wedge generation — the only quadratic
+    risk — enumerates pairs of OUT-edges only. Wedges close into
+    triangles via one equi-join back onto the oriented edge list. All
+    moving rows are (long, long) id pairs; degrees broadcast (node
+    dimension); counts are exact integers with ONE final IEEE division
+    for the coefficient."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    und = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .persist()
+    )
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionAll(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    # orientation: lo -> hi by (degree, id); degrees are the node dimension,
+    # broadcast on both attach sites
+    attached = (
+        und.join(F.broadcast(deg).withColumnsRenamed({"n": "u", "d": "du"}), "u")
+        .join(F.broadcast(deg).withColumnsRenamed({"n": "v", "d": "dv"}), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = attached.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dhi"),
+    ).persist()
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    hi1_first = (F.col("e1.dhi") < F.col("e2.dhi")) | (
+        (F.col("e1.dhi") == F.col("e2.dhi")) & (F.col("e1.hi") < F.col("e2.hi"))
+    )
+    wedges = (
+        e1.join(e2, F.col("e1.lo") == F.col("e2.lo"))
+        .filter(hi1_first)  # each out-pair once, oriented like the edges
+        .select(F.col("e1.hi").alias("b"), F.col("e2.hi").alias("c"))
+    )
+    tri = wedges.join(
+        oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c")),
+        ["b", "c"],
+    ).agg(F.count("*").alias("n_triangles"))
+    totals = (
+        deg.agg(
+            F.count("*").alias("n_nodes"),
+            F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
+        )
+        .crossJoin(F.broadcast(und.agg(F.count("*").alias("n_edges"))))
+        .crossJoin(F.broadcast(tri))
+    )
+    return totals.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        (
+            F.lit(3.0) * F.col("n_triangles").cast("double")
+            / F.col("n_wedges").cast("double")
+        ).alias("clustering_coefficient"),
+    )
+
+
+_TRIANGLE_ORACLE = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), und AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+), deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und
+  ) GROUP BY 1
+), oriented AS (
+  SELECT CASE WHEN (du, u) < (dv, v) THEN u ELSE v END AS lo,
+         CASE WHEN (du, u) < (dv, v) THEN v ELSE u END AS hi,
+         CASE WHEN (du, u) < (dv, v) THEN dv ELSE du END AS dhi
+  FROM und
+  JOIN deg d1 ON und.u = d1.n
+  JOIN deg d2 ON und.v = d2.n
+  -- positional aliases for readability
+  , LATERAL (SELECT d1.d AS du, d2.d AS dv) x
+), wedges AS (
+  SELECT e1.hi AS b, e2.hi AS c
+  FROM oriented e1 JOIN oriented e2 ON e1.lo = e2.lo
+  WHERE (e1.dhi, e1.hi) < (e2.dhi, e2.hi)
+), tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM wedges w JOIN oriented o ON w.b = o.lo AND w.c = o.hi
+), totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+), edges AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+         AS clustering_coefficient
+FROM totals, edges, tri
+"""
+
+
 # ---------------------------------------------------------------------------
 # join-key skew diagnostics — the report that justifies salting decisions
 # ---------------------------------------------------------------------------
@@ -2901,5 +3087,14 @@ SPECS = [
         "analytics_sole_return_supplier",
         q_analytics_sole_return_supplier,
         _Q21_ORACLE,
+    ),
+    QuerySpec(
+        "analytics_triangle_count", q_analytics_triangle_count, _TRIANGLE_ORACLE
+    ),
+    QuerySpec("analytics_unpivot", q_analytics_unpivot, _UNPIVOT_ORACLE),
+    QuerySpec(
+        "analytics_variant_props",
+        q_analytics_variant_props,
+        _VARIANT_PROPS_ORACLE,
     ),
 ]

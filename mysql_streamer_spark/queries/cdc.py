@@ -1494,6 +1494,100 @@ GROUP BY 1
 )
 
 
+def q_cdc_key_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-churn histogram: per (database, table), how many keys changed
+    exactly n times — the update-heat profile that drives compaction
+    cadence and pre-warns join-key skew (a fat tail here is tomorrow's
+    hot-partition incident; the reference's ops playbook watches per-table
+    message rates for the same reason, replication_handler's Sensu stats,
+    components/_pending_schema_event_recovery_handler.py-adjacent R8).
+
+    Scale shape: two stacked hash aggregates — per-key change counts
+    (map-side partials over the pk-hashed shuffle) then the histogram over
+    the tiny (table, n_changes) domain. Only (db, table, pk, count) tuples
+    ever shuffle; output rows are bounded by distinct change counts."""
+    env = envelope_pipeline(spark, sf_dir)
+    per_key = env.groupBy("database_name", "table_name", "pk").agg(
+        F.count("*").alias("n_changes")
+    )
+    return per_key.groupBy("database_name", "table_name", "n_changes").agg(
+        F.count("*").cast("long").alias("n_keys")
+    )
+
+
+_KEY_CHURN_ORACLE = (
+    _ORACLE_PIPELINE_CTES
+    + f"""
+, env AS ({_ENVELOPE_SELECT.strip()})
+, per_key AS (
+  SELECT database_name, table_name, pk, count(*) AS n_changes
+  FROM env GROUP BY 1, 2, 3
+)
+SELECT database_name, table_name, n_changes,
+       CAST(count(*) AS BIGINT) AS n_keys
+FROM per_key
+GROUP BY 1, 2, 3
+"""
+)
+
+
+#: Point-in-time cutoff: the state AS OF the end of binlog file 3 — a
+#: deterministic mid-stream boundary (files rotate per 1000 events in the
+#: fixture), expressed directly in txn_order's bit layout.
+PIT_AS_OF_FILE = 4
+
+
+def q_cdc_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the change stream: the table state AS OF a binlog
+    position — replay every message with txn_order below the cutoff,
+    keep each key's latest version, and drop keys whose last change was a
+    delete. This is the recovery/backfill primitive the reference's
+    consumers rebuild from Kafka compacted topics (and the failover
+    re-point R6 uses to validate a target position): latest_state with a
+    clock.
+
+    Scale shape: the cutoff is a CONSTANT txn_order prefix, so the filter
+    pushes into the scan-side of the plan and the max_by hash-aggregate
+    (algebraic, map-side partial) sees only the historical prefix; no
+    window, no per-key sort."""
+    from mysql_streamer_spark.skew import latest_by_key
+
+    cutoff = PIT_AS_OF_FILE * TXN_FILE_SHIFT
+    env = envelope_pipeline(spark, sf_dir).filter(F.col("txn_order") < cutoff)
+    latest = latest_by_key(
+        env,
+        keys=["database_name", "table_name", "pk"],
+        order_col="txn_order",
+        payload_cols=["message_type", "payload_k", "payload_val"],
+    )
+    return latest.filter(F.col("message_type") != "delete").select(
+        "database_name",
+        "table_name",
+        "pk",
+        "message_type",
+        "txn_order",
+        "payload_k",
+        "payload_val",
+    )
+
+
+_POINT_IN_TIME_ORACLE = _ORACLE_PIPELINE_CTES + f"""
+SELECT database_name, table_name, pk, message_type, txn_order,
+       payload_k, payload_val
+FROM (
+  SELECT
+    database AS database_name,
+    "table" AS table_name,
+    pk, message_type, txn_order, payload_k, payload_val,
+    row_number() OVER (
+      PARTITION BY database, "table", pk ORDER BY txn_order DESC
+    ) AS rn
+  FROM keyed
+  WHERE txn_order < {PIT_AS_OF_FILE * TXN_FILE_SHIFT}
+) WHERE rn = 1 AND message_type <> 'delete'
+"""
+
+
 SPECS = [
     QuerySpec(
         "cdc_envelope",
@@ -1545,6 +1639,8 @@ SPECS = [
     QuerySpec("cdc_pii_redaction", q_cdc_pii_redaction, _PII_REDACTION_ORACLE),
     QuerySpec("cdc_wire_envelope", q_cdc_wire_envelope, _WIRE_ENVELOPE_ORACLE),
     QuerySpec("cdc_topic_routing", q_cdc_topic_routing, _TOPIC_ROUTING_ORACLE),
+    QuerySpec("cdc_key_churn", q_cdc_key_churn, _KEY_CHURN_ORACLE),
+    QuerySpec("cdc_point_in_time", q_cdc_point_in_time, _POINT_IN_TIME_ORACLE),
     QuerySpec("cdc_live_row_counts", q_cdc_live_row_counts, _LIVE_ROWS_ORACLE),
     QuerySpec("cdc_position_gaps", q_cdc_position_gaps, _POSITION_GAPS_ORACLE),
     QuerySpec(

@@ -1281,8 +1281,102 @@ JOIN sizes sb ON tb = sb.event_type
 """
 
 
+#: Log-bucket sketch quantile targets as exact integer fractions (num/den)
+#: so the rank thresholds are integer math in both engines.
+LOGHIST_QUANTILES = (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+
+
+def q_sketch_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch-style relative-error quantiles with gamma=2: values scale
+    to integer micro-units and bucket by bit length (bucket b holds
+    [2^(b-1)-1, 2^b-1) micro-units), so any quantile answers from the
+    fixed-width histogram with a guaranteed 2x relative value error —
+    the log-bucket idea of DDSketch (Masson et al., VLDB'19) with the
+    power-of-two collapse that makes the bucket function pure integer
+    bit-length (``length(bin(x))``), bit-identical across engines.
+
+    Scale shape: ONE map-side hash aggregate into <= 64 buckets (the
+    shuffle moves at most 64 longs per partition at ANY cardinality —
+    the same constant-state property as the HLL family); the cumulative
+    walk and the 3-row quantile probe run on the 64-row histogram.
+    Output: per target quantile, the answering bucket and its integer
+    value bracket."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("value")
+    iv = F.expr("CAST(floor(value * 1000) AS BIGINT)")
+    hist = (
+        ev.select(iv.alias("iv"))
+        .filter(F.col("iv") >= 0)
+        .groupBy(F.expr("length(bin(iv + 1))").alias("bucket"))
+        .agg(F.count("*").alias("bucket_count"))
+    )
+    # <= 64-row bounded domain: the unpartitioned cumulative walk is safe
+    cum = hist.withColumn(
+        "cum_count",
+        F.sum("bucket_count").over(
+            Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn("n_total", F.sum("bucket_count").over(Window.partitionBy()))
+    qdim = spark.createDataFrame(
+        list(LOGHIST_QUANTILES), "quantile string, num long, den long"
+    )
+    hit = cum.join(
+        F.broadcast(qdim),
+        F.col("cum_count") * F.col("den") >= F.col("num") * F.col("n_total"),
+    )
+    first = hit.groupBy("quantile").agg(
+        F.min_by(
+            F.struct("bucket", "bucket_count", "cum_count", "n_total"),
+            F.col("bucket"),
+        ).alias("h")
+    )
+    return first.select(
+        "quantile",
+        F.col("h.bucket").alias("bucket"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), h.bucket - 1) - 1").alias("lo_micros"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), h.bucket) - 1").alias("hi_micros"),
+        F.col("h.bucket_count").alias("bucket_count"),
+        F.col("h.cum_count").alias("cum_count"),
+        F.col("h.n_total").alias("n_total"),
+    )
+
+
+def _log_histogram_oracle() -> str:
+    qrows = ", ".join(f"('{q}', {n}, {d})" for q, n, d in LOGHIST_QUANTILES)
+    return f"""
+WITH iv AS (
+  SELECT CAST(floor(value * 1000) AS BIGINT) AS iv FROM events
+  WHERE CAST(floor(value * 1000) AS BIGINT) >= 0
+), hist AS (
+  SELECT length(bin(iv + 1)) AS bucket, CAST(count(*) AS BIGINT) AS bucket_count
+  FROM iv GROUP BY 1
+), cum AS (
+  SELECT bucket, bucket_count,
+         CAST(sum(bucket_count) OVER (ORDER BY bucket
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_count,
+         CAST(sum(bucket_count) OVER () AS BIGINT) AS n_total
+  FROM hist
+), qdim AS (
+  SELECT * FROM (VALUES {qrows}) AS t(quantile, num, den)
+), hit AS (
+  SELECT quantile, bucket, bucket_count, cum_count, n_total,
+         row_number() OVER (PARTITION BY quantile ORDER BY bucket) AS rn
+  FROM cum JOIN qdim ON cum_count * den >= num * n_total
+)
+SELECT quantile, bucket,
+       (CAST(1 AS BIGINT) << (bucket - 1)) - 1 AS lo_micros,
+       (CAST(1 AS BIGINT) << bucket) - 1 AS hi_micros,
+       bucket_count, cum_count, n_total
+FROM hit WHERE rn = 1
+"""
+
+
 SPECS = [
     QuerySpec("sketch_hll_distinct", q_sketch_hll_distinct, _HLL_DISTINCT_ORACLE),
+    QuerySpec(
+        "sketch_log_histogram", q_sketch_log_histogram, _log_histogram_oracle()
+    ),
     QuerySpec("sketch_kmv_distinct", q_sketch_kmv_distinct, _KMV_ORACLE),
     QuerySpec("sketch_kmv_jaccard", q_sketch_kmv_jaccard, _KMV_JACCARD_ORACLE),
     QuerySpec("sketch_ams_f2", q_sketch_ams_f2, _ams_oracle()),

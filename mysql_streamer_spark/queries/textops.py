@@ -1413,8 +1413,116 @@ FROM cum_tokens JOIN cum_types USING (decile, cutoff_doc)
 """
 
 
+# ---------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram LM table (the LM-TRAINING half of the
+# perplexity filter: interpolated KN, Kneser & Ney 1995 / Chen & Goodman
+# 1999, with absolute discount D = 3/4)
+# ---------------------------------------------------------------------------
+
+#: fixed-point scale for the smoothed probability (micro-units) — all
+#: probability math is integer multiply/divide, bit-identical cross-engine
+KN_SCALE = 10**6
+#: emit the KN row only for bigrams seen at least this often, top KN_TOP_K
+#: by (count, w1, w2) — the head of the model a filter would broadcast
+KN_MIN_COUNT = 3
+KN_TOP_K = 300
+
+
+def q_text_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram model head: for the top bigrams,
+    the smoothed probability p_kn(w2|w1) = (c12 - D)/c1 +
+    D*N1+(w1,.)/c1 * N1+(.,w2)/B with D = 3/4 — continuation counts,
+    not raw unigrams, back off the estimate (the insight that made KN
+    the standard n-gram smoother). All probability arithmetic is
+    fixed-point integer (micro-units, exact div), so both engines agree
+    bit-for-bit; the discount (c12 - 3/4) is carried as (4*c12 - 3)/4.
+
+    Scale shape: ONE bigram-type table (persisted) feeds every model
+    statistic — (sum, distinct-follower) per w1 in one aggregate,
+    distinct-predecessor per w2 in another, the type total as a 1-row
+    broadcast — then two vocabulary-sized joins back (AQE broadcasts the
+    smaller side) and a TakeOrdered head. Only (w1, w2, count) tuples
+    shuffle; at 100 TB this is exactly the shape of counting n-grams for
+    a real KenLM build, minus the disk-backed suffix sort."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.withColumn("toks", tx.tokens_col("text"))
+    bi = toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 2 THEN "
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(toks[i - 1] AS w1, toks[i] AS w2)) "
+                "ELSE array() END"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    lm = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12")).persist()
+    w1_stats = lm.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n_follow")
+    )
+    w2_stats = lm.groupBy("w2").agg(F.count("*").alias("n_precede"))
+    types = lm.agg(F.count("*").alias("n_bigram_types"))
+    joined = (
+        lm.filter(F.col("c12") >= KN_MIN_COUNT)
+        .join(w1_stats, "w1")
+        .join(w2_stats, "w2")
+        .crossJoin(F.broadcast(types))
+    )
+    term1 = F.expr(f"({KN_SCALE} * (4 * c12 - 3)) div (4 * c1)")
+    term2 = F.expr(
+        f"({KN_SCALE} * 3 * n_follow * n_precede) div (4 * c1 * n_bigram_types)"
+    )
+    return (
+        joined.select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "n_follow",
+            "n_precede",
+            "n_bigram_types",
+            (term1 + term2).alias("p_kn_micros"),
+        )
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+        .limit(KN_TOP_K)
+    )
+
+
+_KN_LM_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {tx.tokens_sql("text")} AS toks FROM documents
+), bi AS (
+  SELECT b.w1 AS w1, b.w2 AS w2 FROM (
+    SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                  i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS b
+    FROM tok WHERE len(toks) >= 2
+  )
+), lm AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY 1, 2
+), w1_stats AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+         CAST(count(*) AS BIGINT) AS n_follow
+  FROM lm GROUP BY 1
+), w2_stats AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS n_precede FROM lm GROUP BY 1
+), types AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_bigram_types FROM lm
+)
+SELECT w1, w2, c12, c1, n_follow, n_precede, n_bigram_types,
+       ({KN_SCALE} * (4 * c12 - 3)) // (4 * c1)
+         + ({KN_SCALE} * 3 * n_follow * n_precede)
+           // (4 * c1 * n_bigram_types) AS p_kn_micros
+FROM lm JOIN w1_stats USING (w1) JOIN w2_stats USING (w2)
+CROSS JOIN types
+WHERE c12 >= {KN_MIN_COUNT}
+ORDER BY c12 DESC, w1, w2
+LIMIT {KN_TOP_K}
+"""
+
+
 SPECS = [
     QuerySpec("text_token_stats", q_text_token_stats, _TOKEN_STATS_ORACLE),
+    QuerySpec("text_kn_bigram_lm", q_text_kn_bigram_lm, _KN_LM_ORACLE),
     QuerySpec("text_heaps_law", q_text_heaps_law, _HEAPS_ORACLE),
     QuerySpec(
         "text_lm_perplexity", q_text_lm_perplexity, _LM_PERPLEXITY_ORACLE

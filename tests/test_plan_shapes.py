@@ -97,6 +97,13 @@ _BNLJ_OK = {
     "analytics_copurchase_pagerank",
     # 1-row char-total/stride scalar crossed onto the laid-out corpus
     "pipeline_pps_sample",
+    # two 1-row total frames (edges, triangles) crossed into the summary
+    "analytics_triangle_count",
+    # 3-row quantile dimension probed against the <=64-row histogram
+    # (non-equi rank threshold by design)
+    "sketch_log_histogram",
+    # 1-row bigram-type total crossed onto the model head
+    "text_kn_bigram_lm",
 }
 
 #: streaming roundtrips execute jobs at build time — plan-audited via their
@@ -244,6 +251,12 @@ _SINGLE_PARTITION_OK = {
     "text_heaps_law",
     # 1-row teleport-base scalar aggregate (PR_SCALE div n)
     "analytics_copurchase_pagerank",
+    # two 1-row totals (edge count, triangle count) + the node aggregate
+    "analytics_triangle_count",
+    # <=64-row histogram: global cumulative walk + 1-row total
+    "sketch_log_histogram",
+    # 1-row bigram-type total (scalar aggregate)
+    "text_kn_bigram_lm",
 }
 
 
@@ -282,6 +295,8 @@ _UNPARTITIONED_WINDOW_OK = {
     "sketch_kmv_distinct",
     # U-statistic fold over the ≤AUC_BUCKETS-row score-bucket dimension
     "pipeline_score_auc",
+    # cumulative walk over the <=64-row log-bucket histogram
+    "sketch_log_histogram",
 }
 
 
