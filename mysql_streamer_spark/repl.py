@@ -217,9 +217,39 @@ class ReplSession:
             return []
         if sql.startswith("!"):
             return self._meta(sql)
+        if re.match(r"^\s*select\b", sql, re.IGNORECASE):
+            return self._select(sql)
         if _DML_HEAD.match(sql):
             return [json.dumps(m, sort_keys=True) for m in self._dml(sql)]
         return self._ddl(sql)
+
+    def _select(self, sql: str) -> list[str]:
+        """Inspect the row store with real Spark SQL (the reference dev
+        loop's MySQL-shell pane). Every stored table registers as a temp
+        view under its bare name (default database) or ``db_table``;
+        values re-enter typed through the table's REGISTERED struct
+        (from_json), so the SELECT sees the schema the registry declares,
+        not the literal parser's guesses."""
+        for (db, t), store in self.rows.items():
+            entry = self.registry.get(db, t)
+            if entry is None:
+                continue
+            payload = [(json.dumps(r),) for r in store.values()]
+            df = (
+                self.spark.createDataFrame(payload, "j string")
+                if payload
+                else self.spark.createDataFrame([], "j string")
+            )
+            typed = df.select(
+                F.from_json("j", entry.struct).alias("r")
+            ).select("r.*")
+            name = t if db == self.default_database else f"{db}_{t}"
+            typed.createOrReplaceTempView(name)
+        out = self.spark.sql(sql)
+        return [
+            json.dumps(r.asDict(), sort_keys=True, default=str)
+            for r in out.collect()
+        ]
 
     def _meta(self, cmd: str) -> list[str]:
         parts = cmd[1:].split()

@@ -131,6 +131,19 @@ def test_run_repl_script(spark):
     assert "-- error: no schema registered" in buf2.getvalue()
 
 
+def test_select_inspects_the_row_store(sess):
+    """The MySQL-shell pane of the dev loop: real Spark SQL over the
+    registry-typed row store, reflecting prior DML."""
+    sess.execute("CREATE TABLE t (id int, v varchar(8), n int)")
+    sess.execute("INSERT INTO t VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30)")
+    sess.execute("DELETE FROM t WHERE id = 2")
+    out = sess.execute("SELECT id, n FROM t WHERE n >= 10 ORDER BY id DESC")
+    rows = [json.loads(l) for l in out]
+    assert rows == [{"id": 3, "n": 30}, {"id": 1, "n": 10}]
+    agg = json.loads(sess.execute("SELECT sum(n) AS total FROM t")[0])
+    assert agg == {"total": 40}
+
+
 def test_cli_repl_execute(spark, capsys):
     from mysql_streamer_spark.cli import main
 
