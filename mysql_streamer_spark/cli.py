@@ -201,6 +201,24 @@ def cmd_sql(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_state_at(args: argparse.Namespace) -> int:
+    """Point-in-time table state AS OF a binlog position (R6 failover
+    validation / backfill): replay the envelope prefix below the position
+    and print each live key's latest version."""
+    from mysql_streamer_spark.cdc.envelope import TXN_FILE_SHIFT, TXN_POS_SHIFT
+    from mysql_streamer_spark.queries.cdc import point_in_time_state
+
+    file_no = int(args.log_file.rsplit(".", 1)[-1])
+    cutoff = file_no * TXN_FILE_SHIFT + args.log_pos * TXN_POS_SHIFT
+    spark = _spark()
+    df = point_in_time_state(spark, args.sf_dir, cutoff)
+    for row in df.orderBy("database_name", "table_name", "pk").limit(
+        args.limit
+    ).collect():
+        print(json.dumps({k: str(v) for k, v in row.asDict().items()}))
+    return 0
+
+
 def cmd_repl(args: argparse.Namespace) -> int:
     """Interactive streamer (reference interactive_streamer.py:1-116): type
     DDL/DML, watch schema registrations and enveloped messages come out.
@@ -278,6 +296,16 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     x.add_argument("--limit", type=int, default=20)
     x.set_defaults(fn=cmd_sql)
+
+    sa = sub.add_parser(
+        "state-at",
+        help="table state AS OF a binlog position (prefix replay)",
+    )
+    sa.add_argument("log_file", help="binlog file, e.g. binlog.000004")
+    sa.add_argument("log_pos", nargs="?", type=int, default=0)
+    sa.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    sa.add_argument("--limit", type=int, default=20)
+    sa.set_defaults(fn=cmd_state_at)
 
     i = sub.add_parser(
         "repl",

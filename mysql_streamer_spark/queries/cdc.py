@@ -1537,14 +1537,16 @@ GROUP BY 1, 2, 3
 PIT_AS_OF_FILE = 4
 
 
-def q_cdc_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+def point_in_time_state(
+    spark: SparkSession, sf_dir: str, cutoff_txn_order: int
+) -> DataFrame:
     """Time travel over the change stream: the table state AS OF a binlog
     position — replay every message with txn_order below the cutoff,
     keep each key's latest version, and drop keys whose last change was a
     delete. This is the recovery/backfill primitive the reference's
     consumers rebuild from Kafka compacted topics (and the failover
     re-point R6 uses to validate a target position): latest_state with a
-    clock.
+    clock. Exposed operationally as the ``state-at`` CLI verb.
 
     Scale shape: the cutoff is a CONSTANT txn_order prefix, so the filter
     pushes into the scan-side of the plan and the max_by hash-aggregate
@@ -1552,8 +1554,9 @@ def q_cdc_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, no per-key sort."""
     from mysql_streamer_spark.skew import latest_by_key
 
-    cutoff = PIT_AS_OF_FILE * TXN_FILE_SHIFT
-    env = envelope_pipeline(spark, sf_dir).filter(F.col("txn_order") < cutoff)
+    env = envelope_pipeline(spark, sf_dir).filter(
+        F.col("txn_order") < cutoff_txn_order
+    )
     latest = latest_by_key(
         env,
         keys=["database_name", "table_name", "pk"],
@@ -1569,6 +1572,12 @@ def q_cdc_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "payload_k",
         "payload_val",
     )
+
+
+def q_cdc_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered fixture form: state AS OF the end of binlog file
+    PIT_AS_OF_FILE - 1 (see point_in_time_state for semantics + shape)."""
+    return point_in_time_state(spark, sf_dir, PIT_AS_OF_FILE * TXN_FILE_SHIFT)
 
 
 _POINT_IN_TIME_ORACLE = _ORACLE_PIPELINE_CTES + f"""
