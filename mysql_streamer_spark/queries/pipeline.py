@@ -1118,6 +1118,99 @@ MODEL_SCORE_NUM = 1
 MODEL_SCORE_DEN = 2
 
 
+#: anneal phase consumes 1/ANNEAL_DIVISOR of the total token budget
+ANNEAL_DIVISOR = 5
+
+
+def q_pipeline_anneal_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase training mix — the midtraining/anneal pattern (Llama-3 /
+    MiniCPM style): the final 1/ANNEAL_DIVISOR of the token budget
+    re-samples only sources whose mean model-quality score beats the
+    corpus mean, proportionally to their token mass. Per source: token
+    mass, score sum, the anneal gate, the allocated anneal tokens, and
+    the implied epochs over that source in micro-units.
+
+    Exactness: the gate is the integer cross-multiplication
+    sum_s * tokens_total > score_total * tokens_s (means compared without
+    division); allocations are BIGINT ``div``. At true 100 TB token
+    counts the budget*mass product nears the int64 edge — production
+    would compute the per-source ratio at reduced precision; the shape
+    (two 1-row broadcasts onto a source-count-row dimension) is scale-free.
+
+    Scale shape: ONE map-side scan aggregates (tokens, score) per source;
+    everything after runs on the #sources-row dimension."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", tx.tokens_col("text")
+    )
+    per = docs.groupBy("source").agg(
+        F.sum(F.size("toks")).alias("n_tokens"),
+        F.sum(tx.model_score_col()).alias("score_sum"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.sum("score_sum").alias("tot_score"),
+    )
+    gated = per.crossJoin(F.broadcast(tot)).withColumn(
+        "anneal_pass",
+        F.col("score_sum") * F.col("tot_tokens")
+        > F.col("tot_score") * F.col("n_tokens"),
+    )
+    qual = gated.agg(
+        F.sum(F.when(F.col("anneal_pass"), F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("qual_tokens")
+    )
+    alloc = F.when(
+        F.col("anneal_pass"),
+        F.expr(f"(tot_tokens div {ANNEAL_DIVISOR}) * n_tokens div qual_tokens"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        gated.crossJoin(F.broadcast(qual))
+        .withColumn("anneal_tokens", alloc)
+        .select(
+            "source",
+            "n_tokens",
+            "score_sum",
+            "anneal_pass",
+            "anneal_tokens",
+            F.expr("1000000 * anneal_tokens div n_tokens").alias(
+                "anneal_epochs_micros"
+            ),
+        )
+    )
+
+
+_ANNEAL_MIX_ORACLE = f"""
+WITH per AS (
+  SELECT source,
+         CAST(sum(len({tx.tokens_sql("text")})) AS BIGINT) AS n_tokens,
+         CAST(sum({tx.model_score_sql(tx.tokens_sql("text"))}) AS BIGINT)
+           AS score_sum
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+         CAST(sum(score_sum) AS BIGINT) AS tot_score
+  FROM per
+), gated AS (
+  SELECT per.*, tot.*,
+         score_sum * tot_tokens > tot_score * n_tokens AS anneal_pass
+  FROM per CROSS JOIN tot
+), qual AS (
+  SELECT CAST(sum(CASE WHEN anneal_pass THEN n_tokens ELSE 0 END) AS BIGINT)
+    AS qual_tokens
+  FROM gated
+)
+SELECT source, n_tokens, score_sum, anneal_pass,
+       CASE WHEN anneal_pass
+            THEN (tot_tokens // {ANNEAL_DIVISOR}) * n_tokens // qual_tokens
+            ELSE 0 END AS anneal_tokens,
+       1000000 * (CASE WHEN anneal_pass
+            THEN (tot_tokens // {ANNEAL_DIVISOR}) * n_tokens // qual_tokens
+            ELSE 0 END) // n_tokens AS anneal_epochs_micros
+FROM gated CROSS JOIN qual
+"""
+
+
 def q_pipeline_model_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering — the fineweb-edu / DCLM-style
     classifier gate that follows the heuristic rules in a modern corpus
@@ -2350,6 +2443,7 @@ SPECS = [
         "pipeline_reservoir_sample", q_pipeline_reservoir_sample, _RESERVOIR_ORACLE
     ),
     QuerySpec("pipeline_mix_weights", q_pipeline_mix_weights, _MIX_WEIGHTS_ORACLE),
+    QuerySpec("pipeline_anneal_mix", q_pipeline_anneal_mix, _ANNEAL_MIX_ORACLE),
     QuerySpec(
         "pipeline_chunk_documents", q_pipeline_chunk_documents, _CHUNK_ORACLE
     ),

@@ -104,6 +104,9 @@ _BNLJ_OK = {
     "sketch_log_histogram",
     # 1-row bigram-type total crossed onto the model head
     "text_kn_bigram_lm",
+    # two 1-row budget frames (corpus totals, qualified mass) crossed onto
+    # the #sources-row dimension
+    "pipeline_anneal_mix",
 }
 
 #: streaming roundtrips execute jobs at build time — plan-audited via their
@@ -257,6 +260,8 @@ _SINGLE_PARTITION_OK = {
     "sketch_log_histogram",
     # 1-row bigram-type total (scalar aggregate)
     "text_kn_bigram_lm",
+    # two 1-row budget scalars over the #sources-row dimension
+    "pipeline_anneal_mix",
 }
 
 
