@@ -1281,6 +1281,116 @@ JOIN sizes sb ON tb = sb.event_type
 """
 
 
+def q_sketch_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from Count-Min sketches — the classic
+    query-planning primitive (the CMS inner product, Cormode &
+    Muthukrishnan 2005 §4.2): |A JOIN B on k| = Σ_k fA(k)·fB(k) is
+    estimated as min over hash rows j of Σ_b cmsA[j,b]·cmsB[j,b],
+    WITHOUT touching either table's keys again. The estimate can only
+    overcount (hash collisions add cross terms), so ``never_under`` is a
+    mathematical literal; ``within_markov_bound`` is the standard
+    overcount bound err <= 2·|A|·|B|/WIDTH, computed identically on both
+    sides.
+
+    Scale shape: each side folds to the fixed DEPTHxWIDTH grid map-side
+    (2048 longs per partition regardless of key cardinality); the
+    estimate is a grid-x-grid equi-join on (row, bucket) — 2048-row
+    frames. Only the exact audit (two per-key count aggregates + one
+    join) scales with data, and it exists to grade the sketch."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k")
+    )
+
+    def grid(df: DataFrame) -> DataFrame:
+        rows = df.withColumn(
+            "j", F.explode(F.array(*[F.lit(j) for j in range(CMS_DEPTH)]))
+        )
+        bucket = F.lit(None).cast("long")
+        for j in range(CMS_DEPTH):
+            bucket = F.when(
+                F.col("j") == j, _cms_bucket_spark(j, "k")
+            ).otherwise(bucket)
+        return rows.withColumn("bucket", bucket).groupBy("j", "bucket").agg(
+            F.count("*").alias("c")
+        )
+
+    ga, gb = grid(ev), grid(orders)
+    est = (
+        ga.withColumnRenamed("c", "ca")
+        .join(gb.withColumnRenamed("c", "cb"), ["j", "bucket"])
+        .groupBy("j")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+        .agg(F.min("ip").alias("cms_estimate"))
+    )
+    ca = ev.groupBy("k").agg(F.count("*").alias("na"))
+    cb = orders.groupBy("k").agg(F.count("*").alias("nb"))
+    exact = ca.join(cb, "k").agg(
+        F.sum(F.col("na") * F.col("nb")).alias("exact_join_size")
+    )
+    totals = ev.agg(F.count("*").alias("n_a")).crossJoin(
+        F.broadcast(orders.agg(F.count("*").alias("n_b")))
+    )
+    return (
+        totals.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(est))
+        .select(
+            "n_a",
+            "n_b",
+            "exact_join_size",
+            "cms_estimate",
+            (F.col("cms_estimate") >= F.col("exact_join_size")).alias(
+                "never_under"
+            ),
+            (
+                (F.col("cms_estimate") - F.col("exact_join_size"))
+                * F.lit(CMS_WIDTH)
+                <= F.lit(2) * F.col("n_a") * F.col("n_b")
+            ).alias("within_markov_bound"),
+        )
+    )
+
+
+def _cms_join_size_oracle() -> str:
+    grids = []
+    for side, src, key in (("ga", "events", "user_id"), ("gb", "orders", "o_custkey")):
+        rows = " UNION ALL ".join(
+            f"SELECT {j} AS j, {_cms_bucket_sql(str(j), key)} AS bucket "
+            f"FROM {src}"
+            for j in range(CMS_DEPTH)
+        )
+        grids.append(
+            f"{side} AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS c "
+            f"FROM ({rows}) GROUP BY 1, 2)"
+        )
+    return f"""
+WITH {grids[0]}, {grids[1]},
+est AS (
+  SELECT CAST(min(ip) AS BIGINT) AS cms_estimate FROM (
+    SELECT ga.j, sum(ga.c * gb.c) AS ip
+    FROM ga JOIN gb ON ga.j = gb.j AND ga.bucket = gb.bucket
+    GROUP BY 1
+  )
+), exact AS (
+  SELECT CAST(sum(na * nb) AS BIGINT) AS exact_join_size FROM (
+    SELECT user_id AS k, count(*) AS na FROM events GROUP BY 1
+  ) a JOIN (
+    SELECT o_custkey AS k, count(*) AS nb FROM orders GROUP BY 1
+  ) b USING (k)
+), totals AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_a,
+         (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_b
+)
+SELECT n_a, n_b, exact_join_size, cms_estimate,
+       cms_estimate >= exact_join_size AS never_under,
+       (cms_estimate - exact_join_size) * {CMS_WIDTH}
+         <= 2 * n_a * n_b AS within_markov_bound
+FROM totals CROSS JOIN exact CROSS JOIN est
+"""
+
+
 #: Log-bucket sketch quantile targets as exact integer fractions (num/den)
 #: so the rank thresholds are integer math in both engines.
 LOGHIST_QUANTILES = (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
@@ -1376,6 +1486,9 @@ SPECS = [
     QuerySpec("sketch_hll_distinct", q_sketch_hll_distinct, _HLL_DISTINCT_ORACLE),
     QuerySpec(
         "sketch_log_histogram", q_sketch_log_histogram, _log_histogram_oracle()
+    ),
+    QuerySpec(
+        "sketch_cms_join_size", q_sketch_cms_join_size, _cms_join_size_oracle()
     ),
     QuerySpec("sketch_kmv_distinct", q_sketch_kmv_distinct, _KMV_ORACLE),
     QuerySpec("sketch_kmv_jaccard", q_sketch_kmv_jaccard, _KMV_JACCARD_ORACLE),

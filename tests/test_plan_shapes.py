@@ -107,6 +107,9 @@ _BNLJ_OK = {
     # two 1-row budget frames (corpus totals, qualified mass) crossed onto
     # the #sources-row dimension
     "pipeline_anneal_mix",
+    # three 1-row frames (totals, exact size, estimate) crossed into the
+    # one-row planner report
+    "sketch_cms_join_size",
 }
 
 #: streaming roundtrips execute jobs at build time — plan-audited via their
@@ -262,6 +265,8 @@ _SINGLE_PARTITION_OK = {
     "text_kn_bigram_lm",
     # two 1-row budget scalars over the #sources-row dimension
     "pipeline_anneal_mix",
+    # 1-row scalar aggregates (totals, exact join size, grid-min estimate)
+    "sketch_cms_join_size",
 }
 
 
