@@ -180,3 +180,45 @@ def test_variant_props_agrees_with_json_parse(spark):
         assert got[key]["n_events"] == len(ks)
         assert got[key]["sum_k"] == sum(ks)
         assert got[key]["n_distinct_k"] == len(set(ks))
+
+
+def test_kcore_matches_python_peel(spark):
+    """The 6-round synchronous peel equals an unbounded Python
+    peel-to-fixpoint at sf0.01 (i.e. the fixed unroll reaches the true
+    k-core with a round to spare), and survivors' degrees are the
+    within-core degrees."""
+    from mysql_streamer_spark.queries.analytics import KCORE_K, KCORE_ROUNDS
+
+    sf = "/root/testdata/sf0.01"
+    li = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets: dict[int, set[int]] = {}
+    for r in li:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    adj: dict[int, set[int]] = {}
+    for parts in baskets.values():
+        for u, v in combinations(sorted(parts), 2):
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    live = {n: set(s) for n, s in adj.items()}
+    rounds = 0
+    while True:
+        drop = [n for n, s in live.items() if len(s) < KCORE_K]
+        if not drop:
+            break
+        rounds += 1
+        for n in drop:
+            for m in live[n]:
+                live[m].discard(n)
+            del live[n]
+    assert rounds < KCORE_ROUNDS, "unroll must exceed fixpoint rounds"
+    assert live, "fixture core must be non-degenerate"
+    got = {
+        r.part: r.core_degree
+        for r in _spec("analytics_kcore").fn(spark, sf).collect()
+    }
+    assert got == {n: len(s) for n, s in live.items()}
