@@ -547,6 +547,87 @@ FROM p ASOF LEFT JOIN clicks c
 """
 
 
+#: cogroup task granularity: buckets, not raw user keys (see docstring)
+COGROUP_BUCKETS = 64
+
+
+def q_analytics_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME as-of attribution computed through the CO-GROUPED Arrow
+    path — ``groupBy(k).cogroup(other.groupBy(k)).applyInPandas`` with a
+    per-user ``pandas.merge_asof`` — sharing analytics_asof_attribution's
+    oracle, so the declarative (union + running-last window) plan and the
+    Arrow cogroup kernel are proven bit-identical (the sim_topk_vectorized
+    discipline applied to the remaining ungoverned API surface).
+
+    Scale shape: cogrouping on the RAW user key would hand one tiny
+    pandas frame per user to Python (measured 15 s at sf0.1 — per-call
+    overhead dominates), so the cogroup key is a hash BUCKET of the user:
+    both sides shuffle once on pmod(user_id, COGROUP_BUCKETS), each Arrow
+    batch carries every user of one bucket, and ``merge_asof(by=
+    'user_id')`` vectorizes the per-user alignment inside the batch —
+    bounded task count, O(n log n) per bucket, the same salting
+    discipline as the rest of the engine. The declarative twin stays the
+    default (JVM codegen, no Python workers)."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .withColumn("bucket", F.pmod("user_id", F.lit(COGROUP_BUCKETS)))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id", "ts")
+        .withColumn("bucket", F.pmod("user_id", F.lit(COGROUP_BUCKETS)))
+    )
+
+    def align(p_pdf: "pd.DataFrame", c_pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if p_pdf.empty:
+            return pd.DataFrame(
+                columns=[
+                    "purchase_id",
+                    "user_id",
+                    "purchase_ts",
+                    "click_id",
+                    "click_ts",
+                ]
+            )
+        p = p_pdf.sort_values("ts").rename(columns={"ts": "purchase_ts"})
+        if c_pdf.empty:
+            out = p.assign(click_id=pd.array([None] * len(p), dtype="Int64"))
+            out["click_ts"] = pd.NaT
+        else:
+            c = (
+                c_pdf.sort_values("ts")
+                .assign(click_ts=lambda d: d["ts"])
+                .drop(columns=["bucket"])
+            )
+            out = pd.merge_asof(
+                p,
+                c,
+                left_on="purchase_ts",
+                right_on="ts",
+                by="user_id",
+                direction="backward",
+            ).drop(columns=["ts"])
+            out["click_id"] = out["click_id"].astype("Int64")
+        return out[
+            ["purchase_id", "user_id", "purchase_ts", "click_id", "click_ts"]
+        ]
+
+    return (
+        purchases.groupBy("bucket")
+        .cogroup(clicks.groupBy("bucket"))
+        .applyInPandas(
+            align,
+            "purchase_id long, user_id long, purchase_ts timestamp, "
+            "click_id long, click_ts timestamp",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # range join: activity inside 5-minute error-burst windows
 # ---------------------------------------------------------------------------
@@ -3195,4 +3276,7 @@ SPECS = [
         _VARIANT_PROPS_ORACLE,
     ),
     QuerySpec("analytics_kcore", q_analytics_kcore, _kcore_oracle()),
+    # shares the declarative as-of's oracle: the Arrow cogroup kernel and
+    # the union+running-last plan must agree bit-for-bit
+    QuerySpec("analytics_cogroup_asof", q_analytics_cogroup_asof, _ASOF_ORACLE),
 ]
