@@ -127,6 +127,18 @@ def _split_top_level(s: str, sep: str = ",") -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
+def _assignments(clause: str) -> dict[str, Any]:
+    """SET list: comma-separated ``col = literal`` terms, split
+    quote-aware so string values may contain commas."""
+    out: dict[str, Any] = {}
+    for term in _split_top_level(clause):
+        m = re.fullmatch(r"\s*`?(\w+)`?\s*=\s*(.+?)\s*", term, re.DOTALL)
+        if not m:
+            raise ReplError(f"unsupported SET term (only col = literal): {term!r}")
+        out[m.group(1)] = _parse_literal(m.group(2))
+    return out
+
+
 def _eq_terms(clause: str) -> dict[str, Any]:
     """WHERE as a conjunction of ``col = literal`` terms (the REPL's
     supported predicate language — enough for the pk-targeted statements a
@@ -338,7 +350,7 @@ class ReplSession:
             raise ReplError(f"cannot parse UPDATE: {sql!r}")
         db, table = self._split_ident(m.group("ident"))
         entry = self._schema_for(db, table)
-        sets = _eq_terms(m.group("sets").replace(",", " AND "))
+        sets = _assignments(m.group("sets"))
         where = _eq_terms(m.group("where")) if m.group("where") else {}
         store = self.rows.get((db, table), {})
         pend = _Pending(db, table)

@@ -57,6 +57,13 @@ def test_split_top_level_respects_strings_and_parens():
     assert _split_top_level("'it''s, fine', 2") == ["'it''s, fine'", "2"]
 
 
+def test_assignments_allow_commas_inside_strings():
+    from mysql_streamer_spark.repl import _assignments
+
+    assert _assignments("v = 'a,b', n = 2") == {"v": "a,b", "n": 2}
+    assert _assignments("v = 'it''s, ok'") == {"v": "it's, ok"}
+
+
 def test_eq_terms_conjunctions():
     assert _eq_terms("a = 1 AND b = 'x' and c = NULL") == {
         "a": 1,
