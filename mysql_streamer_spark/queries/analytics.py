@@ -1934,7 +1934,10 @@ def q_analytics_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _VARIANT_PROPS_ORACLE = """
 SELECT event_type,
-       CAST(CAST(props->>'$.k' AS BIGINT) % 2 AS BIGINT) AS k_parity,
+       -- ((x % 2) + 2) % 2 == Spark's pmod for negative x too (the fixture
+       -- only generates k >= 0, but the oracle must not rely on that)
+       CAST(((CAST(props->>'$.k' AS BIGINT) % 2) + 2) % 2 AS BIGINT)
+         AS k_parity,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
        CAST(count(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS BIGINT)

@@ -423,6 +423,28 @@ def _cms_bucket_sql(j: str, key: str) -> str:
     )
 
 
+def _cms_with_buckets(df: DataFrame, key: str) -> DataFrame:
+    """Explode each row DEPTH ways and attach its per-row CMS bucket —
+    the shared sketch-fold front half (one when-chain dispatched on j,
+    seed inside the md5 input, same as the oracle)."""
+    rows = df.withColumn(
+        "j", F.explode(F.array(*[F.lit(j) for j in range(CMS_DEPTH)]))
+    )
+    bucket = F.lit(None).cast("long")
+    for j in range(CMS_DEPTH):
+        bucket = F.when(F.col("j") == j, _cms_bucket_spark(j, key)).otherwise(
+            bucket
+        )
+    return rows.withColumn("bucket", bucket)
+
+
+def _cms_grid(df: DataFrame, key: str) -> DataFrame:
+    """The folded DEPTHxWIDTH grid: (j, bucket) -> count."""
+    return _cms_with_buckets(df, key).groupBy("j", "bucket").agg(
+        F.count("*").alias("c")
+    )
+
+
 def q_sketch_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch over per-user event counts, audited against exact
     counts for the top-K heaviest users. The CMS is the streaming-side
@@ -443,37 +465,15 @@ def q_sketch_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql_streamer_spark.tables import load_table
 
     ev = load_table(spark, sf_dir, "events").select("user_id")
-    rows = ev.withColumn(
-        "j", F.explode(F.array(*[F.lit(j) for j in range(CMS_DEPTH)]))
-    )
-    # one bucket expression per depth row, dispatched on j (keeps the hash
-    # seed inside the md5 input, same as the oracle)
-    bucket = F.lit(None).cast("long")
-    for j in range(CMS_DEPTH):
-        bucket = F.when(F.col("j") == j, _cms_bucket_spark(j, "user_id")).otherwise(
-            bucket
-        )
-    counters = (
-        rows.withColumn("bucket", bucket)
-        .groupBy("j", "bucket")
-        .agg(F.count("*").alias("c"))
-    )
+    counters = _cms_grid(ev, "user_id")
     true_counts = (
         ev.groupBy("user_id")
         .agg(F.count("*").alias("true_n"))
         .orderBy(F.col("true_n").desc(), F.col("user_id").asc())
         .limit(CMS_TOP_K)
     )
-    probes = true_counts.withColumn(
-        "j", F.explode(F.array(*[F.lit(j) for j in range(CMS_DEPTH)]))
-    )
-    pbucket = F.lit(None).cast("long")
-    for j in range(CMS_DEPTH):
-        pbucket = F.when(
-            F.col("j") == j, _cms_bucket_spark(j, "user_id")
-        ).otherwise(pbucket)
     est = (
-        probes.withColumn("bucket", pbucket)
+        _cms_with_buckets(true_counts, "user_id")
         .join(counters, ["j", "bucket"])
         .groupBy("user_id", "true_n")
         .agg(F.min("c").alias("est_n"))
@@ -1304,20 +1304,7 @@ def q_sketch_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("k")
     )
 
-    def grid(df: DataFrame) -> DataFrame:
-        rows = df.withColumn(
-            "j", F.explode(F.array(*[F.lit(j) for j in range(CMS_DEPTH)]))
-        )
-        bucket = F.lit(None).cast("long")
-        for j in range(CMS_DEPTH):
-            bucket = F.when(
-                F.col("j") == j, _cms_bucket_spark(j, "k")
-            ).otherwise(bucket)
-        return rows.withColumn("bucket", bucket).groupBy("j", "bucket").agg(
-            F.count("*").alias("c")
-        )
-
-    ga, gb = grid(ev), grid(orders)
+    ga, gb = _cms_grid(ev, "k"), _cms_grid(orders, "k")
     est = (
         ga.withColumnRenamed("c", "ca")
         .join(gb.withColumnRenamed("c", "cb"), ["j", "bucket"])

@@ -139,12 +139,46 @@ def _assignments(clause: str) -> dict[str, Any]:
     return out
 
 
+def _mask_strings(s: str) -> str:
+    """Same-length copy with string-literal interiors replaced by 'x', so
+    positional regex splits cannot fire inside quotes."""
+    out: list[str] = []
+    in_str = False
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < len(s) and s[i + 1] == "'":
+                    out.append("xx")
+                    i += 2
+                    continue
+                in_str = False
+                out.append("'")
+            else:
+                out.append("x")
+        else:
+            if ch == "'":
+                in_str = True
+            out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def _eq_terms(clause: str) -> dict[str, Any]:
     """WHERE as a conjunction of ``col = literal`` terms (the REPL's
     supported predicate language — enough for the pk-targeted statements a
-    dev loop types)."""
+    dev loop types). The AND split positions come from a string-masked
+    copy, so literals containing ' and ' survive intact."""
+    clause = clause.strip()
+    masked = _mask_strings(clause)
+    terms, start = [], 0
+    for m in re.finditer(r"\s+and\s+", masked, flags=re.IGNORECASE):
+        terms.append(clause[start : m.start()])
+        start = m.end()
+    terms.append(clause[start:])
     out: dict[str, Any] = {}
-    for term in re.split(r"\s+and\s+", clause.strip(), flags=re.IGNORECASE):
+    for term in terms:
         m = re.fullmatch(r"\s*`?(\w+)`?\s*=\s*(.+?)\s*", term, re.DOTALL)
         if not m:
             raise ReplError(f"unsupported WHERE term (only col = literal): {term!r}")
@@ -195,8 +229,11 @@ class ReplSession:
 
     def _timestamp(self) -> str:
         # deterministic fake clock: +1s per statement from a fixed epoch
+        # (real datetime arithmetic, so minute/hour/day rollover is valid)
+        from datetime import datetime, timedelta
+
         self._stmt_count += 1
-        return f"2024-01-01 00:{self._stmt_count // 60:02d}:{self._stmt_count % 60:02d}"
+        return str(datetime(2024, 1, 1) + timedelta(seconds=self._stmt_count))
 
     # -- identifiers ----------------------------------------------------------
     def _split_ident(self, ident: str) -> tuple[str, str]:
@@ -242,10 +279,11 @@ class ReplSession:
         values re-enter typed through the table's REGISTERED struct
         (from_json), so the SELECT sees the schema the registry declares,
         not the literal parser's guesses."""
-        for (db, t), store in self.rows.items():
+        # every REGISTERED table gets a view — created-but-empty tables
+        # must be SELECTable (as empty), not unknown
+        for db, t in self.registry.tables():
             entry = self.registry.get(db, t)
-            if entry is None:
-                continue
+            store = self.rows.get((db, t), {})
             payload = [(json.dumps(r),) for r in store.values()]
             df = (
                 self.spark.createDataFrame(payload, "j string")
@@ -323,6 +361,12 @@ class ReplSession:
         pend = _Pending(db, table)
         is_refresh = table.endswith(REFRESH_SUFFIX)
         pk_col = fields[0]
+        # two phases: validate EVERY tuple before touching the store, so a
+        # bad later tuple cannot leave earlier phantom rows behind
+        # (statement atomicity, like the transactional original)
+        new_rows: list[dict] = []
+        seen_pks: set = set()
+        store = self.rows.setdefault((db, table), {})
         for tup in _split_top_level(m.group("values")):
             if not (tup.startswith("(") and tup.endswith(")")):
                 raise ReplError(f"cannot parse VALUES tuple: {tup!r}")
@@ -336,10 +380,14 @@ class ReplSession:
                     row[f_] = _parse_literal(d) if d is not None else None
             if row.get(pk_col) is None:
                 raise ReplError(f"primary key column {pk_col!r} must be set")
+            if not is_refresh and (
+                row[pk_col] in store or row[pk_col] in seen_pks
+            ):
+                raise ReplError(f"duplicate primary key {row[pk_col]!r}")
+            seen_pks.add(row[pk_col])
+            new_rows.append(row)
+        for row in new_rows:
             if not is_refresh:
-                store = self.rows.setdefault((db, table), {})
-                if row[pk_col] in store:
-                    raise ReplError(f"duplicate primary key {row[pk_col]!r}")
                 store[row[pk_col]] = dict(row)
             pend.images.append(("create", row[pk_col], row, None))
         return pend
@@ -351,18 +399,35 @@ class ReplSession:
         db, table = self._split_ident(m.group("ident"))
         entry = self._schema_for(db, table)
         sets = _assignments(m.group("sets"))
+        fields = set(entry.struct.fieldNames())
+        unknown = set(sets) - fields
+        if unknown:  # MySQL errors on unknown columns; so does the REPL
+            raise ReplError(f"unknown columns {sorted(unknown)} for {db}.{table}")
         where = _eq_terms(m.group("where")) if m.group("where") else {}
         store = self.rows.get((db, table), {})
         pend = _Pending(db, table)
         pk_col = entry.struct.fieldNames()[0]
-        for pk_val, row in sorted(store.items(), key=lambda kv: str(kv[0])):
-            if all(row.get(c) == v for c, v in where.items()):
-                before = dict(row)
-                row.update(sets)
-                if row[pk_col] != pk_val:  # pk update moves the store key
-                    del store[pk_val]
-                    store[row[pk_col]] = row
-                pend.images.append(("update", row[pk_col], dict(row), before))
+        matched = [
+            (pk_val, row)
+            for pk_val, row in sorted(store.items(), key=lambda kv: str(kv[0]))
+            if all(row.get(c) == v for c, v in where.items())
+        ]
+        if pk_col in sets:
+            # a pk move must not clobber an existing row (duplicate-key
+            # error, like MySQL); validate before mutating anything
+            for pk_val, _row in matched:
+                tgt = sets[pk_col]
+                if tgt != pk_val and (
+                    tgt in store or len(matched) > 1
+                ):
+                    raise ReplError(f"duplicate primary key {tgt!r}")
+        for pk_val, row in matched:
+            before = dict(row)
+            row.update(sets)
+            if row[pk_col] != pk_val:  # pk update moves the store key
+                del store[pk_val]
+                store[row[pk_col]] = row
+            pend.images.append(("update", row[pk_col], dict(row), before))
         return pend
 
     def _parse_delete(self, sql: str) -> _Pending:
@@ -477,4 +542,8 @@ def run_repl(
                     print(printed, file=out)
             except ReplError as e:
                 print(f"-- error: {e}", file=out)
+            except Exception as e:  # noqa: BLE001 - a typo'd SELECT must
+                # not kill the session (and its schemas + row store)
+                first = (str(e).splitlines() or [type(e).__name__])[0]
+                print(f"-- error ({type(e).__name__}): {first[:200]}", file=out)
     return n

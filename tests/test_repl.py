@@ -144,6 +144,54 @@ def test_select_inspects_the_row_store(sess):
     assert agg == {"total": 40}
 
 
+def test_update_rejects_pk_collision_and_unknown_columns(sess):
+    from mysql_streamer_spark.repl import ReplError
+
+    sess.execute("CREATE TABLE t (id int, v int)")
+    sess.execute("INSERT INTO t VALUES (1, 10), (2, 20)")
+    with pytest.raises(ReplError, match="duplicate primary key"):
+        sess._dml("UPDATE t SET id = 2 WHERE id = 1")
+    with pytest.raises(ReplError, match="unknown columns"):
+        sess._dml("UPDATE t SET w = 9 WHERE id = 1")
+    # the failed statements left the store untouched
+    rows = {json.loads(l)["id"] for l in sess.execute("!rows yelp.t")}
+    assert rows == {1, 2}
+
+
+def test_multirow_insert_is_atomic(sess):
+    from mysql_streamer_spark.repl import ReplError
+
+    sess.execute("CREATE TABLE t (id int)")
+    with pytest.raises(ReplError, match="duplicate primary key"):
+        sess._dml("INSERT INTO t VALUES (1), (1)")
+    # the first tuple must NOT linger as a phantom row
+    m = _msgs(sess.execute("INSERT INTO t VALUES (1)"))
+    assert m[0]["message_type"] == "create"
+
+
+def test_where_string_literal_containing_and(sess):
+    sess.execute("CREATE TABLE t (id int, name varchar(32))")
+    sess.execute("INSERT INTO t VALUES (1, 'rock and roll'), (2, 'jazz')")
+    m = _msgs(sess.execute("UPDATE t SET id = 3 WHERE name = 'rock and roll'"))
+    assert len(m) == 1 and json.loads(m[0]["payload_data"])["id"] == 3
+
+
+def test_select_errors_do_not_kill_the_loop_and_empty_tables_resolve(spark):
+    buf = io.StringIO()
+    run_repl(
+        spark,
+        [
+            "CREATE TABLE empty_t (id int);"
+            "SELECT * FROM nosuch;"
+            "SELECT count(*) AS n FROM empty_t"
+        ],
+        out=buf,
+    )
+    out = buf.getvalue()
+    assert "-- error (AnalysisException)" in out
+    assert '{"n": 0}' in out  # created-but-empty table is SELECTable
+
+
 def test_cli_repl_execute(spark, capsys):
     from mysql_streamer_spark.cli import main
 

@@ -126,7 +126,6 @@ def test_point_in_time_replays_to_a_prefix_state(spark):
     assert got == expected
     assert len(got) > 0
     # and it is a strict prefix: strictly fewer keys than the full replay
-    full = {k for k, v in {**{k: v for k, v in state.items()}}.items()}
     all_keys = {
         (r["database_name"], r["table_name"], r["pk"]) for r in env
     }
