@@ -2899,6 +2899,111 @@ FROM totals, edges, tri
 """
 
 
+def q_analytics_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data-quality audit — the constraint suite a
+    production pipeline gates ingestion on (completeness, uniqueness,
+    referential integrity, accepted values, ranges), one row per check
+    with measured violations. Five checks pass on the fixture; the sixth
+    (documents.text minimum length — the Gopher-style admission floor
+    stated as a constraint) FAILS on the fixture's short-document tail,
+    so both verdict branches are live.
+
+    Scale shape: every check is one scan with a map-side aggregate; the
+    referential check is an anti-join against the key dimension (AQE
+    broadcasts it while it fits). Checks over the same table could share
+    one scan via conditional aggregates — kept separate here so each row
+    names its own cost, the way Deequ analyzers do."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def report(name: str, df: DataFrame, viol: F.Column) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check"),
+            F.count("*").alias("n_rows"),
+            F.sum(viol.cast("long")).cast("long").alias("n_violations"),
+        )
+
+    not_null = report(
+        "not_null(lineitem.l_orderkey)", li, F.col("l_orderkey").isNull()
+    )
+    unique_ok = orders.agg(
+        F.lit("unique(orders.o_orderkey)").alias("check"),
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("n_violations"),
+    )
+    ref = orders.join(
+        customer.select(F.col("c_custkey").alias("o_custkey")),
+        "o_custkey",
+        "left_anti",
+    ).agg(
+        F.lit("ref(orders.o_custkey -> customer)").alias("check"),
+        F.lit(None).cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_violations"),
+    )
+    accepted = report(
+        "accepted_values(orders.o_orderstatus)",
+        orders,
+        ~F.col("o_orderstatus").isin("O", "F", "P"),
+    )
+    in_range = report(
+        "range(lineitem.l_quantity in [1,50])",
+        li,
+        (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+    )
+    min_len = report(
+        "min_length(documents.text >= 100)",
+        docs,
+        F.length("text") < 100,
+    )
+    out = (
+        not_null.unionByName(unique_ok)
+        .unionByName(ref)
+        .unionByName(accepted)
+        .unionByName(in_range)
+        .unionByName(min_len)
+    )
+    return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+_DATA_QUALITY_ORACLE = """
+SELECT 'not_null(lineitem.l_orderkey)' AS check,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT)
+         AS n_violations
+FROM lineitem
+UNION ALL
+SELECT 'unique(orders.o_orderkey)', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'ref(orders.o_custkey -> customer)', NULL,
+       CAST(count(*) FILTER (
+         WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+       ) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'accepted_values(orders.o_orderstatus)', CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P'))
+         AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'range(lineitem.l_quantity in [1,50])', CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+         AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'min_length(documents.text >= 100)', CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (WHERE length(text) < 100) AS BIGINT)
+FROM documents
+"""
+
+_DATA_QUALITY_SELECT = f"""
+SELECT t.*, n_violations = 0 AS passed FROM ({_DATA_QUALITY_ORACLE}) t
+"""
+
+
 #: k-core threshold and synchronous peel rounds. K=80 keeps the fixture
 #: core non-degenerate (both kept and peeled nodes exist at sf>=0.01);
 #: measured convergence is <=5 rounds at every tested SF, so 6 rounds =
@@ -3282,4 +3387,7 @@ SPECS = [
     # shares the declarative as-of's oracle: the Arrow cogroup kernel and
     # the union+running-last plan must agree bit-for-bit
     QuerySpec("analytics_cogroup_asof", q_analytics_cogroup_asof, _ASOF_ORACLE),
+    QuerySpec(
+        "analytics_data_quality", q_analytics_data_quality, _DATA_QUALITY_SELECT
+    ),
 ]

@@ -267,6 +267,8 @@ _SINGLE_PARTITION_OK = {
     "pipeline_anneal_mix",
     # 1-row scalar aggregates (totals, exact join size, grid-min estimate)
     "sketch_cms_join_size",
+    # six 1-row per-check scalar aggregates unioned into the audit report
+    "analytics_data_quality",
 }
 
 
