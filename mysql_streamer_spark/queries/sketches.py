@@ -1281,6 +1281,62 @@ JOIN sizes sb ON tb = sb.event_type
 """
 
 
+def q_sketch_log_histogram_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The log-bucket sketch's MERGE rule, proven the way sketch_hll_merge
+    pins HLL: per-day histograms summed cell-wise must equal the
+    whole-corpus histogram EXACTLY (integer counters, exact associative
+    merge — the property that lets per-day persisted sketches answer any
+    rollup without rescans; DDSketch §3.2 mergeability). One row per
+    bucket with direct and merged counts plus the equality contract the
+    oracle recomputes (not echoes)."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    iv = F.expr("CAST(floor(value * 1000) AS BIGINT)")
+    based = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), iv.alias("iv")
+    ).filter(F.col("iv") >= 0)
+    per_day = based.groupBy(
+        "day", F.expr("length(bin(iv + 1))").alias("bucket")
+    ).agg(F.count("*").alias("c"))
+    merged = per_day.groupBy("bucket").agg(
+        F.sum("c").cast("long").alias("merged_count"),
+        F.countDistinct("day").cast("long").alias("n_days"),
+    )
+    direct = based.groupBy(
+        F.expr("length(bin(iv + 1))").alias("bucket")
+    ).agg(F.count("*").alias("direct_count"))
+    return merged.join(direct, "bucket").select(
+        "bucket",
+        "n_days",
+        "direct_count",
+        "merged_count",
+        (F.col("merged_count") == F.col("direct_count")).alias("merge_exact"),
+    )
+
+
+_LOG_HISTOGRAM_MERGE_ORACLE = """
+WITH based AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         CAST(floor(value * 1000) AS BIGINT) AS iv
+  FROM events
+  WHERE CAST(floor(value * 1000) AS BIGINT) >= 0
+), per_day AS (
+  SELECT day, length(bin(iv + 1)) AS bucket, CAST(count(*) AS BIGINT) AS c
+  FROM based GROUP BY 1, 2
+), merged AS (
+  SELECT bucket, CAST(sum(c) AS BIGINT) AS merged_count,
+         CAST(count(DISTINCT day) AS BIGINT) AS n_days
+  FROM per_day GROUP BY 1
+), direct AS (
+  SELECT length(bin(iv + 1)) AS bucket, CAST(count(*) AS BIGINT)
+    AS direct_count
+  FROM based GROUP BY 1
+)
+SELECT bucket, n_days, direct_count, merged_count,
+       merged_count = direct_count AS merge_exact
+FROM merged JOIN direct USING (bucket)
+"""
+
+
 def q_sketch_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-size estimation from Count-Min sketches — the classic
     query-planning primitive (the CMS inner product, Cormode &
@@ -1476,6 +1532,11 @@ SPECS = [
     ),
     QuerySpec(
         "sketch_cms_join_size", q_sketch_cms_join_size, _cms_join_size_oracle()
+    ),
+    QuerySpec(
+        "sketch_log_histogram_merge",
+        q_sketch_log_histogram_merge,
+        _LOG_HISTOGRAM_MERGE_ORACLE,
     ),
     QuerySpec("sketch_kmv_distinct", q_sketch_kmv_distinct, _KMV_ORACLE),
     QuerySpec("sketch_kmv_jaccard", q_sketch_kmv_jaccard, _KMV_JACCARD_ORACLE),
