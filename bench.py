@@ -31,8 +31,40 @@ BUDGET_GROWTH_FACTOR = 1.25
 BUDGET_MIN_DELTA_SEC = 2.0
 
 
+#: per-QUERY regression rule (finer than the family gate, which averaged
+#: away the r6->r7 dedup_clusters 4.05->6.02s / dedup_containment
+#: 4.73->6.34s drifts): flag a common query whose min-of-2 grows by more
+#: than this factor round-over-round...
+QUERY_GROWTH_FACTOR = 1.5
+#: ...and by more than this many absolute seconds (min-of-2 still swings
+#: ~1s on host CPU-steal bursts; that is not a plan signal)
+QUERY_MIN_DELTA_SEC = 1.5
+
+
 def _family(name: str) -> str:
     return name.split("_", 1)[0]
+
+
+def query_budget_flags(
+    prev: dict[str, float], cur: dict[str, float]
+) -> list[dict]:
+    """Per-query companion to the family gate: a single query regressing
+    >50% AND >1.5s round-over-round gets its own flag even when its family
+    total stays inside budget (family granularity masked exactly that in
+    r6->r7). Compares common queries only, min-of-2 on both sides."""
+    flags = []
+    for q in sorted(set(prev) & set(cur)):
+        p, c = prev[q], cur[q]
+        if c > p * QUERY_GROWTH_FACTOR and c - p > QUERY_MIN_DELTA_SEC:
+            flags.append(
+                {
+                    "query": q,
+                    "prev_sec": round(p, 3),
+                    "cur_sec": round(c, 3),
+                    "growth": round(c / p, 3) if p else None,
+                }
+            )
+    return flags
 
 
 def family_budget_flags(
@@ -161,11 +193,15 @@ def main() -> None:
     # budget gate: compare against the PREVIOUS detail file before we
     # overwrite it (same sf only — cross-sf comparisons are meaningless)
     budget_flags: list[dict] = []
+    query_flags: list[dict] = []
     try:
         with open(detail_path) as f:
             prev_detail = json.load(f)
         if prev_detail.get("sf") == float(sf):
             budget_flags = family_budget_flags(
+                prev_detail.get("queries", {}), timings
+            )
+            query_flags = query_budget_flags(
                 prev_detail.get("queries", {}), timings
             )
     except (OSError, ValueError):
@@ -178,6 +214,7 @@ def main() -> None:
                 "queries": timings,
                 "first_run": first_run,
                 "budget_flags": budget_flags,
+                "query_flags": query_flags,
             },
             f,
             indent=1,
@@ -197,6 +234,7 @@ def main() -> None:
                 "policy": "min_of_2_uniform",
                 "detail": "BENCH_DETAIL.json",
                 "budget_flags": [fl["family"] for fl in budget_flags],
+                "query_flags": [fl["query"] for fl in query_flags],
                 "sf": float(sf),
             }
         )

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
 import sys
 
 from pyspark.sql import SparkSession
@@ -208,8 +209,16 @@ def cmd_state_at(args: argparse.Namespace) -> int:
     from mysql_streamer_spark.cdc.envelope import TXN_FILE_SHIFT, TXN_POS_SHIFT
     from mysql_streamer_spark.queries.cdc import point_in_time_state
 
-    file_no = int(args.log_file.rsplit(".", 1)[-1])
-    cutoff = file_no * TXN_FILE_SHIFT + args.log_pos * TXN_POS_SHIFT
+    m = re.fullmatch(r"[^.]+\.(\d+)", args.log_file)
+    if not m:
+        print(
+            json.dumps(
+                {"error": f"log_file must look like binlog.000004, got {args.log_file!r}"}
+            ),
+            file=sys.stderr,
+        )
+        return 2
+    cutoff = int(m.group(1)) * TXN_FILE_SHIFT + args.log_pos * TXN_POS_SHIFT
     spark = _spark()
     df = point_in_time_state(spark, args.sf_dir, cutoff)
     for row in df.orderBy("database_name", "table_name", "pk").limit(

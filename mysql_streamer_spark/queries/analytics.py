@@ -2646,16 +2646,42 @@ PR_SCALE = 10**12
 PR_TOP_K = 50
 
 
+#: one persisted edge frame per (app, sf_dir, orientation) — three graph
+#: operators (PageRank, triangles, k-core) consume the same build, and
+#: persisting a FRESH frame on every call stacked orphaned cache entries
+#: in long-lived sessions, relying on LRU eviction alone (ADVICE r7). An
+#: entry evicted externally (bench/gates run catalog.clearCache() per
+#: query) is transparently re-persisted on next access.
+_EDGE_CACHE: dict[tuple[str, str, bool], DataFrame] = {}
+
+
+def release_copurchase_edges() -> None:
+    """Unpersist and forget every memoized edge frame (session teardown)."""
+    for df in _EDGE_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 - session may already be stopped
+            pass
+    _EDGE_CACHE.clear()
+
+
 def _copurchase_edges(
     spark: SparkSession, sf_dir: str, directed: bool
 ) -> DataFrame:
-    """The part co-purchase edge list, persisted — shared by every graph
-    operator (PageRank, triangle census, k-core). Orderkey-co-partitioned
-    self-join with basket-size-bounded fanout; no pre-join distinct (the
-    raw duplicate rate is ~1e-4 and the final edge distinct dedups anyway
-    — removing the extra shuffle measured 2x faster cold at sf0.1).
-    ``directed`` emits both orientations (src, dst); otherwise canonical
-    undirected (u < v)."""
+    """The part co-purchase edge list, persisted once per session —
+    shared by every graph operator (PageRank, triangle census, k-core).
+    Orderkey-co-partitioned self-join with basket-size-bounded fanout; no
+    pre-join distinct (the raw duplicate rate is ~1e-4 and the final edge
+    distinct dedups anyway — removing the extra shuffle measured 2x
+    faster cold at sf0.1). ``directed`` emits both orientations
+    (src, dst); otherwise canonical undirected (u < v)."""
+    key = (spark.sparkContext.applicationId, sf_dir, directed)
+    cached = _EDGE_CACHE.get(key)
+    if cached is not None:
+        sl = cached.storageLevel
+        if not (sl.useMemory or sl.useDisk or sl.useOffHeap):
+            cached.persist()
+        return cached
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
@@ -2669,7 +2695,8 @@ def _copurchase_edges(
         )
     else:
         out = joined.filter(F.col("u") < F.col("v")).select("u", "v")
-    return out.distinct().persist()
+    _EDGE_CACHE[key] = out.distinct().persist()
+    return _EDGE_CACHE[key]
 
 
 def q_analytics_copurchase_pagerank(
@@ -3000,12 +3027,21 @@ SELECT t.*, n_violations = 0 AS passed FROM ({_DATA_QUALITY_ORACLE}) t
 """
 
 
-#: k-core threshold and synchronous peel rounds. K=80 keeps the fixture
-#: core non-degenerate (both kept and peeled nodes exist at sf>=0.01);
-#: measured convergence is <=5 rounds at every tested SF, so 6 rounds =
-#: the fixpoint plus one proving round (asserted by test).
+#: k-core threshold. K=80 keeps the fixture core non-degenerate (both
+#: kept and peeled nodes exist at sf>=0.01).
 KCORE_K = 80
+#: the ORACLE's fixed CTE unroll: measured convergence is <=5 rounds at
+#: every tested SF, so 6 = fixpoint plus one proving round (test-asserted
+#: on the fixture). Peeling past the fixpoint is idempotent, so the
+#: 6-round oracle equals the true k-core wherever the peel converges
+#: within 6 rounds; the Spark side below is exact on ANY input.
 KCORE_ROUNDS = 6
+#: safety bound for the adaptive Spark peel: a k-core peel on a graph
+#: with n nodes converges in <= n rounds, but every real co-purchase
+#: graph converges in a handful; hitting this bound means something is
+#: structurally wrong and the operator raises instead of silently
+#: returning a superset of the core (ADVICE r7).
+KCORE_MAX_ROUNDS = 64
 
 
 def q_analytics_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3015,20 +3051,25 @@ def q_analytics_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeatedly peel nodes with degree < K until stable; survivors with
     their within-core degree.
 
-    Plan shape: KCORE_ROUNDS synchronous peeling rounds (the
-    Pregel/BSP k-core), each = two semi-join-shaped equi-joins
-    restricting the cached edge list to live endpoints + one map-side
-    degree aggregate; only (node) and (node, degree) longs move. The
-    fixed unroll matches the DuckDB oracle CTE-for-CTE; on the fixture
-    the peel reaches its fixpoint with a round to spare, so this IS the
-    exact k-core, not an approximation (test-asserted)."""
+    Plan shape: synchronous peeling rounds (the Pregel/BSP k-core), each
+    = two semi-join-shaped equi-joins restricting the cached edge list to
+    live endpoints + one map-side degree aggregate; only (node) and
+    (node, degree) longs move. The peel runs TO THE FIXPOINT — each
+    round's live set is eagerly checkpointed anyway, so its count is a
+    free convergence signal (live sets shrink monotonically; an unchanged
+    count IS the fixpoint) — and raises past KCORE_MAX_ROUNDS rather than
+    ever returning an unconverged superset. The DuckDB oracle unrolls
+    KCORE_ROUNDS CTE rounds; running past the fixpoint is idempotent, so
+    both sides agree wherever the oracle's unroll covers convergence
+    (test-asserted on the fixture with a round to spare)."""
     und = _copurchase_edges(spark, sf_dir, directed=False)
     deg = (
         und.select(F.explode(F.array("u", "v")).alias("n"))
         .groupBy("n")
         .agg(F.count("*").alias("core_degree"))
     )
-    for _ in range(KCORE_ROUNDS):
+    live_n_prev = None
+    for _ in range(KCORE_MAX_ROUNDS):
         # each round reads `live` twice (both endpoints) — localCheckpoint
         # cuts the lineage so the peel chain stays linear, not 2^rounds
         # (the connected_components discipline)
@@ -3037,6 +3078,13 @@ def q_analytics_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("n")
             .localCheckpoint(eager=True)
         )
+        live_n = live.count()
+        if live_n == live_n_prev or live_n == 0:
+            # live_r ⊆ live_{r-1} (degrees only fall), so an equal count
+            # means an equal SET: deg was computed over exactly this live
+            # set and everything in it already clears K — converged.
+            break
+        live_n_prev = live_n
         e = und.join(
             live.withColumnRenamed("n", "u"), "u"
         ).join(live.withColumnRenamed("n", "v"), "v")
@@ -3044,6 +3092,10 @@ def q_analytics_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             e.select(F.explode(F.array("u", "v")).alias("n"))
             .groupBy("n")
             .agg(F.count("*").alias("core_degree"))
+        )
+    else:
+        raise RuntimeError(
+            f"k-core peel did not converge within {KCORE_MAX_ROUNDS} rounds"
         )
     return deg.filter(F.col("core_degree") >= KCORE_K).select(
         F.col("n").alias("part"), "core_degree"

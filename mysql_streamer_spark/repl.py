@@ -182,7 +182,15 @@ def _eq_terms(clause: str) -> dict[str, Any]:
         m = re.fullmatch(r"\s*`?(\w+)`?\s*=\s*(.+?)\s*", term, re.DOTALL)
         if not m:
             raise ReplError(f"unsupported WHERE term (only col = literal): {term!r}")
-        out[m.group(1)] = _parse_literal(m.group(2))
+        val = _parse_literal(m.group(2))
+        if val is None:
+            # MySQL `col = NULL` matches NO rows (NULL-propagating
+            # comparison); a dict-equality match would treat it as IS NULL
+            # and hit rows a real shell would not — reject instead
+            raise ReplError(
+                "col = NULL matches no rows in MySQL; use a non-NULL literal"
+            )
+        out[m.group(1)] = val
     return out
 
 

@@ -9,7 +9,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from bench import family_budget_flags
+from bench import family_budget_flags, query_budget_flags
 
 
 def test_flags_genuine_family_regression():
@@ -43,3 +43,28 @@ def test_removed_queries_do_not_count():
     prev = {"text_a": 10.0, "text_b": 1.0}
     cur = {"text_b": 1.0}
     assert family_budget_flags(prev, cur) == []
+
+
+def test_per_query_flag_catches_what_family_gate_masks():
+    # the r6->r7 shape: one dedup query +49% while siblings improve keeps
+    # the FAMILY total inside budget — the per-query rule must still flag
+    prev = {"dedup_clusters": 4.05, "dedup_pairs": 10.0, "dedup_exact": 8.0}
+    cur = {"dedup_clusters": 6.4, "dedup_pairs": 9.0, "dedup_exact": 7.5}
+    assert family_budget_flags(prev, cur) == []
+    flags = query_budget_flags(prev, cur)
+    assert [f["query"] for f in flags] == ["dedup_clusters"]
+    assert flags[0]["prev_sec"] == 4.05 and flags[0]["cur_sec"] == 6.4
+
+
+def test_per_query_flag_needs_factor_and_absolute_delta():
+    # +2s on a 10s query (<1.5x) and 2x on a 1s query (<1.5s) are both
+    # below the line; only the joint condition flags
+    prev = {"a_big": 10.0, "b_small": 1.0, "c_real": 3.0}
+    cur = {"a_big": 12.0, "b_small": 2.0, "c_real": 5.0}
+    assert [f["query"] for f in query_budget_flags(prev, cur)] == ["c_real"]
+
+
+def test_per_query_flag_ignores_new_and_removed_queries():
+    prev = {"a": 1.0, "gone": 20.0}
+    cur = {"a": 1.0, "brand_new": 30.0}
+    assert query_budget_flags(prev, cur) == []

@@ -164,3 +164,11 @@ def test_sql_verb_reports_bad_sql(spark, sf_dir, capsys):
     assert rc == 2
     err = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
     assert "error" in err
+
+def test_state_at_rejects_malformed_log_file(capsys):
+    # `state-at foo` used to die with a raw ValueError traceback; it must
+    # exit 2 with a JSON error instead (ADVICE r7)
+    rc = main(["state-at", "not-a-binlog-name"])
+    assert rc == 2
+    err = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    assert "binlog" in err["error"]

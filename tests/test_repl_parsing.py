@@ -65,10 +65,15 @@ def test_assignments_allow_commas_inside_strings():
 
 
 def test_eq_terms_conjunctions():
-    assert _eq_terms("a = 1 AND b = 'x' and c = NULL") == {
-        "a": 1,
-        "b": "x",
-        "c": None,
-    }
+    assert _eq_terms("a = 1 AND b = 'x'") == {"a": 1, "b": "x"}
     with pytest.raises(ReplError):
         _eq_terms("a > 1")
+
+
+def test_eq_terms_reject_null_comparison():
+    # MySQL `col = NULL` matches no rows; the REPL refuses rather than
+    # silently diverging into IS NULL semantics (ADVICE r7)
+    with pytest.raises(ReplError, match="NULL"):
+        _eq_terms("a = 1 AND c = NULL")
+    with pytest.raises(ReplError, match="NULL"):
+        _eq_terms("c = null")
