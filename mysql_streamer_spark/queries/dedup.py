@@ -1777,6 +1777,170 @@ FROM alln LEFT JOIN d USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
+# cross-document exact-substring dedup — APPLY form (Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring deduplication, apply form — the
+    corpus-wide span-removal tier of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), which
+    ``dedup_substring_profile`` only measures: every SUBSTR_K-token
+    window whose content occurs in MORE THAN ONE document is removed
+    from every document except a deterministic keeper (the smallest
+    doc_id containing that content), overlapping/adjacent removals merge
+    into maximal cut spans, and the output is the scrubbed corpus plus
+    the removed-token accounting. Exact-duplicate documents therefore
+    collapse to one full-length survivor (the min doc_id) with every
+    other copy scrubbed empty — the invariant the tests recompute.
+
+    Keeper rule: per window CONTENT (hash), the minimum doc_id holding it
+    keeps all its occurrences (including within-doc repeats); all other
+    documents lose theirs. Within-doc-only repeats (n_docs == 1) are NOT
+    cut — that is self-repetition, a different tier (see the profile's
+    n_dup_kgrams vs n_crossdoc_kgrams split).
+
+    Scale shape: the same inverted window-hash index as the profile —
+    only (doc_id, 32-hex hash, int position) postings shuffle, never
+    text; keeper election is one map-side-partial aggregate on the hash;
+    coverage union is (doc_id, position) longs with the classic
+    islands-by-row_number merge PARTITIONED BY doc_id (no unpartitioned
+    window); the scrub itself is map-side — the slim per-doc span array
+    joins back once on doc_id and a higher-order filter drops covered
+    tokens inside codegen, so the corpus' tokens are never exploded for
+    reconstruction. At 100 TB the span/cut-list columns are the artifact
+    to persist; materializing scrubbed_text costs exactly one corpus
+    rewrite, which is the definition of an apply form."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    base = docs.withColumn("toks", tx.tokens_col("text")).select(
+        "doc_id", "toks"
+    )
+    w = (
+        base.filter(F.size("toks") >= SUBSTR_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {SUBSTR_K} + 1), "
+                    f"i -> struct(i AS i, md5(concat_ws(' ', "
+                    f"slice(toks, i, {SUBSTR_K}))) AS h))"
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", F.col("w.i").alias("i"), F.col("w.h").alias("h"))
+    )
+    keepers = (
+        w.groupBy("h")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.countDistinct("doc_id").alias("nd"),
+        )
+        .filter(F.col("nd") > 1)
+        .select("h", "keeper")
+    )
+    marked = (
+        w.join(keepers, "h")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id", "i")
+    )
+    covered = marked.select(
+        "doc_id", F.explode(F.expr(f"sequence(i, i + {SUBSTR_K} - 1)")).alias("p")
+    ).distinct()
+    isl = covered.withColumn(
+        "grp",
+        F.col("p")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("p")),
+    )
+    spans = isl.groupBy("doc_id", "grp").agg(
+        F.min("p").alias("s"), F.max("p").alias("e")
+    )
+    span_arr = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_cut_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("n_removed"),
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("spans"),
+    )
+    return base.join(span_arr, "doc_id", "left").select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_removed"), F.lit(0))
+        .cast("long")
+        .alias("n_removed_tokens"),
+        F.coalesce(F.col("n_cut_spans"), F.lit(0))
+        .cast("long")
+        .alias("n_cut_spans"),
+        F.coalesce(
+            F.expr(
+                "array_join(transform(spans, x -> "
+                "concat(cast(x.s AS string), '-', cast(x.e AS string))), ',')"
+            ),
+            F.lit(""),
+        ).alias("cut_spans"),
+        F.expr(
+            "CASE WHEN spans IS NULL THEN concat_ws(' ', toks) ELSE "
+            "array_join(transform(filter("
+            "  transform(toks, (t, i0) -> struct(t AS t, i0 + 1 AS p)), "
+            "  x -> NOT exists(spans, sp -> x.p >= sp.s AND x.p <= sp.e)"
+            "), x -> x.t), ' ') END"
+        ).alias("scrubbed_text"),
+    )
+
+
+_SUBSTRING_APPLY_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {tx.tokens_sql("text")} AS toks FROM documents
+), g AS (
+  SELECT doc_id, i,
+         md5(array_to_string(list_slice(toks, i, i + {SUBSTR_K} - 1), ' '))
+           AS h
+  FROM tok, unnest(generate_series(1, len(toks) - {SUBSTR_K} + 1)) AS u(i)
+  WHERE len(toks) >= {SUBSTR_K}
+), keepers AS (
+  SELECT h, min(doc_id) AS keeper FROM g GROUP BY h
+  HAVING count(DISTINCT doc_id) > 1
+), marked AS (
+  SELECT g.doc_id, g.i FROM g JOIN keepers USING (h)
+  WHERE g.doc_id != keepers.keeper
+), covered AS (
+  SELECT DISTINCT doc_id, p
+  FROM marked, unnest(generate_series(i, i + {SUBSTR_K} - 1)) AS u(p)
+), isl AS (
+  SELECT doc_id, p,
+         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM covered
+), spans AS (
+  SELECT doc_id, min(p) AS s, max(p) AS e FROM isl GROUP BY doc_id, grp
+), agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_cut_spans,
+         CAST(sum(e - s + 1) AS BIGINT) AS n_removed,
+         string_agg(CAST(s AS VARCHAR) || '-' || CAST(e AS VARCHAR),
+                    ',' ORDER BY s) AS cut_spans
+  FROM spans GROUP BY doc_id
+), pos AS (
+  SELECT doc_id, u.p, toks[u.p] AS t
+  FROM tok, unnest(generate_series(1, len(toks))) AS u(p)
+), kept AS (
+  SELECT pos.doc_id, pos.p, pos.t FROM pos
+  WHERE NOT EXISTS (
+    SELECT 1 FROM covered c WHERE c.doc_id = pos.doc_id AND c.p = pos.p
+  )
+), scrub AS (
+  SELECT doc_id, string_agg(t, ' ' ORDER BY p) AS scrubbed_text
+  FROM kept GROUP BY doc_id
+)
+SELECT tok.doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       COALESCE(n_removed, 0) AS n_removed_tokens,
+       COALESCE(n_cut_spans, 0) AS n_cut_spans,
+       COALESCE(cut_spans, '') AS cut_spans,
+       COALESCE(scrubbed_text, '') AS scrubbed_text
+FROM tok
+LEFT JOIN agg USING (doc_id)
+LEFT JOIN scrub USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # content-defined chunking (CDC) dedup — variable-size chunks, shift-robust
 # ---------------------------------------------------------------------------
 
@@ -2090,6 +2254,11 @@ SPECS = [
         "dedup_substring_profile",
         q_dedup_substring_profile,
         _SUBSTRING_PROFILE_ORACLE,
+    ),
+    QuerySpec(
+        "dedup_substring_apply",
+        q_dedup_substring_apply,
+        _SUBSTRING_APPLY_ORACLE,
     ),
     QuerySpec(
         "dedup_boilerplate_phrases",

@@ -63,15 +63,20 @@ def q_streaming_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     out, ckpt = f"{work}/out", f"{work}/ckpt"
     from mysql_streamer_spark.connectors.python_source import _parquet_files
 
-    # size micro-batches to the feed (~4 batches at any SF): per-batch cost
-    # is dominated by fixed plan/commit overhead, not rows
+    # size micro-batches to the feed (~2 batches at any SF): each batch
+    # costs ~0.5-0.9s of fixed plan/commit overhead regardless of rows
+    # (measured in SCALE.md's streaming-floor table), and TWO batches
+    # already prove the offset-resume/multi-batch property this query
+    # exists for — the 4-batch schedule bought nothing but overhead; the
+    # dedicated resume tests (test_python_source_streaming.py) exercise
+    # many-batch schedules with their own batch_rows
     total = sum(
         _pq.ParquetFile(f).metadata.num_rows
         for f in _parquet_files(table_path(sf_dir, "events"))
     )
     env = envelope_pipeline_df(
         stream_events_from_python_source(
-            spark, sf_dir, batch_rows=max(500, total // 4)
+            spark, sf_dir, batch_rows=max(500, (total + 1) // 2)
         )
     )
 

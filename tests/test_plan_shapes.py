@@ -123,6 +123,18 @@ _SKIP = {
 }
 
 
+def test_allowlists_are_count_pinned():
+    """The allowlists above grow only by deliberate review: adding an
+    entry without updating these pinned counts fails here, forcing the
+    written bounded-domain justification every entry must carry
+    (VERDICT r7 #7). Update the count IN THE SAME COMMIT as the entry."""
+    assert len(_BNLJ_OK) == 44
+    assert len(_SKIP) == 5
+    assert len(_SINGLE_PARTITION_OK) == 49
+    assert len(_UNPARTITIONED_WINDOW_OK) == 10
+    assert len(_ZERO_SHUFFLE) == 6
+
+
 def _plans(spark, sf_dir):
     from mysql_streamer_spark.queries import all_specs
 

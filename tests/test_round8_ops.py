@@ -71,3 +71,121 @@ def test_copurchase_edges_memoized_and_repersisted(spark, sf_dir):
     sl2 = a2.storageLevel
     assert a2 is a and (sl2.useMemory or sl2.useDisk), "must re-persist"
     release_copurchase_edges()
+
+
+# ---------------------------------------------------------------------------
+# cross-document exact-substring dedup, apply form
+# ---------------------------------------------------------------------------
+
+
+def _write_docs(tmp_path, texts: dict[int, str]) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids = sorted(texts)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([texts[i] for i in ids]),
+            "lang": pa.array(["en"] * len(ids)),
+            "source": pa.array(["t"] * len(ids)),
+            "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_substring_apply_collapses_exact_duplicates(spark, tmp_path):
+    """Lee et al. apply-form invariant: exact-duplicate docs collapse to
+    ONE full-length survivor (min doc_id); a shared passage is cut from
+    the non-keeper only, as one maximal span."""
+    from mysql_streamer_spark.queries.dedup import q_dedup_substring_apply
+
+    passage = " ".join(f"shared{i}" for i in range(10))
+    u = " ".join(f"u{i}" for i in range(8))
+    v = " ".join(f"v{i}" for i in range(8))
+    texts = {
+        1: passage,
+        2: passage,
+        3: passage,
+        4: f"{u} {passage} {v}",
+        5: " ".join(f"only{i}" for i in range(12)),
+    }
+    sf = _write_docs(tmp_path, texts)
+    rows = {r.doc_id: r for r in q_dedup_substring_apply(spark, sf).collect()}
+
+    # keeper copy survives full-length; the other copies scrub empty
+    assert rows[1].scrubbed_text == passage and rows[1].n_removed_tokens == 0
+    for d in (2, 3):
+        assert rows[d].scrubbed_text == ""
+        assert rows[d].n_removed_tokens == 10
+        assert rows[d].cut_spans == "1-10"
+    # embedded passage cut as ONE maximal span, unique content intact
+    assert rows[4].scrubbed_text == f"{u} {v}"
+    assert rows[4].cut_spans == "9-18"
+    assert rows[4].n_cut_spans == 1 and rows[4].n_removed_tokens == 10
+    # unique doc untouched
+    assert rows[5].n_removed_tokens == 0 and rows[5].scrubbed_text == texts[5]
+
+
+def test_substring_apply_matches_python_recompute(spark):
+    """Differential: an independent Python implementation of the window
+    index -> keeper election -> coverage union -> scrub on the sf0.001
+    corpus must agree column-for-column."""
+    import hashlib
+
+    from mysql_streamer_spark.queries.dedup import (
+        SUBSTR_K,
+        q_dedup_substring_apply,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    owners: dict[str, set[int]] = {}
+    win: dict[int, list[str]] = {}
+    for d, toks in docs.items():
+        hs = []
+        for i in range(len(toks) - SUBSTR_K + 1):
+            h = hashlib.md5(
+                " ".join(toks[i : i + SUBSTR_K]).encode()
+            ).hexdigest()
+            hs.append(h)
+            owners.setdefault(h, set()).add(d)
+        win[d] = hs
+    expect = {}
+    for d, toks in docs.items():
+        cov = set()
+        for i, h in enumerate(win[d]):
+            os_ = owners[h]
+            if len(os_) > 1 and min(os_) != d:
+                cov.update(range(i + 1, i + 1 + SUBSTR_K))
+        spans, s = [], None
+        for p in sorted(cov):
+            if s is None:
+                s = e = p
+            elif p == e + 1:
+                e = p
+            else:
+                spans.append((s, e))
+                s = e = p
+        if s is not None:
+            spans.append((s, e))
+        kept = [t for j, t in enumerate(toks, start=1) if j not in cov]
+        expect[d] = {
+            "n_tokens": len(toks),
+            "n_removed_tokens": len(cov),
+            "n_cut_spans": len(spans),
+            "cut_spans": ",".join(f"{a}-{b}" for a, b in spans),
+            "scrubbed_text": " ".join(kept),
+        }
+    got = {r.doc_id: r for r in q_dedup_substring_apply(spark, sf).collect()}
+    assert set(got) == set(expect)
+    for d, ex in expect.items():
+        for k, v in ex.items():
+            assert got[d][k] == v, (d, k)

@@ -336,12 +336,18 @@ _TOP5_BENCH = (
 )
 
 
-def _materialize_scaled_sf(spark, sf_dir: str, k: int, out_dir: str) -> None:
+def _materialize_scaled_sf(
+    spark, sf_dir: str, k: int, out_dir: str, relational: bool = False
+) -> None:
     """Write a k-fold replica of an sf_dir that registry queries can read
     unchanged: documents/embeddings replicate in the distinct regime
     (unique ids, rotated content — pure row-count scaling), events
     replicate with shifted event_ids (distinct binlog positions), and the
-    small relational tables symlink to the originals."""
+    small relational tables symlink to the originals — unless
+    ``relational`` is set, which also k-folds lineitem/orders with
+    shifted order keys (same parts/customers, so the co-purchase graph
+    gains k-fold baskets over one part universe: the DENSER-graph regime
+    the graph family must survive, not k disjoint copies)."""
     import os
 
     from mysql_streamer_spark.tables import TABLE_NAMES, load_table, table_path
@@ -357,6 +363,20 @@ def _materialize_scaled_sf(spark, sf_dir: str, k: int, out_dir: str) -> None:
             replicate_embeddings(
                 load_table(spark, sf_dir, name), k, distinct=True
             ).write.parquet(dst)
+        elif relational and name in ("lineitem", "orders"):
+            t = load_table(spark, sf_dir, name)
+            keycol = "l_orderkey" if name == "lineitem" else "o_orderkey"
+            # dense re-ids (key*k + i) keep the key space compact; every
+            # other column (partkey, custkey, dates, prices) repeats, so
+            # joins against the symlinked dims stay valid
+            parts = [
+                t.withColumn(keycol, F.col(keycol) * F.lit(k) + F.lit(i))
+                for i in range(k)
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            out.write.parquet(dst)
         elif name == "events":
             # dense re-ids (id*k + i), NOT the 10M stride: binlog file
             # numbers derive from event_id div 1000 and feed the
@@ -409,6 +429,23 @@ def probe_bench_top5(spark, sf_dir: str, ks=(1, 4, 10), names=_TOP5_BENCH) -> No
 
 
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--materialize":
+        # tools/scale_probe.py --materialize K OUT_DIR [SF_DIR] [--relational]
+        from mysql_streamer_spark.session import get_spark
+
+        k = int(sys.argv[2])
+        out_dir = sys.argv[3]
+        rest = sys.argv[4:]
+        relational = "--relational" in rest
+        rest = [a for a in rest if a != "--relational"]
+        sf_dir = rest[0] if rest else "/root/testdata/sf0.1"
+        _materialize_scaled_sf(
+            get_spark("scale_materialize"), sf_dir, k, out_dir,
+            relational=relational,
+        )
+        print(json.dumps({"materialized": out_dir, "k": k, "sf_dir": sf_dir,
+                          "relational": relational}))
+        return 0
     if len(sys.argv) > 1 and sys.argv[1] == "--top5":
         from mysql_streamer_spark.session import get_spark
 
