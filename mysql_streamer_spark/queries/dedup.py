@@ -248,9 +248,24 @@ def minhash_candidate_pairs(
         )
     inter = F.size(F.array_intersect("sa.sset", "sb.sset"))
     union = F.size(F.array_union("sa.sset", "sb.sset"))
+    # SHUFFLE_HASH with the sset dimension as build: left alone the
+    # static planner broadcasts one side off estimates — EITHER the pair
+    # frame (a driver collect that grows with found pairs) or the
+    # corpus-cardinality wide-array sset dim; under AQE whether the
+    # runtime demotion wins is a stage-scheduling RACE (observed both
+    # ways at the k=100 fold: same plan succeeded in one session and
+    # aborted on spark.driver.maxResultSize in another). The hinted
+    # shuffle-hash join is deterministic and the right fact⋈dim shape at
+    # any corpus size.
     return (
-        pairs.join(shingle_sets.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(shingle_sets.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        pairs.join(
+            shingle_sets.alias("sa").hint("shuffle_hash"),
+            F.col("doc_a") == F.col("sa.doc_id"),
+        )
+        .join(
+            shingle_sets.alias("sb").hint("shuffle_hash"),
+            F.col("doc_b") == F.col("sb.doc_id"),
+        )
         .withColumn("jaccard", inter.cast("double") / union.cast("double"))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -379,9 +394,22 @@ def ngram_jaccard_pairs(
     jaccard = F.col("n_inter").cast("double") / (
         F.col("sa.set_sz") + F.col("sb.set_sz") - F.col("n_inter")
     ).cast("double")
+    # SHUFFLE_HASH with the per-doc size DIMENSION as the build side: the
+    # static planner's size estimate for the exploded-pair aggregate runs
+    # BELOW the dimension's, so left alone it broadcast the PAIR frame —
+    # fine at sf0.1 (~20 MB), a 2 GiB driver collect that killed the job
+    # at the k=100 fold (maxResultSize), and never the right side at any
+    # scale. The dim-as-build shuffled hash join is the fact⋈dim shape
+    # that holds when the doc dimension itself outgrows broadcast.
     return (
-        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        inter.join(
+            sizes.alias("sa").hint("shuffle_hash"),
+            F.col("doc_a") == F.col("sa.doc_id"),
+        )
+        .join(
+            sizes.alias("sb").hint("shuffle_hash"),
+            F.col("doc_b") == F.col("sb.doc_id"),
+        )
         .withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -536,9 +564,17 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ssets = shingled.select("doc_id", F.array_distinct("shingles").alias("sset"))
     inter = F.size(F.array_intersect("sa.sset", "sb.sset"))
     union = F.size(F.array_union("sa.sset", "sb.sset"))
+    # dim-as-build shuffle-hash — see minhash_candidate_pairs: static
+    # broadcast of either side is a driver-collect race at scale
     verified = (
-        cand.join(ssets.alias("sa"), F.col("delta_id") == F.col("sa.doc_id"))
-        .join(ssets.alias("sb"), F.col("index_id") == F.col("sb.doc_id"))
+        cand.join(
+            ssets.alias("sa").hint("shuffle_hash"),
+            F.col("delta_id") == F.col("sa.doc_id"),
+        )
+        .join(
+            ssets.alias("sb").hint("shuffle_hash"),
+            F.col("index_id") == F.col("sb.doc_id"),
+        )
         .withColumn("jaccard", inter.cast("double") / union.cast("double"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("delta_id", "index_id")
@@ -851,9 +887,18 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard = F.col("n_inter").cast("double") / (
         F.col("sa.set_sz") + F.col("sb.set_sz") - F.col("n_inter")
     ).cast("double")
+    # dim-as-build shuffled hash join — see ngram_jaccard_pairs: the
+    # static planner otherwise broadcasts the PAIR frame off a bogus
+    # estimate (2 GiB driver collect at the k=100 fold)
     return (
-        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        inter.join(
+            sizes.alias("sa").hint("shuffle_hash"),
+            F.col("doc_a") == F.col("sa.doc_id"),
+        )
+        .join(
+            sizes.alias("sb").hint("shuffle_hash"),
+            F.col("doc_b") == F.col("sb.doc_id"),
+        )
         .withColumn("containment", containment)
         .withColumn("jaccard", jaccard)
         .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
@@ -1137,12 +1182,17 @@ def q_dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_candidate_pairs(docs)
     src = docs.select("doc_id", "source")
+    # dim-as-build shuffle-hash — see minhash_candidate_pairs
     joined = (
         pairs.join(
-            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            src.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+            ).hint("shuffle_hash"),
             "doc_a",
         ).join(
-            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+            ).hint("shuffle_hash"),
             "doc_b",
         )
     )
@@ -1343,9 +1393,17 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(N_HASHES):
         term = (F.col(f"sa.sig_{i}") == F.col(f"sb.sig_{i}")).cast("int")
         matches = term if matches is None else (matches + term)
+    # dim-as-build shuffle-hash — see minhash_candidate_pairs: static
+    # broadcast of either side is a driver-collect race at scale
     return (
-        pairs.join(sig.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sig.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        pairs.join(
+            sig.alias("sa").hint("shuffle_hash"),
+            F.col("doc_a") == F.col("sa.doc_id"),
+        )
+        .join(
+            sig.alias("sb").hint("shuffle_hash"),
+            F.col("doc_b") == F.col("sb.doc_id"),
+        )
         .withColumn("est_matches", matches)
         .select(
             "doc_a",

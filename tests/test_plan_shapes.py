@@ -378,6 +378,36 @@ _ZERO_SHUFFLE = (
 )
 
 
+@pytest.mark.parametrize(
+    "query,strict",
+    [
+        ("dedup_jaccard_ngram", True),
+        ("dedup_containment", True),
+        ("dedup_minhash_pairs", True),
+        ("dedup_minhash_estimate", True),
+        ("dedup_incremental", False),  # band-bucket joins may broadcast
+        ("dedup_cross_source_matrix", False),
+    ],
+)
+def test_pair_vs_dim_joins_never_broadcast_either_side(spark, sf_dir, query, strict):
+    """The verification joins of candidate-PAIR frames against per-doc
+    dimensions (sizes / sset arrays / signatures / source) must be
+    shuffled hash joins with the DIM as build: Catalyst's static
+    estimates mis-rank the sides, so left alone it broadcast EITHER the
+    pair frame or the corpus-cardinality dim — and under AQE whether the
+    runtime demotion beats the broadcast collect is a stage-scheduling
+    race (observed: the same k=100 plan succeeded in one session and
+    aborted on spark.driver.maxResultSize in another). Pin the hinted
+    shape so the regression is loud."""
+    from mysql_streamer_spark.queries import all_specs
+
+    spec = next(s for s in all_specs() if s.name == query)
+    plan = spec.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ShuffledHashJoin") >= 2, plan
+    if strict:
+        assert "BroadcastHashJoin" not in plan, plan
+
+
 def test_documented_map_side_plans_have_no_shuffle(spark, sf_dir):
     from mysql_streamer_spark.queries import all_specs
 

@@ -52,11 +52,18 @@ def main() -> int:
     from mysql_streamer_spark.session import get_spark
     from mysql_streamer_spark.tables import TABLE_NAMES, table_path
 
+    import os
+
     spark = get_spark("check_correctness")
     con = duckdb.connect()
     for t in TABLE_NAMES:
+        p = table_path(sf_dir, t)
+        # materialized k-fold dirs (tools/scale_probe.py --materialize)
+        # carry Spark-written parquet DIRECTORIES; DuckDB wants a glob
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
         )
 
     qs = entrymod.queries()

@@ -28,17 +28,25 @@ from pyspark.sql import DataFrame, functions as F  # noqa: E402
 #: doc_id namespace stride between replicas
 _OFFSET = 10_000_000
 
-#: letter rotations applied per replica in the distinct regime
-_ROTATIONS = "bcdfghjklm"
-
-
 def replicate(docs: DataFrame, k: int, distinct: bool) -> DataFrame:
+    """K-fold corpus replica. ``distinct`` tags every token with the
+    replica index, so replicas share NO shingles/windows — honest pure
+    row-count scaling at ANY k (the earlier vowel-rotation scheme cycled
+    mod 5, which silently made replicas i and i+5 exact duplicates: a
+    dup-regime explosion mislabeled as row growth once k > 5). The
+    duplication RATE inside each replica is preserved — internal
+    duplicates replicate with it — so found-pair counts grow exactly
+    k-fold."""
     parts = []
     for i in range(k):
         rep = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * _OFFSET))
         if distinct and i > 0:
             rep = rep.withColumn(
-                "text", F.translate("text", "aeiou", _ROTATIONS[i % 5] * 5)
+                "text",
+                F.expr(
+                    f"array_join(transform(split(text, ' '), "
+                    f"t -> concat('r{i}', t)), ' ')"
+                ),
             )
         parts.append(rep)
     out = parts[0]
@@ -48,8 +56,13 @@ def replicate(docs: DataFrame, k: int, distinct: bool) -> DataFrame:
 
 
 def replicate_embeddings(emb: DataFrame, k: int, distinct: bool) -> DataFrame:
-    """Replica i rotates the vector by i components (distinct regime) so
-    replicas point in genuinely different directions; dup regime copies."""
+    """Replica i rotates the vector by i MOD dim components (distinct
+    regime) so replicas point in genuinely different directions; dup
+    regime copies. Rotation is modular so any k materializes (a raw
+    i-shift sliced negative lengths past k = dim); past k = dim the
+    directions repeat — fine for row-count scaling probes (ids stay
+    unique), called out here so recall-style audits never run on k > dim
+    folds expecting distinct directions."""
     parts = []
     for i in range(k):
         rep = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * _OFFSET))
@@ -57,8 +70,9 @@ def replicate_embeddings(emb: DataFrame, k: int, distinct: bool) -> DataFrame:
             rep = rep.withColumn(
                 "embedding",
                 F.expr(
-                    f"concat(slice(embedding, {i + 1}, size(embedding) - {i}), "
-                    f"slice(embedding, 1, {i}))"
+                    f"concat(slice(embedding, ({i} % size(embedding)) + 1, "
+                    f"size(embedding) - ({i} % size(embedding))), "
+                    f"slice(embedding, 1, {i} % size(embedding)))"
                 ),
             )
         parts.append(rep)
@@ -453,11 +467,20 @@ def main() -> int:
         probe_bench_top5(get_spark("scale_probe_top5"), sf_dir)
         return 0
     if len(sys.argv) > 2 and sys.argv[1] == "--queries":
+        # tools/scale_probe.py --queries a,b[,c] [SF_DIR] [--ks 1,10,100]
         from mysql_streamer_spark.session import get_spark
 
         names = tuple(sys.argv[2].split(","))
-        sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
-        probe_bench_top5(get_spark("scale_probe_named"), sf_dir, names=names)
+        rest = sys.argv[3:]
+        ks = (1, 4, 10)
+        if "--ks" in rest:
+            i = rest.index("--ks")
+            ks = tuple(int(x) for x in rest[i + 1].split(","))
+            rest = rest[:i] + rest[i + 2 :]
+        sf_dir = rest[0] if rest else "/root/testdata/sf0.1"
+        probe_bench_top5(
+            get_spark("scale_probe_named"), sf_dir, ks=ks, names=names
+        )
         return 0
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     max_k = int(sys.argv[2]) if len(sys.argv) > 2 else 4
