@@ -2772,11 +2772,15 @@ def q_analytics_copurchase_pagerank(
 
 
 def _pagerank_oracle() -> str:
+    # MATERIALIZED throughout (the kcore-oracle lesson): each r{i} is read
+    # by r{i+1} and edges/deg/base by every round — inlined, DuckDB
+    # re-evaluates the whole chain per reference (fine at sf0.01,
+    # 77+ GB of spill at the k=10 fold before it was killed).
     iters = []
     prev = "r0"
     for i in range(1, PR_ITERS + 1):
         iters.append(
-            f"""r{i} AS (
+            f"""r{i} AS MATERIALIZED (
   SELECT nodes.part,
          (15 * base) // 100
            + (85 * COALESCE(s, 0)) // 100 AS r
@@ -2793,19 +2797,19 @@ def _pagerank_oracle() -> str:
         prev = f"r{i}"
     chain = ",\n".join(iters)
     return f"""
-WITH li AS (
+WITH li AS MATERIALIZED (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
                      AND a.l_partkey != b.l_partkey
-), deg AS (
+), deg AS MATERIALIZED (
   SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1
-), nodes AS (
+), nodes AS MATERIALIZED (
   SELECT src AS part, deg FROM deg
-), base AS (
+), base AS MATERIALIZED (
   SELECT {PR_SCALE} // count(*) AS base FROM nodes
-), r0 AS (
+), r0 AS MATERIALIZED (
   SELECT part, base AS r FROM nodes CROSS JOIN base
 ),
 {chain}
@@ -2883,18 +2887,22 @@ def q_analytics_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# MATERIALIZED: `oriented` is read three times (both wedge legs + the
+# closing probe) and `und`/`deg` feed several consumers — inlined, DuckDB
+# re-evaluates the basket self-join per reference (the kcore/pagerank
+# oracle lesson; explosive at the k=10 fold).
 _TRIANGLE_ORACLE = """
-WITH li AS (
+WITH li AS MATERIALIZED (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-), und AS (
+), und AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
                      AND a.l_partkey < b.l_partkey
-), deg AS (
+), deg AS MATERIALIZED (
   SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
     SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und
   ) GROUP BY 1
-), oriented AS (
+), oriented AS MATERIALIZED (
   SELECT CASE WHEN (du, u) < (dv, v) THEN u ELSE v END AS lo,
          CASE WHEN (du, u) < (dv, v) THEN v ELSE u END AS hi,
          CASE WHEN (du, u) < (dv, v) THEN dv ELSE du END AS dhi

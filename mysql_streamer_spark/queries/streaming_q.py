@@ -25,12 +25,29 @@ from mysql_streamer_spark.streaming.runner import run_windowed_stream
 from mysql_streamer_spark.tables import table_path
 
 
+def _link_table(sf_dir: str, dst_dir: str, alias: str) -> None:
+    """Symlink the events table into a stream-source dir. A driver
+    sf_dir carries ONE parquet file; a materialized k-fold
+    (tools/scale_probe.py --materialize) carries a Spark-written
+    DIRECTORY — link its part files individually (FileStreamSource does
+    not recurse into linked directories)."""
+    p = table_path(sf_dir, "events")
+    if os.path.isdir(p):
+        parts = sorted(
+            f for f in os.listdir(p) if f.endswith(".parquet")
+        )
+        for j, f in enumerate(parts):
+            os.symlink(f"{p}/{f}", f"{dst_dir}/{alias}_{j}.parquet")
+    else:
+        os.symlink(p, f"{dst_dir}/{alias}.parquet")
+
+
 def _staged_source(sf_dir: str) -> str:
     """The file stream source wants a directory; link the table in."""
     work = tempfile.mkdtemp(prefix="mss_stream_")
     src = f"{work}/src"
     os.makedirs(src)
-    os.symlink(table_path(sf_dir, "events"), f"{src}/events.parquet")
+    _link_table(sf_dir, src, "events")
     return work
 
 
@@ -163,9 +180,7 @@ def q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql_streamer_spark.streaming.runner import run_dedup_stream
 
     work = _staged_source(sf_dir)
-    os.symlink(
-        table_path(sf_dir, "events"), f"{work}/src/events_redelivered.parquet"
-    )
+    _link_table(sf_dir, f"{work}/src", "events_redelivered")
     run_dedup_stream(spark, f"{work}/src", f"{work}/out", f"{work}/ckpt")
     return spark.read.parquet(f"{work}/out")
 
@@ -355,6 +370,8 @@ def q_streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFr
     os.makedirs(src)
     con = duckdb.connect()
     events_pq = table_path(sf_dir, "events")
+    if os.path.isdir(events_pq):  # materialized k-fold: Spark parquet dir
+        events_pq = f"{events_pq}/*.parquet"
     for tag, pred in (("a", "= 0"), ("b", "= 1")):
         con.execute(
             f"COPY (SELECT * FROM '{events_pq}' WHERE event_id % 2 {pred}) "

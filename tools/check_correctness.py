@@ -56,6 +56,10 @@ def main() -> int:
 
     spark = get_spark("check_correctness")
     con = duckdb.connect()
+    # big-fold gates: keep the oracle in RAM as far as the box allows and
+    # spill to /tmp (not the repo cwd) beyond that
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute(f"SET memory_limit='{os.environ.get('DUCK_MEM', '96GB')}'")
     for t in TABLE_NAMES:
         p = table_path(sf_dir, t)
         # materialized k-fold dirs (tools/scale_probe.py --materialize)

@@ -404,7 +404,12 @@ def _materialize_scaled_sf(
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
-            out.write.parquet(dst)
+            # ONE part file: the file-stream staging links part files
+            # individually, and a multi-file events table would turn the
+            # single-batch streaming queries into arbitrary-mtime-order
+            # multi-batch schedules (watermark drops the oracles don't
+            # model). Driver sf_dirs are single-file for the same reason.
+            out.coalesce(1).write.parquet(dst)
         else:
             os.symlink(table_path(sf_dir, name), dst)
 
