@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from mysql_streamer_spark import text as tx
 from mysql_streamer_spark.queries.registry import QuerySpec
-from mysql_streamer_spark.tables import load_table, spread
+from mysql_streamer_spark.tables import load_table, spread, table_path
 
 #: MinHash signature length and band layout: H = BANDS * ROWS_PER_BAND.
 N_HASHES = 8
@@ -190,11 +190,51 @@ _BANDS_ORACLE = (
 # LSH candidate pairs + exact Jaccard verification
 # ---------------------------------------------------------------------------
 
+#: pair⋈dim verification joins broadcast the per-doc dimension at or
+#: below this many documents and switch to dim-as-build SHUFFLE_HASH
+#: above it. 100k docs of (doc_id, sset) is already ~100s of MB — past
+#: any sane broadcast — while the bench/driver fixtures (≤5k docs) sit
+#: far below. The decision comes from the parquet FOOTER row count
+#: (exact, metadata-only), never from Catalyst's estimates: the static
+#: planner mis-ranked these sides (broadcasting the PAIR frame / the
+#: wide sset dim) and AQE's runtime demotion is a scheduling race — the
+#: same k=100 plan succeeded in one session and aborted on
+#: spark.driver.maxResultSize in another (SCALE.md round 11). Both
+#: branches are explicit hints, so the chosen plan is deterministic.
+DIM_BROADCAST_MAX_DOCS = 100_000
+
+
+def _docs_dim_hint(sf_dir: str) -> str:
+    """'broadcast' when the documents dimension provably fits every
+    task; 'shuffle_hash' beyond — or whenever the size is unknowable
+    (the scale-safe default)."""
+    try:
+        import pyarrow.parquet as pq
+
+        from mysql_streamer_spark.connectors.python_source import _parquet_files
+
+        n = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in _parquet_files(table_path(sf_dir, "documents"))
+        )
+    except Exception:  # noqa: BLE001 - unknown layout -> scale-safe
+        return "shuffle_hash"
+    return "broadcast" if n <= DIM_BROADCAST_MAX_DOCS else "shuffle_hash"
+
+
+def _hinted_dim(dim: DataFrame, dim_hint: str) -> DataFrame:
+    """Apply the chosen explicit strategy to a per-doc dimension frame.
+    Either way the DIM is the build side; the pair frame is never
+    collected anywhere."""
+    return F.broadcast(dim) if dim_hint == "broadcast" else dim.hint("shuffle_hash")
+
+
 def minhash_candidate_pairs(
     docs: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
     pre_shingled: bool = False,
     pre_signed: bool = False,
+    dim_hint: str = "shuffle_hash",
 ) -> DataFrame:
     """Near-duplicate pairs (doc_a < doc_b, jaccard >= threshold).
 
@@ -248,22 +288,20 @@ def minhash_candidate_pairs(
         )
     inter = F.size(F.array_intersect("sa.sset", "sb.sset"))
     union = F.size(F.array_union("sa.sset", "sb.sset"))
-    # SHUFFLE_HASH with the sset dimension as build: left alone the
-    # static planner broadcasts one side off estimates — EITHER the pair
-    # frame (a driver collect that grows with found pairs) or the
-    # corpus-cardinality wide-array sset dim; under AQE whether the
-    # runtime demotion wins is a stage-scheduling RACE (observed both
-    # ways at the k=100 fold: same plan succeeded in one session and
-    # aborted on spark.driver.maxResultSize in another). The hinted
-    # shuffle-hash join is deterministic and the right fact⋈dim shape at
-    # any corpus size.
+    # explicit dim-as-build strategy (dim_hint, see DIM_BROADCAST_MAX_DOCS):
+    # left alone the static planner broadcasts one side off estimates —
+    # EITHER the pair frame (a driver collect that grows with found
+    # pairs) or the corpus-cardinality wide-array sset dim; under AQE
+    # whether the runtime demotion wins is a stage-scheduling RACE
+    # (observed both ways at the k=100 fold: same plan succeeded in one
+    # session and aborted on spark.driver.maxResultSize in another).
     return (
         pairs.join(
-            shingle_sets.alias("sa").hint("shuffle_hash"),
+            _hinted_dim(shingle_sets.alias("sa"), dim_hint),
             F.col("doc_a") == F.col("sa.doc_id"),
         )
         .join(
-            shingle_sets.alias("sb").hint("shuffle_hash"),
+            _hinted_dim(shingle_sets.alias("sb"), dim_hint),
             F.col("doc_b") == F.col("sb.doc_id"),
         )
         .withColumn("jaccard", inter.cast("double") / union.cast("double"))
@@ -273,7 +311,9 @@ def minhash_candidate_pairs(
 
 
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_candidate_pairs(load_table(spark, sf_dir, "documents"))
+    return minhash_candidate_pairs(
+        load_table(spark, sf_dir, "documents"), dim_hint=_docs_dim_hint(sf_dir)
+    )
 
 
 _PAIRS_ORACLE = (
@@ -325,6 +365,7 @@ def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
     pre_shingled: bool = False,
+    dim_hint: str = "shuffle_hash",
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted shingle index.
 
@@ -394,20 +435,18 @@ def ngram_jaccard_pairs(
     jaccard = F.col("n_inter").cast("double") / (
         F.col("sa.set_sz") + F.col("sb.set_sz") - F.col("n_inter")
     ).cast("double")
-    # SHUFFLE_HASH with the per-doc size DIMENSION as the build side: the
-    # static planner's size estimate for the exploded-pair aggregate runs
-    # BELOW the dimension's, so left alone it broadcast the PAIR frame —
-    # fine at sf0.1 (~20 MB), a 2 GiB driver collect that killed the job
-    # at the k=100 fold (maxResultSize), and never the right side at any
-    # scale. The dim-as-build shuffled hash join is the fact⋈dim shape
-    # that holds when the doc dimension itself outgrows broadcast.
+    # explicit dim-as-build strategy (dim_hint): the static planner's
+    # size estimate for the exploded-pair aggregate runs BELOW the
+    # dimension's, so left alone it broadcast the PAIR frame — fine at
+    # sf0.1 (~20 MB), a 2 GiB driver collect that killed the job at the
+    # k=100 fold (maxResultSize), and never the right side at any scale.
     return (
         inter.join(
-            sizes.alias("sa").hint("shuffle_hash"),
+            _hinted_dim(sizes.alias("sa"), dim_hint),
             F.col("doc_a") == F.col("sa.doc_id"),
         )
         .join(
-            sizes.alias("sb").hint("shuffle_hash"),
+            _hinted_dim(sizes.alias("sb"), dim_hint),
             F.col("doc_b") == F.col("sb.doc_id"),
         )
         .withColumn("jaccard", jaccard)
@@ -417,7 +456,9 @@ def ngram_jaccard_pairs(
 
 
 def q_dedup_jaccard_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), dim_hint=_docs_dim_hint(sf_dir)
+    )
 
 
 _JACCARD_NGRAM_ORACLE = f"""
@@ -564,15 +605,16 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ssets = shingled.select("doc_id", F.array_distinct("shingles").alias("sset"))
     inter = F.size(F.array_intersect("sa.sset", "sb.sset"))
     union = F.size(F.array_union("sa.sset", "sb.sset"))
-    # dim-as-build shuffle-hash — see minhash_candidate_pairs: static
-    # broadcast of either side is a driver-collect race at scale
+    # explicit dim-as-build strategy — see minhash_candidate_pairs:
+    # static broadcast of either side is a driver-collect race at scale
+    dim_hint = _docs_dim_hint(sf_dir)
     verified = (
         cand.join(
-            ssets.alias("sa").hint("shuffle_hash"),
+            _hinted_dim(ssets.alias("sa"), dim_hint),
             F.col("delta_id") == F.col("sa.doc_id"),
         )
         .join(
-            ssets.alias("sb").hint("shuffle_hash"),
+            _hinted_dim(ssets.alias("sb"), dim_hint),
             F.col("index_id") == F.col("sb.doc_id"),
         )
         .withColumn("jaccard", inter.cast("double") / union.cast("double"))
@@ -765,7 +807,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate cluster with its keeper (min doc_id) and member count —
     the dedup decision table a 100 TB pipeline joins against to drop
     non-keepers."""
-    pairs = minhash_candidate_pairs(load_table(spark, sf_dir, "documents"))
+    pairs = minhash_candidate_pairs(
+        load_table(spark, sf_dir, "documents"), dim_hint=_docs_dim_hint(sf_dir)
+    )
     labels = connected_components(pairs.select("doc_a", "doc_b"))
     # members is a comma-joined string, not an array: the driver's compare
     # harness canonicalizes rows via pandas sorting, which cannot hash list
@@ -887,16 +931,17 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard = F.col("n_inter").cast("double") / (
         F.col("sa.set_sz") + F.col("sb.set_sz") - F.col("n_inter")
     ).cast("double")
-    # dim-as-build shuffled hash join — see ngram_jaccard_pairs: the
+    # explicit dim-as-build strategy — see ngram_jaccard_pairs: the
     # static planner otherwise broadcasts the PAIR frame off a bogus
     # estimate (2 GiB driver collect at the k=100 fold)
+    dim_hint = _docs_dim_hint(sf_dir)
     return (
         inter.join(
-            sizes.alias("sa").hint("shuffle_hash"),
+            _hinted_dim(sizes.alias("sa"), dim_hint),
             F.col("doc_a") == F.col("sa.doc_id"),
         )
         .join(
-            sizes.alias("sb").hint("shuffle_hash"),
+            _hinted_dim(sizes.alias("sb"), dim_hint),
             F.col("doc_b") == F.col("sb.doc_id"),
         )
         .withColumn("containment", containment)
@@ -946,7 +991,9 @@ def q_dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinguishes benign pairwise duplication from a boilerplate blob
     (one giant cluster). Aggregate over the CC labels, then an aggregate
     of THAT aggregate — both tiny after the pair stage."""
-    pairs = minhash_candidate_pairs(load_table(spark, sf_dir, "documents"))
+    pairs = minhash_candidate_pairs(
+        load_table(spark, sf_dir, "documents"), dim_hint=_docs_dim_hint(sf_dir)
+    )
     labels = connected_components(pairs.select("doc_a", "doc_b"))
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return sizes.groupBy("cluster_size").agg(
@@ -977,7 +1024,7 @@ def q_dedup_fuzzy_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the corpus, where a forced broadcast would OOM and a shuffled
     anti join on doc_id is correct."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_candidate_pairs(docs)
+    pairs = minhash_candidate_pairs(docs, dim_hint=_docs_dim_hint(sf_dir))
     labels = connected_components(pairs.select("doc_a", "doc_b"))
     non_keepers = labels.filter(F.col("doc_id") != F.col("label")).select("doc_id")
     return docs.join(non_keepers, "doc_id", "left_anti").select(
@@ -1037,7 +1084,9 @@ def q_dedup_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fuzzy_removed = (
         connected_components(
-            minhash_candidate_pairs(docs).select("doc_a", "doc_b")
+            minhash_candidate_pairs(
+                docs, dim_hint=_docs_dim_hint(sf_dir)
+            ).select("doc_a", "doc_b")
         )
         .filter(F.col("doc_id") != F.col("label"))
         .select("doc_id")
@@ -1180,19 +1229,26 @@ def q_dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins against the (doc_id, source) dimension and one aggregate on a
     ≤ |sources|² key."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_candidate_pairs(docs)
+    dim_hint = _docs_dim_hint(sf_dir)
+    pairs = minhash_candidate_pairs(docs, dim_hint=dim_hint)
     src = docs.select("doc_id", "source")
-    # dim-as-build shuffle-hash — see minhash_candidate_pairs
+    # explicit dim-as-build strategy — see minhash_candidate_pairs
     joined = (
         pairs.join(
-            src.select(
-                F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
-            ).hint("shuffle_hash"),
+            _hinted_dim(
+                src.select(
+                    F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+                ),
+                dim_hint,
+            ),
             "doc_a",
         ).join(
-            src.select(
-                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
-            ).hint("shuffle_hash"),
+            _hinted_dim(
+                src.select(
+                    F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+                ),
+                dim_hint,
+            ),
             "doc_b",
         )
     )
@@ -1245,7 +1301,9 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum/countDistinct — partial-aggregatable and parallel, no
     collect_list pulling all surviving ids into one reducer's buffer
     (each pair holds doc_a < doc_b, so n_pairs = exploded rows / 2)."""
-    pairs = minhash_candidate_pairs(load_table(spark, sf_dir, "documents"))
+    pairs = minhash_candidate_pairs(
+        load_table(spark, sf_dir, "documents"), dim_hint=_docs_dim_hint(sf_dir)
+    )
     ids = pairs.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc"), "jaccard"
     )
@@ -1300,12 +1358,14 @@ def q_dedup_pair_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "shingles")
         .persist()
     )
-    lsh = minhash_candidate_pairs(shingled, pre_shingled=True).select(
-        "doc_a", "doc_b"
-    )
+    dim_hint = _docs_dim_hint(sf_dir)
+    lsh = minhash_candidate_pairs(
+        shingled, pre_shingled=True, dim_hint=dim_hint
+    ).select("doc_a", "doc_b")
     ng = ngram_jaccard_pairs(
         shingled.select("doc_id", F.col("shingles").alias("sset")),
         pre_shingled=True,
+        dim_hint=dim_hint,
     ).select(F.col("doc_a").alias("ng_a"), F.col("doc_b").alias("ng_b"))
     joined = lsh.join(
         ng, (lsh.doc_a == ng.ng_a) & (lsh.doc_b == ng.ng_b), "full_outer"
@@ -1388,20 +1448,23 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     sig = sig_full.select("doc_id", *[f"sig_{i}" for i in range(N_HASHES)])
-    pairs = minhash_candidate_pairs(sig_full, threshold=0.0, pre_signed=True)
+    dim_hint = _docs_dim_hint(sf_dir)
+    pairs = minhash_candidate_pairs(
+        sig_full, threshold=0.0, pre_signed=True, dim_hint=dim_hint
+    )
     matches = None
     for i in range(N_HASHES):
         term = (F.col(f"sa.sig_{i}") == F.col(f"sb.sig_{i}")).cast("int")
         matches = term if matches is None else (matches + term)
-    # dim-as-build shuffle-hash — see minhash_candidate_pairs: static
-    # broadcast of either side is a driver-collect race at scale
+    # explicit dim-as-build strategy — see minhash_candidate_pairs:
+    # static broadcast of either side is a driver-collect race at scale
     return (
         pairs.join(
-            sig.alias("sa").hint("shuffle_hash"),
+            _hinted_dim(sig.alias("sa"), dim_hint),
             F.col("doc_a") == F.col("sa.doc_id"),
         )
         .join(
-            sig.alias("sb").hint("shuffle_hash"),
+            _hinted_dim(sig.alias("sb"), dim_hint),
             F.col("doc_b") == F.col("sb.doc_id"),
         )
         .withColumn("est_matches", matches)

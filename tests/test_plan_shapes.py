@@ -378,34 +378,50 @@ _ZERO_SHUFFLE = (
 )
 
 
-@pytest.mark.parametrize(
-    "query,strict",
-    [
-        ("dedup_jaccard_ngram", True),
-        ("dedup_containment", True),
-        ("dedup_minhash_pairs", True),
-        ("dedup_minhash_estimate", True),
-        ("dedup_incremental", False),  # band-bucket joins may broadcast
-        ("dedup_cross_source_matrix", False),
-    ],
+#: queries whose pair⋈dim verification joins carry the explicit
+#: dim-as-build strategy (broadcast below DIM_BROADCAST_MAX_DOCS, hinted
+#: shuffle-hash above — decided from the parquet footer row count, never
+#: from Catalyst's estimates, which mis-ranked the sides and broadcast
+#: EITHER the pair frame or the corpus-cardinality sset dim; under AQE
+#: whether runtime demotion beats the broadcast collect is a
+#: stage-scheduling race — the same k=100 plan succeeded in one session
+#: and aborted on spark.driver.maxResultSize in another)
+_PAIR_DIM_STRICT = (
+    "dedup_jaccard_ngram",
+    "dedup_containment",
+    "dedup_minhash_pairs",
+    "dedup_minhash_estimate",
 )
-def test_pair_vs_dim_joins_never_broadcast_either_side(spark, sf_dir, query, strict):
-    """The verification joins of candidate-PAIR frames against per-doc
-    dimensions (sizes / sset arrays / signatures / source) must be
-    shuffled hash joins with the DIM as build: Catalyst's static
-    estimates mis-rank the sides, so left alone it broadcast EITHER the
-    pair frame or the corpus-cardinality dim — and under AQE whether the
-    runtime demotion beats the broadcast collect is a stage-scheduling
-    race (observed: the same k=100 plan succeeded in one session and
-    aborted on spark.driver.maxResultSize in another). Pin the hinted
-    shape so the regression is loud."""
+
+
+@pytest.mark.parametrize("query", _PAIR_DIM_STRICT)
+def test_pair_vs_dim_joins_build_side_is_always_the_dim(spark, sf_dir, query):
+    """At fixture size the footer-count strategy picks broadcast — but
+    ALWAYS of the DIM side (BuildRight; the pair frame is the stream
+    side). A BuildLeft broadcast here is the 2 GiB-driver-collect bug
+    class coming back."""
     from mysql_streamer_spark.queries import all_specs
 
     spec = next(s for s in all_specs() if s.name == query)
     plan = spec.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    bhj = [l for l in plan.splitlines() if "BroadcastHashJoin" in l]
+    assert bhj, plan  # fixture is below the bound: broadcast expected
+    assert all("BuildRight" in l for l in bhj), plan
+
+
+@pytest.mark.parametrize("query", ["dedup_jaccard_ngram", "dedup_minhash_pairs"])
+def test_pair_vs_dim_joins_shuffle_hash_above_the_bound(
+    spark, sf_dir, query, monkeypatch
+):
+    """Above DIM_BROADCAST_MAX_DOCS the same joins must compile to
+    dim-as-build shuffled hash joins — no broadcast of anything."""
+    from mysql_streamer_spark.queries import all_specs, dedup as D
+
+    monkeypatch.setattr(D, "DIM_BROADCAST_MAX_DOCS", 0)
+    spec = next(s for s in all_specs() if s.name == query)
+    plan = spec.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ShuffledHashJoin") >= 2, plan
-    if strict:
-        assert "BroadcastHashJoin" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
 
 
 def test_documented_map_side_plans_have_no_shuffle(spark, sf_dir):
