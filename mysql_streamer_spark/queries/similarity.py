@@ -2466,7 +2466,172 @@ SELECT query_id, cand_id, lex_rank, emb_rank, rrf_score, fused_rank FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# sim_mips_topk — maximum-inner-product search via the cosine reduction
+# ---------------------------------------------------------------------------
+
+#: recall@K contract for the augmented-cosine ranking vs the exact
+#: inner-product ranking: the only divergence source is the +-1
+#: quantization of the augmented component, so agreement stays high.
+MIPS_RECALL_MIN = 0.8
+
+
+def q_sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product retrieval through the cosine/Euclidean
+    reduction (Bachrach et al. 2014; Neyshabur & Srebro 2015): augment
+    every candidate x with one extra component a = sqrt(M^2 - ||x||^2)
+    (M = max candidate norm) and the query with 0 — then cos(q~, x~) =
+    dot(q, x) / (||q|| * M) for EVERY candidate, so ranking by augmented
+    cosine ranks by inner product, and the whole cosine-ANN stack (LSH
+    buckets, IVF cells) becomes usable for dot-product retrieval
+    (recommendation scoring, unnormalized rerankers) with no new index
+    machinery. That reduction is the operator here; this query ships it
+    with its audit: the exact-dot top-K and the augmented-cosine top-K
+    side by side, per rank, plus recall@K per query.
+
+    Determinism: vectors are the shared integer-quantized qv; the
+    augmented component is floor(sqrt(M^2 - ||x||^2)) — integer in both
+    engines — so the augmented norm deviates from M^2 by at most the
+    floor error, the ONLY divergence source between the two rankings
+    (``recall_ok`` pins it >= {MIPS_RECALL_MIN}). Scores divide once into
+    a double; ties break on cand_id in both engines.
+
+    Scale shape: identical to ``sim_bruteforce_topk`` — the N_QUERY-row
+    query frame broadcasts against the candidate scan (the bounded
+    ground-truth pattern), per-query windows truncate map-side via
+    WindowGroupLimit. The production path at 100 TB replaces the scan
+    with the LSH/IVF probe while keeping the same augmented geometry.
+    Reference scope note: the reference is a CDC relay with no vector
+    surface; SURVEY.md §7 phase-5 similarity extension."""
+    e = vx.with_quantized(_emb(spark, sf_dir))
+    m2 = e.agg(F.max("nrm").alias("m2"))
+    c = (
+        e.crossJoin(F.broadcast(m2))
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("qv").alias("c_qv"),
+            F.col("nrm").alias("c_nrm"),
+            F.expr(
+                "CAST(floor(sqrt(CAST(m2 - nrm AS DOUBLE))) AS BIGINT)"
+            ).alias("aug"),
+        )
+    )
+    q = e.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("dot", vx.dot_col("q_qv", "c_qv"))
+        .withColumn(
+            "mips_score",
+            F.col("dot").cast("double")
+            / F.sqrt((F.col("c_nrm") + F.col("aug") * F.col("aug")).cast("double")),
+        )
+        .select("query_id", "cand_id", "dot", "mips_score")
+    )
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("cand_id").asc()
+    )
+    w_mips = Window.partitionBy("query_id").orderBy(
+        F.col("mips_score").desc(), F.col("cand_id").asc()
+    )
+    ex = (
+        scored.withColumn("rnk", F.row_number().over(w_exact))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "rnk",
+            F.col("cand_id").alias("exact_cand"),
+            F.col("dot").alias("exact_dot"),
+        )
+    )
+    mi = (
+        scored.withColumn("rnk", F.row_number().over(w_mips))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "rnk",
+            F.col("cand_id").alias("mips_cand"),
+            F.col("dot").alias("mips_dot"),
+        )
+    )
+    overlap = (
+        ex.join(
+            mi.select("query_id", F.col("mips_cand").alias("exact_cand")),
+            ["query_id", "exact_cand"],
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    recall = F.col("n_overlap").cast("double") / F.lit(float(TOP_K))
+    return (
+        ex.join(mi, ["query_id", "rnk"])
+        .join(overlap, "query_id")
+        .select(
+            "query_id",
+            "rnk",
+            "exact_cand",
+            "exact_dot",
+            "mips_cand",
+            "mips_dot",
+            (F.col("exact_cand") == F.col("mips_cand")).alias("same_at_rank"),
+            recall.alias("recall_at_k"),
+            (recall >= F.lit(MIPS_RECALL_MIN)).alias("recall_ok"),
+        )
+    )
+
+
+_MIPS_TOPK_ORACLE = f"""
+WITH qe AS (
+  SELECT vec_id, {vx.quantized_sql("embedding")} AS qv,
+         {vx.norm_sq_sql(vx.quantized_sql("embedding"))} AS nrm
+  FROM embeddings
+), m AS (
+  SELECT max(nrm) AS m2 FROM qe
+), c AS (
+  SELECT vec_id AS cand_id, qv AS c_qv, nrm AS c_nrm,
+         CAST(floor(sqrt(CAST(m2 - nrm AS DOUBLE))) AS BIGINT) AS aug
+  FROM qe CROSS JOIN m
+), q AS (
+  SELECT vec_id AS query_id, qv AS q_qv FROM qe WHERE vec_id < {N_QUERY}
+), scored AS (
+  SELECT query_id, cand_id,
+         {vx.dot_sql("q_qv", "c_qv")} AS dot,
+         CAST({vx.dot_sql("q_qv", "c_qv")} AS DOUBLE)
+           / sqrt(CAST(c_nrm + aug * aug AS DOUBLE)) AS mips_score
+  FROM c CROSS JOIN q
+  WHERE cand_id != query_id
+), ex AS (
+  SELECT query_id, rnk, cand_id AS exact_cand, dot AS exact_dot FROM (
+    SELECT query_id, cand_id, dot, row_number() OVER (
+      PARTITION BY query_id ORDER BY dot DESC, cand_id ASC) AS rnk
+    FROM scored
+  ) WHERE rnk <= {TOP_K}
+), mi AS (
+  SELECT query_id, rnk, cand_id AS mips_cand, dot AS mips_dot FROM (
+    SELECT query_id, cand_id, dot, row_number() OVER (
+      PARTITION BY query_id ORDER BY mips_score DESC, cand_id ASC) AS rnk
+    FROM scored
+  ) WHERE rnk <= {TOP_K}
+), overlap AS (
+  SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+  FROM ex JOIN mi ON ex.query_id = mi.query_id AND ex.exact_cand = mi.mips_cand
+  GROUP BY 1
+)
+SELECT ex.query_id, ex.rnk, exact_cand, exact_dot, mips_cand, mips_dot,
+       exact_cand = mips_cand AS same_at_rank,
+       CAST(n_overlap AS DOUBLE) / {float(TOP_K)} AS recall_at_k,
+       CAST(n_overlap AS DOUBLE) / {float(TOP_K)} >= {MIPS_RECALL_MIN}
+         AS recall_ok
+FROM ex
+JOIN mi ON ex.query_id = mi.query_id AND ex.rnk = mi.rnk
+JOIN overlap ON ex.query_id = overlap.query_id
+"""
+
+
 SPECS = [
+    QuerySpec("sim_mips_topk", q_sim_mips_topk, _MIPS_TOPK_ORACLE),
     QuerySpec("sim_bruteforce_topk", q_sim_bruteforce_topk, _BRUTEFORCE_ORACLE),
     QuerySpec("sim_rank_fusion", q_sim_rank_fusion, _RANK_FUSION_ORACLE),
     QuerySpec("sim_ivfpq_recall", q_sim_ivfpq_recall, _IVFPQ_RECALL_ORACLE),

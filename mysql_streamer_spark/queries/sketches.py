@@ -1281,6 +1281,264 @@ JOIN sizes sb ON tb = sb.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# sketch_theta_diff — theta-sketch set algebra: union / intersection /
+# DIFFERENCE estimates from per-set bottom-k samples
+# ---------------------------------------------------------------------------
+
+#: 5 standard errors of the theta estimator's relative error ~ 1/sqrt(k-1)
+#: (Dasgupta et al. 2016, §3) — a Python-literal so both engines compare
+#: against the identical double.
+_THETA_REL_BOUND = 5.0 / (KMV_K - 1) ** 0.5
+
+
+def q_sketch_theta_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra over event-type activity sets: union,
+    intersection, and — the capability neither HLL (union-only) nor the
+    KMV Jaccard (ratio-only) provides — set-DIFFERENCE cardinality
+    estimates |A\\B| and |B\\A|, per event-type pair (Dasgupta et al.
+    2016, the Apache DataSketches theta framework).
+
+    Mechanics: each set keeps its k smallest md5-derived hashes; its
+    theta is the k-th smallest hash when saturated (else the full hash
+    space). For a pair, theta = min(theta_a, theta_b); every retained
+    hash below that combined theta is a uniform sample of the union at
+    sampling rate theta/SPACE, so |X| ~= n_sample(X) * SPACE / theta for
+    ANY set expression X computable on the samples — union, intersection,
+    both differences — with ONE estimator. The samples partition exactly
+    (inter + diff_ab + diff_ba == union, emitted as the ``additive``
+    contract), so the estimates are additive by construction: the algebra
+    closes, which inclusion-exclusion over HLLs does not.
+
+    Item domain: (user_id, day-of-month) activity cells, as in
+    ``sketch_kmv_jaccard`` — per-type user sets are degenerate (identical)
+    in the fixture; activity cells give real asymmetric differences.
+    Hashes are md5-derived, all estimates are integer-multiply + one
+    double division, so values hash-check cross-engine; ``within_*``
+    flags assert 5 standard errors (~5/sqrt(k-1) relative, union-scaled
+    for the sub-samples).
+
+    Scale shape: per-type sketches truncate map-side via WindowGroupLimit
+    (k rows per type leave the map side); every pair stage afterwards
+    touches <= 2k rows per pair — constant work per pair at any set
+    cardinality. Only the exact-audit columns scale with the data; at
+    production scale the audit is dropped and the sketch stands alone.
+    Reference scope note: the reference is a CDC relay with no analytics
+    surface; this extends SURVEY.md §7 phase 5 (sketch family).
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    items = (
+        ev.select(
+            "event_type",
+            (F.col("user_id") * 100 + F.dayofmonth("ts")).alias("item"),
+        )
+        .distinct()
+        .withColumn("h", _kmv_hash_spark("item"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("h").asc())
+    sketch = (
+        items.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KMV_K)
+        .select("event_type", "h")
+    )
+    sizes = items.groupBy("event_type").agg(F.count("*").alias("n_items"))
+    theta = (
+        sketch.groupBy("event_type")
+        .agg(F.max("h").alias("kth"))
+        .join(sizes, "event_type")
+        .select(
+            "event_type",
+            F.when(F.col("n_items") >= KMV_K, F.col("kth"))
+            .otherwise(F.lit(KMV_HASH_SPACE))
+            .cast("long")
+            .alias("theta"),
+        )
+    )
+    pairs = (
+        theta.select(
+            F.col("event_type").alias("ta"), F.col("theta").alias("theta_a")
+        )
+        .crossJoin(
+            theta.select(
+                F.col("event_type").alias("tb"), F.col("theta").alias("theta_b")
+            )
+        )
+        .filter(F.col("ta") < F.col("tb"))
+        .select("ta", "tb", F.least("theta_a", "theta_b").alias("theta"))
+    )
+    tagged = (
+        pairs.join(sketch, F.col("event_type").isin(F.col("ta"), F.col("tb")))
+        .filter(F.col("h") < F.col("theta"))
+        .groupBy("ta", "tb", "theta", "h")
+        .agg(
+            F.max((F.col("event_type") == F.col("ta")).cast("int")).alias("in_a"),
+            F.max((F.col("event_type") == F.col("tb")).cast("int")).alias("in_b"),
+        )
+    )
+    counts = tagged.groupBy("ta", "tb", "theta").agg(
+        F.count("*").cast("long").alias("n_union_s"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_inter_s"),
+        F.sum(F.col("in_a") * (1 - F.col("in_b"))).cast("long").alias("n_diff_ab_s"),
+        F.sum(F.col("in_b") * (1 - F.col("in_a"))).cast("long").alias("n_diff_ba_s"),
+    )
+
+    def est(n_col: str) -> F.Column:
+        return (F.col(n_col) * F.lit(KMV_HASH_SPACE)).cast("double") / F.col(
+            "theta"
+        ).cast("double")
+
+    exact_pair = (
+        items.select(F.col("event_type").alias("ta"), "item")
+        .join(items.select(F.col("event_type").alias("tb"), "item"), "item")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").cast("long").alias("exact_inter"))
+    )
+    ex_union = (
+        F.col("n_a") + F.col("n_b") - F.col("exact_inter")
+    ).cast("long")
+    slack = F.lit(_THETA_REL_BOUND) * ex_union.cast("double")
+    return (
+        counts.join(exact_pair, ["ta", "tb"])
+        .join(
+            sizes.select(
+                F.col("event_type").alias("ta"), F.col("n_items").alias("n_a")
+            ),
+            "ta",
+        )
+        .join(
+            sizes.select(
+                F.col("event_type").alias("tb"), F.col("n_items").alias("n_b")
+            ),
+            "tb",
+        )
+        .select(
+            "ta",
+            "tb",
+            (F.col("theta").cast("double") / F.lit(float(KMV_HASH_SPACE))).alias(
+                "theta_frac"
+            ),
+            "n_union_s",
+            "n_inter_s",
+            "n_diff_ab_s",
+            "n_diff_ba_s",
+            est("n_union_s").alias("est_union"),
+            est("n_inter_s").alias("est_inter"),
+            est("n_diff_ab_s").alias("est_diff_ab"),
+            est("n_diff_ba_s").alias("est_diff_ba"),
+            ex_union.alias("exact_union"),
+            "exact_inter",
+            (F.col("n_a") - F.col("exact_inter")).cast("long").alias("exact_diff_ab"),
+            (F.col("n_b") - F.col("exact_inter")).cast("long").alias("exact_diff_ba"),
+            (
+                F.col("n_inter_s")
+                + F.col("n_diff_ab_s")
+                + F.col("n_diff_ba_s")
+                == F.col("n_union_s")
+            ).alias("additive"),
+            (F.abs(est("n_union_s") - ex_union.cast("double")) <= slack).alias(
+                "within_union"
+            ),
+            (
+                F.abs(est("n_inter_s") - F.col("exact_inter").cast("double"))
+                <= slack
+            ).alias("within_inter"),
+            (
+                F.abs(
+                    est("n_diff_ab_s")
+                    - (F.col("n_a") - F.col("exact_inter")).cast("double")
+                )
+                <= slack
+            ).alias("within_diff_ab"),
+        )
+    )
+
+
+_THETA_DIFF_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT event_type,
+         user_id * 100 + date_part('day', ts) AS item
+  FROM events
+), hashed AS (
+  SELECT event_type, item, {_kmv_hash_sql("item")} AS h FROM items
+), sketch AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rnk
+    FROM hashed
+  ) WHERE rnk <= {KMV_K}
+), sizes AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_items FROM items GROUP BY 1
+), theta AS (
+  SELECT s.event_type,
+         CAST(CASE WHEN z.n_items >= {KMV_K} THEN max(s.h)
+                   ELSE {KMV_HASH_SPACE} END AS BIGINT) AS theta
+  FROM sketch s JOIN sizes z ON s.event_type = z.event_type
+  GROUP BY 1, z.n_items
+), pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         least(a.theta, b.theta) AS theta
+  FROM theta a, theta b WHERE a.event_type < b.event_type
+), tagged AS (
+  SELECT ta, tb, theta, h,
+         max(CASE WHEN s.event_type = ta THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN s.event_type = tb THEN 1 ELSE 0 END) AS in_b
+  FROM pairs JOIN sketch s ON s.event_type IN (ta, tb) AND s.h < theta
+  GROUP BY 1, 2, 3, 4
+), counts AS (
+  SELECT ta, tb, theta,
+         CAST(count(*) AS BIGINT) AS n_union_s,
+         CAST(sum(in_a * in_b) AS BIGINT) AS n_inter_s,
+         CAST(sum(in_a * (1 - in_b)) AS BIGINT) AS n_diff_ab_s,
+         CAST(sum(in_b * (1 - in_a)) AS BIGINT) AS n_diff_ba_s
+  FROM tagged GROUP BY 1, 2, 3
+), exact_pair AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         CAST(count(*) AS BIGINT) AS exact_inter
+  FROM hashed a JOIN hashed b ON a.item = b.item
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT ta, tb,
+       CAST(theta AS DOUBLE) / {float(KMV_HASH_SPACE)} AS theta_frac,
+       n_union_s, n_inter_s, n_diff_ab_s, n_diff_ba_s,
+       CAST(n_union_s * {KMV_HASH_SPACE} AS DOUBLE) / CAST(theta AS DOUBLE)
+         AS est_union,
+       CAST(n_inter_s * {KMV_HASH_SPACE} AS DOUBLE) / CAST(theta AS DOUBLE)
+         AS est_inter,
+       CAST(n_diff_ab_s * {KMV_HASH_SPACE} AS DOUBLE) / CAST(theta AS DOUBLE)
+         AS est_diff_ab,
+       CAST(n_diff_ba_s * {KMV_HASH_SPACE} AS DOUBLE) / CAST(theta AS DOUBLE)
+         AS est_diff_ba,
+       CAST(sa.n_items + sb.n_items - exact_inter AS BIGINT) AS exact_union,
+       exact_inter,
+       CAST(sa.n_items - exact_inter AS BIGINT) AS exact_diff_ab,
+       CAST(sb.n_items - exact_inter AS BIGINT) AS exact_diff_ba,
+       n_inter_s + n_diff_ab_s + n_diff_ba_s = n_union_s AS additive,
+       abs(CAST(n_union_s * {KMV_HASH_SPACE} AS DOUBLE) / CAST(theta AS DOUBLE)
+           - CAST(sa.n_items + sb.n_items - exact_inter AS DOUBLE))
+         <= {_THETA_REL_BOUND!r}
+            * CAST(sa.n_items + sb.n_items - exact_inter AS DOUBLE)
+         AS within_union,
+       abs(CAST(n_inter_s * {KMV_HASH_SPACE} AS DOUBLE) / CAST(theta AS DOUBLE)
+           - CAST(exact_inter AS DOUBLE))
+         <= {_THETA_REL_BOUND!r}
+            * CAST(sa.n_items + sb.n_items - exact_inter AS DOUBLE)
+         AS within_inter,
+       abs(CAST(n_diff_ab_s * {KMV_HASH_SPACE} AS DOUBLE) / CAST(theta AS DOUBLE)
+           - CAST(sa.n_items - exact_inter AS DOUBLE))
+         <= {_THETA_REL_BOUND!r}
+            * CAST(sa.n_items + sb.n_items - exact_inter AS DOUBLE)
+         AS within_diff_ab
+FROM counts
+JOIN exact_pair USING (ta, tb)
+JOIN sizes sa ON ta = sa.event_type
+JOIN sizes sb ON tb = sb.event_type
+"""
+
+
 def q_sketch_log_histogram_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The log-bucket sketch's MERGE rule, proven the way sketch_hll_merge
     pins HLL: per-day histograms summed cell-wise must equal the
@@ -1540,6 +1798,7 @@ SPECS = [
     ),
     QuerySpec("sketch_kmv_distinct", q_sketch_kmv_distinct, _KMV_ORACLE),
     QuerySpec("sketch_kmv_jaccard", q_sketch_kmv_jaccard, _KMV_JACCARD_ORACLE),
+    QuerySpec("sketch_theta_diff", q_sketch_theta_diff, _THETA_DIFF_ORACLE),
     QuerySpec("sketch_ams_f2", q_sketch_ams_f2, _ams_oracle()),
     QuerySpec("sketch_cms_counts", q_sketch_cms_counts, _cms_oracle()),
     QuerySpec(

@@ -1520,7 +1520,119 @@ LIMIT {KN_TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# character-entropy quality signal (the C4/Gopher "gibberish" filter shape)
+# ---------------------------------------------------------------------------
+
+#: band half-width (bits/char) around the corpus-mean character entropy —
+#: relative-to-mean banding for the same reason as LM_BAND_DELTA: the
+#: synthetic corpus is homogeneous, absolute edges would collapse a band.
+CHAR_ENT_DELTA = 0.15
+
+
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution entropy — the cheap "gibberish
+    or binary junk" quality signal production filters run before anything
+    tokenizes (low entropy = repeated-character runs / boilerplate
+    padding; high entropy = base64 blobs, mojibake). Entropy uses the
+    repo's integer log2 proxy end-to-end: a character with count c in a
+    doc of n chars contributes c * (bitlen(n) - bitlen(c)) ~
+    c * log2(n/c) surprise bits — exact integer arithmetic in both
+    engines — and the per-doc entropy is ONE IEEE division bits/n.
+    ``band`` cuts low/mid/high around the corpus mean computed as one
+    division of exact integer corpus totals (sum bits / sum chars), the
+    ``text_lm_perplexity`` discipline.
+
+    Scale shape: the per-char explode feeds a (doc_id, n, ch) hash
+    aggregate whose partial combine caps map output at ~alphabet-size
+    rows per doc per partition; the per-doc fold is one more map-side
+    hash aggregate on doc_id. The corpus mean is a 1-row broadcast. No
+    windows, no joins wider than the scalar cross.
+    Reference scope note: no text surface in the CDC reference —
+    SURVEY.md §7 phase-5 text-quality extension."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    chars = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n"),
+        F.explode(
+            F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
+        ).alias("ch"),
+    )
+    hist = chars.groupBy("doc_id", "n", "ch").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    per_doc = hist.groupBy("doc_id", "n").agg(
+        F.count("*").cast("long").alias("k_distinct"),
+        F.sum(
+            F.col("c")
+            * (F.expr("length(bin(n))") - F.expr("length(bin(c))"))
+        )
+        .cast("long")
+        .alias("surprise_bits"),
+    )
+    per_doc = per_doc.withColumn(
+        "entropy_bits",
+        F.col("surprise_bits").cast("double") / F.col("n").cast("double"),
+    )
+    mean = per_doc.agg(
+        (
+            F.sum("surprise_bits").cast("double") / F.sum("n").cast("double")
+        ).alias("mean_bits")
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(mean))
+        .select(
+            "doc_id",
+            F.col("n").alias("n_chars_counted"),
+            "k_distinct",
+            "surprise_bits",
+            "entropy_bits",
+            F.when(
+                F.col("entropy_bits") < F.col("mean_bits") - CHAR_ENT_DELTA, "low"
+            )
+            .when(
+                F.col("entropy_bits") > F.col("mean_bits") + CHAR_ENT_DELTA, "high"
+            )
+            .otherwise("mid")
+            .alias("band"),
+        )
+    )
+
+
+_CHAR_ENTROPY_ORACLE = f"""
+WITH chars AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+         unnest(list_transform(generate_series(1, length(text)),
+                               i -> substring(text, i, 1))) AS ch
+  FROM documents
+), hist AS (
+  SELECT doc_id, n, ch, CAST(count(*) AS BIGINT) AS c
+  FROM chars GROUP BY 1, 2, 3
+), per_doc AS (
+  SELECT doc_id, n, CAST(count(*) AS BIGINT) AS k_distinct,
+         CAST(sum(c * (length(bin(n)) - length(bin(c)))) AS BIGINT)
+           AS surprise_bits
+  FROM hist GROUP BY 1, 2
+), m AS (
+  SELECT CAST(sum(surprise_bits) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+           AS mean_bits
+  FROM per_doc
+)
+SELECT doc_id, n AS n_chars_counted, k_distinct, surprise_bits,
+       CAST(surprise_bits AS DOUBLE) / CAST(n AS DOUBLE) AS entropy_bits,
+       CASE
+         WHEN CAST(surprise_bits AS DOUBLE) / CAST(n AS DOUBLE)
+              < mean_bits - {CHAR_ENT_DELTA} THEN 'low'
+         WHEN CAST(surprise_bits AS DOUBLE) / CAST(n AS DOUBLE)
+              > mean_bits + {CHAR_ENT_DELTA} THEN 'high'
+         ELSE 'mid'
+       END AS band
+FROM per_doc CROSS JOIN m
+"""
+
+
 SPECS = [
+    QuerySpec("text_char_entropy", q_text_char_entropy, _CHAR_ENTROPY_ORACLE),
     QuerySpec("text_token_stats", q_text_token_stats, _TOKEN_STATS_ORACLE),
     QuerySpec("text_kn_bigram_lm", q_text_kn_bigram_lm, _KN_LM_ORACLE),
     QuerySpec("text_heaps_law", q_text_heaps_law, _HEAPS_ORACLE),

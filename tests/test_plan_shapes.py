@@ -110,6 +110,15 @@ _BNLJ_OK = {
     # three 1-row frames (totals, exact size, estimate) crossed into the
     # one-row planner report
     "sketch_cms_join_size",
+    # T-row theta-pair frame x the ≤T*K-row sketch (IN-condition join),
+    # same designed shape as sketch_kmv_jaccard
+    "sketch_theta_diff",
+    # 1-row max-norm frame crossed onto the candidate scan + the same
+    # broadcast-query cross join as the brute-force baseline
+    "sim_mips_topk",
+    # 1-row corpus-mean-entropy frame crossed back onto per-doc scores
+    # (the text_lm_perplexity shape)
+    "text_char_entropy",
 }
 
 #: streaming roundtrips execute jobs at build time — plan-audited via their
@@ -128,9 +137,9 @@ def test_allowlists_are_count_pinned():
     entry without updating these pinned counts fails here, forcing the
     written bounded-domain justification every entry must carry
     (VERDICT r7 #7). Update the count IN THE SAME COMMIT as the entry."""
-    assert len(_BNLJ_OK) == 44
+    assert len(_BNLJ_OK) == 47
     assert len(_SKIP) == 5
-    assert len(_SINGLE_PARTITION_OK) == 49
+    assert len(_SINGLE_PARTITION_OK) == 52
     assert len(_UNPARTITIONED_WINDOW_OK) == 10
     assert len(_ZERO_SHUFFLE) == 6
 
@@ -281,6 +290,12 @@ _SINGLE_PARTITION_OK = {
     "sketch_cms_join_size",
     # six 1-row per-check scalar aggregates unioned into the audit report
     "analytics_data_quality",
+    # T-row type dimension feeding the theta-pair frame (kmv shape)
+    "sketch_theta_diff",
+    # 1-row max-norm scalar aggregate (the augmentation constant M^2)
+    "sim_mips_topk",
+    # 1-row corpus-mean-entropy scalar aggregate (exact integer totals)
+    "text_char_entropy",
 }
 
 

@@ -99,3 +99,29 @@ def test_kmeans_lloyd_monotone_and_total(spark, sf_dir):
     cost0 = seed.agg(F.sum("dist2")).collect()[0][0]
     cost2 = two.agg(F.sum("dist2")).collect()[0][0]
     assert cost2 <= cost0
+
+
+def test_mips_reduction_ranks_by_inner_product(spark, sf_dir):
+    """The augmented-cosine ranking agrees with the exact-dot ranking up
+    to the floor-quantized augmentation component: recall@K >= the pinned
+    contract for every query, and a rank-1 exact-dot candidate is never
+    pushed out of the augmented top-K."""
+    from mysql_streamer_spark.queries.similarity import (
+        MIPS_RECALL_MIN,
+        q_sim_mips_topk,
+    )
+
+    rows = q_sim_mips_topk(spark, sf_dir).collect()
+    assert len(rows) == 50  # N_QUERY x TOP_K
+    by_q = {}
+    for r in rows:
+        assert r.recall_ok and r.recall_at_k >= MIPS_RECALL_MIN
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        # the exact top-1 must appear somewhere in the augmented top-K
+        top1 = rs[0].exact_cand
+        assert top1 in {r.mips_cand for r in rs}, q
+        # exact-dot column is consistent: non-increasing down the exact ranks
+        dots = [r.exact_dot for r in rs]
+        assert dots == sorted(dots, reverse=True)

@@ -47,3 +47,40 @@ def test_hll_partials_merge_like_the_aggregate(spark, sf_dir):
     assert halves == 2
     exact = ev.select("user_id").distinct().count()
     assert abs(whole - exact) / exact <= 0.1
+
+
+def test_theta_diff_algebra_closes_and_bounds_hold(spark, sf_dir):
+    """Theta set algebra: the combined-theta samples PARTITION the union
+    sample exactly (inter + diff_ab + diff_ba == union), so estimates are
+    additive by construction, and every estimate sits within 5 standard
+    errors of its exact counterpart at fixture scale."""
+    from mysql_streamer_spark.queries.sketches import q_sketch_theta_diff
+
+    rows = q_sketch_theta_diff(spark, sf_dir).collect()
+    assert len(rows) == 10  # C(5 event types, 2)
+    for r in rows:
+        assert r.additive, (r.ta, r.tb)
+        assert r.within_union and r.within_inter and r.within_diff_ab
+        # estimator additivity is exact, not approximate: one shared theta
+        assert abs(r.est_inter + r.est_diff_ab + r.est_diff_ba - r.est_union) < 1e-9
+        # difference identities against the exact audit columns
+        assert r.exact_diff_ab + r.exact_inter <= r.exact_union
+        assert 0.0 < r.theta_frac <= 1.0
+
+
+def test_theta_diff_unsaturated_sets_are_exact(spark, monkeypatch):
+    """A set smaller than k keeps theta = full hash space (sampling rate
+    1.0), so every estimate over unsaturated sets is EXACT — the
+    degenerate branch both engines must take identically. Forced by
+    raising k above any fixture set size."""
+    from mysql_streamer_spark.queries import sketches as sk
+
+    monkeypatch.setattr(sk, "KMV_K", 10_000_000)
+    rows = sk.q_sketch_theta_diff(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.theta_frac == 1.0, (r.ta, r.tb)
+        assert r.est_union == float(r.exact_union)
+        assert r.est_inter == float(r.exact_inter)
+        assert r.est_diff_ab == float(r.exact_diff_ab)
+        assert r.est_diff_ba == float(r.exact_diff_ba)

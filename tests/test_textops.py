@@ -90,3 +90,45 @@ def test_sql_function_surface_matches_dataframe_path(spark, sf_dir):
     b = q_text_sql_function_api(spark, sf_dir)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_char_entropy_brackets_and_bands(spark, sf_dir):
+    """Character entropy: the integer-proxy entropy of any doc is bounded
+    by bitlen(n) bits/char, zero only for single-character docs, and the
+    three bands partition the corpus (every doc gets exactly one band;
+    'mid' is non-empty because the mean sits inside the corpus range)."""
+    from mysql_streamer_spark.queries.textops import q_text_char_entropy
+
+    rows = q_text_char_entropy(spark, sf_dir).collect()
+    assert rows
+    bands = set()
+    for r in rows:
+        assert 0.0 <= r.entropy_bits <= float(r.n_chars_counted.bit_length())
+        assert r.k_distinct >= 1
+        assert r.band in {"low", "mid", "high"}
+        bands.add(r.band)
+    assert "mid" in bands
+
+
+def test_char_entropy_degenerate_doc_scores_zero(spark):
+    """A single-repeated-character doc has c == n, so every surprise term
+    is bitlen(n) - bitlen(n) = 0: the filter's motivating case."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "aaaaaaaa")], "doc_id long, text string")
+    chars = df.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text)), i -> substring(text, i, 1))"
+            )
+        ).alias("ch"),
+    )
+    hist = chars.groupBy("doc_id", "n", "ch").agg(F.count("*").alias("c"))
+    row = hist.select(
+        (
+            F.col("c") * (F.expr("length(bin(n))") - F.expr("length(bin(c))"))
+        ).alias("bits")
+    ).collect()[0]
+    assert row.bits == 0
