@@ -2582,6 +2582,192 @@ def q_sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# sim_mmr_rerank — maximal-marginal-relevance diversity reranking
+# ---------------------------------------------------------------------------
+
+#: MMR relevance/diversity mix (Carbonell & Goldstein 1998) and the pool
+#: the greedy selection draws from. Literals shared verbatim with the SQL
+#: oracle so both engines compute the identical doubles.
+MMR_LAMBDA = 0.7
+MMR_POOL = 30
+MMR_K = 10
+
+
+def q_sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance reranking (Carbonell & Goldstein 1998)
+    — the diversity pass retrieval pipelines run after ANN so the top-K
+    shown to a model or user isn't K near-copies of the same passage:
+    greedily pick argmax of lambda*rel(q, d) - (1-lambda)*max sim(d,
+    selected), K times, from a bounded relevance pool.
+
+    Spark shape: the pool is the per-query cosine top-``MMR_POOL``
+    (WindowGroupLimit over the broadcast-query scan, the brute-force
+    baseline's plan), and the inherently sequential greedy selection runs
+    per query group inside ONE ``applyInPandas`` over ≤ MMR_POOL rows —
+    bounded state per group, Arrow-batched, exactly the documented
+    custom-operator escape hatch. At 100 TB the pool build is the ANN
+    probe; the rerank cost stays O(K * MMR_POOL) per query regardless of
+    corpus size.
+
+    Determinism: relevance and pairwise sims are cosines of the shared
+    integer-quantized vectors (exact int64 dots, one IEEE division);
+    the greedy argmax tie-breaks on cand_id ascending in both engines;
+    the oracle unrolls all K selection steps as chained CTEs — an exact,
+    not approximate, cross-engine check of the full greedy trajectory.
+    Reference scope note: no retrieval surface in the CDC reference —
+    SURVEY.md §7 phase-5 similarity extension."""
+    e = vx.with_quantized(_emb(spark, sf_dir))
+    q = e.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = (
+        e.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("qv").alias("c_qv"),
+            F.col("nrm").alias("c_nrm"),
+        )
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("rel", vx.cosine_col("q_qv", "c_qv", "q_nrm", "c_nrm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("cand_id").asc()
+    )
+    pool = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= MMR_POOL)
+        .select("query_id", "cand_id", "rel", "c_qv", "c_nrm")
+    )
+
+    lam = MMR_LAMBDA
+    k_sel = MMR_K
+
+    def mmr(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("cand_id").reset_index(drop=True)
+        vecs = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["c_qv"]])
+        nrm = pdf["c_nrm"].to_numpy(np.int64)
+        rel = pdf["rel"].to_numpy(np.float64)
+        den = np.sqrt(nrm.astype(np.float64))
+        sims = (vecs @ vecs.T).astype(np.float64) / (den[:, None] * den[None, :])
+        n = len(pdf)
+        sel: list[int] = []
+        rows = []
+        for rank in range(1, min(k_sel, n) + 1):
+            if sel:
+                maxs = sims[:, sel].max(axis=1)
+            else:
+                maxs = np.zeros(n, dtype=np.float64)
+            score = np.float64(lam) * rel - np.float64(1.0 - lam) * maxs
+            best = -1
+            for i in range(n):  # ascending cand_id: first strict max wins ties
+                if i in sel:
+                    continue
+                if best < 0 or score[i] > score[best]:
+                    best = i
+            rows.append(
+                (
+                    int(pdf["query_id"][0]),
+                    rank,
+                    int(pdf["cand_id"][best]),
+                    float(rel[best]),
+                    float(maxs[best]),
+                    float(score[best]),
+                )
+            )
+            sel.append(best)
+        return pd.DataFrame(
+            rows,
+            columns=["query_id", "sel_rank", "cand_id", "rel", "maxsim", "score"],
+        )
+
+    return pool.groupBy("query_id").applyInPandas(
+        mmr,
+        schema=(
+            "query_id long, sel_rank int, cand_id long, "
+            "rel double, maxsim double, score double"
+        ),
+    )
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR as chained CTEs — step i joins the pool against
+    the accumulated selection, takes the per-query argmax (tie on cand_id),
+    and unions it in. Exact: the oracle replays the entire trajectory."""
+    lam = MMR_LAMBDA
+    one_m = 1.0 - MMR_LAMBDA
+    head = f"""
+WITH qe AS (
+  SELECT vec_id, {vx.quantized_sql("embedding")} AS qv,
+         {vx.norm_sq_sql(vx.quantized_sql("embedding"))} AS nrm
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, qv AS q_qv, nrm AS q_nrm
+  FROM qe WHERE vec_id < {N_QUERY}
+), c AS (
+  SELECT vec_id AS cand_id, qv AS c_qv, nrm AS c_nrm FROM qe
+), pool AS MATERIALIZED (
+  SELECT query_id, cand_id, rel, c_qv, c_nrm FROM (
+    SELECT query_id, cand_id, c_qv, c_nrm,
+           {vx.cosine_sql("q_qv", "c_qv", "q_nrm", "c_nrm")} AS rel,
+           row_number() OVER (PARTITION BY query_id ORDER BY
+             {vx.cosine_sql("q_qv", "c_qv", "q_nrm", "c_nrm")} DESC,
+             cand_id ASC) AS rnk
+    FROM c CROSS JOIN q
+    WHERE cand_id != query_id
+  ) WHERE rnk <= {MMR_POOL}
+), sims AS MATERIALIZED (
+  SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+         {vx.cosine_sql("a.c_qv", "b.c_qv", "a.c_nrm", "b.c_nrm")} AS s
+  FROM pool a JOIN pool b
+    ON a.query_id = b.query_id AND a.cand_id != b.cand_id
+), sel1 AS MATERIALIZED (
+  SELECT query_id, cand_id, rel, 0.0 AS maxsim,
+         {lam} * rel - {one_m} * 0.0 AS score, 1 AS sel_rank
+  FROM (
+    SELECT query_id, cand_id, rel, row_number() OVER (
+      PARTITION BY query_id ORDER BY {lam} * rel DESC, cand_id ASC) AS rn
+    FROM pool
+  ) WHERE rn = 1
+), acc1 AS MATERIALIZED (SELECT * FROM sel1)"""
+    steps = []
+    for i in range(2, MMR_K + 1):
+        j = i - 1
+        steps.append(f"""
+, cand{i} AS MATERIALIZED (
+  SELECT p.query_id, p.cand_id, p.rel, max(si.s) AS maxsim
+  FROM pool p
+  JOIN acc{j} a ON a.query_id = p.query_id
+  JOIN sims si ON si.query_id = p.query_id
+             AND si.ca = p.cand_id AND si.cb = a.cand_id
+  LEFT JOIN acc{j} ex
+    ON ex.query_id = p.query_id AND ex.cand_id = p.cand_id
+  WHERE ex.cand_id IS NULL
+  GROUP BY 1, 2, 3
+), sel{i} AS MATERIALIZED (
+  SELECT query_id, cand_id, rel, maxsim,
+         {lam} * rel - {one_m} * maxsim AS score, {i} AS sel_rank
+  FROM (
+    SELECT query_id, cand_id, rel, maxsim, row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY {lam} * rel - {one_m} * maxsim DESC, cand_id ASC) AS rn
+    FROM cand{i}
+  ) WHERE rn = 1
+), acc{i} AS MATERIALIZED (SELECT * FROM acc{j} UNION ALL SELECT * FROM sel{i})""")
+    tail = f"""
+SELECT query_id, sel_rank, cand_id, rel, maxsim, score FROM acc{MMR_K}
+"""
+    return head + "".join(steps) + tail
+
+
+_MMR_ORACLE = _mmr_oracle()
+
+
 _MIPS_TOPK_ORACLE = f"""
 WITH qe AS (
   SELECT vec_id, {vx.quantized_sql("embedding")} AS qv,
@@ -2631,6 +2817,7 @@ JOIN overlap ON ex.query_id = overlap.query_id
 
 
 SPECS = [
+    QuerySpec("sim_mmr_rerank", q_sim_mmr_rerank, _MMR_ORACLE),
     QuerySpec("sim_mips_topk", q_sim_mips_topk, _MIPS_TOPK_ORACLE),
     QuerySpec("sim_bruteforce_topk", q_sim_bruteforce_topk, _BRUTEFORCE_ORACLE),
     QuerySpec("sim_rank_fusion", q_sim_rank_fusion, _RANK_FUSION_ORACLE),

@@ -119,6 +119,9 @@ _BNLJ_OK = {
     # 1-row corpus-mean-entropy frame crossed back onto per-doc scores
     # (the text_lm_perplexity shape)
     "text_char_entropy",
+    # same broadcast-query-dimension cross join as the brute-force
+    # baseline feeding the bounded MMR pool
+    "sim_mmr_rerank",
 }
 
 #: streaming roundtrips execute jobs at build time — plan-audited via their
@@ -137,7 +140,7 @@ def test_allowlists_are_count_pinned():
     entry without updating these pinned counts fails here, forcing the
     written bounded-domain justification every entry must carry
     (VERDICT r7 #7). Update the count IN THE SAME COMMIT as the entry."""
-    assert len(_BNLJ_OK) == 47
+    assert len(_BNLJ_OK) == 48
     assert len(_SKIP) == 5
     assert len(_SINGLE_PARTITION_OK) == 52
     assert len(_UNPARTITIONED_WINDOW_OK) == 10

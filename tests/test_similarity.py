@@ -125,3 +125,39 @@ def test_mips_reduction_ranks_by_inner_product(spark, sf_dir):
         # exact-dot column is consistent: non-increasing down the exact ranks
         dots = [r.exact_dot for r in rs]
         assert dots == sorted(dots, reverse=True)
+
+
+def test_mmr_greedy_trajectory_properties(spark, sf_dir):
+    """MMR invariants that hold by construction: rank-1 is the pure
+    cosine top-1 (empty selected set), selections never repeat, the
+    marginal score is non-increasing down the trajectory (maxsim only
+    grows and the candidate set only shrinks), and maxsim is 0 at rank 1
+    and a genuine cosine (in [-1, 1]) afterwards."""
+    from mysql_streamer_spark.queries.similarity import (
+        MMR_K,
+        MMR_LAMBDA,
+        q_sim_bruteforce_topk,
+        q_sim_mmr_rerank,
+    )
+
+    mmr_rows = q_sim_mmr_rerank(spark, sf_dir).collect()
+    top1 = {
+        r.query_id: r.cand_id
+        for r in q_sim_bruteforce_topk(spark, sf_dir).collect()
+        if r.rnk == 1
+    }
+    by_q = {}
+    for r in mmr_rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(top1)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.sel_rank)
+        assert len(rs) == MMR_K
+        assert len({r.cand_id for r in rs}) == MMR_K
+        assert rs[0].cand_id == top1[q]
+        assert rs[0].maxsim == 0.0
+        assert abs(rs[0].score - MMR_LAMBDA * rs[0].rel) < 1e-12
+        scores = [r.score for r in rs]
+        assert all(a >= b - 1e-12 for a, b in zip(scores, scores[1:]))
+        for r in rs[1:]:
+            assert -1.0 - 1e-12 <= r.maxsim <= 1.0 + 1e-12
