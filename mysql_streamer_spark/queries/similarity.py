@@ -2583,6 +2583,122 @@ def q_sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sim_ivf_imbalance — inverted-list skew audit for the IVF index
+# ---------------------------------------------------------------------------
+
+#: a cell more than this multiple over the uniform share is flagged — the
+#: operational threshold production ANN services alert on (an overloaded
+#: inverted list dominates tail latency because every probe that touches
+#: it scans the whole list).
+IVF_SKEW_LIMIT = 3
+
+
+def q_sim_ivf_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list balance audit — the operational metric that
+    decides whether an IVF index is servable at scale: probe latency is
+    bounded by the LARGEST probed list, so a skewed assignment (one cell
+    swallowing a crawl-boilerplate region of embedding space) degrades
+    p99 regardless of mean cost. Emits one row per cell with its list
+    size, share, skew-vs-uniform factor, and a ``balanced`` verdict
+    checked as an exact INTEGER comparison (n * n_cells <= LIMIT * total
+    — no float thresholds to disagree on).
+
+    Scale shape: the assignment is the same broadcast-centroid map pass
+    as ``sim_ivf_ann`` (10 dots per vector, map-only); the audit itself
+    is one hash aggregate to cell granularity (n_cells rows) and a 1-row
+    stats frame crossed back — fixed output cardinality at any corpus
+    size. At 100 TB this runs as a post-build index check; a failed
+    verdict routes the cell through splitting or re-training.
+    Reference scope note: no vector surface in the CDC reference —
+    SURVEY.md §7 phase-5 similarity extension."""
+    e = vx.with_quantized(_emb(spark, sf_dir)).select("vec_id", "qv", "nrm", "label")
+    cents = _centroids(e)
+    scored = (
+        e.drop("label")
+        .crossJoin(F.broadcast(cents))
+        .withColumn("cscore", _cell_score("qv", "nrm"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cscore").desc(), F.col("label").asc()
+    )
+    assign = (
+        scored.withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("label").alias("cell"))
+    )
+    lists = assign.groupBy("cell").agg(F.count("*").cast("long").alias("n_vecs"))
+    stats = lists.agg(
+        F.sum("n_vecs").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_cells"),
+        F.max("n_vecs").cast("long").alias("max_n"),
+    )
+    return (
+        lists.crossJoin(F.broadcast(stats))
+        .select(
+            "cell",
+            "n_vecs",
+            "n_cells",
+            "total",
+            (F.col("n_vecs").cast("double") / F.col("total").cast("double")).alias(
+                "share"
+            ),
+            (
+                (F.col("n_vecs") * F.col("n_cells")).cast("double")
+                / F.col("total").cast("double")
+            ).alias("skew_vs_uniform"),
+            (F.col("n_vecs") == F.col("max_n")).alias("is_largest"),
+            (
+                F.col("n_vecs") * F.col("n_cells")
+                <= F.lit(IVF_SKEW_LIMIT) * F.col("total")
+            ).alias("balanced"),
+        )
+    )
+
+
+_IVF_IMBALANCE_ORACLE = f"""
+WITH qe AS (
+  SELECT vec_id, label, {vx.quantized_sql("embedding")} AS qv,
+         {vx.norm_sq_sql(vx.quantized_sql("embedding"))} AS nrm
+  FROM embeddings
+), per_dim AS (
+  SELECT label, i - 1 AS dim,
+         CAST(floor(sum(qv[i]) / count(*)) AS BIGINT) AS cval
+  FROM qe CROSS JOIN (SELECT unnest(generate_series(1, {vx.DIM})) AS i) dims
+  GROUP BY label, dim
+), cents AS (
+  SELECT label, list(cval ORDER BY dim) AS cq
+  FROM per_dim GROUP BY label
+), cents_n AS (
+  SELECT label, cq, {vx.norm_sq_sql("cq")} AS cnrm FROM cents
+), scored_cells AS (
+  SELECT qe.vec_id, cents_n.label,
+         {vx.cosine_sql("qv", "cq", "nrm", "cnrm")} AS cscore
+  FROM qe CROSS JOIN cents_n
+), assign AS (
+  SELECT vec_id, label AS cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cscore DESC, label ASC) AS rk
+    FROM scored_cells
+  ) WHERE rk = 1
+), lists AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs FROM assign GROUP BY 1
+), stats AS (
+  SELECT CAST(sum(n_vecs) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(max(n_vecs) AS BIGINT) AS max_n
+  FROM lists
+)
+SELECT cell, n_vecs, n_cells, total,
+       CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+       CAST(n_vecs * n_cells AS DOUBLE) / CAST(total AS DOUBLE)
+         AS skew_vs_uniform,
+       n_vecs = max_n AS is_largest,
+       n_vecs * n_cells <= {IVF_SKEW_LIMIT} * total AS balanced
+FROM lists CROSS JOIN stats
+"""
+
+
+# ---------------------------------------------------------------------------
 # sim_mmr_rerank — maximal-marginal-relevance diversity reranking
 # ---------------------------------------------------------------------------
 
@@ -2817,6 +2933,7 @@ JOIN overlap ON ex.query_id = overlap.query_id
 
 
 SPECS = [
+    QuerySpec("sim_ivf_imbalance", q_sim_ivf_imbalance, _IVF_IMBALANCE_ORACLE),
     QuerySpec("sim_mmr_rerank", q_sim_mmr_rerank, _MMR_ORACLE),
     QuerySpec("sim_mips_topk", q_sim_mips_topk, _MIPS_TOPK_ORACLE),
     QuerySpec("sim_bruteforce_topk", q_sim_bruteforce_topk, _BRUTEFORCE_ORACLE),

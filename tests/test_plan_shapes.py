@@ -122,6 +122,9 @@ _BNLJ_OK = {
     # same broadcast-query-dimension cross join as the brute-force
     # baseline feeding the bounded MMR pool
     "sim_mmr_rerank",
+    # centroid broadcast (the IVF-assignment shape) + the 1-row list
+    # stats frame crossed onto the n_cells-row audit
+    "sim_ivf_imbalance",
 }
 
 #: streaming roundtrips execute jobs at build time — plan-audited via their
@@ -140,9 +143,9 @@ def test_allowlists_are_count_pinned():
     entry without updating these pinned counts fails here, forcing the
     written bounded-domain justification every entry must carry
     (VERDICT r7 #7). Update the count IN THE SAME COMMIT as the entry."""
-    assert len(_BNLJ_OK) == 48
+    assert len(_BNLJ_OK) == 49
     assert len(_SKIP) == 5
-    assert len(_SINGLE_PARTITION_OK) == 52
+    assert len(_SINGLE_PARTITION_OK) == 53
     assert len(_UNPARTITIONED_WINDOW_OK) == 10
     assert len(_ZERO_SHUFFLE) == 6
 
@@ -299,6 +302,8 @@ _SINGLE_PARTITION_OK = {
     "sim_mips_topk",
     # 1-row corpus-mean-entropy scalar aggregate (exact integer totals)
     "text_char_entropy",
+    # 1-row list-stats scalar aggregate over the n_cells-row lists frame
+    "sim_ivf_imbalance",
 }
 
 

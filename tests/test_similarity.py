@@ -161,3 +161,24 @@ def test_mmr_greedy_trajectory_properties(spark, sf_dir):
         assert all(a >= b - 1e-12 for a, b in zip(scores, scores[1:]))
         for r in rs[1:]:
             assert -1.0 - 1e-12 <= r.maxsim <= 1.0 + 1e-12
+
+
+def test_ivf_imbalance_audit_is_consistent(spark, sf_dir):
+    """List sizes sum to the corpus, shares sum to 1, exactly one largest
+    cell unless tied, and the integer balanced verdict agrees with the
+    float skew factor it summarizes."""
+    from mysql_streamer_spark.queries.similarity import (
+        IVF_SKEW_LIMIT,
+        q_sim_ivf_imbalance,
+    )
+
+    rows = q_sim_ivf_imbalance(spark, sf_dir).collect()
+    assert rows
+    total = rows[0].total
+    assert sum(r.n_vecs for r in rows) == total
+    assert all(r.n_cells == len(rows) for r in rows)
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
+    assert any(r.is_largest for r in rows)
+    for r in rows:
+        assert r.balanced == (r.n_vecs * r.n_cells <= IVF_SKEW_LIMIT * total)
+        assert abs(r.skew_vs_uniform - r.share * r.n_cells) < 1e-9
