@@ -2362,6 +2362,201 @@ JOIN ranked b ON b.r - a.r BETWEEN 1 AND {SNM_W - 1}
 """
 
 
+# ---------------------------------------------------------------------------
+# LSH parameter tuning: the (bands, rows) S-curve report
+# ---------------------------------------------------------------------------
+
+#: Fixed signature budget H = 16, swept across every power-of-two band
+#: layout. Powers of two only, so s^r and (1-s^r)^b unroll to repeated
+#: squaring — pure IEEE multiplies with the IDENTICAL textual expression in
+#: both engines (library pow() differs by ULPs between Java and C++ and
+#: would break the value-hash gate).
+LSH_TUNE_GRID = ((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+LSH_TUNE_RECALL_BAR = 0.9
+
+
+def _pow_int_expr(x: str, n: int) -> str:
+    """x**n as left-nested repeated squaring — dialect-neutral arithmetic
+    text (`*`, parentheses) that Spark and DuckDB evaluate in the same
+    order, multiply for multiply."""
+    if n == 1:
+        return x
+    h = _pow_int_expr(x, n // 2)
+    sq = f"({h} * {h})"
+    return sq if n % 2 == 0 else f"({sq} * {x})"
+
+
+def _catch_prob_expr(s: str, b: int, r: int) -> str:
+    """1 - (1 - s^r)^b, fully unrolled to multiplies."""
+    return f"1.0 - {_pow_int_expr(f'(1.0 - {_pow_int_expr(s, r)})', b)}"
+
+
+def _lsh_tune_agg_sql(s: str = "jaccard") -> list[tuple[str, str, str]]:
+    """Per grid point: (caught-micros expr, false-micros expr, suffix).
+    Expected catch probability is floor-quantized to integer micro-units
+    per pair so the per-grid sums are exact BIGINTs (the
+    text_lm_perplexity discipline — no float accumulation order to drift
+    between engines)."""
+    out = []
+    for b, r in LSH_TUNE_GRID:
+        micros = (
+            f"CAST(floor(({_catch_prob_expr(s, b, r)}) * 1000000.0) AS BIGINT)"
+        )
+        caught = (
+            f"CASE WHEN {s} >= {JACCARD_THRESHOLD} THEN {micros} ELSE 0 END"
+        )
+        false_ = f"CASE WHEN {s} < {JACCARD_THRESHOLD} THEN {micros} ELSE 0 END"
+        out.append((caught, false_, f"{b}_{r}"))
+    return out
+
+
+def q_dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-layout tuning report (Leskovec, Rajaraman & Ullman, MMDS
+    ch. 3): for every power-of-two (bands b, rows-per-band r) layout of a
+    16-hash MinHash signature, the S-curve catch probability
+    1-(1-s^r)^b is integrated over the corpus's OWN observed pair-
+    similarity distribution (the exact DF-capped inverted-index Jaccard
+    pairs of ``dedup_jaccard_ngram`` with no threshold), yielding the
+    expected recall of true near-dups (s >= JACCARD_THRESHOLD) and the
+    expected false-candidate mass per layout, plus the S-curve midpoint
+    s* = (1/b)^(1/r). This is the report an operator reads before
+    picking BANDS x ROWS_PER_BAND for a 100 TB dedup run — the
+    recall/cost trade is corpus-specific, not theoretical.
+
+    Exactness: every per-pair catch probability is a fixed sequence of
+    IEEE multiplies (repeated squaring, no library pow), floor-quantized
+    to integer micro-units; sums are exact BIGINTs and each output ratio
+    is ONE division. False-candidate mass counts only pairs sharing a
+    sub-cap shingle (pairs with zero shingle overlap have catch
+    probability ~s=0 under MinHash on the same shingle space, and the
+    banded layout can only bucket them via hash collisions, which this
+    model ignores by construction).
+
+    Scale shape: one pass over the id-only pair stream into a map-side
+    scalar aggregate (2 x |grid| partial sums); the 5-row report is
+    unstacked from the single reduced row. Nothing wider than two longs
+    and a double ever shuffles.
+    Reference scope note: no dedup surface in the CDC reference —
+    SURVEY.md §7 phase-4 extension."""
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.0,
+        dim_hint=_docs_dim_hint(sf_dir),
+    )
+    aggs = [
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(
+            F.expr(f"CASE WHEN jaccard >= {JACCARD_THRESHOLD} THEN 1 ELSE 0 END")
+        )
+        .cast("long")
+        .alias("n_dup_pairs"),
+    ]
+    for caught, false_, sfx in _lsh_tune_agg_sql():
+        aggs.append(F.sum(F.expr(caught)).cast("long").alias(f"caught_{sfx}"))
+        aggs.append(F.sum(F.expr(false_)).cast("long").alias(f"false_{sfx}"))
+    one = pairs.agg(*aggs)
+    stack_args = ", ".join(
+        f"{b}, {r}, CAST({(1.0 / b) ** (1.0 / r)!r} AS DOUBLE), "
+        f"caught_{b}_{r}, false_{b}_{r}"
+        for b, r in LSH_TUNE_GRID
+    )
+    stacked = one.select(
+        "n_pairs",
+        "n_dup_pairs",
+        F.expr(
+            f"stack({len(LSH_TUNE_GRID)}, {stack_args}) AS "
+            "(n_bands, rows_per_band, s_star, caught_micros, false_micros)"
+        ),
+    )
+    recall = F.col("caught_micros").cast("double") / (
+        F.lit(1000000.0) * F.col("n_dup_pairs").cast("double")
+    )
+    return stacked.select(
+        F.col("n_bands").cast("long").alias("n_bands"),
+        F.col("rows_per_band").cast("long").alias("rows_per_band"),
+        "s_star",
+        "n_pairs",
+        "n_dup_pairs",
+        "caught_micros",
+        "false_micros",
+        recall.alias("exp_recall"),
+        (
+            F.col("caught_micros").cast("double")
+            / (F.col("caught_micros") + F.col("false_micros")).cast("double")
+        ).alias("precision_proxy"),
+        F.when(recall >= LSH_TUNE_RECALL_BAR, "ok")
+        .otherwise("low_recall")
+        .alias("verdict"),
+    )
+
+
+def _lsh_tuning_oracle() -> str:
+    per_point = []
+    for (caught, false_, sfx), (b, r) in zip(_lsh_tune_agg_sql(), LSH_TUNE_GRID):
+        per_point.append(
+            f"""SELECT CAST({b} AS BIGINT) AS n_bands,
+       CAST({r} AS BIGINT) AS rows_per_band,
+       CAST({(1.0 / b) ** (1.0 / r)!r} AS DOUBLE) AS s_star,
+       n_pairs, n_dup_pairs,
+       caught_{sfx} AS caught_micros, false_{sfx} AS false_micros
+FROM agg"""
+        )
+    points = "\nUNION ALL\n".join(per_point)
+    sums = ",\n".join(
+        f"         CAST(coalesce(sum({caught}), 0) AS BIGINT) AS caught_{sfx},\n"
+        f"         CAST(coalesce(sum({false_}), 0) AS BIGINT) AS false_{sfx}"
+        for caught, false_, sfx in _lsh_tune_agg_sql()
+    )
+    return f"""
+WITH ssets AS (
+  SELECT doc_id,
+         list_distinct({tx.shingles_sql(tx.tokens_sql("text"))}) AS sset
+  FROM documents
+  WHERE len({tx.shingles_sql(tx.tokens_sql("text"))}) > 0
+), posting AS (
+  SELECT doc_id, unnest(sset) AS shingle FROM ssets
+), rare AS (
+  SELECT shingle FROM posting GROUP BY shingle
+  HAVING count(*) <= {NGRAM_DF_CAP}
+), p AS (
+  SELECT posting.doc_id, posting.shingle FROM posting
+  JOIN rare USING (shingle)
+), sz AS (
+  SELECT doc_id, count(*) AS set_sz FROM p GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT CAST(n_inter AS DOUBLE)
+           / CAST(sa.set_sz + sb.set_sz - n_inter AS DOUBLE) AS jaccard
+  FROM inter
+  JOIN sz sa ON inter.doc_a = sa.doc_id
+  JOIN sz sb ON inter.doc_b = sb.doc_id
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(coalesce(sum(CASE WHEN jaccard >= {JACCARD_THRESHOLD}
+                           THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dup_pairs,
+{sums}
+  FROM pairs
+)
+SELECT n_bands, rows_per_band, s_star, n_pairs, n_dup_pairs,
+       caught_micros, false_micros,
+       CAST(caught_micros AS DOUBLE)
+         / (1000000.0 * CAST(n_dup_pairs AS DOUBLE)) AS exp_recall,
+       CAST(caught_micros AS DOUBLE)
+         / CAST(caught_micros + false_micros AS DOUBLE) AS precision_proxy,
+       CASE WHEN CAST(caught_micros AS DOUBLE)
+                 / (1000000.0 * CAST(n_dup_pairs AS DOUBLE))
+                 >= {LSH_TUNE_RECALL_BAR}
+            THEN 'ok' ELSE 'low_recall' END AS verdict
+FROM ({points})
+"""
+
+
+_LSH_TUNING_ORACLE = _lsh_tuning_oracle()
+
+
 SPECS = [
     QuerySpec("dedup_exact", q_dedup_exact, _EXACT_ORACLE),
     QuerySpec(
@@ -2414,6 +2609,7 @@ SPECS = [
         _CLUSTER_HISTOGRAM_ORACLE,
     ),
     QuerySpec("dedup_containment", q_dedup_containment, _CONTAINMENT_ORACLE),
+    QuerySpec("dedup_lsh_tuning", q_dedup_lsh_tuning, _LSH_TUNING_ORACLE),
     QuerySpec(
         "dedup_fuzzy_survivors", q_dedup_fuzzy_survivors, _FUZZY_SURVIVORS_ORACLE
     ),

@@ -1785,11 +1785,191 @@ LIMIT {TR_TOP_K}
 _TEXTRANK_ORACLE = _textrank_oracle()
 
 
+# ---------------------------------------------------------------------------
+# lexical diversity: Yule's K + Simpson repeat rate
+# ---------------------------------------------------------------------------
+
+#: Yule's K bands. K ~ 10^4 * (sum f^2 - N) / N^2 rises as the frequency
+#: spectrum concentrates (repetitive text); on natural English prose K is
+#: typically 60-200, boilerplate/spam runs far higher.
+YULE_HI = 300.0
+YULE_LO = 150.0
+
+
+def q_text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical-diversity indices: Yule's characteristic K
+    (Yule 1944) and Simpson's repeat rate D — the frequency-spectrum
+    quality signals corpus filters use to drop keyword-stuffed /
+    template-generated pages that pass length and stopword checks.
+    Both are exact rational statistics: K = 10^4 (sum f^2 - N) / N^2 and
+    D = sum f(f-1) / (N (N-1)) over per-doc token frequencies f, so each
+    engine computes exact BIGINT numerators/denominators and ONE IEEE
+    division each — bit-identical across engines, no float accumulation.
+
+    Scale shape: one tokenize+explode feeds a (doc_id, token) map-side
+    hash aggregate (partial combine caps map output at vocab-size rows
+    per doc per partition), then a second map-side fold on doc_id. No
+    joins, no windows, no broadcast state.
+    Reference scope note: no text surface in the CDC reference —
+    SURVEY.md §7 phase-5 text-quality extension."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    freq = (
+        docs.select("doc_id", F.explode(tx.tokens_col()).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    per = freq.groupBy("doc_id").agg(
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.col("f") * F.col("f")).cast("long").alias("sum_f2"),
+        F.sum(F.col("f") * (F.col("f") - F.lit(1))).cast("long").alias("sum_ff1"),
+    )
+    yule = (
+        (F.lit(10000) * (F.col("sum_f2") - F.col("n_tokens"))).cast("double")
+        / (F.col("n_tokens") * F.col("n_tokens")).cast("double")
+    )
+    simpson = F.col("sum_ff1").cast("double") / (
+        F.col("n_tokens") * (F.col("n_tokens") - F.lit(1))
+    ).cast("double")
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        "sum_f2",
+        yule.alias("yule_k"),
+        simpson.alias("simpson_d"),
+        F.when(yule > YULE_HI, "repetitive")
+        .when(yule < YULE_LO, "diverse")
+        .otherwise("mid")
+        .alias("band"),
+    )
+
+
+_LEXDIV_ORACLE = f"""
+WITH freq AS (
+  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS f
+  FROM (SELECT doc_id, unnest({tx.tokens_sql("text")}) AS t FROM documents)
+  GROUP BY 1, 2
+), per AS (
+  SELECT doc_id,
+         CAST(sum(f) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(f * f) AS BIGINT) AS sum_f2,
+         CAST(sum(f * (f - 1)) AS BIGINT) AS sum_ff1
+  FROM freq GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_types, sum_f2,
+       CAST(10000 * (sum_f2 - n_tokens) AS DOUBLE)
+         / CAST(n_tokens * n_tokens AS DOUBLE) AS yule_k,
+       CAST(sum_ff1 AS DOUBLE)
+         / CAST(n_tokens * (n_tokens - 1) AS DOUBLE) AS simpson_d,
+       CASE
+         WHEN CAST(10000 * (sum_f2 - n_tokens) AS DOUBLE)
+              / CAST(n_tokens * n_tokens AS DOUBLE) > {YULE_HI}
+           THEN 'repetitive'
+         WHEN CAST(10000 * (sum_f2 - n_tokens) AS DOUBLE)
+              / CAST(n_tokens * n_tokens AS DOUBLE) < {YULE_LO}
+           THEN 'diverse'
+         ELSE 'mid'
+       END AS band
+FROM per
+"""
+
+
+# ---------------------------------------------------------------------------
+# syllable / word-complexity profile
+# ---------------------------------------------------------------------------
+
+#: A word is "complex" at >= 3 vowel groups (the SMOG / Gunning-fog
+#: polysyllabic-word convention, with vowel groups as the standard
+#: dictionary-free syllable proxy).
+COMPLEX_SYLLABLES = 3
+PCT_COMPLEX_HI = 20.0  # % complex words above which the doc reads "dense"
+PCT_COMPLEX_LO = 8.0
+
+
+def q_text_syllable_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document word-complexity profile: syllable counts via the
+    vowel-group proxy (runs of [aeiou] per word, floored at 1), the
+    polysyllabic-word ratio of SMOG / Gunning-fog readability, and a
+    density band — the dictionary-free readability signal quality
+    filters use to separate telegraphic junk from dense prose.
+    Counts are exact integers in both engines; the two ratios are each
+    ONE IEEE division of exact integer totals.
+
+    Scale shape: pure per-row higher-order-function map (no explode —
+    the fold runs inside ``aggregate``/``list_sum`` per row), so the
+    whole query is one whole-stage-codegen projection with no shuffle
+    at all beyond the final collect.
+    Reference scope note: no text surface in the CDC reference —
+    SURVEY.md §7 phase-5 text-quality extension."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select("doc_id", tx.tokens_col().alias("toks"))
+    syl = F.expr(
+        "aggregate(toks, 0L, (acc, t) -> acc + greatest(1L, "
+        "size(regexp_extract_all(t, '[aeiou]+', 0))))"
+    )
+    cplx = F.expr(
+        "size(filter(toks, t -> "
+        f"size(regexp_extract_all(t, '[aeiou]+', 0)) >= {COMPLEX_SYLLABLES}))"
+    )
+    pct = F.lit(100.0) * cplx.cast("double") / F.size("toks").cast("double")
+    return toks.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_words"),
+        syl.cast("long").alias("n_syllables"),
+        cplx.cast("long").alias("n_complex"),
+        (syl.cast("double") / F.size("toks").cast("double")).alias(
+            "avg_syllables"
+        ),
+        pct.alias("pct_complex"),
+        F.when(pct > PCT_COMPLEX_HI, "dense")
+        .when(pct < PCT_COMPLEX_LO, "plain")
+        .otherwise("mid")
+        .alias("band"),
+    )
+
+
+_SYLLABLE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {tx.tokens_sql("text")} AS toks FROM documents
+), per AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(toks, t ->
+           greatest(1, len(regexp_extract_all(t, '[aeiou]+')))))
+           AS BIGINT) AS n_syllables,
+         CAST(len(list_filter(toks, t ->
+           len(regexp_extract_all(t, '[aeiou]+')) >= {COMPLEX_SYLLABLES}))
+           AS BIGINT) AS n_complex
+  FROM tok
+)
+SELECT doc_id, n_words, n_syllables, n_complex,
+       CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE) AS avg_syllables,
+       100.0 * CAST(n_complex AS DOUBLE) / CAST(n_words AS DOUBLE)
+         AS pct_complex,
+       CASE
+         WHEN 100.0 * CAST(n_complex AS DOUBLE) / CAST(n_words AS DOUBLE)
+              > {PCT_COMPLEX_HI} THEN 'dense'
+         WHEN 100.0 * CAST(n_complex AS DOUBLE) / CAST(n_words AS DOUBLE)
+              < {PCT_COMPLEX_LO} THEN 'plain'
+         ELSE 'mid'
+       END AS band
+FROM per
+"""
+
+
 SPECS = [
     QuerySpec(
         "text_textrank_keywords", q_text_textrank_keywords, _TEXTRANK_ORACLE
     ),
     QuerySpec("text_char_entropy", q_text_char_entropy, _CHAR_ENTROPY_ORACLE),
+    QuerySpec(
+        "text_lexical_diversity", q_text_lexical_diversity, _LEXDIV_ORACLE
+    ),
+    QuerySpec(
+        "text_syllable_profile", q_text_syllable_profile, _SYLLABLE_ORACLE
+    ),
     QuerySpec("text_token_stats", q_text_token_stats, _TOKEN_STATS_ORACLE),
     QuerySpec("text_kn_bigram_lm", q_text_kn_bigram_lm, _KN_LM_ORACLE),
     QuerySpec("text_heaps_law", q_text_heaps_law, _HEAPS_ORACLE),

@@ -116,3 +116,64 @@ def test_connected_components_min_label(spark):
     )
     labels = {r.doc_id: r.label for r in connected_components(edges).collect()}
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_lsh_tuning_matches_python_scurve(spark, monkeypatch):
+    """The per-layout expected-catch sums recompute exactly in Python
+    (same repeated-squaring multiply order, same floor quantization), and
+    the S-curve structure holds: for fixed H=16, recall falls and the
+    midpoint s* rises as rows-per-band grows; the two verdict branches
+    are both live on a mixed pair population."""
+    import math
+
+    from mysql_streamer_spark.queries import dedup as D
+
+    sims = [0.05, 0.12, 0.31, 0.45, 0.72, 0.95]
+    pairs = spark.createDataFrame(
+        [(i, i + 100, s) for i, s in enumerate(sims)],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    monkeypatch.setattr(
+        D, "ngram_jaccard_pairs", lambda docs, threshold, dim_hint: pairs
+    )
+    monkeypatch.setattr(D, "load_table", lambda spark, sf_dir, name: pairs)
+    monkeypatch.setattr(D, "_docs_dim_hint", lambda sf_dir: "broadcast")
+    rows = {
+        (r.n_bands, r.rows_per_band): r
+        for r in D.q_dedup_lsh_tuning(spark, "ignored").collect()
+    }
+    assert set(rows) == set(D.LSH_TUNE_GRID)
+
+    def pow_int(x, n):
+        if n == 1:
+            return x
+        h = pow_int(x, n // 2)
+        sq = h * h
+        return sq if n % 2 == 0 else sq * x
+
+    for (b, r), row in rows.items():
+        caught = sum(
+            math.floor((1.0 - pow_int(1.0 - pow_int(s, r), b)) * 1000000.0)
+            for s in sims
+            if s >= D.JACCARD_THRESHOLD
+        )
+        false_ = sum(
+            math.floor((1.0 - pow_int(1.0 - pow_int(s, r), b)) * 1000000.0)
+            for s in sims
+            if s < D.JACCARD_THRESHOLD
+        )
+        assert row.caught_micros == caught
+        assert row.false_micros == false_
+        assert row.n_pairs == 6 and row.n_dup_pairs == 4
+        assert row.s_star == (1.0 / b) ** (1.0 / r)
+
+    # monotone structure across the fixed-H sweep (ordered by r ascending)
+    ordered = [rows[(b, r)] for b, r in D.LSH_TUNE_GRID]
+    recalls = [r.exp_recall for r in ordered]
+    stars = [r.s_star for r in ordered]
+    assert recalls == sorted(recalls, reverse=True)
+    assert stars == sorted(stars)
+    assert ordered[0].verdict == "ok"          # (16,1): catches ~everything
+    assert ordered[-1].verdict == "low_recall" # (1,16): needs s ~ 1
+    # precision runs the other way: banding tighter trades recall for it
+    assert ordered[-1].precision_proxy >= ordered[0].precision_proxy

@@ -148,7 +148,7 @@ def test_allowlists_are_count_pinned():
     (VERDICT r7 #7). Update the count IN THE SAME COMMIT as the entry."""
     assert len(_BNLJ_OK) == 50
     assert len(_SKIP) == 5
-    assert len(_SINGLE_PARTITION_OK) == 54
+    assert len(_SINGLE_PARTITION_OK) == 55
     assert len(_UNPARTITIONED_WINDOW_OK) == 10
     assert len(_ZERO_SHUFFLE) == 6
 
@@ -258,6 +258,9 @@ _SINGLE_PARTITION_OK = {
     "analytics_file_skipping",
     # per-tier scalar aggregates + the 1-row corpus-total frame
     "dedup_budget_report",
+    # one-row S-curve integral (scalar aggregate of the id-only pair
+    # stream), unstacked to the 5-row grid report
+    "dedup_lsh_tuning",
     # four per-column scalar aggregates over the freq dimension (map-side
     # partials) unioned into the 4-row skew report
     "analytics_skew_profile",

@@ -158,3 +158,65 @@ def test_textrank_ranks_are_a_damped_stationary_vector(spark, sf_dir):
     # mass conservation over the returned top slice alone is a lower bound
     assert sum(ranks) <= TR_SCALE
     assert sum(ranks) > TR_SCALE // 2  # top-20 of 31 words carries most mass
+
+
+def test_lexical_diversity_exact_rationals(spark, sf_dir):
+    """Yule's K and Simpson D recompute exactly from the emitted integer
+    numerators, K is 0 only when every token is unique, and a fully
+    repetitive doc maxes both indices (K -> 10^4 (n-1)/n, D -> 1)."""
+    from mysql_streamer_spark.queries.textops import q_text_lexical_diversity
+
+    rows = q_text_lexical_diversity(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        n = r.n_tokens
+        assert 1 <= r.n_types <= n
+        assert r.sum_f2 >= n  # sum f^2 >= sum f, equality iff all f == 1
+        assert r.yule_k == 10000 * (r.sum_f2 - n) / (n * n)
+        assert 0.0 <= r.simpson_d <= 1.0
+        if r.n_types == n:
+            assert r.yule_k == 0.0 and r.simpson_d == 0.0
+        assert r.band in {"diverse", "mid", "repetitive"}
+
+
+def test_lexical_diversity_repetitive_extreme(spark, monkeypatch):
+    """One token repeated n times: sum_f2 = n^2, so K = 10^4 (n-1)/n and
+    D = 1 exactly — the keyword-stuffing case the band must flag."""
+    from mysql_streamer_spark.queries import textops as T
+
+    df = spark.createDataFrame([(7, "spam " * 9 + "spam")], "doc_id long, text string")
+    monkeypatch.setattr(
+        T, "load_table", lambda spark, sf_dir, name: df
+    )
+    r = T.q_text_lexical_diversity(spark, "ignored").collect()[0]
+    assert (r.n_tokens, r.n_types, r.sum_f2) == (10, 1, 100)
+    assert r.yule_k == 10000 * 90 / 100
+    assert r.simpson_d == 1.0
+    assert r.band == "repetitive"
+
+
+def test_syllable_profile_invariants_and_dense_branch(spark, sf_dir, monkeypatch):
+    """Every word contributes >= 1 syllable; complex words need >= 3 vowel
+    groups; the corpus vocabulary tops out 'plain'/'mid', so the 'dense'
+    verdict branch is forced with a polysyllabic synthetic doc."""
+    from mysql_streamer_spark.queries import textops as T
+
+    rows = T.q_text_syllable_profile(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_syllables >= r.n_words
+        assert 0 <= r.n_complex <= r.n_words
+        assert r.avg_syllables == r.n_syllables / r.n_words
+        assert r.band in {"plain", "mid", "dense"}
+
+    df = spark.createDataFrame(
+        [(1, "cat dog uninteresting"), (2, "administrative analytical sky")],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(T, "load_table", lambda spark, sf_dir, name: df)
+    got = {r.doc_id: r for r in T.q_text_syllable_profile(spark, "x").collect()}
+    # uninteresting = u-i-e-e-i -> 5 vowel groups; cat/dog 1 each
+    assert got[1].n_syllables == 7 and got[1].n_complex == 1
+    # administrative(5) + analytical(5) + sky(0 -> floored to 1)
+    assert got[2].n_syllables == 11 and got[2].n_complex == 2
+    assert got[2].band == "dense"
