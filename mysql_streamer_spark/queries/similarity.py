@@ -2932,7 +2932,157 @@ JOIN overlap ON ex.query_id = overlap.query_id
 """
 
 
+# ---------------------------------------------------------------------------
+# random sign projection (Johnson-Lindenstrauss) distortion audit
+# ---------------------------------------------------------------------------
+
+#: projected dimensionality and the audited vector sample (all pairs among
+#: the first RP_AUDIT_N ids — bounded, like every ground-truth leg here)
+RP_DIMS = 16
+RP_AUDIT_N = 30
+#: distortion acceptance band for squared-distance ratios at P=16 (the
+#: per-pair ratio is a mean of 16 +/-1-signed squared components, std
+#: ~sqrt(2/16) ~ 0.35; [1/4, 4] is a ~8-sigma envelope)
+RP_RATIO_LO = 0.25
+RP_RATIO_HI = 4.0
+
+
+def _rp_signs() -> list[list[int]]:
+    """The static DIM x RP_DIMS +/-1 matrix, md5-seeded so it is a
+    deterministic public constant (reproducible in any engine or test)
+    rather than engine-private randomness."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"rp_{i}_{j}".encode()).hexdigest()[:4], 16) % 2
+            == 0
+            else -1
+            for j in range(RP_DIMS)
+        ]
+        for i in range(vx.DIM)
+    ]
+
+
+def q_sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random sign projection (Achlioptas 2003):
+    every embedding is projected from DIM=64 to RP_DIMS=16 with a fixed
+    +/-1 matrix — the cheap dimension-reduction pass a 100 TB ANN
+    pipeline runs before index build (4x less index I/O; signs avoid any
+    float matrix multiply: the projection is exact BIGINT adds/subtracts
+    of the quantized components). The audit emits, for every pair in a
+    bounded sample, the exact original and projected squared distances
+    and their P-normalized ratio, which JL concentrates around 1 — the
+    measurement that justifies (or vetoes) shipping the reduced index.
+
+    Exactness: projections and squared distances are exact BIGINTs (the
+    sign matrix is a deterministic md5-seeded public constant embedded as
+    literals in BOTH engines); the ratio is ONE division of exact
+    integers. Headroom: |y_j| <= 64e6, squared-diff sums <= ~2.6e17 —
+    inside BIGINT at any corpus size since per-pair math never sums over
+    rows.
+
+    Scale shape: the projection is map-only over every vector (no
+    shuffle); only the audit leg (RP_AUDIT_N choose 2 pairs via a
+    broadcast self-join on id order) is quadratic, and it is bounded by a
+    constant, like every brute-force ground-truth leg in this family.
+    Reference scope note: no vector surface in the CDC reference —
+    SURVEY.md §7 phase-4 similarity extension."""
+    signs = _rp_signs()
+    proj_terms = ", ".join(
+        "aggregate(zip_with(qv, array("
+        + ", ".join(f"CAST({signs[i][j]} AS BIGINT)" for i in range(vx.DIM))
+        + "), (x, r) -> x * r), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        for j in range(RP_DIMS)
+    )
+    e = (
+        vx.with_quantized(_emb(spark, sf_dir))
+        .filter(F.col("vec_id") < RP_AUDIT_N)
+        .select("vec_id", "qv", F.expr(f"array({proj_terms})").alias("y"))
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("qv").alias("qa"),
+        F.col("y").alias("ya"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("qv").alias("qb"),
+        F.col("y").alias("yb"),
+    )
+    d2 = (
+        "aggregate(zip_with({x}, {y}, (p, q) -> (p - q) * (p - q)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    ratio = F.col("proj_d2").cast("double") / (
+        F.lit(RP_DIMS) * F.col("orig_d2")
+    ).cast("double")
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("orig_d2", F.expr(d2.format(x="qa", y="qb")))
+        .withColumn("proj_d2", F.expr(d2.format(x="ya", y="yb")))
+        .select(
+            "vec_a",
+            "vec_b",
+            "orig_d2",
+            "proj_d2",
+            ratio.alias("distortion_ratio"),
+            ((ratio >= RP_RATIO_LO) & (ratio <= RP_RATIO_HI)).alias(
+                "within_band"
+            ),
+        )
+    )
+
+
+def _rp_oracle() -> str:
+    signs = _rp_signs()
+    proj_terms = ", ".join(
+        "list_sum(list_transform(generate_series(1, "
+        + str(vx.DIM)
+        + "), i -> qv[i] * (["
+        + ", ".join(str(signs[i][j]) for i in range(vx.DIM))
+        + "])[i]))"
+        for j in range(RP_DIMS)
+    )
+    d2 = (
+        "CAST(list_sum(list_transform(generate_series(1, {n}), "
+        "i -> ({x}[i] - {y}[i]) * ({x}[i] - {y}[i]))) AS BIGINT)"
+    )
+    orig = d2.format(n=vx.DIM, x="a.qv", y="b.qv")
+    proj = d2.format(n=RP_DIMS, x="a.y", y="b.y")
+    return f"""
+WITH q AS (
+  SELECT vec_id, {vx.quantized_sql("embedding")} AS qv
+  FROM embeddings WHERE vec_id < {RP_AUDIT_N}
+), p AS (
+  SELECT vec_id, qv,
+         list_transform([{proj_terms}], v -> CAST(v AS BIGINT)) AS y
+  FROM q
+), pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {orig} AS orig_d2, {proj} AS proj_d2
+  FROM p a JOIN p b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, orig_d2, proj_d2,
+       CAST(proj_d2 AS DOUBLE) / CAST({RP_DIMS} * orig_d2 AS DOUBLE)
+         AS distortion_ratio,
+       CAST(proj_d2 AS DOUBLE) / CAST({RP_DIMS} * orig_d2 AS DOUBLE)
+         >= {RP_RATIO_LO}
+       AND CAST(proj_d2 AS DOUBLE) / CAST({RP_DIMS} * orig_d2 AS DOUBLE)
+         <= {RP_RATIO_HI} AS within_band
+FROM pairs
+"""
+
+
+_RP_ORACLE = _rp_oracle()
+
+
 SPECS = [
+    QuerySpec(
+        "sim_random_projection", q_sim_random_projection, _RP_ORACLE
+    ),
     QuerySpec("sim_ivf_imbalance", q_sim_ivf_imbalance, _IVF_IMBALANCE_ORACLE),
     QuerySpec("sim_mmr_rerank", q_sim_mmr_rerank, _MMR_ORACLE),
     QuerySpec("sim_mips_topk", q_sim_mips_topk, _MIPS_TOPK_ORACLE),

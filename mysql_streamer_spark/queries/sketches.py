@@ -1783,7 +1783,185 @@ FROM hit WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# moments sketch: exact power sums + merge proof + Cantelli tail bounds
+# ---------------------------------------------------------------------------
+
+#: Tail thresholds (centi-units of events.value, i.e. 300.00 / 400.00 /
+#: 500.00) at which the sketch's distribution-free bound is audited.
+MOMENTS_THRESHOLDS = (30000, 40000, 50000)
+
+
+def q_sketch_moments_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moments sketch (the power-sum summary of Gan et al., VLDB 2018,
+    restricted to k<=2) over ``events.value``: values are floor-quantized
+    to integer centi-units so the sketch state (n, sum v, sum v^2) is
+    three exact BIGINTs — trivially mergeable by addition, which the
+    query PROVES by building the same sketch twice (directly, and by
+    summing per-event_type partial sketches) and emitting the equality.
+    From the merged sketch it derives mean/variance and audits the
+    one-sided Cantelli (Chebyshev-Cantelli) tail bound
+    P(X - mu >= d) <= var / (var + d^2) against the exact tail count at
+    each threshold — the distribution-free guarantee a query planner can
+    use for cardinality caps without scanning the data twice.
+
+    Exactness: quantization makes every sum a BIGINT; mean/var/bound are
+    fixed short sequences of IEEE ops identical in both engines. BIGINT
+    headroom: v^2 <= 3.2e9 at value<=560, so ~2.9e9 rows fit before
+    sum(v^2) nears 2^63 — beyond that the state must widen to
+    DECIMAL(38,0)/HUGEINT (documented boundary, not hit at any test SF).
+
+    Scale shape: ONE map-side pass builds both sketch forms (the
+    per-type partials are a ~|event_type|-row aggregate); thresholds are
+    unstacked from the single reduced row. Nothing but constant-width
+    sketch state ever shuffles — the defining property of the family.
+    Reference scope note: no analytics surface in the CDC reference —
+    SURVEY.md §7 phase-4/5 sketch extension."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(floor(value * 100.0) AS BIGINT)").alias("v"),
+    )
+    tail_aggs = [
+        F.sum(F.expr(f"CASE WHEN v >= {t} THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias(f"exact_ge_{t}")
+        for t in MOMENTS_THRESHOLDS
+    ]
+    direct = ev.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("s2"),
+        *tail_aggs,
+    )
+    merged = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("pn"),
+            F.sum("v").cast("long").alias("ps1"),
+            F.sum(F.col("v") * F.col("v")).cast("long").alias("ps2"),
+        )
+        .agg(
+            F.sum("pn").cast("long").alias("mn"),
+            F.sum("ps1").cast("long").alias("ms1"),
+            F.sum("ps2").cast("long").alias("ms2"),
+        )
+    )
+    both = direct.join(F.broadcast(merged))
+    mean = F.col("ms1").cast("double") / F.col("mn").cast("double")
+    var = (
+        F.col("ms2").cast("double") / F.col("mn").cast("double")
+    ) - mean * mean
+    stack_args = ", ".join(
+        f"CAST({t} AS BIGINT), exact_ge_{t}" for t in MOMENTS_THRESHOLDS
+    )
+    stacked = both.select(
+        "n",
+        "s1",
+        "s2",
+        (
+            (F.col("mn") == F.col("n"))
+            & (F.col("ms1") == F.col("s1"))
+            & (F.col("ms2") == F.col("s2"))
+        ).alias("merge_matches"),
+        mean.alias("mean_centi"),
+        var.alias("var_centi2"),
+        F.expr(
+            f"stack({len(MOMENTS_THRESHOLDS)}, {stack_args}) AS "
+            "(threshold_centi, exact_count)"
+        ),
+    )
+    d = F.col("threshold_centi").cast("double") - F.col("mean_centi")
+    bound = (
+        F.col("n").cast("double")
+        * F.col("var_centi2")
+        / (F.col("var_centi2") + d * d)
+    )
+    return stacked.select(
+        "threshold_centi",
+        "n",
+        "s1",
+        "s2",
+        "merge_matches",
+        "mean_centi",
+        "var_centi2",
+        bound.alias("cantelli_bound"),
+        "exact_count",
+        (F.col("exact_count").cast("double") <= bound).alias("bound_holds"),
+    )
+
+
+def _moments_oracle() -> str:
+    tails = ",\n".join(
+        f"         CAST(coalesce(sum(CASE WHEN v >= {t} THEN 1 ELSE 0 END), 0)"
+        f" AS BIGINT) AS exact_ge_{t}"
+        for t in MOMENTS_THRESHOLDS
+    )
+    points = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS BIGINT) AS threshold_centi, "
+        f"exact_ge_{t} AS exact_count FROM agg"
+        for t in MOMENTS_THRESHOLDS
+    )
+    return f"""
+WITH q AS (
+  SELECT event_type, CAST(floor(value * 100.0) AS BIGINT) AS v FROM events
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS BIGINT) AS s1,
+         CAST(sum(v * v) AS BIGINT) AS s2,
+{tails}
+  FROM q
+), partials AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS pn,
+         CAST(sum(v) AS BIGINT) AS ps1, CAST(sum(v * v) AS BIGINT) AS ps2
+  FROM q GROUP BY 1
+), m AS (
+  SELECT CAST(sum(pn) AS BIGINT) AS mn, CAST(sum(ps1) AS BIGINT) AS ms1,
+         CAST(sum(ps2) AS BIGINT) AS ms2
+  FROM partials
+), rows_ AS ({points})
+SELECT threshold_centi, n, s1, s2,
+       (mn = n AND ms1 = s1 AND ms2 = s2) AS merge_matches,
+       CAST(ms1 AS DOUBLE) / CAST(mn AS DOUBLE) AS mean_centi,
+       (CAST(ms2 AS DOUBLE) / CAST(mn AS DOUBLE))
+         - (CAST(ms1 AS DOUBLE) / CAST(mn AS DOUBLE))
+           * (CAST(ms1 AS DOUBLE) / CAST(mn AS DOUBLE)) AS var_centi2,
+       CAST(n AS DOUBLE)
+         * ((CAST(ms2 AS DOUBLE) / CAST(mn AS DOUBLE))
+            - (CAST(ms1 AS DOUBLE) / CAST(mn AS DOUBLE))
+              * (CAST(ms1 AS DOUBLE) / CAST(mn AS DOUBLE)))
+         / (((CAST(ms2 AS DOUBLE) / CAST(mn AS DOUBLE))
+             - (CAST(ms1 AS DOUBLE) / CAST(mn AS DOUBLE))
+               * (CAST(ms1 AS DOUBLE) / CAST(mn AS DOUBLE)))
+            + (CAST(threshold_centi AS DOUBLE)
+               - CAST(ms1 AS DOUBLE) / CAST(mn AS DOUBLE))
+              * (CAST(threshold_centi AS DOUBLE)
+                 - CAST(ms1 AS DOUBLE) / CAST(mn AS DOUBLE)))
+         AS cantelli_bound,
+       exact_count,
+       CAST(exact_count AS DOUBLE) <=
+       CAST(n AS DOUBLE)
+         * ((CAST(ms2 AS DOUBLE) / CAST(mn AS DOUBLE))
+            - (CAST(ms1 AS DOUBLE) / CAST(mn AS DOUBLE))
+              * (CAST(ms1 AS DOUBLE) / CAST(mn AS DOUBLE)))
+         / (((CAST(ms2 AS DOUBLE) / CAST(mn AS DOUBLE))
+             - (CAST(ms1 AS DOUBLE) / CAST(mn AS DOUBLE))
+               * (CAST(ms1 AS DOUBLE) / CAST(mn AS DOUBLE)))
+            + (CAST(threshold_centi AS DOUBLE)
+               - CAST(ms1 AS DOUBLE) / CAST(mn AS DOUBLE))
+              * (CAST(threshold_centi AS DOUBLE)
+                 - CAST(ms1 AS DOUBLE) / CAST(mn AS DOUBLE)))
+         AS bound_holds
+FROM agg CROSS JOIN m CROSS JOIN rows_
+"""
+
+
+_MOMENTS_ORACLE = _moments_oracle()
+
+
 SPECS = [
+    QuerySpec(
+        "sketch_moments_bound", q_sketch_moments_bound, _MOMENTS_ORACLE
+    ),
     QuerySpec("sketch_hll_distinct", q_sketch_hll_distinct, _HLL_DISTINCT_ORACLE),
     QuerySpec(
         "sketch_log_histogram", q_sketch_log_histogram, _log_histogram_oracle()

@@ -55,6 +55,11 @@ _BNLJ_OK = {
     "sketch_hll_overlap",
     # 1-row corpus-token total crossed onto the candidate counts
     "sketch_heavy_hitters",
+    # 1-row direct sketch x 1-row merged sketch (the merge-equality proof)
+    "sketch_moments_bound",
+    # RP_AUDIT_N-row broadcast self-join on id order (bounded ground-truth
+    # leg, the sim_ann_recall shape)
+    "sim_random_projection",
     # 10-row coarse-centroid frame broadcast against every vector (the
     # same IVF-assignment shape as sim_kmeans / sim_ivf_ann)
     "sim_semdedup",
@@ -146,9 +151,9 @@ def test_allowlists_are_count_pinned():
     entry without updating these pinned counts fails here, forcing the
     written bounded-domain justification every entry must carry
     (VERDICT r7 #7). Update the count IN THE SAME COMMIT as the entry."""
-    assert len(_BNLJ_OK) == 50
+    assert len(_BNLJ_OK) == 52
     assert len(_SKIP) == 5
-    assert len(_SINGLE_PARTITION_OK) == 55
+    assert len(_SINGLE_PARTITION_OK) == 56
     assert len(_UNPARTITIONED_WINDOW_OK) == 10
     assert len(_ZERO_SHUFFLE) == 6
 
@@ -261,6 +266,9 @@ _SINGLE_PARTITION_OK = {
     # one-row S-curve integral (scalar aggregate of the id-only pair
     # stream), unstacked to the 5-row grid report
     "dedup_lsh_tuning",
+    # two scalar sketch aggregates (direct + merged) joined into the
+    # 3-threshold report
+    "sketch_moments_bound",
     # four per-column scalar aggregates over the freq dimension (map-side
     # partials) unioned into the 4-row skew report
     "analytics_skew_profile",

@@ -182,3 +182,52 @@ def test_ivf_imbalance_audit_is_consistent(spark, sf_dir):
     for r in rows:
         assert r.balanced == (r.n_vecs * r.n_cells <= IVF_SKEW_LIMIT * total)
         assert abs(r.skew_vs_uniform - r.share * r.n_cells) < 1e-9
+
+
+def test_random_projection_exact_and_unbiased(spark, sf_dir):
+    """The sign matrix is a reproducible public constant; per-pair
+    projected distances recompute exactly in Python from it; and the
+    P-normalized distortion ratio concentrates around 1 (JL): the sample
+    mean over all audited pairs lands well inside the acceptance band."""
+    import hashlib
+    import math
+
+    from mysql_streamer_spark.queries import similarity as S
+    from mysql_streamer_spark import vectors as vx
+    from mysql_streamer_spark.tables import load_table
+
+    rows = S.q_sim_random_projection(spark, sf_dir).collect()
+    assert len(rows) == S.RP_AUDIT_N * (S.RP_AUDIT_N - 1) // 2
+
+    signs = S._rp_signs()
+    assert len(signs) == vx.DIM and len(signs[0]) == S.RP_DIMS
+    # reproducibility from the documented seed scheme
+    assert signs[0][0] == (
+        1 if int(hashlib.md5(b"rp_0_0").hexdigest()[:4], 16) % 2 == 0 else -1
+    )
+
+    emb = {
+        r.vec_id: [math.floor(float(x) * vx.SCALE) for x in r.embedding]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .filter(f"vec_id < {S.RP_AUDIT_N}")
+        .collect()
+    }
+
+    def project(q):
+        return [
+            sum(q[i] * signs[i][j] for i in range(vx.DIM))
+            for j in range(S.RP_DIMS)
+        ]
+
+    ys = {vid: project(q) for vid, q in emb.items()}
+    ratios = []
+    for r in rows:
+        qa, qb = emb[r.vec_a], emb[r.vec_b]
+        assert r.orig_d2 == sum((x - y) ** 2 for x, y in zip(qa, qb))
+        assert r.proj_d2 == sum(
+            (x - y) ** 2 for x, y in zip(ys[r.vec_a], ys[r.vec_b])
+        )
+        assert r.distortion_ratio == r.proj_d2 / (S.RP_DIMS * r.orig_d2)
+        ratios.append(r.distortion_ratio)
+    mean_ratio = sum(ratios) / len(ratios)
+    assert 0.8 <= mean_ratio <= 1.2  # unbiasedness, up to sampling noise

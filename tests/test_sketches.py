@@ -84,3 +84,42 @@ def test_theta_diff_unsaturated_sets_are_exact(spark, monkeypatch):
         assert r.est_inter == float(r.exact_inter)
         assert r.est_diff_ab == float(r.exact_diff_ab)
         assert r.est_diff_ba == float(r.exact_diff_ba)
+
+
+def test_moments_bound_matches_python_and_theorem(spark, monkeypatch):
+    """The centi-quantized sketch state recomputes exactly in Python; the
+    merged (per-type partials summed) sketch equals the direct one; the
+    Cantelli bound recomputes bit-for-bit; and the bound provably holds
+    against the exact tail count at every threshold (Cantelli is
+    distribution-free, so it must hold for the empirical distribution)."""
+    import math
+
+    from mysql_streamer_spark.queries import sketches as S
+
+    vals = [(i % 3, 0.01 * ((i * 37) % 56000)) for i in range(1, 400)]
+    df = spark.createDataFrame(
+        [(f"t{t}", v) for t, v in vals], "event_type string, value double"
+    )
+    monkeypatch.setattr(S, "load_table", lambda spark, sf_dir, name: df)
+    rows = {
+        r.threshold_centi: r
+        for r in S.q_sketch_moments_bound(spark, "ignored").collect()
+    }
+    assert set(rows) == set(S.MOMENTS_THRESHOLDS)
+
+    q = [math.floor(v * 100.0) for _, v in vals]
+    n, s1, s2 = len(q), sum(q), sum(x * x for x in q)
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    for t, r in rows.items():
+        assert (r.n, r.s1, r.s2) == (n, s1, s2)
+        assert r.merge_matches
+        assert r.mean_centi == mean
+        assert r.var_centi2 == var
+        d = float(t) - mean
+        assert r.cantelli_bound == n * var / (var + d * d)
+        assert r.exact_count == sum(1 for x in q if x >= t)
+        assert r.bound_holds  # the theorem, checked empirically
+    # the bound tightens as the threshold moves further past the mean
+    bounds = [rows[t].cantelli_bound for t in sorted(rows)]
+    assert bounds == sorted(bounds, reverse=True)
