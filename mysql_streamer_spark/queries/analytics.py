@@ -3149,6 +3149,130 @@ WHERE core_degree >= {KCORE_K}
 
 
 # ---------------------------------------------------------------------------
+# label-propagation communities (synchronous, fixed rounds)
+# ---------------------------------------------------------------------------
+
+#: Synchronous LPA rounds. The output is DEFINED as the label state after
+#: exactly this many rounds (synchronous LPA has no guaranteed fixpoint —
+#: bipartite-ish regions can oscillate — so a fixed unroll, not a
+#: convergence loop, is the honest deterministic spec; the self-vote damps
+#: but does not eliminate oscillation). The DuckDB oracle unrolls the same
+#: rounds, so both engines replay the identical trajectory.
+LPA_ROUNDS = 4
+
+
+def q_analytics_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the part co-purchase graph via synchronous
+    label propagation (Raghavan et al. 2007): every node starts as its
+    own label; each round it adopts the most frequent label among its
+    neighbors plus itself (ties -> smallest label, the deterministic
+    min-label discipline of ``connected_components``); after
+    ``LPA_ROUNDS`` rounds the surviving labels are the communities —
+    the assortment signal (substitute/complement part clusters)
+    PageRank's global centrality cannot give.
+
+    Plan shape: per round, ONE equi-join propagates labels across the
+    cached directed edge list and ONE (node, label) hash-aggregate +
+    ONE (node) argmax aggregate elect the new label — only long triples
+    move; per-round ``localCheckpoint`` keeps lineage linear (the k-core
+    discipline, analytics.py:3081). The argmax is max(struct(cnt,
+    -label)) — a map-side-combinable aggregate, no window over nodes.
+    Community rollup at the end is one more map-side aggregate.
+    Reference scope note: no analytics surface in the CDC reference —
+    SURVEY.md §7 phase-4/5 graph extension."""
+    und = _copurchase_edges(spark, sf_dir, directed=False)
+    edges = und.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).union(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    labels = (
+        und.select(F.explode(F.array("u", "v")).alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(LPA_ROUNDS):
+        # read twice per round (messages + self-vote): cut lineage first
+        labels = labels.localCheckpoint(eager=True)
+        msgs = edges.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "label")
+        votes = msgs.union(labels.select("node", "label"))
+        counts = votes.groupBy("node", "label").agg(
+            F.count("*").cast("long").alias("cnt")
+        )
+        sel = counts.groupBy("node").agg(
+            F.max(
+                F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))
+            ).alias("m")
+        )
+        labels = sel.select(
+            "node", (-F.col("m.neg")).cast("long").alias("label")
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    # per-node assignments ARE the result (the full trajectory endpoint —
+    # a far stronger cross-engine check than the handful of surviving
+    # community rows on a dense graph); sizes ride along via one
+    # small-key equi-join
+    return labels.join(sizes, "label").select(
+        F.col("node").cast("long").alias("part"),
+        F.col("label").cast("long").alias("community"),
+        "n_members",
+    )
+
+
+def _lpa_oracle() -> str:
+    # MATERIALIZED: every l{r} is read twice (messages + self-vote) and
+    # feeds the next round — inlining would replay the whole propagation
+    # chain exponentially (the k-core/PageRank oracle lesson).
+    ctes = [
+        """l0 AS MATERIALIZED (
+  SELECT DISTINCT n AS node, n AS label FROM (
+    SELECT unnest([u, v]) AS n FROM und
+  )
+)"""
+    ]
+    prev = "l0"
+    for r in range(1, LPA_ROUNDS + 1):
+        ctes.append(f"""v{r} AS MATERIALIZED (
+  SELECT node, label, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT e.dst AS node, l.label FROM edges e JOIN {prev} l ON e.src = l.node
+    UNION ALL
+    SELECT node, label FROM {prev}
+  ) GROUP BY 1, 2
+), l{r} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY cnt DESC, label ASC) AS rn
+    FROM v{r}
+  ) WHERE rn = 1
+)""")
+        prev = f"l{r}"
+    chain = ",\n".join(ctes)
+    return f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), und AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+), edges AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM und
+  UNION ALL
+  SELECT v AS src, u AS dst FROM und
+),
+{chain}
+SELECT CAST(node AS BIGINT) AS part, CAST(label AS BIGINT) AS community,
+       CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS n_members
+FROM {prev}
+"""
+
+
+_LPA_ORACLE = _lpa_oracle()
+
+
+# ---------------------------------------------------------------------------
 # join-key skew diagnostics — the report that justifies salting decisions
 # ---------------------------------------------------------------------------
 
@@ -3427,6 +3551,9 @@ SPECS = [
         _VARIANT_PROPS_ORACLE,
     ),
     QuerySpec("analytics_kcore", q_analytics_kcore, _kcore_oracle()),
+    QuerySpec(
+        "analytics_community_lpa", q_analytics_community_lpa, _LPA_ORACLE
+    ),
     # shares the declarative as-of's oracle: the Arrow cogroup kernel and
     # the union+running-last plan must agree bit-for-bit
     QuerySpec("analytics_cogroup_asof", q_analytics_cogroup_asof, _ASOF_ORACLE),
