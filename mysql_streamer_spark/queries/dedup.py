@@ -366,6 +366,7 @@ def ngram_jaccard_pairs(
     threshold: float = JACCARD_THRESHOLD,
     pre_shingled: bool = False,
     dim_hint: str = "shuffle_hash",
+    df_cap: int = NGRAM_DF_CAP,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted shingle index.
 
@@ -409,7 +410,7 @@ def ngram_jaccard_pairs(
     groups = (
         posting.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") <= NGRAM_DF_CAP)
+        .filter(F.size("ids") <= df_cap)
         .select("ids")
         .persist()
     )

@@ -435,7 +435,101 @@ WHERE bit_count(xor(pa, pb)) <= {PHASH_HAM_T}
 """
 
 
+# ---------------------------------------------------------------------------
+# video-level near-dup via frame-hash set Jaccard
+# ---------------------------------------------------------------------------
+
+#: document frequency cap on frame hashes (production analog: black/intro
+#: frames shared by thousands of videos must not generate candidate pairs)
+VIDEO_FRAME_DF_CAP = 100
+#: frame-set Jaccard at or above which two videos count as near-dups
+VIDEO_JACCARD_T = 0.5
+
+
+def q_multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate pairs by sampled-frame-set Jaccard — the
+    video twin of the text n-gram dedup tier: two videos sharing >=
+    ``VIDEO_JACCARD_T`` of their sampled frame hashes (re-encodes,
+    re-uploads, trims) collapse to one candidate pair. Frames come from
+    the REAL Arrow fan-out kernel (``multimodal.sample_frames``); from
+    there the plan is the proven inverted-index shape of
+    ``dedup_jaccard_ngram`` on (doc_id, frame_hash) postings: DF-capped
+    per-frame id lists, in-group pair expansion, count = exact
+    intersection, union from per-video set sizes. Only (id, hash)
+    postings shuffle — pixels never leave the Python stage.
+
+    Scale shape: candidate volume is bounded by the DF cap exactly as in
+    the text family; a hot frame (black/intro) is excluded from pairing
+    rather than exploding it. The pair/dim join strategy adapts via the
+    same footer-count hint as the text dedup tier.
+    Reference scope note: no multimodal surface in the CDC reference —
+    SURVEY.md §7 phase-5 multimodal extension."""
+    from mysql_streamer_spark.multimodal import sample_frames
+    from mysql_streamer_spark.queries.dedup import (
+        _docs_dim_hint,
+        ngram_jaccard_pairs,
+    )
+    from mysql_streamer_spark.tables import spread
+
+    blobs = with_media_blob(spread(load_table(spark, sf_dir, "documents")))
+    ssets = (
+        sample_frames(blobs)
+        .groupBy("doc_id")
+        .agg(F.collect_set("frame_hash").alias("sset"))
+    )
+    return ngram_jaccard_pairs(
+        ssets,
+        threshold=VIDEO_JACCARD_T,
+        pre_shingled=True,
+        dim_hint=_docs_dim_hint(sf_dir),
+        df_cap=VIDEO_FRAME_DF_CAP,
+    )
+
+
+def _video_neardup_oracle() -> str:
+    from mysql_streamer_spark.multimodal import FRAME_BYTES, FRAME_STRIDE
+
+    frame = f"substring(text, start1, {FRAME_BYTES})"
+    return f"""
+WITH video AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+), frames AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text), {FRAME_STRIDE})) AS start1
+  FROM video
+), posting AS (
+  SELECT DISTINCT doc_id, md5({frame}) AS shingle FROM frames
+), rare AS (
+  SELECT shingle FROM posting GROUP BY shingle
+  HAVING count(*) <= {VIDEO_FRAME_DF_CAP}
+), p AS (
+  SELECT posting.doc_id, posting.shingle FROM posting
+  JOIN rare USING (shingle)
+), sz AS (
+  SELECT doc_id, count(*) AS set_sz FROM p GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+  CAST(n_inter AS DOUBLE)
+    / CAST(sa.set_sz + sb.set_sz - n_inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sz sa ON inter.doc_a = sa.doc_id
+JOIN sz sb ON inter.doc_b = sb.doc_id
+WHERE CAST(n_inter AS DOUBLE)
+    / CAST(sa.set_sz + sb.set_sz - n_inter AS DOUBLE)
+    >= {VIDEO_JACCARD_T}
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "multimodal_video_neardup",
+        q_multimodal_video_neardup,
+        _video_neardup_oracle(),
+    ),
     QuerySpec(
         "multimodal_audio_energy", q_multimodal_audio_energy, _audio_energy_oracle()
     ),

@@ -385,6 +385,119 @@ GROUP BY 1, 2, 3
 
 
 # ---------------------------------------------------------------------------
+# packing boundary audit: cross-document attention contamination
+# ---------------------------------------------------------------------------
+
+#: contamination fraction above which a packed sequence is flagged as
+#: needing document-boundary attention masking
+PACK_CONTAM_HI = 0.5
+
+
+def q_pipeline_pack_boundary_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-document attention-contamination accounting for the packing
+    plan of ``pipeline_pack_sequences``: under full (unmasked) attention,
+    every token of a later document in a packed sequence attends to every
+    token of the earlier documents — the training-quality leak that
+    motivates per-document attention masks (Krell et al. 2022; packing
+    analyses of Zhao et al. 2024). Per packed sequence this emits the
+    exact count of cross-document attention pairs, the total ordered
+    pair count T(T-1)/2, their ratio, and the masking verdict.
+
+    Exactness and shape: cross-doc pairs per sequence are
+    sum(t_i * (c_i - c_min)) where c_i is the doc's exclusive lane
+    prefix and c_min the sequence's first prefix — algebraically
+    sum(t_i c_i) - c_min * T, so ONE lane window (the same
+    (source, bucket) ordered prefix the packer itself uses — no second
+    shuffle) and ONE hash aggregate with min/sum produce everything;
+    the fraction is ONE division of exact BIGINTs. Headroom: t*c stays
+    under 2^63 while any single lane holds < ~9e15 tokens; PACK_BUCKETS
+    scales lanes down long before that.
+    Reference scope note: no pipeline surface in the CDC reference —
+    SURVEY.md §7 phase-5 corpus-prep extension."""
+    docs = load_table(spark, sf_dir, "documents")
+    lane = Window.partitionBy("source", "bucket").orderBy("doc_id")
+    cum_excl = F.coalesce(
+        F.sum("n_toks").over(lane.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    ).cast("long")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % PACK_BUCKETS).alias("bucket"),
+        F.size(tx.tokens_col("text")).cast("long").alias("n_toks"),
+    ).withColumn("c", cum_excl)
+    seqd = sized.withColumn(
+        "seq_id", F.floor(F.col("c") / PACK_BUDGET_TOKENS)
+    )
+    agg = seqd.groupBy("source", "bucket", "seq_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("seq_tokens"),
+        F.sum(F.col("n_toks") * F.col("c")).cast("long").alias("s_tc"),
+        F.min("c").cast("long").alias("c_min"),
+    )
+    contaminated = F.col("s_tc") - F.col("c_min") * F.col("seq_tokens")
+    total = (
+        F.col("seq_tokens") * (F.col("seq_tokens") - F.lit(1)) / F.lit(2)
+    ).cast("long")
+    frac = contaminated.cast("double") / total.cast("double")
+    return agg.select(
+        "source",
+        "bucket",
+        "seq_id",
+        "n_docs",
+        "seq_tokens",
+        (F.col("n_docs") - F.lit(1)).cast("long").alias("n_boundaries"),
+        contaminated.alias("contaminated_pairs"),
+        total.alias("total_pairs"),
+        frac.alias("contamination_frac"),
+        F.when(frac > PACK_CONTAM_HI, "needs_doc_mask")
+        .otherwise("acceptable")
+        .alias("verdict"),
+    )
+
+
+_PACK_BOUNDARY_ORACLE = f"""
+WITH sized AS (
+  SELECT doc_id, source,
+         doc_id % {PACK_BUCKETS} AS bucket,
+         CAST(len({tx.tokens_sql("text")}) AS BIGINT) AS n_toks
+  FROM documents
+), pre AS (
+  SELECT doc_id, source, bucket, n_toks,
+         CAST(COALESCE(sum(n_toks) OVER (
+             PARTITION BY source, bucket ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS c
+  FROM sized
+), seqd AS (
+  SELECT *, CAST(floor(c / {PACK_BUDGET_TOKENS}) AS BIGINT) AS seq_id
+  FROM pre
+), agg AS (
+  SELECT source, bucket, seq_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_toks) AS BIGINT) AS seq_tokens,
+         CAST(sum(n_toks * c) AS BIGINT) AS s_tc,
+         CAST(min(c) AS BIGINT) AS c_min
+  FROM seqd GROUP BY 1, 2, 3
+)
+SELECT source, bucket, seq_id, n_docs, seq_tokens,
+       n_docs - 1 AS n_boundaries,
+       s_tc - c_min * seq_tokens AS contaminated_pairs,
+       CAST(seq_tokens * (seq_tokens - 1) / 2 AS BIGINT) AS total_pairs,
+       CAST(s_tc - c_min * seq_tokens AS DOUBLE)
+         / CAST(CAST(seq_tokens * (seq_tokens - 1) / 2 AS BIGINT) AS DOUBLE)
+         AS contamination_frac,
+       CASE WHEN CAST(s_tc - c_min * seq_tokens AS DOUBLE)
+                 / CAST(CAST(seq_tokens * (seq_tokens - 1) / 2 AS BIGINT)
+                        AS DOUBLE) > {PACK_CONTAM_HI}
+            THEN 'needs_doc_mask' ELSE 'acceptable' END AS verdict
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # training-mix manifest (split x sampling composition)
 # ---------------------------------------------------------------------------
 
@@ -2454,6 +2567,11 @@ SPECS = [
     ),
     QuerySpec("pipeline_mix_report", q_pipeline_mix_report, _MIX_REPORT_ORACLE),
     QuerySpec("pipeline_pack_sequences", q_pipeline_pack_sequences, _PACK_ORACLE),
+    QuerySpec(
+        "pipeline_pack_boundary_audit",
+        q_pipeline_pack_boundary_audit,
+        _PACK_BOUNDARY_ORACLE,
+    ),
     QuerySpec(
         "pipeline_pack_efficiency",
         q_pipeline_pack_efficiency,
