@@ -3149,6 +3149,221 @@ WHERE core_degree >= {KCORE_K}
 
 
 # ---------------------------------------------------------------------------
+# degree distribution of the co-purchase graph
+# ---------------------------------------------------------------------------
+
+def q_analytics_degree_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree distribution of the part co-purchase graph, log2-bucketed —
+    the sizing report every OTHER graph operator's partitioning strategy
+    depends on: a heavy tail (hub parts) is what makes raw-key edge
+    shuffles skew, justifies the triangle census's degree-ordering, and
+    decides whether PageRank's contribution join needs salting. Per
+    degree bucket [2^(b-1), 2^b): node count, degree-mass (sum of
+    degrees = edge endpoints), exact min/max degree, each bucket's share
+    of nodes and of mass, and the node CDF.
+
+    Exactness and shape: degrees are one map-side aggregate over the
+    shared cached edge list; buckets come from the integer bit-length
+    log2 (length(bin(d)) — the sketch_log_histogram discipline, no float
+    log); shares are ONE division each against a 1-row totals broadcast;
+    the CDF is a cumulative window over the <=64-row bucket dimension
+    only (never over nodes). Output cardinality is fixed (<=64 rows) at
+    ANY graph size — the defining property of a scale-safe report.
+    Reference scope note: no analytics surface in the CDC reference —
+    SURVEY.md §7 phase-4/5 graph extension."""
+    und = _copurchase_edges(spark, sf_dir, directed=False)
+    deg = (
+        und.select(F.explode(F.array("u", "v")).alias("n"))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    buckets = (
+        deg.withColumn("bucket", F.expr("length(bin(d))").cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("d").cast("long").alias("degree_mass"),
+            F.min("d").cast("long").alias("min_degree"),
+            F.max("d").cast("long").alias("max_degree"),
+        )
+    )
+    totals = buckets.agg(
+        F.sum("n_nodes").cast("long").alias("t_nodes"),
+        F.sum("degree_mass").cast("long").alias("t_mass"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        buckets.crossJoin(F.broadcast(totals))
+        .withColumn("cum_nodes", F.sum("n_nodes").over(w).cast("long"))
+        .select(
+            "bucket",
+            F.expr("CAST(1 AS BIGINT) << CAST(bucket - 1 AS INT)").alias(
+                "lo_degree"
+            ),
+            "n_nodes",
+            "degree_mass",
+            "min_degree",
+            "max_degree",
+            (
+                F.col("n_nodes").cast("double") / F.col("t_nodes").cast("double")
+            ).alias("node_share"),
+            (
+                F.col("degree_mass").cast("double")
+                / F.col("t_mass").cast("double")
+            ).alias("mass_share"),
+            "cum_nodes",
+            (
+                F.col("cum_nodes").cast("double") / F.col("t_nodes").cast("double")
+            ).alias("node_cdf"),
+        )
+    )
+
+
+_DEGREE_DIST_ORACLE = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), und AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+), deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT unnest([u, v]) AS n FROM und
+  ) GROUP BY 1
+), buckets AS (
+  SELECT CAST(length(bin(d)) AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(d) AS BIGINT) AS degree_mass,
+         CAST(min(d) AS BIGINT) AS min_degree,
+         CAST(max(d) AS BIGINT) AS max_degree
+  FROM deg GROUP BY 1
+), t AS (
+  SELECT CAST(sum(n_nodes) AS BIGINT) AS t_nodes,
+         CAST(sum(degree_mass) AS BIGINT) AS t_mass
+  FROM buckets
+)
+SELECT bucket,
+       CAST(1 AS BIGINT) << (bucket - 1) AS lo_degree,
+       n_nodes, degree_mass, min_degree, max_degree,
+       CAST(n_nodes AS DOUBLE) / CAST(t_nodes AS DOUBLE) AS node_share,
+       CAST(degree_mass AS DOUBLE) / CAST(t_mass AS DOUBLE) AS mass_share,
+       CAST(sum(n_nodes) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_nodes,
+       CAST(sum(n_nodes) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / CAST(t_nodes AS DOUBLE) AS node_cdf
+FROM buckets CROSS JOIN t
+"""
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity (Newman 2002)
+# ---------------------------------------------------------------------------
+
+#: |r| below which the graph counts as degree-neutral
+ASSORT_NEUTRAL = 0.05
+
+
+def q_analytics_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity coefficient r (Newman 2002) of the
+    co-purchase graph — the one-number answer to "do hubs connect to
+    hubs?" that decides which skew mitigations matter: a disassortative
+    graph (hubs fan out to leaves, r < 0) concentrates join traffic on
+    hub keys and wants salting; an assortative one spreads it. r is the
+    Pearson correlation of endpoint degrees over edges, computed from
+    FOUR exact BIGINT edge sums (M, sum jk, sum j+k, sum j^2+k^2) via
+    the closed form r = (4M S_jk - S_sum^2) / (2M S_sq - S_sum^2); the
+    division (and the >2^63-safe cross products) run in double from the
+    exact sums — a fixed IEEE sequence identical in both engines, with
+    the exact integers emitted alongside for the audit trail.
+
+    Shape: one equi-join of the cached edge list against the degree
+    dimension per endpoint (broadcast while it fits, AQE otherwise),
+    then ONE scalar map-side aggregate. Output is one row at any size.
+    Reference scope note: no analytics surface in the CDC reference —
+    SURVEY.md §7 phase-4/5 graph extension."""
+    und = _copurchase_edges(spark, sf_dir, directed=False)
+    deg = (
+        und.select(F.explode(F.array("u", "v")).alias("n"))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    e = und.join(
+        deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u"
+    ).join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+    agg = e.agg(
+        F.count("*").cast("long").alias("m_edges"),
+        F.sum(F.col("du") * F.col("dv")).cast("long").alias("s_jk"),
+        F.sum(F.col("du") + F.col("dv")).cast("long").alias("s_sum"),
+        F.sum(F.col("du") * F.col("du") + F.col("dv") * F.col("dv"))
+        .cast("long")
+        .alias("s_sq"),
+    )
+    m = F.col("m_edges").cast("double")
+    sjk = F.col("s_jk").cast("double")
+    ssum = F.col("s_sum").cast("double")
+    ssq = F.col("s_sq").cast("double")
+    r = (F.lit(4.0) * m * sjk - ssum * ssum) / (
+        F.lit(2.0) * m * ssq - ssum * ssum
+    )
+    return agg.select(
+        "m_edges",
+        "s_jk",
+        "s_sum",
+        "s_sq",
+        r.alias("assortativity"),
+        F.when(r > ASSORT_NEUTRAL, "assortative")
+        .when(r < -ASSORT_NEUTRAL, "disassortative")
+        .otherwise("neutral")
+        .alias("band"),
+    )
+
+
+_ASSORTATIVITY_ORACLE = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), und AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+), deg AS MATERIALIZED (
+  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT unnest([u, v]) AS n FROM und
+  ) GROUP BY 1
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS m_edges,
+         CAST(sum(a.d * b.d) AS BIGINT) AS s_jk,
+         CAST(sum(a.d + b.d) AS BIGINT) AS s_sum,
+         CAST(sum(a.d * a.d + b.d * b.d) AS BIGINT) AS s_sq
+  FROM und JOIN deg a ON und.u = a.n JOIN deg b ON und.v = b.n
+)
+SELECT m_edges, s_jk, s_sum, s_sq,
+       (4.0 * CAST(m_edges AS DOUBLE) * CAST(s_jk AS DOUBLE)
+          - CAST(s_sum AS DOUBLE) * CAST(s_sum AS DOUBLE))
+       / (2.0 * CAST(m_edges AS DOUBLE) * CAST(s_sq AS DOUBLE)
+          - CAST(s_sum AS DOUBLE) * CAST(s_sum AS DOUBLE))
+         AS assortativity,
+       CASE WHEN (4.0 * CAST(m_edges AS DOUBLE) * CAST(s_jk AS DOUBLE)
+                    - CAST(s_sum AS DOUBLE) * CAST(s_sum AS DOUBLE))
+                 / (2.0 * CAST(m_edges AS DOUBLE) * CAST(s_sq AS DOUBLE)
+                    - CAST(s_sum AS DOUBLE) * CAST(s_sum AS DOUBLE))
+                 > {ASSORT_NEUTRAL} THEN 'assortative'
+            WHEN (4.0 * CAST(m_edges AS DOUBLE) * CAST(s_jk AS DOUBLE)
+                    - CAST(s_sum AS DOUBLE) * CAST(s_sum AS DOUBLE))
+                 / (2.0 * CAST(m_edges AS DOUBLE) * CAST(s_sq AS DOUBLE)
+                    - CAST(s_sum AS DOUBLE) * CAST(s_sum AS DOUBLE))
+                 < -{ASSORT_NEUTRAL} THEN 'disassortative'
+            ELSE 'neutral' END AS band
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # label-propagation communities (synchronous, fixed rounds)
 # ---------------------------------------------------------------------------
 
@@ -3180,12 +3395,14 @@ def q_analytics_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     Community rollup at the end is one more map-side aggregate.
     Reference scope note: no analytics surface in the CDC reference —
     SURVEY.md §7 phase-4/5 graph extension."""
-    und = _copurchase_edges(spark, sf_dir, directed=False)
-    edges = und.select(
-        F.col("u").alias("src"), F.col("v").alias("dst")
-    ).union(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    # the PERSISTED directed frame (both orientations) — shared with
+    # PageRank, so in a bench session the edge build is already warm and
+    # each LPA round scans cache instead of re-deriving the union
+    edges = _copurchase_edges(spark, sf_dir, directed=True).select(
+        "src", "dst"
+    )
     labels = (
-        und.select(F.explode(F.array("u", "v")).alias("node"))
+        edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
     )
@@ -3553,6 +3770,16 @@ SPECS = [
     QuerySpec("analytics_kcore", q_analytics_kcore, _kcore_oracle()),
     QuerySpec(
         "analytics_community_lpa", q_analytics_community_lpa, _LPA_ORACLE
+    ),
+    QuerySpec(
+        "analytics_degree_distribution",
+        q_analytics_degree_distribution,
+        _DEGREE_DIST_ORACLE,
+    ),
+    QuerySpec(
+        "analytics_assortativity",
+        q_analytics_assortativity,
+        _ASSORTATIVITY_ORACLE,
     ),
     # shares the declarative as-of's oracle: the Arrow cogroup kernel and
     # the union+running-last plan must agree bit-for-bit

@@ -858,6 +858,100 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# transaction size profile (log-bucketed jumbo-txn audit)
+# ---------------------------------------------------------------------------
+
+#: share of total rows carried by one bucket above which the profile
+#: flags a jumbo-transaction risk for downstream atomic appliers
+TXN_JUMBO_SHARE = 0.5
+
+
+def q_cdc_txn_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction size distribution, log2-bucketed — the operational
+    audit a CDC consumer reads before choosing its apply batch size: a
+    replicator that applies atomically per upstream transaction
+    (the reference's consumer contract,
+    /root/reference/replication_handler/components/data_event_handler.py)
+    must buffer the largest transaction, so the tail bucket IS the
+    memory requirement, and a bucket carrying most of the row mass
+    flags bulk-load/backfill patterns that need chunked apply.
+
+    Shape: composes the proven txn reassembly aggregate (ONE map-side
+    hash aggregate per txn) with a <=64-row bit-length bucket fold and
+    a 1-row totals broadcast — fixed output cardinality at any stream
+    size (the sketch_log_histogram discipline)."""
+    txns = q_cdc_txn_reassembly(spark, sf_dir).select("txn_no", "n_rows")
+    buckets = (
+        txns.withColumn("bucket", F.expr("length(bin(n_rows))").cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_txns"),
+            F.sum("n_rows").cast("long").alias("total_rows"),
+            F.max("n_rows").cast("long").alias("max_rows"),
+        )
+    )
+    totals = buckets.agg(
+        F.sum("n_txns").cast("long").alias("t_txns"),
+        F.sum("total_rows").cast("long").alias("t_rows"),
+    )
+    row_share = F.col("total_rows").cast("double") / F.col("t_rows").cast(
+        "double"
+    )
+    return (
+        buckets.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.expr("CAST(1 AS BIGINT) << CAST(bucket - 1 AS INT)").alias(
+                "lo_rows"
+            ),
+            "n_txns",
+            "total_rows",
+            "max_rows",
+            (
+                F.col("n_txns").cast("double") / F.col("t_txns").cast("double")
+            ).alias("txn_share"),
+            row_share.alias("row_share"),
+            F.when(row_share > TXN_JUMBO_SHARE, "jumbo_heavy")
+            .otherwise("ok")
+            .alias("verdict"),
+        )
+    )
+
+
+_TXN_SIZE_PROFILE_ORACLE = (
+    "WITH "
+    + ORACLE_MULTIROW_CDC_CTE.strip()
+    + f""", txns AS (
+  SELECT event_id // {TXN_EVENTS} AS txn_no,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM cdc_rows
+  WHERE database NOT IN ('yelp_heartbeat', 'test')
+  GROUP BY 1
+), buckets AS (
+  SELECT CAST(length(bin(n_rows)) AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_txns,
+         CAST(sum(n_rows) AS BIGINT) AS total_rows,
+         CAST(max(n_rows) AS BIGINT) AS max_rows
+  FROM txns GROUP BY 1
+), t AS (
+  SELECT CAST(sum(n_txns) AS BIGINT) AS t_txns,
+         CAST(sum(total_rows) AS BIGINT) AS t_rows
+  FROM buckets
+)
+SELECT bucket,
+       CAST(1 AS BIGINT) << (bucket - 1) AS lo_rows,
+       n_txns, total_rows, max_rows,
+       CAST(n_txns AS DOUBLE) / CAST(t_txns AS DOUBLE) AS txn_share,
+       CAST(total_rows AS DOUBLE) / CAST(t_rows AS DOUBLE) AS row_share,
+       CASE WHEN CAST(total_rows AS DOUBLE) / CAST(t_rows AS DOUBLE)
+                 > {TXN_JUMBO_SHARE}
+            THEN 'jumbo_heavy' ELSE 'ok' END AS verdict
+FROM buckets CROSS JOIN t
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # wire-shape envelope (the reference's exact published message layout, F3)
 # ---------------------------------------------------------------------------
 
@@ -1604,6 +1698,9 @@ SPECS = [
         _ORACLE_PIPELINE_CTES + _ENVELOPE_SELECT,
     ),
     QuerySpec("cdc_txn_reassembly", q_cdc_txn_reassembly, _TXN_REASSEMBLY_ORACLE),
+    QuerySpec(
+        "cdc_txn_size_profile", q_cdc_txn_size_profile, _TXN_SIZE_PROFILE_ORACLE
+    ),
     QuerySpec(
         "cdc_debezium_roundtrip",
         q_cdc_debezium_roundtrip,

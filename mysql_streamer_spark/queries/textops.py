@@ -1877,6 +1877,98 @@ FROM per
 
 
 # ---------------------------------------------------------------------------
+# term burstiness (Church-Gale overdispersion)
+# ---------------------------------------------------------------------------
+
+#: minimum document frequency for stable per-term dispersion statistics
+BURST_MIN_DF = 5
+#: Fisher dispersion index above which a term counts as bursty (Poisson
+#: gives exactly 1; content words run well above, function words near 1)
+BURST_FISHER_HI = 2.0
+
+
+def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term burstiness (Church & Gale 1995): content words arrive in
+    bursts (a doc that mentions a topic word mentions it repeatedly)
+    while function words arrive ~Poisson — the dispersion signal that
+    separates topical vocabulary from glue, used to weight retrieval and
+    to sanity-check synthetic corpora (whose generators are often
+    un-bursty). Emits, per term above ``BURST_MIN_DF``: total frequency
+    tf, document frequency df, the within-doc second moment, mean
+    occurrences per containing doc (tf/df — Church-Gale burstiness), and
+    the Fisher dispersion index var/mean = sum_c2/tf - tf/N over ALL N
+    docs (zeros included, algebraically — no zero rows materialize).
+
+    Exactness: tf, df, sum c^2 are exact BIGINT aggregates; the two
+    ratios are fixed two-division IEEE sequences identical in both
+    engines. Scale shape: one tokenize+explode into a (doc, term)
+    map-side count, then a term-keyed map-side fold; vocabulary-bounded
+    output (Heaps-law sublinear), zero joins beyond the 1-row doc-count
+    broadcast.
+    Reference scope note: no text surface in the CDC reference —
+    SURVEY.md §7 phase-5 text-quality extension."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    n_docs = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    per_doc = (
+        docs.select("doc_id", F.explode(tx.tokens_col()).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    per_term = (
+        per_doc.groupBy("t")
+        .agg(
+            F.sum("c").cast("long").alias("tf"),
+            F.count("*").cast("long").alias("df"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_c2"),
+        )
+        .filter(F.col("df") >= BURST_MIN_DF)
+    )
+    fisher = F.col("sum_c2").cast("double") / F.col("tf").cast("double") - F.col(
+        "tf"
+    ).cast("double") / F.col("n_docs").cast("double")
+    return per_term.crossJoin(F.broadcast(n_docs)).select(
+        F.col("t").alias("term"),
+        "tf",
+        "df",
+        "sum_c2",
+        "n_docs",
+        (F.col("tf").cast("double") / F.col("df").cast("double")).alias(
+            "burstiness"
+        ),
+        fisher.alias("fisher_index"),
+        F.when(fisher > BURST_FISHER_HI, "bursty")
+        .otherwise("regular")
+        .alias("band"),
+    )
+
+
+_BURSTINESS_ORACLE = f"""
+WITH per_doc AS (
+  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest({tx.tokens_sql("text")}) AS t FROM documents)
+  GROUP BY 1, 2
+), per_term AS (
+  SELECT t, CAST(sum(c) AS BIGINT) AS tf,
+         CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(c * c) AS BIGINT) AS sum_c2
+  FROM per_doc GROUP BY 1
+  HAVING count(*) >= {BURST_MIN_DF}
+), nd AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+)
+SELECT t AS term, tf, df, sum_c2, n_docs,
+       CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) AS burstiness,
+       CAST(sum_c2 AS DOUBLE) / CAST(tf AS DOUBLE)
+         - CAST(tf AS DOUBLE) / CAST(n_docs AS DOUBLE) AS fisher_index,
+       CASE WHEN CAST(sum_c2 AS DOUBLE) / CAST(tf AS DOUBLE)
+                 - CAST(tf AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                 > {BURST_FISHER_HI}
+            THEN 'bursty' ELSE 'regular' END AS band
+FROM per_term CROSS JOIN nd
+"""
+
+
+# ---------------------------------------------------------------------------
 # syllable / word-complexity profile
 # ---------------------------------------------------------------------------
 
@@ -1970,6 +2062,7 @@ SPECS = [
     QuerySpec(
         "text_syllable_profile", q_text_syllable_profile, _SYLLABLE_ORACLE
     ),
+    QuerySpec("text_burstiness", q_text_burstiness, _BURSTINESS_ORACLE),
     QuerySpec("text_token_stats", q_text_token_stats, _TOKEN_STATS_ORACLE),
     QuerySpec("text_kn_bigram_lm", q_text_kn_bigram_lm, _KN_LM_ORACLE),
     QuerySpec("text_heaps_law", q_text_heaps_law, _HEAPS_ORACLE),

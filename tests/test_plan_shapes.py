@@ -49,6 +49,12 @@ _BNLJ_OK = {
     "pipeline_mix_weights",
     # the 1-row corpus-token-total scalar crossed onto the bigram table
     "text_bigram_pmi",
+    # the 1-row doc-count scalar crossed onto the vocab-bounded term table
+    "text_burstiness",
+    # the 1-row node/mass totals crossed onto the <=64-row bucket dim
+    "analytics_degree_distribution",
+    # the 1-row txn/row totals crossed onto the <=64-row bucket dim
+    "cdc_txn_size_profile",
     # the global stock-value total is a 1-row broadcast crossed with per-part
     "analytics_important_stock",
     # T-row persisted-sketch self-join on type_a < type_b (T = event types)
@@ -151,10 +157,10 @@ def test_allowlists_are_count_pinned():
     entry without updating these pinned counts fails here, forcing the
     written bounded-domain justification every entry must carry
     (VERDICT r7 #7). Update the count IN THE SAME COMMIT as the entry."""
-    assert len(_BNLJ_OK) == 52
+    assert len(_BNLJ_OK) == 55
     assert len(_SKIP) == 5
-    assert len(_SINGLE_PARTITION_OK) == 56
-    assert len(_UNPARTITIONED_WINDOW_OK) == 10
+    assert len(_SINGLE_PARTITION_OK) == 60
+    assert len(_UNPARTITIONED_WINDOW_OK) == 11
     assert len(_ZERO_SHUFFLE) == 6
 
 
@@ -239,6 +245,13 @@ _SINGLE_PARTITION_OK = {
     "dedup_threshold_sweep",
     "pipeline_mix_weights",         # 1-row max-weight broadcast back
     "text_bigram_pmi",              # 1-row corpus-total broadcast back
+    "text_burstiness",              # 1-row doc-count broadcast back
+    # 1-row totals + the <=64-row bucket CDF window
+    "analytics_degree_distribution",
+    # 1-row txn totals broadcast back onto the bucket dim
+    "cdc_txn_size_profile",
+    # one-row edge-sum reduce (scalar aggregate of the degree-joined edges)
+    "analytics_assortativity",
     "analytics_conversion_funnel",  # three 1-row stage counts
     "analytics_repeat_purchase",    # 1-row purchaser-total broadcast back
     "analytics_small_qty_revenue",  # single-row revenue total
@@ -360,6 +373,8 @@ _UNPARTITIONED_WINDOW_OK = {
     "pipeline_score_auc",
     # cumulative walk over the <=64-row log-bucket histogram
     "sketch_log_histogram",
+    # node CDF over the <=64-row degree-bucket dimension
+    "analytics_degree_distribution",
 }
 
 

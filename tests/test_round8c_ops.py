@@ -36,9 +36,11 @@ def test_lpa_matches_python_on_bridged_cliques(spark, monkeypatch):
     k4b = [(10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13)]
     bridge = [(4, 10)]
     edges = k4a + k4b + bridge
-    df = spark.createDataFrame(edges, "u long, v long")
+    edf = spark.createDataFrame(
+        edges + [(v, u) for u, v in edges], "src long, dst long"
+    )
     monkeypatch.setattr(
-        A, "_copurchase_edges", lambda spark, sf_dir, directed: df
+        A, "_copurchase_edges", lambda spark, sf_dir, directed: edf
     )
     got = {
         r.part: (r.community, r.n_members)
@@ -59,9 +61,11 @@ def test_lpa_tie_breaks_to_min_label_deterministically(spark, monkeypatch):
     from mysql_streamer_spark.queries import analytics as A
 
     edges = [(1, 2), (2, 3), (3, 4), (1, 4)]
-    df = spark.createDataFrame(edges, "u long, v long")
+    edf = spark.createDataFrame(
+        edges + [(v, u) for u, v in edges], "src long, dst long"
+    )
     monkeypatch.setattr(
-        A, "_copurchase_edges", lambda spark, sf_dir, directed: df
+        A, "_copurchase_edges", lambda spark, sf_dir, directed: edf
     )
     got = {
         r.part: r.community
@@ -166,3 +170,128 @@ def test_video_neardup_matches_python_frame_jaccard(spark, monkeypatch):
     assert got == want
     assert got[(2, 5)] == 1.0  # exact re-upload
     assert all(11 not in pair for pair in got)  # unrelated video
+
+
+def test_burstiness_matches_python_counts(spark, monkeypatch):
+    """tf/df/sum_c2 recompute exactly from a synthetic corpus where one
+    term is bursty (all mass in few docs) and one is uniform; the Fisher
+    index separates them and equals the exact var/mean over all docs."""
+    from mysql_streamer_spark.queries import textops as T
+
+    n_docs = 8
+    rows = []
+    for i in range(n_docs):
+        toks = ["the"]  # uniform glue word, once per doc
+        if i < 2:
+            toks += ["spark"] * 4  # bursty content word
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(T, "load_table", lambda spark, sf_dir, name: df)
+    monkeypatch.setattr(T, "BURST_MIN_DF", 2)
+    got = {r.term: r for r in T.q_text_burstiness(spark, "ignored").collect()}
+
+    assert got["the"].tf == n_docs and got["the"].df == n_docs
+    assert got["the"].sum_c2 == n_docs
+    # exact Fisher: var/mean over all docs, zeros included
+    for term in ("the", "spark"):
+        r = got[term]
+        counts = [0] * n_docs
+        for i, (_, text) in enumerate(rows):
+            counts[i] = text.split().count(term)
+        mean = sum(counts) / n_docs
+        var = sum(c * c for c in counts) / n_docs - mean * mean
+        assert abs(r.fisher_index - var / mean) < 1e-12
+        assert r.burstiness == r.tf / r.df
+    assert got["the"].band == "regular"   # Poisson-like -> ~ (1 - tf/N) < 1
+    assert got["spark"].band == "bursty"  # concentrated -> >> 1
+
+
+def test_degree_distribution_buckets_partition_nodes(spark, monkeypatch):
+    """Buckets cover every node exactly once (sum n_nodes = node count,
+    CDF ends at 1.0), degree mass sums to 2|E|, and min/max stay inside
+    the bucket's [2^(b-1), 2^b) range."""
+    from mysql_streamer_spark.queries import analytics as A
+
+    # star (hub degree 6) + a triangle: degrees 6,1,1,1,1,1,1 and 2,2,2
+    star = [(100, i) for i in range(1, 7)]
+    tri = [(200, 201), (201, 202), (200, 202)]
+    edges = spark.createDataFrame(star + tri, "u long, v long")
+    monkeypatch.setattr(
+        A, "_copurchase_edges", lambda spark, sf_dir, directed: edges
+    )
+    rows = sorted(
+        A.q_analytics_degree_distribution(spark, "ignored").collect(),
+        key=lambda r: r.bucket,
+    )
+    assert sum(r.n_nodes for r in rows) == 10
+    assert sum(r.degree_mass for r in rows) == 2 * len(star + tri)
+    assert rows[-1].cum_nodes == 10 and rows[-1].node_cdf == 1.0
+    for r in rows:
+        lo, hi = 1 << (r.bucket - 1), 1 << r.bucket
+        assert r.lo_degree == lo
+        assert lo <= r.min_degree <= r.max_degree < hi
+    # degree-1 leaves (bucket 1), the triangle+hub spread across buckets
+    by_bucket = {r.bucket: r for r in rows}
+    assert by_bucket[1].n_nodes == 6
+    assert by_bucket[2].n_nodes == 3   # degree-2 triangle nodes
+    assert by_bucket[3].n_nodes == 1   # degree-6 hub
+
+
+def test_txn_size_profile_buckets_partition_txns(spark, sf_dir):
+    """Buckets cover every reassembled transaction exactly once (txn and
+    row totals re-derive from cdc_txn_reassembly), shares sum to 1, and
+    max_rows sits inside its bucket's [2^(b-1), 2^b) range."""
+    from mysql_streamer_spark.queries.cdc import (
+        q_cdc_txn_reassembly,
+        q_cdc_txn_size_profile,
+    )
+
+    txns = q_cdc_txn_reassembly(spark, sf_dir).select("n_rows").collect()
+    rows = q_cdc_txn_size_profile(spark, sf_dir).collect()
+    assert sum(r.n_txns for r in rows) == len(txns)
+    assert sum(r.total_rows for r in rows) == sum(t.n_rows for t in txns)
+    assert abs(sum(r.txn_share for r in rows) - 1.0) < 1e-12
+    assert abs(sum(r.row_share for r in rows) - 1.0) < 1e-12
+    for r in rows:
+        lo, hi = 1 << (r.bucket - 1), 1 << r.bucket
+        assert r.lo_rows == lo
+        assert lo <= r.max_rows < hi
+        assert r.verdict in {"ok", "jumbo_heavy"}
+
+
+def test_assortativity_matches_python_pearson(spark, monkeypatch):
+    """r recomputes exactly from the emitted integer sums; a star is
+    maximally disassortative (r = -1) and a clean two-regime graph
+    (cliques of different sizes) is assortative."""
+    from mysql_streamer_spark.queries import analytics as A
+
+    def run(edges):
+        edf = spark.createDataFrame(edges, "u long, v long")
+        monkeypatch.setattr(
+            A, "_copurchase_edges", lambda spark, sf_dir, directed: edf
+        )
+        return A.q_analytics_assortativity(spark, "ignored").collect()[0]
+
+    star = [(100, i) for i in range(1, 6)]
+    r = run(star)
+    # exact-sum recomputation
+    from collections import Counter
+
+    deg = Counter()
+    for u, v in star:
+        deg[u] += 1
+        deg[v] += 1
+    m = len(star)
+    sjk = sum(deg[u] * deg[v] for u, v in star)
+    ssum = sum(deg[u] + deg[v] for u, v in star)
+    ssq = sum(deg[u] ** 2 + deg[v] ** 2 for u, v in star)
+    assert (r.m_edges, r.s_jk, r.s_sum, r.s_sq) == (m, sjk, ssum, ssq)
+    want = (4.0 * m * sjk - ssum * ssum) / (2.0 * m * ssq - ssum * ssum)
+    assert r.assortativity == want
+    assert r.assortativity == -1.0 and r.band == "disassortative"
+
+    # K3 + K5, disjoint: endpoints always share a degree -> r = +1
+    k3 = [(1, 2), (2, 3), (1, 3)]
+    k5 = [(10 + i, 10 + j) for i in range(5) for j in range(i + 1, 5)]
+    r2 = run(k3 + k5)
+    assert r2.assortativity == 1.0 and r2.band == "assortative"
