@@ -436,6 +436,102 @@ WHERE bit_count(xor(pa, pb)) <= {PHASH_HAM_T}
 
 
 # ---------------------------------------------------------------------------
+# energy-gated activity segmentation over audio windows (VAD-style)
+# ---------------------------------------------------------------------------
+
+#: window energy above which a window counts as "active" (the corpus's
+#: median window energy — a fixed constant so both engines agree; a real
+#: deployment would calibrate it per codec/gain the same way)
+VAD_ENERGY_T = 3022
+
+
+def q_multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-gated activity segmentation over the audio window meter —
+    the voice-activity-detection shape speech curation runs to split
+    long recordings into trainable utterances and to drop silence: runs
+    of consecutive above-threshold windows collapse to one segment with
+    its exact span and energy mass. Segmentation is the classic
+    gaps-and-islands form: island key = window_idx - rank among the
+    doc's active windows — pure integer arithmetic on the existing
+    Arrow-kernel meter output.
+
+    Scale shape: the meter is the proven map-only Arrow kernel (bytes
+    never leave the Python stage); the islands window partitions on
+    doc_id (never unpartitioned) and the segment fold is one map-side
+    hash aggregate on (doc_id, island). Output rows = number of
+    segments, bounded by MAX_WINDOWS per doc.
+    Reference scope note: no multimodal surface in the CDC reference —
+    SURVEY.md §7 phase-5 multimodal extension."""
+    from mysql_streamer_spark.multimodal import audio_energy
+    from mysql_streamer_spark.tables import spread
+    from pyspark.sql import Window
+
+    blobs = with_media_blob(spread(load_table(spark, sf_dir, "documents")))
+    active = audio_energy(blobs).filter(F.col("energy") > VAD_ENERGY_T)
+    w = Window.partitionBy("doc_id").orderBy("window_idx")
+    seg = active.withColumn(
+        "island", F.col("window_idx") - F.row_number().over(w)
+    )
+    return (
+        seg.groupBy("doc_id", "island")
+        .agg(
+            F.min("window_idx").cast("long").alias("seg_start"),
+            F.max("window_idx").cast("long").alias("seg_end"),
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum("energy").cast("long").alias("seg_energy"),
+            F.max("peak").cast("long").alias("seg_peak"),
+        )
+        .select(
+            "doc_id",
+            "seg_start",
+            "seg_end",
+            "n_windows",
+            "seg_energy",
+            "seg_peak",
+        )
+    )
+
+
+def _audio_segments_oracle() -> str:
+    from mysql_streamer_spark.multimodal import MAX_WINDOWS, WINDOW_BYTES
+
+    return f"""
+WITH audio AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id % 3 = 1
+), wins AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0,
+           least(CAST(n // {WINDOW_BYTES} AS BIGINT), {MAX_WINDOWS}) - 1))
+           AS window_idx
+  FROM audio
+  WHERE n >= {WINDOW_BYTES}
+), meter AS (
+  SELECT doc_id, window_idx,
+    CAST(list_sum(list_transform(generate_series(1, {WINDOW_BYTES}),
+         i -> ascii(substr(text, CAST(window_idx * {WINDOW_BYTES} AS INT) + i, 1))))
+      AS BIGINT) AS energy,
+    CAST(list_max(list_transform(generate_series(1, {WINDOW_BYTES}),
+         i -> ascii(substr(text, CAST(window_idx * {WINDOW_BYTES} AS INT) + i, 1))))
+      AS BIGINT) AS peak
+  FROM wins
+), active AS (
+  SELECT doc_id, window_idx, energy, peak,
+         window_idx - row_number() OVER (
+           PARTITION BY doc_id ORDER BY window_idx) AS island
+  FROM meter WHERE energy > {VAD_ENERGY_T}
+)
+SELECT doc_id,
+       CAST(min(window_idx) AS BIGINT) AS seg_start,
+       CAST(max(window_idx) AS BIGINT) AS seg_end,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(energy) AS BIGINT) AS seg_energy,
+       CAST(max(peak) AS BIGINT) AS seg_peak
+FROM active GROUP BY doc_id, island
+"""
+
+
+# ---------------------------------------------------------------------------
 # video-level near-dup via frame-hash set Jaccard
 # ---------------------------------------------------------------------------
 
@@ -529,6 +625,11 @@ SPECS = [
         "multimodal_video_neardup",
         q_multimodal_video_neardup,
         _video_neardup_oracle(),
+    ),
+    QuerySpec(
+        "multimodal_audio_segments",
+        q_multimodal_audio_segments,
+        _audio_segments_oracle(),
     ),
     QuerySpec(
         "multimodal_audio_energy", q_multimodal_audio_energy, _audio_energy_oracle()

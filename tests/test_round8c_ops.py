@@ -295,3 +295,41 @@ def test_assortativity_matches_python_pearson(spark, monkeypatch):
     k5 = [(10 + i, 10 + j) for i in range(5) for j in range(i + 1, 5)]
     r2 = run(k3 + k5)
     assert r2.assortativity == 1.0 and r2.band == "assortative"
+
+
+def test_audio_segments_are_maximal_islands(spark, sf_dir):
+    """Segments recompute exactly from the meter output: every segment is
+    a maximal run of consecutive above-threshold windows (no adjacent
+    segments touch, spans match n_windows, energy sums match)."""
+    from mysql_streamer_spark.multimodal import audio_energy
+    from mysql_streamer_spark.queries import multimodal as M
+    from mysql_streamer_spark.queries.multimodal import with_media_blob
+    from mysql_streamer_spark.tables import load_table, spread
+
+    blobs = with_media_blob(spread(load_table(spark, sf_dir, "documents")))
+    meter = {}
+    for r in audio_energy(blobs).collect():
+        meter.setdefault(r.doc_id, {})[r.window_idx] = r.energy
+    segs = M.q_multimodal_audio_segments(spark, sf_dir).collect()
+    assert segs
+    per_doc = {}
+    for s in segs:
+        assert s.seg_end - s.seg_start + 1 == s.n_windows
+        win = meter[s.doc_id]
+        for i in range(s.seg_start, s.seg_end + 1):
+            assert win[i] > M.VAD_ENERGY_T  # every window in-run is active
+        # maximality: the windows just outside the run are inactive/absent
+        for edge in (s.seg_start - 1, s.seg_end + 1):
+            assert win.get(edge, 0) <= M.VAD_ENERGY_T
+        assert s.seg_energy == sum(
+            win[i] for i in range(s.seg_start, s.seg_end + 1)
+        )
+        per_doc.setdefault(s.doc_id, []).append((s.seg_start, s.seg_end))
+    # python islands replay: segment count per doc matches
+    for doc_id, win in meter.items():
+        runs, prev = 0, -10
+        for i in sorted(w for w, e in win.items() if e > M.VAD_ENERGY_T):
+            if i != prev + 1:
+                runs += 1
+            prev = i
+        assert runs == len(per_doc.get(doc_id, []))
