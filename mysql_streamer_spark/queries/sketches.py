@@ -140,6 +140,94 @@ FROM events
 
 
 # ---------------------------------------------------------------------------
+# sketch_hll_rolling — rolling-window rollup from persisted daily sketches
+# ---------------------------------------------------------------------------
+
+#: rolling window width in days
+HLL_ROLL_DAYS = 3
+
+
+def q_sketch_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The re-aggregation payoff the sketch family's design claims: once
+    per-day HLL sketches exist, ANY rolling window is a union of
+    sketches — here the trailing ``HLL_ROLL_DAYS``-day distinct-user
+    count per day, rebuilt purely from the daily sketches (the raw data
+    is scanned once for the sketches and once for the exact audit; a
+    production pipeline persists the sketches and never rescans). Each
+    rolling estimate must land within the published error bound of the
+    exact windowed distinct count.
+
+    Scale shape: the union runs on the D-row day dimension (a bounded
+    self range-join, D^2 pairs of ~KB sketches); the exact audit leg
+    fans events out at most HLL_ROLL_DAYS x against the broadcast D-row
+    day dim — the bounded ground-truth pattern of the recall audits.
+    At 100 TB only the daily-sketch build touches the data; everything
+    downstream is day-dimension-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(HLL_LG_K)).alias("day_sketch")
+    )
+    d2 = daily.select(
+        F.col("day").alias("day2"), F.col("day_sketch").alias("sk2")
+    )
+    rolled = (
+        daily.select("day")
+        .join(
+            F.broadcast(d2),
+            F.expr(
+                f"day2 >= day - INTERVAL {HLL_ROLL_DAYS - 1} DAYS"
+                " AND day2 <= day"
+            ),
+        )
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_days_in_window"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk2")).alias("est"),
+        )
+    )
+    days = daily.select("day")
+    exact = (
+        ev.withColumn("eday", F.date_trunc("day", "ts"))
+        .join(
+            F.broadcast(days),
+            F.expr(
+                f"eday >= day - INTERVAL {HLL_ROLL_DAYS - 1} DAYS"
+                " AND eday <= day"
+            ),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_rolling"))
+    )
+    return rolled.join(exact, "day").select(
+        "day",
+        "n_days_in_window",
+        "exact_rolling",
+        (
+            F.abs(F.col("est") - F.col("exact_rolling"))
+            <= F.col("exact_rolling") * HLL_REL_TOL
+        ).alias("rolling_within_bound"),
+    )
+
+
+_HLL_ROLLING_ORACLE = f"""
+WITH days AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day FROM events
+)
+SELECT d.day,
+       CAST((SELECT count(*) FROM days d2
+             WHERE d2.day >= d.day - INTERVAL {HLL_ROLL_DAYS - 1} DAY
+               AND d2.day <= d.day) AS BIGINT) AS n_days_in_window,
+       CAST((SELECT count(DISTINCT e.user_id) FROM events e
+             WHERE date_trunc('day', e.ts)
+                   >= d.day - INTERVAL {HLL_ROLL_DAYS - 1} DAY
+               AND date_trunc('day', e.ts) <= d.day) AS BIGINT)
+         AS exact_rolling,
+       TRUE AS rolling_within_bound
+FROM days d
+"""
+
+
+# ---------------------------------------------------------------------------
 # sketch_hll_overlap — pairwise audience overlap via inclusion-exclusion
 # ---------------------------------------------------------------------------
 
@@ -1986,6 +2074,7 @@ SPECS = [
         "sketch_bloom_membership", q_sketch_bloom_membership, _bloom_oracle()
     ),
     QuerySpec("sketch_hll_merge", q_sketch_hll_merge, _HLL_MERGE_ORACLE),
+    QuerySpec("sketch_hll_rolling", q_sketch_hll_rolling, _HLL_ROLLING_ORACLE),
     QuerySpec("sketch_hll_overlap", q_sketch_hll_overlap, _HLL_OVERLAP_ORACLE),
     QuerySpec(
         "sketch_heavy_hitters", q_sketch_heavy_hitters, _HEAVY_HITTERS_ORACLE

@@ -63,6 +63,9 @@ _BNLJ_OK = {
     "sketch_heavy_hitters",
     # 1-row direct sketch x 1-row merged sketch (the merge-equality proof)
     "sketch_moments_bound",
+    # D-row day-dim self range-join (sketch union) + the same bounded day
+    # dim broadcast against events for the exact audit leg
+    "sketch_hll_rolling",
     # RP_AUDIT_N-row broadcast self-join on id order (bounded ground-truth
     # leg, the sim_ann_recall shape)
     "sim_random_projection",
@@ -157,7 +160,7 @@ def test_allowlists_are_count_pinned():
     entry without updating these pinned counts fails here, forcing the
     written bounded-domain justification every entry must carry
     (VERDICT r7 #7). Update the count IN THE SAME COMMIT as the entry."""
-    assert len(_BNLJ_OK) == 55
+    assert len(_BNLJ_OK) == 56
     assert len(_SKIP) == 5
     assert len(_SINGLE_PARTITION_OK) == 60
     assert len(_UNPARTITIONED_WINDOW_OK) == 11

@@ -123,3 +123,36 @@ def test_moments_bound_matches_python_and_theorem(spark, monkeypatch):
     # the bound tightens as the threshold moves further past the mean
     bounds = [rows[t].cantelli_bound for t in sorted(rows)]
     assert bounds == sorted(bounds, reverse=True)
+
+
+def test_hll_rolling_windows_cover_trailing_days(spark, sf_dir):
+    """Every day's window holds min(HLL_ROLL_DAYS, days-so-far) days, the
+    rolling exact counts are >= the single-day exacts and monotone vs the
+    window content, and every rolling estimate lands in-bound."""
+    from mysql_streamer_spark.queries.sketches import (
+        HLL_ROLL_DAYS,
+        q_sketch_hll_rolling,
+    )
+    from mysql_streamer_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = sorted(
+        q_sketch_hll_rolling(spark, sf_dir).collect(), key=lambda r: r.day
+    )
+    assert rows
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("daily"))
+        .collect()
+    )
+    daily = {r.day: r.daily for r in ev}
+    days = sorted(daily)
+    for i, r in enumerate(rows):
+        assert r.day == days[i]
+        assert r.n_days_in_window == min(HLL_ROLL_DAYS, i + 1)
+        assert r.exact_rolling >= daily[r.day]
+        assert r.exact_rolling <= sum(
+            daily[d] for d in days[max(0, i - HLL_ROLL_DAYS + 1) : i + 1]
+        )
+        assert r.rolling_within_bound
