@@ -2364,6 +2364,114 @@ JOIN ranked b ON b.r - a.r BETWEEN 1 AND {SNM_W - 1}
 
 
 # ---------------------------------------------------------------------------
+# shingle document-frequency profile (the DF-cap calibration curve)
+# ---------------------------------------------------------------------------
+
+def q_dedup_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency distribution of the shingle postings,
+    log2-bucketed — the calibration report behind ``NGRAM_DF_CAP``:
+    every inverted-index operator in this family prunes shingles with
+    df > cap (skew guard + boilerplate exclusion), and this curve shows
+    exactly what any power-of-two cap keeps. Per bucket
+    [2^(b-1), 2^b): distinct shingles, postings mass (sum of df), the
+    mass today's cap retains within the bucket, each bucket's share of
+    total postings, and the cumulative mass CDF — "cap at 2^b - 1 keeps
+    cum_mass_share of the index" read directly off the row.
+
+    Shape: postings -> ONE df hash-aggregate -> <=64-row bucket fold +
+    1-row totals broadcast + a cumulative window over the bucket dim
+    only (the sketch_log_histogram discipline). Fixed output cardinality
+    at any corpus size.
+    Reference scope note: no dedup surface in the CDC reference —
+    SURVEY.md §7 phase-4 extension."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    posting = (
+        docs.withColumn("toks", tx.tokens_col("text"))
+        .withColumn("sset", F.array_distinct(tx.shingles_col()))
+        .filter(F.size("sset") > 0)
+        .select("doc_id", F.explode("sset").alias("shingle"))
+    )
+    dfreq = posting.groupBy("shingle").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    buckets = (
+        dfreq.withColumn("bucket", F.expr("length(bin(df))").cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum("df").cast("long").alias("postings_mass"),
+            F.sum(
+                F.expr(f"CASE WHEN df <= {NGRAM_DF_CAP} THEN df ELSE 0 END")
+            )
+            .cast("long")
+            .alias("mass_under_cap"),
+            F.max("df").cast("long").alias("max_df"),
+        )
+    )
+    totals = buckets.agg(
+        F.sum("postings_mass").cast("long").alias("t_mass")
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        buckets.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "cum_mass", F.sum("postings_mass").over(w).cast("long")
+        )
+        .select(
+            "bucket",
+            F.expr("CAST(1 AS BIGINT) << CAST(bucket - 1 AS INT)").alias(
+                "lo_df"
+            ),
+            "n_shingles",
+            "postings_mass",
+            "mass_under_cap",
+            "max_df",
+            (
+                F.col("postings_mass").cast("double")
+                / F.col("t_mass").cast("double")
+            ).alias("mass_share"),
+            (
+                F.col("cum_mass").cast("double") / F.col("t_mass").cast("double")
+            ).alias("cum_mass_share"),
+        )
+    )
+
+
+_SHINGLE_DF_ORACLE = f"""
+WITH ssets AS (
+  SELECT doc_id,
+         list_distinct({tx.shingles_sql(tx.tokens_sql("text"))}) AS sset
+  FROM documents
+  WHERE len({tx.shingles_sql(tx.tokens_sql("text"))}) > 0
+), dfreq AS (
+  SELECT shingle, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT doc_id, unnest(sset) AS shingle FROM ssets)
+  GROUP BY 1
+), buckets AS (
+  SELECT CAST(length(bin(df)) AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(df) AS BIGINT) AS postings_mass,
+         CAST(sum(CASE WHEN df <= {NGRAM_DF_CAP} THEN df ELSE 0 END)
+              AS BIGINT) AS mass_under_cap,
+         CAST(max(df) AS BIGINT) AS max_df
+  FROM dfreq GROUP BY 1
+), t AS (
+  SELECT CAST(sum(postings_mass) AS BIGINT) AS t_mass FROM buckets
+)
+SELECT bucket,
+       CAST(1 AS BIGINT) << (bucket - 1) AS lo_df,
+       n_shingles, postings_mass, mass_under_cap, max_df,
+       CAST(postings_mass AS DOUBLE) / CAST(t_mass AS DOUBLE) AS mass_share,
+       CAST(sum(postings_mass) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / CAST(t_mass AS DOUBLE) AS cum_mass_share
+FROM buckets CROSS JOIN t
+"""
+
+
+# ---------------------------------------------------------------------------
 # LSH parameter tuning: the (bands, rows) S-curve report
 # ---------------------------------------------------------------------------
 
@@ -2611,6 +2719,11 @@ SPECS = [
     ),
     QuerySpec("dedup_containment", q_dedup_containment, _CONTAINMENT_ORACLE),
     QuerySpec("dedup_lsh_tuning", q_dedup_lsh_tuning, _LSH_TUNING_ORACLE),
+    QuerySpec(
+        "dedup_shingle_df_profile",
+        q_dedup_shingle_df_profile,
+        _SHINGLE_DF_ORACLE,
+    ),
     QuerySpec(
         "dedup_fuzzy_survivors", q_dedup_fuzzy_survivors, _FUZZY_SURVIVORS_ORACLE
     ),

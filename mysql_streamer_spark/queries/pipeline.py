@@ -184,6 +184,78 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# split leakage: near-dup pairs crossing the train/val boundary
+# ---------------------------------------------------------------------------
+
+def q_pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate leakage across the train/val split — the audit that
+    motivates dedup-BEFORE-split (Lee et al. 2022): a random hash split
+    puts ~2 p (1-p) of every near-dup pair across the boundary, silently
+    inflating eval scores. Emits every exact-Jaccard near-dup pair (the
+    ``dedup_jaccard_ngram`` tier) with both docs' split assignments and
+    the crossing flag; the crossing rate is the leakage headline.
+
+    Shape: the pair stream is the proven DF-capped inverted index; split
+    assignment is a pure per-row md5 expression ON THE PAIR IDS (the
+    split depends only on doc_id, so no join back to the corpus is
+    needed — two column expressions on an id-only frame).
+    Reference scope note: no pipeline surface in the CDC reference —
+    SURVEY.md §7 phase-5 corpus-prep extension."""
+    from mysql_streamer_spark.queries.dedup import (
+        _docs_dim_hint,
+        ngram_jaccard_pairs,
+    )
+
+    def split_of(col: str) -> F.Column:
+        cell = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("split:"), F.col(col).cast("string"))),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        )
+        return F.when(cell < VAL_CELLS, F.lit("val")).otherwise(F.lit("train"))
+
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        dim_hint=_docs_dim_hint(sf_dir),
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        split_of("doc_a").alias("split_a"),
+        split_of("doc_b").alias("split_b"),
+        (split_of("doc_a") != split_of("doc_b")).alias("crosses_split"),
+    )
+
+
+def _split_leakage_oracle() -> str:
+    from mysql_streamer_spark.queries.dedup import _JACCARD_NGRAM_ORACLE
+
+    def split_sql(col: str) -> str:
+        return (
+            f"CASE WHEN CAST('0x' || substring(md5('split:' || "
+            f"CAST({col} AS VARCHAR)), 1, 4) AS BIGINT) % 100 < {VAL_CELLS} "
+            "THEN 'val' ELSE 'train' END"
+        )
+
+    return f"""
+WITH pairs AS ({_JACCARD_NGRAM_ORACLE})
+SELECT doc_a, doc_b, jaccard,
+       {split_sql("doc_a")} AS split_a,
+       {split_sql("doc_b")} AS split_b,
+       {split_sql("doc_a")} != {split_sql("doc_b")} AS crosses_split
+FROM pairs
+"""
+
+
+# ---------------------------------------------------------------------------
 # per-source stratified sampling
 # ---------------------------------------------------------------------------
 
@@ -2571,6 +2643,11 @@ SPECS = [
         "pipeline_pack_boundary_audit",
         q_pipeline_pack_boundary_audit,
         _PACK_BOUNDARY_ORACLE,
+    ),
+    QuerySpec(
+        "pipeline_split_leakage",
+        q_pipeline_split_leakage,
+        _split_leakage_oracle(),
     ),
     QuerySpec(
         "pipeline_pack_efficiency",

@@ -66,6 +66,8 @@ _BNLJ_OK = {
     # D-row day-dim self range-join (sketch union) + the same bounded day
     # dim broadcast against events for the exact audit leg
     "sketch_hll_rolling",
+    # 1-row postings total crossed onto the <=64-row df-bucket dim
+    "dedup_shingle_df_profile",
     # RP_AUDIT_N-row broadcast self-join on id order (bounded ground-truth
     # leg, the sim_ann_recall shape)
     "sim_random_projection",
@@ -160,10 +162,10 @@ def test_allowlists_are_count_pinned():
     entry without updating these pinned counts fails here, forcing the
     written bounded-domain justification every entry must carry
     (VERDICT r7 #7). Update the count IN THE SAME COMMIT as the entry."""
-    assert len(_BNLJ_OK) == 56
+    assert len(_BNLJ_OK) == 57
     assert len(_SKIP) == 5
-    assert len(_SINGLE_PARTITION_OK) == 60
-    assert len(_UNPARTITIONED_WINDOW_OK) == 11
+    assert len(_SINGLE_PARTITION_OK) == 61
+    assert len(_UNPARTITIONED_WINDOW_OK) == 12
     assert len(_ZERO_SHUFFLE) == 6
 
 
@@ -282,6 +284,8 @@ _SINGLE_PARTITION_OK = {
     # one-row S-curve integral (scalar aggregate of the id-only pair
     # stream), unstacked to the 5-row grid report
     "dedup_lsh_tuning",
+    # 1-row postings total broadcast onto the <=64-row df-bucket dim
+    "dedup_shingle_df_profile",
     # two scalar sketch aggregates (direct + merged) joined into the
     # 3-threshold report
     "sketch_moments_bound",
@@ -378,6 +382,8 @@ _UNPARTITIONED_WINDOW_OK = {
     "sketch_log_histogram",
     # node CDF over the <=64-row degree-bucket dimension
     "analytics_degree_distribution",
+    # cap-calibration CDF over the <=64-row df-bucket dimension
+    "dedup_shingle_df_profile",
 }
 
 

@@ -333,3 +333,64 @@ def test_audio_segments_are_maximal_islands(spark, sf_dir):
                 runs += 1
             prev = i
         assert runs == len(per_doc.get(doc_id, []))
+
+
+def test_split_leakage_flags_cross_split_pairs(spark, sf_dir):
+    """Split assignments recompute from the documented md5 rule; crossing
+    flags are exactly split_a != split_b; and the pair set equals the
+    dedup_jaccard_ngram tier (leakage audits the SAME near-dups)."""
+    import hashlib
+
+    from mysql_streamer_spark.queries.dedup import q_dedup_jaccard_ngram
+    from mysql_streamer_spark.queries.pipeline import (
+        VAL_CELLS,
+        q_pipeline_split_leakage,
+    )
+
+    def split_of(doc_id):
+        cell = int(hashlib.md5(f"split:{doc_id}".encode()).hexdigest()[:4], 16) % 100
+        return "val" if cell < VAL_CELLS else "train"
+
+    rows = q_pipeline_split_leakage(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.split_a == split_of(r.doc_a)
+        assert r.split_b == split_of(r.doc_b)
+        assert r.crosses_split == (r.split_a != r.split_b)
+    pair_set = {(r.doc_a, r.doc_b) for r in rows}
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in q_dedup_jaccard_ngram(spark, sf_dir).collect()
+    }
+    assert pair_set == want
+
+
+def test_shingle_df_profile_is_a_mass_cdf(spark, sf_dir):
+    """Bucket masses partition the postings (CDF ends at 1.0), the
+    under-cap mass never exceeds the bucket mass and matches it exactly
+    for buckets entirely below the cap, and max_df stays in-bucket."""
+    from mysql_streamer_spark.queries.dedup import (
+        NGRAM_DF_CAP,
+        q_dedup_shingle_df_profile,
+    )
+
+    rows = sorted(
+        q_dedup_shingle_df_profile(spark, sf_dir).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert rows
+    assert abs(sum(r.mass_share for r in rows) - 1.0) < 1e-12
+    assert abs(rows[-1].cum_mass_share - 1.0) < 1e-12
+    cum = 0.0
+    total = sum(r.postings_mass for r in rows)
+    for r in rows:
+        lo, hi = 1 << (r.bucket - 1), 1 << r.bucket
+        assert r.lo_df == lo
+        assert lo <= r.max_df < hi
+        assert 0 <= r.mass_under_cap <= r.postings_mass
+        if hi - 1 <= NGRAM_DF_CAP:
+            assert r.mass_under_cap == r.postings_mass
+        if lo > NGRAM_DF_CAP:
+            assert r.mass_under_cap == 0
+        cum += r.postings_mass / total
+        assert abs(r.cum_mass_share - cum) < 1e-9
