@@ -366,7 +366,7 @@ def ngram_jaccard_pairs(
     threshold: float = JACCARD_THRESHOLD,
     pre_shingled: bool = False,
     dim_hint: str = "shuffle_hash",
-    df_cap: int = NGRAM_DF_CAP,
+    df_cap: int | None = None,  # None -> NGRAM_DF_CAP, read at call time
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted shingle index.
 
@@ -397,6 +397,8 @@ def ngram_jaccard_pairs(
     math on integers (3-4x faster locally, and the gap widens with document
     size since verification cost no longer depends on |sset|).
     """
+    if df_cap is None:
+        df_cap = NGRAM_DF_CAP
     if pre_shingled:  # docs is (doc_id, sset) — e.g. shared with the LSH path
         posting = docs.select("doc_id", F.explode("sset").alias("shingle"))
     else:
