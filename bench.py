@@ -154,7 +154,20 @@ def main() -> None:
     # page cache for all queries alike).
     timings: dict[str, float] = {}
     first_run: dict[str, float] = {}
-    for i, spec in enumerate(specs):
+    # BOTH passes of the r1 subset run before anything else: its pass-2
+    # used to land after the full first pass of every query, so the
+    # subset's min-of-2 absorbed JVM aging that GROWS with the registry —
+    # at 267 queries that inflated the cross-round anchor ~2x (10.2s vs
+    # 5.8s at 245) while every common family was flat-or-faster. Pinning
+    # both passes up front makes the anchor measure the plans, not the
+    # registry size.
+    subset = [s for s in specs if s.name in r1_first]
+    rest = [s for s in specs if s.name not in r1_first]
+    for spec in subset:
+        first_run[spec.name] = timings[spec.name] = timed(spec)
+    for spec in subset:
+        timings[spec.name] = min(timings[spec.name], timed(spec))
+    for i, spec in enumerate(rest):
         first_run[spec.name] = timings[spec.name] = timed(spec)
         # A 150+-query session accumulates broadcast blocks and generated
         # classes; Spark's ContextCleaner only reclaims them after the
@@ -165,7 +178,7 @@ def main() -> None:
         if i % 10 == 9:
             gc.collect()
             spark.sparkContext._jvm.System.gc()
-    for i, spec in enumerate(specs):
+    for i, spec in enumerate(rest):
         timings[spec.name] = min(timings[spec.name], timed(spec))
         if i % 10 == 9:
             gc.collect()
