@@ -1969,6 +1969,171 @@ FROM per_term CROSS JOIN nd
 
 
 # ---------------------------------------------------------------------------
+# pairwise source divergence (exact total-variation distance)
+# ---------------------------------------------------------------------------
+
+#: TV distance bands: below LO the two sources are interchangeable for
+#: mixture purposes; above HI they are distinct domains
+TV_LO = 0.2
+TV_HI = 0.5
+
+
+def q_text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise total-variation distance between the unigram
+    distributions of every source pair — the domain-drift matrix a
+    mixture designer reads before merging or reweighting sources (TV
+    rather than KL/JS because it is EXACT in integers: with counts c and
+    totals T, |p - q| terms cross-multiply to |c1 T2 - c2 T1| and the
+    only division is the final one by 2 T1 T2; KL/JS would need a log of
+    a mixture, which has no exact integer form). Tokens absent from one
+    source contribute their full mass via the closed form
+    (T1 - shared1) T2 + (T2 - shared2) T1 — no outer join, no zero rows.
+
+    Scale shape: one (source, token) map-side count, a broadcast of the
+    S-row totals, ONE equi-join on token between the per-source count
+    tables (the shuffle key is the token — vocabulary-bounded postings,
+    never documents), and an S^2-row pair aggregate. Headroom: c*T
+    stays under 2^63 while any source holds < ~3e9 tokens with the
+    other's total at the same size; beyond that the cross products must
+    widen to DECIMAL(38,0) (documented boundary).
+    Reference scope note: no text surface in the CDC reference —
+    SURVEY.md §7 phase-5 text-quality extension."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    counts = (
+        docs.select("source", F.explode(tx.tokens_col()).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    totals = counts.groupBy("source").agg(F.sum("c").cast("long").alias("tot"))
+    ct = counts.join(F.broadcast(totals), "source")
+    a = ct.select(
+        F.col("source").alias("source_a"),
+        "t",
+        F.col("c").alias("c1"),
+        F.col("tot").alias("t1"),
+    )
+    b = ct.select(
+        F.col("source").alias("source_b"),
+        "t",
+        F.col("c").alias("c2"),
+        F.col("tot").alias("t2"),
+    )
+    shared = (
+        a.join(b, "t")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("long").alias("n_shared_tokens"),
+            F.sum(F.abs(F.col("c1") * F.col("t2") - F.col("c2") * F.col("t1")))
+            .cast("long")
+            .alias("sum_abs_shared"),
+            F.sum("c1").cast("long").alias("shared1"),
+            F.sum("c2").cast("long").alias("shared2"),
+        )
+    )
+    # the pair UNIVERSE comes from the S-row source dim (bounded self
+    # cross), so disjoint-vocabulary pairs — which the shared-token join
+    # can never produce — still appear, with their exact tv = 1
+    universe = (
+        totals.select(
+            F.col("source").alias("source_a"), F.col("tot").alias("t1")
+        )
+        .crossJoin(
+            F.broadcast(
+                totals.select(
+                    F.col("source").alias("source_b"), F.col("tot").alias("t2")
+                )
+            )
+        )
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    pair = universe.join(shared, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        F.coalesce("n_shared_tokens", F.lit(0)).cast("long").alias(
+            "n_shared_tokens"
+        ),
+        "t1",
+        "t2",
+        F.coalesce("sum_abs_shared", F.lit(0)).cast("long").alias(
+            "sum_abs_shared"
+        ),
+        F.coalesce("shared1", F.lit(0)).cast("long").alias("shared1"),
+        F.coalesce("shared2", F.lit(0)).cast("long").alias("shared2"),
+    )
+    scaled = (
+        F.col("sum_abs_shared")
+        + (F.col("t1") - F.col("shared1")) * F.col("t2")
+        + (F.col("t2") - F.col("shared2")) * F.col("t1")
+    )
+    tv = scaled.cast("double") / (
+        F.lit(2.0) * F.col("t1").cast("double") * F.col("t2").cast("double")
+    )
+    return pair.select(
+        "source_a",
+        "source_b",
+        "n_shared_tokens",
+        "t1",
+        "t2",
+        scaled.alias("tv_scaled"),
+        tv.alias("tv_distance"),
+        F.when(tv > TV_HI, "divergent")
+        .when(tv < TV_LO, "similar")
+        .otherwise("mid")
+        .alias("band"),
+    )
+
+
+_SOURCE_DIVERGENCE_ORACLE = f"""
+WITH counts AS (
+  SELECT source, t, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest({tx.tokens_sql("text")}) AS t FROM documents)
+  GROUP BY 1, 2
+), totals AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM counts GROUP BY 1
+), ct AS (
+  SELECT counts.source, counts.t, c, tot FROM counts JOIN totals USING (source)
+), shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared_tokens,
+         CAST(sum(abs(a.c * b.tot - b.c * a.tot)) AS BIGINT) AS sum_abs_shared,
+         CAST(sum(a.c) AS BIGINT) AS shared1,
+         CAST(sum(b.c) AS BIGINT) AS shared2
+  FROM ct a JOIN ct b ON a.t = b.t AND a.source < b.source
+  GROUP BY 1, 2
+), pair AS (
+  SELECT ua.source AS source_a, ub.source AS source_b,
+         CAST(coalesce(n_shared_tokens, 0) AS BIGINT) AS n_shared_tokens,
+         CAST(ua.tot AS BIGINT) AS t1,
+         CAST(ub.tot AS BIGINT) AS t2,
+         CAST(coalesce(sum_abs_shared, 0) AS BIGINT) AS sum_abs_shared,
+         CAST(coalesce(shared1, 0) AS BIGINT) AS shared1,
+         CAST(coalesce(shared2, 0) AS BIGINT) AS shared2
+  FROM totals ua
+  JOIN totals ub ON ua.source < ub.source
+  LEFT JOIN shared ON shared.source_a = ua.source
+                  AND shared.source_b = ub.source
+)
+SELECT source_a, source_b, n_shared_tokens, t1, t2,
+       sum_abs_shared + (t1 - shared1) * t2 + (t2 - shared2) * t1
+         AS tv_scaled,
+       CAST(sum_abs_shared + (t1 - shared1) * t2 + (t2 - shared2) * t1
+            AS DOUBLE)
+         / (2.0 * CAST(t1 AS DOUBLE) * CAST(t2 AS DOUBLE)) AS tv_distance,
+       CASE WHEN CAST(sum_abs_shared + (t1 - shared1) * t2
+                      + (t2 - shared2) * t1 AS DOUBLE)
+                 / (2.0 * CAST(t1 AS DOUBLE) * CAST(t2 AS DOUBLE))
+                 > {TV_HI} THEN 'divergent'
+            WHEN CAST(sum_abs_shared + (t1 - shared1) * t2
+                      + (t2 - shared2) * t1 AS DOUBLE)
+                 / (2.0 * CAST(t1 AS DOUBLE) * CAST(t2 AS DOUBLE))
+                 < {TV_LO} THEN 'similar'
+            ELSE 'mid' END AS band
+FROM pair
+"""
+
+
+# ---------------------------------------------------------------------------
 # syllable / word-complexity profile
 # ---------------------------------------------------------------------------
 
@@ -2063,6 +2228,11 @@ SPECS = [
         "text_syllable_profile", q_text_syllable_profile, _SYLLABLE_ORACLE
     ),
     QuerySpec("text_burstiness", q_text_burstiness, _BURSTINESS_ORACLE),
+    QuerySpec(
+        "text_source_divergence",
+        q_text_source_divergence,
+        _SOURCE_DIVERGENCE_ORACLE,
+    ),
     QuerySpec("text_token_stats", q_text_token_stats, _TOKEN_STATS_ORACLE),
     QuerySpec("text_kn_bigram_lm", q_text_kn_bigram_lm, _KN_LM_ORACLE),
     QuerySpec("text_heaps_law", q_text_heaps_law, _HEAPS_ORACLE),

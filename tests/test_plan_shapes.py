@@ -162,7 +162,7 @@ def test_allowlists_are_count_pinned():
     entry without updating these pinned counts fails here, forcing the
     written bounded-domain justification every entry must carry
     (VERDICT r7 #7). Update the count IN THE SAME COMMIT as the entry."""
-    assert len(_BNLJ_OK) == 57
+    assert len(_BNLJ_OK) == 58
     assert len(_SKIP) == 5
     assert len(_SINGLE_PARTITION_OK) == 61
     assert len(_UNPARTITIONED_WINDOW_OK) == 12
@@ -286,6 +286,9 @@ _SINGLE_PARTITION_OK = {
     "dedup_lsh_tuning",
     # 1-row postings total broadcast onto the <=64-row df-bucket dim
     "dedup_shingle_df_profile",
+    # S-row source-dim self cross (the pair universe; bounded by the
+    # number of sources, the sketch_hll_overlap shape)
+    "text_source_divergence",
     # two scalar sketch aggregates (direct + merged) joined into the
     # 3-threshold report
     "sketch_moments_bound",

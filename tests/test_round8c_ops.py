@@ -394,3 +394,47 @@ def test_shingle_df_profile_is_a_mass_cdf(spark, sf_dir):
             assert r.mass_under_cap == 0
         cum += r.postings_mass / total
         assert abs(r.cum_mass_share - cum) < 1e-9
+
+
+def test_source_divergence_exact_tv(spark, monkeypatch):
+    """TV distance recomputes exactly (including unshared-token mass via
+    the closed form) against a brute-force Python distribution compare;
+    identical sources read 0, disjoint-vocabulary sources read 1, and
+    the three bands are live."""
+    from collections import Counter
+
+    from mysql_streamer_spark.queries import textops as T
+
+    srcs = {
+        "s_a": "x x y z",          # baseline
+        "s_b": "x x y z",          # identical -> tv 0 ('similar')
+        "s_c": "x x y q",          # overlapping -> mid-range (tv 0.25)
+        "s_d": "p p r r",          # disjoint vocab -> tv 1 ('divergent')
+    }
+    rows = [
+        (i, text, src) for i, (src, text) in enumerate(sorted(srcs.items()))
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    monkeypatch.setattr(T, "load_table", lambda spark, sf_dir, name: df)
+    got = {
+        (r.source_a, r.source_b): r
+        for r in T.q_text_source_divergence(spark, "ignored").collect()
+    }
+    assert len(got) == 6  # all 4C2 pairs (every pair shares or not)
+
+    def tv(a, b):
+        ca, cb = Counter(srcs[a].split()), Counter(srcs[b].split())
+        ta, tb = sum(ca.values()), sum(cb.values())
+        toks = set(ca) | set(cb)
+        return sum(abs(ca[t] / ta - cb[t] / tb) for t in toks) / 2
+
+    for (a, b), r in got.items():
+        want = tv(a, b)
+        assert abs(r.tv_distance - want) < 1e-12, (a, b)
+        # exact rational identity: tv_scaled / (2 t1 t2)
+        assert r.tv_scaled == round(want * 2 * r.t1 * r.t2)
+    assert got[("s_a", "s_b")].tv_distance == 0.0
+    assert got[("s_a", "s_b")].band == "similar"
+    assert got[("s_a", "s_d")].tv_distance == 1.0
+    assert got[("s_a", "s_d")].band == "divergent"
+    assert got[("s_a", "s_c")].band == "mid"
