@@ -436,6 +436,76 @@ WHERE bit_count(xor(pa, pb)) <= {PHASH_HAM_T}
 
 
 # ---------------------------------------------------------------------------
+# image near-dup clusters (apply form over the phash pair graph)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY form of image near-dup: connected components over the
+    banded phash Hamming pairs collapse re-encode/crop chains into
+    clusters with a canonical keeper (minimum doc_id) — what a curation
+    run actually writes out, vs ``multimodal_phash_neardup``'s pair
+    list. Components reuse the proven min-label propagation of the text
+    dedup tier (``dedup.connected_components``: per-round
+    localCheckpoint, driver union-find only under the bounded-edge cap).
+    Output is every clustered image with its keeper and cluster size —
+    the full assignment vector, hash-checked per node.
+
+    Scale shape: hashes are one long per image out of the Arrow kernel;
+    banding bounds candidate pairs exactly as in the pair query; CC
+    rounds = cluster diameter (re-upload chains are shallow).
+    Reference scope note: no multimodal surface in the CDC reference —
+    SURVEY.md §7 phase-5 multimodal extension."""
+    from mysql_streamer_spark.queries.dedup import connected_components
+
+    pairs = q_multimodal_phash_neardup(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    labels = connected_components(pairs)
+    sizes = labels.groupBy("label").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return labels.join(sizes, "label").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("label").cast("long").alias("keeper"),
+        "cluster_size",
+        (F.col("doc_id") == F.col("label")).alias("is_keeper"),
+    )
+
+
+def _phash_clusters_oracle() -> str:
+    band_ids = ", ".join(str(b) for b in range(PHASH_BANDS))
+    hashed = _ahash_hashed_ctes().replace("WITH img", "WITH RECURSIVE img", 1)
+    return f"""{hashed}, bands AS (
+  SELECT doc_id, phash, band,
+         (phash >> (band * {PHASH_BAND_BITS})) % {1 << PHASH_BAND_BITS}
+           AS band_val
+  FROM hashed CROSS JOIN (SELECT unnest([{band_ids}]) AS band) b
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band, band_val)
+  WHERE a.doc_id < b.doc_id
+    AND bit_count(xor(a.phash, b.phash)) <= {PHASH_HAM_T}
+), sym AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+), reach(doc_id, label) AS (
+  SELECT doc_a, doc_a FROM sym
+  UNION
+  SELECT sym.doc_a, reach.label
+  FROM sym JOIN reach ON sym.doc_b = reach.doc_id
+  WHERE reach.label < sym.doc_a
+), lab AS (
+  SELECT doc_id, CAST(min(label) AS BIGINT) AS keeper
+  FROM reach GROUP BY 1
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, keeper,
+       CAST(count(*) OVER (PARTITION BY keeper) AS BIGINT) AS cluster_size,
+       doc_id = keeper AS is_keeper
+FROM lab
+"""
+
+
+# ---------------------------------------------------------------------------
 # energy-gated activity segmentation over audio windows (VAD-style)
 # ---------------------------------------------------------------------------
 
@@ -630,6 +700,11 @@ SPECS = [
         "multimodal_audio_segments",
         q_multimodal_audio_segments,
         _audio_segments_oracle(),
+    ),
+    QuerySpec(
+        "multimodal_phash_clusters",
+        q_multimodal_phash_clusters,
+        _phash_clusters_oracle(),
     ),
     QuerySpec(
         "multimodal_audio_energy", q_multimodal_audio_energy, _audio_energy_oracle()

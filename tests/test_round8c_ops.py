@@ -438,3 +438,44 @@ def test_source_divergence_exact_tv(spark, monkeypatch):
     assert got[("s_a", "s_d")].tv_distance == 1.0
     assert got[("s_a", "s_d")].band == "divergent"
     assert got[("s_a", "s_c")].band == "mid"
+
+
+def test_phash_clusters_partition_the_pair_graph(spark, sf_dir):
+    """Every doc in a pair appears in exactly one cluster; the keeper is
+    the cluster minimum; cluster sizes count members exactly; and the
+    clusters reproduce a Python union-find over the pair list."""
+    from mysql_streamer_spark.queries.multimodal import (
+        q_multimodal_phash_clusters,
+        q_multimodal_phash_neardup,
+    )
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in q_multimodal_phash_neardup(spark, sf_dir).collect()
+    ]
+    rows = q_multimodal_phash_clusters(spark, sf_dir).collect()
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for n in parent:
+        want.setdefault(find(n), set()).add(n)
+
+    got = {}
+    for r in rows:
+        got.setdefault(r.keeper, set()).add(r.doc_id)
+        assert r.is_keeper == (r.doc_id == r.keeper)
+    assert got == want
+    for r in rows:
+        assert r.cluster_size == len(got[r.keeper])
+        assert r.keeper == min(got[r.keeper])
