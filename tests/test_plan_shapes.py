@@ -68,6 +68,9 @@ _BNLJ_OK = {
     "sketch_hll_rolling",
     # 1-row postings total crossed onto the <=64-row df-bucket dim
     "dedup_shingle_df_profile",
+    # S-row source-dim self cross (the pair universe; bounded by the
+    # number of sources, the sketch_hll_overlap shape)
+    "text_source_divergence",
     # RP_AUDIT_N-row broadcast self-join on id order (bounded ground-truth
     # leg, the sim_ann_recall shape)
     "sim_random_projection",
@@ -286,9 +289,6 @@ _SINGLE_PARTITION_OK = {
     "dedup_lsh_tuning",
     # 1-row postings total broadcast onto the <=64-row df-bucket dim
     "dedup_shingle_df_profile",
-    # S-row source-dim self cross (the pair universe; bounded by the
-    # number of sources, the sketch_hll_overlap shape)
-    "text_source_divergence",
     # two scalar sketch aggregates (direct + merged) joined into the
     # 3-threshold report
     "sketch_moments_bound",
