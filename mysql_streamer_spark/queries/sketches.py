@@ -163,7 +163,13 @@ def q_sketch_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     day dim — the bounded ground-truth pattern of the recall audits.
     At 100 TB only the daily-sketch build touches the data; everything
     downstream is day-dimension-sized."""
-    ev = load_table(spark, sf_dir, "events")
+    from mysql_streamer_spark.tables import spread
+
+    # the exact-audit leg fans events against the broadcast day dim via a
+    # range BNLJ whose parallelism is the PROBE side's partitioning — a
+    # single-split events table would run it serially (measured 3x
+    # superlinear on the k=10 single-file fold); spread restores it
+    ev = spread(load_table(spark, sf_dir, "events"), "event_id")
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.hll_sketch_agg("user_id", F.lit(HLL_LG_K)).alias("day_sketch")
     )
