@@ -7,7 +7,7 @@ identical inputs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mysql_streamer_spark.cdc.pipeline import (
@@ -1625,6 +1625,131 @@ GROUP BY 1, 2, 3
 )
 
 
+def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance from the change stream —
+    the retract-stream pattern (Flink dynamic tables / Materialize): each
+    DML message becomes a signed delta against a per-table SUM/COUNT view
+    (create -> +value/+1 row, update -> +(new - old)/0, delete ->
+    -value/-1), rolled up per day, with the running maintained view value
+    alongside. This is what replaces a full-table rescan for every
+    downstream aggregate once a table's changes flow through the reference
+    pipeline: the view advances by reading ONLY the day's changelog.
+    Refresh messages are excluded — they are snapshot re-emissions, not
+    deltas (reference: refresh rows re-publish existing state,
+    low_level_binlog_stream_reader_wrapper.py:114-127).
+
+    Money math is integer cents (floor(v*100+0.5)) so the maintained sum
+    is exact under any partial-aggregation order — the property that makes
+    the delta aggregate ALGEBRAIC and therefore map-side combinable.
+
+    Scale shape: map-side signed-delta projection -> ONE hash aggregate on
+    (db, table, day) -> a cumulative window PARTITIONED by (db, table)
+    over the day-grain aggregate only (bounded rows per table, never the
+    raw stream). At 100 TB the daily changelog is the only input ever
+    scanned; the view itself is carried forward, which is the point."""
+    env = envelope_pipeline(spark, sf_dir).filter(
+        F.col("message_type").isin("create", "update", "delete")
+    )
+    cents = lambda c: F.floor(c * 100 + F.lit(0.5)).cast("long")  # noqa: E731
+    delta_c = (
+        F.when(F.col("message_type") == "create", cents(F.col("payload_val")))
+        .when(
+            F.col("message_type") == "update",
+            cents(F.col("payload_val")) - cents(F.col("previous_payload_val")),
+        )
+        .otherwise(-cents(F.col("payload_val")))
+    )
+    row_delta = (
+        F.when(F.col("message_type") == "create", F.lit(1))
+        .when(F.col("message_type") == "delete", F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    daily = (
+        env.select(
+            "database_name",
+            "table_name",
+            F.date_trunc("day", "timestamp").alias("day"),
+            "message_type",
+            delta_c.alias("delta_c"),
+            row_delta.alias("row_delta"),
+        )
+        .groupBy("database_name", "table_name", "day")
+        .agg(
+            F.sum((F.col("message_type") == "create").cast("long")).alias("n_creates"),
+            F.sum((F.col("message_type") == "update").cast("long")).alias("n_updates"),
+            F.sum((F.col("message_type") == "delete").cast("long")).alias("n_deletes"),
+            F.sum("delta_c").alias("delta_sum_c"),
+            F.sum("row_delta").alias("row_delta"),
+        )
+    )
+    w = (
+        Window.partitionBy("database_name", "table_name")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "database_name",
+        "table_name",
+        "day",
+        "n_creates",
+        "n_updates",
+        "n_deletes",
+        (F.col("delta_sum_c") / 100.0).alias("delta_sum"),
+        "row_delta",
+        (F.sum("delta_sum_c").over(w) / 100.0).alias("mv_sum"),
+        F.sum("row_delta").over(w).alias("mv_rows"),
+    )
+
+
+_INCREMENTAL_AGG_ORACLE = (
+    _ORACLE_PIPELINE_CTES
+    + """
+, env AS ("""
+    + _ENVELOPE_SELECT.strip()
+    + """)
+, deltas AS (
+  SELECT database_name, table_name,
+    date_trunc('day', timestamp) AS day,
+    message_type,
+    CASE message_type
+      WHEN 'create' THEN CAST(floor(payload_val * 100 + 0.5) AS BIGINT)
+      WHEN 'update' THEN CAST(floor(payload_val * 100 + 0.5) AS BIGINT)
+                         - CAST(floor(previous_payload_val * 100 + 0.5) AS BIGINT)
+      ELSE -CAST(floor(payload_val * 100 + 0.5) AS BIGINT)
+    END AS delta_c,
+    CASE message_type WHEN 'create' THEN 1 WHEN 'delete' THEN -1 ELSE 0 END
+      AS row_delta
+  FROM env
+  WHERE message_type IN ('create', 'update', 'delete')
+), daily AS (
+  SELECT database_name, table_name, day,
+    CAST(sum(CASE WHEN message_type = 'create' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_creates,
+    CAST(sum(CASE WHEN message_type = 'update' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_updates,
+    CAST(sum(CASE WHEN message_type = 'delete' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_deletes,
+    CAST(sum(delta_c) AS BIGINT) AS delta_sum_c,
+    CAST(sum(row_delta) AS BIGINT) AS row_delta
+  FROM deltas
+  GROUP BY 1, 2, 3
+)
+SELECT database_name, table_name, day,
+  n_creates, n_updates, n_deletes,
+  delta_sum_c / 100.0 AS delta_sum,
+  row_delta,
+  CAST(sum(delta_sum_c) OVER w AS BIGINT) / 100.0 AS mv_sum,
+  CAST(sum(row_delta) OVER w AS BIGINT) AS mv_rows
+FROM daily
+WINDOW w AS (
+  PARTITION BY database_name, table_name ORDER BY day
+  ROWS UNBOUNDED PRECEDING
+)
+"""
+)
+
+
 #: Point-in-time cutoff: the state AS OF the end of binlog file 3 — a
 #: deterministic mid-stream boundary (files rotate per 1000 events in the
 #: fixture), expressed directly in txn_order's bit layout.
@@ -1746,6 +1871,9 @@ SPECS = [
     QuerySpec("cdc_wire_envelope", q_cdc_wire_envelope, _WIRE_ENVELOPE_ORACLE),
     QuerySpec("cdc_topic_routing", q_cdc_topic_routing, _TOPIC_ROUTING_ORACLE),
     QuerySpec("cdc_key_churn", q_cdc_key_churn, _KEY_CHURN_ORACLE),
+    QuerySpec(
+        "cdc_incremental_agg", q_cdc_incremental_agg, _INCREMENTAL_AGG_ORACLE
+    ),
     QuerySpec("cdc_point_in_time", q_cdc_point_in_time, _POINT_IN_TIME_ORACLE),
     QuerySpec("cdc_live_row_counts", q_cdc_live_row_counts, _LIVE_ROWS_ORACLE),
     QuerySpec("cdc_position_gaps", q_cdc_position_gaps, _POSITION_GAPS_ORACLE),

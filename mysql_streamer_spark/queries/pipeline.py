@@ -1439,6 +1439,104 @@ FROM tok
 
 
 # ---------------------------------------------------------------------------
+# model-score calibration (reliability diagram vs the heuristic rules)
+# ---------------------------------------------------------------------------
+
+#: reliability-diagram bins per unit of mean token weight — the per-doc
+#: mean weight lives in [-MODEL_WEIGHT_CENTER, MODEL_WEIGHT_CENTER], so
+#: half-unit bins bound the output at <= 2*15*2+1 rows at ANY corpus size
+CAL_BINS_PER_UNIT = 2
+
+
+def q_pipeline_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the model-based quality scorer against the
+    heuristic rule gate — the calibration audit run before trusting a
+    cheap classifier to route a 100 TB corpus (does a higher model score
+    actually mean a higher chance of passing the C4/Gopher rules?). Each
+    document's mean token weight is binned into fixed half-unit cells;
+    per cell the table reports the document count, the rule-pass count
+    and rate, and the exact integer score/token totals (so the reader can
+    recover the exact per-bin mean without any float accumulation).
+
+    The bin index is floor((score_sum * BINS) / n_toks) computed as ONE
+    IEEE double division then floor — bit-identical cross-engine, and
+    floor (not integer division) so negative means bin toward -inf the
+    same way in both engines.
+
+    Scale shape: pure map-side scoring + rule evaluation (the same
+    zero-shuffle projection as pipeline_model_quality_score) followed by
+    ONE hash aggregate on a bounded bin key (<= 61 cells) — map-side
+    partials collapse every partition to the bin dimension before the
+    shuffle. No windows, no Python, no text moves."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", tx.tokens_col("text")
+    )
+    rules = _rule_cols()
+    rule_pass = None
+    for col in rules.values():
+        rule_pass = col if rule_pass is None else (rule_pass & col)
+    n_toks = F.size("toks")
+    score = tx.model_score_col()
+    binned = docs.select(
+        F.floor(
+            score.cast("double") * CAL_BINS_PER_UNIT / n_toks.cast("double")
+        ).alias("score_bin"),
+        rule_pass.cast("long").alias("rule_pass"),
+        score.alias("score_sum"),
+        n_toks.alias("n_toks"),
+    )
+    return (
+        binned.groupBy("score_bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("rule_pass").alias("n_rule_pass"),
+            F.sum("score_sum").alias("sum_score"),
+            F.sum("n_toks").alias("sum_toks"),
+        )
+        .select(
+            "score_bin",
+            "n_docs",
+            "n_rule_pass",
+            (
+                F.col("n_rule_pass").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("rule_pass_rate"),
+            "sum_score",
+            "sum_toks",
+        )
+    )
+
+
+def _quality_calibration_oracle() -> str:
+    rules = _rule_sqls()
+    conj = " AND ".join(f"({sql})" for sql in rules.values())
+    return f"""
+WITH tok AS (
+  SELECT doc_id, n_chars, {tx.tokens_sql("text")} AS toks FROM documents
+), binned AS (
+  SELECT
+    CAST(floor(
+      CAST({tx.model_score_sql()} AS DOUBLE) * {CAL_BINS_PER_UNIT}
+        / CAST(len(toks) AS DOUBLE)
+    ) AS BIGINT) AS score_bin,
+    CASE WHEN {conj} THEN 1 ELSE 0 END AS rule_pass,
+    {tx.model_score_sql()} AS score_sum,
+    len(toks) AS n_toks
+  FROM tok
+)
+SELECT score_bin,
+       count(*) AS n_docs,
+       CAST(sum(rule_pass) AS BIGINT) AS n_rule_pass,
+       CAST(sum(rule_pass) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS rule_pass_rate,
+       CAST(sum(score_sum) AS BIGINT) AS sum_score,
+       CAST(sum(n_toks) AS BIGINT) AS sum_toks
+FROM binned
+GROUP BY score_bin
+"""
+
+
+# ---------------------------------------------------------------------------
 # full corpus-prep cascade (one-row cross-family attrition report)
 # ---------------------------------------------------------------------------
 
@@ -2602,6 +2700,11 @@ SPECS = [
         "pipeline_model_quality_score",
         q_pipeline_model_quality_score,
         _MODEL_SCORE_ORACLE,
+    ),
+    QuerySpec(
+        "pipeline_quality_calibration",
+        q_pipeline_quality_calibration,
+        _quality_calibration_oracle(),
     ),
     QuerySpec(
         "pipeline_dedup_cascade", q_pipeline_dedup_cascade, _dedup_cascade_oracle()

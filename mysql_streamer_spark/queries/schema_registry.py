@@ -210,6 +210,101 @@ FROM counted
 """
 
 
+def q_schema_registry_column_lifetimes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column lifetime table over the replayed registry: for every
+    (database, table, column) ever registered, the version span it lived
+    through, how many versions it was present in, how many distinct types
+    it carried, whether it is live in the table's latest schema, and
+    whether it was dropped and re-added (a presence gap). This is the
+    audit a consumer team reads before depending on a column — the
+    registry-history complement to ``schema_registry_compat``'s
+    version-pair diffs (reference: the Schematizer keeps exactly this
+    history so downstream consumers can reason about column availability,
+    components/schema_wrapper.py:97-141).
+
+    Scale shape: the registry state is a broadcast-scale dimension (one
+    row per schema version); fields explode from the struct JSON, one
+    hash aggregate per (table, column), and the per-table latest version
+    joins broadcast. The oracle recomputes independently from the golden
+    registry VALUES via DuckDB's JSON functions — two engines, two JSON
+    parsers, same lifetimes."""
+    state = bootstrap_registry().to_dataframe(spark, latest_only=False)
+    fields_schema = (
+        "STRUCT<fields: ARRAY<STRUCT<name: STRING, type: STRING>>>"
+    )
+    exploded = state.select(
+        "database",
+        "table",
+        "version",
+        F.explode(
+            F.expr(f"from_json(struct_json, '{fields_schema}').fields")
+        ).alias("f"),
+    ).select(
+        "database",
+        "table",
+        "version",
+        F.col("f.name").alias("column_name"),
+        F.col("f.type").alias("col_type"),
+    )
+    latest = state.groupBy("database", "table").agg(
+        F.max("version").alias("latest_version")
+    )
+    per_col = exploded.groupBy("database", "table", "column_name").agg(
+        F.min("version").alias("first_version"),
+        F.max("version").alias("last_version"),
+        F.count("*").alias("n_versions_present"),
+        F.countDistinct("col_type").alias("n_types"),
+    )
+    return per_col.join(F.broadcast(latest), ["database", "table"]).select(
+        "database",
+        "table",
+        "column_name",
+        "first_version",
+        "last_version",
+        "n_versions_present",
+        "n_types",
+        (F.col("last_version") == F.col("latest_version")).alias("is_live"),
+        (
+            F.col("n_versions_present")
+            < F.col("last_version") - F.col("first_version") + 1
+        ).alias("was_readded"),
+    )
+
+
+def _column_lifetimes_oracle() -> str:
+    return f"""
+WITH state AS ({registry_state_values_sql()})
+, exploded AS (
+  SELECT database, "table", version,
+    json_extract_string(struct_json, '$.fields[' || i || '].name')
+      AS column_name,
+    json_extract_string(struct_json, '$.fields[' || i || '].type')
+      AS col_type
+  FROM state,
+    unnest(generate_series(
+      0, CAST(json_array_length(struct_json, '$.fields') AS INT) - 1
+    )) AS t(i)
+), latest AS (
+  SELECT database, "table", max(version) AS latest_version
+  FROM state GROUP BY 1, 2
+), per_col AS (
+  SELECT database, "table", column_name,
+    min(version) AS first_version,
+    max(version) AS last_version,
+    CAST(count(*) AS BIGINT) AS n_versions_present,
+    CAST(count(DISTINCT col_type) AS BIGINT) AS n_types
+  FROM exploded GROUP BY 1, 2, 3
+)
+SELECT p.database, p."table", p.column_name, p.first_version,
+  p.last_version, p.n_versions_present, p.n_types,
+  p.last_version = l.latest_version AS is_live,
+  p.n_versions_present < p.last_version - p.first_version + 1
+    AS was_readded
+FROM per_col p
+JOIN latest l ON p.database = l.database AND p."table" = l."table"
+"""
+
+
 def q_cdc_schema_version_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of schema resolution: every DML event is stamped with the schema
     version IN EFFECT AT ITS POSITION, not the latest one — the reference's
@@ -531,6 +626,11 @@ SPECS = [
     ),
     QuerySpec(
         "schema_registry_evolution", q_schema_registry_evolution, _evolution_values_sql()
+    ),
+    QuerySpec(
+        "schema_registry_column_lifetimes",
+        q_schema_registry_column_lifetimes,
+        _column_lifetimes_oracle(),
     ),
     QuerySpec(
         "schema_registry_compat", q_schema_registry_compat, _compat_oracle()

@@ -15,7 +15,7 @@ bit-identical in both engines (no float accumulation anywhere).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mysql_streamer_spark import text as tx
@@ -1414,6 +1414,93 @@ FROM cum_tokens JOIN cum_types USING (decile, cutoff_doc)
 
 
 # ---------------------------------------------------------------------------
+# Zipf rank-frequency head (the companion curve to Heaps' law)
+# ---------------------------------------------------------------------------
+
+#: fixed output width: the rank-frequency HEAD is the artifact — the tail
+#: is what Heaps/hapax already cover — so the result is <=64 rows at any
+#: corpus size and the rank/cumsum window runs over <=64 rows only
+ZIPF_TOP_K = 64
+
+
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency curve for the corpus vocabulary head: rank,
+    occurrence count, the rank x frequency product (constant under an
+    ideal Zipf exponent of 1 — the invariant a reader eyeballs), and the
+    exact corpus share + cumulative share per rank. Like ``text_heaps_law``
+    the curve itself is the hash-checked artifact: every cell is an exact
+    integer or a single IEEE division, no float log fit (the exponent is a
+    reader-side regression over the emitted points).
+
+    Scale shape: one explode -> hash aggregate (map-side partials collapse
+    each partition to its distinct tokens before the shuffle), then
+    TakeOrdered keeps only the top-ZIPF_TOP_K head — never a global sort —
+    so the rank/cumulative window runs over a <=64-row frame, and the
+    corpus-token total is a 1-row broadcast crossed back on. At 100 TB the
+    only full-data cost is the vocabulary aggregate."""
+    docs = _docs_with_tokens(spark, sf_dir)
+    total = docs.agg(F.sum(F.size("toks")).alias("total_tokens"))
+    head = (
+        docs.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(ZIPF_TOP_K)
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    ranked = head.select(
+        "token",
+        "n_occurrences",
+        F.row_number().over(w).alias("rank"),
+        F.sum("n_occurrences")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_occurrences"),
+    )
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "rank",
+        "token",
+        "n_occurrences",
+        (F.col("rank") * F.col("n_occurrences")).alias("rank_freq"),
+        (
+            F.col("n_occurrences").cast("double")
+            / F.col("total_tokens").cast("double")
+        ).alias("share"),
+        (
+            F.col("cum_occurrences").cast("double")
+            / F.col("total_tokens").cast("double")
+        ).alias("cum_share"),
+    )
+
+
+_ZIPF_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {tx.tokens_sql("text")} AS toks FROM documents
+), vocab AS (
+  SELECT token, count(*) AS n_occurrences
+  FROM (SELECT unnest(toks) AS token FROM tok)
+  GROUP BY 1
+), ranked AS (
+  SELECT token, n_occurrences,
+    CAST(row_number() OVER w AS INT) AS rank,
+    CAST(sum(n_occurrences) OVER (
+      ORDER BY n_occurrences DESC, token ASC ROWS UNBOUNDED PRECEDING
+    ) AS BIGINT) AS cum_occurrences
+  FROM vocab
+  WINDOW w AS (ORDER BY n_occurrences DESC, token ASC)
+), totals AS (
+  SELECT CAST(sum(len(toks)) AS BIGINT) AS total_tokens FROM tok
+)
+SELECT rank, token, n_occurrences,
+       rank * n_occurrences AS rank_freq,
+       CAST(n_occurrences AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS share,
+       CAST(cum_occurrences AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+         AS cum_share
+FROM ranked CROSS JOIN totals
+WHERE rank <= {ZIPF_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Kneser-Ney smoothed bigram LM table (the LM-TRAINING half of the
 # perplexity filter: interpolated KN, Kneser & Ney 1995 / Chen & Goodman
 # 1999, with absolute discount D = 3/4)
@@ -2236,6 +2323,7 @@ SPECS = [
     QuerySpec("text_token_stats", q_text_token_stats, _TOKEN_STATS_ORACLE),
     QuerySpec("text_kn_bigram_lm", q_text_kn_bigram_lm, _KN_LM_ORACLE),
     QuerySpec("text_heaps_law", q_text_heaps_law, _HEAPS_ORACLE),
+    QuerySpec("text_zipf_fit", q_text_zipf_fit, _ZIPF_ORACLE),
     QuerySpec(
         "text_lm_perplexity", q_text_lm_perplexity, _LM_PERPLEXITY_ORACLE
     ),

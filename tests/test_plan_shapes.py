@@ -147,6 +147,9 @@ _BNLJ_OK = {
     # 1-row teleport-base scalar crossed onto the vocabulary-bounded node
     # set each power step (the analytics_copurchase_pagerank shape)
     "text_textrank_keywords",
+    # 1-row corpus-token total crossed onto the top-ZIPF_TOP_K (=64-row)
+    # rank-frequency head (the text_vocab_coverage shape)
+    "text_zipf_fit",
 }
 
 #: streaming roundtrips execute jobs at build time — plan-audited via their
@@ -165,10 +168,10 @@ def test_allowlists_are_count_pinned():
     entry without updating these pinned counts fails here, forcing the
     written bounded-domain justification every entry must carry
     (VERDICT r7 #7). Update the count IN THE SAME COMMIT as the entry."""
-    assert len(_BNLJ_OK) == 58
+    assert len(_BNLJ_OK) == 59
     assert len(_SKIP) == 5
-    assert len(_SINGLE_PARTITION_OK) == 61
-    assert len(_UNPARTITIONED_WINDOW_OK) == 12
+    assert len(_SINGLE_PARTITION_OK) == 62
+    assert len(_UNPARTITIONED_WINDOW_OK) == 13
     assert len(_ZERO_SHUFFLE) == 6
 
 
@@ -343,6 +346,9 @@ _SINGLE_PARTITION_OK = {
     "sim_ivf_imbalance",
     # 1-row teleport-base scalar aggregate (TR_SCALE div n), pagerank shape
     "text_textrank_keywords",
+    # rank/cumsum window over the top-ZIPF_TOP_K (=64-row) sort-limit +
+    # the 1-row corpus-token total (the text_vocab_coverage shape)
+    "text_zipf_fit",
 }
 
 
@@ -387,6 +393,8 @@ _UNPARTITIONED_WINDOW_OK = {
     "analytics_degree_distribution",
     # cap-calibration CDF over the <=64-row df-bucket dimension
     "dedup_shingle_df_profile",
+    # rank/cumsum over the top-ZIPF_TOP_K (=64-row) sort-limit only
+    "text_zipf_fit",
 }
 
 

@@ -1,0 +1,122 @@
+"""Round-8 second-wave operators: Zipf rank-frequency head, model-score
+calibration, incremental aggregate maintenance, and registry column
+lifetimes — Python-recomputation invariants on top of the DuckDB oracle
+gate (the oracle checks values; these check the CLAIMED semantics)."""
+
+from __future__ import annotations
+
+
+def test_zipf_head_is_ranked_and_cumulative(spark, sf_dir):
+    from mysql_streamer_spark.queries.textops import ZIPF_TOP_K, q_text_zipf_fit
+
+    rows = sorted(
+        q_text_zipf_fit(spark, sf_dir).collect(), key=lambda r: r.rank
+    )
+    assert 0 < len(rows) <= ZIPF_TOP_K
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    # frequency is non-increasing with rank, and rank_freq is exactly
+    # rank * frequency (the Zipf invariant column)
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.n_occurrences >= cur.n_occurrences
+    for r in rows:
+        assert r.rank_freq == r.rank * r.n_occurrences
+    # cumulative share is the running sum of share and never exceeds 1
+    cum = 0.0
+    for r in rows:
+        cum += r.share
+        assert abs(r.cum_share - cum) < 1e-9
+    assert rows[-1].cum_share <= 1.0 + 1e-9
+
+
+def test_calibration_bins_partition_the_corpus(spark, sf_dir):
+    """Every document lands in exactly one bin; the per-bin rule-pass
+    total equals the corpus-wide rule gate recomputed directly."""
+    from pyspark.sql import functions as F
+
+    from mysql_streamer_spark import text as tx
+    from mysql_streamer_spark.queries.pipeline import (
+        _rule_cols,
+        q_pipeline_quality_calibration,
+    )
+    from mysql_streamer_spark.tables import load_table
+
+    cal = q_pipeline_quality_calibration(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", tx.tokens_col("text")
+    )
+    n_docs = docs.count()
+    rule_pass = None
+    for col in _rule_cols().values():
+        rule_pass = col if rule_pass is None else (rule_pass & col)
+    n_pass = docs.filter(rule_pass).count()
+
+    assert sum(r.n_docs for r in cal) == n_docs
+    assert sum(r.n_rule_pass for r in cal) == n_pass
+    for r in cal:
+        assert 0 <= r.n_rule_pass <= r.n_docs
+        assert abs(r.rule_pass_rate - r.n_rule_pass / r.n_docs) < 1e-12
+        # mean token weight is bounded by the weight range, so bins are too
+        assert -2 * tx.MODEL_WEIGHT_CENTER <= r.score_bin
+        assert r.score_bin <= 2 * tx.MODEL_WEIGHT_CENTER
+
+
+def test_incremental_agg_running_view_matches_replayed_deltas(spark, sf_dir):
+    """The maintained view columns are EXACTLY the running sums of the
+    emitted daily deltas (per table, in day order), and the row delta is
+    creates - deletes — the retract-stream algebra recomputed in Python."""
+    from collections import defaultdict
+
+    from mysql_streamer_spark.queries.cdc import q_cdc_incremental_agg
+
+    rows = q_cdc_incremental_agg(spark, sf_dir).collect()
+    assert rows
+    by_table = defaultdict(list)
+    for r in rows:
+        assert r.row_delta == r.n_creates - r.n_deletes
+        by_table[(r.database_name, r.table_name)].append(r)
+    for series in by_table.values():
+        series.sort(key=lambda r: r.day)
+        run_sum, run_rows = 0.0, 0
+        for r in series:
+            run_sum = round(run_sum + r.delta_sum, 2)
+            run_rows += r.row_delta
+            assert abs(r.mv_sum - run_sum) < 1e-9, (r, run_sum)
+            assert r.mv_rows == run_rows
+
+
+def test_column_lifetimes_agree_with_registry_api(spark, sf_dir):
+    """is_live / version spans recomputed straight from the registry's
+    Python history API must match the DataFrame derivation."""
+    from mysql_streamer_spark.queries.schema_registry import (
+        q_schema_registry_column_lifetimes,
+    )
+    from mysql_streamer_spark.schema.bootstrap import bootstrap_registry
+
+    got = {
+        (r.database, r.table, r.column_name): r
+        for r in q_schema_registry_column_lifetimes(spark, sf_dir).collect()
+    }
+    reg = bootstrap_registry()
+    expected: dict[tuple[str, str, str], dict] = {}
+    for db, table in reg.tables():
+        history = reg.history(db, table)
+        latest_version = history[-1].version
+        for e in history:
+            for f in e.struct.fields:
+                rec = expected.setdefault(
+                    (db, table, f.name),
+                    {"versions": [], "types": set()},
+                )
+                rec["versions"].append(e.version)
+                rec["types"].add(f.dataType.simpleString())
+                rec["latest"] = latest_version
+    assert set(got) == set(expected)
+    for key, rec in expected.items():
+        r = got[key]
+        vs = rec["versions"]
+        assert r.first_version == min(vs)
+        assert r.last_version == max(vs)
+        assert r.n_versions_present == len(vs)
+        assert r.n_types == len(rec["types"])
+        assert r.is_live == (max(vs) == rec["latest"])
+        assert r.was_readded == (len(vs) < max(vs) - min(vs) + 1)
