@@ -1647,9 +1647,17 @@ def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the day-grain aggregate only (bounded rows per table, never the
     raw stream). At 100 TB the daily changelog is the only input ever
     scanned; the view itself is carried forward, which is the point."""
-    env = envelope_pipeline(spark, sf_dir).filter(
-        F.col("message_type").isin("create", "update", "delete")
-    )
+    env = envelope_pipeline(spark, sf_dir)
+    return fold_incremental_mv(incremental_daily_deltas(env))
+
+
+def incremental_daily_deltas(env: DataFrame) -> DataFrame:
+    """Envelope messages -> per-(table, day) signed-delta partials. The
+    output is ALGEBRAIC (sums and counts), so partials computed per
+    micro-batch merge into the same totals as one batch pass — the
+    property the streaming twin (``streaming_incremental_agg``) relies
+    on, and what makes the whole stage map-side combinable."""
+    dml = env.filter(F.col("message_type").isin("create", "update", "delete"))
     cents = lambda c: F.floor(c * 100 + F.lit(0.5)).cast("long")  # noqa: E731
     delta_c = (
         F.when(F.col("message_type") == "create", cents(F.col("payload_val")))
@@ -1665,8 +1673,8 @@ def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .cast("long")
     )
-    daily = (
-        env.select(
+    return (
+        dml.select(
             "database_name",
             "table_name",
             F.date_trunc("day", "timestamp").alias("day"),
@@ -1682,6 +1690,18 @@ def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("delta_c").alias("delta_sum_c"),
             F.sum("row_delta").alias("row_delta"),
         )
+    )
+
+
+def fold_incremental_mv(daily_partials: DataFrame) -> DataFrame:
+    """Merge daily delta partials (possibly several per day, one per
+    micro-batch) and attach the running maintained-view columns."""
+    daily = daily_partials.groupBy("database_name", "table_name", "day").agg(
+        F.sum("n_creates").alias("n_creates"),
+        F.sum("n_updates").alias("n_updates"),
+        F.sum("n_deletes").alias("n_deletes"),
+        F.sum("delta_sum_c").alias("delta_sum_c"),
+        F.sum("row_delta").alias("row_delta"),
     )
     w = (
         Window.partitionBy("database_name", "table_name")

@@ -87,6 +87,79 @@ FROM decoded
 """
 
 
+def q_multimodal_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressable-store audit over the binary payloads: exact
+    byte-level dedup by sha2-256 content key, reported per media type —
+    blob count, unique-content count, duplicate copies, and exact byte
+    totals before/after dedup (the storage-savings number a media lake
+    dedup pass is judged by; the byte-level complement to
+    ``multimodal_phash_dedup``'s perceptual tier).
+
+    Scale shape: ONE hash aggregate on (media_type, sha2(payload)) — the
+    64-hex content key is all that shuffles, never the blob bytes — then
+    a second aggregate to the 3-row media-type report. sha2 is JVM-side
+    whole-stage codegen; at 100 TB this runs at scan bandwidth. The
+    oracle groups by the decoded text itself (payload is its UTF-8), so
+    the two engines agree without comparing hash implementations."""
+    blobs = with_media_blob(load_table(spark, sf_dir, "documents"))
+    per_key = blobs.groupBy(
+        "media_type", F.sha2("payload", 256).alias("content_key")
+    ).agg(
+        F.count("*").alias("n_copies"),
+        F.min(F.octet_length("payload")).cast("long").alias("blob_bytes"),
+    )
+    return (
+        per_key.groupBy("media_type")
+        .agg(
+            F.sum("n_copies").alias("n_blobs"),
+            F.count("*").alias("n_unique"),
+            (F.sum("n_copies") - F.count("*")).alias("n_dup_copies"),
+            F.sum(F.col("blob_bytes") * F.col("n_copies")).alias("bytes_total"),
+            F.sum("blob_bytes").alias("bytes_unique"),
+        )
+        .select(
+            "media_type",
+            "n_blobs",
+            "n_unique",
+            "n_dup_copies",
+            "bytes_total",
+            "bytes_unique",
+            (
+                F.col("bytes_unique").cast("double")
+                / F.col("bytes_total").cast("double")
+            ).alias("unique_byte_share"),
+        )
+    )
+
+
+_EXACT_DEDUP_ORACLE = """
+WITH blobs AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN 'image'
+         WHEN doc_id % 3 = 1 THEN 'audio'
+         ELSE 'video' END AS media_type,
+    text,
+    octet_length(encode(text)) AS blob_bytes
+  FROM documents
+), per_key AS (
+  SELECT media_type, text,
+    CAST(count(*) AS BIGINT) AS n_copies,
+    CAST(min(blob_bytes) AS BIGINT) AS blob_bytes
+  FROM blobs GROUP BY 1, 2
+)
+SELECT media_type,
+  CAST(sum(n_copies) AS BIGINT) AS n_blobs,
+  CAST(count(*) AS BIGINT) AS n_unique,
+  CAST(sum(n_copies) - count(*) AS BIGINT) AS n_dup_copies,
+  CAST(sum(blob_bytes * n_copies) AS BIGINT) AS bytes_total,
+  CAST(sum(blob_bytes) AS BIGINT) AS bytes_unique,
+  CAST(sum(blob_bytes) AS DOUBLE) / CAST(sum(blob_bytes * n_copies) AS DOUBLE)
+    AS unique_byte_share
+FROM per_key
+GROUP BY media_type
+"""
+
+
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling (multimodal.sample_frames): every 64th-byte
     32-byte window per video blob with its md5 frame key — the Arrow
@@ -718,6 +791,9 @@ SPECS = [
         "multimodal_shot_boundaries", q_multimodal_shot_boundaries, _shot_oracle()
     ),
     QuerySpec("multimodal_phash_dedup", q_multimodal_phash_dedup, _phash_oracle()),
+    QuerySpec(
+        "multimodal_exact_dedup", q_multimodal_exact_dedup, _EXACT_DEDUP_ORACLE
+    ),
     QuerySpec("multimodal_resize", q_multimodal_resize, _resize_oracle()),
     QuerySpec("multimodal_metadata", q_multimodal_metadata, _METADATA_ORACLE),
     QuerySpec("multimodal_features", q_multimodal_features, _features_oracle()),

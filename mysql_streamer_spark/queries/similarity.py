@@ -931,6 +931,77 @@ GROUP BY dim
 
 
 # ---------------------------------------------------------------------------
+# embedding outlier audit (distance from the global centroid)
+# ---------------------------------------------------------------------------
+
+#: fixed report width: the TOP_K farthest vectors are the artifact, so the
+#: output is bounded at any corpus size and the final step is TakeOrdered
+OUTLIER_TOP_K = 32
+
+
+def q_sim_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier audit: the OUTLIER_TOP_K vectors farthest (exact
+    integer squared euclidean) from the corpus centroid — the triage list
+    an embedding pipeline reviews for mojibake, empty inputs, or encoder
+    failures before the batch enters an index (these are also the rows
+    that wreck k-means seeds and IVF list balance). Centroid math is the
+    k-means update step reused at k=1: per-dim integer sums, exact
+    floor-division (branch form — Spark ``div`` truncates, DuckDB ``//``
+    floors), arrays rebuilt ordered by dim.
+
+    Scale shape: one posexplode -> (dim)-keyed aggregate whose cardinality
+    is DIM (independent of corpus size, map-side partials), the 1-row
+    centroid broadcast back over the vectors (the sim_kmeans assignment
+    shape), and TakeOrdered for the top-K — never a global sort."""
+    qe = vx.with_quantized(_emb(spark, sf_dir)).select("vec_id", "label", "qv")
+    per_dim = (
+        qe.select(F.posexplode("qv").alias("dim", "val"))
+        .groupBy("dim")
+        .agg(F.sum("val").alias("s"), F.count("*").alias("c"))
+        .withColumn("cval", F.expr(_floordiv_spark("s", "c")))
+    )
+    cent = per_dim.agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(dim, cval))), x -> x.cval)"
+        ).alias("cqv")
+    )
+    dists = qe.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        F.expr(
+            "aggregate(zip_with(qv, cqv, (a, b) -> (a - b) * (a - b)), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("dist_sq"),
+    )
+    return dists.orderBy(
+        F.col("dist_sq").desc(), F.col("vec_id").asc()
+    ).limit(OUTLIER_TOP_K)
+
+
+def _outlier_audit_oracle() -> str:
+    return f"""
+WITH qe AS (
+  SELECT vec_id, label, {vx.quantized_sql("embedding")} AS qv FROM embeddings
+), per_dim AS (
+  SELECT i AS dim, CAST(sum(qv[i]) AS BIGINT) AS s, count(*) AS c
+  FROM qe, unnest(generate_series(1, {vx.DIM})) AS t(i)
+  GROUP BY 1
+), cent AS (
+  SELECT list({_floordiv_duck("s", "c")} ORDER BY dim) AS cqv FROM per_dim
+), dists AS (
+  SELECT vec_id, label,
+    CAST(list_sum(list_transform(generate_series(1, {vx.DIM}),
+      i -> (qv[i] - cqv[i]) * (qv[i] - cqv[i]))) AS BIGINT) AS dist_sq
+  FROM qe CROSS JOIN cent
+)
+SELECT vec_id, label, dist_sq
+FROM dists
+ORDER BY dist_sq DESC, vec_id ASC
+LIMIT {OUTLIER_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # k-means clustering (Lloyd's algorithm, integer-exact)
 # ---------------------------------------------------------------------------
 
@@ -3117,6 +3188,7 @@ SPECS = [
         "sim_neardup_survivors", q_sim_neardup_survivors, _NEARDUP_SURVIVORS_ORACLE
     ),
     QuerySpec("sim_embedding_stats", q_sim_embedding_stats, _EMBEDDING_STATS_ORACLE),
+    QuerySpec("sim_outlier_audit", q_sim_outlier_audit, _outlier_audit_oracle()),
     # identical semantics to the brute-force baseline via the Arrow/numpy
     # path, so it shares the oracle — the check proves the two engine
     # paths agree bit-for-bit

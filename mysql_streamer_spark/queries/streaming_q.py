@@ -347,6 +347,60 @@ def _streaming_changelog_oracle() -> str:
 _STREAMING_CHANGELOG_ORACLE = _streaming_changelog_oracle()
 
 
+def q_streaming_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized-view maintenance — the streaming plane of
+    ``cdc_incremental_agg``: the events feed is re-staged as FOUR range
+    files so availableNow + maxFilesPerTrigger=1 drains it as four real
+    micro-batches; each batch computes its own per-(table, day) signed
+    delta partials through the SAME shared stage as the batch query
+    (``incremental_daily_deltas``) and lands them under its batch id
+    (idempotent overwrite — replay-safe, the T6 pattern); the final view
+    folds the partials with ``fold_incremental_mv``. Because the delta
+    stage is algebraic, four partial passes MUST merge to exactly the
+    one-pass batch answer — that is the invariant the shared oracle
+    checks, and the reason a production stream can maintain this view
+    without ever rescanning the table."""
+    from mysql_streamer_spark.cdc.pipeline import envelope_pipeline_df
+    from mysql_streamer_spark.queries.cdc import (
+        fold_incremental_mv,
+        incremental_daily_deltas,
+    )
+    from mysql_streamer_spark.streaming.runner import load_events_stream
+    from mysql_streamer_spark.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="mss_incr_stream_")
+    src = f"{work}/src"
+    # four range files -> four micro-batches (the single driver parquet
+    # would otherwise drain in one trigger and prove nothing incremental)
+    load_table(spark, sf_dir, "events").repartitionByRange(
+        4, "event_id"
+    ).write.parquet(src)
+    events = load_events_stream(spark, src, max_files_per_trigger=1)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        partials = incremental_daily_deltas(envelope_pipeline_df(batch_df))
+        partials.write.mode("overwrite").parquet(
+            f"{work}/deltas/batch_id={batch_id}"
+        )
+
+    q = (
+        events.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return fold_incremental_mv(
+        spark.read.parquet(f"{work}/deltas").drop("batch_id")
+    )
+
+
+def _streaming_incremental_agg_oracle() -> str:
+    from mysql_streamer_spark.queries.cdc import _INCREMENTAL_AGG_ORACLE
+
+    return _INCREMENTAL_AGG_ORACLE
+
+
 def q_streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 ``transformWithStateInPandas`` (the StatefulProcessor API):
     a per-user profile maintained across TWO micro-batches (the source is
@@ -613,6 +667,11 @@ SPECS = [
         "streaming_changelog",
         q_streaming_changelog,
         _STREAMING_CHANGELOG_ORACLE,
+    ),
+    QuerySpec(
+        "streaming_incremental_agg",
+        q_streaming_incremental_agg,
+        _streaming_incremental_agg_oracle(),
     ),
     QuerySpec(
         "streaming_python_source",

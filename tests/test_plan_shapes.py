@@ -150,6 +150,9 @@ _BNLJ_OK = {
     # 1-row corpus-token total crossed onto the top-ZIPF_TOP_K (=64-row)
     # rank-frequency head (the text_vocab_coverage shape)
     "text_zipf_fit",
+    # 1-row global-centroid frame broadcast against every vector (the
+    # sim_kmeans assignment shape at k=1)
+    "sim_outlier_audit",
 }
 
 #: streaming roundtrips execute jobs at build time — plan-audited via their
@@ -160,6 +163,7 @@ _SKIP = {
     "streaming_stateful_sessions",
     "streaming_python_source",
     "streaming_partitioned_source",
+    "streaming_incremental_agg",
 }
 
 
@@ -168,9 +172,9 @@ def test_allowlists_are_count_pinned():
     entry without updating these pinned counts fails here, forcing the
     written bounded-domain justification every entry must carry
     (VERDICT r7 #7). Update the count IN THE SAME COMMIT as the entry."""
-    assert len(_BNLJ_OK) == 59
-    assert len(_SKIP) == 5
-    assert len(_SINGLE_PARTITION_OK) == 62
+    assert len(_BNLJ_OK) == 60
+    assert len(_SKIP) == 6
+    assert len(_SINGLE_PARTITION_OK) == 63
     assert len(_UNPARTITIONED_WINDOW_OK) == 13
     assert len(_ZERO_SHUFFLE) == 6
 
@@ -349,6 +353,8 @@ _SINGLE_PARTITION_OK = {
     # rank/cumsum window over the top-ZIPF_TOP_K (=64-row) sort-limit +
     # the 1-row corpus-token total (the text_vocab_coverage shape)
     "text_zipf_fit",
+    # 1-row centroid assembly over the DIM(=64)-row per-dim aggregate
+    "sim_outlier_audit",
 }
 
 
@@ -531,6 +537,7 @@ def _streaming_frames(spark, sf_dir):
     from mysql_streamer_spark.connectors.python_source import (
         stream_events_from_python_source,
     )
+    from mysql_streamer_spark.queries.cdc import incremental_daily_deltas
     from mysql_streamer_spark.queries.streaming_q import _staged_source
     from mysql_streamer_spark.streaming.runner import (
         load_events_stream,
@@ -564,6 +571,15 @@ def _streaming_frames(spark, sf_dir):
                 stream_events_from_python_source(spark, sf_dir, partitioned=True)
             ),
             ["StreamingRelationV2"],
+        ),
+        # the per-batch delta stage is the IDENTICAL incremental_daily_deltas
+        # the driver-audited batch cdc_incremental_agg runs; the batch-side
+        # fold_incremental_mv is plan-audited through that query
+        "streaming_incremental_agg": (
+            incremental_daily_deltas(
+                envelope_pipeline_df(load_events_stream(spark, src))
+            ),
+            ["Aggregate"],
         ),
     }
 

@@ -84,6 +84,78 @@ def test_incremental_agg_running_view_matches_replayed_deltas(spark, sf_dir):
             assert r.mv_rows == run_rows
 
 
+def test_streaming_incremental_agg_equals_batch(spark, sf_dir):
+    """Four micro-batch delta partials folded together must equal the
+    one-pass batch materialized view exactly — the algebraic-merge
+    contract the streaming MV maintenance relies on."""
+    from mysql_streamer_spark.queries.cdc import q_cdc_incremental_agg
+    from mysql_streamer_spark.queries.streaming_q import (
+        q_streaming_incremental_agg,
+    )
+
+    key = lambda r: (r.database_name, r.table_name, r.day)  # noqa: E731
+    batch = sorted(q_cdc_incremental_agg(spark, sf_dir).collect(), key=key)
+    stream = sorted(
+        q_streaming_incremental_agg(spark, sf_dir).collect(), key=key
+    )
+    assert [r.asDict() for r in stream] == [r.asDict() for r in batch]
+
+
+def test_multimodal_exact_dedup_accounting(spark, sf_dir):
+    """Byte and copy accounting recomputed from the raw blobs: unique +
+    duplicate copies partition the blob count, and dedup'd bytes equal the
+    sum of one blob size per distinct payload."""
+    from collections import defaultdict
+
+    from mysql_streamer_spark.multimodal import with_media_blob
+    from mysql_streamer_spark.queries.multimodal import (
+        q_multimodal_exact_dedup,
+    )
+    from mysql_streamer_spark.tables import load_table
+
+    blobs = with_media_blob(load_table(spark, sf_dir, "documents")).collect()
+    uniq: dict[str, dict[bytes, int]] = defaultdict(lambda: defaultdict(int))
+    for r in blobs:
+        uniq[r.media_type][bytes(r.payload)] += 1
+    got = {r.media_type: r for r in q_multimodal_exact_dedup(spark, sf_dir).collect()}
+    assert set(got) == set(uniq)
+    for mt, counts in uniq.items():
+        r = got[mt]
+        assert r.n_blobs == sum(counts.values())
+        assert r.n_unique == len(counts)
+        assert r.n_dup_copies == r.n_blobs - r.n_unique
+        assert r.bytes_unique == sum(len(p) for p in counts)
+        assert r.bytes_total == sum(len(p) * n for p, n in counts.items())
+
+
+def test_outlier_audit_matches_numpy_recomputation(spark, sf_dir):
+    """The top-K centroid distances recomputed in numpy over the same
+    quantization must match exactly (integer math end to end)."""
+    import numpy as np
+
+    from mysql_streamer_spark.queries.similarity import (
+        OUTLIER_TOP_K,
+        q_sim_outlier_audit,
+    )
+    from mysql_streamer_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    qv = {
+        r.vec_id: np.floor(
+            np.array(r.embedding, dtype=np.float64) * 1_000_000
+        ).astype(np.int64)
+        for r in emb
+    }
+    mat = np.stack(list(qv.values()))
+    cent = np.floor_divide(mat.sum(axis=0), len(qv))
+    dist = {vid: int(((v - cent) ** 2).sum()) for vid, v in qv.items()}
+    expected = sorted(dist.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :OUTLIER_TOP_K
+    ]
+    got = q_sim_outlier_audit(spark, sf_dir).collect()
+    assert [(r.vec_id, r.dist_sq) for r in got] == expected
+
+
 def test_column_lifetimes_agree_with_registry_api(spark, sf_dir):
     """is_live / version spans recomputed straight from the registry's
     Python history API must match the DataFrame derivation."""
