@@ -1625,6 +1625,103 @@ GROUP BY 1, 2, 3
 )
 
 
+#: deterministic erasure-subject list: every pk ≡ RESIDUE (mod MODULUS)
+#: plays the role of a data-subject deletion request (~2.7% of keys) — the
+#: same stand-in pattern as pipeline.EVAL_MODULUS
+FORGET_MODULUS = 37
+FORGET_RESIDUE = 5
+
+
+def q_cdc_forgotten_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten footprint audit: for a deletion-request
+    subject list (pk set), every place the pipeline still holds those
+    keys — per (database, table): total messages referencing a subject,
+    distinct subject keys seen, keys still LIVE in the latest state
+    (latest change is not a delete), keys already erased, and the
+    txn_order span (how far back a binlog purge must reach). This is the
+    report a CDC platform produces before/after executing a GDPR/CCPA
+    erasure: the reference's downstream consumers materialize latest
+    state from the message feed, so erasure must chase both the live
+    rows AND the historical message versions.
+
+    Scale shape: the subject filter is a pure map-side predicate pushed
+    at the scan; one hash aggregate per (table) for message counts, one
+    algebraic max_by latest-state aggregate (skew.latest_by_key — no
+    per-key window sort) for liveness; both run on the ~2.7% subject
+    slice only. Output rows are bounded by the table dimension."""
+    from mysql_streamer_spark.skew import latest_by_key
+
+    env = envelope_pipeline(spark, sf_dir).filter(
+        F.col("pk") % FORGET_MODULUS == FORGET_RESIDUE
+    )
+    messages = env.groupBy("database_name", "table_name").agg(
+        F.count("*").alias("n_messages"),
+        F.countDistinct("pk").alias("n_subject_keys"),
+        F.min("txn_order").alias("first_txn_order"),
+        F.max("txn_order").alias("last_txn_order"),
+    )
+    latest = latest_by_key(
+        env,
+        keys=["database_name", "table_name", "pk"],
+        order_col="txn_order",
+        payload_cols=["message_type"],
+    )
+    live = latest.groupBy("database_name", "table_name").agg(
+        F.sum(
+            (F.col("message_type") != "delete").cast("long")
+        ).alias("n_live_keys")
+    )
+    return messages.join(live, ["database_name", "table_name"]).select(
+        "database_name",
+        "table_name",
+        "n_messages",
+        "n_subject_keys",
+        "n_live_keys",
+        (F.col("n_subject_keys") - F.col("n_live_keys")).alias("n_erased_keys"),
+        "first_txn_order",
+        "last_txn_order",
+    )
+
+
+_FORGOTTEN_FOOTPRINT_ORACLE = (
+    _ORACLE_PIPELINE_CTES
+    + f"""
+, env AS ("""
+    + _ENVELOPE_SELECT.strip()
+    + f""")
+, subjects AS (
+  SELECT * FROM env WHERE pk % {FORGET_MODULUS} = {FORGET_RESIDUE}
+), messages AS (
+  SELECT database_name, table_name,
+    count(*) AS n_messages,
+    count(DISTINCT pk) AS n_subject_keys,
+    CAST(min(txn_order) AS BIGINT) AS first_txn_order,
+    CAST(max(txn_order) AS BIGINT) AS last_txn_order
+  FROM subjects GROUP BY 1, 2
+), latest AS (
+  SELECT database_name, table_name, pk, message_type FROM (
+    SELECT database_name, table_name, pk, message_type,
+      row_number() OVER (
+        PARTITION BY database_name, table_name, pk ORDER BY txn_order DESC
+      ) AS rn
+    FROM subjects
+  ) WHERE rn = 1
+), live AS (
+  SELECT database_name, table_name,
+    CAST(sum(CASE WHEN message_type <> 'delete' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_live_keys
+  FROM latest GROUP BY 1, 2
+)
+SELECT m.database_name, m.table_name,
+  m.n_messages, m.n_subject_keys, l.n_live_keys,
+  m.n_subject_keys - l.n_live_keys AS n_erased_keys,
+  m.first_txn_order, m.last_txn_order
+FROM messages m
+JOIN live l USING (database_name, table_name)
+"""
+)
+
+
 def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance from the change stream —
     the retract-stream pattern (Flink dynamic tables / Materialize): each
@@ -1893,6 +1990,11 @@ SPECS = [
     QuerySpec("cdc_key_churn", q_cdc_key_churn, _KEY_CHURN_ORACLE),
     QuerySpec(
         "cdc_incremental_agg", q_cdc_incremental_agg, _INCREMENTAL_AGG_ORACLE
+    ),
+    QuerySpec(
+        "cdc_forgotten_footprint",
+        q_cdc_forgotten_footprint,
+        _FORGOTTEN_FOOTPRINT_ORACLE,
     ),
     QuerySpec("cdc_point_in_time", q_cdc_point_in_time, _POINT_IN_TIME_ORACLE),
     QuerySpec("cdc_live_row_counts", q_cdc_live_row_counts, _LIVE_ROWS_ORACLE),

@@ -135,6 +135,128 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# decontamination n-gram-size sensitivity sweep
+# ---------------------------------------------------------------------------
+
+#: n-gram sizes the sweep evaluates — the knob every decontamination run
+#: has to pick (small n over-flags common phrases, large n under-flags
+#: paraphrased leakage); the sweep shows the corpus's own sensitivity
+DECON_SWEEP_NS = (2, 3, 4)
+
+
+def q_pipeline_decontaminate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination sensitivity report: how many training documents
+    (and how much token mass) the eval-overlap filter flags at n-gram
+    sizes 2, 3 and 4 — the calibration table behind choosing
+    ``pipeline_decontaminate``'s n (SlimPajama/The-Pile pick their n from
+    exactly this trade-off). One row per n with flagged-doc and flagged-
+    token counts plus exact shares of the train split.
+
+    Scale shape: the tokenized corpus is computed once and persisted;
+    each leg is the decontamination plan itself (eval-side distinct
+    shingles broadcast to the train-side posting explode, one aggregate)
+    at a different n; the three 1-row leg reports union and the 1-row
+    train totals broadcast back on. Text never shuffles; no corpus
+    self-join at any n."""
+    is_eval = F.col("doc_id") % EVAL_MODULUS == 0
+    base = (
+        spread(load_table(spark, sf_dir, "documents"))
+        .withColumn("toks", tx.tokens_col("text"))
+        .select("doc_id", "toks", F.size("toks").alias("n_toks"))
+        .persist()
+    )
+    legs = []
+    for n in DECON_SWEEP_NS:
+        sh = base.withColumn(
+            "sset", F.array_distinct(tx.shingles_col("toks", n))
+        ).filter(F.size("sset") > 0)
+        eval_shingles = (
+            sh.filter(is_eval).select(F.explode("sset").alias("shingle")).distinct()
+        )
+        flagged = (
+            sh.filter(~is_eval)
+            .select("doc_id", "n_toks", F.explode("sset").alias("shingle"))
+            .join(F.broadcast(eval_shingles), "shingle")
+            .groupBy("doc_id")
+            .agg(F.min("n_toks").alias("n_toks"))
+        )
+        legs.append(
+            flagged.agg(
+                F.count("*").alias("n_flagged_docs"),
+                F.sum("n_toks").alias("flagged_tokens"),
+            ).select(
+                F.lit(n).alias("ngram_n"), "n_flagged_docs", "flagged_tokens"
+            )
+        )
+    report = legs[0]
+    for leg in legs[1:]:
+        report = report.unionByName(leg)
+    totals = base.filter(~is_eval).agg(
+        F.count("*").alias("n_train_docs"),
+        F.sum("n_toks").alias("train_tokens"),
+    )
+    return report.crossJoin(F.broadcast(totals)).select(
+        "ngram_n",
+        "n_flagged_docs",
+        "flagged_tokens",
+        (
+            F.col("n_flagged_docs").cast("double")
+            / F.col("n_train_docs").cast("double")
+        ).alias("flagged_doc_share"),
+        (
+            F.col("flagged_tokens").cast("double")
+            / F.col("train_tokens").cast("double")
+        ).alias("flagged_token_share"),
+    )
+
+
+def _decontaminate_sweep_oracle() -> str:
+    legs = []
+    for n in DECON_SWEEP_NS:
+        legs.append(f"""
+SELECT {n} AS ngram_n,
+       count(*) AS n_flagged_docs,
+       CAST(sum(n_toks) AS BIGINT) AS flagged_tokens
+FROM (
+  SELECT doc_id, min(n_toks) AS n_toks
+  FROM (
+    SELECT doc_id, n_toks, unnest(sset) AS shingle
+    FROM (
+      SELECT doc_id, len(toks) AS n_toks,
+             list_distinct({tx.shingles_sql("toks", n)}) AS sset
+      FROM tok
+      WHERE doc_id % {EVAL_MODULUS} != 0
+    ) WHERE len(sset) > 0
+  )
+  WHERE shingle IN (
+    SELECT DISTINCT unnest(list_distinct({tx.shingles_sql("toks", n)}))
+    FROM tok
+    WHERE doc_id % {EVAL_MODULUS} = 0
+      AND len(list_distinct({tx.shingles_sql("toks", n)})) > 0
+  )
+  GROUP BY doc_id
+)""")
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {tx.tokens_sql("text")} AS toks FROM documents
+), report AS (
+{union}
+), totals AS (
+  SELECT count(*) AS n_train_docs,
+         CAST(sum(len(toks)) AS BIGINT) AS train_tokens
+  FROM tok WHERE doc_id % {EVAL_MODULUS} != 0
+)
+SELECT ngram_n, n_flagged_docs, flagged_tokens,
+       CAST(n_flagged_docs AS DOUBLE) / CAST(n_train_docs AS DOUBLE)
+         AS flagged_doc_share,
+       CAST(flagged_tokens AS DOUBLE) / CAST(train_tokens AS DOUBLE)
+         AS flagged_token_share
+FROM report CROSS JOIN totals
+"""
+
+
+# ---------------------------------------------------------------------------
 # deterministic train/val split
 # ---------------------------------------------------------------------------
 
@@ -2681,6 +2803,11 @@ SPECS = [
         "pipeline_padding_waste", q_pipeline_padding_waste, _padding_oracle()
     ),
     QuerySpec("pipeline_decontaminate", q_pipeline_decontaminate, _DECONTAMINATE_ORACLE),
+    QuerySpec(
+        "pipeline_decontaminate_sweep",
+        q_pipeline_decontaminate_sweep,
+        _decontaminate_sweep_oracle(),
+    ),
     QuerySpec(
         "pipeline_hashed_features",
         q_pipeline_hashed_features,

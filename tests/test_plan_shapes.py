@@ -153,6 +153,8 @@ _BNLJ_OK = {
     # 1-row global-centroid frame broadcast against every vector (the
     # sim_kmeans assignment shape at k=1)
     "sim_outlier_audit",
+    # 1-row train-totals frame crossed onto the 3-row n-gram sweep report
+    "pipeline_decontaminate_sweep",
 }
 
 #: streaming roundtrips execute jobs at build time — plan-audited via their
@@ -172,9 +174,9 @@ def test_allowlists_are_count_pinned():
     entry without updating these pinned counts fails here, forcing the
     written bounded-domain justification every entry must carry
     (VERDICT r7 #7). Update the count IN THE SAME COMMIT as the entry."""
-    assert len(_BNLJ_OK) == 60
+    assert len(_BNLJ_OK) == 61
     assert len(_SKIP) == 6
-    assert len(_SINGLE_PARTITION_OK) == 63
+    assert len(_SINGLE_PARTITION_OK) == 64
     assert len(_UNPARTITIONED_WINDOW_OK) == 13
     assert len(_ZERO_SHUFFLE) == 6
 
@@ -355,6 +357,8 @@ _SINGLE_PARTITION_OK = {
     "text_zipf_fit",
     # 1-row centroid assembly over the DIM(=64)-row per-dim aggregate
     "sim_outlier_audit",
+    # three 1-row per-n leg reports + the 1-row train totals
+    "pipeline_decontaminate_sweep",
 }
 
 

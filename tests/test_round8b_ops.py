@@ -156,6 +156,71 @@ def test_outlier_audit_matches_numpy_recomputation(spark, sf_dir):
     assert [(r.vec_id, r.dist_sq) for r in got] == expected
 
 
+def test_forgotten_footprint_accounting(spark, sf_dir):
+    """Subject-key accounting recomputed from the raw envelope: live +
+    erased partition the subject keys, and liveness is exactly 'latest
+    change by txn_order is not a delete'."""
+    from collections import defaultdict
+
+    from mysql_streamer_spark.cdc.pipeline import envelope_pipeline
+    from mysql_streamer_spark.queries.cdc import (
+        FORGET_MODULUS,
+        FORGET_RESIDUE,
+        q_cdc_forgotten_footprint,
+    )
+
+    env = envelope_pipeline(spark, sf_dir).collect()
+    last: dict[tuple, tuple[int, str]] = {}
+    msgs: dict[tuple[str, str], int] = defaultdict(int)
+    for r in env:
+        if r.pk % FORGET_MODULUS != FORGET_RESIDUE:
+            continue
+        msgs[(r.database_name, r.table_name)] += 1
+        key = (r.database_name, r.table_name, r.pk)
+        if key not in last or r.txn_order > last[key][0]:
+            last[key] = (r.txn_order, r.message_type)
+    keys: dict[tuple[str, str], set] = defaultdict(set)
+    live: dict[tuple[str, str], int] = defaultdict(int)
+    for (db, tbl, pk), (_, mt) in last.items():
+        keys[(db, tbl)].add(pk)
+        if mt != "delete":
+            live[(db, tbl)] += 1
+    got = {
+        (r.database_name, r.table_name): r
+        for r in q_cdc_forgotten_footprint(spark, sf_dir).collect()
+    }
+    assert set(got) == set(msgs)
+    for tbl, r in got.items():
+        assert r.n_messages == msgs[tbl]
+        assert r.n_subject_keys == len(keys[tbl])
+        assert r.n_live_keys == live[tbl]
+        assert r.n_erased_keys == r.n_subject_keys - r.n_live_keys
+
+
+def test_decontaminate_sweep_monotone_and_consistent(spark, sf_dir):
+    """Flagged mass is non-increasing in n (an (n+1)-gram overlap implies
+    an n-gram overlap), and the n = SHINGLE_K row equals the registered
+    decontaminate operator's flagged-doc count."""
+    from mysql_streamer_spark import text as tx
+    from mysql_streamer_spark.queries.pipeline import (
+        q_pipeline_decontaminate,
+        q_pipeline_decontaminate_sweep,
+    )
+
+    rows = {
+        r.ngram_n: r
+        for r in q_pipeline_decontaminate_sweep(spark, sf_dir).collect()
+    }
+    assert set(rows) == {2, 3, 4}
+    assert (
+        rows[2].n_flagged_docs
+        >= rows[3].n_flagged_docs
+        >= rows[4].n_flagged_docs
+    )
+    base_count = q_pipeline_decontaminate(spark, sf_dir).count()
+    assert rows[tx.SHINGLE_K].n_flagged_docs == base_count
+
+
 def test_column_lifetimes_agree_with_registry_api(spark, sf_dir):
     """is_live / version spans recomputed straight from the registry's
     Python history API must match the DataFrame derivation."""
