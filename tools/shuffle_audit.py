@@ -4,11 +4,17 @@ the bytes/records that actually crossed a shuffle boundary, next to the
 input bytes scanned — hard evidence for the docstrings' "only ids shuffle"
 / "map-side partials" claims, instead of plan-shape inference alone.
 
-Shuffle amplification = shuffle-write bytes / input bytes. A map-side
-operator reads much more than it shuffles (amplification << 1); an
-operator that re-shuffles the corpus reads ~= writes (amplification ~ 1);
-anything > 1 is shuffling MORE than it scanned — the first thing to fix
-before a 100 TB run.
+Two numbers per query:
+- record amplification = shuffle-write records / input records — how many
+  rows cross the wire per row scanned (an explode-then-aggregate posting
+  index legitimately exceeds 1; a map-side operator is ~0);
+- bytes per shuffled record — the WIDTH of what shuffles. The "only ids
+  shuffle" claims mean this stays tens of bytes even when text/vector
+  columns are hundreds.
+
+(Local-mode caveat: the REST inputBytes metric under-reports local
+filesystem reads — footers only — so the audit is record-based, which the
+UI tracks exactly.)
 
 Usage: python tools/shuffle_audit.py q1,q2,... [sf_dir]
 Prints one JSON line per query; attribution is by stage-id watermark, so
@@ -60,7 +66,7 @@ def main() -> int:
         dt = time.time() - t0
         time.sleep(1.0)  # let the listener bus drain into the UI store
         new = [s for s in _stages(base) if s["stageId"] not in seen]
-        input_bytes = sum(s.get("inputBytes", 0) for s in new)
+        in_recs = sum(s.get("inputRecords", 0) for s in new)
         sw_bytes = sum(s.get("shuffleWriteBytes", 0) for s in new)
         sw_recs = sum(s.get("shuffleWriteRecords", 0) for s in new)
         print(
@@ -69,14 +75,14 @@ def main() -> int:
                     "query": name,
                     "sec": round(dt, 2),
                     "n_stages": len(new),
-                    "input_mb": round(input_bytes / 1e6, 2),
-                    "shuffle_write_mb": round(sw_bytes / 1e6, 2),
+                    "input_records": in_recs,
+                    "shuffle_write_mb": round(sw_bytes / 1e6, 3),
                     "shuffle_write_records": sw_recs,
                     "bytes_per_shuffled_record": (
                         round(sw_bytes / sw_recs, 1) if sw_recs else None
                     ),
-                    "shuffle_amplification": (
-                        round(sw_bytes / input_bytes, 3) if input_bytes else None
+                    "record_amplification": (
+                        round(sw_recs / in_recs, 3) if in_recs else None
                     ),
                 }
             ),
