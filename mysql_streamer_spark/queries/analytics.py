@@ -3600,7 +3600,95 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# CBO column statistics (the ANALYZE TABLE ... COMPUTE STATISTICS surface)
+# ---------------------------------------------------------------------------
+
+#: lineitem columns with their numeric-ness — ONE shared list drives both
+#: engines so the stats tables cannot drift
+_COLUMN_STATS_COLS: tuple[tuple[str, bool], ...] = (
+    ("l_orderkey", True),
+    ("l_partkey", True),
+    ("l_suppkey", True),
+    ("l_linenumber", True),
+    ("l_quantity", True),
+    ("l_extendedprice", True),
+    ("l_discount", True),
+    ("l_tax", True),
+    ("l_returnflag", False),
+    ("l_linestatus", False),
+)
+
+
+def q_analytics_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column table statistics over lineitem — row count, null count,
+    exact NDV, and numeric min/max — the ANALYZE TABLE … COMPUTE
+    STATISTICS FOR COLUMNS output a cost-based optimizer feeds on (and
+    the first report a data platform publishes about a new table). One
+    row per column; ``analytics_skew_profile`` is the frequency-shape
+    companion.
+
+    Scale shape: one scalar aggregate per column, each column-pruned to
+    exactly that column's pages — the union totals ONE full-table scan
+    worth of bytes regardless of column count, and every aggregate
+    (count / null-sum / exact NDV / min / max) partial-combines
+    map-side. Output rows = column count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    legs = []
+    for col, is_num in _COLUMN_STATS_COLS:
+        agg = li.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(col).isNull().cast("long")).alias("n_nulls"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).alias("mn"),
+            F.max(col).alias("mx"),
+        )
+        legs.append(
+            agg.select(
+                F.lit(col).alias("column_name"),
+                "n_rows",
+                "n_nulls",
+                "n_distinct",
+                (
+                    F.col("mn").cast("double")
+                    if is_num
+                    else F.lit(None).cast("double")
+                ).alias("min_num"),
+                (
+                    F.col("mx").cast("double")
+                    if is_num
+                    else F.lit(None).cast("double")
+                ).alias("max_num"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+def _column_stats_oracle() -> str:
+    legs = []
+    for col, is_num in _COLUMN_STATS_COLS:
+        mn = f"CAST(min({col}) AS DOUBLE)" if is_num else "CAST(NULL AS DOUBLE)"
+        mx = f"CAST(max({col}) AS DOUBLE)" if is_num else "CAST(NULL AS DOUBLE)"
+        legs.append(f"""
+SELECT '{col}' AS column_name,
+  count(*) AS n_rows,
+  CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+  count(DISTINCT {col}) AS n_distinct,
+  {mn} AS min_num,
+  {mx} AS max_num
+FROM lineitem""")
+    return "\nUNION ALL\n".join(legs)
+
+
 SPECS = [
+    QuerySpec(
+        "analytics_column_stats",
+        q_analytics_column_stats,
+        _column_stats_oracle(),
+    ),
     QuerySpec(
         "analytics_market_basket",
         q_analytics_market_basket,

@@ -1916,6 +1916,95 @@ def q_cdc_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return point_in_time_state(spark, sf_dir, PIT_AS_OF_FILE * TXN_FILE_SHIFT)
 
 
+#: the diff window: state at the end of file 3 vs the end of file 7 — two
+#: deterministic mid-stream boundaries in txn_order's bit layout
+STATE_DIFF_FROM_FILE = 4
+STATE_DIFF_TO_FILE = 8
+
+
+def q_cdc_state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel DIFF between two binlog positions: replay the table
+    state as of position A and position B, full-outer join on the
+    business key, and report per (table, change_kind) how many keys were
+    added / deleted / changed / unchanged across the window — the
+    "what did this deploy window touch" audit, and the validation a
+    failover re-point (R6) runs against a candidate position pair before
+    trusting it. Composes the verified point-in-time primitive twice.
+
+    Scale shape: both prefix replays are constant-cutoff filters pushed
+    at the scan feeding the algebraic max_by latest-state aggregate (no
+    per-key window); the diff is one equi full-outer join on the key,
+    then a map-side-combinable count on the bounded (table, kind)
+    domain."""
+    a = point_in_time_state(
+        spark, sf_dir, STATE_DIFF_FROM_FILE * TXN_FILE_SHIFT
+    ).select(
+        "database_name", "table_name", "pk", F.col("payload_val").alias("val_a")
+    )
+    b = point_in_time_state(
+        spark, sf_dir, STATE_DIFF_TO_FILE * TXN_FILE_SHIFT
+    ).select(
+        "database_name", "table_name", "pk", F.col("payload_val").alias("val_b")
+    )
+    j = a.join(b, ["database_name", "table_name", "pk"], "full_outer")
+    kind = (
+        F.when(F.col("val_a").isNull(), F.lit("added"))
+        .when(F.col("val_b").isNull(), F.lit("deleted"))
+        .when(F.col("val_a") != F.col("val_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.groupBy(
+        "database_name", "table_name", kind.alias("change_kind")
+    ).agg(F.count("*").alias("n_keys"))
+
+
+def _state_at_sql(alias: str, cutoff: int, val_alias: str) -> str:
+    return f"""
+{alias} AS (
+  SELECT database AS database_name, "table" AS table_name, pk,
+         payload_val AS {val_alias}
+  FROM (
+    SELECT database, "table", pk, message_type, payload_val,
+      row_number() OVER (
+        PARTITION BY database, "table", pk ORDER BY txn_order DESC
+      ) AS rn
+    FROM keyed
+    WHERE txn_order < {cutoff}
+  ) WHERE rn = 1 AND message_type <> 'delete'
+)"""
+
+
+_STATE_DIFF_ORACLE = (
+    _ORACLE_PIPELINE_CTES
+    + ","
+    + _state_at_sql("sa", STATE_DIFF_FROM_FILE * TXN_FILE_SHIFT, "val_a")
+    + ","
+    + _state_at_sql("sb", STATE_DIFF_TO_FILE * TXN_FILE_SHIFT, "val_b")
+    + """
+, j AS (
+  SELECT COALESCE(a.database_name, b.database_name) AS database_name,
+         COALESCE(a.table_name, b.table_name) AS table_name,
+         a.val_a, b.val_b,
+         a.pk IS NULL AS a_missing,
+         b.pk IS NULL AS b_missing
+  FROM sa a
+  FULL OUTER JOIN sb b
+    ON a.database_name = b.database_name
+   AND a.table_name = b.table_name
+   AND a.pk = b.pk
+)
+SELECT database_name, table_name,
+  CASE WHEN a_missing THEN 'added'
+       WHEN b_missing THEN 'deleted'
+       WHEN val_a <> val_b THEN 'changed'
+       ELSE 'unchanged' END AS change_kind,
+  count(*) AS n_keys
+FROM j
+GROUP BY 1, 2, 3
+"""
+)
+
+
 _POINT_IN_TIME_ORACLE = _ORACLE_PIPELINE_CTES + f"""
 SELECT database_name, table_name, pk, message_type, txn_order,
        payload_k, payload_val
@@ -1997,6 +2086,7 @@ SPECS = [
         _FORGOTTEN_FOOTPRINT_ORACLE,
     ),
     QuerySpec("cdc_point_in_time", q_cdc_point_in_time, _POINT_IN_TIME_ORACLE),
+    QuerySpec("cdc_state_diff", q_cdc_state_diff, _STATE_DIFF_ORACLE),
     QuerySpec("cdc_live_row_counts", q_cdc_live_row_counts, _LIVE_ROWS_ORACLE),
     QuerySpec("cdc_position_gaps", q_cdc_position_gaps, _POSITION_GAPS_ORACLE),
     QuerySpec(

@@ -176,7 +176,7 @@ def test_allowlists_are_count_pinned():
     (VERDICT r7 #7). Update the count IN THE SAME COMMIT as the entry."""
     assert len(_BNLJ_OK) == 61
     assert len(_SKIP) == 6
-    assert len(_SINGLE_PARTITION_OK) == 64
+    assert len(_SINGLE_PARTITION_OK) == 65
     assert len(_UNPARTITIONED_WINDOW_OK) == 13
     assert len(_ZERO_SHUFFLE) == 6
 
@@ -359,6 +359,9 @@ _SINGLE_PARTITION_OK = {
     "sim_outlier_audit",
     # three 1-row per-n leg reports + the 1-row train totals
     "pipeline_decontaminate_sweep",
+    # one 1-row scalar-stats aggregate per audited column (the ANALYZE
+    # TABLE surface)
+    "analytics_column_stats",
 }
 
 

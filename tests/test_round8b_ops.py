@@ -221,6 +221,80 @@ def test_decontaminate_sweep_monotone_and_consistent(spark, sf_dir):
     assert rows[tx.SHINGLE_K].n_flagged_docs == base_count
 
 
+def test_state_diff_agrees_with_replayed_states(spark, sf_dir):
+    """added/deleted/changed/unchanged counts recomputed in Python from
+    the two point-in-time states the diff composes."""
+    from collections import Counter
+
+    from mysql_streamer_spark.cdc.envelope import TXN_FILE_SHIFT
+    from mysql_streamer_spark.queries.cdc import (
+        STATE_DIFF_FROM_FILE,
+        STATE_DIFF_TO_FILE,
+        point_in_time_state,
+        q_cdc_state_diff,
+    )
+
+    a = {
+        (r.database_name, r.table_name, r.pk): r.payload_val
+        for r in point_in_time_state(
+            spark, sf_dir, STATE_DIFF_FROM_FILE * TXN_FILE_SHIFT
+        ).collect()
+    }
+    b = {
+        (r.database_name, r.table_name, r.pk): r.payload_val
+        for r in point_in_time_state(
+            spark, sf_dir, STATE_DIFF_TO_FILE * TXN_FILE_SHIFT
+        ).collect()
+    }
+    expected: Counter = Counter()
+    for key in set(a) | set(b):
+        db, tbl, _ = key
+        if key not in a:
+            kind = "added"
+        elif key not in b:
+            kind = "deleted"
+        elif a[key] != b[key]:
+            kind = "changed"
+        else:
+            kind = "unchanged"
+        expected[(db, tbl, kind)] += 1
+    got = {
+        (r.database_name, r.table_name, r.change_kind): r.n_keys
+        for r in q_cdc_state_diff(spark, sf_dir).collect()
+    }
+    assert got == dict(expected)
+
+
+def test_column_stats_match_direct_aggregates(spark, sf_dir):
+    """NDV / null / min / max recomputed per column straight off the
+    loaded table."""
+    from pyspark.sql import functions as F
+
+    from mysql_streamer_spark.queries.analytics import (
+        _COLUMN_STATS_COLS,
+        q_analytics_column_stats,
+    )
+    from mysql_streamer_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    n_rows = li.count()
+    got = {
+        r.column_name: r
+        for r in q_analytics_column_stats(spark, sf_dir).collect()
+    }
+    assert set(got) == {c for c, _ in _COLUMN_STATS_COLS}
+    for col, is_num in _COLUMN_STATS_COLS:
+        r = got[col]
+        assert r.n_rows == n_rows
+        assert r.n_distinct == li.select(col).distinct().count()
+        assert r.n_nulls == li.filter(F.col(col).isNull()).count()
+        if is_num:
+            mn, mx = li.agg(F.min(col), F.max(col)).first()
+            assert r.min_num == float(mn) and r.max_num == float(mx)
+        else:
+            assert r.min_num is None and r.max_num is None
+
+
 def test_column_lifetimes_agree_with_registry_api(spark, sf_dir):
     """is_live / version spans recomputed straight from the registry's
     Python history API must match the DataFrame derivation."""
