@@ -1015,31 +1015,129 @@ def q_cdc_wire_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the oracle's wire-JSON fragments, shared by every oracle that reads the
+#: published message shape (wire envelope, size profile) — one source of
+#: truth for the byte-exact construction
+_WIRE_PAYLOAD_SQL = """'{"pk":' || COALESCE(CAST(pk AS VARCHAR), 'null')
+         || ',"k":' || COALESCE(CAST(payload_k AS VARCHAR), 'null')
+         || ',"val":' || COALESCE(CAST(payload_val AS VARCHAR), 'null')
+         || '}'"""
+_WIRE_PREV_SQL = """CASE WHEN previous_payload_val IS NOT NULL THEN
+         '{"pk":' || COALESCE(CAST(pk AS VARCHAR), 'null')
+           || ',"k":' || COALESCE(CAST(payload_k AS VARCHAR), 'null')
+           || ',"val":' || CAST(previous_payload_val AS VARCHAR)
+           || '}' END"""
+_WIRE_POSITION_SQL = """'{"position":{"log_file":"' || log_file
+         || '","log_pos":' || CAST(log_pos AS VARCHAR)
+         || ',"offset":' || CAST("offset" AS VARCHAR)
+         || '},"cluster_name":"' || cluster_name
+         || '","database_name":"' || database_name
+         || '","table_name":"' || table_name || '"}'"""
+_WIRE_META_SQL = """'[{"cluster_name":"' || cluster_name
+         || '","log_file":"' || log_file
+         || '","log_pos":' || CAST(log_pos AS VARCHAR) || '}]'"""
+
+
+def q_cdc_message_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wire-size capacity profile: the byte length of every PUBLISHED
+    message (payload + previous-payload + position + meta JSON, the
+    exact documents ``cdc_wire_envelope`` hash-checks) log2-bucketed per
+    table, with per-bucket byte totals and the max message size — the
+    report that sizes Kafka ``max.message.bytes`` / broker quotas and
+    flags the jumbo-payload tables before they wedge a producer (the
+    byte-space companion to ``cdc_txn_size_profile``'s row-space audit).
+
+    Scale shape: the JSON assembly is the wire envelope's own map-side
+    projection; octet_length folds it to ONE int per message before the
+    single hash aggregate on the bounded (table, bucket <= 64) key."""
+    env = envelope_pipeline(spark, sf_dir)
+
+    def jnum(c):
+        return F.coalesce(F.col(c).cast("string"), F.lit("null"))
+
+    payload = F.concat(
+        F.lit('{"pk":'), jnum("pk"),
+        F.lit(',"k":'), jnum("payload_k"),
+        F.lit(',"val":'), jnum("payload_val"),
+        F.lit("}"),
+    )
+    prev = F.when(
+        F.col("previous_payload_val").isNotNull(),
+        F.concat(
+            F.lit('{"pk":'), jnum("pk"),
+            F.lit(',"k":'), jnum("payload_k"),
+            F.lit(',"val":'), F.col("previous_payload_val").cast("string"),
+            F.lit("}"),
+        ),
+    )
+    position = F.concat(
+        F.lit('{"position":{"log_file":"'), F.col("log_file"),
+        F.lit('","log_pos":'), F.col("log_pos").cast("string"),
+        F.lit(',"offset":'), F.col("offset").cast("string"),
+        F.lit('},"cluster_name":"'), F.col("cluster_name"),
+        F.lit('","database_name":"'), F.col("database_name"),
+        F.lit('","table_name":"'), F.col("table_name"),
+        F.lit('"}'),
+    )
+    meta = F.concat(
+        F.lit('[{"cluster_name":"'), F.col("cluster_name"),
+        F.lit('","log_file":"'), F.col("log_file"),
+        F.lit('","log_pos":'), F.col("log_pos").cast("string"),
+        F.lit("}]"),
+    )
+    wire_bytes = (
+        F.octet_length(payload)
+        + F.coalesce(F.octet_length(prev), F.lit(0))
+        + F.octet_length(position)
+        + F.octet_length(meta)
+    ).cast("long")
+    sized = env.select("table_name", wire_bytes.alias("wire_bytes"))
+    return sized.groupBy(
+        "table_name",
+        F.expr("length(bin(wire_bytes))").cast("int").alias("size_bucket"),
+    ).agg(
+        F.count("*").alias("n_messages"),
+        F.sum("wire_bytes").alias("bucket_bytes"),
+        F.max("wire_bytes").alias("max_bytes"),
+    )
+
+
+_MESSAGE_SIZE_ORACLE = (
+    _ORACLE_PIPELINE_CTES
+    + ", env AS ("
+    + _ENVELOPE_SELECT.strip()
+    + f""")
+, sized AS (
+  SELECT table_name,
+    CAST(octet_length(encode({_WIRE_PAYLOAD_SQL})) AS BIGINT)
+      + COALESCE(CAST(octet_length(encode({_WIRE_PREV_SQL})) AS BIGINT), 0)
+      + CAST(octet_length(encode({_WIRE_POSITION_SQL})) AS BIGINT)
+      + CAST(octet_length(encode({_WIRE_META_SQL})) AS BIGINT) AS wire_bytes
+  FROM env
+)
+SELECT table_name,
+  CAST(length(bin(wire_bytes)) AS INT) AS size_bucket,
+  count(*) AS n_messages,
+  CAST(sum(wire_bytes) AS BIGINT) AS bucket_bytes,
+  CAST(max(wire_bytes) AS BIGINT) AS max_bytes
+FROM sized
+GROUP BY 1, 2
+"""
+)
+
+
 _WIRE_ENVELOPE_ORACLE = (
     _ORACLE_PIPELINE_CTES
-    + f"""
-, env AS ({_ENVELOPE_SELECT.strip()})
+    + ", env AS ("
+    + _ENVELOPE_SELECT.strip()
+    + f""")
 SELECT schema_id, message_type,
        strftime(timestamp, '%Y-%m-%dT%H:%M:%S.%f') AS timestamp_iso,
        txn_order,
-       '{{"pk":' || COALESCE(CAST(pk AS VARCHAR), 'null')
-         || ',"k":' || COALESCE(CAST(payload_k AS VARCHAR), 'null')
-         || ',"val":' || COALESCE(CAST(payload_val AS VARCHAR), 'null')
-         || '}}' AS payload_data,
-       CASE WHEN previous_payload_val IS NOT NULL THEN
-         '{{"pk":' || COALESCE(CAST(pk AS VARCHAR), 'null')
-           || ',"k":' || COALESCE(CAST(payload_k AS VARCHAR), 'null')
-           || ',"val":' || CAST(previous_payload_val AS VARCHAR)
-           || '}}' END AS previous_payload_data,
-       '{{"position":{{"log_file":"' || log_file
-         || '","log_pos":' || CAST(log_pos AS VARCHAR)
-         || ',"offset":' || CAST("offset" AS VARCHAR)
-         || '}},"cluster_name":"' || cluster_name
-         || '","database_name":"' || database_name
-         || '","table_name":"' || table_name || '"}}' AS upstream_position_info,
-       '[{{"cluster_name":"' || cluster_name
-         || '","log_file":"' || log_file
-         || '","log_pos":' || CAST(log_pos AS VARCHAR) || '}}]' AS meta
+       {_WIRE_PAYLOAD_SQL} AS payload_data,
+       {_WIRE_PREV_SQL} AS previous_payload_data,
+       {_WIRE_POSITION_SQL} AS upstream_position_info,
+       {_WIRE_META_SQL} AS meta
 FROM env
 """
 )
@@ -2075,6 +2173,11 @@ SPECS = [
     QuerySpec("cdc_fleet_union", q_cdc_fleet_union, _FLEET_ORACLE),
     QuerySpec("cdc_pii_redaction", q_cdc_pii_redaction, _PII_REDACTION_ORACLE),
     QuerySpec("cdc_wire_envelope", q_cdc_wire_envelope, _WIRE_ENVELOPE_ORACLE),
+    QuerySpec(
+        "cdc_message_size_profile",
+        q_cdc_message_size_profile,
+        _MESSAGE_SIZE_ORACLE,
+    ),
     QuerySpec("cdc_topic_routing", q_cdc_topic_routing, _TOPIC_ROUTING_ORACLE),
     QuerySpec("cdc_key_churn", q_cdc_key_churn, _KEY_CHURN_ORACLE),
     QuerySpec(

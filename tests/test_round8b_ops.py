@@ -295,6 +295,26 @@ def test_column_stats_match_direct_aggregates(spark, sf_dir):
             assert r.min_num is None and r.max_num is None
 
 
+def test_message_size_profile_buckets_are_consistent(spark, sf_dir):
+    """Bucket index is exactly the bit length of the message size (bucket
+    b holds sizes in [2^(b-1), 2^b - 1]), totals partition the message
+    count of the wire envelope, and bucket_bytes respects the per-bucket
+    size bounds."""
+    from mysql_streamer_spark.queries.cdc import (
+        q_cdc_message_size_profile,
+        q_cdc_wire_envelope,
+    )
+
+    rows = q_cdc_message_size_profile(spark, sf_dir).collect()
+    assert rows
+    n_wire = q_cdc_wire_envelope(spark, sf_dir).count()
+    assert sum(r.n_messages for r in rows) == n_wire
+    for r in rows:
+        lo, hi = 2 ** (r.size_bucket - 1), 2**r.size_bucket - 1
+        assert lo <= r.max_bytes <= hi
+        assert r.n_messages * lo <= r.bucket_bytes <= r.n_messages * hi
+
+
 def test_column_lifetimes_agree_with_registry_api(spark, sf_dir):
     """is_live / version spans recomputed straight from the registry's
     Python history API must match the DataFrame derivation."""
