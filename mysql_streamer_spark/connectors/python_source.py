@@ -33,8 +33,10 @@ try:  # the DataSource API needs pyspark >= 4
         DataSource,
         DataSourceReader,
         DataSourceStreamReader,
+        DataSourceWriter,
         InputPartition,
         SimpleDataSourceStreamReader,
+        WriterCommitMessage,
     )
 
     HAS_PYTHON_DATASOURCE = True
@@ -50,10 +52,16 @@ except ImportError:  # pragma: no cover - older runtimes
     class DataSourceStreamReader:  # type: ignore[no-redef]
         pass
 
+    class DataSourceWriter:  # type: ignore[no-redef]
+        pass
+
     class InputPartition:  # type: ignore[no-redef]
         pass
 
     class SimpleDataSourceStreamReader:  # type: ignore[no-redef]
+        pass
+
+    class WriterCommitMessage:  # type: ignore[no-redef]
         pass
 
 
@@ -112,6 +120,17 @@ class BinlogEventsDataSource(DataSource):
         if str(self.options.get("partitioned", "")).lower() != "true":
             return super().streamReader(schema)  # raises NotImplemented
         return BinlogEventsPartitionedStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "ManifestJsonlWriter":
+        """The WRITE half of the pluggable connector:
+        ``df.write.format("binlog_events").mode(...).save(path)`` lands
+        one JSONL shard per task plus a driver-committed ``_MANIFEST``
+        — the same two-phase commit contract the reference's publish
+        path needs (executor-side sends, driver-side position commit;
+        SURVEY §2.5 K1/T4), expressed through the Python DataSource
+        writer API so a custom sink is first-class next to the custom
+        source."""
+        return ManifestJsonlWriter(self.options, schema, overwrite)
 
 
 class BinlogEventsReader(DataSourceReader):
@@ -446,6 +465,90 @@ class BinlogEventsPartitionedStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # offsets are a pure function of the files; nothing to prune
+
+
+class _ShardCommit(WriterCommitMessage):
+    """Per-task commit message: the staged shard file and its row count.
+    Plain attributes only — this object is pickled from executor to
+    driver by the DataSource write protocol."""
+
+    def __init__(self, staged: str, rows: int):
+        self.staged = staged
+        self.rows = rows
+
+
+class ManifestJsonlWriter(DataSourceWriter):
+    """Two-phase-commit JSONL sink (FileOutputCommitter-v1 shape):
+
+    - ``write`` (executor, per task): rows land in a ``_staging/`` shard
+      under a task-unique name; nothing is visible to readers yet.
+    - ``commit`` (driver, once, only after EVERY task succeeded): staged
+      shards rename into place and ``_MANIFEST.json`` records every
+      shard + row count — a reader that requires the manifest can never
+      observe a torn write. On ``overwrite`` the previous generation is
+      cleared here, inside commit, so a failed job leaves old data
+      intact.
+    - ``abort`` (driver, on any task failure): staged shards are
+      deleted; the directory is untouched.
+
+    Assumes the sink path is on storage both executors and driver reach
+    (the contract every Spark file sink already has). Scale shape: one
+    sequential file per task, no driver data movement — the driver
+    handles only commit messages (file name + count per task)."""
+
+    def __init__(self, options, schema, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("binlog_events writer requires .option('path', ...)")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _ShardCommit:
+        import json as _json
+        import os
+        import uuid
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        shard = os.path.join(staging, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(shard, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(
+                    _json.dumps(
+                        row.asDict(recursive=True), default=str, sort_keys=True
+                    )
+                )
+                fh.write("\n")
+                n += 1
+        return _ShardCommit(shard, n)
+
+    def commit(self, messages) -> None:
+        import json as _json
+        import os
+
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.endswith(".jsonl") or f == "_MANIFEST.json":
+                    os.remove(os.path.join(self.path, f))
+        shards = []
+        for m in messages:
+            final = os.path.join(self.path, os.path.basename(m.staged))
+            os.replace(m.staged, final)
+            shards.append({"file": os.path.basename(final), "rows": m.rows})
+        manifest = {
+            "shards": sorted(shards, key=lambda s: s["file"]),
+            "total_rows": sum(s["rows"] for s in shards),
+            "committed": True,
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+            _json.dump(manifest, fh, sort_keys=True)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)
 
 
 def register_binlog_source(spark: SparkSession) -> None:

@@ -25,3 +25,96 @@ def test_python_source_registration_is_idempotent(spark, sf_dir):
 
     register_binlog_source(spark)
     register_binlog_source(spark)  # second call must be a no-op
+
+
+# ---------------------------------------------------------------------------
+# the WRITE half: two-phase-commit JSONL sink
+# ---------------------------------------------------------------------------
+
+
+def test_python_writer_commits_manifest_and_roundtrips(spark, sf_dir, tmp_path):
+    import json
+    import os
+
+    from mysql_streamer_spark.connectors.python_source import (
+        register_binlog_source,
+    )
+    from mysql_streamer_spark.tables import load_table
+
+    register_binlog_source(spark)
+    out = str(tmp_path / "sink")
+    df = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    df.write.format("binlog_events").option("path", out).mode("append").save()
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["committed"] is True
+    assert manifest["total_rows"] == df.count()
+    assert sum(s["rows"] for s in manifest["shards"]) == df.count()
+    # no torn state: staging drained, every manifest shard present
+    assert os.listdir(os.path.join(out, "_staging")) == []
+    for s in manifest["shards"]:
+        assert os.path.exists(os.path.join(out, s["file"]))
+
+    back = spark.read.json(os.path.join(out, "*.jsonl"))
+    assert back.count() == df.count()
+    a = {(r.event_id, r.user_id, r.event_type, round(r.value, 9)) for r in df.collect()}
+    b = {(r.event_id, r.user_id, r.event_type, round(r.value, 9)) for r in back.collect()}
+    assert a == b
+
+
+def test_python_writer_overwrite_replaces_previous_generation(
+    spark, sf_dir, tmp_path
+):
+    import json
+    import os
+
+    from mysql_streamer_spark.connectors.python_source import (
+        register_binlog_source,
+    )
+    from mysql_streamer_spark.tables import load_table
+
+    register_binlog_source(spark)
+    out = str(tmp_path / "sink")
+    full = load_table(spark, sf_dir, "events").select("event_id")
+    full.write.format("binlog_events").option("path", out).mode("append").save()
+    small = full.limit(10)
+    small.write.format("binlog_events").option("path", out).mode(
+        "overwrite"
+    ).save()
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["total_rows"] == 10
+    on_disk = [f for f in os.listdir(out) if f.endswith(".jsonl")]
+    assert sorted(on_disk) == sorted(s["file"] for s in manifest["shards"])
+    assert spark.read.json(os.path.join(out, "*.jsonl")).count() == 10
+
+
+def test_python_writer_abort_leaves_no_visible_data(spark, sf_dir, tmp_path):
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mysql_streamer_spark.connectors.python_source import (
+        register_binlog_source,
+    )
+    from mysql_streamer_spark.tables import load_table
+
+    register_binlog_source(spark)
+    out = str(tmp_path / "sink")
+
+    @F.udf("long")
+    def boom(x):
+        raise RuntimeError("injected task failure")
+
+    df = load_table(spark, sf_dir, "events").select(boom("event_id").alias("x"))
+    with pytest.raises(Exception):
+        df.write.format("binlog_events").option("path", out).mode(
+            "append"
+        ).save()
+    # no manifest, no committed shards — a manifest-requiring reader sees
+    # nothing
+    assert not os.path.exists(os.path.join(out, "_MANIFEST.json"))
+    assert not [f for f in os.listdir(out) if f.endswith(".jsonl")]
