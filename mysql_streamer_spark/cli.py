@@ -228,6 +228,56 @@ def cmd_state_at(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_state_diff(args: argparse.Namespace) -> int:
+    """Diff the table state between two binlog positions (the deploy-
+    window audit / failover re-point validation): keys added, deleted,
+    changed, unchanged per table across [from, to)."""
+    from pyspark.sql import functions as F
+
+    from mysql_streamer_spark.cdc.envelope import TXN_FILE_SHIFT, TXN_POS_SHIFT
+    from mysql_streamer_spark.queries.cdc import point_in_time_state
+
+    cutoffs = []
+    for name, log_file, log_pos in (
+        ("from", args.from_file, args.from_pos),
+        ("to", args.to_file, args.to_pos),
+    ):
+        m = re.fullmatch(r"[^.]+\.(\d+)", log_file)
+        if not m:
+            print(
+                json.dumps(
+                    {"error": f"{name} log file must look like binlog.000004, got {log_file!r}"}
+                ),
+                file=sys.stderr,
+            )
+            return 2
+        cutoffs.append(int(m.group(1)) * TXN_FILE_SHIFT + log_pos * TXN_POS_SHIFT)
+    if cutoffs[0] >= cutoffs[1]:
+        print(json.dumps({"error": "FROM position must precede TO"}), file=sys.stderr)
+        return 2
+    spark = _spark()
+    a = point_in_time_state(spark, args.sf_dir, cutoffs[0]).select(
+        "database_name", "table_name", "pk", F.col("payload_val").alias("val_a")
+    )
+    b = point_in_time_state(spark, args.sf_dir, cutoffs[1]).select(
+        "database_name", "table_name", "pk", F.col("payload_val").alias("val_b")
+    )
+    kind = (
+        F.when(F.col("val_a").isNull(), F.lit("added"))
+        .when(F.col("val_b").isNull(), F.lit("deleted"))
+        .when(F.col("val_a") != F.col("val_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    diff = (
+        a.join(b, ["database_name", "table_name", "pk"], "full_outer")
+        .groupBy("database_name", "table_name", kind.alias("change_kind"))
+        .agg(F.count("*").alias("n_keys"))
+    )
+    for row in diff.orderBy("database_name", "table_name", "change_kind").collect():
+        print(json.dumps(row.asDict()))
+    return 0
+
+
 def cmd_repl(args: argparse.Namespace) -> int:
     """Interactive streamer (reference interactive_streamer.py:1-116): type
     DDL/DML, watch schema registrations and enveloped messages come out.
@@ -315,6 +365,17 @@ def build_parser() -> argparse.ArgumentParser:
     sa.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     sa.add_argument("--limit", type=int, default=20)
     sa.set_defaults(fn=cmd_state_at)
+
+    sd = sub.add_parser(
+        "state-diff",
+        help="keys added/deleted/changed between two binlog positions",
+    )
+    sd.add_argument("from_file", help="binlog file, e.g. binlog.000004")
+    sd.add_argument("to_file", help="binlog file, e.g. binlog.000008")
+    sd.add_argument("--from-pos", type=int, default=0)
+    sd.add_argument("--to-pos", type=int, default=0)
+    sd.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    sd.set_defaults(fn=cmd_state_diff)
 
     i = sub.add_parser(
         "repl",

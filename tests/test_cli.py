@@ -172,3 +172,47 @@ def test_state_at_rejects_malformed_log_file(capsys):
     assert rc == 2
     err = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
     assert "binlog" in err["error"]
+
+
+def test_state_diff_verb_matches_registered_query(spark, sf_dir, capsys):
+    """The CLI diff over the registered query's own window must agree
+    with q_cdc_state_diff exactly (same composition, CLI-parsed cutoffs)."""
+    import json as _json
+
+    from mysql_streamer_spark.queries.cdc import (
+        STATE_DIFF_FROM_FILE,
+        STATE_DIFF_TO_FILE,
+        q_cdc_state_diff,
+    )
+
+    rc = main(
+        [
+            "state-diff",
+            f"binlog.{STATE_DIFF_FROM_FILE:06d}",
+            f"binlog.{STATE_DIFF_TO_FILE:06d}",
+            "--sf-dir",
+            sf_dir,
+        ]
+    )
+    assert rc == 0
+    got = {
+        (r["database_name"], r["table_name"], r["change_kind"]): r["n_keys"]
+        for r in (
+            _json.loads(line)
+            for line in capsys.readouterr().out.strip().splitlines()
+        )
+    }
+    expected = {
+        (r.database_name, r.table_name, r.change_kind): r.n_keys
+        for r in q_cdc_state_diff(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_state_diff_rejects_bad_input(capsys):
+    rc = main(["state-diff", "nope", "binlog.000008"])
+    assert rc == 2
+    assert "binlog" in json.loads(capsys.readouterr().err.strip().splitlines()[-1])["error"]
+    rc = main(["state-diff", "binlog.000008", "binlog.000004"])
+    assert rc == 2
+    assert "precede" in json.loads(capsys.readouterr().err.strip().splitlines()[-1])["error"]
