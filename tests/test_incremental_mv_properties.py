@@ -143,3 +143,51 @@ def test_partial_fold_equals_one_pass(spark, events, data):
         fold_incremental_mv(incremental_daily_deltas(_frame(spark, events)))
     )
     assert via_chunks == one_pass
+
+
+# ---------------------------------------------------------------------------
+# skew.latest_by_key — the aggregate the latest-state / point-in-time /
+# footprint family rides — property-tested against the window form
+# ---------------------------------------------------------------------------
+
+_kv = st.tuples(
+    st.integers(min_value=0, max_value=6),      # key (collisions likely)
+    st.integers(min_value=0, max_value=10_000), # order (uniqueness enforced below)
+    st.text(alphabet="abcdef", min_size=0, max_size=4),
+)
+
+
+@given(st.lists(_kv, min_size=1, max_size=50))
+@settings(max_examples=15, deadline=None)
+def test_latest_by_key_equals_window_form(spark, rows):
+    """max_by(struct(order, payload), order) per key must equal the
+    row_number()-over-desc-order window — on random keys with heavy
+    collisions. Order values are de-duplicated per key first (the
+    documented precondition: order_col unique per key)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mysql_streamer_spark.skew import latest_by_key
+
+    seen: set[tuple[int, int]] = set()
+    uniq = []
+    for k, o, v in rows:
+        if (k, o) in seen:
+            continue
+        seen.add((k, o))
+        uniq.append((k, o, v))
+    df = spark.createDataFrame(uniq, "k long, ord long, payload string")
+    via_agg = {
+        (r.k): (r.ord, r.payload)
+        for r in latest_by_key(
+            df, keys=["k"], order_col="ord", payload_cols=["payload"]
+        ).collect()
+    }
+    w = Window.partitionBy("k").orderBy(F.col("ord").desc())
+    via_window = {
+        r.k: (r.ord, r.payload)
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert via_agg == via_window
