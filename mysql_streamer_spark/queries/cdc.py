@@ -1820,6 +1820,94 @@ JOIN live l USING (database_name, table_name)
 )
 
 
+#: deterministic pseudonym salt for executed erasures — versioned like
+#: PII_SALT so a rotation is an explicit policy change
+FORGET_SALT = "forget:v1:"
+
+
+def q_cdc_forgotten_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY form of ``cdc_forgotten_footprint``: the post-erasure
+    latest-state table. Every live key's latest version, with
+    deletion-request subjects EXECUTED — their pk replaced by a salted
+    deterministic pseudonym (so foreign references stay joinable without
+    identifying anyone) and their payload suppressed; non-subject rows
+    pass through. This is the table a downstream consumer re-syncs after
+    the platform executes a GDPR/CCPA batch (the report/apply pairing
+    the dedup family uses: footprint = what would change, apply = the
+    changed table).
+
+    Scale shape: the verified latest-state aggregate (algebraic max_by,
+    no per-key window) followed by a pure map-side policy projection —
+    the erasure costs nothing at 100 TB beyond latest-state itself."""
+    from mysql_streamer_spark.skew import latest_by_key
+
+    env = envelope_pipeline(spark, sf_dir)
+    latest = latest_by_key(
+        env,
+        keys=["database_name", "table_name", "pk"],
+        order_col="txn_order",
+        payload_cols=["message_type", "payload_k", "payload_val"],
+    ).filter(F.col("message_type") != "delete")
+    is_subject = F.col("pk") % FORGET_MODULUS == FORGET_RESIDUE
+    token = F.md5(
+        F.concat(
+            F.lit(FORGET_SALT),
+            F.col("database_name"),
+            F.lit(":"),
+            F.col("table_name"),
+            F.lit(":"),
+            F.col("pk").cast("string"),
+        )
+    )
+    return latest.select(
+        "database_name",
+        "table_name",
+        F.when(is_subject, token).otherwise(F.col("pk").cast("string")).alias(
+            "pk_token"
+        ),
+        "message_type",
+        "txn_order",
+        F.when(is_subject, F.lit(None).cast("int"))
+        .otherwise(F.col("payload_k"))
+        .alias("payload_k"),
+        F.when(is_subject, F.lit(None).cast("double"))
+        .otherwise(F.col("payload_val"))
+        .alias("payload_val"),
+        is_subject.alias("is_erased"),
+    )
+
+
+_FORGOTTEN_APPLY_ORACLE = (
+    _ORACLE_PIPELINE_CTES
+    + f"""
+, latest AS (
+  SELECT database AS database_name, "table" AS table_name, pk,
+         message_type, txn_order, payload_k, payload_val
+  FROM (
+    SELECT database, "table", pk, message_type, txn_order,
+           payload_k, payload_val,
+      row_number() OVER (
+        PARTITION BY database, "table", pk ORDER BY txn_order DESC
+      ) AS rn
+    FROM keyed
+  ) WHERE rn = 1 AND message_type <> 'delete'
+)
+SELECT database_name, table_name,
+  CASE WHEN pk % {FORGET_MODULUS} = {FORGET_RESIDUE}
+       THEN md5('{FORGET_SALT}' || database_name || ':' || table_name
+                || ':' || CAST(pk AS VARCHAR))
+       ELSE CAST(pk AS VARCHAR) END AS pk_token,
+  message_type, txn_order,
+  CASE WHEN pk % {FORGET_MODULUS} = {FORGET_RESIDUE} THEN NULL
+       ELSE payload_k END AS payload_k,
+  CASE WHEN pk % {FORGET_MODULUS} = {FORGET_RESIDUE} THEN NULL
+       ELSE payload_val END AS payload_val,
+  pk % {FORGET_MODULUS} = {FORGET_RESIDUE} AS is_erased
+FROM latest
+"""
+)
+
+
 def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance from the change stream —
     the retract-stream pattern (Flink dynamic tables / Materialize): each
@@ -2187,6 +2275,9 @@ SPECS = [
         "cdc_forgotten_footprint",
         q_cdc_forgotten_footprint,
         _FORGOTTEN_FOOTPRINT_ORACLE,
+    ),
+    QuerySpec(
+        "cdc_forgotten_apply", q_cdc_forgotten_apply, _FORGOTTEN_APPLY_ORACLE
     ),
     QuerySpec("cdc_point_in_time", q_cdc_point_in_time, _POINT_IN_TIME_ORACLE),
     QuerySpec("cdc_state_diff", q_cdc_state_diff, _STATE_DIFF_ORACLE),

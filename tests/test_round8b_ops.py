@@ -315,6 +315,34 @@ def test_message_size_profile_buckets_are_consistent(spark, sf_dir):
         assert r.n_messages * lo <= r.bucket_bytes <= r.n_messages * hi
 
 
+def test_forgotten_apply_consistent_with_footprint(spark, sf_dir):
+    """The apply form's erased-row count per table equals the footprint's
+    live subject keys; erased rows carry no payload and a 32-hex token;
+    untouched rows keep their raw pk."""
+    from collections import Counter
+
+    from mysql_streamer_spark.queries.cdc import (
+        q_cdc_forgotten_apply,
+        q_cdc_forgotten_footprint,
+    )
+
+    applied = q_cdc_forgotten_apply(spark, sf_dir).collect()
+    erased = Counter()
+    for r in applied:
+        if r.is_erased:
+            erased[(r.database_name, r.table_name)] += 1
+            assert r.payload_val is None and r.payload_k is None
+            assert len(r.pk_token) == 32 and not r.pk_token.isdigit()
+        else:
+            assert r.pk_token.lstrip("-").isdigit()
+    fp = {
+        (r.database_name, r.table_name): r.n_live_keys
+        for r in q_cdc_forgotten_footprint(spark, sf_dir).collect()
+    }
+    for tbl, n_live in fp.items():
+        assert erased.get(tbl, 0) == n_live
+
+
 def test_column_lifetimes_agree_with_registry_api(spark, sf_dir):
     """is_live / version spans recomputed straight from the registry's
     Python history API must match the DataFrame derivation."""
