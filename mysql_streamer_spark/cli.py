@@ -257,15 +257,25 @@ def cmd_state_diff(args: argparse.Namespace) -> int:
         return 2
     spark = _spark()
     a = point_in_time_state(spark, args.sf_dir, cutoffs[0]).select(
-        "database_name", "table_name", "pk", F.col("payload_val").alias("val_a")
+        "database_name",
+        "table_name",
+        "pk",
+        F.col("payload_val").alias("val_a"),
+        F.lit(True).alias("in_a"),
     )
     b = point_in_time_state(spark, args.sf_dir, cutoffs[1]).select(
-        "database_name", "table_name", "pk", F.col("payload_val").alias("val_b")
+        "database_name",
+        "table_name",
+        "pk",
+        F.col("payload_val").alias("val_b"),
+        F.lit(True).alias("in_b"),
     )
+    # Presence via explicit markers, not payload_val nullness — a live row
+    # whose value is NULL is still present (see q_cdc_state_diff).
     kind = (
-        F.when(F.col("val_a").isNull(), F.lit("added"))
-        .when(F.col("val_b").isNull(), F.lit("deleted"))
-        .when(F.col("val_a") != F.col("val_b"), F.lit("changed"))
+        F.when(F.col("in_a").isNull(), F.lit("added"))
+        .when(F.col("in_b").isNull(), F.lit("deleted"))
+        .when(~F.col("val_a").eqNullSafe(F.col("val_b")), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     diff = (

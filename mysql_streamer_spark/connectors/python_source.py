@@ -485,11 +485,17 @@ class ManifestJsonlWriter(DataSourceWriter):
     - ``commit`` (driver, once, only after EVERY task succeeded): staged
       shards rename into place and ``_MANIFEST.json`` records every
       shard + row count — a reader that requires the manifest can never
-      observe a torn write. On ``overwrite`` the previous generation is
-      cleared here, inside commit, so a failed job leaves old data
-      intact.
+      observe a torn write. Appends MERGE the new shards into any prior
+      manifest, so earlier committed generations stay visible. On
+      ``overwrite`` the new shards rename in and the new manifest lands
+      (atomic tmp+rename) BEFORE old-generation files are deleted: a
+      crash anywhere mid-commit leaves either the old manifest with all
+      its shards intact, or the new manifest fully in force with at
+      worst orphan old shards no manifest references.
     - ``abort`` (driver, on any task failure): staged shards are
-      deleted; the directory is untouched.
+      deleted; the directory is untouched. Both commit and abort also
+      sweep ``_staging/`` clean so failed/speculative task attempts
+      cannot leak shards across jobs.
 
     Assumes the sink path is on storage both executors and driver reach
     (the contract every Spark file sink already has). Scale shape: one
@@ -526,22 +532,44 @@ class ManifestJsonlWriter(DataSourceWriter):
         import json as _json
         import os
 
-        if self.overwrite:
-            for f in os.listdir(self.path):
-                if f.endswith(".jsonl") or f == "_MANIFEST.json":
-                    os.remove(os.path.join(self.path, f))
-        shards = []
+        manifest_path = os.path.join(self.path, "_MANIFEST.json")
+        prior: list[dict] = []
+        if not self.overwrite and os.path.exists(manifest_path):
+            # Append MERGES into the prior generation — without this a
+            # second append would orphan every previously committed shard
+            # (files present but absent from the manifest).
+            try:
+                with open(manifest_path, encoding="utf-8") as fh:
+                    prior = _json.load(fh).get("shards", [])
+            except (OSError, ValueError):
+                prior = []
+        new = []
         for m in messages:
             final = os.path.join(self.path, os.path.basename(m.staged))
             os.replace(m.staged, final)
-            shards.append({"file": os.path.basename(final), "rows": m.rows})
+            new.append({"file": os.path.basename(final), "rows": m.rows})
+        shards = sorted(prior + new, key=lambda s: s["file"])
         manifest = {
-            "shards": sorted(shards, key=lambda s: s["file"]),
+            "shards": shards,
             "total_rows": sum(s["rows"] for s in shards),
             "committed": True,
         }
-        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+        # Atomic manifest swap: tmp write + rename, so a reader never sees
+        # a torn manifest and a crash before the rename leaves the prior
+        # manifest (and its shards, still undeleted below) fully intact.
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
             _json.dump(manifest, fh, sort_keys=True)
+        os.replace(tmp, manifest_path)
+        if self.overwrite:
+            # Old generation is deleted only AFTER the new manifest is in
+            # force; orphans from a crash here are invisible to manifest
+            # readers.
+            keep = {s["file"] for s in shards}
+            for f in os.listdir(self.path):
+                if f.endswith(".jsonl") and f not in keep:
+                    os.remove(os.path.join(self.path, f))
+        self._sweep_staging()
 
     def abort(self, messages) -> None:
         import os
@@ -549,6 +577,18 @@ class ManifestJsonlWriter(DataSourceWriter):
         for m in messages:
             if m is not None and os.path.exists(m.staged):
                 os.remove(m.staged)
+        self._sweep_staging()
+
+    def _sweep_staging(self) -> None:
+        """Remove shards left by failed or speculative task attempts (they
+        never appear in commit messages, so commit/abort alone leak them)
+        and drop the _staging dir if now empty."""
+        import os
+        import shutil
+
+        staging = os.path.join(self.path, "_staging")
+        if os.path.isdir(staging):
+            shutil.rmtree(staging, ignore_errors=True)
 
 
 def register_binlog_source(spark: SparkSession) -> None:

@@ -2125,18 +2125,30 @@ def q_cdc_state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = point_in_time_state(
         spark, sf_dir, STATE_DIFF_FROM_FILE * TXN_FILE_SHIFT
     ).select(
-        "database_name", "table_name", "pk", F.col("payload_val").alias("val_a")
+        "database_name",
+        "table_name",
+        "pk",
+        F.col("payload_val").alias("val_a"),
+        F.lit(True).alias("in_a"),
     )
     b = point_in_time_state(
         spark, sf_dir, STATE_DIFF_TO_FILE * TXN_FILE_SHIFT
     ).select(
-        "database_name", "table_name", "pk", F.col("payload_val").alias("val_b")
+        "database_name",
+        "table_name",
+        "pk",
+        F.col("payload_val").alias("val_b"),
+        F.lit(True).alias("in_b"),
     )
     j = a.join(b, ["database_name", "table_name", "pk"], "full_outer")
+    # Presence is judged on the explicit markers (null only when that side
+    # of the full-outer join is absent), NOT on payload_val nullness — a
+    # live row whose value is legitimately NULL must classify as present,
+    # matching the oracle's `pk IS NULL` logic.
     kind = (
-        F.when(F.col("val_a").isNull(), F.lit("added"))
-        .when(F.col("val_b").isNull(), F.lit("deleted"))
-        .when(F.col("val_a") != F.col("val_b"), F.lit("changed"))
+        F.when(F.col("in_a").isNull(), F.lit("added"))
+        .when(F.col("in_b").isNull(), F.lit("deleted"))
+        .when(~F.col("val_a").eqNullSafe(F.col("val_b")), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     return j.groupBy(
@@ -2182,7 +2194,7 @@ _STATE_DIFF_ORACLE = (
 SELECT database_name, table_name,
   CASE WHEN a_missing THEN 'added'
        WHEN b_missing THEN 'deleted'
-       WHEN val_a <> val_b THEN 'changed'
+       WHEN val_a IS DISTINCT FROM val_b THEN 'changed'
        ELSE 'unchanged' END AS change_kind,
   count(*) AS n_keys
 FROM j

@@ -52,8 +52,8 @@ def test_python_writer_commits_manifest_and_roundtrips(spark, sf_dir, tmp_path):
     assert manifest["committed"] is True
     assert manifest["total_rows"] == df.count()
     assert sum(s["rows"] for s in manifest["shards"]) == df.count()
-    # no torn state: staging drained, every manifest shard present
-    assert os.listdir(os.path.join(out, "_staging")) == []
+    # no torn state: staging swept away entirely, every manifest shard present
+    assert not os.path.exists(os.path.join(out, "_staging"))
     for s in manifest["shards"]:
         assert os.path.exists(os.path.join(out, s["file"]))
 
@@ -62,6 +62,67 @@ def test_python_writer_commits_manifest_and_roundtrips(spark, sf_dir, tmp_path):
     a = {(r.event_id, r.user_id, r.event_type, round(r.value, 9)) for r in df.collect()}
     b = {(r.event_id, r.user_id, r.event_type, round(r.value, 9)) for r in back.collect()}
     assert a == b
+
+
+def test_python_writer_append_merges_manifest_generations(
+    spark, sf_dir, tmp_path
+):
+    """Two append jobs into the same directory: the second commit must MERGE
+    its shards into the existing manifest, not replace it — otherwise the
+    first generation's files silently vanish from the manifest."""
+    import json
+    import os
+
+    from mysql_streamer_spark.connectors.python_source import (
+        register_binlog_source,
+    )
+    from mysql_streamer_spark.tables import load_table
+
+    register_binlog_source(spark)
+    out = str(tmp_path / "sink")
+    full = load_table(spark, sf_dir, "events").select("event_id")
+    n = full.count()
+    full.write.format("binlog_events").option("path", out).mode("append").save()
+    full.limit(7).coalesce(1).write.format("binlog_events").option(
+        "path", out
+    ).mode("append").save()
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["total_rows"] == n + 7
+    on_disk = sorted(f for f in os.listdir(out) if f.endswith(".jsonl"))
+    assert on_disk == sorted(s["file"] for s in manifest["shards"])
+    back = spark.read.json(os.path.join(out, "*.jsonl"))
+    assert back.count() == n + 7
+
+
+def test_python_writer_staging_swept_of_orphans(spark, sf_dir, tmp_path):
+    """A shard left in _staging by a failed/speculative attempt must not
+    survive the next commit (or leak into the manifest)."""
+    import json
+    import os
+
+    from mysql_streamer_spark.connectors.python_source import (
+        register_binlog_source,
+    )
+    from mysql_streamer_spark.tables import load_table
+
+    register_binlog_source(spark)
+    out = str(tmp_path / "sink")
+    staging = os.path.join(out, "_staging")
+    os.makedirs(staging)
+    orphan = os.path.join(staging, "part-deadbeef.jsonl")
+    with open(orphan, "w") as fh:
+        fh.write('{"event_id": -1}\n')
+
+    df = load_table(spark, sf_dir, "events").select("event_id").limit(5)
+    df.coalesce(1).write.format("binlog_events").option("path", out).mode(
+        "append"
+    ).save()
+
+    assert not os.path.exists(staging)
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["total_rows"] == 5
+    assert all("deadbeef" not in s["file"] for s in manifest["shards"])
 
 
 def test_python_writer_overwrite_replaces_previous_generation(
