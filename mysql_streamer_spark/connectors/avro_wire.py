@@ -1092,3 +1092,166 @@ def avro_to_secure_envelope(wire):
         "meta_ok boolean"
     )
     return wire.mapInArrow(decode_batches, spark_schema)
+
+
+# ---------------------------------------------------------------------------
+# Confluent wire framing: magic byte + registry schema id ahead of the body
+# ---------------------------------------------------------------------------
+
+#: The standard Confluent Schema Registry wire format: one 0x00 magic byte,
+#: then the registered schema id as a 4-byte big-endian int, then the Avro
+#: binary body. This is the public-tech equivalent of the reference's
+#: Schematizer integration (components/schema_wrapper.py:97-141): the
+#: producer registers a schema, gets an authoritative id back, and FRAMES
+#: every published message with that id so any ecosystem consumer can
+#: resolve the writer schema from the header alone.
+CONFLUENT_MAGIC = 0x00
+
+#: registry id -> meta_version of the envelope writer schema it names.
+#: Two generations are registered: 1001 is the original int-positioned
+#: v1 meta envelope, 1002 the long-positioned v2 — the registry's own
+#: schema-evolution pair, so a header-routed decode exercises real
+#: cross-version resolution (int->long promotion under the v2 reader).
+CONFLUENT_ENVELOPE_IDS: dict[int, int] = {1001: 1, 1002: 2}
+
+
+def envelope_to_confluent(env, id_col: str = "wire_schema_id"):
+    """Envelope DataFrame (+ an int ``id_col`` naming the registered writer
+    schema per row, keys of CONFLUENT_ENVELOPE_IDS) -> one ``value: binary``
+    column of Confluent-framed messages: magic 0x00 + big-endian schema id
+    + Avro body encoded with THAT id's writer schema.
+
+    Scale shape: mapInArrow over the envelope partitioning — no shuffle,
+    encoders compiled once per task, the 5-byte header is a constant
+    prepend. Rows whose id routes to the v1 (int-positioned) schema are
+    range-checked exactly like envelope_to_avro's v1 path."""
+    import pyarrow as pa
+
+    from pyspark.sql import functions as F
+
+    encoders = {
+        sid: (compile_encoder(_select_envelope_schema(False, mv)), mv)
+        for sid, mv in CONFLUENT_ENVELOPE_IDS.items()
+    }
+
+    def encode_batches(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            out = []
+            for row in batch.to_pylist():
+                sid = row[id_col]
+                try:
+                    enc, mv = encoders[sid]
+                except KeyError:
+                    raise ValueError(
+                        f"wire schema id {sid!r} is not registered "
+                        f"(known: {sorted(encoders)})"
+                    ) from None
+                rec = dict(row)
+                rec["meta"] = _meta_for_row(row, mv)
+                buf = bytearray()
+                buf.append(CONFLUENT_MAGIC)
+                buf.extend(sid.to_bytes(4, "big"))
+                enc(rec, buf)
+                out.append(bytes(buf))
+            yield pa.RecordBatch.from_arrays([pa.array(out, pa.binary())], ["value"])
+
+    flat = env.select(
+        *[
+            F.unix_micros(F.col(c)).alias(c) if c == "timestamp" else F.col(c)
+            for c in _FLAT_FIELDS
+        ],
+        F.col(id_col).cast("int").alias(id_col),
+    )
+    return flat.mapInArrow(encode_batches, "value binary")
+
+
+def confluent_to_envelope(wire, reader_meta_version: int = 2):
+    """Inverse of envelope_to_confluent — the standard-consumer path: parse
+    the 5-byte header, resolve the WRITER schema from the registry by the
+    framed id, and decode the body against the consumer's own READER
+    schema via the spec's schema-resolution rules (decode_resolved), so
+    v1-written int positions surface as the v2 reader's longs.
+
+    Output: the flat envelope columns plus ``wire_schema_id`` (from the
+    header), ``header_ok`` (magic byte correct and id registered — a
+    non-Confluent or unknown-schema message fails loudly rather than
+    decode garbage), and the usual ``meta_ok`` witness."""
+    import pyarrow as pa
+
+    reader = _select_envelope_schema(False, reader_meta_version)
+    writers = {
+        sid: _select_envelope_schema(False, mv)
+        for sid, mv in CONFLUENT_ENVELOPE_IDS.items()
+    }
+    same = {
+        sid: compile_decoder(writers[sid])
+        for sid, mv in CONFLUENT_ENVELOPE_IDS.items()
+        if mv == reader_meta_version
+    }
+
+    arrow_fields = [
+        pa.field("schema_id", pa.int32()),
+        pa.field("cluster_name", pa.string()),
+        pa.field("database_name", pa.string()),
+        pa.field("table_name", pa.string()),
+        pa.field("message_type", pa.string()),
+        pa.field("ts_us", pa.int64()),
+        pa.field("log_file", pa.string()),
+        pa.field("log_pos", pa.int64()),
+        pa.field("offset", pa.int32()),
+        pa.field("txn_order", pa.int64()),
+        pa.field("pk", pa.int64()),
+        pa.field("payload_k", pa.int32()),
+        pa.field("payload_val", pa.float64()),
+        pa.field("previous_payload_val", pa.float64()),
+        pa.field("wire_schema_id", pa.int32()),
+        pa.field("header_ok", pa.bool_()),
+        pa.field("meta_ok", pa.bool_()),
+    ]
+    out_schema = pa.schema(arrow_fields)
+
+    def decode_batches(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            cols: dict[str, list] = {f.name: [] for f in arrow_fields}
+            for raw in batch.column(0).to_pylist():
+                if len(raw) < 5:
+                    raise ValueError("message shorter than the Confluent header")
+                magic = raw[0]
+                sid = int.from_bytes(raw[1:5], "big")
+                if magic != CONFLUENT_MAGIC or sid not in writers:
+                    raise ValueError(
+                        f"bad Confluent header: magic={magic} schema_id={sid}"
+                    )
+                dec = same.get(sid)
+                if dec is not None:
+                    rec, end = dec(raw[5:], 0)
+                    end += 5
+                else:
+                    rec, end = decode_resolved(writers[sid], reader, raw, 5)
+                if end != len(raw):
+                    raise ValueError("trailing bytes after avro record")
+                meta = rec.pop("meta")
+                cols["meta_ok"].append(
+                    len(meta) == 1
+                    and meta[0]["cluster_name"] == rec["cluster_name"]
+                    and meta[0]["log_file"] == (rec["log_file"] or "")
+                    and int(meta[0]["log_pos"]) == int(rec["log_pos"] or 0)
+                )
+                cols["wire_schema_id"].append(sid)
+                cols["header_ok"].append(True)
+                cols["ts_us"].append(rec.pop("timestamp"))
+                for k, v in rec.items():
+                    cols[k].append(v)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[f.name], f.type) for f in arrow_fields],
+                schema=out_schema,
+            )
+
+    spark_schema = (
+        "schema_id int, cluster_name string, database_name string, "
+        "table_name string, message_type string, ts_us long, log_file string, "
+        "log_pos long, offset int, txn_order long, pk long, payload_k int, "
+        "payload_val double, previous_payload_val double, "
+        "wire_schema_id int, header_ok boolean, meta_ok boolean"
+    )
+    return wire.mapInArrow(decode_batches, spark_schema)

@@ -1294,6 +1294,78 @@ SELECT *, TRUE AS meta_ok FROM env
 )
 
 
+def q_cdc_confluent_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registry-integrated publish path, in the standard Confluent
+    Schema Registry wire format — the public-tech equivalent of the
+    reference registering schemas with its Schematizer and framing every
+    message with the authoritative schema_id it got back
+    (components/schema_wrapper.py:97-141): each published message is
+    magic byte 0x00 + 4-byte big-endian registry id + Avro body, so ANY
+    ecosystem consumer can resolve the writer schema from the header
+    alone.
+
+    Rows route between two REGISTERED writer generations — 1001 (v1,
+    int-typed meta positions) and 1002 (v2, long-typed) — by a
+    deterministic predicate, and the decoder is a strict standard
+    consumer: it parses the header, resolves the writer schema by id,
+    and decodes against its own v2 READER schema via the Avro spec's
+    schema-resolution rules, so v1 bytes exercise real cross-version
+    int->long promotion. A hash match against the DIRECT envelope oracle
+    proves the full frame -> resolve -> decode path lossless;
+    ``header_ok`` additionally witnesses magic/id validity (unknown ids
+    fail loudly rather than decode garbage).
+
+    Scale shape: encode and decode are both mapInArrow over the envelope
+    partitioning — no shuffle, no collect; the header is a constant
+    5-byte prepend and schema lookup is a per-task dict hit."""
+    from mysql_streamer_spark.connectors.avro_wire import (
+        confluent_to_envelope,
+        envelope_to_confluent,
+    )
+
+    env = envelope_pipeline(spark, sf_dir).withColumn(
+        "wire_schema_id",
+        F.when(
+            (F.col("pk") % 2 == 0) & (F.col("log_pos") < F.lit(2**31)),
+            F.lit(1001),
+        ).otherwise(F.lit(1002)),
+    )
+    decoded = confluent_to_envelope(envelope_to_confluent(env))
+    return decoded.select(
+        "schema_id",
+        "cluster_name",
+        "database_name",
+        "table_name",
+        "message_type",
+        F.timestamp_micros("ts_us").alias("timestamp"),
+        "log_file",
+        "log_pos",
+        "offset",
+        "txn_order",
+        "pk",
+        "payload_k",
+        "payload_val",
+        "previous_payload_val",
+        "wire_schema_id",
+        "header_ok",
+        "meta_ok",
+    )
+
+
+_CONFLUENT_ROUNDTRIP_ORACLE = (
+    _ORACLE_PIPELINE_CTES
+    + f"""
+, env AS ({_ENVELOPE_SELECT.strip()})
+SELECT *,
+  CASE WHEN pk % 2 = 0 AND log_pos < 2147483648
+       THEN 1001 ELSE 1002 END AS wire_schema_id,
+  TRUE AS header_ok,
+  TRUE AS meta_ok
+FROM env
+"""
+)
+
+
 def q_cdc_avro_gtid_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GTID-mode Avro wire parity: the reference publishes a
     global_transaction_id meta record instead of log_transaction_id when
@@ -2239,6 +2311,11 @@ SPECS = [
         "cdc_avro_roundtrip",
         q_cdc_avro_roundtrip,
         _AVRO_ROUNDTRIP_ORACLE,
+    ),
+    QuerySpec(
+        "cdc_confluent_wire_roundtrip",
+        q_cdc_confluent_wire_roundtrip,
+        _CONFLUENT_ROUNDTRIP_ORACLE,
     ),
     QuerySpec(
         "cdc_encrypted_envelope",

@@ -438,3 +438,80 @@ def test_resolution_fills_nested_added_default():
     raw = enc(w, {"n": {"a": 1}})
     got, _ = decode_resolved(w, r, raw, 0)
     assert got == {"n": {"a": 1, "b": 9}}
+
+
+# ---------------------------------------------------------------------------
+# Confluent wire framing (magic byte + registry schema id)
+# ---------------------------------------------------------------------------
+
+
+def test_confluent_frame_header_bytes_and_roundtrip(spark, sf_dir):
+    """Every published message starts 0x00 + 4-byte big-endian registered
+    id; both writer generations appear; decode resolves v1 bytes under
+    the v2 reader losslessly."""
+    from pyspark.sql import functions as F
+
+    from mysql_streamer_spark.cdc.pipeline import envelope_pipeline
+    from mysql_streamer_spark.connectors.avro_wire import (
+        CONFLUENT_ENVELOPE_IDS,
+        confluent_to_envelope,
+        envelope_to_confluent,
+    )
+
+    env = envelope_pipeline(spark, sf_dir).limit(200).withColumn(
+        "wire_schema_id",
+        F.when(F.col("pk") % 2 == 0, F.lit(1001)).otherwise(F.lit(1002)),
+    )
+    env = env.cache()
+    wire = envelope_to_confluent(env)
+    frames = [r.value for r in wire.collect()]
+    assert frames
+    seen = set()
+    for raw in frames:
+        assert raw[0] == 0x00
+        sid = int.from_bytes(raw[1:5], "big")
+        assert sid in CONFLUENT_ENVELOPE_IDS
+        seen.add(sid)
+    assert seen == {1001, 1002}
+
+    decoded = confluent_to_envelope(envelope_to_confluent(env))
+    a = {
+        (r.pk, r.payload_k, r.txn_order, r.payload_val)
+        for r in env.select("pk", "payload_k", "txn_order", "payload_val").collect()
+    }
+    b = {
+        (r.pk, r.payload_k, r.txn_order, r.payload_val)
+        for r in decoded.select("pk", "payload_k", "txn_order", "payload_val").collect()
+    }
+    assert a == b
+    flags = decoded.select("header_ok", "meta_ok").distinct().collect()
+    assert [(r.header_ok, r.meta_ok) for r in flags] == [(True, True)]
+    env.unpersist()
+
+
+def test_confluent_frame_rejects_unknown_schema_id(spark, sf_dir):
+    """An unregistered id must fail loudly at encode; a corrupted header
+    must fail loudly at decode — never decode garbage."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mysql_streamer_spark.cdc.pipeline import envelope_pipeline
+    from mysql_streamer_spark.connectors.avro_wire import (
+        confluent_to_envelope,
+        envelope_to_confluent,
+    )
+
+    env = envelope_pipeline(spark, sf_dir).limit(5)
+    bad = env.withColumn("wire_schema_id", F.lit(9999))
+    with _pytest.raises(Exception, match="not registered"):
+        envelope_to_confluent(bad).collect()
+
+    good = env.withColumn("wire_schema_id", F.lit(1002))
+    wire = envelope_to_confluent(good)
+    corrupted = wire.select(
+        F.concat(
+            F.lit(bytearray([0x01])), F.expr("substring(value, 2)")
+        ).alias("value")
+    )
+    with _pytest.raises(Exception, match="bad Confluent header"):
+        confluent_to_envelope(corrupted).collect()
