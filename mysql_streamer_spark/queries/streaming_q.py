@@ -651,11 +651,65 @@ HAVING window_start + INTERVAL 1 HOUR <= wf
 """
 
 
+def q_streaming_ddl_barrier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL-as-barrier IN the stream (reference schema_event_handler.py:
+    66-113's flush -> checkpoint -> execute -> diff serialized inside the
+    event order): QueryEvents and DataEvents interleave on ONE ordered
+    feed whose micro-batch boundaries deliberately cut mid-segment, the
+    foreachBatch handler applies each ALTER to a live registry state
+    (persisted per batch id — the schema-event checkpoint T5), and every
+    data row routes to the schema version in effect AT ITS POSITION.
+    The oracle is the batch as-of routing (cdc_schema_version_routing's
+    SQL) — a hash match proves the streaming barrier reproduces the
+    as-of semantics exactly, with the registry STARTING at version 1
+    and every later version arriving mid-stream.
+
+    Scale shape: per micro-batch the driver touches only the DDL rows
+    (bounded control plane) and one constant-size state file; data rows
+    take a broadcast interval join, map-side. The final aggregate is the
+    same partial-aggregated count as the batch twin."""
+    import tempfile as _tf
+
+    from mysql_streamer_spark.streaming.ddl_barrier import (
+        run_ddl_barrier_stream,
+        stage_barrier_feed,
+    )
+
+    work = _tf.mkdtemp(prefix="mss_ddl_barrier_")
+    src, out, ckpt, state = (
+        f"{work}/src",
+        f"{work}/out",
+        f"{work}/ckpt",
+        f"{work}/state",
+    )
+    stage_barrier_feed(spark, sf_dir, src)
+    run_ddl_barrier_stream(spark, src, out, ckpt, state)
+    routed = read_sink(spark, out)
+    return routed.groupBy("database", "table", "version", "schema_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+def _ddl_barrier_oracle() -> str:
+    from mysql_streamer_spark.queries.schema_registry import (
+        _version_routing_oracle,
+    )
+
+    return _version_routing_oracle()
+
+
 SPECS = [
     QuerySpec(
         "streaming_envelope",
         q_streaming_envelope,
         _ORACLE_PIPELINE_CTES + _ENVELOPE_SELECT,
+    ),
+    QuerySpec(
+        "streaming_ddl_barrier",
+        q_streaming_ddl_barrier,
+        _ddl_barrier_oracle(),
     ),
     QuerySpec("streaming_late_data", q_streaming_late_data, _LATE_DATA_ORACLE),
     QuerySpec(
