@@ -2168,6 +2168,52 @@ def point_in_time_state(
     )
 
 
+def q_cdc_jdbc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 end-to-end: snapshot a LIVE JDBC source database through the
+    partitioned snapshot reader and hash-match the result against the
+    direct parquet read — the reference's consistent-cut dump semantics
+    (mysql_tools.py:48-69 --single-transaction) verified against a real
+    database, not a mock. The source is an embedded Apache Derby seeded
+    from the nation dimension (no MySQL exists in-sandbox; Derby is a
+    real transactional JDBC engine already on Spark's classpath), and the
+    read back out is the production path: spark.read.format('jdbc') with
+    a primary-key partitionColumn, so 4 executors each pull one key range
+    in parallel — the same plan a 100 TB backfill takes with
+    num_partitions sized to the cluster.
+
+    Scale shape: the seeding is a bounded driver-side fixture (25 rows);
+    the snapshot READ is the distributed operator under test."""
+    from mysql_streamer_spark.connectors.jdbc import (
+        DERBY_DRIVER,
+        embedded_derby_fixture,
+        jdbc_snapshot,
+    )
+    from mysql_streamer_spark.tables import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    url = embedded_derby_fixture(spark, nation, "nation")
+    snap = jdbc_snapshot(
+        spark,
+        url=url,
+        table="nation",
+        partition_column="n_nationkey",
+        lower_bound=0,
+        upper_bound=25,
+        num_partitions=4,
+        driver=DERBY_DRIVER,
+    )
+    # Derby normalizes unquoted identifiers to upper case; project back to
+    # the canonical column names (and exact int width) of the source table
+    return snap.select(
+        F.col("N_NATIONKEY").cast("int").alias("n_nationkey"),
+        F.col("N_NAME").alias("n_name"),
+        F.col("N_REGIONKEY").cast("int").alias("n_regionkey"),
+    )
+
+
+_JDBC_SNAPSHOT_ORACLE = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
+
 def q_cdc_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The registered fixture form: state AS OF the end of binlog file
     PIT_AS_OF_FILE - 1 (see point_in_time_state for semantics + shape)."""
@@ -2384,6 +2430,7 @@ SPECS = [
     ),
     QuerySpec("cdc_compacted_table", q_cdc_compacted_table, _COMPACTED_ORACLE),
     QuerySpec("cdc_gtid_positions", q_cdc_gtid_positions, _GTID_ORACLE),
+    QuerySpec("cdc_jdbc_snapshot", q_cdc_jdbc_snapshot, _JDBC_SNAPSHOT_ORACLE),
     QuerySpec("cdc_whitelist_envelope", q_cdc_whitelist_envelope, _WHITELIST_ORACLE),
     QuerySpec("cdc_scd2_history", q_cdc_scd2_history, _SCD2_ORACLE),
     QuerySpec("cdc_snapshot_reconcile", q_cdc_snapshot_reconcile, _RECONCILE_ORACLE),
