@@ -69,16 +69,173 @@ def fake_decoder(media_type: str, payload: bytes) -> dict:
     }
 
 
-def real_image_decoder(media_type: str, payload: bytes) -> dict:
-    """The production decode hook. Deliberately a stub: PIL/torchvision/
-    librosa/av are not installed in this environment. Swapping this in for
-    ``fake_decoder`` is the ONLY change needed — schema, Arrow batching and
-    partitioning are identical."""
-    raise NotImplementedError(
-        "media decoding libraries are not available in this container; "
-        "plug a real decoder with the same (media_type, payload) -> dict "
-        "contract"
+# ---------------------------------------------------------------------------
+# real image codec: pure-Python PNG (W3C PNG spec / RFC 2083) with a guarded
+# PIL fast path — the decode stage stops being a stub wherever the payload
+# is PNG, which the in-repo encoder guarantees for the synthetic corpus
+# ---------------------------------------------------------------------------
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+#: channels per PNG color type (8-bit, non-interlaced support only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def pil_available() -> bool:
+    """Probe for Pillow (same guarded-import pattern as the spark-avro jar
+    probe): where it exists the decoder takes the C fast path; the pure
+    decoder below is the always-available fallback."""
+    try:  # pragma: no cover - depends on environment
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
     )
+
+
+def png_encode(width: int, height: int, pixels: bytes, channels: int = 1) -> bytes:
+    """Minimal standards-compliant PNG writer: 8-bit grayscale (1 channel)
+    or RGB (3), filter type 0 per scanline, one zlib IDAT."""
+    import struct
+    import zlib
+
+    if len(pixels) != width * height * channels:
+        raise ValueError(
+            f"pixel buffer is {len(pixels)} bytes; {width}x{height}x{channels} "
+            f"needs {width * height * channels}"
+        )
+    color_type = {1: 0, 3: 2}[channels]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    stride = width * channels
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter type None
+        raw += pixels[y * stride : (y + 1) * stride]
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-Python PNG reader -> (width, height, channels, pixel bytes).
+
+    Supports 8-bit depth, color types 0/2/4/6, all five scanline filters
+    (None/Sub/Up/Average/Paeth per the spec), non-interlaced only; chunk
+    CRCs are verified so a corrupted payload fails loudly instead of
+    yielding garbage features."""
+    import struct
+    import zlib
+
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG: bad signature")
+    pos, width, height, channels = 8, None, None, None
+    idat = bytearray()
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} fails CRC")
+        if ctype == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    f"unsupported PNG variant (depth={depth}, "
+                    f"color_type={color_type}, interlace={interlace})"
+                )
+            channels = _PNG_CHANNELS[color_type]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or channels is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG IDAT length does not match dimensions")
+    out = bytearray(height * stride)
+    bpp = channels
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        prior = out[(y - 1) * stride : y * stride] if y else bytes(stride)
+        if ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prior[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + (a + prior[x]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                c = prior[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + _paeth(a, prior[x], c)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y * stride : (y + 1) * stride] = line
+    return width, height, channels, bytes(out)
+
+
+def real_image_decoder(media_type: str, payload: bytes) -> dict:
+    """The production decode hook, same contract as fake_decoder but over
+    DECODED PIXELS: images decode through PIL where installed (guarded
+    probe) and through the pure-Python PNG reader otherwise, so the path
+    is real wherever the bytes are PNG. Audio/video decode still requires
+    external codecs (librosa/av) and fails loudly."""
+    if media_type != "image":
+        raise NotImplementedError(
+            f"no {media_type} codec in this environment; plug a decoder "
+            "with the same (media_type, payload) -> dict contract"
+        )
+    if pil_available():  # pragma: no cover - environment-dependent
+        import io
+
+        import PIL.Image
+
+        img = PIL.Image.open(io.BytesIO(payload))
+        pixels = img.tobytes()
+    else:
+        _w, _h, _c, pixels = png_decode(payload)
+    hist = [0] * N_HIST_BINS
+    for b in pixels:
+        hist[b * N_HIST_BINS // 256] += 1
+    return {
+        "n_bytes": len(payload),
+        "mean_byte": (sum(pixels) / len(pixels)) if pixels else 0.0,
+        "byte_hist": hist,
+    }
 
 
 def extract_features(

@@ -169,6 +169,98 @@ def q_cdc_heartbeat_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Staleness-alert threshold over the heartbeat side channel. The reference
+#: fires a Sensu alert when replication delay exceeds
+#: max_delay_allowed_in_seconds = 600 (simple_binlog_stream_reader_wrapper
+#: .py:81-124, failure_recovery_test.py:148); the fixture's heartbeat
+#: cadence is minutes not seconds, so the SLO is scaled to its clock —
+#: the RULE (gap > threshold -> warning, > 2x -> critical) is the
+#: reference's two-level check-status semantics verbatim.
+ALERT_GAP_THRESHOLD_S = 7200
+
+
+def q_cdc_lag_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8's alerting half: evaluate the replication-staleness rule over the
+    heartbeat stream and emit one alert ROW per breach — the queryable
+    form of the reference's Sensu emission (an alert fires when the gap
+    since the previous heartbeat exceeds the SLO; 'critical' above 2x,
+    'warning' above 1x, mirroring Sensu's two statuses).
+
+    Scale shape: the global order-by-serial lag is DECOMPOSED so no
+    unbounded domain ever lands on one partition — lag() runs partitioned
+    by binlog file (heartbeats within a file are one bounded group), and
+    first-in-file rows take the previous file's last heartbeat from a
+    per-FILE summary frame (one row per binlog file, ~3 orders of
+    magnitude smaller than the heartbeat stream and operationally bounded
+    by binlog retention) whose carry-forward window is the only
+    unpartitioned step. The summary joins back by broadcast."""
+    hb = heartbeat_stream(spark, sf_dir).withColumn(
+        "file_num", F.split_part(F.col("log_file"), F.lit("."), F.lit(2)).cast("long")
+    )
+    w_in = Window.partitionBy("file_num").orderBy("serial")
+    hb = hb.withColumn("prev_ts_in_file", F.lag("timestamp").over(w_in))
+
+    files = hb.groupBy("file_num").agg(
+        F.max_by("timestamp", "serial").alias("file_last_ts")
+    )
+    w_files = (
+        Window.orderBy("file_num")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    files = files.select(
+        "file_num",
+        F.last("file_last_ts").over(w_files).alias("prev_file_last_ts"),
+    )
+    gap_base = F.coalesce(F.col("prev_ts_in_file"), F.col("prev_file_last_ts"))
+    gap_s = (F.unix_timestamp("timestamp") - F.unix_timestamp(gap_base)).cast(
+        "long"
+    )
+    return (
+        hb.join(F.broadcast(files), "file_num")
+        .withColumn("gap_s", gap_s)
+        .filter(F.col("gap_s") > ALERT_GAP_THRESHOLD_S)
+        .select(
+            "serial",
+            "timestamp",
+            "log_file",
+            "log_pos",
+            "gap_s",
+            F.lit(ALERT_GAP_THRESHOLD_S).cast("long").alias("threshold_s"),
+            F.when(
+                F.col("gap_s") > 2 * ALERT_GAP_THRESHOLD_S, F.lit("critical")
+            )
+            .otherwise(F.lit("warning"))
+            .alias("severity"),
+            F.lit("replication_stale").alias("alert_kind"),
+        )
+    )
+
+
+def _lag_alerts_oracle() -> str:
+    return (
+        "WITH "
+        + ORACLE_CDC_EVENTS_CTE
+        + f"""
+, hbs AS (
+  SELECT event_id AS serial, timestamp, log_file, log_pos
+  FROM cdc WHERE database = 'yelp_heartbeat'
+), g AS (
+  SELECT serial, timestamp, log_file, log_pos,
+    CAST(floor(epoch(timestamp)) AS BIGINT)
+      - CAST(floor(epoch(lag(timestamp) OVER (ORDER BY serial))) AS BIGINT)
+      AS gap_s
+  FROM hbs
+)
+SELECT serial, timestamp, log_file, log_pos, gap_s,
+  CAST({ALERT_GAP_THRESHOLD_S} AS BIGINT) AS threshold_s,
+  CASE WHEN gap_s > {2 * ALERT_GAP_THRESHOLD_S} THEN 'critical'
+       ELSE 'warning' END AS severity,
+  'replication_stale' AS alert_kind
+FROM g WHERE gap_s > {ALERT_GAP_THRESHOLD_S}
+"""
+    )
+
+
 def q_cdc_offset_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R5 (heartbeat searcher): timestamp -> position. Latest heartbeat at
     or before the target timestamp; the reference scans binlog files
@@ -2431,6 +2523,7 @@ SPECS = [
     QuerySpec("cdc_compacted_table", q_cdc_compacted_table, _COMPACTED_ORACLE),
     QuerySpec("cdc_gtid_positions", q_cdc_gtid_positions, _GTID_ORACLE),
     QuerySpec("cdc_jdbc_snapshot", q_cdc_jdbc_snapshot, _JDBC_SNAPSHOT_ORACLE),
+    QuerySpec("cdc_lag_alerts", q_cdc_lag_alerts, _lag_alerts_oracle()),
     QuerySpec("cdc_whitelist_envelope", q_cdc_whitelist_envelope, _WHITELIST_ORACLE),
     QuerySpec("cdc_scd2_history", q_cdc_scd2_history, _SCD2_ORACLE),
     QuerySpec("cdc_snapshot_reconcile", q_cdc_snapshot_reconcile, _RECONCILE_ORACLE),

@@ -143,6 +143,44 @@ def stage_barrier_feed(spark: SparkSession, sf_dir: str, src_dir: str) -> int:
     return n
 
 
+def dim_from_interval_rows(
+    spark: SparkSession,
+    rows: list[tuple[str, str, int, int, str, str | None]],
+) -> DataFrame:
+    """Interval rows -> the typed version dimension frame."""
+    return spark.createDataFrame(
+        rows,
+        "database string, table string, version int, schema_id int, "
+        "eff_ts string, eff_end string",
+    ).select(
+        F.col("database").alias("d_db"),
+        F.col("table").alias("d_table"),
+        "version",
+        "schema_id",
+        F.to_timestamp("eff_ts").alias("eff_ts"),
+        F.to_timestamp("eff_end").alias("eff_end"),
+    )
+
+
+def route_data_events(feed: DataFrame, dim: DataFrame) -> DataFrame:
+    """The barrier's data plane: DataEvents -> (db, table, version,
+    schema_id, ts) via ONE broadcast interval join against the version
+    dimension — each row matches exactly one validity interval, map-side.
+    Pure over any feed (batch inside foreachBatch, or a streaming frame
+    for plan audits)."""
+    # data rows carry NULL version/schema_id placeholders — drop them so
+    # the routed values come unambiguously from the dimension
+    dml = feed.filter(F.col("kind") == "dml").select("database", "table", "ts")
+    return dml.join(
+        F.broadcast(dim),
+        (dml.database == dim.d_db)
+        & (dml.table == dim.d_table)
+        & (dml.ts >= dim.eff_ts)
+        & (dim.eff_end.isNull() | (dml.ts < dim.eff_end)),
+        "inner",
+    ).select("database", "table", "version", "schema_id", "ts")
+
+
 class DdlBarrierHandler:
     """The foreachBatch barrier: apply this batch's QueryEvents to the live
     registry state (persisted per batch id — T5's schema-event checkpoint),
@@ -249,31 +287,8 @@ class DdlBarrierHandler:
                 "(state checkpointed, data unwritten)"
             )
 
-        dim = spark.createDataFrame(
-            self._dim_rows(),
-            "database string, table string, version int, schema_id int, "
-            "eff_ts string, eff_end string",
-        ).select(
-            F.col("database").alias("d_db"),
-            F.col("table").alias("d_table"),
-            "version",
-            "schema_id",
-            F.to_timestamp("eff_ts").alias("eff_ts"),
-            F.to_timestamp("eff_end").alias("eff_end"),
-        )
-        # data rows carry NULL version/schema_id placeholders — drop them so
-        # the routed values come unambiguously from the dimension
-        dml = batch_df.filter(F.col("kind") == "dml").select(
-            "database", "table", "ts"
-        )
-        routed = dml.join(
-            F.broadcast(dim),
-            (dml.database == dim.d_db)
-            & (dml.table == dim.d_table)
-            & (dml.ts >= dim.eff_ts)
-            & (dim.eff_end.isNull() | (dml.ts < dim.eff_end)),
-            "inner",
-        ).select("database", "table", "version", "schema_id", "ts")
+        dim = dim_from_interval_rows(spark, self._dim_rows())
+        routed = route_data_events(batch_df, dim)
         routed.write.mode("overwrite").parquet(
             f"{self.out_dir}/batch_id={batch_id}"
         )

@@ -36,9 +36,16 @@ def test_video_branch_samples_frames():
     assert sum(full["byte_hist"]) == 6
 
 
-def test_real_decoder_is_an_explicit_stub():
-    with pytest.raises(NotImplementedError, match="decoder"):
-        real_image_decoder("image", b"\x89PNG")
+def test_real_decoder_contract():
+    """Images decode FOR REAL (pure PNG reader / PIL); audio and video
+    codecs are genuinely absent and stay explicit stubs; a malformed
+    image payload fails loudly rather than yielding garbage features."""
+    with pytest.raises(NotImplementedError, match="codec"):
+        real_image_decoder("audio", b"\x89PNG")
+    with pytest.raises(NotImplementedError, match="codec"):
+        real_image_decoder("video", b"\x89PNG")
+    with pytest.raises(ValueError, match="signature"):
+        real_image_decoder("image", b"\x89PNG")  # truncated signature
 
 
 def test_feature_extraction_is_map_only(spark, sf_dir):
@@ -46,3 +53,139 @@ def test_feature_extraction_is_map_only(spark, sf_dir):
     plan = extract_features(blobs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, "decode path must not shuffle"
     assert "MapInPandas" in plan
+
+
+# ---------------------------------------------------------------------------
+# real PNG codec (pure-Python, W3C spec) + guarded PIL parity
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_gray_and_rgb():
+    from mysql_streamer_spark.multimodal import png_decode, png_encode
+
+    gray = bytes(range(64)) * 4  # 16x16 grayscale
+    w, h, c, px = png_decode(png_encode(16, 16, gray, channels=1))
+    assert (w, h, c, px) == (16, 16, 1, gray)
+
+    rgb = bytes((i * 7) % 256 for i in range(5 * 4 * 3))
+    w, h, c, px = png_decode(png_encode(5, 4, rgb, channels=3))
+    assert (w, h, c, px) == (5, 4, 3, rgb)
+
+
+def test_png_decode_unfilters_all_filter_types():
+    """Hand-built IDAT exercising Sub/Up/Average/Paeth — the branches the
+    in-repo encoder (filter 0 only) never emits but PIL-written files use."""
+    import struct
+    import zlib
+
+    from mysql_streamer_spark.multimodal import (
+        PNG_SIGNATURE,
+        _png_chunk,
+        png_decode,
+    )
+
+    width, height = 4, 5
+    expected = [
+        bytes([10, 20, 30, 40]),  # filter 0: literal
+        bytes([5, 15, 35, 75]),   # filter 1 (Sub): deltas 5,10,20,40
+        bytes([7, 25, 36, 90]),   # filter 2 (Up): prior + deltas
+        bytes([10, 20, 40, 80]),  # filter 3 (Average)
+        bytes([12, 24, 48, 96]),  # filter 4 (Paeth)
+    ]
+    raw = bytearray()
+    raw += b"\x00" + expected[0]
+    raw += b"\x01" + bytes([5, 10, 20, 40])
+    # Up: x = raw + prior
+    raw += b"\x02" + bytes(
+        (e - p) & 0xFF for e, p in zip(expected[2], expected[1])
+    )
+    # Average: x = raw + (left + up)//2
+    line3 = bytearray()
+    left = 0
+    for i in range(width):
+        v = (expected[3][i] - (left + expected[2][i]) // 2) & 0xFF
+        line3.append(v)
+        left = expected[3][i]
+    raw += b"\x03" + bytes(line3)
+    # Paeth: x = raw + paeth(left, up, upleft)
+    from mysql_streamer_spark.multimodal import _paeth
+
+    line4 = bytearray()
+    for i in range(width):
+        a = expected[4][i - 1] if i else 0
+        b = expected[3][i]
+        c = expected[3][i - 1] if i else 0
+        line4.append((expected[4][i] - _paeth(a, b, c)) & 0xFF)
+    raw += b"\x04" + bytes(line4)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    payload = (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    w, h, c, px = png_decode(payload)
+    assert (w, h, c) == (width, height, 1)
+    assert px == b"".join(expected)
+
+
+def test_png_decode_rejects_corruption():
+    import pytest
+
+    from mysql_streamer_spark.multimodal import png_decode, png_encode
+
+    good = png_encode(8, 2, bytes(16), channels=1)
+    bad = bytearray(good)
+    bad[40] ^= 0xFF  # flip a byte inside a chunk body
+    with pytest.raises(ValueError, match="CRC|signature|IDAT"):
+        png_decode(bytes(bad))
+    with pytest.raises(ValueError, match="signature"):
+        png_decode(b"JUNK" + good[4:])
+
+
+def test_real_image_decoder_pixel_stats():
+    from mysql_streamer_spark.multimodal import (
+        N_HIST_BINS,
+        png_encode,
+        real_image_decoder,
+    )
+
+    pixels = bytes([0, 64, 128, 255])
+    feats = real_image_decoder("image", png_encode(4, 1, pixels, channels=1))
+    assert feats["mean_byte"] == sum(pixels) / 4
+    assert sum(feats["byte_hist"]) == 4
+    assert len(feats["byte_hist"]) == N_HIST_BINS
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="audio"):
+        real_image_decoder("audio", b"\x00")
+
+
+def test_png_pil_parity():
+    """Where Pillow exists: our encoder's files open in PIL byte-for-byte,
+    and PIL-written PNGs (with PIL's own filter choices) decode identically
+    through the pure reader. Skips where PIL is absent."""
+    import pytest
+
+    from mysql_streamer_spark.multimodal import (
+        pil_available,
+        png_decode,
+        png_encode,
+    )
+
+    if not pil_available():
+        pytest.skip("Pillow not installed in this environment")
+    import io
+
+    import PIL.Image
+
+    pixels = bytes((i * 13) % 256 for i in range(32 * 8))
+    ours = png_encode(32, 8, pixels, channels=1)
+    img = PIL.Image.open(io.BytesIO(ours))
+    assert img.size == (32, 8) and img.tobytes() == pixels
+
+    buf = io.BytesIO()
+    PIL.Image.frombytes("L", (32, 8), pixels).save(buf, format="PNG")
+    w, h, c, px = png_decode(buf.getvalue())
+    assert (w, h, c, px) == (32, 8, 1, pixels)

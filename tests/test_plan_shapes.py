@@ -166,6 +166,10 @@ _SKIP = {
     "streaming_python_source",
     "streaming_partitioned_source",
     "streaming_incremental_agg",
+    # stages a feed and drains a checkpointed stream at build time; the
+    # routing join is plan-audited via cdc_schema_version_routing (its
+    # batch twin), the final aggregate via the sink read
+    "streaming_ddl_barrier",
 }
 
 
@@ -175,9 +179,9 @@ def test_allowlists_are_count_pinned():
     written bounded-domain justification every entry must carry
     (VERDICT r7 #7). Update the count IN THE SAME COMMIT as the entry."""
     assert len(_BNLJ_OK) == 61
-    assert len(_SKIP) == 6
-    assert len(_SINGLE_PARTITION_OK) == 65
-    assert len(_UNPARTITIONED_WINDOW_OK) == 13
+    assert len(_SKIP) == 7
+    assert len(_SINGLE_PARTITION_OK) == 66
+    assert len(_UNPARTITIONED_WINDOW_OK) == 14
     assert len(_ZERO_SHUFFLE) == 6
 
 
@@ -362,6 +366,9 @@ _SINGLE_PARTITION_OK = {
     # one 1-row scalar-stats aggregate per audited column (the ANALYZE
     # TABLE surface)
     "analytics_column_stats",
+    # carry-forward window over the per-binlog-FILE summary frame (one
+    # row per file; see _UNPARTITIONED_WINDOW_OK entry)
+    "cdc_lag_alerts",
 }
 
 
@@ -408,6 +415,11 @@ _UNPARTITIONED_WINDOW_OK = {
     "dedup_shingle_df_profile",
     # rank/cumsum over the top-ZIPF_TOP_K (=64-row) sort-limit only
     "text_zipf_fit",
+    # carry-forward over the per-binlog-FILE summary frame (one row per
+    # file, ~1000x smaller than the heartbeat stream and operationally
+    # bounded by binlog retention); the heartbeat-level lag itself is
+    # partitioned by file
+    "cdc_lag_alerts",
 }
 
 
@@ -588,7 +600,34 @@ def _streaming_frames(spark, sf_dir):
             ),
             ["Aggregate"],
         ),
+        # the per-batch routing is the IDENTICAL route_data_events the
+        # handler applies inside foreachBatch, here over the streaming
+        # feed against the final-state dimension: one broadcast interval
+        # join, no cartesian
+        "streaming_ddl_barrier": (
+            _ddl_barrier_frame(spark, sf_dir),
+            ["StreamingRelation", "Join"],
+        ),
     }
+
+
+def _ddl_barrier_frame(spark, sf_dir):
+    import tempfile
+
+    from mysql_streamer_spark.schema.bootstrap import versioned_dim_rows
+    from mysql_streamer_spark.streaming.ddl_barrier import (
+        FEED_SCHEMA,
+        dim_from_interval_rows,
+        route_data_events,
+        stage_barrier_feed,
+    )
+
+    src = tempfile.mkdtemp(prefix="mss_barrier_audit_") + "/src"
+    stage_barrier_feed(spark, sf_dir, src)
+    feed = spark.readStream.schema(FEED_SCHEMA).parquet(src)
+    return route_data_events(
+        feed, dim_from_interval_rows(spark, versioned_dim_rows())
+    )
 
 
 def test_streaming_plans_audited_via_logical_composition(spark, sf_dir):

@@ -414,7 +414,9 @@ def _materialize_scaled_sf(
             os.symlink(table_path(sf_dir, name), dst)
 
 
-def probe_bench_top5(spark, sf_dir: str, ks=(1, 4, 10), names=_TOP5_BENCH) -> None:
+def probe_bench_top5(
+    spark, sf_dir: str, ks=(1, 4, 10), names=_TOP5_BENCH, relational: bool = False
+) -> None:
     """Wall clock of the named registry queries at k-fold input, run
     through the REGISTRY (same code path as bench/driver). The noop-format
     write forces full materialization of every column (a bare count()
@@ -429,7 +431,7 @@ def probe_bench_top5(spark, sf_dir: str, ks=(1, 4, 10), names=_TOP5_BENCH) -> No
     for k in ks:
         tmp = tempfile.mkdtemp(prefix=f"scale_probe_sf_k{k}_")
         try:
-            _materialize_scaled_sf(spark, sf_dir, k, tmp)
+            _materialize_scaled_sf(spark, sf_dir, k, tmp, relational=relational)
             for name in names:
                 t0 = time.time()
                 specs[name].fn(spark, tmp).write.format("noop").mode(
@@ -478,13 +480,19 @@ def main() -> int:
         names = tuple(sys.argv[2].split(","))
         rest = sys.argv[3:]
         ks = (1, 4, 10)
+        relational = "--relational" in rest
+        rest = [a for a in rest if a != "--relational"]
         if "--ks" in rest:
             i = rest.index("--ks")
             ks = tuple(int(x) for x in rest[i + 1].split(","))
             rest = rest[:i] + rest[i + 2 :]
         sf_dir = rest[0] if rest else "/root/testdata/sf0.1"
         probe_bench_top5(
-            get_spark("scale_probe_named"), sf_dir, ks=ks, names=names
+            get_spark("scale_probe_named"),
+            sf_dir,
+            ks=ks,
+            names=names,
+            relational=relational,
         )
         return 0
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
