@@ -412,3 +412,99 @@ def test_gtid_union_branch_selection_matches_java(spark):
         avro_json = json.dumps(_to_avro_json(union_schema, value))
         theirs = _java_encode(spark, json.dumps(union_schema), avro_json)
         assert bytes(out) == theirs, f"union mismatch for {value}"
+
+
+def _java_decode_resolved(spark, writer_json: str, reader_json: str, payload: bytes):
+    """Binary (writer schema) -> GenericRecord under READER schema via
+    Java's ResolvingDecoder — the independent implementation of the
+    spec's schema-resolution rules."""
+    jvm = spark._jvm
+    parser = jvm.org.apache.avro.Schema.Parser()
+    w = parser.parse(writer_json)
+    r = jvm.org.apache.avro.Schema.Parser().parse(reader_json)
+    dec = jvm.org.apache.avro.io.DecoderFactory.get().binaryDecoder(
+        payload, None
+    )
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(w, r)
+    return reader.read(None, dec)
+
+
+def test_confluent_frame_resolution_matches_java(spark):
+    """The Confluent consumer path differentially pinned: a v1-written
+    envelope body (header stripped) is resolved under the v2 reader by
+    BOTH our decode_resolved and Java's ResolvingDecoder; every field —
+    including the int->long-promoted meta position — must agree."""
+    from mysql_streamer_spark.connectors.avro_wire import (
+        CONFLUENT_MAGIC,
+        ENVELOPE_SCHEMA,
+        ENVELOPE_SCHEMA_V2,
+        compile_encoder,
+        decode_resolved,
+    )
+
+    row = {
+        "schema_id": 1001,
+        "cluster_name": "refresh_primary",
+        "database_name": "yelp",
+        "table_name": "business",
+        "message_type": "insert",
+        "timestamp": 1704067200123456,
+        "log_file": "binlog.000009",
+        "log_pos": 2147483000,  # near the v1 int ceiling
+        "offset": 0,
+        "txn_order": 11,
+        "pk": 8,
+        "payload_k": 2,
+        "payload_val": -0.5,
+        "previous_payload_val": None,
+        "meta": [
+            {
+                "cluster_name": "refresh_primary",
+                "log_file": "binlog.000009",
+                "log_pos": 2147483000,
+            }
+        ],
+    }
+    body = bytearray()
+    compile_encoder(ENVELOPE_SCHEMA)(row, body)
+    frame = bytes([CONFLUENT_MAGIC]) + (1001).to_bytes(4, "big") + bytes(body)
+
+    # our strict consumer
+    assert frame[0] == 0x00
+    sid = int.from_bytes(frame[1:5], "big")
+    assert sid == 1001
+    ours, end = decode_resolved(ENVELOPE_SCHEMA, ENVELOPE_SCHEMA_V2, frame, 5)
+    assert end == len(frame)
+
+    theirs = _java_decode_resolved(
+        spark,
+        json.dumps(ENVELOPE_SCHEMA),
+        json.dumps(ENVELOPE_SCHEMA_V2),
+        bytes(body),
+    )
+    for f in (
+        "schema_id",
+        "cluster_name",
+        "database_name",
+        "table_name",
+        "message_type",
+        "timestamp",
+        "log_file",
+        "log_pos",
+        "offset",
+        "txn_order",
+        "pk",
+        "payload_k",
+        "payload_val",
+        "previous_payload_val",
+    ):
+        jv = theirs.get(f)
+        if jv is not None and not isinstance(jv, (int, float, bool)):
+            jv = str(jv)
+        assert ours[f] == jv, f"field {f}: ours={ours[f]!r} java={jv!r}"
+    jmeta = theirs.get("meta")
+    assert jmeta.size() == 1 and len(ours["meta"]) == 1
+    jm = jmeta.get(0)
+    assert ours["meta"][0]["log_pos"] == jm.get("log_pos")
+    assert isinstance(ours["meta"][0]["log_pos"], int)
+    assert str(jm.get("log_file")) == ours["meta"][0]["log_file"]
