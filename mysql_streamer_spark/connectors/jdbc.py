@@ -11,6 +11,7 @@ without a live database).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 DEFAULT_FETCH_SIZE = 10_000
 
@@ -123,3 +124,71 @@ def embedded_derby_fixture(spark: SparkSession, df: DataFrame, table: str) -> st
     finally:
         conn.close()
     return url
+
+
+def execute_statements(spark: SparkSession, url: str, statements: list[str]) -> None:
+    """Run DDL/DML statements against a JDBC database (driver-side control
+    plane — the mutation half of a snapshot-diff test cycle)."""
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        for sql in statements:
+            st.executeUpdate(sql)
+        st.close()
+    finally:
+        conn.close()
+
+
+def snapshot_diff(before: DataFrame, after: DataFrame, keys: list[str]) -> DataFrame:
+    """Consistent-snapshot diff -> CDC change events: the batch-CDC pattern
+    for sources with no binlog (and the reference's full-refresh backfill
+    semantics — a `_data_pipeline_refresh` pass is exactly 'replay the
+    current snapshot as changes', low_level_binlog_stream_reader_wrapper
+    .py:114-127), computed declaratively.
+
+    Output: the key columns, ``message_type`` in {insert, update, delete},
+    and for every non-key column ``c`` the after image ``c`` (NULL on
+    delete) plus the before image ``before_c`` (NULL on insert).
+    Unchanged rows are omitted. Presence is judged on explicit join
+    markers, never on value nullness, and change on null-safe comparison
+    — a legitimately-NULL cell is a value, not an absence.
+
+    Scale shape: one equi shuffle per side on the key for the full-outer
+    join (AQE picks broadcast when a side is small); classification is a
+    map-side expression. At 100 TB this is the standard two-snapshot
+    reconciliation plan."""
+    from functools import reduce
+
+    non_keys = [c for c in before.columns if c not in keys]
+    b = before.select(
+        *keys,
+        *[F.col(c).alias(f"b_{c}") for c in non_keys],
+        F.lit(True).alias("in_b"),
+    )
+    a = after.select(
+        *keys,
+        *[F.col(c).alias(f"a_{c}") for c in non_keys],
+        F.lit(True).alias("in_a"),
+    )
+    j = b.join(a, keys, "full_outer")
+    changed = reduce(
+        lambda x, y: x | y,
+        [~F.col(f"b_{c}").eqNullSafe(F.col(f"a_{c}")) for c in non_keys],
+        F.lit(False),
+    )
+    mt = (
+        F.when(F.col("in_b").isNull(), F.lit("insert"))
+        .when(F.col("in_a").isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    return (
+        j.withColumn("message_type", mt)
+        .filter(F.col("message_type").isNotNull())
+        .select(
+            *keys,
+            "message_type",
+            *[F.col(f"a_{c}").alias(c) for c in non_keys],
+            *[F.col(f"b_{c}").alias(f"before_{c}") for c in non_keys],
+        )
+    )

@@ -2306,6 +2306,90 @@ def q_cdc_jdbc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JDBC_SNAPSHOT_ORACLE = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
 
 
+def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CDC against a LIVE database, end-to-end: seed embedded Derby
+    from the nation dim, run real UPDATE/DELETE/INSERT statements on it
+    over JDBC, snapshot the mutated table back through the partitioned
+    reader, and DIFF the two consistent snapshots into insert/update/
+    delete change events — the snapshot-reconciliation CDC pattern for
+    sources with no binlog, and the declarative form of the reference's
+    full-refresh backfill (the refresh table replays a snapshot as
+    changes). The oracle recomputes the same mutations declaratively from
+    the parquet table and takes the same diff, so a hash match proves
+    both the mutation cycle (the statements really executed) and the diff
+    semantics (presence by join markers, change by null-safe compare).
+
+    Mutation order matters and is pinned: updates apply before deletes,
+    so a key hit by both classifies as DELETED (the oracle replicates
+    exactly that order). Scale shape: the mutation statements are bounded
+    control plane; the diff is one full-outer equi join on the key."""
+    from mysql_streamer_spark.connectors.jdbc import (
+        DERBY_DRIVER,
+        embedded_derby_fixture,
+        execute_statements,
+        jdbc_snapshot,
+        snapshot_diff,
+    )
+    from mysql_streamer_spark.tables import load_table
+
+    before = load_table(spark, sf_dir, "nation")
+    url = embedded_derby_fixture(spark, before, "nation")
+    execute_statements(
+        spark,
+        url,
+        [
+            "UPDATE nation SET n_regionkey = n_regionkey + 1 "
+            "WHERE MOD(n_nationkey, 5) = 0",
+            "DELETE FROM nation WHERE MOD(n_nationkey, 7) = 3",
+            "INSERT INTO nation VALUES (100, 'ATLANTIS', 0), (101, 'LEMURIA', 1)",
+        ],
+    )
+    after = jdbc_snapshot(
+        spark,
+        url=url,
+        table="nation",
+        partition_column="n_nationkey",
+        lower_bound=0,
+        upper_bound=102,
+        num_partitions=4,
+        driver=DERBY_DRIVER,
+    ).select(
+        F.col("N_NATIONKEY").cast("int").alias("n_nationkey"),
+        F.col("N_NAME").alias("n_name"),
+        F.col("N_REGIONKEY").cast("int").alias("n_regionkey"),
+    )
+    return snapshot_diff(before, after, keys=["n_nationkey"])
+
+
+_SNAPSHOT_DIFF_ORACLE = """
+WITH after_t AS (
+  SELECT n_nationkey, n_name,
+         CASE WHEN n_nationkey % 5 = 0 THEN n_regionkey + 1
+              ELSE n_regionkey END AS n_regionkey
+  FROM nation WHERE n_nationkey % 7 <> 3
+  UNION ALL
+  SELECT * FROM (VALUES (100, 'ATLANTIS', 0), (101, 'LEMURIA', 1))
+    AS v(n_nationkey, n_name, n_regionkey)
+), j AS (
+  SELECT COALESCE(b.n_nationkey, a.n_nationkey) AS n_nationkey,
+         b.n_name AS b_name, b.n_regionkey AS b_reg,
+         a.n_name AS a_name, a.n_regionkey AS a_reg,
+         b.n_nationkey IS NULL AS no_before,
+         a.n_nationkey IS NULL AS no_after
+  FROM nation b FULL OUTER JOIN after_t a ON b.n_nationkey = a.n_nationkey
+)
+SELECT n_nationkey,
+  CASE WHEN no_before THEN 'insert'
+       WHEN no_after THEN 'delete'
+       ELSE 'update' END AS message_type,
+  a_name AS n_name, CAST(a_reg AS INT) AS n_regionkey,
+  b_name AS before_n_name, CAST(b_reg AS INT) AS before_n_regionkey
+FROM j
+WHERE no_before OR no_after
+   OR b_name IS DISTINCT FROM a_name OR b_reg IS DISTINCT FROM a_reg
+"""
+
+
 def q_cdc_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The registered fixture form: state AS OF the end of binlog file
     PIT_AS_OF_FILE - 1 (see point_in_time_state for semantics + shape)."""
@@ -2524,6 +2608,7 @@ SPECS = [
     QuerySpec("cdc_gtid_positions", q_cdc_gtid_positions, _GTID_ORACLE),
     QuerySpec("cdc_jdbc_snapshot", q_cdc_jdbc_snapshot, _JDBC_SNAPSHOT_ORACLE),
     QuerySpec("cdc_lag_alerts", q_cdc_lag_alerts, _lag_alerts_oracle()),
+    QuerySpec("cdc_snapshot_diff", q_cdc_snapshot_diff, _SNAPSHOT_DIFF_ORACLE),
     QuerySpec("cdc_whitelist_envelope", q_cdc_whitelist_envelope, _WHITELIST_ORACLE),
     QuerySpec("cdc_scd2_history", q_cdc_scd2_history, _SCD2_ORACLE),
     QuerySpec("cdc_snapshot_reconcile", q_cdc_snapshot_reconcile, _RECONCILE_ORACLE),

@@ -219,3 +219,28 @@ def test_embedded_derby_fixture_escapes_and_nulls(spark):
     back = jdbc_snapshot(spark, url=url, table="t", driver=DERBY_DRIVER)
     rows = {(r[0], r[1], r[2]) for r in back.collect()}
     assert rows == {(1, "O'Brien", None), (2, None, 2.5)}
+
+
+def test_snapshot_diff_classifies_on_presence_not_null_values(spark):
+    """A row whose value is legitimately NULL on one side is an UPDATE,
+    never a phantom insert/delete; NULL->NULL is unchanged and omitted."""
+    from mysql_streamer_spark.connectors.jdbc import snapshot_diff
+
+    before = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, None), (4, "gone")],
+        "pk int, val string",
+    )
+    after = spark.createDataFrame(
+        [(1, "now-set"), (2, None), (3, None), (5, None)],
+        "pk int, val string",
+    )
+    rows = {
+        (r.pk, r.message_type, r.val, r.before_val)
+        for r in snapshot_diff(before, after, keys=["pk"]).collect()
+    }
+    assert rows == {
+        (1, "update", "now-set", None),
+        (2, "update", None, "x"),
+        (4, "delete", None, "gone"),
+        (5, "insert", None, None),
+    }
