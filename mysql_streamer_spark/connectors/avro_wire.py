@@ -1255,3 +1255,150 @@ def confluent_to_envelope(wire, reader_meta_version: int = 2):
         "wire_schema_id int, header_ok boolean, meta_ok boolean"
     )
     return wire.mapInArrow(decode_batches, spark_schema)
+
+
+# ---------------------------------------------------------------------------
+# per-TABLE payload publish: the reference's actual Schematizer model — each
+# table's registry entry IS the writer schema; messages frame its id
+# ---------------------------------------------------------------------------
+
+
+def registry_payload_schemas() -> dict[int, dict]:
+    """schema_id -> the per-table Avro writer schema, for EVERY version the
+    registry ever issued (consumers must resolve any id that was ever
+    published) — the broadcastable codec half of the T1 schema cache."""
+    from mysql_streamer_spark.schema.bootstrap import bootstrap_registry
+
+    reg = bootstrap_registry()
+    out: dict[int, dict] = {}
+    for db, table in reg.tables():
+        for e in reg.history(db, table):
+            out[e.schema_id] = avro_schema_for_entry(e)
+    return out
+
+
+#: envelope payload columns -> registry column names (the fixture's tables
+#: are all CREATE TABLE (pk, k, val, ...); evolution columns have no
+#: envelope value and publish as their null branch)
+_PAYLOAD_FIELD_MAP = {"pk": "pk", "k": "payload_k", "val": "payload_val"}
+
+
+def payload_to_confluent(env):
+    """Envelope -> Confluent-framed PER-TABLE payload messages: each row's
+    payload is encoded with ITS OWN table's registered schema (selected by
+    the envelope's schema_id — the reference's message_builder encodes
+    payload_data against exactly the schema the Schematizer returned,
+    util/message_builder.py:51-78 + schema_wrapper.py:97-141) and framed
+    magic + big-endian id. ``txn_order`` rides alongside as the plaintext
+    message key. Rows with no registered schema (the rename cache-reset
+    window) cannot be published by a strict producer and are filtered,
+    exactly like the reference blocking on registration.
+
+    Scale shape: mapInArrow over the envelope partitioning; encoders are
+    compiled once per task from the broadcast registry dict."""
+    import pyarrow as pa
+
+    from pyspark.sql import functions as F
+
+    schemas = registry_payload_schemas()
+
+    def encode_batches(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        encoders: dict[int, tuple] = {}
+        for sid, schema in schemas.items():
+            enc = compile_encoder(schema)
+            names = [f["name"] for f in schema["fields"]]
+            encoders[sid] = (enc, names)
+        for batch in batches:
+            out, keys = [], []
+            for row in batch.to_pylist():
+                sid = row["schema_id"]
+                enc, names = encoders[sid]
+                rec = {
+                    name: row.get(_PAYLOAD_FIELD_MAP.get(name, "\x00missing"))
+                    for name in names
+                }
+                buf = bytearray()
+                buf.append(CONFLUENT_MAGIC)
+                buf.extend(sid.to_bytes(4, "big"))
+                enc(rec, buf)
+                out.append(bytes(buf))
+                keys.append(row["txn_order"])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(keys, pa.int64()),
+                    pa.array(out, pa.binary()),
+                ],
+                ["txn_order", "value"],
+            )
+
+    flat = env.filter(F.col("schema_id").isNotNull()).select(
+        "schema_id", "txn_order", "pk", "payload_k", "payload_val"
+    )
+    return flat.mapInArrow(encode_batches, "txn_order long, value binary")
+
+
+def confluent_payload_decode(wire):
+    """Standard consumer for per-table payload messages: resolve the writer
+    schema BY THE FRAMED ID from the registry, decode, and recover the
+    table IDENTITY from the schema itself (record name + namespace carry
+    db.table — nothing but the header names the table), plus the payload
+    columns. A hash match against the envelope oracle therefore proves id
+    -> schema -> identity -> values, end to end."""
+    import pyarrow as pa
+
+    schemas = registry_payload_schemas()
+
+    out_schema = pa.schema(
+        [
+            pa.field("schema_id", pa.int32()),
+            pa.field("database_name", pa.string()),
+            pa.field("table_name", pa.string()),
+            pa.field("txn_order", pa.int64()),
+            pa.field("pk", pa.int64()),
+            pa.field("payload_k", pa.int32()),
+            pa.field("payload_val", pa.float64()),
+            pa.field("header_ok", pa.bool_()),
+        ]
+    )
+
+    def decode_batches(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        decoders: dict[int, tuple] = {}
+        for sid, schema in schemas.items():
+            decoders[sid] = (
+                compile_decoder(schema),
+                schema["namespace"].rsplit(".", 1)[-1],
+                schema["name"],
+            )
+        for batch in batches:
+            cols: dict[str, list] = {f.name: [] for f in out_schema}
+            keys = batch.column(0).to_pylist()
+            for i, raw in enumerate(batch.column(1).to_pylist()):
+                if len(raw) < 5 or raw[0] != CONFLUENT_MAGIC:
+                    raise ValueError("bad Confluent header")
+                sid = int.from_bytes(raw[1:5], "big")
+                if sid not in decoders:
+                    raise ValueError(f"unregistered schema id {sid}")
+                dec, db, table = decoders[sid]
+                rec, end = dec(raw[5:], 0)
+                if end + 5 != len(raw):
+                    raise ValueError("trailing bytes after avro record")
+                cols["schema_id"].append(sid)
+                cols["database_name"].append(db)
+                cols["table_name"].append(table)
+                cols["txn_order"].append(keys[i])
+                cols["pk"].append(rec["pk"])
+                k = rec.get("k")
+                cols["payload_k"].append(None if k is None else int(k))
+                cols["payload_val"].append(rec.get("val"))
+                cols["header_ok"].append(True)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[f.name], f.type) for f in out_schema],
+                schema=out_schema,
+            )
+
+    return wire.mapInArrow(
+        decode_batches,
+        "schema_id int, database_name string, table_name string, "
+        "txn_order long, pk long, payload_k int, payload_val double, "
+        "header_ok boolean",
+    )

@@ -1458,6 +1458,42 @@ FROM env
 )
 
 
+def q_cdc_confluent_payload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ACTUAL publish model, end to end: every message's
+    payload is Avro-encoded against ITS OWN TABLE's registered schema —
+    the schema the registry issued for that (db, table), selected by the
+    envelope's schema_id (message_builder.py:51-78 encodes payload_data
+    with the Schematizer-returned schema; schema_wrapper.py:97-141 is the
+    registration) — and framed with the standard Confluent header. The
+    consumer is given NOTHING but the registry: it resolves the writer
+    schema by the framed id and recovers the table IDENTITY from the
+    schema's record name + namespace, so a hash match against the direct
+    envelope oracle proves id -> schema -> identity -> values. Rows in
+    the rename cache-reset window (no registered schema) are excluded on
+    both sides — a strict producer cannot publish them.
+
+    Scale shape: encode and decode are mapInArrow with per-task compiled
+    codecs from the broadcast registry dict; no shuffle, no collect."""
+    from mysql_streamer_spark.connectors.avro_wire import (
+        confluent_payload_decode,
+        payload_to_confluent,
+    )
+
+    env = envelope_pipeline(spark, sf_dir)
+    return confluent_payload_decode(payload_to_confluent(env))
+
+
+_CONFLUENT_PAYLOAD_ORACLE = (
+    _ORACLE_PIPELINE_CTES
+    + f"""
+, env AS ({_ENVELOPE_SELECT.strip()})
+SELECT schema_id, database_name, table_name, txn_order, pk,
+       payload_k, payload_val, TRUE AS header_ok
+FROM env WHERE schema_id IS NOT NULL
+"""
+)
+
+
 def q_cdc_avro_gtid_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GTID-mode Avro wire parity: the reference publishes a
     global_transaction_id meta record instead of log_transaction_id when
@@ -2538,6 +2574,11 @@ SPECS = [
         "cdc_confluent_wire_roundtrip",
         q_cdc_confluent_wire_roundtrip,
         _CONFLUENT_ROUNDTRIP_ORACLE,
+    ),
+    QuerySpec(
+        "cdc_confluent_payload_roundtrip",
+        q_cdc_confluent_payload_roundtrip,
+        _CONFLUENT_PAYLOAD_ORACLE,
     ),
     QuerySpec(
         "cdc_encrypted_envelope",

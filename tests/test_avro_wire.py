@@ -515,3 +515,39 @@ def test_confluent_frame_rejects_unknown_schema_id(spark, sf_dir):
     )
     with _pytest.raises(Exception, match="bad Confluent header"):
         confluent_to_envelope(corrupted).collect()
+
+
+def test_confluent_payload_identity_comes_from_the_schema(spark, sf_dir):
+    """Per-table publish: frames carry DIFFERENT registry ids per table,
+    and the consumer recovers (database, table) purely from the
+    header-resolved schema — matching the envelope row for every key."""
+    from mysql_streamer_spark.cdc.pipeline import envelope_pipeline
+    from mysql_streamer_spark.connectors.avro_wire import (
+        confluent_payload_decode,
+        payload_to_confluent,
+    )
+    from pyspark.sql import functions as F
+
+    env = envelope_pipeline(spark, sf_dir).filter(
+        F.col("schema_id").isNotNull()
+    )
+    wire = payload_to_confluent(env)
+    ids = {
+        int.from_bytes(r.value[1:5], "big") for r in wire.limit(400).collect()
+    }
+    assert len(ids) > 1, "all tables framed the same id — not per-table"
+
+    decoded = confluent_payload_decode(wire)
+    want = {
+        (r.txn_order, r.database_name, r.table_name, r.schema_id)
+        for r in env.select(
+            "txn_order", "database_name", "table_name", "schema_id"
+        ).collect()
+    }
+    got = {
+        (r.txn_order, r.database_name, r.table_name, r.schema_id)
+        for r in decoded.select(
+            "txn_order", "database_name", "table_name", "schema_id"
+        ).collect()
+    }
+    assert got == want
