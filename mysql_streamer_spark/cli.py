@@ -47,6 +47,31 @@ def cmd_stream(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_snapshot(args: argparse.Namespace) -> int:
+    """Consistent snapshot of a live JDBC table into parquet — S8's ops
+    surface (reference mysql_tools.py:48-69 mysqldump semantics), taken
+    through the partitioned reader so a large table backfills in
+    parallel."""
+    from mysql_streamer_spark.connectors.jdbc import jdbc_snapshot
+
+    spark = _spark()
+    kwargs: dict = {"url": args.url, "table": args.table}
+    if args.driver:
+        kwargs["driver"] = args.driver
+    if args.partition_column:
+        kwargs.update(
+            partition_column=args.partition_column,
+            lower_bound=args.lower_bound,
+            upper_bound=args.upper_bound,
+            num_partitions=args.num_partitions,
+        )
+    snap = jdbc_snapshot(spark, **kwargs)
+    snap.write.mode("overwrite").parquet(args.out_dir)
+    n = spark.read.parquet(args.out_dir).count()
+    print(json.dumps({"table": args.table, "rows": n, "out": args.out_dir}))
+    return 0
+
+
 def cmd_changelog(args: argparse.Namespace) -> int:
     from mysql_streamer_spark.streaming.runner import load_events_stream
 
@@ -322,6 +347,19 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("checkpoint_dir")
     s.add_argument("--max-files-per-trigger", type=int, default=1)
     s.set_defaults(fn=cmd_stream)
+
+    sn = sub.add_parser(
+        "snapshot", help="parallel JDBC table snapshot -> parquet (S8)"
+    )
+    sn.add_argument("url", help="JDBC url, e.g. jdbc:derby:/path/db")
+    sn.add_argument("table")
+    sn.add_argument("out_dir")
+    sn.add_argument("--driver", default=None)
+    sn.add_argument("--partition-column", default=None)
+    sn.add_argument("--lower-bound", type=int, default=None)
+    sn.add_argument("--upper-bound", type=int, default=None)
+    sn.add_argument("--num-partitions", type=int, default=32)
+    sn.set_defaults(fn=cmd_snapshot)
 
     c = sub.add_parser("changelog", help="run the changelog-mode stream")
     c.add_argument("source_dir")

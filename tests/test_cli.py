@@ -216,3 +216,37 @@ def test_state_diff_rejects_bad_input(capsys):
     rc = main(["state-diff", "binlog.000008", "binlog.000004"])
     assert rc == 2
     assert "precede" in json.loads(capsys.readouterr().err.strip().splitlines()[-1])["error"]
+
+
+def test_snapshot_command_dumps_jdbc_table_to_parquet(spark, sf_dir, tmp_path, capsys):
+    from mysql_streamer_spark.connectors.jdbc import (
+        DERBY_DRIVER,
+        embedded_derby_fixture,
+    )
+    from mysql_streamer_spark.tables import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    url = embedded_derby_fixture(spark, nation, "nation")
+    out = str(tmp_path / "snap")
+    rc = main(
+        [
+            "snapshot",
+            url,
+            "nation",
+            out,
+            "--driver",
+            DERBY_DRIVER,
+            "--partition-column",
+            "n_nationkey",
+            "--lower-bound",
+            "0",
+            "--upper-bound",
+            "25",
+            "--num-partitions",
+            "4",
+        ]
+    )
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["rows"] == nation.count()
+    assert spark.read.parquet(out).count() == nation.count()
