@@ -554,6 +554,61 @@ def q_streaming_secure_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_confluent_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry-integrated publish, STREAMED: micro-batches drain through
+    envelope -> per-TABLE Avro encode (each row framed with its own
+    table's registered schema id, the reference's Schematizer model) into
+    the idempotent per-batch sink; the consumer side then resolves every
+    landed frame's writer schema from its header alone and recovers table
+    identity + payload — hash-matched against the direct batch envelope
+    oracle. The streaming half of ``cdc_confluent_payload_roundtrip``,
+    proving the broadcast registry codec composes with checkpointed
+    micro-batch execution (the reference only ever publishes from its
+    replication loop).
+
+    Scale shape: encode is one mapInArrow stage inside each micro-batch
+    plan — map-only, per-task compiled codecs; exactly-once wire output
+    under restart via source offsets x per-batch-id overwrite."""
+    import tempfile as _tf
+
+    from mysql_streamer_spark.cdc.pipeline import envelope_pipeline_df
+    from mysql_streamer_spark.connectors.avro_wire import (
+        confluent_payload_decode,
+        payload_to_confluent,
+    )
+    from mysql_streamer_spark.connectors.python_source import (
+        stream_events_from_python_source,
+    )
+
+    work = _tf.mkdtemp(prefix="mss_confluent_stream_")
+    out, ckpt = f"{work}/out", f"{work}/ckpt"
+    env = envelope_pipeline_df(
+        stream_events_from_python_source(spark, sf_dir, partitioned=True)
+    )
+    wire = payload_to_confluent(env)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
+
+    q = (
+        wire.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    return confluent_payload_decode(read_sink(spark, out))
+
+
+def _confluent_publish_oracle() -> str:
+    from mysql_streamer_spark.queries.cdc import _CONFLUENT_PAYLOAD_ORACLE
+
+    return _CONFLUENT_PAYLOAD_ORACLE
+
+
 # ---------------------------------------------------------------------------
 # cross-batch late-data audit: watermark drops vs accepts, deterministically
 # ---------------------------------------------------------------------------
@@ -710,6 +765,11 @@ SPECS = [
         "streaming_ddl_barrier",
         q_streaming_ddl_barrier,
         _ddl_barrier_oracle(),
+    ),
+    QuerySpec(
+        "streaming_confluent_publish",
+        q_streaming_confluent_publish,
+        _confluent_publish_oracle(),
     ),
     QuerySpec("streaming_late_data", q_streaming_late_data, _LATE_DATA_ORACLE),
     QuerySpec(

@@ -170,6 +170,10 @@ _SKIP = {
     # routing join is plan-audited via cdc_schema_version_routing (its
     # batch twin), the final aggregate via the sink read
     "streaming_ddl_barrier",
+    # drains a checkpointed stream at build time; the encode stage is the
+    # IDENTICAL payload_to_confluent the batch
+    # cdc_confluent_payload_roundtrip runs
+    "streaming_confluent_publish",
 }
 
 
@@ -179,7 +183,7 @@ def test_allowlists_are_count_pinned():
     written bounded-domain justification every entry must carry
     (VERDICT r7 #7). Update the count IN THE SAME COMMIT as the entry."""
     assert len(_BNLJ_OK) == 61
-    assert len(_SKIP) == 7
+    assert len(_SKIP) == 8
     assert len(_SINGLE_PARTITION_OK) == 66
     assert len(_UNPARTITIONED_WINDOW_OK) == 14
     assert len(_ZERO_SHUFFLE) == 6
@@ -608,7 +612,28 @@ def _streaming_frames(spark, sf_dir):
             _ddl_barrier_frame(spark, sf_dir),
             ["StreamingRelation", "Join"],
         ),
+        # the encode stage is the IDENTICAL payload_to_confluent the batch
+        # cdc_confluent_payload_roundtrip runs (plan-audited there); here
+        # asserted over the streaming source
+        "streaming_confluent_publish": (
+            _confluent_publish_frame(spark, sf_dir),
+            ["StreamingRelationV2", "MapInArrow"],
+        ),
     }
+
+
+def _confluent_publish_frame(spark, sf_dir):
+    from mysql_streamer_spark.cdc.pipeline import envelope_pipeline_df
+    from mysql_streamer_spark.connectors.avro_wire import payload_to_confluent
+    from mysql_streamer_spark.connectors.python_source import (
+        stream_events_from_python_source,
+    )
+
+    return payload_to_confluent(
+        envelope_pipeline_df(
+            stream_events_from_python_source(spark, sf_dir, partitioned=True)
+        )
+    )
 
 
 def _ddl_barrier_frame(spark, sf_dir):
