@@ -1337,16 +1337,30 @@ def payload_to_confluent(env):
     return flat.mapInArrow(encode_batches, "txn_order long, value binary")
 
 
-def confluent_payload_decode(wire):
+def confluent_payload_decode(wire, resolve_to_latest: bool = False):
     """Standard consumer for per-table payload messages: resolve the writer
     schema BY THE FRAMED ID from the registry, decode, and recover the
     table IDENTITY from the schema itself (record name + namespace carry
     db.table — nothing but the header names the table), plus the payload
     columns. A hash match against the envelope oracle therefore proves id
-    -> schema -> identity -> values, end to end."""
+    -> schema -> identity -> values, end to end.
+
+    ``resolve_to_latest`` makes it the EVOLVED consumer: bytes written
+    with any historical version of a table decode under that table's
+    LATEST registered schema via the spec's resolution rules (type
+    promotions like view.k int->long apply; columns added later fill
+    their defaults) — what a reader deployed against the current schema
+    does when old-position messages replay."""
     import pyarrow as pa
 
+    from mysql_streamer_spark.schema.bootstrap import bootstrap_registry
+
     schemas = registry_payload_schemas()
+    latest_sid: dict[tuple[str, str], int] = {}
+    if resolve_to_latest:
+        reg = bootstrap_registry()
+        for db, table in reg.tables():
+            latest_sid[(db, table)] = reg.get(db, table).schema_id
 
     out_schema = pa.schema(
         [
@@ -1364,11 +1378,18 @@ def confluent_payload_decode(wire):
     def decode_batches(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         decoders: dict[int, tuple] = {}
         for sid, schema in schemas.items():
-            decoders[sid] = (
-                compile_decoder(schema),
-                schema["namespace"].rsplit(".", 1)[-1],
-                schema["name"],
-            )
+            db = schema["namespace"].rsplit(".", 1)[-1]
+            table = schema["name"]
+            reader_id = latest_sid.get((db, table), sid)
+            if reader_id == sid:
+                dec = compile_decoder(schema)
+            else:
+                reader = schemas[reader_id]
+
+                def dec(raw, pos, _w=schema, _r=reader):
+                    return decode_resolved(_w, _r, raw, pos)
+
+            decoders[sid] = (dec, db, table)
         for batch in batches:
             cols: dict[str, list] = {f.name: [] for f in out_schema}
             keys = batch.column(0).to_pylist()

@@ -1494,6 +1494,65 @@ FROM env WHERE schema_id IS NOT NULL
 )
 
 
+def q_cdc_confluent_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema EVOLUTION on the wire, end to end — the full Schematizer
+    lifecycle in one query: every event's payload is encoded with the
+    schema version IN EFFECT AT ITS POSITION (the as-of interval dim, the
+    reference's true processing semantics) and framed with THAT version's
+    registry id; the consumer is a reader deployed against the CURRENT
+    schema — it resolves each frame's writer by id and decodes under the
+    table's LATEST schema via the Avro resolution rules, so v1-written
+    view.k int bytes surface as the v2 reader's long and columns added by
+    later ALTERs fill their defaults. The oracle is the per-event as-of
+    join computed independently, so the hash match proves
+    position -> version -> id -> frame -> resolve -> values.
+
+    Scale shape: the as-of stamp is one broadcast interval join (each
+    event matches exactly one version); encode/decode are map-only
+    mapInArrow stages with per-task compiled codecs."""
+    from mysql_streamer_spark.connectors.avro_wire import (
+        confluent_payload_decode,
+        payload_to_confluent,
+    )
+    from mysql_streamer_spark.schema.bootstrap import versioned_dim_df
+
+    env = envelope_pipeline(spark, sf_dir).drop("schema_id")
+    dim = versioned_dim_df(spark)
+    stamped = env.join(
+        F.broadcast(dim),
+        (env.database_name == dim.database)
+        & (env.table_name == dim.table)
+        & (env.timestamp >= dim.eff_ts)
+        & (dim.eff_end.isNull() | (env.timestamp < dim.eff_end)),
+        "inner",
+    ).select(
+        dim.schema_id, "txn_order", "pk", "payload_k", "payload_val"
+    )
+    wire = payload_to_confluent(stamped)
+    return confluent_payload_decode(wire, resolve_to_latest=True)
+
+
+def _confluent_evolution_oracle() -> str:
+    from mysql_streamer_spark.schema.bootstrap import versioned_dim_values_sql
+
+    return (
+        _ORACLE_PIPELINE_CTES
+        + f"""
+, dim AS ({versioned_dim_values_sql()})
+SELECT d.schema_id,
+       k.database AS database_name,
+       k."table" AS table_name,
+       k.txn_order, k.pk, k.payload_k, k.payload_val,
+       TRUE AS header_ok
+FROM keyed k
+JOIN dim d
+  ON k.database = d.database AND k."table" = d."table"
+ AND k.timestamp >= d.eff_ts
+ AND (d.eff_end IS NULL OR k.timestamp < d.eff_end)
+"""
+    )
+
+
 def q_cdc_avro_gtid_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GTID-mode Avro wire parity: the reference publishes a
     global_transaction_id meta record instead of log_transaction_id when
@@ -2579,6 +2638,11 @@ SPECS = [
         "cdc_confluent_payload_roundtrip",
         q_cdc_confluent_payload_roundtrip,
         _CONFLUENT_PAYLOAD_ORACLE,
+    ),
+    QuerySpec(
+        "cdc_confluent_evolution_roundtrip",
+        q_cdc_confluent_evolution_roundtrip,
+        _confluent_evolution_oracle(),
     ),
     QuerySpec(
         "cdc_encrypted_envelope",

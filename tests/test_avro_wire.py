@@ -551,3 +551,33 @@ def test_confluent_payload_identity_comes_from_the_schema(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_confluent_evolution_wire_carries_multiple_versions(spark, sf_dir):
+    """The as-of stamped wire must genuinely carry BOTH versions of a
+    multi-version table (v1 before the cut, v2 after) and the latest-
+    reader consumer must decode both — the promotion path is real, not
+    vacuously same-schema."""
+    from pyspark.sql import functions as F
+
+    from mysql_streamer_spark.queries.cdc import (
+        q_cdc_confluent_evolution_roundtrip,
+    )
+    from mysql_streamer_spark.schema.bootstrap import bootstrap_registry
+
+    reg = bootstrap_registry()
+    view_ids = {e.schema_id: e.version for e in reg.history("db_1", "view")}
+    assert len(view_ids) == 2
+
+    decoded = q_cdc_confluent_evolution_roundtrip(spark, str(sf_dir))
+    per_version = {
+        r.schema_id: r.n
+        for r in decoded.filter(
+            (F.col("database_name") == "db_1") & (F.col("table_name") == "view")
+        )
+        .groupBy("schema_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(per_version) == set(view_ids), per_version
+    assert all(n > 0 for n in per_version.values())
