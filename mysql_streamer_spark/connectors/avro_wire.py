@@ -1337,7 +1337,9 @@ def payload_to_confluent(env):
     return flat.mapInArrow(encode_batches, "txn_order long, value binary")
 
 
-def confluent_payload_decode(wire, resolve_to_latest: bool = False):
+def confluent_payload_decode(
+    wire, resolve_to_latest: bool = False, on_error: str = "raise"
+):
     """Standard consumer for per-table payload messages: resolve the writer
     schema BY THE FRAMED ID from the registry, decode, and recover the
     table IDENTITY from the schema itself (record name + namespace carry
@@ -1350,10 +1352,21 @@ def confluent_payload_decode(wire, resolve_to_latest: bool = False):
     LATEST registered schema via the spec's resolution rules (type
     promotions like view.k int->long apply; columns added later fill
     their defaults) — what a reader deployed against the current schema
-    does when old-position messages replay."""
+    does when old-position messages replay.
+
+    ``on_error``: ``'raise'`` (default) fails the job on the first
+    undecodable frame — the reference's crash-the-loop behavior;
+    ``'dlq'`` routes poison pills to a dead-letter column instead: the
+    row survives with ``ok=false``, ``error_kind`` set, the plaintext
+    key intact for reconciliation, and NULL identity/payload — so one
+    corrupt message cannot take down a 100 TB backfill."""
     import pyarrow as pa
 
     from mysql_streamer_spark.schema.bootstrap import bootstrap_registry
+
+    if on_error not in ("raise", "dlq"):
+        raise ValueError(f"on_error must be 'raise' or 'dlq', got {on_error!r}")
+    dlq = on_error == "dlq"
 
     schemas = registry_payload_schemas()
     latest_sid: dict[tuple[str, str], int] = {}
@@ -1373,6 +1386,7 @@ def confluent_payload_decode(wire, resolve_to_latest: bool = False):
             pa.field("payload_val", pa.float64()),
             pa.field("header_ok", pa.bool_()),
         ]
+        + ([pa.field("error_kind", pa.string())] if dlq else [])
     )
 
     def decode_batches(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
@@ -1390,19 +1404,45 @@ def confluent_payload_decode(wire, resolve_to_latest: bool = False):
                     return decode_resolved(_w, _r, raw, pos)
 
             decoders[sid] = (dec, db, table)
+        def classify(raw):
+            """(sid, db, table, rec) or raises ValueError with a stable
+            error-kind prefix the DLQ column records."""
+            if len(raw) < 5 or raw[0] != CONFLUENT_MAGIC:
+                raise ValueError("bad_header")
+            sid = int.from_bytes(raw[1:5], "big")
+            if sid not in decoders:
+                raise ValueError("unregistered_schema")
+            dec, db, table = decoders[sid]
+            try:
+                rec, end = dec(raw[5:], 0)
+            except Exception:
+                raise ValueError("corrupt_body") from None
+            if end + 5 != len(raw):
+                raise ValueError("corrupt_body")
+            return sid, db, table, rec
+
         for batch in batches:
             cols: dict[str, list] = {f.name: [] for f in out_schema}
             keys = batch.column(0).to_pylist()
             for i, raw in enumerate(batch.column(1).to_pylist()):
-                if len(raw) < 5 or raw[0] != CONFLUENT_MAGIC:
-                    raise ValueError("bad Confluent header")
-                sid = int.from_bytes(raw[1:5], "big")
-                if sid not in decoders:
-                    raise ValueError(f"unregistered schema id {sid}")
-                dec, db, table = decoders[sid]
-                rec, end = dec(raw[5:], 0)
-                if end + 5 != len(raw):
-                    raise ValueError("trailing bytes after avro record")
+                try:
+                    sid, db, table, rec = classify(raw)
+                except ValueError as ex:
+                    if not dlq:
+                        raise ValueError(
+                            f"{ex} (txn_order={keys[i]}); rerun with "
+                            "on_error='dlq' to route instead of fail"
+                        ) from None
+                    cols["schema_id"].append(None)
+                    cols["database_name"].append(None)
+                    cols["table_name"].append(None)
+                    cols["txn_order"].append(keys[i])
+                    cols["pk"].append(None)
+                    cols["payload_k"].append(None)
+                    cols["payload_val"].append(None)
+                    cols["header_ok"].append(False)
+                    cols["error_kind"].append(str(ex))
+                    continue
                 cols["schema_id"].append(sid)
                 cols["database_name"].append(db)
                 cols["table_name"].append(table)
@@ -1412,6 +1452,8 @@ def confluent_payload_decode(wire, resolve_to_latest: bool = False):
                 cols["payload_k"].append(None if k is None else int(k))
                 cols["payload_val"].append(rec.get("val"))
                 cols["header_ok"].append(True)
+                if dlq:
+                    cols["error_kind"].append(None)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(cols[f.name], f.type) for f in out_schema],
                 schema=out_schema,
@@ -1421,5 +1463,5 @@ def confluent_payload_decode(wire, resolve_to_latest: bool = False):
         decode_batches,
         "schema_id int, database_name string, table_name string, "
         "txn_order long, pk long, payload_k int, payload_val double, "
-        "header_ok boolean",
+        "header_ok boolean" + (", error_kind string" if dlq else ""),
     )

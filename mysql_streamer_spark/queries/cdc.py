@@ -1553,6 +1553,68 @@ JOIN dim d
     )
 
 
+#: poison-pill injection modulus for the DLQ routing query
+DLQ_POISON_MODULUS = 37
+
+
+def q_cdc_wire_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing for poison pills: frames whose txn_order hits
+    the modulus get their header rewritten to an UNREGISTERED schema id
+    (a JVM-side byte splice — exactly what a producer/registry mismatch
+    looks like on a real topic), and the consumer runs with
+    ``on_error='dlq'``: instead of crashing the loop (the reference's
+    behavior, and our default), the bad frame survives as a row with
+    ``header_ok=false``, a stable ``error_kind``, the plaintext key for
+    reconciliation, and NULL identity/payload — one corrupt message
+    cannot take down a 100 TB backfill. The oracle recomputes which keys
+    were poisoned and what every row must look like, so the hash match
+    proves BOTH halves: good frames decode exactly, bad frames land in
+    the dead-letter shape and nowhere else.
+
+    Scale shape: corruption is a codegen'd conditional byte splice;
+    decode is the same map-only Arrow stage as the clean path."""
+    from mysql_streamer_spark.connectors.avro_wire import (
+        confluent_payload_decode,
+        payload_to_confluent,
+    )
+
+    env = envelope_pipeline(spark, sf_dir)
+    wire = payload_to_confluent(env)
+    poison_header = bytes([0x00, 0x00, 0x00, 0x27, 0x0F])  # magic + id 9999
+    corrupted = wire.select(
+        "txn_order",
+        F.when(
+            F.col("txn_order") % DLQ_POISON_MODULUS == 0,
+            F.concat(F.lit(poison_header), F.expr("substring(value, 6)")),
+        )
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    return confluent_payload_decode(corrupted, on_error="dlq")
+
+
+_DLQ_ROUTING_ORACLE = (
+    _ORACLE_PIPELINE_CTES
+    + f"""
+, env AS ({_ENVELOPE_SELECT.strip()})
+SELECT
+  CASE WHEN ok THEN schema_id END AS schema_id,
+  CASE WHEN ok THEN database_name END AS database_name,
+  CASE WHEN ok THEN table_name END AS table_name,
+  txn_order,
+  CASE WHEN ok THEN pk END AS pk,
+  CASE WHEN ok THEN payload_k END AS payload_k,
+  CASE WHEN ok THEN payload_val END AS payload_val,
+  ok AS header_ok,
+  CASE WHEN NOT ok THEN 'unregistered_schema' END AS error_kind
+FROM (
+  SELECT *, txn_order % {DLQ_POISON_MODULUS} <> 0 AS ok
+  FROM env WHERE schema_id IS NOT NULL
+)
+"""
+)
+
+
 def q_cdc_avro_gtid_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GTID-mode Avro wire parity: the reference publishes a
     global_transaction_id meta record instead of log_transaction_id when
@@ -2643,6 +2705,11 @@ SPECS = [
         "cdc_confluent_evolution_roundtrip",
         q_cdc_confluent_evolution_roundtrip,
         _confluent_evolution_oracle(),
+    ),
+    QuerySpec(
+        "cdc_wire_dlq_routing",
+        q_cdc_wire_dlq_routing,
+        _DLQ_ROUTING_ORACLE,
     ),
     QuerySpec(
         "cdc_encrypted_envelope",

@@ -581,3 +581,69 @@ def test_confluent_evolution_wire_carries_multiple_versions(spark, sf_dir):
     }
     assert set(per_version) == set(view_ids), per_version
     assert all(n > 0 for n in per_version.values())
+
+
+def test_dlq_decode_error_kinds_and_raise_default(spark, sf_dir):
+    """Each corruption class lands with its own stable error_kind under
+    on_error='dlq'; the default consumer still fails loudly."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mysql_streamer_spark.cdc.pipeline import envelope_pipeline
+    from mysql_streamer_spark.connectors.avro_wire import (
+        confluent_payload_decode,
+        payload_to_confluent,
+    )
+
+    env = envelope_pipeline(spark, sf_dir).filter(
+        F.col("schema_id").isNotNull()
+    ).limit(30)
+    wire = payload_to_confluent(env).cache()
+
+    cases = {
+        # magic byte wrong
+        "bad_header": F.concat(
+            F.lit(bytes([0x01])), F.expr("substring(value, 2)")
+        ),
+        # unknown registry id
+        "unregistered_schema": F.concat(
+            F.lit(bytes([0x00, 0x00, 0x00, 0x27, 0x0F])),
+            F.expr("substring(value, 6)"),
+        ),
+        # truncated body
+        "corrupt_body": F.expr("substring(value, 1, length(value) - 1)"),
+    }
+    for kind, expr in cases.items():
+        bad = wire.select("txn_order", expr.alias("value"))
+        rows = confluent_payload_decode(bad, on_error="dlq").collect()
+        assert rows and all(
+            (not r.header_ok) and r.error_kind == kind and r.table_name is None
+            for r in rows
+        ), kind
+        with _pytest.raises(Exception, match=kind):
+            confluent_payload_decode(bad).collect()
+    wire.unpersist()
+
+
+def test_dlq_keeps_good_rows_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mysql_streamer_spark.cdc.pipeline import envelope_pipeline
+    from mysql_streamer_spark.connectors.avro_wire import (
+        confluent_payload_decode,
+        payload_to_confluent,
+    )
+
+    env = envelope_pipeline(spark, sf_dir).filter(
+        F.col("schema_id").isNotNull()
+    ).limit(50)
+    out = confluent_payload_decode(payload_to_confluent(env), on_error="dlq")
+    got = {
+        (r.txn_order, r.table_name, r.pk, r.header_ok, r.error_kind)
+        for r in out.collect()
+    }
+    want = {
+        (r.txn_order, r.table_name, r.pk, True, None)
+        for r in env.select("txn_order", "table_name", "pk").collect()
+    }
+    assert got == want
