@@ -177,3 +177,48 @@ def test_lsh_tuning_matches_python_scurve(spark, monkeypatch):
     assert ordered[-1].verdict == "low_recall" # (1,16): needs s ~ 1
     # precision runs the other way: banding tighter trades recall for it
     assert ordered[-1].precision_proxy >= ordered[0].precision_proxy
+
+
+def test_entity_resolution_decision_paths(spark, sf_dir):
+    """Every linkage decision path fires: clean records link at full
+    score, single-field corruptions still link, double corruptions score
+    exactly AT the threshold and are rejected (strict >), reversed names
+    fall out of their block (blocking-recall loss)."""
+    from pyspark.sql import functions as F
+
+    from mysql_streamer_spark.queries.dedup import (
+        ER_THRESHOLD,
+        q_dedup_entity_resolution,
+    )
+    from mysql_streamer_spark.tables import load_table
+
+    out = q_dedup_entity_resolution(spark, str(sf_dir)).cache()
+    self_links = out.filter(F.col("clean_key") == F.col("dirty_key"))
+    linked = {r.clean_key for r in self_links.collect()}
+
+    keys = [
+        r.c_custkey
+        for r in load_table(spark, str(sf_dir), "customer")
+        .select("c_custkey")
+        .collect()
+    ]
+    for k in keys:
+        if k % 3 == 0:
+            assert k not in linked, f"{k}: reversed name must block out"
+        elif k % 35 == 0:
+            assert k not in linked, f"{k}: double corruption is at-threshold"
+        else:
+            assert k in linked, f"{k}: should link"
+    # scores behave: full agreement 4.5; single corruptions 3.0 / 3.5
+    scores = {
+        r.clean_key: r.score for r in self_links.collect()
+    }
+    for k, s in scores.items():
+        assert s > ER_THRESHOLD
+        if k % 5 == 0:
+            assert s == 3.0, (k, s)
+        elif k % 7 == 0:
+            assert s == 3.5, (k, s)
+        else:
+            assert s == 4.5, (k, s)
+    out.unpersist()
