@@ -2885,3 +2885,106 @@ SPECS = [
         _pack_efficiency_oracle(),
     ),
 ]
+
+
+# ---------------------------------------------------------------------------
+# privacy governance: k-anonymity generalization sweep
+# ---------------------------------------------------------------------------
+
+#: the k in k-anonymity (every quasi-identifier equivalence class must
+#: hold at least this many records before release)
+K_ANON_K = 5
+#: acctbal generalization ladder: bucket widths from "almost raw" to
+#: "fully coarse" — the knob a release process turns until k holds
+K_ANON_LEVELS = (1, 10, 100, 1000)
+
+
+def q_pipeline_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity generalization sweep — the release-side companion of
+    the PII/erasure family (cdc_pii_redaction anonymizes one column;
+    this AUDITS whether a quasi-identifier combination re-identifies):
+    for each generalization level of the numeric quasi-identifier
+    (acctbal bucketed at widths 1/10/100/1000, alongside nation and
+    market segment), report the equivalence-class profile — class count,
+    smallest class, how many ROWS sit in classes smaller than k, and
+    l-diversity's floor (the minimum number of distinct sensitive values
+    — mktsegment — per (nation, balance-bucket) class one level up).
+    The release rule reads off the first level where violating_rows = 0.
+
+    Scale shape: one hash-aggregate per level over bounded class keys
+    (map-side partials; the level union is a constant 4-way concat), then
+    a second constant-size aggregate per level — no window, no join."""
+    cust = load_table(spark, sf_dir, "customer")
+    per_level = []
+    for width in K_ANON_LEVELS:
+        cls = cust.groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.col("c_mktsegment").alias("seg"),
+            F.floor(F.col("c_acctbal") / width).alias("bal_bucket"),
+        ).agg(
+            F.count("*").alias("n"),
+            F.countDistinct("c_custkey").alias("n_entities"),
+        )
+        ldiv = (
+            cust.groupBy(
+                F.col("c_nationkey").alias("nk"),
+                F.floor(F.col("c_acctbal") / width).alias("bal_bucket"),
+            )
+            .agg(F.countDistinct("c_mktsegment").alias("n_sensitive"))
+            .agg(F.min("n_sensitive").alias("l_diversity_min"))
+        )
+        summary = cls.agg(
+            F.lit(width).alias("bucket_width"),
+            F.count("*").alias("n_classes"),
+            F.min("n").alias("min_class_size"),
+            F.sum(F.when(F.col("n") < K_ANON_K, F.col("n")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("violating_rows"),
+            F.max(F.when(F.col("n") < K_ANON_K, F.lit(1)).otherwise(F.lit(0)))
+            .cast("boolean")
+            .alias("violates_k"),
+        ).crossJoin(ldiv)
+        per_level.append(summary)
+    out = per_level[0]
+    for df in per_level[1:]:
+        out = out.unionByName(df)
+    return out.select(
+        "bucket_width",
+        "n_classes",
+        "min_class_size",
+        "violating_rows",
+        "violates_k",
+        "l_diversity_min",
+    )
+
+
+def _k_anonymity_oracle() -> str:
+    legs = []
+    for width in K_ANON_LEVELS:
+        legs.append(
+            f"""
+SELECT {width} AS bucket_width,
+  CAST(count(*) AS BIGINT) AS n_classes,
+  CAST(min(n) AS BIGINT) AS min_class_size,
+  CAST(sum(CASE WHEN n < {K_ANON_K} THEN n ELSE 0 END) AS BIGINT)
+    AS violating_rows,
+  max(CASE WHEN n < {K_ANON_K} THEN 1 ELSE 0 END) = 1 AS violates_k,
+  (SELECT CAST(min(ns) AS BIGINT) FROM (
+     SELECT count(DISTINCT c_mktsegment) AS ns FROM customer
+     GROUP BY c_nationkey, floor(c_acctbal / {width})
+  )) AS l_diversity_min
+FROM (
+  SELECT count(*) AS n FROM customer
+  GROUP BY c_nationkey, c_mktsegment, floor(c_acctbal / {width})
+)"""
+        )
+    return " UNION ALL ".join(legs)
+
+
+SPECS.append(
+    QuerySpec(
+        "pipeline_k_anonymity",
+        q_pipeline_k_anonymity,
+        _k_anonymity_oracle(),
+    )
+)

@@ -155,6 +155,9 @@ _BNLJ_OK = {
     "sim_outlier_audit",
     # 1-row train-totals frame crossed onto the 3-row n-gram sweep report
     "pipeline_decontaminate_sweep",
+    # four 1-row per-level class summaries each crossed with a 1-row
+    # l-diversity floor (constant-size governance report)
+    "pipeline_k_anonymity",
 }
 
 #: streaming roundtrips execute jobs at build time — plan-audited via their
@@ -182,9 +185,9 @@ def test_allowlists_are_count_pinned():
     entry without updating these pinned counts fails here, forcing the
     written bounded-domain justification every entry must carry
     (VERDICT r7 #7). Update the count IN THE SAME COMMIT as the entry."""
-    assert len(_BNLJ_OK) == 61
+    assert len(_BNLJ_OK) == 62
     assert len(_SKIP) == 8
-    assert len(_SINGLE_PARTITION_OK) == 66
+    assert len(_SINGLE_PARTITION_OK) == 67
     assert len(_UNPARTITIONED_WINDOW_OK) == 14
     assert len(_ZERO_SHUFFLE) == 6
 
@@ -373,6 +376,9 @@ _SINGLE_PARTITION_OK = {
     # carry-forward window over the per-binlog-FILE summary frame (one
     # row per file; see _UNPARTITIONED_WINDOW_OK entry)
     "cdc_lag_alerts",
+    # four 1-row scalar class summaries + 1-row l-diversity floors (one
+    # per generalization level)
+    "pipeline_k_anonymity",
 }
 
 
