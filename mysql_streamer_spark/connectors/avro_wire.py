@@ -1465,3 +1465,43 @@ def confluent_payload_decode(
         "txn_order long, pk long, payload_k int, payload_val double, "
         "header_ok boolean" + (", error_kind string" if dlq else ""),
     )
+
+
+def canonical_value(schema: Any):
+    """A deterministic NON-NULL exemplar of ``schema`` — used to probe
+    runtime resolvability (a union field must carry its value branch:
+    testing with nulls would let an incompatible type change slip through
+    the null branch)."""
+    if isinstance(schema, list):
+        branch = next(b for b in schema if _branch_name(b) != "null")
+        return canonical_value(branch)
+    t = _type_name(schema)
+    if t == "record":
+        return {f["name"]: canonical_value(f["type"]) for f in schema["fields"]}
+    if t == "array":
+        return [canonical_value(schema["items"])]
+    return {
+        "int": 1,
+        "long": 1,
+        "float": 1.5,
+        "double": 1.5,
+        "string": "x",
+        "bytes": b"x",
+        "boolean": True,
+    }[t]
+
+
+def schemas_resolvable(writer: Any, reader: Any) -> bool:
+    """Can ``reader`` decode bytes actually WRITTEN with ``writer``? Probed
+    at runtime: encode a canonical non-null record under the writer and
+    attempt decode_resolved under the reader — the operational definition
+    of compatibility (the same call consumers run), not a field-list
+    heuristic."""
+    enc = compile_encoder(writer)
+    buf = bytearray()
+    enc(canonical_value(writer), buf)
+    try:
+        _, end = decode_resolved(writer, reader, bytes(buf), 0)
+    except (ValueError, KeyError, IndexError):
+        return False
+    return end == len(buf)

@@ -636,3 +636,155 @@ SPECS = [
         "schema_registry_compat", q_schema_registry_compat, _compat_oracle()
     ),
 ]
+
+
+# ---------------------------------------------------------------------------
+# Confluent compatibility LEVELS per table (the policy semantics a schema
+# registry enforces on registration)
+# ---------------------------------------------------------------------------
+
+#: shared verdict text — identical CASE in both engines
+_LEVEL_CASE = """
+CASE WHEN backward_transitive AND forward_transitive THEN 'FULL_TRANSITIVE'
+     WHEN backward AND forward THEN 'FULL'
+     WHEN backward_transitive THEN 'BACKWARD_TRANSITIVE'
+     WHEN backward THEN 'BACKWARD'
+     WHEN forward_transitive THEN 'FORWARD_TRANSITIVE'
+     WHEN forward THEN 'FORWARD'
+     ELSE 'NONE' END
+""".strip()
+
+
+def q_schema_registry_confluent_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard registry compatibility POLICY levels (BACKWARD /
+    FORWARD / FULL and their _TRANSITIVE forms), computed per table from
+    the replayed registry by RUNTIME probes: for every (writer, reader)
+    version pair the policy needs, a canonical non-null record is
+    actually ENCODED under the writer and decode_resolved under the
+    reader — the operational definition (the same call consumers run),
+    not a field-list heuristic. The oracle classifies the SAME pairs
+    declaratively in SQL from the registry's struct JSON (name/type/
+    nullability + the spec's promotion table), so a hash match proves
+    the runtime resolution engine and the declarative rules agree on
+    every level — the check a registry performs before accepting a new
+    version (reference schema_wrapper.py:97-141 registers old+new so its
+    Schematizer can enforce exactly this).
+
+    Scale shape: pure control plane — the registry holds a handful of
+    versions; the probes run driver-side in microseconds and emit a
+    constant-size dimension."""
+    import json as _json
+
+    from mysql_streamer_spark.connectors.avro_wire import (
+        avro_schema_for_entry,
+        schemas_resolvable,
+    )
+
+    reg = bootstrap_registry()
+    rows = []
+    for db, table in reg.tables():
+        hist = reg.history(db, table)
+        schemas = [avro_schema_for_entry(e) for e in hist]
+        latest = schemas[-1]
+        earlier = schemas[:-1]
+        backward = schemas_resolvable(earlier[-1], latest) if earlier else True
+        backward_transitive = all(
+            schemas_resolvable(w, latest) for w in earlier
+        )
+        forward = schemas_resolvable(latest, earlier[-1]) if earlier else True
+        forward_transitive = all(
+            schemas_resolvable(latest, r) for r in earlier
+        )
+        rows.append(
+            (
+                db,
+                table,
+                len(hist),
+                backward,
+                backward_transitive,
+                forward,
+                forward_transitive,
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "database string, `table` string, n_versions long, backward boolean, "
+        "backward_transitive boolean, forward boolean, forward_transitive boolean",
+    )
+    return df.withColumn("level", F.expr(_LEVEL_CASE))
+
+
+def _confluent_levels_oracle() -> str:
+    from mysql_streamer_spark.schema.bootstrap import registry_state_values_sql
+
+    return f"""
+WITH state AS ({registry_state_values_sql()})
+, fields AS (
+  SELECT database, "table", version,
+    json_extract_string(struct_json, '$.fields[' || i || '].name') AS fname,
+    CASE json_extract_string(struct_json, '$.fields[' || i || '].type')
+      WHEN 'integer' THEN 'int' WHEN 'tinyint' THEN 'int'
+      WHEN 'smallint' THEN 'int' WHEN 'long' THEN 'long'
+      WHEN 'float' THEN 'float' WHEN 'double' THEN 'double'
+      WHEN 'string' THEN 'string' WHEN 'boolean' THEN 'boolean'
+      WHEN 'binary' THEN 'bytes'
+      ELSE 'long' END AS ftype,
+    CAST(json_extract(struct_json, '$.fields[' || i || '].nullable')
+         AS BOOLEAN) AS fnullable
+  FROM state, unnest(generate_series(
+    0, CAST(json_array_length(struct_json, '$.fields') AS INT) - 1
+  )) AS t(i)
+), latest AS (
+  SELECT database, "table", max(version) AS vmax,
+         CAST(count(*) AS BIGINT) AS n_versions
+  FROM state GROUP BY 1, 2
+), pairs AS (
+  SELECT l.database, l."table", s.version AS w_v, l.vmax AS r_v
+  FROM latest l JOIN state s
+    ON s.database = l.database AND s."table" = l."table" AND s.version < l.vmax
+  UNION ALL
+  SELECT l.database, l."table", l.vmax, s.version
+  FROM latest l JOIN state s
+    ON s.database = l.database AND s."table" = l."table" AND s.version < l.vmax
+), ok AS (
+  SELECT p.database, p."table", p.w_v, p.r_v,
+    bool_and(CASE WHEN wf.fname IS NOT NULL THEN
+        wf.ftype = rf.ftype
+        OR (wf.ftype = 'int' AND rf.ftype IN ('long', 'float', 'double'))
+        OR (wf.ftype = 'long' AND rf.ftype IN ('float', 'double'))
+        OR (wf.ftype = 'float' AND rf.ftype = 'double')
+      ELSE rf.fnullable END) AS ok
+  FROM pairs p
+  JOIN fields rf ON rf.database = p.database AND rf."table" = p."table"
+                AND rf.version = p.r_v
+  LEFT JOIN fields wf ON wf.database = p.database AND wf."table" = p."table"
+                     AND wf.version = p.w_v AND wf.fname = rf.fname
+  GROUP BY 1, 2, 3, 4
+), flags AS (
+  SELECT l.database, l."table", l.n_versions,
+    COALESCE(bool_and(o.ok) FILTER (
+      WHERE o.w_v = l.vmax - 1 AND o.r_v = l.vmax), TRUE) AS backward,
+    COALESCE(bool_and(o.ok) FILTER (
+      WHERE o.r_v = l.vmax AND o.w_v < l.vmax), TRUE) AS backward_transitive,
+    COALESCE(bool_and(o.ok) FILTER (
+      WHERE o.w_v = l.vmax AND o.r_v = l.vmax - 1), TRUE) AS forward,
+    COALESCE(bool_and(o.ok) FILTER (
+      WHERE o.w_v = l.vmax AND o.r_v < l.vmax), TRUE) AS forward_transitive
+  FROM latest l
+  LEFT JOIN ok o ON o.database = l.database AND o."table" = l."table"
+  GROUP BY 1, 2, 3
+)
+SELECT database, "table", n_versions, backward, backward_transitive,
+       forward, forward_transitive,
+       {_LEVEL_CASE} AS level
+FROM flags
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "schema_registry_confluent_levels",
+        q_schema_registry_confluent_levels,
+        _confluent_levels_oracle(),
+    )
+)

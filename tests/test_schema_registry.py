@@ -199,3 +199,31 @@ def test_catalog_introspection_parity(spark):
     assert info["tags"].wire_transform == "set"
     assert info["created_dt"].wire_transform == "datetime"
     assert info["pk"].nullable is False
+
+
+def test_confluent_levels_runtime_probe_semantics():
+    """The runtime resolvability probe must encode NON-NULL values: the
+    view.k long->int change is forward-INCOMPATIBLE precisely because a
+    real long value cannot decode as int (a null probe would slip through
+    the null branch and misreport FULL)."""
+    from mysql_streamer_spark.connectors.avro_wire import (
+        avro_schema_for_entry,
+        canonical_value,
+        schemas_resolvable,
+    )
+    from mysql_streamer_spark.schema.bootstrap import bootstrap_registry
+
+    reg = bootstrap_registry()
+    v1, v2 = (
+        avro_schema_for_entry(e) for e in reg.history("db_1", "view")
+    )
+    assert schemas_resolvable(v1, v2) is True  # int -> long promotes
+    assert schemas_resolvable(v2, v1) is False  # long -> int cannot
+    # the probe value really is non-null on union fields
+    val = canonical_value(v2)
+    assert val["k"] == 1 and val["pk"] == 1
+    # added nullable columns read as defaults: purchase v1 bytes under v2
+    p1, p2 = (
+        avro_schema_for_entry(e) for e in reg.history("db_0", "purchase")
+    )
+    assert schemas_resolvable(p1, p2) and schemas_resolvable(p2, p1)
