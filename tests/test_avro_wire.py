@@ -647,3 +647,55 @@ def test_dlq_keeps_good_rows_exact(spark, sf_dir):
         for r in env.select("txn_order", "table_name", "pk").collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# property test: Confluent frame header integrity under arbitrary ids
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings as _hsettings
+from hypothesis import strategies as _hst
+
+
+@_hsettings(max_examples=50, deadline=None)
+@given(sid=_hst.integers(min_value=0, max_value=2**31 - 1))
+def test_confluent_header_id_roundtrips_any_registry_id(sid):
+    """The 4-byte big-endian id field must carry ANY non-negative 32-bit
+    registry id losslessly (the ids a large registry actually issues are
+    not the fixture's 1001/1002)."""
+    frame = bytes([0x00]) + sid.to_bytes(4, "big") + b"body"
+    assert frame[0] == 0x00
+    assert int.from_bytes(frame[1:5], "big") == sid
+    assert frame[5:] == b"body"
+
+
+@_hsettings(max_examples=40, deadline=None)
+@given(
+    pk=_hst.integers(min_value=-(2**62), max_value=2**62),
+    k=_hst.one_of(_hst.none(), _hst.integers(min_value=-(2**31), max_value=2**31 - 1)),
+    val=_hst.one_of(
+        _hst.none(),
+        _hst.floats(allow_nan=False, allow_infinity=False, width=64),
+    ),
+)
+def test_payload_schema_roundtrip_property(pk, k, val):
+    """Any (pk, k, val) combination — including NULL unions and extreme
+    longs — roundtrips through a registry payload schema byte-exactly."""
+    from mysql_streamer_spark.connectors.avro_wire import (
+        avro_schema_for_entry,
+        compile_decoder,
+        compile_encoder,
+    )
+    from mysql_streamer_spark.schema.bootstrap import bootstrap_registry
+
+    schema = avro_schema_for_entry(
+        bootstrap_registry().get("db_0", "purchase")
+    )
+    rec = {
+        f["name"]: None for f in schema["fields"]
+    } | {"pk": pk, "k": k, "val": val}
+    out = bytearray()
+    compile_encoder(schema)(rec, out)
+    got, end = compile_decoder(schema)(bytes(out), 0)
+    assert end == len(out)
+    assert got == rec

@@ -189,3 +189,69 @@ def test_png_pil_parity():
     PIL.Image.frombytes("L", (32, 8), pixels).save(buf, format="PNG")
     w, h, c, px = png_decode(buf.getvalue())
     assert (w, h, c, px) == (32, 8, 1, pixels)
+
+
+# ---------------------------------------------------------------------------
+# property tests: PNG codec roundtrip over arbitrary pixel buffers
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=20),
+    channels=st.sampled_from([1, 3]),
+    data=st.data(),
+)
+def test_png_roundtrip_property(w, h, channels, data):
+    """encode . decode == id for every dimension/channel combination and
+    arbitrary pixel content (zlib level, chunking and filter handling must
+    never lose a byte)."""
+    from mysql_streamer_spark.multimodal import png_decode, png_encode
+
+    n = w * h * channels
+    pixels = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=n,
+                max_size=n,
+            )
+        )
+    )
+    got = png_decode(png_encode(w, h, pixels, channels=channels))
+    assert got == (w, h, channels, pixels)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=16),
+    h=st.integers(min_value=1, max_value=8),
+    flip_at=st.integers(min_value=8, max_value=10_000),
+)
+def test_png_corruption_never_decodes_silently(w, h, flip_at):
+    """Flipping ANY single byte after the signature either raises or (for
+    flips inside the pixel data that zlib+CRC would catch) never returns a
+    wrong-but-plausible buffer: CRC verification makes silent corruption
+    impossible."""
+    from mysql_streamer_spark.multimodal import png_decode, png_encode
+
+    pixels = bytes((i * 31) % 256 for i in range(w * h))
+    good = png_encode(w, h, pixels, channels=1)
+    idx = 8 + (flip_at % (len(good) - 8))
+    bad = bytearray(good)
+    bad[idx] ^= 0xFF
+    try:
+        out = png_decode(bytes(bad))
+    except Exception:
+        return  # failed loudly — the required behavior
+    # a decode that SUCCEEDS on a corrupted payload is a silent-corruption
+    # bug unless it somehow reproduced the original exactly (no ignored
+    # byte regions exist in the minimal writer, so this should be
+    # unreachable — but wrong pixels must fail the test, not pass it)
+    assert out == (w, h, 1, pixels), (
+        f"flip at byte {idx} decoded silently to different pixels"
+    )
