@@ -1407,7 +1407,10 @@ def confluent_payload_decode(
         def classify(raw):
             """(sid, db, table, rec) or raises ValueError with a stable
             error-kind prefix the DLQ column records."""
-            if len(raw) < 5 or raw[0] != CONFLUENT_MAGIC:
+            # NULL / non-binary cells are poison pills too: without this
+            # guard they'd raise TypeError past the ValueError net below
+            # and crash the job in the exact mode DLQ promises to absorb.
+            if raw is None or len(raw) < 5 or raw[0] != CONFLUENT_MAGIC:
                 raise ValueError("bad_header")
             sid = int.from_bytes(raw[1:5], "big")
             if sid not in decoders:

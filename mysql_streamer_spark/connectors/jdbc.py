@@ -90,18 +90,63 @@ def _sql_literal(v) -> str:
     return "'" + str(v).replace("'", "''") + "'"
 
 
-def embedded_derby_fixture(spark: SparkSession, df: DataFrame, table: str) -> str:
+#: fixture urls keyed by (applicationId, cache_key) — registered queries
+#: construct their plan repeatedly in a long bench/correctness session, and
+#: without this memo every construction boots a fresh Derby instance and
+#: leaks its JVM memory, file locks, and mkdtemp directory.
+_FIXTURE_CACHE: dict[tuple[str, str], str] = {}
+
+#: every mkdtemp this module created, removed at interpreter exit
+_FIXTURE_DIRS: list[str] = []
+
+
+def _cleanup_fixture_dirs() -> None:  # pragma: no cover - atexit path
+    import shutil
+
+    for d in _FIXTURE_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def shutdown_derby(spark: SparkSession, url: str) -> None:
+    """Cleanly shut down one embedded Derby database, releasing its page
+    cache and file locks. Derby signals a SUCCESSFUL single-db shutdown by
+    raising SQLException 08006, so the expected exception is swallowed; a
+    later connection on the same url auto-boots the database again."""
+    jvm = spark._jvm
+    try:
+        jvm.java.sql.DriverManager.getConnection(url + ";shutdown=true")
+    except Exception:
+        pass  # 08006 "database shut down" is the success signal
+
+
+def embedded_derby_fixture(
+    spark: SparkSession, df: DataFrame, table: str, cache_key: str | None = None
+) -> str:
     """Materialize a SMALL DataFrame into a throwaway embedded Derby
     database and return its JDBC url — the in-sandbox stand-in for the
     live MySQL master the reference snapshots (mysql_tools.py:48-69).
 
     Driver-side by design: this SEEDS a source database for snapshot
     verification (bounded dimension tables); the snapshot READ back out is
-    the distributed partitioned-JDBC path under test. Each call creates a
-    fresh database directory, so runs are independent."""
+    the distributed partitioned-JDBC path under test. Each UNCACHED call
+    creates a fresh database directory; pass ``cache_key`` to reuse one
+    fixture across repeated plan constructions of the same query (keyed
+    per Spark application). The database is shut down after seeding —
+    reads auto-boot it — and every fixture directory is removed at
+    interpreter exit."""
+    import atexit
     import tempfile
 
-    db_dir = tempfile.mkdtemp(prefix="mss_derby_") + "/db"
+    app_id = spark.sparkContext.applicationId
+    if cache_key is not None:
+        hit = _FIXTURE_CACHE.get((app_id, cache_key))
+        if hit is not None:
+            return hit
+    if not _FIXTURE_DIRS:
+        atexit.register(_cleanup_fixture_dirs)
+    tmp_root = tempfile.mkdtemp(prefix="mss_derby_")
+    _FIXTURE_DIRS.append(tmp_root)
+    db_dir = tmp_root + "/db"
     url = f"jdbc:derby:{db_dir}"
     jvm = spark._jvm
     jvm.java.lang.Class.forName(DERBY_DRIVER)
@@ -123,6 +168,9 @@ def embedded_derby_fixture(spark: SparkSession, df: DataFrame, table: str) -> st
         st.close()
     finally:
         conn.close()
+    shutdown_derby(spark, url)
+    if cache_key is not None:
+        _FIXTURE_CACHE[(app_id, cache_key)] = url
     return url
 
 

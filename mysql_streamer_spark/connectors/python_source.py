@@ -503,10 +503,20 @@ class ManifestJsonlWriter(DataSourceWriter):
     handles only commit messages (file name + count per task)."""
 
     def __init__(self, options, schema, overwrite: bool):
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("binlog_events writer requires .option('path', ...)")
         self.overwrite = overwrite
+        # Job-unique token, minted driver-side at writer construction and
+        # carried to every task via pickling: shard names embed it so the
+        # staging sweep can distinguish THIS job's failed/speculative
+        # attempts from another writer's in-flight shards (append mode
+        # makes concurrent writers to one path plausible; a wholesale
+        # rmtree of _staging/ would delete the other job's staged work
+        # and fail its commit's os.replace).
+        self.job_token = uuid.uuid4().hex
 
     def write(self, iterator) -> _ShardCommit:
         import json as _json
@@ -515,7 +525,9 @@ class ManifestJsonlWriter(DataSourceWriter):
 
         staging = os.path.join(self.path, "_staging")
         os.makedirs(staging, exist_ok=True)
-        shard = os.path.join(staging, f"part-{uuid.uuid4().hex}.jsonl")
+        shard = os.path.join(
+            staging, f"part-{self.job_token}-{uuid.uuid4().hex}.jsonl"
+        )
         n = 0
         with open(shard, "w", encoding="utf-8") as fh:
             for row in iterator:
@@ -580,15 +592,27 @@ class ManifestJsonlWriter(DataSourceWriter):
         self._sweep_staging()
 
     def _sweep_staging(self) -> None:
-        """Remove shards left by failed or speculative task attempts (they
-        never appear in commit messages, so commit/abort alone leak them)
-        and drop the _staging dir if now empty."""
+        """Remove THIS job's shards left by failed or speculative task
+        attempts (they never appear in commit messages, so commit/abort
+        alone leak them). Scoped by the job token so a concurrent writer's
+        in-flight staged shards survive; the directory itself is removed
+        only when nothing (ours or theirs) remains."""
         import os
-        import shutil
 
         staging = os.path.join(self.path, "_staging")
-        if os.path.isdir(staging):
-            shutil.rmtree(staging, ignore_errors=True)
+        if not os.path.isdir(staging):
+            return
+        mine = f"part-{self.job_token}-"
+        for f in os.listdir(staging):
+            if f.startswith(mine):
+                try:
+                    os.remove(os.path.join(staging, f))
+                except OSError:
+                    pass
+        try:
+            os.rmdir(staging)  # succeeds only if empty
+        except OSError:
+            pass
 
 
 def register_binlog_source(spark: SparkSession) -> None:

@@ -21,6 +21,7 @@ corpus fans out across executors with no driver involvement.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame
@@ -81,10 +82,14 @@ PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
+@functools.lru_cache(maxsize=1)
 def pil_available() -> bool:
     """Probe for Pillow (same guarded-import pattern as the spark-avro jar
     probe): where it exists the decoder takes the C fast path; the pure
-    decoder below is the always-available fallback."""
+    decoder below is the always-available fallback. Memoized: Python does
+    NOT cache failed imports, so an unmemoized probe would pay a full
+    sys.path scan per decoded blob when Pillow is absent (the common
+    case in this container)."""
     try:  # pragma: no cover - depends on environment
         import PIL.Image  # noqa: F401
 

@@ -2440,7 +2440,9 @@ def q_cdc_jdbc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql_streamer_spark.tables import load_table
 
     nation = load_table(spark, sf_dir, "nation")
-    url = embedded_derby_fixture(spark, nation, "nation")
+    url = embedded_derby_fixture(
+        spark, nation, "nation", cache_key=f"jdbc_snapshot:{sf_dir}"
+    )
     snap = jdbc_snapshot(
         spark,
         url=url,
@@ -2461,6 +2463,10 @@ def q_cdc_jdbc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _JDBC_SNAPSHOT_ORACLE = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
+
+#: already-mutated snapshot-diff fixtures, keyed (applicationId, sf_dir)
+_MUTATED_FIXTURES: dict[tuple[str, str], str] = {}
 
 
 def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2490,17 +2496,25 @@ def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql_streamer_spark.tables import load_table
 
     before = load_table(spark, sf_dir, "nation")
-    url = embedded_derby_fixture(spark, before, "nation")
-    execute_statements(
-        spark,
-        url,
-        [
-            "UPDATE nation SET n_regionkey = n_regionkey + 1 "
-            "WHERE MOD(n_nationkey, 5) = 0",
-            "DELETE FROM nation WHERE MOD(n_nationkey, 7) = 3",
-            "INSERT INTO nation VALUES (100, 'ATLANTIS', 0), (101, 'LEMURIA', 1)",
-        ],
-    )
+    # The mutation statements are NOT idempotent (n_regionkey + 1), so the
+    # seed+mutate cycle memoizes as a unit: repeated plan constructions in
+    # one session reuse the already-mutated database instead of booting a
+    # fresh Derby (and its temp dir / JVM memory) per construction.
+    _memo_key = (spark.sparkContext.applicationId, sf_dir)
+    url = _MUTATED_FIXTURES.get(_memo_key)
+    if url is None:
+        url = embedded_derby_fixture(spark, before, "nation")
+        execute_statements(
+            spark,
+            url,
+            [
+                "UPDATE nation SET n_regionkey = n_regionkey + 1 "
+                "WHERE MOD(n_nationkey, 5) = 0",
+                "DELETE FROM nation WHERE MOD(n_nationkey, 7) = 3",
+                "INSERT INTO nation VALUES (100, 'ATLANTIS', 0), (101, 'LEMURIA', 1)",
+            ],
+        )
+        _MUTATED_FIXTURES[_memo_key] = url
     after = jdbc_snapshot(
         spark,
         url=url,

@@ -2758,11 +2758,14 @@ def q_dedup_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from one bounded equi-join, never all-pairs; (2) scoring each
     candidate with Fellegi-Sunter-style per-field agreement weights;
     (3) accepting pairs STRICTLY above the threshold. The fixture
-    exercises every decision path: clean records link at full score,
-    single-field corruptions still link, double corruptions score exactly
-    AT the threshold and are rejected (strict >), and reversed names fall
-    out of their block entirely — the measured blocking-recall loss every
-    real linkage deployment tunes against.
+    exercises every decision path: clean records link at full score
+    (4.5), single-field corruptions still link (3.0 / 3.5), double
+    corruptions fall BELOW the threshold (bal+seg corrupted leaves only
+    name agreeing at 2.0) and are rejected, and reversed names fall out
+    of their block entirely — the measured blocking-recall loss every
+    real linkage deployment tunes against. The exact boundary (bal+seg
+    agreement without name = 2.5, rejected by the strict >) is exercised
+    by a constructed cross-key pair in tests/test_dedup.py.
 
     Scale shape: two map-side projections and ONE equi-join on the block
     key (nation x name-suffix keeps blocks near-constant size as the
@@ -2791,9 +2794,18 @@ def q_dedup_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("c_mktsegment"))
         .alias("d_seg"),
     ).withColumn("d_blk", F.expr("right(d_name, 4)"))
+    return er_link(clean, dirty)
+
+
+def er_link(clean: DataFrame, dirty: DataFrame) -> DataFrame:
+    """The linkage core — block join, Fellegi-Sunter field scoring, strict
+    threshold accept — factored so the exact-boundary semantics (a pair
+    scoring exactly ER_THRESHOLD must be REJECTED) are directly testable
+    on constructed frames. Expects the q_dedup_entity_resolution column
+    contract (clean_key/c_nk/c_blk/c_name/c_bal/c_seg and the d_ twins)."""
     j = clean.join(
         dirty,
-        (clean.c_nk == dirty.d_nk) & (clean.c_blk == dirty.d_blk),
+        (clean["c_nk"] == dirty["d_nk"]) & (clean["c_blk"] == dirty["d_blk"]),
         "inner",
     )
     name_agree = F.col("c_name") == F.col("d_name")

@@ -181,9 +181,10 @@ def test_lsh_tuning_matches_python_scurve(spark, monkeypatch):
 
 def test_entity_resolution_decision_paths(spark, sf_dir):
     """Every linkage decision path fires: clean records link at full
-    score, single-field corruptions still link, double corruptions score
-    exactly AT the threshold and are rejected (strict >), reversed names
-    fall out of their block (blocking-recall loss)."""
+    score, single-field corruptions still link, double corruptions fall
+    below the threshold (bal+seg corrupted leaves only name at 2.0) and
+    are rejected, reversed names fall out of their block
+    (blocking-recall loss)."""
     from pyspark.sql import functions as F
 
     from mysql_streamer_spark.queries.dedup import (
@@ -206,7 +207,7 @@ def test_entity_resolution_decision_paths(spark, sf_dir):
         if k % 3 == 0:
             assert k not in linked, f"{k}: reversed name must block out"
         elif k % 35 == 0:
-            assert k not in linked, f"{k}: double corruption is at-threshold"
+            assert k not in linked, f"{k}: double corruption scores 2.0"
         else:
             assert k in linked, f"{k}: should link"
     # scores behave: full agreement 4.5; single corruptions 3.0 / 3.5
@@ -222,3 +223,37 @@ def test_entity_resolution_decision_paths(spark, sf_dir):
         else:
             assert s == 4.5, (k, s)
     out.unpersist()
+
+
+def test_entity_resolution_exact_threshold_boundary(spark):
+    """A cross-key pair agreeing on balance + segment but NOT name scores
+    exactly ER_THRESHOLD (1.5 + 1.0 = 2.5) and must be REJECTED by the
+    strict >; nudging balance agreement up to include name (4.5) links.
+    This pins the boundary the registered fixture can't reach (its double
+    corruptions land at 2.0)."""
+    from mysql_streamer_spark.queries.dedup import (
+        ER_BAL_W,
+        ER_SEG_W,
+        ER_THRESHOLD,
+        er_link,
+    )
+
+    assert ER_BAL_W + ER_SEG_W == ER_THRESHOLD  # the boundary is reachable
+    clean = spark.createDataFrame(
+        [(1, 0, "t#01", "Customer#t#01", 10.0, "AUTO")],
+        "clean_key int, c_nk int, c_blk string, c_name string, "
+        "c_bal double, c_seg string",
+    )
+    dirty = spark.createDataFrame(
+        [
+            # same block, bal+seg agree, name differs -> exactly 2.5
+            (2, 0, "t#01", "Shopper#t#01", 10.0, "AUTO"),
+            # full agreement -> 4.5, links
+            (3, 0, "t#01", "Customer#t#01", 10.0, "AUTO"),
+        ],
+        "dirty_key int, d_nk int, d_blk string, d_name string, "
+        "d_bal double, d_seg string",
+    )
+    rows = {r.dirty_key: r for r in er_link(clean, dirty).collect()}
+    assert 2 not in rows, "score exactly AT threshold must be rejected"
+    assert rows[3].score == 4.5 and rows[3].name_agree

@@ -95,9 +95,11 @@ def test_python_writer_append_merges_manifest_generations(
     assert back.count() == n + 7
 
 
-def test_python_writer_staging_swept_of_orphans(spark, sf_dir, tmp_path):
-    """A shard left in _staging by a failed/speculative attempt must not
-    survive the next commit (or leak into the manifest)."""
+def test_python_writer_staging_sweep_is_job_scoped(spark, sf_dir, tmp_path):
+    """The staging sweep is scoped to THIS job's shards: a foreign staged
+    shard (a concurrent writer's in-flight work, now plausible since
+    append mode merges generations) must SURVIVE the commit — and must
+    never leak into the manifest."""
     import json
     import os
 
@@ -110,8 +112,8 @@ def test_python_writer_staging_swept_of_orphans(spark, sf_dir, tmp_path):
     out = str(tmp_path / "sink")
     staging = os.path.join(out, "_staging")
     os.makedirs(staging)
-    orphan = os.path.join(staging, "part-deadbeef.jsonl")
-    with open(orphan, "w") as fh:
+    foreign = os.path.join(staging, "part-deadbeef-0.jsonl")
+    with open(foreign, "w") as fh:
         fh.write('{"event_id": -1}\n')
 
     df = load_table(spark, sf_dir, "events").select("event_id").limit(5)
@@ -119,10 +121,40 @@ def test_python_writer_staging_swept_of_orphans(spark, sf_dir, tmp_path):
         "append"
     ).save()
 
-    assert not os.path.exists(staging)
+    assert os.path.exists(foreign), "another job's staged shard survives"
     manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
     assert manifest["total_rows"] == 5
     assert all("deadbeef" not in s["file"] for s in manifest["shards"])
+
+
+def test_python_writer_sweep_scoping_unit(tmp_path):
+    """_sweep_staging removes exactly this writer's orphaned attempt
+    shards, leaves a concurrent writer's shards, and drops the directory
+    only once it is fully empty."""
+    import os
+
+    from mysql_streamer_spark.connectors.python_source import (
+        ManifestJsonlWriter,
+    )
+
+    out = str(tmp_path / "sink")
+    staging = os.path.join(out, "_staging")
+    os.makedirs(staging)
+    w = ManifestJsonlWriter({"path": out}, None, overwrite=False)
+    mine = os.path.join(staging, f"part-{w.job_token}-attempt1.jsonl")
+    theirs = os.path.join(staging, "part-otherjob-attempt1.jsonl")
+    for p in (mine, theirs):
+        with open(p, "w") as fh:
+            fh.write("{}\n")
+
+    w._sweep_staging()
+    assert not os.path.exists(mine), "own speculative shard swept"
+    assert os.path.exists(theirs), "foreign shard untouched"
+    assert os.path.isdir(staging), "dir kept while foreign work remains"
+
+    os.remove(theirs)
+    w._sweep_staging()
+    assert not os.path.exists(staging), "empty staging dir removed"
 
 
 def test_python_writer_overwrite_replaces_previous_generation(
