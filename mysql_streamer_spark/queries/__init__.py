@@ -83,6 +83,7 @@ def all_specs() -> list[QuerySpec]:
         sketches,
         streaming_q,
         textops,
+        type_matrix,
     )
 
     # Ordering policy (drives which 50 queries the driver verifies each
@@ -171,6 +172,7 @@ def all_specs() -> list[QuerySpec]:
     }
     modules = (
         cdc,
+        type_matrix,
         schema_registry,
         streaming_q,
         multimodal,

@@ -255,8 +255,10 @@ _NON_COLUMN_PREFIX = re.compile(
 )
 
 _COLUMN_DEF_RE = re.compile(
-    rf"^(?P<name>{_IDENT})\s+(?P<type>[a-zA-Z]+(?:\s+precision)?(?:\s*\([^)]*\))?"
-    rf"(?:\s+unsigned)?(?:\s+zerofill)?)",
+    rf"^(?P<name>{_IDENT})\s+(?P<type>[a-zA-Z]+"
+    rf"(?:\s+(?:precision|char|varchar|varying)\b)?"  # DOUBLE PRECISION / NATIONAL CHAR / NATIONAL VARCHAR / CHARACTER VARYING
+    rf"(?:\s*\([^)]*\))?"
+    rf"(?:\s+(?:signed|unsigned))?(?:\s+zerofill)?)",
     re.IGNORECASE,
 )
 

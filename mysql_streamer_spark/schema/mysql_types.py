@@ -22,7 +22,7 @@ from pyspark.sql import types as T
 
 _TYPE_RE = re.compile(
     r"""^\s*
-    (?P<name>[a-zA-Z]+(?:\s+(?:precision|char|varchar))?)  # base name, incl. 'double precision' / 'national char'
+    (?P<name>[a-zA-Z]+(?:\s+(?:precision|char|varchar|varying)\b)?)  # base name, incl. 'double precision' / 'national char' / 'character varying'
     \s*(?:\(\s*(?P<args>[^)]*)\s*\))?   # optional (p[,s]) / (len) / enum values
     (?:\s+(?P<tail>.*))?$               # unsigned / zerofill / charset noise
     """,
@@ -91,6 +91,7 @@ def mysql_type_to_spark(type_str: str) -> MappedType:
         return MappedType(T.LongType(), wire_transform="time")
     if name in (
         "char",
+        "character",
         "varchar",
         "tinytext",
         "text",
@@ -100,6 +101,7 @@ def mysql_type_to_spark(type_str: str) -> MappedType:
         "nvarchar",
         "national char",
         "national varchar",
+        "character varying",
     ):
         return MappedType(T.StringType())
     if name in ("binary", "varbinary", "tinyblob", "blob", "mediumblob", "longblob", "bit"):
