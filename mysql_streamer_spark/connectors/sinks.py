@@ -26,14 +26,31 @@ WIRE_JSON_OPTIONS = {
 
 
 def envelope_to_kafka_records(env: DataFrame) -> DataFrame:
-    """envelope -> (key, value, topic): key is (cluster, txn_order) — the
-    exactly-once idempotency key — and topic is db.table, Debezium-style."""
+    """envelope -> (key, value, topic, headers): key is (cluster,
+    txn_order) — the exactly-once idempotency key — topic is db.table
+    Debezium-style (the reference derives it from the registered schema,
+    data_event_handler.py:54-67), and headers carry schema_id +
+    message_type as UTF-8 bytes in Spark's Kafka-sink header shape
+    (array<struct<key string, value binary>>) so a consumer can route
+    without parsing the value."""
     return env.select(
         F.concat_ws(":", "cluster_name", F.col("txn_order").cast("string")).alias(
             "key"
         ),
         F.to_json(F.struct(*env.columns), WIRE_JSON_OPTIONS).alias("value"),
         F.concat_ws(".", "database_name", "table_name").alias("topic"),
+        F.array(
+            F.struct(
+                F.lit("schema_id").alias("key"),
+                F.encode(F.col("schema_id").cast("string"), "UTF-8").alias(
+                    "value"
+                ),
+            ),
+            F.struct(
+                F.lit("message_type").alias("key"),
+                F.encode(F.col("message_type"), "UTF-8").alias("value"),
+            ),
+        ).alias("headers"),
     )
 
 

@@ -1785,6 +1785,74 @@ def q_cdc_python_source_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOPIC_MSGS_PER_PARTITION = 500
 
 
+def q_cdc_kafka_record_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 value-checked, consumer-side: the envelope is rendered into the
+    EXACT record shape the Kafka sink publishes (connectors/sinks.py
+    ``envelope_to_kafka_records`` — key/value/topic/headers, the topic
+    derived from the registered schema identity the way the reference
+    does it, data_event_handler.py:54-67), then parsed back the way a
+    consumer would: value JSON through from_json against the envelope
+    schema, key/topic/headers re-derived from the parsed message and
+    compared byte-for-byte. The oracle is the DIRECT envelope SQL — the
+    same lossless-roundtrip proof pattern that made the Debezium SOURCE
+    adapter checkable (cdc_debezium_roundtrip), applied to the SINK. With
+    no broker in-sandbox this pins everything but the network write:
+    record bytes, routing, idempotency key, and header contract.
+
+    ``key_ok``/``topic_ok``/``headers_ok`` witness that each transport
+    field is a pure function of the message it carries (so a consumer can
+    rebuild them and log-compaction keys correctly); null-safe compares
+    keep legitimately-NULL schema ids honest.
+
+    Scale shape: encode + parse are map-side JSON projections fused into
+    the envelope plan — no shuffle added, no Python."""
+    from mysql_streamer_spark.connectors.sinks import (
+        WIRE_JSON_OPTIONS,
+        envelope_to_kafka_records,
+    )
+
+    env = envelope_pipeline(spark, sf_dir)
+    records = envelope_to_kafka_records(env)
+    parsed = records.select(
+        F.from_json("value", env.schema, WIRE_JSON_OPTIONS).alias("m"),
+        "key",
+        "topic",
+        "headers",
+    )
+    return parsed.select(
+        "m.*",
+        F.col("key")
+        .eqNullSafe(
+            F.concat_ws(
+                ":", "m.cluster_name", F.col("m.txn_order").cast("string")
+            )
+        )
+        .alias("key_ok"),
+        F.col("topic")
+        .eqNullSafe(F.concat_ws(".", "m.database_name", "m.table_name"))
+        .alias("topic_ok"),
+        (
+            (F.col("headers")[0]["key"] == "schema_id")
+            & (F.col("headers")[1]["key"] == "message_type")
+            & F.decode(F.col("headers")[0]["value"], "UTF-8").eqNullSafe(
+                F.col("m.schema_id").cast("string")
+            )
+            & F.decode(F.col("headers")[1]["value"], "UTF-8").eqNullSafe(
+                F.col("m.message_type")
+            )
+        ).alias("headers_ok"),
+    )
+
+
+_KAFKA_RECORD_ORACLE = (
+    _ORACLE_PIPELINE_CTES
+    + f"""
+, env AS ({_ENVELOPE_SELECT.strip()})
+SELECT *, TRUE AS key_ok, TRUE AS topic_ok, TRUE AS headers_ok FROM env
+"""
+)
+
+
 def q_cdc_topic_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The producer's routing table: one Kafka topic per
     (cluster, database, table) — the reference derives the topic from the
@@ -2764,6 +2832,11 @@ SPECS = [
         _MESSAGE_SIZE_ORACLE,
     ),
     QuerySpec("cdc_topic_routing", q_cdc_topic_routing, _TOPIC_ROUTING_ORACLE),
+    QuerySpec(
+        "cdc_kafka_record_roundtrip",
+        q_cdc_kafka_record_roundtrip,
+        _KAFKA_RECORD_ORACLE,
+    ),
     QuerySpec("cdc_key_churn", q_cdc_key_churn, _KEY_CHURN_ORACLE),
     QuerySpec(
         "cdc_incremental_agg", q_cdc_incremental_agg, _INCREMENTAL_AGG_ORACLE

@@ -96,13 +96,51 @@ def test_envelope_to_kafka_records_roundtrip(spark, sf_dir):
 
     env = envelope_pipeline(spark, sf_dir).limit(20)
     recs = envelope_to_kafka_records(env)
-    assert recs.columns == ["key", "value", "topic"]
+    assert recs.columns == ["key", "value", "topic", "headers"]
     row = recs.collect()[0]
     parsed = json.loads(row.value)
     cluster, txn = row.key.rsplit(":", 1)
     assert parsed["cluster_name"] == cluster
     assert str(parsed["txn_order"]) == txn
     assert row.topic == f"{parsed['database_name']}.{parsed['table_name']}"
+    # headers: Spark Kafka-sink shape, UTF-8 bytes, derived from the value
+    # (value is None when the enveloped field is NULL — legal in Kafka)
+    hdrs = {
+        h.key: bytes(h.value).decode() if h.value is not None else None
+        for h in row.headers
+    }
+    sid = parsed.get("schema_id")
+    assert hdrs == {
+        "schema_id": str(sid) if sid is not None else None,
+        "message_type": parsed["message_type"],
+    }
+
+
+def test_kafka_records_compact_to_latest_per_key(spark, sf_dir):
+    """Log-compaction semantics over the idempotency key: a replayed
+    micro-batch (every record published twice) compacts back to exactly
+    the original message set — the consumer-side effectively-once
+    guarantee the key exists to provide."""
+    from pyspark.sql import functions as F
+
+    from mysql_streamer_spark.cdc.pipeline import envelope_pipeline
+
+    env = envelope_pipeline(spark, sf_dir)
+    rows = (
+        envelope_to_kafka_records(env).select("key", "value", "topic").collect()
+    )
+    schema = "key string, value string, topic string"
+    replayed = spark.createDataFrame(rows + rows, schema)
+    # what a compacted topic retains: one record per (topic, key)
+    compacted = replayed.dropDuplicates(["topic", "key"])
+    got = sorted(map(tuple, compacted.collect()))
+    # multiset compare happens driver-side (864 records): exceptAll on
+    # this shape is rewritten by Catalyst into Generate(ReplicateRows)
+    # and a final count() then prunes the value column out from under the
+    # generator — INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND, a Spark 4.1
+    # optimizer bug this test would otherwise flake on
+    assert got == sorted(map(tuple, rows))
+    assert len(got) == env.count()
 
 
 def test_jdbc_snapshot_options():
