@@ -243,6 +243,133 @@ def real_image_decoder(media_type: str, payload: bytes) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# pure-Python WAV (RIFF PCM) codec — the public RIFF/WAVE container spec,
+# same role as the PNG codec above: the one audio format a container
+# without media libraries can still encode/decode FOR REAL. The decode
+# fan-out pattern (Arrow batches -> per-blob kernel) is what a librosa/
+# ffmpeg-backed decoder plugs into unchanged.
+# ---------------------------------------------------------------------------
+
+#: canonical fixture parameters for the synthetic corpus
+WAV_SAMPLE_RATE = 16_000
+
+
+def wav_encode(
+    samples, sample_rate: int = WAV_SAMPLE_RATE, channels: int = 1
+) -> bytes:
+    """Minimal standards-compliant WAV writer: PCM (format 1), 16-bit
+    little-endian, interleaved ``channels``. ``samples`` is a flat
+    sequence of ints in [-32768, 32767] (frame-major interleaved)."""
+    import struct
+
+    if channels < 1:
+        raise ValueError("channels must be >= 1")
+    if len(samples) % channels:
+        raise ValueError(
+            f"{len(samples)} samples do not interleave into {channels} channels"
+        )
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    block_align = channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align,
+        block_align, 16,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")  # RIFF chunks pad to even
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_decode(payload: bytes) -> dict:
+    """Pure-Python WAV reader -> {sample_rate, channels, bits, samples}.
+
+    Walks the RIFF chunk list (any chunk order, odd-size pad bytes per
+    spec), requires PCM (format 1) at 8 or 16 bits; 8-bit is unsigned,
+    16-bit signed little-endian, per the WAVE spec. Raises ValueError on
+    a torn container and NotImplementedError on non-PCM encodings (the
+    honest boundary — ADPCM/float need a real codec)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    riff_size = struct.unpack_from("<I", payload, 4)[0]
+    if riff_size + 8 > len(payload):
+        raise ValueError("RIFF size exceeds payload (torn write?)")
+    fmt = None
+    data = None
+    pos = 12
+    while pos + 8 <= riff_size + 8:
+        ctype = payload[pos : pos + 4]
+        csize = struct.unpack_from("<I", payload, pos + 4)[0]
+        body_at = pos + 8
+        if body_at + csize > len(payload):
+            raise ValueError(f"chunk {ctype!r} overruns the container")
+        if ctype == b"fmt ":
+            if csize < 16:
+                raise ValueError("fmt chunk too short")
+            fmt = struct.unpack_from("<HHIIHH", payload, body_at)
+        elif ctype == b"data":
+            data = payload[body_at : body_at + csize]
+        pos = body_at + csize + (csize % 2)  # pad byte on odd sizes
+    if fmt is None or data is None:
+        raise ValueError("missing fmt / data chunk")
+    audio_format, channels, sample_rate, _byte_rate, _block_align, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(
+            f"WAV format {audio_format} (non-PCM) needs an external codec"
+        )
+    if bits == 16:
+        samples = list(struct.unpack(f"<{len(data) // 2}h", data[: len(data) // 2 * 2]))
+    elif bits == 8:
+        samples = list(data)  # 8-bit WAV is unsigned
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM not supported")
+    return {
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "bits": bits,
+        "samples": samples,
+    }
+
+
+def real_audio_decoder(media_type: str, payload: bytes) -> dict:
+    """The audio twin of real_image_decoder: decodes genuine WAV bytes and
+    reports stats over the DECODED SAMPLES (clamped to [0, 255] for the
+    shared histogram contract — the synthetic corpus encodes byte-valued
+    samples, so the clamp is the identity there)."""
+    if media_type != "audio":
+        raise NotImplementedError(
+            f"no {media_type} codec on this path; see real_media_decoder"
+        )
+    samples = wav_decode(payload)["samples"]
+    hist = [0] * N_HIST_BINS
+    for s in samples:
+        hist[min(max(s, 0), 255) * N_HIST_BINS // 256] += 1
+    return {
+        "n_bytes": len(payload),
+        "mean_byte": (sum(samples) / len(samples)) if samples else 0.0,
+        "byte_hist": hist,
+    }
+
+
+def real_media_decoder(media_type: str, payload: bytes) -> dict:
+    """Dispatching production decoder: PNG (or PIL) for images, RIFF-PCM
+    WAV for audio; video stays an honest NotImplementedError until an
+    external codec (av/ffmpeg) is plugged in with the same contract."""
+    if media_type == "image":
+        return real_image_decoder(media_type, payload)
+    if media_type == "audio":
+        return real_audio_decoder(media_type, payload)
+    raise NotImplementedError(
+        f"no {media_type} codec in this environment; plug a decoder "
+        "with the same (media_type, payload) -> dict contract"
+    )
+
+
 def extract_features(
     blobs: DataFrame, decoder: Decoder = fake_decoder
 ) -> DataFrame:

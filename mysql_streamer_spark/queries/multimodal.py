@@ -167,6 +167,162 @@ FROM decoded
 """
 
 
+def _wav_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document's UTF-8 bytes encoded into a GENUINE RIFF-PCM WAV
+    (byte value == 16-bit sample value) in one Arrow-batched stage — the
+    audio twin of the PNG encode stage in q_multimodal_real_decode."""
+    import pandas as pd
+
+    from mysql_streamer_spark.multimodal import wav_encode
+    from mysql_streamer_spark.tables import spread
+
+    docs = (
+        spread(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "text")
+        .filter(F.length("text") > 0)
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = [
+                wav_encode(list(t.encode("utf-8"))) for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": ["audio"] * len(pdf),
+                    "payload": payloads,
+                }
+            )
+
+    return docs.mapInPandas(
+        encode, "doc_id long, media_type string, payload binary"
+    )
+
+
+def q_multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL audio-codec path, end-to-end: document bytes become 16-bit
+    PCM samples inside a genuine RIFF/WAVE container (in-repo pure-Python
+    writer, public RIFF spec), then decode back through the chunk-walking
+    WAV reader (multimodal.wav_decode via real_media_decoder), and the
+    SAMPLE statistics hash-match the source bytes recomputed in SQL — the
+    same lossless-roundtrip proof the PNG codec got in round 9, closing
+    the 'audio decode is stubbed' gap. Unlike PNG (zlib-dependent), the
+    WAV container size is a closed form, so ``payload_bytes`` = 44 + 2n
+    is part of the checked surface.
+
+    Scale shape: two map-only Arrow stages (encode, decode) over the
+    documents partitioning — no shuffle, no collect."""
+    from mysql_streamer_spark.multimodal import real_media_decoder
+
+    feats = extract_features(_wav_blobs(spark, sf_dir), decoder=real_media_decoder)
+    return feats.select(
+        "doc_id",
+        F.aggregate(
+            "byte_hist", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("n_samples"),
+        F.col("n_bytes").cast("long").alias("payload_bytes"),
+        F.col("mean_byte").alias("mean_sample"),
+        F.array_join(
+            F.transform("byte_hist", lambda x: x.cast("string")), ","
+        ).alias("sample_hist"),
+    )
+
+
+def _wav_roundtrip_oracle() -> str:
+    from mysql_streamer_spark.multimodal import N_HIST_BINS
+
+    hist_bins = ", ".join(
+        f"len(list_filter(codes, c -> c * {N_HIST_BINS} // 256 = {b}))"
+        for b in range(N_HIST_BINS)
+    )
+    return f"""
+WITH decoded AS (
+  SELECT doc_id,
+    list_transform(generate_series(1, length(text), 1),
+                   i -> ascii(substring(text, i, 1))) AS codes
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id,
+  CAST(len(codes) AS BIGINT) AS n_samples,
+  CAST(44 + 2 * len(codes) AS BIGINT) AS payload_bytes,
+  CAST(list_sum(codes) AS DOUBLE) / len(codes) AS mean_sample,
+  array_to_string([{hist_bins}], ',') AS sample_hist
+FROM decoded
+"""
+
+
+def q_multimodal_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The energy/peak meter over GENUINELY DECODED PCM: each WAV payload
+    is decoded inside the Arrow kernel (chunk walk, fmt validation,
+    16-bit LE unpack) and the meter windows the decoded samples — where
+    multimodal_audio_energy meters the raw byte stream, this one proves
+    the meter math on the other side of a real codec. The oracle
+    recomputes every window's sum and max from the source bytes, so a
+    hash match pins encode -> container -> decode -> meter end-to-end.
+
+    Scale shape: encode + decode+meter are two map-only Arrow stages over
+    the documents partitioning; windows per clip are bounded
+    (MAX_WINDOWS), so output stays O(docs)."""
+    import numpy as np
+    import pandas as pd
+
+    from mysql_streamer_spark.multimodal import (
+        ENERGY_SCHEMA,
+        MAX_WINDOWS,
+        WINDOW_BYTES,
+        wav_decode,
+    )
+
+    def meter(batches):
+        for pdf in batches:
+            out: dict[str, list[int]] = {
+                "doc_id": [], "window_idx": [], "energy": [], "peak": []
+            }
+            for doc_id, pl in zip(pdf["doc_id"], pdf["payload"]):
+                samples = np.array(
+                    wav_decode(bytes(pl))["samples"], dtype=np.int64
+                )
+                n_win = min(len(samples) // WINDOW_BYTES, MAX_WINDOWS)
+                if n_win == 0:
+                    continue
+                w = samples[: n_win * WINDOW_BYTES].reshape(n_win, WINDOW_BYTES)
+                out["doc_id"].extend([int(doc_id)] * n_win)
+                out["window_idx"].extend(range(n_win))
+                out["energy"].extend(w.sum(axis=1).tolist())
+                out["peak"].extend(w.max(axis=1).tolist())
+            yield pd.DataFrame(out)
+
+    blobs = _wav_blobs(spark, sf_dir)
+    return blobs.select("doc_id", "payload").mapInPandas(meter, ENERGY_SCHEMA)
+
+
+def _wav_energy_oracle() -> str:
+    from mysql_streamer_spark.multimodal import MAX_WINDOWS, WINDOW_BYTES
+
+    return f"""
+WITH audio AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n
+  FROM documents WHERE length(text) > 0
+), wins AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0,
+           least(CAST(n // {WINDOW_BYTES} AS BIGINT), {MAX_WINDOWS}) - 1))
+           AS window_idx
+  FROM audio
+  WHERE n >= {WINDOW_BYTES}
+)
+SELECT doc_id, window_idx,
+  CAST(list_sum(list_transform(generate_series(1, {WINDOW_BYTES}),
+       i -> ascii(substr(text, CAST(window_idx * {WINDOW_BYTES} AS INT) + i, 1))))
+    AS BIGINT) AS energy,
+  CAST(list_max(list_transform(generate_series(1, {WINDOW_BYTES}),
+       i -> ascii(substr(text, CAST(window_idx * {WINDOW_BYTES} AS INT) + i, 1))))
+    AS BIGINT) AS peak
+FROM wins
+"""
+
+
 def q_multimodal_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-addressable-store audit over the binary payloads: exact
     byte-level dedup by sha2-256 content key, reported per media type —
@@ -861,6 +1017,14 @@ SPECS = [
     ),
     QuerySpec(
         "multimodal_audio_energy", q_multimodal_audio_energy, _audio_energy_oracle()
+    ),
+    QuerySpec(
+        "multimodal_wav_roundtrip",
+        q_multimodal_wav_roundtrip,
+        _wav_roundtrip_oracle(),
+    ),
+    QuerySpec(
+        "multimodal_wav_energy", q_multimodal_wav_energy, _wav_energy_oracle()
     ),
     QuerySpec(
         "multimodal_phash_neardup",

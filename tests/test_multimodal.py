@@ -255,3 +255,102 @@ def test_png_corruption_never_decodes_silently(w, h, flip_at):
     assert out == (w, h, 1, pixels), (
         f"flip at byte {idx} decoded silently to different pixels"
     )
+
+
+# ---------------------------------------------------------------------------
+# property tests: WAV (RIFF PCM) codec — the round-10 audio twin of the
+# PNG codec above
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    channels=st.sampled_from([1, 2]),
+    rate=st.sampled_from([8_000, 16_000, 44_100]),
+    data=st.data(),
+)
+def test_wav_roundtrip_property(channels, rate, data):
+    """encode . decode == id for arbitrary 16-bit sample content across
+    mono/stereo and common rates; the container metadata round-trips."""
+    from mysql_streamer_spark.multimodal import wav_decode, wav_encode
+
+    n_frames = data.draw(st.integers(min_value=0, max_value=200))
+    samples = data.draw(
+        st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=n_frames * channels,
+            max_size=n_frames * channels,
+        )
+    )
+    got = wav_decode(wav_encode(samples, sample_rate=rate, channels=channels))
+    assert got == {
+        "sample_rate": rate,
+        "channels": channels,
+        "bits": 16,
+        "samples": samples,
+    }
+
+
+def test_wav_decode_walks_extra_chunks_and_pad_bytes():
+    """A spec-conformant reader must skip unknown chunks (LIST/INFO) and
+    honor the odd-size pad byte — real-world WAVs carry both."""
+    import struct
+
+    from mysql_streamer_spark.multimodal import wav_decode, wav_encode
+
+    good = wav_encode([1, -2, 300], sample_rate=8_000)
+    # splice an odd-sized LIST chunk (with pad byte) between WAVE and fmt
+    info = b"INFOodd"  # 7 bytes -> needs a pad byte
+    extra = b"LIST" + struct.pack("<I", len(info)) + info + b"\x00"
+    body = good[12:]
+    payload = b"RIFF" + struct.pack("<I", 4 + len(extra) + len(body)) + b"WAVE" + extra + body
+    got = wav_decode(payload)
+    assert got["samples"] == [1, -2, 300]
+    assert got["sample_rate"] == 8_000
+
+
+def test_wav_decode_fails_loudly():
+    """Torn containers raise ValueError; non-PCM encodings raise
+    NotImplementedError (the honest external-codec boundary)."""
+    import struct
+
+    import pytest as _pytest
+
+    from mysql_streamer_spark.multimodal import wav_decode, wav_encode
+
+    with _pytest.raises(ValueError):
+        wav_decode(b"RIFF\x00\x00\x00\x00JUNK")
+    with _pytest.raises(ValueError):
+        wav_decode(b"not audio at all")
+    good = bytearray(wav_encode([5, 6, 7]))
+    # truncate mid-data: the data chunk overruns the container
+    with _pytest.raises(ValueError):
+        wav_decode(bytes(good[:-3]))
+    # rewrite format tag to 3 (IEEE float) -> NotImplementedError
+    fmt_at = bytes(good).find(b"fmt ") + 8
+    struct.pack_into("<H", good, fmt_at, 3)
+    with _pytest.raises(NotImplementedError):
+        wav_decode(bytes(good))
+
+
+def test_real_audio_decoder_sample_stats():
+    """real_audio_decoder reports stats over DECODED samples: mean and
+    histogram of byte-valued samples match a hand computation."""
+    from mysql_streamer_spark.multimodal import (
+        real_audio_decoder,
+        real_media_decoder,
+        wav_encode,
+    )
+
+    samples = [0, 63, 64, 127, 128, 191, 192, 255]
+    payload = wav_encode(samples)
+    got = real_audio_decoder("audio", payload)
+    assert got["n_bytes"] == len(payload) == 44 + 2 * len(samples)
+    assert got["mean_byte"] == sum(samples) / len(samples)
+    assert got["byte_hist"] == [2, 2, 2, 2]
+    # the dispatcher routes audio here and still refuses video
+    assert real_media_decoder("audio", payload) == got
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        real_media_decoder("video", payload)
