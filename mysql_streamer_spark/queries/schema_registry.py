@@ -788,3 +788,173 @@ SPECS.append(
         _confluent_levels_oracle(),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Confluent subject-naming strategies + per-subject version allocation
+# ---------------------------------------------------------------------------
+
+#: the three standard Confluent subject-naming strategies; the record FQN
+#: follows avro_schema_for_entry's namespace (replication_handler.<db>)
+SUBJECT_STRATEGIES = (
+    "TopicNameStrategy",
+    "RecordNameStrategy",
+    "TopicRecordNameStrategy",
+)
+
+
+def _subject_for(strategy: str, topic: str, record_fqn: str) -> str:
+    if strategy == "TopicNameStrategy":
+        return f"{topic}-value"
+    if strategy == "RecordNameStrategy":
+        return record_fqn
+    return f"{topic}-{record_fqn}"
+
+
+def q_schema_registry_subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subject naming + id allocation, the registry semantics the wire
+    family left unmodeled: every schema version the replayed registry
+    issued is mapped under all three standard Confluent subject-naming
+    strategies (TopicNameStrategy '<topic>-value', RecordNameStrategy
+    '<record fqn>', TopicRecordNameStrategy '<topic>-<record fqn>'), with
+    VERSIONS allocated per subject (1..n in registration order) while the
+    schema id stays GLOBAL — exactly the Confluent contract. Then every
+    topic actually present in the CDC stream is routed topic -> subject
+    -> latest schema id per strategy; topics with no registered subject
+    classify ``unregistered_schema`` — the same verdict the strict
+    producer's DLQ issues (cdc_wire_dlq_routing), proven here per
+    strategy. Reference analog: schema_wrapper.py:97-141 registers under
+    a (namespace, source) identity and routes by what registration
+    returned.
+
+    Scale shape: the subject dimension is control-plane (registry-sized,
+    broadcast); stream topics reduce via one distinct on a bounded
+    domain; the routing join is broadcast — no data-plane shuffle grows
+    with input."""
+    from mysql_streamer_spark.cdc.source import (
+        HEARTBEAT_DB,
+        REFRESH_SUFFIX,
+        events_as_cdc,
+    )
+
+    reg = bootstrap_registry()
+    dim_rows = []
+    for db, table in reg.tables():
+        topic = f"{db}.{table}"
+        fqn = f"replication_handler.{db}.{table}"
+        for strategy in SUBJECT_STRATEGIES:
+            subject = _subject_for(strategy, topic, fqn)
+            for v, e in enumerate(reg.history(db, table), start=1):
+                dim_rows.append((strategy, subject, v, e.schema_id))
+    dim = spark.createDataFrame(
+        dim_rows,
+        "strategy string, subject string, subject_version int, schema_id int",
+    )
+    latest = dim.groupBy("strategy", "subject").agg(
+        F.max("subject_version").alias("n_versions"),
+        F.max_by("schema_id", "subject_version").alias("latest_schema_id"),
+    )
+    cdc = events_as_cdc(load_table(spark, sf_dir, "events")).filter(
+        (F.col("database") != HEARTBEAT_DB) & (F.col("database") != "test")
+    )
+    topics = (
+        cdc.select(
+            "database",
+            F.replace(
+                F.col("table"), F.lit(REFRESH_SUFFIX), F.lit("")
+            ).alias("table"),
+        )
+        .distinct()
+        .withColumn("topic", F.concat_ws(".", "database", "table"))
+        .withColumn(
+            "record_fqn",
+            F.concat_ws(".", F.lit("replication_handler"), "database", "table"),
+        )
+    )
+    routed = topics.withColumn(
+        "strategy",
+        F.explode(F.array(*[F.lit(s) for s in SUBJECT_STRATEGIES])),
+    ).withColumn(
+        "subject",
+        F.when(
+            F.col("strategy") == "TopicNameStrategy",
+            F.concat(F.col("topic"), F.lit("-value")),
+        )
+        .when(F.col("strategy") == "RecordNameStrategy", F.col("record_fqn"))
+        .otherwise(F.concat_ws("-", "topic", "record_fqn")),
+    )
+    return routed.join(F.broadcast(latest), ["strategy", "subject"], "left").select(
+        "strategy",
+        "topic",
+        "subject",
+        "n_versions",
+        "latest_schema_id",
+        F.when(F.col("latest_schema_id").isNull(), F.lit("unregistered_schema"))
+        .otherwise(F.lit("resolved"))
+        .alias("status"),
+    )
+
+
+def _subjects_oracle() -> str:
+    from mysql_streamer_spark.cdc.source import ORACLE_CDC_EVENTS_CTE
+
+    return f"""
+WITH {ORACLE_CDC_EVENTS_CTE.strip()}
+, state AS ({registry_state_values_sql()})
+, strategies AS (
+  SELECT * FROM (VALUES ('TopicNameStrategy'), ('RecordNameStrategy'),
+                        ('TopicRecordNameStrategy')) AS s(strategy)
+)
+, dim AS (
+  SELECT st.strategy,
+    CASE st.strategy
+      WHEN 'TopicNameStrategy' THEN s.database || '.' || s."table" || '-value'
+      WHEN 'RecordNameStrategy'
+        THEN 'replication_handler.' || s.database || '.' || s."table"
+      ELSE s.database || '.' || s."table"
+           || '-replication_handler.' || s.database || '.' || s."table"
+    END AS subject,
+    s.schema_id,
+    row_number() OVER (
+      PARTITION BY st.strategy, s.database, s."table" ORDER BY s.schema_id
+    ) AS subject_version
+  FROM state s CROSS JOIN strategies st
+)
+, latest AS (
+  SELECT strategy, subject,
+         CAST(max(subject_version) AS INT) AS n_versions,
+         CAST(max_by(schema_id, subject_version) AS INT) AS latest_schema_id
+  FROM dim GROUP BY 1, 2
+)
+, topics AS (
+  SELECT DISTINCT database,
+         replace("table", '_data_pipeline_refresh', '') AS "table"
+  FROM cdc WHERE database NOT IN ('yelp_heartbeat', 'test')
+)
+, routed AS (
+  SELECT st.strategy,
+    t.database || '.' || t."table" AS topic,
+    CASE st.strategy
+      WHEN 'TopicNameStrategy' THEN t.database || '.' || t."table" || '-value'
+      WHEN 'RecordNameStrategy'
+        THEN 'replication_handler.' || t.database || '.' || t."table"
+      ELSE t.database || '.' || t."table"
+           || '-replication_handler.' || t.database || '.' || t."table"
+    END AS subject
+  FROM topics t CROSS JOIN strategies st
+)
+SELECT r.strategy, r.topic, r.subject, l.n_versions, l.latest_schema_id,
+  CASE WHEN l.latest_schema_id IS NULL THEN 'unregistered_schema'
+       ELSE 'resolved' END AS status
+FROM routed r
+LEFT JOIN latest l ON r.strategy = l.strategy AND r.subject = l.subject
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "schema_registry_subjects",
+        q_schema_registry_subjects,
+        _subjects_oracle(),
+    )
+)

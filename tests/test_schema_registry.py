@@ -227,3 +227,66 @@ def test_confluent_levels_runtime_probe_semantics():
         avro_schema_for_entry(e) for e in reg.history("db_0", "purchase")
     )
     assert schemas_resolvable(p1, p2) and schemas_resolvable(p2, p1)
+
+
+def test_subject_strategies_and_per_subject_versions(spark):
+    """The Confluent subject contract: subjects derive from topic and/or
+    record FQN per strategy; versions allocate PER SUBJECT (1..n in
+    registration order) while schema ids stay GLOBAL — the same id is
+    visible under all three strategies' subjects."""
+    from mysql_streamer_spark.queries.schema_registry import (
+        SUBJECT_STRATEGIES,
+        _subject_for,
+        q_schema_registry_subjects,
+    )
+    from mysql_streamer_spark.schema.bootstrap import bootstrap_registry
+
+    assert _subject_for(
+        "TopicNameStrategy", "db_0.purchase", "replication_handler.db_0.purchase"
+    ) == "db_0.purchase-value"
+    assert _subject_for(
+        "RecordNameStrategy", "db_0.purchase", "replication_handler.db_0.purchase"
+    ) == "replication_handler.db_0.purchase"
+    assert _subject_for(
+        "TopicRecordNameStrategy",
+        "db_0.purchase",
+        "replication_handler.db_0.purchase",
+    ) == "db_0.purchase-replication_handler.db_0.purchase"
+
+    out = q_schema_registry_subjects(spark, "/root/testdata/sf0.001").collect()
+    by_strategy: dict[str, dict[str, tuple]] = {s: {} for s in SUBJECT_STRATEGIES}
+    for r in out:
+        by_strategy[r.strategy][r.topic] = (
+            r.n_versions,
+            r.latest_schema_id,
+            r.status,
+        )
+    # every strategy routes the same topic set, and PER TOPIC the global
+    # id + per-subject version count agree across strategies
+    topic_sets = {s: set(m) for s, m in by_strategy.items()}
+    assert len(set(map(frozenset, topic_sets.values()))) == 1
+    for topic in topic_sets["TopicNameStrategy"]:
+        rows = {s: by_strategy[s][topic] for s in SUBJECT_STRATEGIES}
+        assert len(set(rows.values())) == 1, (topic, rows)
+    # the multi-version table allocates subject versions 1..n (n >= 2) and
+    # its latest GLOBAL id is the registry's latest id for that table
+    reg = bootstrap_registry()
+    purchase = reg.history("db_0", "purchase")
+    assert len(purchase) >= 2
+    n_versions, latest_id, status = by_strategy["TopicNameStrategy"][
+        "db_0.purchase"
+    ]
+    assert (n_versions, latest_id, status) == (
+        len(purchase),
+        purchase[-1].schema_id,
+        "resolved",
+    )
+    # the DLQ verdict fires per strategy for stream topics with no subject
+    unregistered = {
+        (r.strategy, r.topic) for r in out if r.status == "unregistered_schema"
+    }
+    assert {t for _, t in unregistered}, "fixture must exercise the DLQ path"
+    for s in SUBJECT_STRATEGIES:
+        assert {t for st, t in unregistered if st == s} == {
+            t for _, t in unregistered
+        }
