@@ -380,14 +380,23 @@ EVENTS_MIDPOINT = "2024-01-30 18:00:00"
 
 def q_analytics_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT/EXCEPT over per-half user sets, then one union of labeled
-    groups — each leg is a distinct-aggregate on user_id (narrow shuffles)."""
+    groups — each leg is a distinct-aggregate on user_id (narrow shuffles).
+    The EXCEPT legs are LEFT ANTI joins (identical on distinct inputs):
+    exceptAll plans a Generate(ReplicateRows) that a downstream count()'s
+    column pruning breaks in this Spark build
+    (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND, see tests/test_connectors.py),
+    and the anti join is the cheaper plan anyway — no replicate stage."""
     ev = load_table(spark, sf_dir, "events")
     mid = F.lit(EVENTS_MIDPOINT).cast("timestamp")
     first = ev.filter(F.col("ts") < mid).select("user_id").distinct()
     second = ev.filter(F.col("ts") >= mid).select("user_id").distinct()
     retained = first.intersect(second).withColumn("cohort", F.lit("retained"))
-    churned = first.exceptAll(second).withColumn("cohort", F.lit("churned"))
-    new = second.exceptAll(first).withColumn("cohort", F.lit("new"))
+    churned = first.join(second, "user_id", "left_anti").withColumn(
+        "cohort", F.lit("churned")
+    )
+    new = second.join(first, "user_id", "left_anti").withColumn(
+        "cohort", F.lit("new")
+    )
     return (
         retained.unionAll(churned)
         .unionAll(new)
