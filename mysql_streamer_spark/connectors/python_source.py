@@ -228,6 +228,11 @@ class BinlogEventsStreamReader(SimpleDataSourceStreamReader):
             raise ValueError("binlog_events source requires .option('path', ...)")
         self.path = path
         self.batch_rows = int(options.get("batchrows", STREAM_BATCH_ROWS))
+        # S5: .option("txnatomic", "true") turns on peek/pop lookahead
+        # batching — micro-batch cuts never split an upstream transaction
+        # (txn = event_id div txnevents; see connectors/buffered.py).
+        self.txn_atomic = str(options.get("txnatomic", "false")).lower() == "true"
+        self.txn_events = int(options.get("txnevents", 0)) or None
         self._table = None
 
     def _load(self):
@@ -291,8 +296,32 @@ class BinlogEventsStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         total = self._load().num_rows
         first = min(start["row"], total)
-        last = min(first + self.batch_rows, total)
-        return iter(self._rows(first, last)), {"row": last}
+        if not self.txn_atomic:
+            last = min(first + self.batch_rows, total)
+            return iter(self._rows(first, last)), {"row": last}
+        # Transaction-atomic cut (reference S5,
+        # base_binlog_stream_reader_wrapper.py:22-49): wrap the feed in
+        # the deque-buffered peek/pop stream and extend past batch_rows
+        # while the PEEKED next event commits in the same transaction as
+        # the last one taken. The offset advances by exactly the rows
+        # consumed, so checkpoint replay (readBetweenOffsets) reproduces
+        # the identical atomic batches.
+        from mysql_streamer_spark.connectors.buffered import (
+            DEFAULT_TXN_EVENTS,
+            PeekPopEventStream,
+            take_batch_atomic,
+        )
+
+        txn_events = self.txn_events or DEFAULT_TXN_EVENTS
+
+        def fetch(row: int, n: int):
+            return self._rows(min(row, total), min(row + n, total))
+
+        stream = PeekPopEventStream(fetch, first)
+        batch = take_batch_atomic(
+            stream, self.batch_rows, lambda r: r[0] // txn_events
+        )
+        return iter(batch), {"row": first + len(batch)}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return iter(self._rows(start["row"], end["row"]))
@@ -653,6 +682,8 @@ def stream_events_from_python_source(
     sf_dir: str,
     batch_rows: int = STREAM_BATCH_ROWS,
     partitioned: bool = False,
+    txn_atomic: bool = False,
+    txn_events: int | None = None,
 ) -> DataFrame:
     """``readStream`` over the pluggable source: offset-tracked micro-
     batches of the events feed, same columns as the batch path.
@@ -660,7 +691,10 @@ def stream_events_from_python_source(
     ``partitioned=True`` selects the executor-parallel streamReader
     (drain/backfill: each trigger takes everything available, read in
     parallel row ranges); the default is the paced driver-side simple
-    reader (incremental tail: ``batch_rows`` per trigger)."""
+    reader (incremental tail: ``batch_rows`` per trigger).
+    ``txn_atomic=True`` enables the S5 peek/pop lookahead cut: each
+    micro-batch extends past ``batch_rows`` to the next transaction
+    boundary so no upstream transaction splits across batches."""
     import os
 
     register_binlog_source(spark)
@@ -670,6 +704,8 @@ def stream_events_from_python_source(
         .option("path", os.path.join(sf_dir, "events.parquet"))
         .option("batchrows", str(batch_rows))
         .option("partitioned", "true" if partitioned else "false")
+        .option("txnatomic", "true" if txn_atomic else "false")
+        .option("txnevents", str(txn_events or 0))
         .load()
     )
     return raw.select(

@@ -755,11 +755,106 @@ def _ddl_barrier_oracle() -> str:
     return _version_routing_oracle()
 
 
+def q_streaming_txn_atomic_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-atomic micro-batching via the S5 peek/pop lookahead
+    (reference base_binlog_stream_reader_wrapper.py:22-49, here
+    connectors/buffered.py): the pluggable source streams with
+    ``txn_atomic=True``, so every micro-batch drains AT LEAST
+    ``batch_rows`` events and then extends — by peeking, never consuming
+    — to the next transaction boundary (txn = event_id div TXN_EVENTS).
+    A consumer applying each batch atomically never sees half an
+    upstream transaction.
+
+    The oracle is closed-form: ``batch_rows`` is pinned to
+    B = max(503, floor5(total/3)+3) ≡ 3 (mod 5), so every lookahead cut
+    lands at stride S = B+2 (the next multiple of TXN_EVENTS) and batch
+    membership is ``event_id div S`` — SQL a second engine can state
+    independently. A reader that split a transaction (or mis-advanced
+    the offset) shifts first/last/n_txns of some batch and hash-fails.
+
+    Scale shape: the lookahead window is bounded (TXN_EVENTS rows past
+    the target), the buffer refills in 256-row chunks, and the heavy
+    plan stays downstream of the source — identical to the non-atomic
+    reader's cost envelope."""
+    import tempfile as _tf
+
+    import pyarrow.parquet as _pq
+
+    from mysql_streamer_spark.connectors.buffered import DEFAULT_TXN_EVENTS
+    from mysql_streamer_spark.connectors.python_source import (
+        _parquet_files,
+        stream_events_from_python_source,
+    )
+
+    total = sum(
+        _pq.ParquetFile(f).metadata.num_rows
+        for f in _parquet_files(table_path(sf_dir, "events"))
+    )
+    third = total // 3
+    batch_rows = max(503, third - third % DEFAULT_TXN_EVENTS + 3)
+    events = stream_events_from_python_source(
+        spark, sf_dir, batch_rows=batch_rows, txn_atomic=True
+    )
+    work = _tf.mkdtemp(prefix="mss_txn_atomic_")
+    out, ckpt = f"{work}/out", f"{work}/ckpt"
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.select("event_id").write.mode("overwrite").parquet(
+            f"{out}/batch_id={batch_id}"
+        )
+
+    q = (
+        events.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sink = spark.read.parquet(out)  # keep the batch_id partition column
+    txn = F.expr(f"event_id div {DEFAULT_TXN_EVENTS}")
+    return (
+        sink.groupBy(F.col("batch_id").cast("long").alias("batch_id"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct(txn).alias("n_txns"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+    )
+
+
+def _txn_atomic_batches_oracle() -> str:
+    from mysql_streamer_spark.connectors.buffered import DEFAULT_TXN_EVENTS
+
+    t = DEFAULT_TXN_EVENTS
+    return f"""
+WITH n AS (SELECT count(*) AS c FROM events),
+s AS (
+  SELECT greatest(503, (c // 3) - ((c // 3) % {t}) + 3) + {t - 3} AS stride
+  FROM n
+)
+SELECT event_id // stride AS batch_id,
+       count(*) AS n_rows,
+       count(DISTINCT event_id // {t}) AS n_txns,
+       min(event_id) AS first_event,
+       max(event_id) AS last_event
+FROM events, s
+GROUP BY 1
+"""
+
+
 SPECS = [
     QuerySpec(
         "streaming_envelope",
         q_streaming_envelope,
         _ORACLE_PIPELINE_CTES + _ENVELOPE_SELECT,
+    ),
+    QuerySpec(
+        "streaming_txn_atomic_batches",
+        q_streaming_txn_atomic_batches,
+        _txn_atomic_batches_oracle(),
     ),
     QuerySpec(
         "streaming_ddl_barrier",

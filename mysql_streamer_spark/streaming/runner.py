@@ -127,13 +127,23 @@ def run_envelope_stream(
         done[0] += 1
 
     events = load_events_stream(spark, source_dir, max_files_per_trigger)
-    query = (
-        events.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    # T7: at most one instance per namespace. Spark rejects a second query
+    # on this checkpoint within THIS session; the namespace lock
+    # (streaming/singleton.py) extends the guarantee to a second driver
+    # process — the reference's ZKLock
+    # (base_parse_replication_stream.py:126-131), kept on the checkpoint's
+    # own storage. Released on any exit, clean or injected-crash; a hard
+    # kill leaves a dead-pid lock the next instance breaks as stale.
+    from mysql_streamer_spark.streaming.singleton import NamespaceLock
+
+    with NamespaceLock(checkpoint_dir):
+        query = (
+            events.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return done[0]
 
 

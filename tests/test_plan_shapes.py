@@ -177,6 +177,12 @@ _SKIP = {
     # IDENTICAL payload_to_confluent the batch
     # cdc_confluent_payload_roundtrip runs
     "streaming_confluent_publish",
+    # drains a checkpointed stream at build time; the source is the same
+    # StreamingRelationV2 the python-source queries audit, the downstream
+    # plan is one hash aggregate over the sink read, and the S5 lookahead
+    # cut itself is driver-side reader logic (unit-tested in
+    # test_buffered_stream.py)
+    "streaming_txn_atomic_batches",
 }
 
 
@@ -186,7 +192,7 @@ def test_allowlists_are_count_pinned():
     written bounded-domain justification every entry must carry
     (VERDICT r7 #7). Update the count IN THE SAME COMMIT as the entry."""
     assert len(_BNLJ_OK) == 62
-    assert len(_SKIP) == 8
+    assert len(_SKIP) == 9
     assert len(_SINGLE_PARTITION_OK) == 67
     assert len(_UNPARTITIONED_WINDOW_OK) == 14
     assert len(_ZERO_SHUFFLE) == 6
@@ -624,6 +630,16 @@ def _streaming_frames(spark, sf_dir):
         "streaming_confluent_publish": (
             _confluent_publish_frame(spark, sf_dir),
             ["StreamingRelationV2", "MapInArrow"],
+        ),
+        # the S5 txn-atomic reader is the same pluggable source with the
+        # lookahead cut enabled; downstream is a bare projection (the
+        # aggregate runs on the batch sink read, audited as a hash
+        # aggregate everywhere else)
+        "streaming_txn_atomic_batches": (
+            stream_events_from_python_source(
+                spark, sf_dir, txn_atomic=True
+            ).select("event_id"),
+            ["StreamingRelationV2"],
         ),
     }
 
