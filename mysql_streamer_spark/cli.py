@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import re
 import sys
 
@@ -176,8 +177,32 @@ def cmd_run_query(args: argparse.Namespace) -> int:
             file=sys.stderr,
         )
         return 2
-    df = specs[args.name].fn(_spark(), args.sf_dir)
-    for row in df.limit(args.limit).collect():
+    spark = _spark()
+    if args.profile_dir:
+        # R7: profile THIS run — driver cProfile (plan construction +
+        # collect loop) and the executor-side Python-UDF profiler, both
+        # dumped under --profile-dir (profiling.py).
+        from mysql_streamer_spark.profiling import ProfilerToggle, udf_profiling
+
+        toggle = ProfilerToggle(args.profile_dir)
+        toggle.start()
+        with udf_profiling(spark) as profile:
+            df = specs[args.name].fn(spark, args.sf_dir)
+            rows = df.limit(args.limit).collect()
+        driver_dump = toggle.stop_and_dump()
+        udf_dir = os.path.join(args.profile_dir, "udf")
+        try:
+            profile.dump(udf_dir, type="perf")
+        except Exception:
+            pass  # no Python UDF ran in this query: nothing to dump
+        print(
+            json.dumps({"driver_profile": driver_dump, "udf_profile_dir": udf_dir}),
+            file=sys.stderr,
+        )
+    else:
+        df = specs[args.name].fn(spark, args.sf_dir)
+        rows = df.limit(args.limit).collect()
+    for row in rows:
         print(json.dumps({k: str(v) for k, v in row.asDict().items()}))
     return 0
 
@@ -394,6 +419,11 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("name")
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     q.add_argument("--limit", type=int, default=20)
+    q.add_argument(
+        "--profile-dir",
+        default=None,
+        help="dump driver cProfile + executor UDF-profiler stats here (R7)",
+    )
     q.set_defaults(fn=cmd_run_query)
 
     x = sub.add_parser(

@@ -430,6 +430,106 @@ def q_cdc_ddl_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     return admitted.select("pos", "kind", "database", "table")
 
 
+def _statement_matrix() -> list[tuple[str, str]]:
+    """(sql, expected_kind) corpus modeled on the reference's
+    sql_handler_test.py:46-248 fixture grid: every statement class through
+    its modifier/quoting/IF-EXISTS variants, plus the catch-all set. The
+    expected kind is HAND-DECLARED per template — independent of both
+    classification engines."""
+    corpus: list[tuple[str, str]] = []
+    tables = ["business", "`business`", "`yelp`.`business`"]
+    for tmp in ("", "TEMPORARY "):
+        for ine in ("", "IF NOT EXISTS "):
+            for tbl in tables:
+                for cols in ("(test_col VARCHAR(255))", "LIKE test_table"):
+                    corpus.append(
+                        (f"CREATE {tmp}TABLE {ine}{tbl} {cols}", "CREATE_TABLE")
+                    )
+    for oo in ("", "ONLINE ", "OFFLINE "):
+        for ig in ("", "IGNORE "):
+            for tbl in tables:
+                for op in ("DROP test_col", "ENGINE=INNODB"):
+                    corpus.append(
+                        (f"ALTER {oo}{ig}TABLE {tbl} {op}", "ALTER_TABLE")
+                    )
+    for tmp in ("", "TEMPORARY "):
+        for ie in ("", "IF EXISTS "):
+            for tbl in tables:
+                corpus.append((f"DROP {tmp}TABLE {ie}{tbl}", "DROP_TABLE"))
+    for obj in ("DATABASE", "SCHEMA"):
+        corpus.append((f"CREATE {obj} yelp", "CREATE_DATABASE"))
+        corpus.append(
+            (f"ALTER {obj} yelp DEFAULT CHARACTER SET utf8", "ALTER_DATABASE")
+        )
+        corpus.append((f"DROP {obj} yelp", "DROP_DATABASE"))
+    for uniq in ("", "UNIQUE ", "FULLTEXT ", "SPATIAL "):
+        corpus.append(
+            (f"CREATE {uniq}INDEX idx ON business (test_col)", "CREATE_INDEX")
+        )
+    corpus.append(("CREATE ONLINE INDEX idx ON business (a)", "CREATE_INDEX"))
+    corpus.append(("DROP INDEX idx ON business", "DROP_INDEX"))
+    corpus.append(("DROP ONLINE INDEX idx ON business", "DROP_INDEX"))
+    corpus.append(("DROP INDEX ONLINE idx ON business", "DROP_INDEX"))
+    corpus.append(("RENAME TABLE business TO biz", "RENAME_TABLE"))
+    corpus.append(("RENAME TABLE a TO b, c TO d", "RENAME_TABLE"))
+    for sql in (
+        "INSERT INTO business VALUES (1)",
+        "UPDATE business SET a = 1",
+        "DELETE FROM business WHERE a = 1",
+        "BEGIN",
+        "COMMIT",
+        "TRUNCATE TABLE business",
+        "CREATE TRIGGER trg BEFORE INSERT ON t FOR EACH ROW SET @x = 1",
+        "CREATE VIEW v AS SELECT 1",
+        "GRANT SELECT ON yelp.business TO someone",
+        "SET NAMES utf8",
+        "USE yelp",
+        "ANALYZE TABLE business",
+        "CREATE TABLE",
+        "DROP TABLE IF EXISTS",
+    ):
+        corpus.append((sql, "UNSUPPORTED"))
+    return corpus
+
+
+def q_schema_registry_statement_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q2 differential gate as an oracle query: the reference-test
+    statement grid (sql_handler_test.py:46-248) classified by BOTH
+    engines — the token-matcher DSL (schema/token_matcher.py, the
+    reference's Optional/Compound/Any semantics) and the regex/enum
+    parser (schema/ddl_parser.py) — with the expected kind hand-declared
+    per template. ``engines_agree`` must be uniformly true and ``kind``
+    must hash-match the declared expectation: a classification bug now
+    needs the same wrong answer from two unrelated grammars AND the
+    hand expectation to slip past. Bounded control-plane corpus,
+    stamped driver-side like cdc_ddl_admission."""
+    from mysql_streamer_spark.schema.ddl_parser import parse_statement
+    from mysql_streamer_spark.schema.token_matcher import classify_with_matchers
+
+    rows = []
+    for pos, (sql, _expected) in enumerate(_statement_matrix()):
+        dsl = classify_with_matchers(sql).name
+        parser = parse_statement(sql).kind.name
+        rows.append((pos, sql, dsl, dsl == parser))
+    return spark.createDataFrame(
+        rows, "pos int, query string, kind string, engines_agree boolean"
+    )
+
+
+def _statement_matrix_oracle() -> str:
+    rows = []
+    for pos, (sql, expected) in enumerate(_statement_matrix()):
+        lit = sql.replace("'", "''")
+        rows.append(f"({pos}, '{lit}', '{expected}', TRUE)")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(pos, query, kind, engines_agree)"
+    )
+
+
 def _ddl_admission_oracle() -> str:
     from mysql_streamer_spark.cdc.filters import (
         DEFAULT_SCHEMA_BLACKLIST,
@@ -614,6 +714,11 @@ SPECS = [
         _AVRO_SCHEMAS_ORACLE,
     ),
     QuerySpec("cdc_ddl_admission", q_cdc_ddl_admission, _ddl_admission_oracle()),
+    QuerySpec(
+        "schema_registry_statement_matrix",
+        q_schema_registry_statement_matrix,
+        _statement_matrix_oracle(),
+    ),
     QuerySpec(
         "cdc_schema_version_routing",
         q_cdc_schema_version_routing,

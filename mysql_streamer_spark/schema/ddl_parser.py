@@ -104,7 +104,8 @@ _HEAD_RES: list[tuple[StatementKind, re.Pattern]] = [
     (
         StatementKind.CREATE_TABLE,
         re.compile(
-            rf"^CREATE\s+{_MODIFIERS}TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?{_QUALIFIED}",
+            rf"^CREATE\s+{_MODIFIERS}TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+            rf"(?!IF\s+NOT\s+EXISTS\s*$){_QUALIFIED}",
             re.IGNORECASE,
         ),
     ),
@@ -114,15 +115,19 @@ _HEAD_RES: list[tuple[StatementKind, re.Pattern]] = [
     ),
     (
         StatementKind.DROP_TABLE,
+        # the lookahead rejects the DEGENERATE bare "DROP TABLE IF EXISTS"
+        # (no operand): without it IF matches as the table identifier
         re.compile(
-            rf"^DROP\s+{_MODIFIERS}TABLE\s+(?P<ie>IF\s+EXISTS\s+)?{_QUALIFIED}",
+            rf"^DROP\s+{_MODIFIERS}TABLE\s+(?P<ie>IF\s+EXISTS\s+)?"
+            rf"(?!IF\s+EXISTS\s*$){_QUALIFIED}",
             re.IGNORECASE,
         ),
     ),
     (
         StatementKind.CREATE_DATABASE,
         re.compile(
-            rf"^CREATE\s+(?:DATABASE|SCHEMA)\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<q1>{_IDENT})",
+            rf"^CREATE\s+(?:DATABASE|SCHEMA)\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+            rf"(?!IF\s+NOT\s+EXISTS\s*$)(?P<q1>{_IDENT})",
             re.IGNORECASE,
         ),
     ),
@@ -133,7 +138,8 @@ _HEAD_RES: list[tuple[StatementKind, re.Pattern]] = [
     (
         StatementKind.DROP_DATABASE,
         re.compile(
-            rf"^DROP\s+(?:DATABASE|SCHEMA)\s+(?P<ie>IF\s+EXISTS\s+)?(?P<q1>{_IDENT})",
+            rf"^DROP\s+(?:DATABASE|SCHEMA)\s+(?P<ie>IF\s+EXISTS\s+)?"
+            rf"(?!IF\s+EXISTS\s*$)(?P<q1>{_IDENT})",
             re.IGNORECASE,
         ),
     ),
@@ -147,8 +153,12 @@ _HEAD_RES: list[tuple[StatementKind, re.Pattern]] = [
     ),
     (
         StatementKind.DROP_INDEX,
+        # ONLINE|OFFLINE is valid on either side of INDEX (5.5 puts it
+        # before, 5.6 after — reference sql_handler.py:442-448 accepts both)
         re.compile(
-            rf"^DROP\s+{_MODIFIERS}INDEX\s+{_IDENT}\s+ON\s+{_QUALIFIED}", re.IGNORECASE
+            rf"^DROP\s+{_MODIFIERS}INDEX\s+(?:(?:ONLINE|OFFLINE)\s+)?{_IDENT}"
+            rf"\s+ON\s+{_QUALIFIED}",
+            re.IGNORECASE,
         ),
     ),
     (
