@@ -191,12 +191,16 @@ def cmd_run_query(args: argparse.Namespace) -> int:
             rows = df.limit(args.limit).collect()
         driver_dump = toggle.stop_and_dump()
         udf_dir = os.path.join(args.profile_dir, "udf")
-        try:
-            profile.dump(udf_dir, type="perf")
-        except Exception:
-            pass  # no Python UDF ran in this query: nothing to dump
+        # dump is a no-op (creates nothing) when no Python UDF ran; any
+        # real failure (unwritable dir, disk full) should surface loudly
+        profile.dump(udf_dir, type="perf")
         print(
-            json.dumps({"driver_profile": driver_dump, "udf_profile_dir": udf_dir}),
+            json.dumps(
+                {
+                    "driver_profile": driver_dump,
+                    "udf_profile_dir": udf_dir if os.path.isdir(udf_dir) else None,
+                }
+            ),
             file=sys.stderr,
         )
     else:

@@ -106,6 +106,8 @@ def take_batch_atomic(
     inspecting an event that must NOT be consumed if it opens a new
     transaction.
     """
+    if min_rows <= 0:
+        raise ValueError("min_rows must be positive")
     batch: list[Any] = []
     while len(batch) < min_rows:
         if stream.peek() is None:

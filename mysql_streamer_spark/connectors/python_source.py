@@ -233,6 +233,8 @@ class BinlogEventsStreamReader(SimpleDataSourceStreamReader):
         # (txn = event_id div txnevents; see connectors/buffered.py).
         self.txn_atomic = str(options.get("txnatomic", "false")).lower() == "true"
         self.txn_events = int(options.get("txnevents", 0)) or None
+        if self.txn_atomic and self.batch_rows <= 0:
+            raise ValueError("txnatomic requires a positive batchrows")
         self._table = None
 
     def _load(self):
@@ -317,7 +319,13 @@ class BinlogEventsStreamReader(SimpleDataSourceStreamReader):
         def fetch(row: int, n: int):
             return self._rows(min(row, total), min(row + n, total))
 
-        stream = PeekPopEventStream(fetch, first)
+        # one refill covers the whole batch INCLUDING the lookahead
+        # window, so the common trigger pays a single Arrow slice +
+        # to_pydict conversion; only rows past the cut (≤ txn_events-1)
+        # are discarded and re-read next trigger
+        stream = PeekPopEventStream(
+            fetch, first, refill_rows=self.batch_rows + txn_events
+        )
         batch = take_batch_atomic(
             stream, self.batch_rows, lambda r: r[0] // txn_events
         )
@@ -694,8 +702,17 @@ def stream_events_from_python_source(
     reader (incremental tail: ``batch_rows`` per trigger).
     ``txn_atomic=True`` enables the S5 peek/pop lookahead cut: each
     micro-batch extends past ``batch_rows`` to the next transaction
-    boundary so no upstream transaction splits across batches."""
+    boundary so no upstream transaction splits across batches. Only the
+    paced simple reader implements it — the partitioned reader drains
+    everything available per trigger (nothing to cut), so combining the
+    two is a contract error, not a silent downgrade."""
     import os
+
+    if txn_atomic and partitioned:
+        raise ValueError(
+            "txn_atomic batching is a paced-reader feature; the partitioned "
+            "drain reader takes all available rows per trigger"
+        )
 
     register_binlog_source(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")

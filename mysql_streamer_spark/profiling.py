@@ -45,9 +45,11 @@ class ProfilerToggle:
     collection, each EVEN one stops it and writes
     ``<out_dir>/profile_<n>.pstats`` (binary, for ``pstats``/snakeviz)
     and ``profile_<n>.txt`` (top ``top_n`` by cumulative time). The
-    handler only flips a flag and hands work to ``toggle()`` — all real
-    work happens in normal control flow, so a signal landing mid-plan
-    cannot corrupt profiler state.
+    dump does real I/O from handler context (there is no main-loop tick
+    to defer to in a Spark driver), so the handler CONTAINS failures: a
+    bad out_dir / full disk is reported to stderr, never propagated into
+    whatever main-thread statement the signal interrupted — toggling a
+    profiler must not be able to crash the live process it observes.
     """
 
     def __init__(self, out_dir: str, top_n: int = 40):
@@ -71,7 +73,17 @@ class ProfilerToggle:
             self._prev_handler = None
 
     def _on_signal(self, signum, frame) -> None:
-        self.toggle()
+        import sys
+        import traceback
+
+        try:
+            self.toggle()
+        except Exception:  # noqa: BLE001 - containment is the contract
+            print(
+                "ProfilerToggle: dump failed (profiling state reset):\n"
+                + traceback.format_exc(),
+                file=sys.stderr,
+            )
 
     def toggle(self) -> str | None:
         """Start if stopped; stop-and-dump if running. Returns the dump

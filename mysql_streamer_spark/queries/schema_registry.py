@@ -487,8 +487,13 @@ def _statement_matrix() -> list[tuple[str, str]]:
         "ANALYZE TABLE business",
         "CREATE TABLE",
         "DROP TABLE IF EXISTS",
+        "DROP TABLE IF EXISTS;",
+        "CREATE TABLE IF NOT EXISTS;",
+        "CREATE TABLE (a INT)",
     ):
         corpus.append((sql, "UNSUPPORTED"))
+    corpus.append(("DROP TABLE business;", "DROP_TABLE"))
+    corpus.append(("DROP TABLE IF EXISTS `business`;", "DROP_TABLE"))
     return corpus
 
 

@@ -186,12 +186,27 @@ STATEMENT_MATCHERS: list[tuple[StatementKind, list, bool]] = [
 ]
 
 
+_OPERAND_RE = re.compile("^[`\"'0-9a-zA-Z$_\u0080-\uffff]")
+
+
+def _is_operand(token: str) -> bool:
+    """Identifier-shaped: quoted or starting with an identifier char.
+    Trailing punctuation (``;``, a stray paren) is NOT an operand — the
+    reference feeds the popped token to its identifier parser, which
+    rejects punctuation; folding that rejection into requires-next keeps
+    the two engines agreeing on degenerate trailing-punctuation forms
+    like ``DROP TABLE IF EXISTS;``."""
+    return bool(_OPERAND_RE.match(token))
+
+
 def classify_with_matchers(sql: str) -> StatementKind:
     """First-match-wins DSL classification (the reference's
     mysql_statement_factory loop, sql_handler.py:32-57)."""
     tokens = tokenize(sql)
     for kind, matchers, requires_next in STATEMENT_MATCHERS:
         m = TokenMatcher(tokens)
-        if m.matches(*matchers) and (not requires_next or m.has_next()):
+        if m.matches(*matchers) and (
+            not requires_next or (m.has_next() and _is_operand(m.peek()))
+        ):
             return kind
     return StatementKind.UNSUPPORTED

@@ -11,22 +11,29 @@ nothing stops a SECOND driver process (a mis-deployed duplicate job, a
 zombie from a bad rollout) from starting against the same checkpoint +
 sink lineage — exactly the failure ZK arbitration exists for. This
 module is the same arbitration on the storage the checkpoint already
-lives on: an O_CREAT|O_EXCL lock file inside the namespace directory.
-On a real cluster that directory is on the shared filesystem (HDFS/
-object store with a consistent view), so the exclusive-create is
-cluster-global the same way the checkpoint's own WAL is.
+lives on: a kernel-arbitrated ``flock`` on a lock file inside the
+namespace directory.
 
-Liveness: the lock records owner pid + host + acquire time. A lock
-whose owner pid is provably dead ON THE SAME HOST is stale and may be
-broken by the next acquirer (the reference gets this for free from ZK
-ephemeral nodes; a lock file needs the explicit check). A lock held by
-another HOST is never presumed dead — refusing to guess is what keeps
-split-brain impossible; operators break it explicitly via
-``break_lock``.
+Why flock and not create/unlink dances: an exclusive-create protocol
+needs stale-owner detection, and every unlink-based takeover has a
+TOCTOU window where a breaker can delete a FRESH lock another process
+just acquired (two instances then run — the split-brain this class
+exists to prevent). ``flock`` gives both properties natively: the
+kernel serializes acquisition, and — the ZK-ephemeral property — the
+lock vanishes the instant the owner dies, kill -9 included, with no
+pid-liveness guessing. The lock file itself carries owner metadata
+purely for the error message and operator forensics.
+
+Shared-storage note: on NFSv4 ``flock`` maps to server-side byte-range
+locks and remains correct across hosts; on object stores without POSIX
+lock semantics, namespace arbitration belongs to the cluster manager
+(run one driver per app id) and this lock still protects the
+single-host/multi-process case the tests pin.
 """
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import socket
@@ -37,16 +44,6 @@ LOCK_FILENAME = "_singleton.lock"
 
 class SingletonLockHeld(RuntimeError):
     """Another live instance owns this namespace."""
-
-
-def _pid_alive(pid: int) -> bool:
-    try:
-        os.kill(pid, 0)
-    except ProcessLookupError:
-        return False
-    except PermissionError:  # exists, owned by someone else
-        return True
-    return True
 
 
 class NamespaceLock:
@@ -61,73 +58,80 @@ class NamespaceLock:
     def __init__(self, namespace_dir: str):
         self.namespace_dir = namespace_dir
         self.path = os.path.join(namespace_dir, LOCK_FILENAME)
-        self._held = False
+        self._fd: int | None = None
+
+    @property
+    def held(self) -> bool:
+        return self._fd is not None
 
     def _read_owner(self) -> dict | None:
         try:
             with open(self.path) as f:
                 return json.load(f)
-        except FileNotFoundError:
+        except (OSError, ValueError):
             return None
-        except ValueError:
-            # torn write from a crashed acquirer: unparseable = unverifiable
-            # liveness; treat like a foreign-host lock (explicit break only)
-            return {}
-
-    def _owner_is_stale(self) -> bool:
-        owner = self._read_owner()
-        if owner is None:
-            return False  # vanished: racing release; retry the create
-        pid, host = owner.get("pid"), owner.get("host")
-        if not isinstance(pid, int) or host != socket.gethostname():
-            return False  # foreign/unverifiable: never presume dead
-        return not _pid_alive(pid)
 
     def acquire(self) -> "NamespaceLock":
-        os.makedirs(self.namespace_dir, exist_ok=True)
-        for _ in range(2):  # second pass after clearing a stale lock
-            try:
-                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                if self._owner_is_stale():
-                    # dead same-host owner: break and re-contend (the
-                    # exclusive create arbitrates concurrent breakers)
-                    try:
-                        os.unlink(self.path)
-                    except FileNotFoundError:
-                        pass
-                    continue
-                owner = self._read_owner()
-                raise SingletonLockHeld(
-                    f"namespace {self.namespace_dir!r} is locked by {owner!r}"
-                ) from None
-            with os.fdopen(fd, "w") as f:
-                json.dump(
-                    {
-                        "pid": os.getpid(),
-                        "host": socket.gethostname(),
-                        "acquired_at": time.time(),
-                    },
-                    f,
-                )
-            self._held = True
+        if self._fd is not None:
             return self
-        owner = self._read_owner()
-        raise SingletonLockHeld(
-            f"namespace {self.namespace_dir!r} is locked by {owner!r}"
-        )
-
-    def release(self) -> None:
-        if self._held:
+        os.makedirs(self.namespace_dir, exist_ok=True)
+        while True:
+            fd = os.open(self.path, os.O_CREAT | os.O_RDWR)
             try:
-                os.unlink(self.path)
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except BlockingIOError:
+                os.close(fd)
+                raise SingletonLockHeld(
+                    f"namespace {self.namespace_dir!r} is locked by "
+                    f"{self._read_owner()!r}"
+                ) from None
+            # We flocked SOME inode; re-check it is still the inode at
+            # ``path``. A releasing holder unlinks before closing, so a
+            # lock on an already-unlinked (or since-replaced) inode
+            # guards nothing — retry on the current file.
+            try:
+                if os.stat(self.path).st_ino == os.fstat(fd).st_ino:
+                    os.ftruncate(fd, 0)
+                    os.write(
+                        fd,
+                        json.dumps(
+                            {
+                                "pid": os.getpid(),
+                                "host": socket.gethostname(),
+                                "acquired_at": time.time(),
+                            }
+                        ).encode(),
+                    )
+                    self._fd = fd
+                    return self
             except FileNotFoundError:
                 pass
-            self._held = False
+            os.close(fd)  # releases the stale-inode flock
+
+    def release(self) -> None:
+        if self._fd is None:
+            return
+        fd, self._fd = self._fd, None
+        # unlink BEFORE closing, but only if ``path`` is still OUR inode:
+        # after a break_lock + re-acquire by another process, the path
+        # belongs to the new holder and must survive our exit. For our
+        # own inode, unlink-then-close means new acquirers either see no
+        # file (create fresh) or flock the still-locked inode and fail
+        # the acquire-side inode re-check — never an unlocked current
+        # file.
+        try:
+            if os.stat(self.path).st_ino == os.fstat(fd).st_ino:
+                os.unlink(self.path)
+        except FileNotFoundError:
+            pass
+        os.close(fd)
 
     def break_lock(self) -> None:
-        """Operator override: remove the lock regardless of owner (the
-        'rmr the ZK node' runbook step). Never called implicitly."""
+        """Operator override: unlink the lock file (the 'rmr the ZK node'
+        runbook step). The current holder's flock survives on the
+        unlinked inode — breaking does not crash it — but the namespace
+        becomes acquirable, so the operator owns the consequences.
+        Never called implicitly."""
         try:
             os.unlink(self.path)
         except FileNotFoundError:

@@ -73,6 +73,23 @@ def test_atomic_batch_no_extension_when_cut_is_aligned():
     assert batch == [0, 1, 2, 3, 4]
 
 
+def test_atomic_batch_rejects_nonpositive_min_rows():
+    s = PeekPopEventStream(_feed([1, 2, 3]), start_row=0)
+    with pytest.raises(ValueError, match="min_rows"):
+        take_batch_atomic(s, min_rows=0, txn_of=lambda r: r)
+
+
+def test_txn_atomic_with_partitioned_reader_is_a_contract_error(spark):
+    from mysql_streamer_spark.connectors.python_source import (
+        stream_events_from_python_source,
+    )
+
+    with pytest.raises(ValueError, match="paced-reader"):
+        stream_events_from_python_source(
+            spark, "/root/testdata/sf0.001", partitioned=True, txn_atomic=True
+        )
+
+
 def test_atomic_batch_short_at_end_of_stream():
     s = PeekPopEventStream(_feed(list(range(7))), start_row=5, refill_rows=4)
     batch = take_batch_atomic(s, min_rows=10, txn_of=lambda r: r // 5)

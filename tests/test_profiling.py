@@ -55,6 +55,23 @@ def test_start_is_idempotent_and_exit_dumps_active_profile(tmp_path):
     assert (tmp_path / "profile_1.pstats").exists()
 
 
+def test_signal_handler_contains_dump_failures(tmp_path, capsys):
+    """A bad out_dir must not let the toggle crash the process it
+    observes: the handler reports to stderr and resets state."""
+    bad = tmp_path / "file_not_dir"
+    bad.write_text("x")
+    with ProfilerToggle(str(bad)) as t:
+        os.kill(os.getpid(), signal.SIGUSR2)  # on
+        _busy()
+        os.kill(os.getpid(), signal.SIGUSR2)  # off -> dump fails, contained
+        assert not t.active
+        err = capsys.readouterr().err
+        assert "dump failed" in err
+        os.kill(os.getpid(), signal.SIGUSR2)  # still toggleable afterwards
+        assert t.active
+        t._profile = None  # drop so __exit__ doesn't re-dump into the bad dir
+
+
 def test_uninstall_restores_previous_handler(tmp_path):
     prev = signal.getsignal(signal.SIGUSR2)
     t = ProfilerToggle(str(tmp_path)).install()

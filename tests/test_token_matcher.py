@@ -117,6 +117,23 @@ def test_degenerate_database_statements_differ_by_design():
         assert parse_statement(sql).kind is StatementKind.UNSUPPORTED
 
 
+def test_trailing_punctuation_degenerates_agree():
+    """A trailing ';' (or a bare column list) is not an operand: both
+    engines must call the statement unsupported, and both must still
+    accept the well-formed ';'-terminated forms."""
+    for sql in ("DROP TABLE IF EXISTS;", "CREATE TABLE IF NOT EXISTS;",
+                "CREATE TABLE (a INT)"):
+        assert classify_with_matchers(sql) is StatementKind.UNSUPPORTED
+        assert parse_statement(sql).kind is StatementKind.UNSUPPORTED
+    for sql, kind in (
+        ("DROP TABLE business;", StatementKind.DROP_TABLE),
+        ("DROP TABLE IF EXISTS `business`;", StatementKind.DROP_TABLE),
+        ("CREATE TABLE t (a INT);", StatementKind.CREATE_TABLE),
+    ):
+        assert classify_with_matchers(sql) is kind
+        assert parse_statement(sql).kind is kind
+
+
 _IDENTS = st.sampled_from(
     ["business", "`business`", "`yelp`.`business`", "yelp.business", "`weird ``q`"]
 )
