@@ -356,14 +356,212 @@ def real_audio_decoder(media_type: str, payload: bytes) -> dict:
     }
 
 
+#: default frame rate for synthesized AVI clips
+AVI_FPS = 10
+
+#: fixed header overhead of the writer's container layout:
+#: RIFF(12) + LIST hdrl(12 + avih 64 + LIST strl(12 + strh 64 + strf 48))
+#: + LIST movi(12); each frame then costs 8 + biSizeImage
+AVI_HEADER_BYTES = 12 + (12 + 64 + (12 + 64 + 48)) + 12
+
+
+def _avi_row_bytes(width: int) -> int:
+    """24-bit DIB rows pad to 4-byte boundaries (BITMAPINFOHEADER spec)."""
+    return (3 * width + 3) // 4 * 4
+
+
+def avi_encode(
+    frames, width: int, height: int, fps: int = AVI_FPS
+) -> bytes:
+    """Minimal standards-compliant AVI writer (public MS RIFF/AVI spec):
+    one 'vids' stream of uncompressed 24-bit BI_RGB DIB frames ('00db'
+    chunks, bottom-up rows, 4-byte row padding). ``frames`` is a list of
+    GRAYSCALE frames (bytes of length width*height, row-major top-down);
+    gray goes to equal B=G=R channels, so the encode is lossless."""
+    import struct
+
+    if width < 1 or height < 1:
+        raise ValueError("width and height must be positive")
+    if fps < 1:
+        raise ValueError("fps must be positive")
+    row_bytes = _avi_row_bytes(width)
+    frame_bytes = row_bytes * height
+    pad = b"\x00" * (row_bytes - 3 * width)
+    movi_items = []
+    for f in frames:
+        if len(f) != width * height:
+            raise ValueError(
+                f"frame has {len(f)} bytes, expected {width * height}"
+            )
+        rows = []
+        for y in range(height - 1, -1, -1):  # DIBs store rows bottom-up
+            row = f[y * width : (y + 1) * width]
+            rows.append(bytes(b for px in row for b in (px, px, px)) + pad)
+        dib = b"".join(rows)
+        movi_items.append(b"00db" + struct.pack("<I", frame_bytes) + dib)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        frame_bytes * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0,  # dwFlags (no idx1 index written)
+        len(frames),  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        frame_bytes,  # dwSuggestedBufferSize
+        width,
+        height,
+        0, 0, 0, 0,  # dwReserved
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack(
+            "<IHHIIIIIIII4H",
+            0, 0, 0,  # flags, priority, language
+            0,  # initial frames
+            1, fps,  # scale, rate -> rate/scale fps
+            0, len(frames),  # start, length
+            frame_bytes,  # suggested buffer
+            0xFFFFFFFF,  # quality (default)
+            0,  # sample size (varies)
+            0, 0, width, height,  # rcFrame
+        )
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24,  # biSize..biBitCount
+        0,  # biCompression = BI_RGB
+        frame_bytes, 0, 0, 0, 0,
+    )
+    strl = b"strl" + b"strh" + struct.pack("<I", len(strh)) + strh \
+        + b"strf" + struct.pack("<I", len(strf)) + strf
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih \
+        + b"LIST" + struct.pack("<I", len(strl)) + strl
+    movi = b"movi" + b"".join(movi_items)
+    body = (
+        b"AVI "
+        + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+        + b"LIST" + struct.pack("<I", len(movi)) + movi
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_decode(payload: bytes) -> dict:
+    """Pure-Python AVI reader -> {width, height, fps, n_frames, frames}.
+
+    Walks the nested RIFF LIST structure (any chunk order, unknown
+    chunks skipped, odd-size pad bytes per spec), requires an
+    uncompressed 24-bit BI_RGB 'vids' stream; frames come back as
+    GRAYSCALE bytes (row-major top-down, integer-mean luma — exact
+    inverse of avi_encode's equal-channel writing). Raises ValueError on
+    a torn container and NotImplementedError on compressed codecs (the
+    honest boundary — MJPEG/H.264 need a real codec)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+    riff_size = struct.unpack_from("<I", payload, 4)[0]
+    if riff_size + 8 > len(payload):
+        raise ValueError("RIFF size exceeds payload (torn write?)")
+
+    avih = None
+    bmih = None
+    frames_raw: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal avih, bmih
+        while pos + 8 <= end:
+            ctype = payload[pos : pos + 4]
+            csize = struct.unpack_from("<I", payload, pos + 4)[0]
+            body_at = pos + 8
+            if body_at + csize > end:
+                raise ValueError(f"chunk {ctype!r} overruns the container")
+            if ctype == b"LIST":
+                walk(body_at + 4, body_at + csize)  # skip the list type id
+            elif ctype == b"avih":
+                if csize < 56:
+                    raise ValueError("avih chunk too short")
+                avih = struct.unpack_from("<IIIIIIIIII", payload, body_at)
+            elif ctype == b"strf":
+                if csize < 40:
+                    raise ValueError("strf chunk too short")
+                bmih = struct.unpack_from("<IiiHHI", payload, body_at)
+            elif ctype[2:] in (b"db", b"dc"):
+                frames_raw.append(payload[body_at : body_at + csize])
+            pos = body_at + csize + (csize % 2)  # pad byte on odd sizes
+
+    walk(12, riff_size + 8)
+    if avih is None or bmih is None:
+        raise ValueError("missing avih / strf header")
+    usec_per_frame, _, _, _, total_frames = avih[:5]
+    width, height = avih[8], avih[9]
+    _, _, _, _, bit_count, compression = bmih
+    if compression != 0:
+        raise NotImplementedError(
+            f"AVI compression 0x{compression:08x} needs an external codec"
+        )
+    if bit_count != 24:
+        raise NotImplementedError(f"{bit_count}-bit DIB not supported")
+    if len(frames_raw) != total_frames:
+        raise ValueError(
+            f"avih declares {total_frames} frames, movi carries "
+            f"{len(frames_raw)}"
+        )
+    row_bytes = _avi_row_bytes(width)
+    frames = []
+    for dib in frames_raw:
+        if len(dib) != row_bytes * height:
+            raise ValueError("DIB frame size mismatch")
+        gray = bytearray(width * height)
+        for y in range(height):
+            src = (height - 1 - y) * row_bytes  # bottom-up -> top-down
+            for x in range(width):
+                b, g, r = dib[src + 3 * x : src + 3 * x + 3]
+                gray[y * width + x] = (b + g + r) // 3
+        frames.append(bytes(gray))
+    return {
+        "width": width,
+        "height": height,
+        "fps": round(1_000_000 / usec_per_frame) if usec_per_frame else 0,
+        "n_frames": len(frames),
+        "frames": frames,
+    }
+
+
+def real_video_decoder(media_type: str, payload: bytes) -> dict:
+    """The video leg of real_media_decoder: decodes genuine AVI bytes and
+    reports the shared stats contract over the DECODED grayscale pixels
+    of every frame."""
+    if media_type != "video":
+        raise NotImplementedError(
+            f"no {media_type} codec on this path; see real_media_decoder"
+        )
+    decoded = avi_decode(payload)
+    hist = [0] * N_HIST_BINS
+    total = 0
+    count = 0
+    for frame in decoded["frames"]:
+        for px in frame:
+            hist[px * N_HIST_BINS // 256] += 1
+        total += sum(frame)
+        count += len(frame)
+    return {
+        "n_bytes": len(payload),
+        "mean_byte": (total / count) if count else 0.0,
+        "byte_hist": hist,
+    }
+
+
 def real_media_decoder(media_type: str, payload: bytes) -> dict:
     """Dispatching production decoder: PNG (or PIL) for images, RIFF-PCM
-    WAV for audio; video stays an honest NotImplementedError until an
-    external codec (av/ffmpeg) is plugged in with the same contract."""
+    WAV for audio, RIFF-AVI uncompressed DIB for video; compressed video
+    codecs remain an honest NotImplementedError until an external codec
+    (av/ffmpeg) is plugged in with the same contract."""
     if media_type == "image":
         return real_image_decoder(media_type, payload)
     if media_type == "audio":
         return real_audio_decoder(media_type, payload)
+    if media_type == "video":
+        return real_video_decoder(media_type, payload)
     raise NotImplementedError(
         f"no {media_type} codec in this environment; plug a decoder "
         "with the same (media_type, payload) -> dict contract"

@@ -323,6 +323,171 @@ FROM wins
 """
 
 
+#: synthesized-clip geometry: 7x6 grayscale frames (42 px; width 7 keeps
+#: the DIB row padding path hot — 21 BGR bytes pad to 24), capped frames
+AVI_W, AVI_H, AVI_MAX_FRAMES = 7, 6, 12
+
+
+def _avi_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every long-enough document's UTF-8 bytes tiled into GENUINE
+    RIFF-AVI clips of 24-bit BI_RGB DIB frames (byte value == gray pixel)
+    in one Arrow-batched stage — the video twin of _wav_blobs."""
+    import pandas as pd
+
+    from mysql_streamer_spark.multimodal import avi_encode
+    from mysql_streamer_spark.tables import spread
+
+    px = AVI_W * AVI_H
+    docs = (
+        spread(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "text")
+        .filter(F.octet_length("text") >= px)
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                raw = t.encode("utf-8")
+                n = min(len(raw) // px, AVI_MAX_FRAMES)
+                frames = [raw[i * px : (i + 1) * px] for i in range(n)]
+                payloads.append(avi_encode(frames, AVI_W, AVI_H))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": ["video"] * len(pdf),
+                    "payload": payloads,
+                }
+            )
+
+    return docs.mapInPandas(
+        encode, "doc_id long, media_type string, payload binary"
+    )
+
+
+def q_multimodal_avi_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL video-codec path, end-to-end: document bytes become
+    grayscale frames inside a genuine RIFF-AVI container of uncompressed
+    24-bit BI_RGB DIBs (in-repo pure-Python writer, public MS RIFF/AVI
+    spec — bottom-up rows, 4-byte row padding, nested LIST walk), then
+    decode back through multimodal.avi_decode via real_media_decoder,
+    and the PIXEL statistics hash-match the source bytes recomputed in
+    SQL — the roundtrip proof PNG got in r9 and WAV earlier in r10,
+    closing the last 'decode is stubbed' media family. The container
+    size is a closed form (AVI_HEADER_BYTES + n*(8 + row_bytes*h)), so
+    ``payload_bytes`` is part of the checked surface.
+
+    Scale shape: two map-only Arrow stages (encode, decode) over the
+    documents partitioning — no shuffle, no collect."""
+    from mysql_streamer_spark.multimodal import real_media_decoder
+
+    feats = extract_features(_avi_blobs(spark, sf_dir), decoder=real_media_decoder)
+    return feats.select(
+        "doc_id",
+        F.aggregate(
+            "byte_hist", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("n_pixels"),
+        F.col("n_bytes").cast("long").alias("payload_bytes"),
+        F.col("mean_byte").alias("mean_pixel"),
+        F.array_join(
+            F.transform("byte_hist", lambda x: x.cast("string")), ","
+        ).alias("pixel_hist"),
+    )
+
+
+def _avi_roundtrip_oracle() -> str:
+    from mysql_streamer_spark.multimodal import (
+        AVI_HEADER_BYTES,
+        N_HIST_BINS,
+        _avi_row_bytes,
+    )
+
+    px = AVI_W * AVI_H
+    per_frame = 8 + _avi_row_bytes(AVI_W) * AVI_H
+    hist_bins = ", ".join(
+        f"len(list_filter(codes, c -> c * {N_HIST_BINS} // 256 = {b}))"
+        for b in range(N_HIST_BINS)
+    )
+    return f"""
+WITH clips AS (
+  SELECT doc_id, text,
+         least(octet_length(encode(text)) // {px}, {AVI_MAX_FRAMES}) AS n
+  FROM documents WHERE octet_length(encode(text)) >= {px}
+), decoded AS (
+  SELECT doc_id, n,
+    list_transform(generate_series(1, CAST(n * {px} AS INT), 1),
+                   i -> ascii(substring(text, i, 1))) AS codes
+  FROM clips
+)
+SELECT doc_id,
+  CAST(n * {px} AS BIGINT) AS n_pixels,
+  CAST({AVI_HEADER_BYTES} + n * {per_frame} AS BIGINT) AS payload_bytes,
+  CAST(list_sum(codes) AS DOUBLE) / (n * {px}) AS mean_pixel,
+  array_to_string([{hist_bins}], ',') AS pixel_hist
+FROM decoded
+"""
+
+
+def q_multimodal_avi_framestats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame statistics over GENUINELY DECODED video: each AVI payload
+    is decoded inside the Arrow kernel (nested LIST walk, BI_RGB
+    validation, bottom-up de-padding) and every frame reports its pixel
+    sum and peak — where multimodal_frame_sample samples the raw byte
+    stream, this one proves the frame math on the other side of a real
+    container. The oracle recomputes every frame window from the source
+    bytes, pinning encode -> container -> decode -> per-frame reduce.
+
+    Scale shape: encode + decode are two map-only Arrow stages over the
+    documents partitioning; frames per clip are bounded
+    (AVI_MAX_FRAMES), so output stays O(docs)."""
+    import numpy as np
+    import pandas as pd
+
+    from mysql_streamer_spark.multimodal import avi_decode
+
+    def framestats(batches):
+        for pdf in batches:
+            out: dict[str, list[int]] = {
+                "doc_id": [], "frame_idx": [], "pix_sum": [], "pix_max": []
+            }
+            for doc_id, pl in zip(pdf["doc_id"], pdf["payload"]):
+                for i, frame in enumerate(avi_decode(bytes(pl))["frames"]):
+                    arr = np.frombuffer(frame, dtype=np.uint8)
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(i)
+                    out["pix_sum"].append(int(arr.sum()))
+                    out["pix_max"].append(int(arr.max()))
+            yield pd.DataFrame(out)
+
+    return _avi_blobs(spark, sf_dir).select("doc_id", "payload").mapInPandas(
+        framestats,
+        "doc_id long, frame_idx long, pix_sum long, pix_max long",
+    )
+
+
+def _avi_framestats_oracle() -> str:
+    px = AVI_W * AVI_H
+    return f"""
+WITH clips AS (
+  SELECT doc_id, text,
+         least(octet_length(encode(text)) // {px}, {AVI_MAX_FRAMES}) AS n
+  FROM documents WHERE octet_length(encode(text)) >= {px}
+), frames AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, CAST(n AS BIGINT) - 1)) AS frame_idx
+  FROM clips
+)
+SELECT doc_id, frame_idx,
+  CAST(list_sum(list_transform(generate_series(1, {px}),
+       i -> ascii(substr(text, CAST(frame_idx * {px} AS INT) + i, 1))))
+    AS BIGINT) AS pix_sum,
+  CAST(list_max(list_transform(generate_series(1, {px}),
+       i -> ascii(substr(text, CAST(frame_idx * {px} AS INT) + i, 1))))
+    AS BIGINT) AS pix_max
+FROM frames
+"""
+
+
 def q_multimodal_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-addressable-store audit over the binary payloads: exact
     byte-level dedup by sha2-256 content key, reported per media type —
@@ -1025,6 +1190,16 @@ SPECS = [
     ),
     QuerySpec(
         "multimodal_wav_energy", q_multimodal_wav_energy, _wav_energy_oracle()
+    ),
+    QuerySpec(
+        "multimodal_avi_roundtrip",
+        q_multimodal_avi_roundtrip,
+        _avi_roundtrip_oracle(),
+    ),
+    QuerySpec(
+        "multimodal_avi_framestats",
+        q_multimodal_avi_framestats,
+        _avi_framestats_oracle(),
     ),
     QuerySpec(
         "multimodal_phash_neardup",

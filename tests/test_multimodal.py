@@ -348,9 +348,128 @@ def test_real_audio_decoder_sample_stats():
     assert got["n_bytes"] == len(payload) == 44 + 2 * len(samples)
     assert got["mean_byte"] == sum(samples) / len(samples)
     assert got["byte_hist"] == [2, 2, 2, 2]
-    # the dispatcher routes audio here and still refuses video
+    # the dispatcher routes audio here; a WAV payload routed as video hits
+    # the AVI decoder and fails loudly as not-an-AVI (container mismatch is
+    # a data error, not a missing-codec boundary)
     assert real_media_decoder("audio", payload) == got
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         real_media_decoder("video", payload)
+
+
+# ---------------------------------------------------------------------------
+# property tests: AVI (RIFF, uncompressed 24-bit BI_RGB DIB) codec — the
+# round-10 video twin closing the last stubbed media family
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    width=st.integers(min_value=1, max_value=9),
+    height=st.integers(min_value=1, max_value=7),
+    fps=st.sampled_from([1, 10, 25]),
+    data=st.data(),
+)
+def test_avi_roundtrip_property(width, height, fps, data):
+    """encode . decode == id for arbitrary grayscale frame content across
+    widths that exercise every row-padding remainder (3w mod 4)."""
+    from mysql_streamer_spark.multimodal import avi_decode, avi_encode
+
+    n_frames = data.draw(st.integers(min_value=0, max_value=6))
+    frames = [
+        bytes(
+            data.draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=255),
+                    min_size=width * height,
+                    max_size=width * height,
+                )
+            )
+        )
+        for _ in range(n_frames)
+    ]
+    got = avi_decode(avi_encode(frames, width, height, fps=fps))
+    assert got["width"] == width and got["height"] == height
+    assert got["fps"] == fps
+    assert got["n_frames"] == n_frames
+    assert got["frames"] == frames
+
+
+def test_avi_container_size_is_closed_form():
+    from mysql_streamer_spark.multimodal import (
+        AVI_HEADER_BYTES,
+        _avi_row_bytes,
+        avi_encode,
+    )
+
+    for w, h, n in ((7, 6, 4), (8, 5, 1), (1, 1, 0), (9, 3, 12)):
+        frames = [bytes(range(w * h % 256)) * 0 + bytes([7] * (w * h)) for _ in range(n)]
+        payload = avi_encode(frames, w, h)
+        assert len(payload) == AVI_HEADER_BYTES + n * (8 + _avi_row_bytes(w) * h)
+
+
+def test_avi_decode_skips_unknown_chunks_and_pad_bytes():
+    """A spec-conformant reader must skip unknown chunks (JUNK is ubiquitous
+    in real AVIs) and honor the odd-size pad byte."""
+    import struct
+
+    from mysql_streamer_spark.multimodal import avi_decode, avi_encode
+
+    frames = [bytes((i * 17 + j) % 256 for j in range(7 * 6)) for i in range(3)]
+    good = avi_encode(frames, 7, 6)
+    junk = b"JUNK" + struct.pack("<I", 5) + b"abcde" + b"\x00"  # odd + pad
+    hdrl_end = 12 + 12 + 64 + 12 + 64 + 48
+    spliced = good[:hdrl_end] + junk + good[hdrl_end:]
+    payload = b"RIFF" + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    assert avi_decode(payload)["frames"] == frames
+
+
+def test_avi_decode_fails_loudly():
+    """Torn containers and frame-count mismatches raise ValueError;
+    compressed codecs and non-24-bit DIBs raise NotImplementedError."""
+    import struct
+
+    import pytest as _pytest
+
+    from mysql_streamer_spark.multimodal import avi_decode, avi_encode
+
+    with _pytest.raises(ValueError):
+        avi_decode(b"not video at all")
+    with _pytest.raises(ValueError):
+        avi_decode(b"RIFF\x10\x00\x00\x00WAVEdata")
+    good = bytearray(avi_encode([bytes([1] * 42)], 7, 6))
+    with _pytest.raises(ValueError):  # truncated mid-frame
+        avi_decode(bytes(good[:-5]))
+    # biCompression -> MJPG: honest external-codec boundary
+    mjpg = bytearray(good)
+    strf_at = bytes(good).find(b"strf") + 8
+    struct.pack_into("<I", mjpg, strf_at + 16, 0x47504A4D)
+    with _pytest.raises(NotImplementedError):
+        avi_decode(bytes(mjpg))
+    # declared frame count disagreeing with movi contents
+    lying = bytearray(good)
+    avih_at = bytes(good).find(b"avih") + 8
+    struct.pack_into("<I", lying, avih_at + 16, 9)
+    with _pytest.raises(ValueError):
+        avi_decode(bytes(lying))
+
+
+def test_real_video_decoder_pixel_stats():
+    """real_video_decoder reports the shared stats contract over DECODED
+    grayscale pixels across all frames."""
+    from mysql_streamer_spark.multimodal import (
+        avi_encode,
+        real_media_decoder,
+        real_video_decoder,
+    )
+
+    f0 = bytes([0] * 21 + [255] * 21)
+    f1 = bytes([64] * 42)
+    payload = avi_encode([f0, f1], 7, 6)
+    got = real_video_decoder("video", payload)
+    pixels = list(f0) + list(f1)
+    assert got["n_bytes"] == len(payload)
+    assert got["mean_byte"] == sum(pixels) / len(pixels)
+    assert got["byte_hist"] == [21, 42, 0, 21]
+    assert real_media_decoder("video", payload) == got
