@@ -384,21 +384,23 @@ def avi_encode(
         raise ValueError("width and height must be positive")
     if fps < 1:
         raise ValueError("fps must be positive")
+    import numpy as np
+
     row_bytes = _avi_row_bytes(width)
     frame_bytes = row_bytes * height
-    pad = b"\x00" * (row_bytes - 3 * width)
     movi_items = []
     for f in frames:
         if len(f) != width * height:
             raise ValueError(
                 f"frame has {len(f)} bytes, expected {width * height}"
             )
-        rows = []
-        for y in range(height - 1, -1, -1):  # DIBs store rows bottom-up
-            row = f[y * width : (y + 1) * width]
-            rows.append(bytes(b for px in row for b in (px, px, px)) + pad)
-        dib = b"".join(rows)
-        movi_items.append(b"00db" + struct.pack("<I", frame_bytes) + dib)
+        gray = np.frombuffer(f, dtype=np.uint8).reshape(height, width)
+        dib = np.zeros((height, row_bytes), dtype=np.uint8)
+        # equal B=G=R channels, rows bottom-up, 4-byte row padding
+        dib[:, : 3 * width] = np.repeat(gray[::-1], 3, axis=1)
+        movi_items.append(
+            b"00db" + struct.pack("<I", frame_bytes) + dib.tobytes()
+        )
     avih = struct.pack(
         "<IIIIIIIIIIIIII",
         1_000_000 // fps,  # dwMicroSecPerFrame
@@ -506,18 +508,17 @@ def avi_decode(payload: bytes) -> dict:
             f"avih declares {total_frames} frames, movi carries "
             f"{len(frames_raw)}"
         )
+    import numpy as np
+
     row_bytes = _avi_row_bytes(width)
     frames = []
     for dib in frames_raw:
         if len(dib) != row_bytes * height:
             raise ValueError("DIB frame size mismatch")
-        gray = bytearray(width * height)
-        for y in range(height):
-            src = (height - 1 - y) * row_bytes  # bottom-up -> top-down
-            for x in range(width):
-                b, g, r = dib[src + 3 * x : src + 3 * x + 3]
-                gray[y * width + x] = (b + g + r) // 3
-        frames.append(bytes(gray))
+        rows = np.frombuffer(dib, dtype=np.uint8).reshape(height, row_bytes)
+        bgr = rows[::-1, : 3 * width].reshape(height, width, 3)  # bottom-up
+        gray = bgr.astype(np.uint16).sum(axis=2) // 3  # integer-mean luma
+        frames.append(gray.astype(np.uint8).tobytes())
     return {
         "width": width,
         "height": height,
