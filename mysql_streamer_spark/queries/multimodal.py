@@ -947,35 +947,60 @@ def q_multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _phash_clusters_oracle() -> str:
+    """Clone-regime-proof formulation: documents with IDENTICAL hashes are
+    trivially one cluster (Hamming 0, every band equal), so the recursive
+    transitive closure only needs to run over DISTINCT hash values — the
+    value graph is invariant under document cloning, which is exactly what
+    the k-fold materializer does. The doc-level form blew up quadratically
+    in the clone factor at the k=10 fold (SCALE.md round 13c); this one
+    checks the identical assignment with a closure whose size tracks
+    distinct content, and the expansion back to documents is one join."""
     band_ids = ", ".join(str(b) for b in range(PHASH_BANDS))
     hashed = _ahash_hashed_ctes().replace("WITH img", "WITH RECURSIVE img", 1)
-    return f"""{hashed}, bands AS (
-  SELECT doc_id, phash, band,
+    # hashed_m: DuckDB inlines plain CTEs, so the 4 references below would
+    # recompute the per-document hash kernel 4x at big folds — materialize
+    # it once (measured ~4x oracle wall at the k=10 fold without this)
+    return f"""{hashed}, hashed_m AS MATERIALIZED (
+  SELECT doc_id, phash FROM hashed
+), vals AS (
+  SELECT DISTINCT phash FROM hashed_m
+), vbands AS (
+  SELECT phash, band,
          (phash >> (band * {PHASH_BAND_BITS})) % {1 << PHASH_BAND_BITS}
            AS band_val
-  FROM hashed CROSS JOIN (SELECT unnest([{band_ids}]) AS band) b
-), pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b USING (band, band_val)
-  WHERE a.doc_id < b.doc_id
+  FROM vals CROSS JOIN (SELECT unnest([{band_ids}]) AS band) b
+), vpairs AS (
+  SELECT DISTINCT a.phash AS pa, b.phash AS pb
+  FROM vbands a JOIN vbands b USING (band, band_val)
+  WHERE a.phash < b.phash
     AND bit_count(xor(a.phash, b.phash)) <= {PHASH_HAM_T}
-), sym AS (
-  SELECT doc_a, doc_b FROM pairs
-  UNION ALL SELECT doc_b, doc_a FROM pairs
-), reach(doc_id, label) AS (
-  SELECT doc_a, doc_a FROM sym
+), vsym AS (
+  SELECT pa, pb FROM vpairs
+  UNION ALL SELECT pb, pa FROM vpairs
+), vreach(v, label) AS (
+  SELECT pa, pa FROM vsym
   UNION
-  SELECT sym.doc_a, reach.label
-  FROM sym JOIN reach ON sym.doc_b = reach.doc_id
-  WHERE reach.label < sym.doc_a
-), lab AS (
-  SELECT doc_id, CAST(min(label) AS BIGINT) AS keeper
-  FROM reach GROUP BY 1
+  SELECT vsym.pa, vreach.label
+  FROM vsym JOIN vreach ON vsym.pb = vreach.v
+  WHERE vreach.label < vsym.pa
+), vlab AS (
+  SELECT v, min(label) AS vcomp FROM vreach GROUP BY 1
+), dup_vals AS (
+  SELECT phash FROM hashed_m GROUP BY 1 HAVING count(*) >= 2
+), members AS (
+  -- clustered docs: hash connected to another hash, OR hash shared by >=2
+  -- docs (Hamming-0 pairs the doc-level form generated within the value)
+  SELECT h.doc_id, coalesce(vlab.vcomp, h.phash) AS comp
+  FROM hashed_m h
+  LEFT JOIN vlab ON vlab.v = h.phash
+  WHERE vlab.v IS NOT NULL
+     OR h.phash IN (SELECT phash FROM dup_vals)
 )
-SELECT CAST(doc_id AS BIGINT) AS doc_id, keeper,
-       CAST(count(*) OVER (PARTITION BY keeper) AS BIGINT) AS cluster_size,
-       doc_id = keeper AS is_keeper
-FROM lab
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(min(doc_id) OVER (PARTITION BY comp) AS BIGINT) AS keeper,
+       CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS cluster_size,
+       doc_id = min(doc_id) OVER (PARTITION BY comp) AS is_keeper
+FROM members
 """
 
 
