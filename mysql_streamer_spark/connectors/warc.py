@@ -1,0 +1,143 @@
+"""Pure-Python WARC/1.0 writer + reader (ISO 28500 / IIPC WARC spec).
+
+WARC is the container every large-scale crawl corpus ships in (Common
+Crawl, Internet Archive), which makes it the natural ingest format for a
+100 TB training-data pipeline: a crawler emits concatenated WARC records,
+and the pipeline's first stage walks those containers and extracts the
+``response`` payloads. This module is the ingest twin of the in-repo
+PNG/WAV/AVI codecs — a real, loudly-failing implementation of a public
+byte format, built only from the published spec:
+
+    record   = version CRLF *header CRLF payload CRLF CRLF
+    version  = "WARC/1.0" | "WARC/1.1"
+    header   = field-name ": " field-value CRLF
+    payload  = exactly Content-Length octets
+
+Records are concatenated back-to-back to form a WARC file. The reader is
+a strict chunk walk: it validates the version line, requires
+Content-Length, reads exactly that many octets, and requires the 4-octet
+record terminator — a torn or lying container fails loudly rather than
+resynchronizing silently (resync hides data loss at scale). Unknown
+record types are length-walked and skipped, the same contract as the
+unknown-chunk skip in the RIFF readers.
+
+Determinism: the writer takes record ids and dates from the caller (no
+uuid/clock reads), so encode -> parse roundtrips are bit-stable and
+oracle-checkable.
+
+Reference scope: Yelp/mysql_streamer has no crawl-ingest surface; this is
+part of the training-data-pipeline extension (SURVEY.md §7 phases 4-5).
+"""
+
+from __future__ import annotations
+
+CRLF = b"\r\n"
+WARC_VERSION = b"WARC/1.0"
+
+#: Header emission order is fixed so serialized bytes are deterministic
+#: and closed-form (oracle queries reconstruct records in SQL).
+_HEADER_ORDER = (
+    "WARC-Type",
+    "WARC-Record-ID",
+    "WARC-Date",
+    "WARC-Target-URI",
+    "Content-Type",
+)
+
+
+def warc_record(
+    record_type: str,
+    record_id: str,
+    date: str,
+    payload: bytes,
+    target_uri: str | None = None,
+    content_type: str | None = None,
+) -> bytes:
+    """Serialize ONE record. ``record_id``/``date`` come from the caller
+    (deterministic by design — see module docstring)."""
+    headers = {
+        "WARC-Type": record_type,
+        "WARC-Record-ID": record_id,
+        "WARC-Date": date,
+    }
+    if target_uri is not None:
+        headers["WARC-Target-URI"] = target_uri
+    if content_type is not None:
+        headers["Content-Type"] = content_type
+    out = [WARC_VERSION, CRLF]
+    for name in _HEADER_ORDER:
+        if name in headers:
+            out += [f"{name}: {headers[name]}".encode("utf-8"), CRLF]
+    out += [f"Content-Length: {len(payload)}".encode("ascii"), CRLF, CRLF]
+    out += [payload, CRLF, CRLF]
+    return b"".join(out)
+
+
+def warc_write(records: list[dict]) -> bytes:
+    """Concatenate records (dicts with the ``warc_record`` kwargs) into
+    one WARC file blob."""
+    return b"".join(warc_record(**r) for r in records)
+
+
+def warc_parse(blob: bytes, types: tuple[str, ...] | None = None) -> list[dict]:
+    """Strict chunk walk over a WARC file. Returns one dict per record
+    (``headers``: dict, ``payload``: bytes, ``record_len``: serialized
+    octets incl. terminator), skipping — but still length-walking —
+    records whose WARC-Type is not in ``types`` (None = keep all).
+
+    Loud failures (ValueError) on: bad version line, truncated header
+    block, missing/garbled Content-Length, payload shorter than declared,
+    missing record terminator. A container that lies about lengths is
+    corrupt; resynchronizing would silently drop records at scale.
+    """
+    out: list[dict] = []
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        start = pos
+        eol = blob.find(CRLF, pos)
+        if eol < 0:
+            raise ValueError(f"warc: no version line at offset {pos}")
+        version = blob[pos:eol]
+        if version not in (b"WARC/1.0", b"WARC/1.1"):
+            raise ValueError(f"warc: bad version {version!r} at offset {pos}")
+        pos = eol + 2
+        headers: dict[str, str] = {}
+        while True:
+            eol = blob.find(CRLF, pos)
+            if eol < 0:
+                raise ValueError(f"warc: unterminated header block at {pos}")
+            line = blob[pos:eol]
+            pos = eol + 2
+            if not line:
+                break  # blank line: end of header block
+            sep = line.find(b":")
+            if sep < 0:
+                raise ValueError(f"warc: malformed header {line!r}")
+            headers[line[:sep].decode("utf-8")] = (
+                line[sep + 1 :].strip().decode("utf-8")
+            )
+        try:
+            clen = int(headers["Content-Length"])
+        except (KeyError, ValueError):
+            raise ValueError(
+                f"warc: missing/garbled Content-Length in record at {start}"
+            ) from None
+        if clen < 0 or pos + clen + 4 > n:
+            raise ValueError(
+                f"warc: payload truncated (need {clen}+4 octets at {pos})"
+            )
+        payload = blob[pos : pos + clen]
+        pos += clen
+        if blob[pos : pos + 4] != CRLF + CRLF:
+            raise ValueError(f"warc: missing record terminator at {pos}")
+        pos += 4
+        if types is None or headers.get("WARC-Type") in types:
+            out.append(
+                {
+                    "headers": headers,
+                    "payload": payload,
+                    "record_len": pos - start,
+                }
+            )
+    return out

@@ -2988,3 +2988,367 @@ SPECS.append(
         _k_anonymity_oracle(),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Crawl ingest: WARC containers (the Common Crawl / IIPC format)
+# ---------------------------------------------------------------------------
+
+#: Fixed WARC-Date for deterministic serialization (the writer takes dates
+#: from the caller by design — connectors/warc.py module docstring).
+WARC_DATE = "2026-01-01T00:00:00Z"
+
+
+def _warc_uri_expr(source_col: str, doc_col: str) -> str:
+    """The deterministic WARC-Target-URI derivation, shared by the Spark
+    encode kernel (via f-string) and the SQL oracles (via this concat)."""
+    return (
+        f"'http://' || {source_col} || '.example.com/doc/' || {doc_col}"
+    )
+
+
+def _warc_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents serialized into genuine multi-record WARC containers, one
+    blob per Arrow batch: each document contributes a ``response`` record
+    (payload = UTF-8 text) AND an interleaved ``metadata`` record the
+    downstream walk must length-skip — the unknown-record-skip contract is
+    part of what the roundtrip proves."""
+    import pandas as pd
+
+    from mysql_streamer_spark.connectors.warc import warc_write
+    from mysql_streamer_spark.tables import spread
+
+    docs = (
+        spread(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "source", "text")
+        .filter(F.length("text") > 0)
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            records = []
+            for doc_id, source, text in zip(
+                pdf["doc_id"], pdf["source"], pdf["text"]
+            ):
+                records.append(
+                    dict(
+                        record_type="response",
+                        record_id=f"<urn:doc:{doc_id}>",
+                        date=WARC_DATE,
+                        target_uri=f"http://{source}.example.com/doc/{doc_id}",
+                        content_type=(
+                            "text/html" if doc_id % 4 == 0 else "text/plain"
+                        ),
+                        payload=text.encode("utf-8"),
+                    )
+                )
+                records.append(
+                    dict(
+                        record_type="metadata",
+                        record_id=f"<urn:meta:{doc_id}>",
+                        date=WARC_DATE,
+                        content_type="application/warc-fields",
+                        payload=f"via: crawler/{doc_id}".encode("ascii"),
+                    )
+                )
+            yield pd.DataFrame({"blob": [warc_write(records)]})
+
+    return docs.mapInPandas(encode, "blob binary")
+
+
+def q_pipeline_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-ingest, end-to-end through a REAL container format: documents
+    are serialized into multi-record WARC/1.0 files (in-repo pure-Python
+    writer, public ISO 28500 spec), then the strict chunk-walking reader
+    parses the containers back, length-skipping the interleaved
+    ``metadata`` records, and every response's target URI, payload size,
+    serialized record size, and payload sha256 hash-match a closed-form
+    SQL reconstruction of the record bytes — the PNG/WAV/AVI roundtrip
+    proof applied to the ingest format every real 100 TB crawl corpus
+    ships in. A wrong header order, a missed pad byte, a lying
+    Content-Length, or a skip that consumes the wrong span all hash-fail.
+
+    Scale shape: two map-only Arrow stages (serialize per batch, walk per
+    blob) over the documents partitioning — no shuffle, no collect; blob
+    granularity is the Arrow batch, so container size is bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` regardless of corpus
+    size."""
+    import hashlib
+
+    import pandas as pd
+
+    from mysql_streamer_spark.connectors.warc import warc_parse
+
+    blobs = _warc_blobs(spark, sf_dir)
+
+    def walk(batches):
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [],
+                "target_uri": [],
+                "payload_bytes": [],
+                "record_bytes": [],
+                "payload_sha": [],
+            }
+            for blob in pdf["blob"]:
+                for rec in warc_parse(bytes(blob), types=("response",)):
+                    rid = rec["headers"]["WARC-Record-ID"]
+                    rows["doc_id"].append(int(rid[9:-1]))
+                    rows["target_uri"].append(
+                        rec["headers"]["WARC-Target-URI"]
+                    )
+                    rows["payload_bytes"].append(len(rec["payload"]))
+                    rows["record_bytes"].append(rec["record_len"])
+                    rows["payload_sha"].append(
+                        hashlib.sha256(rec["payload"]).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(
+        walk,
+        "doc_id long, target_uri string, payload_bytes long, "
+        "record_bytes long, payload_sha string",
+    )
+
+
+def _warc_roundtrip_oracle() -> str:
+    uri = _warc_uri_expr("source", "doc_id")
+    crlf = "chr(13) || chr(10)"
+    # The full record reconstructed as a SQL string; strlen() of it is the
+    # serialized size (closed form, like the WAV 44+2n surface).
+    record = f"""'WARC/1.0' || {crlf}
+    || 'WARC-Type: response' || {crlf}
+    || 'WARC-Record-ID: <urn:doc:' || doc_id || '>' || {crlf}
+    || 'WARC-Date: {WARC_DATE}' || {crlf}
+    || 'WARC-Target-URI: ' || ({uri}) || {crlf}
+    || 'Content-Type: ' ||
+       CASE WHEN doc_id % 4 = 0 THEN 'text/html' ELSE 'text/plain' END
+       || {crlf}
+    || 'Content-Length: ' || strlen(text) || {crlf} || {crlf}
+    || text || {crlf} || {crlf}"""
+    return f"""
+SELECT doc_id,
+  {uri} AS target_uri,
+  CAST(strlen(text) AS BIGINT) AS payload_bytes,
+  CAST(strlen({record}) AS BIGINT) AS record_bytes,
+  sha256(text) AS payload_sha
+FROM documents WHERE length(text) > 0
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "pipeline_warc_roundtrip",
+        q_pipeline_warc_roundtrip,
+        _warc_roundtrip_oracle(),
+    )
+)
+
+#: Extraction thresholds for the WARC filter stage.
+WARC_MIN_PAYLOAD = 200
+
+
+def q_pipeline_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first real stage of a crawl pipeline AFTER the container walk:
+    select only ``response`` records whose Content-Type is text/plain and
+    whose payload clears a size floor, attribute each kept record back to
+    its crawl source by parsing the HOST out of the WARC-Target-URI it
+    was stored under (the pipeline downstream of ingest sees only what
+    the container says, not the original table), and aggregate per-source
+    admission stats. Proves header-driven selection inside the walk plus
+    recovery of lineage from parsed headers alone.
+
+    Scale shape: the serialize+walk stages are map-only Arrow kernels; the
+    per-source rollup is one hash-aggregate over ~20 bounded keys with
+    map-side partials — no window, no join."""
+    import pandas as pd
+
+    from mysql_streamer_spark.connectors.warc import warc_parse
+
+    blobs = _warc_blobs(spark, sf_dir)
+
+    def walk(batches):
+        for pdf in batches:
+            rows: dict[str, list] = {"target_uri": [], "payload_bytes": []}
+            for blob in pdf["blob"]:
+                for rec in warc_parse(bytes(blob), types=("response",)):
+                    if rec["headers"].get("Content-Type") != "text/plain":
+                        continue
+                    if len(rec["payload"]) < WARC_MIN_PAYLOAD:
+                        continue
+                    rows["target_uri"].append(
+                        rec["headers"]["WARC-Target-URI"]
+                    )
+                    rows["payload_bytes"].append(len(rec["payload"]))
+            yield pd.DataFrame(rows)
+
+    kept = blobs.mapInPandas(walk, "target_uri string, payload_bytes long")
+    return (
+        kept.withColumn(
+            "source",
+            F.regexp_extract("target_uri", r"^http://(.*?)\.example\.com/", 1),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("payload_bytes").cast("long").alias("kept_bytes"),
+            F.max("payload_bytes").cast("long").alias("max_payload"),
+        )
+    )
+
+
+def _warc_extract_oracle() -> str:
+    return f"""
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_kept,
+  CAST(sum(strlen(text)) AS BIGINT) AS kept_bytes,
+  CAST(max(strlen(text)) AS BIGINT) AS max_payload
+FROM documents
+WHERE length(text) > 0
+  AND doc_id % 4 <> 0
+  AND strlen(text) >= {WARC_MIN_PAYLOAD}
+GROUP BY source
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "pipeline_warc_extract",
+        q_pipeline_warc_extract,
+        _warc_extract_oracle(),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + dedup (crawl-frontier hygiene)
+# ---------------------------------------------------------------------------
+
+#: Path modulus: distinct docs whose ids collide mod this land on the SAME
+#: canonical URL — the duplicate groups the dedup must find.
+URL_PATH_MOD = 500
+
+
+def q_pipeline_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + exact dedup — the crawl-side hygiene pass
+    every corpus pipeline runs before content dedup: the same page
+    arrives under many spellings (scheme/host case, explicit default
+    port, trailing slash, tracking params, fragments), and grouping by
+    the RAW url under-merges. Each document gets a deterministically
+    MESSY url (mixed-case scheme/host on id mod 2/3, ``:80`` on mod 5,
+    trailing slash on mod 7, a ``utm_source`` tracking param on mod 11,
+    an unsorted kept-param pair on mod 13, a fragment on mod 17 — path
+    is ``doc_id mod URL_PATH_MOD`` so distinct docs genuinely collide),
+    then the canonicalizer applies the RFC 3986 §6 normalizations plus
+    standard crawl practice: lowercase scheme+authority, strip the
+    scheme-default port, drop the fragment, drop ``utm_*`` params, sort
+    surviving params, trim the trailing slash. Groups on the canonical
+    form, keeping min-doc_id as the survivor. The oracle derives every
+    canonical url CLOSED-FORM from the generator arithmetic, so any
+    canonicalization rule that fires wrong — or fails to fire — changes
+    group membership and hash-fails.
+
+    Scale shape: messy-url synthesis and canonicalization are one
+    codegen'd map-side projection (parse_url + array ops, no Python);
+    the dedup is one hash-aggregate on the canonical string with
+    map-side partials — count/min/sum all combine. No window, no join,
+    text never shuffles (only urls + counters)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    messy = docs.withColumn(
+        "raw_url",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP")).otherwise(
+                F.lit("http")
+            ),
+            F.lit("://"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.upper("source")
+            ).otherwise(F.col("source")),
+            F.lit(".Example.COM"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(":80")).otherwise(
+                F.lit("")
+            ),
+            F.lit("/page/"),
+            (F.col("doc_id") % URL_PATH_MOD).cast("string"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("/")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                (F.col("doc_id") % 11 == 0) & (F.col("doc_id") % 13 == 0),
+                F.lit("?utm_source=feed&b=2&a=1"),
+            )
+            .when(F.col("doc_id") % 11 == 0, F.lit("?utm_source=feed"))
+            .when(F.col("doc_id") % 13 == 0, F.lit("?b=2&a=1"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 17 == 0, F.lit("#s2")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    canon = messy.withColumn(
+        "kept_params",
+        F.array_join(
+            F.array_sort(
+                F.filter(
+                    F.split(
+                        F.coalesce(
+                            F.expr("parse_url(raw_url, 'QUERY')"), F.lit("")
+                        ),
+                        "&",
+                    ),
+                    lambda p: (p != "") & ~p.startswith("utm_"),
+                )
+            ),
+            "&",
+        ),
+    ).withColumn(
+        "canonical_url",
+        F.concat(
+            F.lower(F.expr("parse_url(raw_url, 'PROTOCOL')")),
+            F.lit("://"),
+            F.regexp_replace(
+                F.lower(F.expr("parse_url(raw_url, 'AUTHORITY')")),
+                ":80$",
+                "",
+            ),
+            F.regexp_replace(
+                F.expr("parse_url(raw_url, 'PATH')"), "/$", ""
+            ),
+            F.when(
+                F.col("kept_params") != "",
+                F.concat(F.lit("?"), F.col("kept_params")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("doc_id").alias("keeper_doc"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+def _url_dedup_oracle() -> str:
+    return f"""
+SELECT
+  'http://' || source || '.example.com/page/' || (doc_id % {URL_PATH_MOD})
+    || CASE WHEN doc_id % 13 = 0 THEN '?a=1&b=2' ELSE '' END
+    AS canonical_url,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  min(doc_id) AS keeper_doc,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "pipeline_url_dedup",
+        q_pipeline_url_dedup,
+        _url_dedup_oracle(),
+    )
+)

@@ -1,0 +1,196 @@
+"""WARC connector (connectors/warc.py) + round-10 ingest queries.
+
+The codec-test contract the PNG/WAV/AVI readers follow, applied to the
+crawl-ingest container: encode . parse == id for arbitrary payload bytes,
+unknown record types are length-walked and skipped, and torn containers
+fail loudly instead of resynchronizing.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mysql_streamer_spark.connectors.warc import (
+    warc_parse,
+    warc_record,
+    warc_write,
+)
+
+
+def _resp(i: int, payload: bytes) -> dict:
+    return dict(
+        record_type="response",
+        record_id=f"<urn:doc:{i}>",
+        date="2026-01-01T00:00:00Z",
+        target_uri=f"http://src{i % 3}.example.com/doc/{i}",
+        content_type="text/plain",
+        payload=payload,
+    )
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    payloads=st.lists(
+        st.binary(min_size=0, max_size=300), min_size=0, max_size=8
+    )
+)
+def test_warc_roundtrip_property(payloads):
+    """encode . parse == id for arbitrary payload bytes — including
+    payloads that CONTAIN header-lookalike text, CRLFs, and the record
+    terminator itself (Content-Length framing must never scan payload)."""
+    records = [_resp(i, p) for i, p in enumerate(payloads)]
+    got = warc_parse(warc_write(records))
+    assert len(got) == len(records)
+    for i, (rec, p) in enumerate(zip(got, payloads)):
+        assert rec["payload"] == p
+        assert rec["headers"]["WARC-Record-ID"] == f"<urn:doc:{i}>"
+        assert rec["headers"]["Content-Length"] == str(len(p))
+        assert rec["record_len"] == len(warc_record(**_resp(i, p)))
+
+
+def test_warc_terminator_bytes_inside_payload():
+    """The nastiest framing case spelled out: a payload that is exactly
+    CRLF CRLF must not terminate the record early."""
+    p = b"\r\n\r\n"
+    got = warc_parse(warc_write([_resp(0, p)]))
+    assert got[0]["payload"] == p
+
+
+def test_warc_unknown_type_skip():
+    """metadata/request records are length-walked and skipped when a type
+    filter is given — and the skip consumes exactly the right span (the
+    NEXT record still parses)."""
+    blob = warc_write(
+        [
+            _resp(1, b"keep me"),
+            dict(
+                record_type="metadata",
+                record_id="<urn:meta:1>",
+                date="2026-01-01T00:00:00Z",
+                content_type="application/warc-fields",
+                payload=b"via: crawler/1",
+            ),
+            _resp(2, b"me too"),
+        ]
+    )
+    got = warc_parse(blob, types=("response",))
+    assert [r["payload"] for r in got] == [b"keep me", b"me too"]
+    assert len(warc_parse(blob)) == 3  # no filter keeps all
+
+
+def test_warc_parse_fails_loudly():
+    """Torn containers raise ValueError with the failing offset — bad
+    version line, truncated payload, missing terminator, garbled
+    Content-Length. No silent resync."""
+    good = warc_write([_resp(0, b"abcdef")])
+    with pytest.raises(ValueError, match="bad version"):
+        warc_parse(b"HTTP/1.1 200 OK\r\n\r\n")
+    with pytest.raises(ValueError, match="version"):
+        warc_parse(b"WARC")
+    with pytest.raises(ValueError, match="truncated"):
+        warc_parse(good[:-6])
+    with pytest.raises(ValueError, match="terminator"):
+        warc_parse(good[:-4] + b"XXXX")
+    with pytest.raises(ValueError, match="Content-Length"):
+        warc_parse(good.replace(b"Content-Length: 6", b"Content-Length: x"))
+    # a record missing Content-Length entirely
+    torn = good.replace(b"Content-Length: 6\r\n", b"")
+    with pytest.raises(ValueError):
+        warc_parse(torn)
+
+
+def test_warc_lying_content_length_fails():
+    """A container whose Content-Length overruns the blob is corrupt —
+    the walk must not read past the end or clamp."""
+    bad = warc_write([_resp(0, b"abcdef")]).replace(
+        b"Content-Length: 6", b"Content-Length: 60"
+    )
+    with pytest.raises(ValueError):
+        warc_parse(bad)
+
+
+def test_warc_11_version_accepted():
+    blob = warc_write([_resp(0, b"x")]).replace(b"WARC/1.0", b"WARC/1.1")
+    assert warc_parse(blob)[0]["payload"] == b"x"
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization — rule-level unit checks against hand-computed
+# canonical forms (the registered query's oracle is closed-form; this
+# pins individual rules so a failure names the broken rule)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "raw,canonical",
+    [
+        # scheme+host case, default port, fragment
+        (
+            "HTTP://SRC1.Example.COM:80/page/7#s2",
+            "http://src1.example.com/page/7",
+        ),
+        # trailing slash trim
+        ("http://src2.example.com/page/9/", "http://src2.example.com/page/9"),
+        # utm_* dropped, survivors sorted
+        (
+            "http://src3.example.com/page/1?utm_source=feed&b=2&a=1",
+            "http://src3.example.com/page/1?a=1&b=2",
+        ),
+        # only-utm query collapses to no query at all
+        (
+            "http://src4.example.com/page/2?utm_source=feed",
+            "http://src4.example.com/page/2",
+        ),
+        # non-default port is KEPT (only the scheme default is stripped)
+        (
+            "http://src5.example.com:8080/page/3",
+            "http://src5.example.com:8080/page/3",
+        ),
+    ],
+)
+def test_url_canonicalization_rules(spark, raw, canonical):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(raw,)], "raw_url string")
+    got = (
+        df.withColumn(
+            "kept_params",
+            F.array_join(
+                F.array_sort(
+                    F.filter(
+                        F.split(
+                            F.coalesce(
+                                F.expr("parse_url(raw_url, 'QUERY')"),
+                                F.lit(""),
+                            ),
+                            "&",
+                        ),
+                        lambda p: (p != "") & ~p.startswith("utm_"),
+                    )
+                ),
+                "&",
+            ),
+        )
+        .select(
+            F.concat(
+                F.lower(F.expr("parse_url(raw_url, 'PROTOCOL')")),
+                F.lit("://"),
+                F.regexp_replace(
+                    F.lower(F.expr("parse_url(raw_url, 'AUTHORITY')")),
+                    ":80$",
+                    "",
+                ),
+                F.regexp_replace(
+                    F.expr("parse_url(raw_url, 'PATH')"), "/$", ""
+                ),
+                F.when(
+                    F.col("kept_params") != "",
+                    F.concat(F.lit("?"), F.col("kept_params")),
+                ).otherwise(F.lit("")),
+            ).alias("canonical_url")
+        )
+        .collect()[0][0]
+    )
+    assert got == canonical
