@@ -3352,3 +3352,97 @@ SPECS.append(
         _url_dedup_oracle(),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Crawl-policy admission (robots.txt / RFC 9309 longest-match semantics)
+# ---------------------------------------------------------------------------
+
+
+def _robots_rules() -> list[tuple[str, str, bool, int]]:
+    """The per-host policy dimension: for host ``src{i}.example.com`` —
+    a Disallow on the path prefix ``/page/{i}`` (which also shadows
+    ``/page/{i}0``..``/page/{i}9..`` — genuine PREFIX semantics), an
+    Allow on the LONGER prefix ``/page/{i}{i}`` carving an exception back
+    out, and the implicit empty-prefix Allow default. Deterministic, so
+    the oracle can replay decisions closed-form."""
+    rules = []
+    for i in range(20):
+        host = f"src{i}.example.com"
+        rules.append((host, "", True, 0))
+        rules.append((host, f"/page/{i}", False, len(f"/page/{i}")))
+        rules.append((host, f"/page/{i}{i}", True, len(f"/page/{i}{i}")))
+    return rules
+
+
+def q_pipeline_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-policy admission — the stage between URL canonicalization and
+    fetch/ingest: every URL is checked against its host's robots.txt-style
+    rule set with RFC 9309 matching semantics (the most-specific — i.e.
+    LONGEST — matching path prefix decides; an Allow wins a length tie).
+    The rule fixture makes the precedence order load-bearing: host i
+    disallows prefix ``/page/{i}`` but allows the longer ``/page/{i}{i}``,
+    so e.g. on src1 ``/page/10`` is blocked while ``/page/11`` is allowed
+    — a first-match or shortest-match implementation hash-fails.
+
+    Scale shape: the policy dimension is tiny (rules per crawled host) and
+    BROADCAST; the corpus side is one map-side projection, the broadcast
+    join fans each URL out to only its host's matching rules, and the
+    argmax is one hash-aggregate of a max(struct) — map-side combinable,
+    shuffling one small row per URL. No window; text never moves."""
+    rules = spark.createDataFrame(
+        _robots_rules(), "host string, prefix string, allow boolean, plen int"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit("/page/"), (F.col("doc_id") % URL_PATH_MOD).cast("string")
+        ).alias("path"),
+    )
+    matched = docs.join(F.broadcast(rules), "host").filter(
+        F.col("path").startswith(F.col("prefix"))
+    )
+    best = matched.groupBy("doc_id", "host", "path").agg(
+        F.max(F.struct("plen", "allow", "prefix")).alias("m")
+    )
+    return best.select(
+        "doc_id",
+        "host",
+        "path",
+        F.col("m.prefix").alias("rule_prefix"),
+        F.col("m.allow").alias("allowed"),
+    )
+
+
+def _robots_filter_oracle() -> str:
+    # i = the host's numeric suffix; a path /page/N matches prefix
+    # /page/{i} iff str(N) starts with str(i), and the longer Allow
+    # /page/{i}{i} iff str(N) starts with str(i)||str(i).
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+    source || '.example.com' AS host,
+    '/page/' || (doc_id % {URL_PATH_MOD}) AS path,
+    CAST(doc_id % {URL_PATH_MOD} AS VARCHAR) AS n,
+    substring(source, 4) AS i
+  FROM documents
+)
+SELECT doc_id, host, path,
+  CASE WHEN starts_with(n, i || i) THEN '/page/' || i || i
+       WHEN starts_with(n, i) THEN '/page/' || i
+       ELSE '' END AS rule_prefix,
+  CASE WHEN starts_with(n, i || i) THEN true
+       WHEN starts_with(n, i) THEN false
+       ELSE true END AS allowed
+FROM d
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "pipeline_robots_filter",
+        q_pipeline_robots_filter,
+        _robots_filter_oracle(),
+    )
+)

@@ -194,3 +194,35 @@ def test_url_canonicalization_rules(spark, raw, canonical):
         .collect()[0][0]
     )
     assert got == canonical
+
+
+def test_robots_longest_match_and_allow_tie(spark):
+    """RFC 9309 precedence pinned at the expression level: longest
+    matching prefix decides, and at EQUAL length Allow beats Disallow
+    (the registered fixture never ties, so the tie rule is pinned here).
+    The max(struct(plen, allow, ...)) argmax encodes both: plen first,
+    then allow=true > false."""
+    from pyspark.sql import functions as F
+
+    rules = spark.createDataFrame(
+        [
+            ("h", "", True, 0),
+            ("h", "/a", False, 2),
+            ("h", "/a", True, 2),  # same-length Allow: must win the tie
+            ("h", "/a/b", False, 4),  # longer Disallow: must win under /a/b
+        ],
+        "host string, prefix string, allow boolean, plen int",
+    )
+    urls = spark.createDataFrame(
+        [("h", "/a/x"), ("h", "/a/b/c"), ("h", "/z")],
+        "host string, path string",
+    )
+    got = {
+        r["path"]: r["m"]["allow"]
+        for r in urls.join(rules, "host")
+        .filter(F.col("path").startswith(F.col("prefix")))
+        .groupBy("path")
+        .agg(F.max(F.struct("plen", "allow", "prefix")).alias("m"))
+        .collect()
+    }
+    assert got == {"/a/x": True, "/a/b/c": False, "/z": True}
