@@ -3200,3 +3200,144 @@ SPECS = [
     QuerySpec("sim_ivf_ann", q_sim_ivf_ann, _IVF_ORACLE),
     QuerySpec("sim_label_centroids", q_sim_label_centroids, _CENTROIDS_ORACLE),
 ]
+
+
+# ---------------------------------------------------------------------------
+# semantic (embedding-level) decontamination
+# ---------------------------------------------------------------------------
+
+#: Every MOD-th vector plays the held-out benchmark; the rest are corpus.
+#: (Fixture convenience, mirroring pipeline_decontaminate's carve-out — in
+#: production the eval side is an actual benchmark suite: thousands of
+#: vectors, bounded and broadcastable by construction.)
+SEM_DECON_MOD = 10
+#: Corpus vectors whose cosine to ANY candidate eval vector reaches this
+#: are flagged as semantic leaks.
+SEM_DECON_T = 0.4
+
+
+def q_sim_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination — the semantic twin of the n-gram
+    pipeline_decontaminate: benchmark leakage that survives paraphrase has
+    no shared n-grams but still sits next to the eval item in embedding
+    space (the SemDeDup/"semantic dedup against eval" audit every serious
+    pretraining pipeline runs). Corpus vectors are flagged when their
+    cosine to any LSH-candidate eval vector reaches SEM_DECON_T; each
+    flagged vector reports its NEAREST eval item (highest cosine, lowest
+    eval id on ties) and whether the two share a label — the triage
+    column distinguishing true leakage from benign topical overlap.
+
+    Scale shape: the eval side (benchmark suite) is bounded and BROADCAST
+    twice — once as (eval_id, table, bucket) for candidate generation,
+    once as its quantized vectors for scoring; the corpus side ships only
+    (vec_id, eval_id) id pairs through the distinct shuffle, vectors
+    joining back for survivors alone (the cosine_neardup_pairs narrow
+    -shuffle rule). The argmax is a window PARTITIONED by corpus vec —
+    parallel at any scale. No corpus self-join anywhere: candidate count
+    is bounded by eval bucket occupancy, so no mega-bucket guard is
+    needed on the corpus side."""
+    emb = _emb(spark, sf_dir)
+    b = vx.lsh_id_bucket_table(emb).persist()
+    ev = b.filter(F.col("vec_id") % SEM_DECON_MOD == 0).select(
+        F.col("vec_id").alias("eval_id"), "table_id", "bucket"
+    )
+    co = b.filter(F.col("vec_id") % SEM_DECON_MOD != 0)
+    cand = (
+        co.join(F.broadcast(ev), ["table_id", "bucket"])
+        .select("vec_id", "eval_id")
+        .distinct()
+    )
+    qe = vx.with_quantized(emb).select("vec_id", "qv", "nrm")
+    scored = (
+        cand.join(
+            F.broadcast(
+                qe.filter(F.col("vec_id") % SEM_DECON_MOD == 0).select(
+                    F.col("vec_id").alias("eval_id"),
+                    F.col("qv").alias("e_qv"),
+                    F.col("nrm").alias("e_nrm"),
+                )
+            ),
+            "eval_id",
+        )
+        .join(
+            qe.select(
+                "vec_id",
+                F.col("qv").alias("c_qv"),
+                F.col("nrm").alias("c_nrm"),
+            ),
+            "vec_id",
+        )
+        .withColumn("cosine", vx.cosine_col("c_qv", "e_qv", "c_nrm", "e_nrm"))
+        .filter(F.col("cosine") >= SEM_DECON_T)
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("eval_id").asc()
+    )
+    top = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", F.col("eval_id").alias("nearest_eval"), "cosine")
+    )
+    labels = emb.select("vec_id", "label")
+    return (
+        top.join(labels, "vec_id")
+        .join(
+            F.broadcast(
+                labels.select(
+                    F.col("vec_id").alias("nearest_eval"),
+                    F.col("label").alias("e_label"),
+                ).filter(F.col("nearest_eval") % SEM_DECON_MOD == 0)
+            ),
+            "nearest_eval",
+        )
+        .select(
+            "vec_id",
+            "nearest_eval",
+            "cosine",
+            (F.col("label") == F.col("e_label")).alias("same_label"),
+        )
+    )
+
+
+_SEM_DECON_ORACLE = (
+    "WITH "
+    + vx.lsh_buckets_sql_cte()
+    + f"""
+, ev AS (
+  SELECT vec_id AS eval_id, table_id, bucket FROM buckets
+  WHERE vec_id % {SEM_DECON_MOD} = 0
+), co AS (
+  SELECT vec_id, table_id, bucket FROM buckets
+  WHERE vec_id % {SEM_DECON_MOD} <> 0
+), cand AS (
+  SELECT DISTINCT co.vec_id, ev.eval_id FROM co JOIN ev USING (table_id, bucket)
+), scored AS (
+  SELECT cand.vec_id, cand.eval_id,
+         {vx.cosine_sql("c_qv", "e_qv", "c_nrm", "e_nrm")} AS cosine
+  FROM cand
+  JOIN (SELECT vec_id, qv AS c_qv, nrm AS c_nrm FROM qe) cc
+    ON cand.vec_id = cc.vec_id
+  JOIN (SELECT vec_id, qv AS e_qv, nrm AS e_nrm FROM qe) ee
+    ON cand.eval_id = ee.vec_id
+)
+SELECT s.vec_id, s.eval_id AS nearest_eval, s.cosine,
+       cl.label = el.label AS same_label
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY cosine DESC, eval_id ASC) AS rnk
+  FROM scored WHERE cosine >= {SEM_DECON_T}
+) s
+JOIN embeddings cl ON s.vec_id = cl.vec_id
+JOIN embeddings el ON s.eval_id = el.vec_id
+WHERE s.rnk = 1
+"""
+)
+
+
+SPECS.append(
+    QuerySpec(
+        "sim_semantic_decontaminate",
+        q_sim_semantic_decontaminate,
+        _SEM_DECON_ORACLE,
+    )
+)
