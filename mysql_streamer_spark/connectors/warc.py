@@ -141,3 +141,106 @@ def warc_parse(blob: bytes, types: tuple[str, ...] | None = None) -> list[dict]:
                 }
             )
     return out
+
+
+def warc_write_files(docs, path: str, date: str) -> None:
+    """Distributed WARC sink: one ``part-*.warc`` per input partition,
+    written executor-side (mapInPandas pass whose output is the 1-row
+    per-partition manifest of what it wrote; the collect() drives the
+    write and ships only the manifest). ``docs`` must carry (doc_id,
+    source, text); each document becomes a ``response`` record plus an
+    interleaved ``metadata`` record the reader must length-skip. ``path``
+    must be visible to every executor AND the driver (shared filesystem);
+    local mode always qualifies — an object-store flavor would swap
+    open() for the Hadoop FS API, same as the OCF sink
+    (connectors/avro_file.py)."""
+    import os
+    import uuid
+
+    import pandas as pd
+
+    os.makedirs(path, exist_ok=True)
+
+    def write_partition(batches):
+        os.makedirs(path, exist_ok=True)  # executor-side on a cluster
+        fname = f"part-{uuid.uuid4().hex}.warc"
+        fh = None
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if fh is None:
+                fh = open(os.path.join(path, fname), "wb")
+            for doc_id, source, text in zip(
+                pdf["doc_id"], pdf["source"], pdf["text"]
+            ):
+                fh.write(
+                    warc_record(
+                        record_type="response",
+                        record_id=f"<urn:doc:{doc_id}>",
+                        date=date,
+                        target_uri=(
+                            f"http://{source}.example.com/doc/{doc_id}"
+                        ),
+                        content_type=(
+                            "text/html" if doc_id % 4 == 0 else "text/plain"
+                        ),
+                        payload=text.encode("utf-8"),
+                    )
+                )
+                fh.write(
+                    warc_record(
+                        record_type="metadata",
+                        record_id=f"<urn:meta:{doc_id}>",
+                        date=date,
+                        content_type="application/warc-fields",
+                        payload=f"via: crawler/{doc_id}".encode("ascii"),
+                    )
+                )
+                n += 2
+        if fh is None:
+            return
+        fh.close()
+        yield pd.DataFrame({"file": [fname], "n_records": [n]})
+
+    docs.mapInPandas(
+        write_partition, "file string, n_records long"
+    ).collect()
+
+
+def warc_read_files(spark, path: str, types: tuple[str, ...] | None = None):
+    """WARC file source: Spark's binaryFile listing (one row per .warc
+    file) parsed file-parallel by the strict chunk walk — the shape of a
+    real Common Crawl ingest, where containers sit in object storage and
+    each task walks whole files. Returns one row per kept record with the
+    core headers projected and the payload as bytes."""
+    import os
+
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(os.path.join(path, "*.warc"))
+
+    def parse_files(batches):
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "record_id": [],
+                "target_uri": [],
+                "content_type": [],
+                "payload": [],
+                "record_len": [],
+            }
+            for blob in pdf["content"]:
+                for rec in warc_parse(bytes(blob), types=types):
+                    h = rec["headers"]
+                    rows["record_id"].append(h.get("WARC-Record-ID", ""))
+                    rows["target_uri"].append(h.get("WARC-Target-URI", ""))
+                    rows["content_type"].append(h.get("Content-Type", ""))
+                    rows["payload"].append(rec["payload"])
+                    rows["record_len"].append(rec["record_len"])
+            yield pd.DataFrame(rows)
+
+    return files.select("content").mapInPandas(
+        parse_files,
+        "record_id string, target_uri string, content_type string, "
+        "payload binary, record_len long",
+    )

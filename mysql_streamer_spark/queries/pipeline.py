@@ -3446,3 +3446,68 @@ SPECS.append(
         _robots_filter_oracle(),
     )
 )
+
+
+def q_pipeline_warc_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WARC surface as a FILE pipeline — the shape of a real Common
+    Crawl ingest, where containers live in object storage: documents are
+    written as ``part-*.warc`` files (one per partition, executor-side,
+    driver ships only the manifest — connectors/warc.py:warc_write_files),
+    then read back through Spark's binaryFile listing with a file-parallel
+    chunk walk, metadata records length-skipped, and every response's
+    payload proven intact by JVM-side sha2 over the parsed bytes against
+    the SQL recomputation. Complements pipeline_warc_roundtrip (in-plan
+    blobs) the way cdc_avro_file_roundtrip complements the Avro wire
+    queries: same codec, at-rest container files + distributed listing.
+
+    Scale shape: write is one map pass (manifest-only collect); read is
+    binaryFile-parallel (one task per container file — the real-world
+    parallelism grain of crawl ingest); projection + sha are codegen'd.
+    No shuffle anywhere."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from mysql_streamer_spark.connectors.warc import (
+        warc_read_files,
+        warc_write_files,
+    )
+    from mysql_streamer_spark.tables import spread
+
+    docs = (
+        spread(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "source", "text")
+        .filter(F.length("text") > 0)
+    )
+    work = tempfile.mkdtemp(prefix="mss_warc_")
+    atexit.register(shutil.rmtree, work, True)
+    warc_write_files(docs, work, WARC_DATE)
+    recs = warc_read_files(spark, work, types=("response",))
+    return recs.select(
+        F.regexp_extract("record_id", r"<urn:doc:(\d+)>", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "content_type",
+        F.length("payload").cast("long").alias("payload_bytes"),
+        F.sha2("payload", 256).alias("payload_sha"),
+    )
+
+
+def _warc_file_ingest_oracle() -> str:
+    return """
+SELECT doc_id,
+  CASE WHEN doc_id % 4 = 0 THEN 'text/html' ELSE 'text/plain' END
+    AS content_type,
+  CAST(strlen(text) AS BIGINT) AS payload_bytes,
+  sha256(text) AS payload_sha
+FROM documents WHERE length(text) > 0
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "pipeline_warc_file_ingest",
+        q_pipeline_warc_file_ingest,
+        _warc_file_ingest_oracle(),
+    )
+)

@@ -226,3 +226,29 @@ def test_robots_longest_match_and_allow_tie(spark):
         .collect()
     }
     assert got == {"/a/x": True, "/a/b/c": False, "/z": True}
+
+
+def test_warc_file_sink_source_roundtrip(spark, tmp_path):
+    """Distributed file sink -> binaryFile source: every response comes
+    back (metadata skipped under the type filter, present without it),
+    payload bytes intact, across multiple partitions/files."""
+    from mysql_streamer_spark.connectors.warc import (
+        warc_read_files,
+        warc_write_files,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 2}", f"text body {i}") for i in range(10)],
+        "doc_id long, source string, text string",
+    ).repartition(3)
+    out = str(tmp_path / "warcs")
+    warc_write_files(docs, out, "2026-01-01T00:00:00Z")
+
+    kept = warc_read_files(spark, out, types=("response",)).collect()
+    assert len(kept) == 10
+    got = {
+        int(r["record_id"][9:-1]): bytes(r["payload"]).decode() for r in kept
+    }
+    assert got == {i: f"text body {i}" for i in range(10)}
+    # without the filter the metadata records are present too
+    assert warc_read_files(spark, out).count() == 20
