@@ -3071,7 +3071,10 @@ def q_pipeline_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Content-Length, or a skip that consumes the wrong span all hash-fail.
 
     Scale shape: two map-only Arrow stages (serialize per batch, walk per
-    blob) over the documents partitioning — no shuffle, no collect; blob
+    blob) over the documents partitioning — no collect, and the only
+    exchange is the spread() fan-out repartition carrying each text once
+    into the codec stage (measured 178 B/rec at amplification 1.0; a
+    multi-split cluster input needs no repartition at all). Blob
     granularity is the Arrow batch, so container size is bounded by
     ``spark.sql.execution.arrow.maxRecordsPerBatch`` regardless of corpus
     size."""
@@ -3463,7 +3466,8 @@ def q_pipeline_warc_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: write is one map pass (manifest-only collect); read is
     binaryFile-parallel (one task per container file — the real-world
     parallelism grain of crawl ingest); projection + sha are codegen'd.
-    No shuffle anywhere."""
+    No shuffle beyond the write side's spread() fan-out (the single-split
+    local fixture's stand-in for cluster input parallelism)."""
     import atexit
     import shutil
     import tempfile
