@@ -156,3 +156,92 @@ def test_hll_rolling_windows_cover_trailing_days(spark, sf_dir):
             daily[d] for d in days[max(0, i - HLL_ROLL_DAYS + 1) : i + 1]
         )
         assert r.rolling_within_bound
+
+
+# ---------------------------------------------------------------------------
+# t-digest kernel (round-10 continuation)
+# ---------------------------------------------------------------------------
+
+
+def _td_build_merged(chunks, delta):
+    import numpy as np
+
+    from mysql_streamer_spark.queries.sketches import _td_compress
+
+    m = np.empty(0)
+    w = np.empty(0)
+    for c in chunks:
+        c = np.sort(np.asarray(c, dtype=float))
+        bm, bw = _td_compress(c, np.ones(len(c)), delta)
+        order = np.argsort(np.concatenate([m, bm]), kind="stable")
+        m = np.concatenate([m, bm])[order]
+        w = np.concatenate([w, bw])[order]
+        m, w = _td_compress(m, w, delta)
+    return m, w
+
+
+def test_tdigest_rank_error_across_distributions():
+    """The cap-derived rank-error claim the registered query's band flag
+    rests on, checked against adversarial shapes: uniform, heavy-tailed
+    lognormal, bimodal, and highly-duplicated integer data."""
+    import numpy as np
+
+    from mysql_streamer_spark.queries.sketches import (
+        PCT_POINTS,
+        TDIGEST_DELTA,
+        _td_quantile,
+    )
+
+    rng = np.random.RandomState(7)
+    datasets = [
+        rng.uniform(size=20000),
+        rng.lognormal(0, 2.0, size=20000),
+        np.concatenate([rng.normal(-5, 0.1, 10000), rng.normal(5, 0.1, 10000)]),
+        rng.randint(0, 50, size=20000).astype(float),
+    ]
+    for data in datasets:
+        m, w = _td_build_merged(np.array_split(data, 8), TDIGEST_DELTA)
+        assert abs(w.sum() - len(data)) < 1e-6  # weight conserved
+        assert (np.diff(m) >= 0).all()  # centroids stay sorted
+        s = np.sort(data)
+        for p in PCT_POINTS:
+            est = _td_quantile(m, w, p)
+            # the estimate's true RANK INTERVAL (tie-proof) must
+            # intersect p +/- band — the registered query's flag rule
+            rlo = np.searchsorted(s, est, side="left") / len(s)
+            rhi = np.searchsorted(s, est, side="right") / len(s)
+            band = 2.0 * (4.0 * p * (1.0 - p) / TDIGEST_DELTA) + 1e-3
+            assert rlo <= p + band and rhi >= p - band, (p, rlo, rhi, band)
+
+
+def test_tdigest_degenerate_inputs():
+    """Constant data collapses to one centroid; tiny inputs are exact."""
+    import numpy as np
+
+    from mysql_streamer_spark.queries.sketches import (
+        TDIGEST_DELTA,
+        _td_compress,
+        _td_quantile,
+    )
+
+    m, w = _td_compress(np.full(1000, 42.0), np.ones(1000), TDIGEST_DELTA)
+    assert _td_quantile(m, w, 0.5) == 42.0
+    vals = np.array([1.0, 2.0, 3.0])
+    m, w = _td_compress(vals, np.ones(3), TDIGEST_DELTA)
+    assert w.sum() == 3
+    assert _td_quantile(m, w, 0.0) == 1.0 and _td_quantile(m, w, 1.0) == 3.0
+
+
+def test_tdigest_quantile_monotone():
+    import numpy as np
+
+    from mysql_streamer_spark.queries.sketches import (
+        TDIGEST_DELTA,
+        _td_quantile,
+    )
+
+    rng = np.random.RandomState(3)
+    m, w = _td_build_merged([rng.exponential(size=30000)], TDIGEST_DELTA)
+    qs = np.linspace(0, 1, 101)
+    ests = [_td_quantile(m, w, q) for q in qs]
+    assert all(a <= b + 1e-12 for a, b in zip(ests, ests[1:]))
