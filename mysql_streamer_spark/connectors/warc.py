@@ -244,3 +244,196 @@ def warc_read_files(spark, path: str, types: tuple[str, ...] | None = None):
         "record_id string, target_uri string, content_type string, "
         "payload binary, record_len long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Pluggable streaming source: a crawl-drop directory of WARC files
+# ---------------------------------------------------------------------------
+
+try:  # Spark >= 4 Python Data Source API (same guard as python_source.py)
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    HAS_PYTHON_DATASOURCE = True
+except ImportError:  # pragma: no cover - Spark < 4
+    HAS_PYTHON_DATASOURCE = False
+
+    class DataSource:  # type: ignore[no-redef]
+        pass
+
+    class DataSourceReader:  # type: ignore[no-redef]
+        pass
+
+    class DataSourceStreamReader:  # type: ignore[no-redef]
+        pass
+
+    class InputPartition:  # type: ignore[no-redef]
+        pass
+
+
+_WARC_SOURCE_SCHEMA = (
+    "record_id string, target_uri string, content_type string, "
+    "payload binary, record_len long"
+)
+
+
+class _WarcFilePartition(InputPartition):
+    """One executor read = one whole WARC container (the ingest grain:
+    records inside a container are sequential by format, files are the
+    parallel unit — same as the batch binaryFile path)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+
+def _warc_file_rows(path: str, types: tuple[str, ...] | None):
+    with open(path, "rb") as fh:
+        blob = fh.read()
+    for rec in warc_parse(blob, types=types):
+        h = rec["headers"]
+        yield (
+            h.get("WARC-Record-ID", ""),
+            h.get("WARC-Target-URI", ""),
+            h.get("Content-Type", ""),
+            rec["payload"],
+            rec["record_len"],
+        )
+
+
+def _list_warc_files(path: str) -> list[str]:
+    import os
+
+    return sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".warc")
+    )
+
+
+def _types_option(options) -> tuple[str, ...] | None:
+    raw = options.get("types")
+    if not raw:
+        return None
+    return tuple(t.strip() for t in str(raw).split(",") if t.strip())
+
+
+class WarcFilesDataSource(DataSource):
+    """``spark.read/readStream.format("warc_files")`` over a directory of
+    WARC containers — the crawl-drop ingest surface: a crawler (or a
+    Common Crawl sync) deposits immutable ``*.warc`` files; the batch
+    form lists and parses them file-parallel, the streaming form tails
+    the directory with offset-tracked, checkpoint-replayable micro
+    -batches. Options: ``path`` (required), ``types`` (comma list of
+    WARC-Types to keep, e.g. ``response``; default all)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "warc_files"
+
+    def schema(self) -> str:
+        return _WARC_SOURCE_SCHEMA
+
+    def reader(self, schema) -> "WarcFilesReader":
+        return WarcFilesReader(self.options)
+
+    def streamReader(self, schema) -> "WarcFilesStreamReader":
+        return WarcFilesStreamReader(self.options)
+
+
+class WarcFilesReader(DataSourceReader):
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError("warc_files source requires .option('path', ...)")
+        self.path = path
+        self.types = _types_option(options)
+
+    def partitions(self):
+        return [_WarcFilePartition(p) for p in _list_warc_files(self.path)]
+
+    def read(self, partition: _WarcFilePartition):
+        yield from _warc_file_rows(partition.path, self.types)
+
+
+class WarcFilesStreamReader(DataSourceStreamReader):
+    """Offsets carry the FILE MANIFEST ``{"files": [[name, size], ...]}``.
+    A crawl-drop directory is append-only by contract — containers are
+    immutable once deposited, but their NAMES carry no arrival order
+    (uuid part names), so the guard is SET-based rather than the binlog
+    feed's name-prefix rail (python_source.py, ADVICE r5): every trigger
+    verifies each committed container is still present with its committed
+    size (removal, rename, truncation, or in-place append all fail
+    loudly — any of them would remap committed offsets), and the new
+    work is exactly the set difference. The manifest travels inside the
+    checkpointed offsets, so crash/restart replay re-derives the same
+    file set deterministically; each new container becomes one
+    partition, read on an executor."""
+
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError("warc_files source requires .option('path', ...)")
+        self.path = path
+        self.types = _types_option(options)
+
+    def _observed(self) -> list[list]:
+        import os
+
+        return [
+            [os.path.basename(p), os.path.getsize(p)]
+            for p in _list_warc_files(self.path)
+        ]
+
+    @staticmethod
+    def _require_present(prev: list[list], cur: list[list], where: str) -> None:
+        cur_sizes = {name: size for name, size in cur}
+        for name, size in prev:
+            if cur_sizes.get(name) != size:
+                raise ValueError(
+                    f"warc_files feed mutated non-append-only ({where}): "
+                    f"committed container {name!r} (size {size}) is "
+                    f"missing or resized in {sorted(cur_sizes)}; refusing "
+                    "to remap committed offsets"
+                )
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def latestOffset(self) -> dict:
+        return {"files": self._observed()}
+
+    def partitions(self, start: dict, end: dict):
+        import os
+
+        observed = self._observed()
+        self._require_present(end["files"], observed, "partitions/end")
+        self._require_present(start["files"], end["files"], "partitions/start")
+        committed = {name for name, _ in start["files"]}
+        return [
+            _WarcFilePartition(os.path.join(self.path, name))
+            for name, _ in end["files"]
+            if name not in committed
+        ]
+
+    def read(self, partition: _WarcFilePartition):
+        yield from _warc_file_rows(partition.path, self.types)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are pure functions of the immutable directory
+
+
+_WARC_REGISTERED: set[str] = set()
+
+
+def register_warc_source(spark) -> None:
+    if not HAS_PYTHON_DATASOURCE:  # pragma: no cover
+        raise RuntimeError("pyspark.sql.datasource requires Spark >= 4")
+    app_id = spark.sparkContext.applicationId
+    if app_id in _WARC_REGISTERED:
+        return
+    spark.dataSource.register(WarcFilesDataSource)
+    _WARC_REGISTERED.add(app_id)

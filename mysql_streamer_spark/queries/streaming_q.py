@@ -930,3 +930,93 @@ SPECS = [
 ]
 
 
+
+
+# ---------------------------------------------------------------------------
+# streaming crawl ingest from the pluggable WARC source
+# ---------------------------------------------------------------------------
+
+
+def q_streaming_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl ingest as a LIVE stream: documents land as immutable WARC
+    containers in a drop directory (the distributed file sink), then
+    ``readStream.format("warc_files")`` — the in-repo pluggable source,
+    connectors/warc.py — tails the directory with manifest-guarded,
+    checkpoint-replayable offsets (one micro-batch partition per new
+    container, parsed executor-side), drains through foreachBatch into
+    the idempotent per-batch-id sink, and the streamed result must
+    hash-match the same closed-form oracle as the batch file-ingest —
+    the streaming half of the crawl-ingest equivalence, the same
+    proof shape ``streaming_python_source`` gives the binlog source.
+
+    Scale shape: the streaming grain is the container file (the unit a
+    crawler deposits); offsets are a pure function of the directory, so
+    replay after crash re-reads exactly the committed file set. No
+    shuffle — parse, project, and sha are all within the per-file task."""
+    import tempfile as _tf
+
+    from mysql_streamer_spark.connectors.warc import (
+        register_warc_source,
+        warc_write_files,
+    )
+    from mysql_streamer_spark.queries.pipeline import WARC_DATE
+    from mysql_streamer_spark.tables import load_table, spread
+
+    work = _tf.mkdtemp(prefix="mss_warc_stream_")
+    drop, out, ckpt = f"{work}/drop", f"{work}/out", f"{work}/ckpt"
+
+    docs = (
+        spread(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "source", "text")
+        .filter(F.length("text") > 0)
+    )
+    warc_write_files(docs, drop, WARC_DATE)
+
+    register_warc_source(spark)
+    recs = (
+        spark.readStream.format("warc_files")
+        .option("path", drop)
+        .option("types", "response")
+        .load()
+    )
+    projected = recs.select(
+        F.regexp_extract("record_id", r"<urn:doc:(\d+)>", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "content_type",
+        F.length("payload").cast("long").alias("payload_bytes"),
+        F.sha2("payload", 256).alias("payload_sha"),
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
+
+    q = (
+        projected.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_sink(spark, out)
+
+
+_WARC_STREAM_ORACLE = """
+SELECT doc_id,
+  CASE WHEN doc_id % 4 = 0 THEN 'text/html' ELSE 'text/plain' END
+    AS content_type,
+  CAST(strlen(text) AS BIGINT) AS payload_bytes,
+  sha256(text) AS payload_sha
+FROM documents WHERE length(text) > 0
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "streaming_warc_ingest",
+        q_streaming_warc_ingest,
+        _WARC_STREAM_ORACLE,
+    )
+)

@@ -252,3 +252,126 @@ def test_warc_file_sink_source_roundtrip(spark, tmp_path):
     assert got == {i: f"text body {i}" for i in range(10)}
     # without the filter the metadata records are present too
     assert warc_read_files(spark, out).count() == 20
+
+
+def _drop_docs(spark, out, ids):
+    from mysql_streamer_spark.connectors.warc import warc_write_files
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 2}", f"text body {i}") for i in ids],
+        "doc_id long, source string, text string",
+    ).coalesce(1)
+    warc_write_files(docs, out, "2026-01-01T00:00:00Z")
+
+
+def test_warc_stream_resumes_from_checkpoint(spark, tmp_path):
+    """availableNow drain, new containers drop, second drain with the
+    SAME checkpoint: only the new files are read (no duplicates), the
+    union is complete — the offset manifest is doing its job."""
+    from pyspark.sql import functions as F
+
+    from mysql_streamer_spark.connectors.warc import register_warc_source
+
+    drop = str(tmp_path / "drop")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    register_warc_source(spark)
+
+    def drain():
+        recs = (
+            spark.readStream.format("warc_files")
+            .option("path", drop)
+            .option("types", "response")
+            .load()
+            .select(
+                F.regexp_extract("record_id", r"<urn:doc:(\d+)>", 1)
+                .cast("long")
+                .alias("doc_id")
+            )
+        )
+
+        def write_batch(df, batch_id):
+            df.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
+
+        q = (
+            recs.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _drop_docs(spark, drop, range(0, 4))
+    drain()
+    got1 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got1 == set(range(0, 4))
+
+    _drop_docs(spark, drop, range(4, 7))
+    drain()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 7  # no re-reads of committed containers
+    assert {r["doc_id"] for r in rows} == set(range(0, 7))
+
+
+def test_warc_stream_rejects_non_append_mutation(spark, tmp_path):
+    """Removing a committed container between drains must fail loudly
+    (manifest-extension guard), not silently remap offsets."""
+    import os
+
+    from mysql_streamer_spark.connectors.warc import register_warc_source
+
+    drop = str(tmp_path / "drop")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    register_warc_source(spark)
+
+    def drain():
+        recs = (
+            spark.readStream.format("warc_files")
+            .option("path", drop)
+            .load()
+        )
+
+        def write_batch(df, batch_id):
+            df.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
+
+        q = (
+            recs.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _drop_docs(spark, drop, range(0, 3))
+    drain()
+    victim = sorted(
+        f for f in os.listdir(drop) if f.endswith(".warc")
+    )[0]
+    os.remove(os.path.join(drop, victim))
+    _drop_docs(spark, drop, range(3, 4))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="non-append-only"):
+        drain()
+
+
+def test_warc_batch_datasource_reads_files(spark, tmp_path):
+    """The batch form of format('warc_files'): file-parallel listing,
+    type filter honored."""
+    from mysql_streamer_spark.connectors.warc import register_warc_source
+
+    drop = str(tmp_path / "drop")
+    _drop_docs(spark, drop, range(0, 6))
+    register_warc_source(spark)
+    df = (
+        spark.read.format("warc_files")
+        .option("path", drop)
+        .option("types", "response")
+        .load()
+    )
+    assert df.count() == 6
+    assert (
+        spark.read.format("warc_files").option("path", drop).load().count()
+        == 12
+    )
