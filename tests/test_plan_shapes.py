@@ -24,6 +24,9 @@ _BNLJ_OK = {
     "sim_matryoshka_recall",
     # two single-row aggregate frames crossed into the one-row contract check
     "sketch_hll_merge",
+    # 1-row merged-digest frame crossed onto the events scan so the
+    # rank-interval counts evaluate in one pass (scalar fan-out)
+    "sketch_tdigest_bound",
     # 1-row corpus-total frame crossed back onto the ranked vocabulary
     "text_vocab_coverage",
     # embeds the brute-force ground truth + IVF centroid broadcast
@@ -191,9 +194,9 @@ def test_allowlists_are_count_pinned():
     entry without updating these pinned counts fails here, forcing the
     written bounded-domain justification every entry must carry
     (VERDICT r7 #7). Update the count IN THE SAME COMMIT as the entry."""
-    assert len(_BNLJ_OK) == 62
+    assert len(_BNLJ_OK) == 63
     assert len(_SKIP) == 9
-    assert len(_SINGLE_PARTITION_OK) == 67
+    assert len(_SINGLE_PARTITION_OK) == 68
     assert len(_UNPARTITIONED_WINDOW_OK) == 14
     assert len(_ZERO_SHUFFLE) == 6
 
@@ -266,6 +269,9 @@ _SINGLE_PARTITION_OK = {
     "analytics_zorder_layout",      # 1-row domain-stats aggregate feeding the grid
     "sketch_hll_merge",             # per-day sketches -> ONE union (scalar)
     "sketch_quantile_bound",        # single-row percentile summary
+    # the digest tree-merge: one <=O(d*ln n)-centroid row per partition
+    # coalesces to the single merger (the standard sketch-merge fan-in)
+    "sketch_tdigest_bound",
     # cumulative window over the top-max(POINTS) sort-limit (20 rows)
     "text_vocab_coverage",
     # rolling frame over the one-row-per-day aggregate dimension
