@@ -3515,3 +3515,126 @@ SPECS.append(
         _warc_file_ingest_oracle(),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer APPLY (encode) — the fertility the packer actually pays
+# ---------------------------------------------------------------------------
+
+#: Ordered merge rules (the artifact a BPE trainer like pipeline_bpe_merges
+#: produces over many iterations), applied subword-nmt-style: one global
+#: left-to-right non-overlapping replace per rule, in rule order, inside
+#: word boundaries. Fixed here so both engines replay the identical
+#: transform; chains compress frequent fixture words ('the', 'table',
+#: 'value' -> 1 token; 'scan' -> sc|an, 'query' -> qu|er|y — earlier
+#: rules legally preempt later chains) while rare words stay
+#: char-fragmented — the fertility spread real tokenizers show.
+BPE_APPLY_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"),
+    ("e", "r"), ("o", "r"), ("a", "n"),
+    ("s", "c"), ("sc", "a"), ("sca", "n"),
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("v", "a"), ("va", "l"), ("val", "u"), ("valu", "e"),
+    ("q", "u"), ("qu", "e"), ("que", "r"), ("quer", "y"),
+)
+
+
+def _bpe_apply_sql(word_expr: str, dialect: str) -> str:
+    """The merge-apply transform as ONE nested string expression, emitted
+    for either engine from the same rule list: sentinel-space the chars
+    (' k e y '), then one replace(' a b ' -> ' ab ') per rule in order.
+    The space sentinels make matches token-aligned by construction; both
+    engines' replace() scans left-to-right non-overlapping, so the
+    transforms are bit-identical."""
+    if dialect == "spark":
+        s = f"' ' || regexp_replace({word_expr}, '(.)', '$1 ')"
+    else:
+        s = f"' ' || regexp_replace({word_expr}, '(.)', '\\1 ', 'g')"
+    for a, b in BPE_APPLY_MERGES:
+        s = f"replace({s}, ' {a} {b} ', ' {a}{b} ')"
+    return s
+
+
+def q_pipeline_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE over the corpus — pipeline_bpe_merges shows the trainer's
+    pair-count step; this is the other half every pipeline runs millions
+    of times more often: applying the learned merge table to text and
+    paying the resulting token counts (the packer/budget/fertility
+    numbers downstream queries consume). Merges apply subword-nmt-style
+    (ordered global replaces inside word boundaries) as a SINGLE nested
+    JVM string expression — no Python in the loop — over the DISTINCT
+    word table (Heaps-law sublinear, the bpe_merges trick), then token
+    counts join back and aggregate per document next to the whitespace
+    count the naive budget would use.
+
+    Scale shape: explode moves (doc_id, word) pairs only; the merge chain
+    runs once per DISTINCT word; the join back is a vocab-sized equi-join
+    and the per-doc rollup is one map-side-combinable hash aggregate.
+    Text itself never shuffles."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    encoded = (
+        words.select("w")
+        .distinct()
+        .withColumn("enc", F.expr(_bpe_apply_sql("w", "spark")))
+        .select(
+            "w",
+            (
+                F.length("enc")
+                - F.length(F.regexp_replace("enc", " ", ""))
+                - 1
+            )
+            .cast("long")
+            .alias("w_tokens"),
+        )
+    )
+    return (
+        words.join(encoded, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("ws_tokens"),
+            F.sum("w_tokens").cast("long").alias("bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "ws_tokens",
+            "bpe_tokens",
+            (F.col("bpe_tokens").cast("double") / F.col("ws_tokens"))
+            .alias("fertility"),
+        )
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    enc = _bpe_apply_sql("w", "duckdb")
+    return f"""
+WITH words AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+), vocab AS (
+  SELECT w, CAST(strlen(e) - strlen(replace(e, ' ', '')) - 1 AS BIGINT)
+           AS w_tokens
+  FROM (SELECT w, {enc} AS e FROM (SELECT DISTINCT w FROM words))
+), per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS ws_tokens,
+         CAST(sum(w_tokens) AS BIGINT) AS bpe_tokens
+  FROM words JOIN vocab USING (w)
+  GROUP BY doc_id
+)
+SELECT doc_id, ws_tokens, bpe_tokens,
+       CAST(bpe_tokens AS DOUBLE) / ws_tokens AS fertility
+FROM per_doc
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "pipeline_bpe_encode",
+        q_pipeline_bpe_encode,
+        _bpe_encode_oracle(),
+    )
+)

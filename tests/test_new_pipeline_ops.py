@@ -106,3 +106,51 @@ def test_schema_compat_initial_version_every_table(spark, sf_dir):
         for later in versions:
             if later.version > first.version:
                 assert later.compat != "initial"
+
+
+def test_bpe_encode_hand_examples(spark):
+    """The merge chain on hand-traced words. Rule ORDER is load-bearing:
+    'scan' ends at sc|an because (a,n) fires before (s,c) can feed
+    (sc,a); 'query' ends at qu|er|y because (e,r) fires before (q,u) —
+    a wrong application order changes these counts and fails here (and
+    hash-fails the registered query)."""
+    from pyspark.sql import functions as F
+
+    from mysql_streamer_spark.queries.pipeline import _bpe_apply_sql
+
+    words = ["the", "table", "value", "query", "scan", "other", "zebra"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r["w"]: r["n"]
+        for r in df.withColumn("enc", F.expr(_bpe_apply_sql("w", "spark")))
+        .select(
+            "w",
+            (
+                F.length("enc")
+                - F.length(F.regexp_replace("enc", " ", ""))
+                - 1
+            ).alias("n"),
+        )
+        .collect()
+    }
+    assert got == {
+        "the": 1,
+        "table": 1,
+        "value": 1,
+        "query": 3,  # qu | er | y — (e,r) preempts the (qu,e...) chain
+        "scan": 2,  # sc | an — (a,n) preempts (sca,n)
+        "other": 3,  # o | the | r
+        "zebra": 5,  # no merge fires
+    }
+
+    # DuckDB replays the identical transform (the oracle's half)
+    import duckdb
+
+    dd = {
+        w: duckdb.sql(
+            f"SELECT strlen(e) - strlen(replace(e,' ','')) - 1 FROM "
+            f"(SELECT {_bpe_apply_sql(repr(w), 'duckdb')} AS e)"
+        ).fetchone()[0]
+        for w in words
+    }
+    assert dd == got
