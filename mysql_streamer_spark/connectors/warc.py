@@ -437,3 +437,50 @@ def register_warc_source(spark) -> None:
         return
     spark.dataSource.register(WarcFilesDataSource)
     _WARC_REGISTERED.add(app_id)
+
+
+# ---------------------------------------------------------------------------
+# HTTP/1.1 response framing (what real WARC response payloads contain —
+# Common Crawl stores the FULL HTTP response, content-type
+# "application/http; msgtype=response", not a bare body)
+# ---------------------------------------------------------------------------
+
+_HTTP_REASONS = {200: "OK", 301: "Moved Permanently", 404: "Not Found"}
+
+
+def http_response_bytes(
+    status: int, body: bytes, headers: list[tuple[str, str]]
+) -> bytes:
+    """Serialize one HTTP/1.1 response (status line + headers in given
+    order + CRLF CRLF + body). Content-Length is appended automatically
+    as the last header so the framing is always self-describing."""
+    out = [f"HTTP/1.1 {status} {_HTTP_REASONS[status]}".encode("ascii"), CRLF]
+    for name, value in headers:
+        out += [f"{name}: {value}".encode("utf-8"), CRLF]
+    out += [f"Content-Length: {len(body)}".encode("ascii"), CRLF, CRLF, body]
+    return b"".join(out)
+
+
+def http_response_parse(payload: bytes) -> dict:
+    """Strict parse of an HTTP/1.1 response: status line, header map,
+    body split at the first CRLF CRLF. Loud ValueError on a missing
+    header/body separator or a malformed status line — a torn response
+    inside an intact WARC record means the CRAWLER wrote garbage, which
+    an ingest pipeline must surface, not paper over."""
+    sep = payload.find(CRLF + CRLF)
+    if sep < 0:
+        raise ValueError("http: no header/body separator")
+    head = payload[:sep].decode("utf-8", errors="strict")
+    lines = head.split("\r\n")
+    parts = lines[0].split(" ", 2)
+    if len(parts) < 2 or not parts[0].startswith("HTTP/"):
+        raise ValueError(f"http: malformed status line {lines[0]!r}")
+    try:
+        status = int(parts[1])
+    except ValueError:
+        raise ValueError(f"http: non-numeric status in {lines[0]!r}") from None
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        k, _, v = line.partition(":")
+        headers[k.strip()] = v.strip()
+    return {"status": status, "headers": headers, "body": payload[sep + 4 :]}

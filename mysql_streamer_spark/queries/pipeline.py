@@ -3638,3 +3638,140 @@ SPECS.append(
         _bpe_encode_oracle(),
     )
 )
+
+
+def q_pipeline_http_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL Common Crawl payload shape: a WARC ``response`` record
+    holds the FULL HTTP response (content-type "application/http;
+    msgtype=response"), so ingest must parse TWO nested framings — the
+    WARC chunk walk, then the HTTP status line / headers / body split —
+    before any text exists. The fixture exercises the status surface a
+    crawler actually sees: 200s carry the document body, 404s a short
+    error body, 301s an empty body plus a Location header (the redirect
+    target the frontier feeds back). Every parsed field — status, body
+    size vs the HTTP Content-Length (a torn crawler write trips len_ok),
+    body sha256, redirect target — hash-matches the closed-form oracle.
+
+    Scale shape: both framings parse inside the same per-batch Arrow
+    kernel (WARC walk -> HTTP split); no shuffle beyond the spread()
+    fan-out; output is one narrow row per response."""
+    import hashlib
+
+    import pandas as pd
+
+    from mysql_streamer_spark.connectors.warc import (
+        http_response_bytes,
+        http_response_parse,
+        warc_parse,
+        warc_write,
+    )
+    from mysql_streamer_spark.tables import spread
+
+    docs = (
+        spread(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "source", "text")
+        .filter(F.length("text") > 0)
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            records = []
+            for doc_id, source, text in zip(
+                pdf["doc_id"], pdf["source"], pdf["text"]
+            ):
+                headers = [
+                    ("Content-Type", "text/plain; charset=utf-8"),
+                    ("Server", "mss/1.0"),
+                ]
+                if doc_id % 17 == 0:
+                    status, body = 301, b""
+                    headers.append(
+                        (
+                            "Location",
+                            f"http://{source}.example.com/doc/{doc_id}?moved=1",
+                        )
+                    )
+                elif doc_id % 13 == 0:
+                    status, body = 404, b"not found"
+                else:
+                    status, body = 200, text.encode("utf-8")
+                records.append(
+                    dict(
+                        record_type="response",
+                        record_id=f"<urn:doc:{doc_id}>",
+                        date=WARC_DATE,
+                        target_uri=f"http://{source}.example.com/doc/{doc_id}",
+                        content_type="application/http; msgtype=response",
+                        payload=http_response_bytes(status, body, headers),
+                    )
+                )
+            yield pd.DataFrame({"blob": [warc_write(records)]})
+
+    blobs = docs.mapInPandas(encode, "blob binary")
+
+    def walk(batches):
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [],
+                "status": [],
+                "body_bytes": [],
+                "len_ok": [],
+                "body_sha": [],
+                "redirect_target": [],
+            }
+            for blob in pdf["blob"]:
+                for rec in warc_parse(bytes(blob), types=("response",)):
+                    http = http_response_parse(rec["payload"])
+                    rid = rec["headers"]["WARC-Record-ID"]
+                    rows["doc_id"].append(int(rid[9:-1]))
+                    rows["status"].append(http["status"])
+                    rows["body_bytes"].append(len(http["body"]))
+                    rows["len_ok"].append(
+                        len(http["body"])
+                        == int(http["headers"]["Content-Length"])
+                    )
+                    rows["body_sha"].append(
+                        hashlib.sha256(http["body"]).hexdigest()
+                    )
+                    rows["redirect_target"].append(
+                        http["headers"].get("Location")
+                    )
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(
+        walk,
+        "doc_id long, status int, body_bytes long, len_ok boolean, "
+        "body_sha string, redirect_target string",
+    )
+
+
+def _http_extract_oracle() -> str:
+    return """
+SELECT doc_id,
+  CAST(CASE WHEN doc_id % 17 = 0 THEN 301
+            WHEN doc_id % 13 = 0 THEN 404
+            ELSE 200 END AS INTEGER) AS status,
+  CAST(CASE WHEN doc_id % 17 = 0 THEN 0
+            WHEN doc_id % 13 = 0 THEN 9
+            ELSE strlen(text) END AS BIGINT) AS body_bytes,
+  TRUE AS len_ok,
+  CASE WHEN doc_id % 17 = 0 THEN sha256('')
+       WHEN doc_id % 13 = 0 THEN sha256('not found')
+       ELSE sha256(text) END AS body_sha,
+  CASE WHEN doc_id % 17 = 0
+       THEN 'http://' || source || '.example.com/doc/' || doc_id
+            || '?moved=1'
+       ELSE NULL END AS redirect_target
+FROM documents WHERE length(text) > 0
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "pipeline_http_extract",
+        q_pipeline_http_extract,
+        _http_extract_oracle(),
+    )
+)

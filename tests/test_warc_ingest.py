@@ -375,3 +375,29 @@ def test_warc_batch_datasource_reads_files(spark, tmp_path):
         spark.read.format("warc_files").option("path", drop).load().count()
         == 12
     )
+
+
+def test_http_response_roundtrip_and_loud_failures():
+    from mysql_streamer_spark.connectors.warc import (
+        http_response_bytes,
+        http_response_parse,
+    )
+
+    body = b"hello \r\n\r\n world"  # separator bytes INSIDE the body
+    raw = http_response_bytes(
+        200, body, [("Content-Type", "text/plain"), ("X-A", "b: c")]
+    )
+    got = http_response_parse(raw)
+    assert got["status"] == 200
+    assert got["body"] == body
+    assert got["headers"]["Content-Length"] == str(len(body))
+    assert got["headers"]["X-A"] == "b: c"  # first colon splits
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="separator"):
+        http_response_parse(b"HTTP/1.1 200 OK\r\nContent-Length: 0")
+    with _pytest.raises(ValueError, match="status"):
+        http_response_parse(b"not http at all\r\n\r\n")
+    with _pytest.raises(ValueError, match="status"):
+        http_response_parse(b"HTTP/1.1 abc OK\r\n\r\n")
