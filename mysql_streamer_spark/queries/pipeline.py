@@ -3396,6 +3396,14 @@ def q_pipeline_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules = spark.createDataFrame(
         _robots_rules(), "host string, prefix string, allow boolean, plen int"
     )
+    return _robots_apply(spark, sf_dir, rules)
+
+
+def _robots_apply(spark: SparkSession, sf_dir: str, rules: DataFrame) -> DataFrame:
+    """The RFC 9309 apply step shared by the robots family: broadcast the
+    (host, prefix, allow, plen) rule dimension, fan each URL out to its
+    host's matching prefixes, argmax by (plen, allow) — longest prefix
+    decides, Allow wins the tie."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
@@ -3773,5 +3781,80 @@ SPECS.append(
         "pipeline_http_extract",
         q_pipeline_http_extract,
         _http_extract_oracle(),
+    )
+)
+
+
+def _robots_txt_for_host(i: int) -> str:
+    """The robots.txt BYTES host src{i} serves — deterministic, and
+    deliberately full of material the parser must navigate: a decoy
+    group blocking everything for a different bot, a two-agent group
+    (ours + a backup) carrying the real rules, comments, unknown
+    directives, and a '*' fallback group that must NOT apply to us
+    because a specific group matches first (RFC 9309 precedence)."""
+    return (
+        f"# robots for src{i}.example.com\n"
+        "User-agent: other-bot\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: mss-crawler\n"
+        "User-agent: backup-bot\n"
+        "Crawl-delay: 5\n"  # unknown-to-us directive: tolerated
+        f"Disallow: /page/{i}\n"
+        f"Allow: /page/{i}{i}  # carve the exception back out\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /\n"
+    )
+
+
+def q_pipeline_robots_txt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The robots surface END-TO-END from the bytes a webserver serves:
+    each host's actual robots.txt text (decoy bot group, multi-agent
+    group, comments, unknown directives, a '*' group that blocks
+    everything) is parsed DISTRIBUTED by the RFC 9309 parser
+    (mysql_streamer_spark/robots.py) into the rule dimension, then the
+    same broadcast + longest-match apply as pipeline_robots_filter. The
+    shared oracle makes the parser itself the thing under test: picking
+    the wrong group (the decoy or the '*' catch-all), mishandling the
+    two-agent group, or tripping on comments/Crawl-delay flips decisions
+    corpus-wide and hash-fails.
+
+    Scale shape: robots.txt parsing is one Arrow kernel over the host
+    dimension (bounded — one row per crawled host); everything after is
+    the shared broadcast-join + argmax apply."""
+    import pandas as pd
+
+    from mysql_streamer_spark.robots import parse_robots
+
+    hosts = spark.createDataFrame(
+        [(f"src{i}.example.com", _robots_txt_for_host(i)) for i in range(20)],
+        "host string, robots_txt string",
+    )
+
+    def parse(batches):
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "host": [], "prefix": [], "allow": [], "plen": []
+            }
+            for host, txt in zip(pdf["host"], pdf["robots_txt"]):
+                for prefix, allow in parse_robots(txt, "mss-crawler"):
+                    rows["host"].append(host)
+                    rows["prefix"].append(prefix)
+                    rows["allow"].append(allow)
+                    rows["plen"].append(len(prefix))
+            yield pd.DataFrame(rows)
+
+    rules = hosts.mapInPandas(
+        parse, "host string, prefix string, allow boolean, plen int"
+    )
+    return _robots_apply(spark, sf_dir, rules)
+
+
+SPECS.append(
+    QuerySpec(
+        "pipeline_robots_txt",
+        q_pipeline_robots_txt,
+        _robots_filter_oracle(),
     )
 )

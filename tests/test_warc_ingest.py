@@ -401,3 +401,40 @@ def test_http_response_roundtrip_and_loud_failures():
         http_response_parse(b"not http at all\r\n\r\n")
     with _pytest.raises(ValueError, match="status"):
         http_response_parse(b"HTTP/1.1 abc OK\r\n\r\n")
+
+
+def test_robots_parser_group_model():
+    """RFC 9309 group semantics: multi-agent groups, specific-beats-*,
+    decoy groups skipped, comments/unknown directives tolerated, empty
+    Disallow contributes nothing, groupless rules ignored, UA line after
+    rules starts a new group."""
+    from mysql_streamer_spark.robots import parse_robots
+
+    txt = (
+        "Disallow: /orphan\n"  # groupless: ignored
+        "User-agent: other-bot\n"
+        "Disallow: /\n"
+        "User-agent: mss-crawler  # trailing comment\n"
+        "User-agent: backup-bot\n"
+        "Crawl-delay: 5\n"
+        "Disallow: /a\n"
+        "Allow: /a/b\n"
+        "Disallow:\n"  # empty: no rule
+        "User-agent: *\n"
+        "Disallow: /everything\n"
+    )
+    assert parse_robots(txt, "MSS-Crawler") == [
+        ("", True),
+        ("/a", False),
+        ("/a/b", True),
+    ]
+    # the co-listed agent gets the same group
+    assert parse_robots(txt, "backup-bot")[1:] == [("/a", False), ("/a/b", True)]
+    # an unknown agent falls back to '*'
+    assert parse_robots(txt, "stranger") == [("", True), ("/everything", False)]
+    # the decoy group is chosen only by its own agent
+    assert parse_robots(txt, "other-bot") == [("", True), ("/", False)]
+    # empty file: crawl anything
+    assert parse_robots("", "mss-crawler") == [("", True)]
+    # no matching group and no '*': crawl anything
+    assert parse_robots("User-agent: x\nDisallow: /\n", "y") == [("", True)]
