@@ -218,6 +218,15 @@ def warc_read_files(spark, path: str, types: tuple[str, ...] | None = None):
 
     import pandas as pd
 
+    if not _list_warc_files(path):
+        # an empty crawl drop is a valid state (nothing deposited yet);
+        # binaryFile's glob would throw PATH_NOT_FOUND instead
+        return spark.createDataFrame(
+            [],
+            "record_id string, target_uri string, content_type string, "
+            "payload binary, record_len long",
+        )
+
     files = spark.read.format("binaryFile").load(os.path.join(path, "*.warc"))
 
     def parse_files(batches):
@@ -307,6 +316,8 @@ def _warc_file_rows(path: str, types: tuple[str, ...] | None):
 def _list_warc_files(path: str) -> list[str]:
     import os
 
+    if not os.path.isdir(path):
+        return []  # a drop directory that does not exist yet is empty
     return sorted(
         os.path.join(path, f)
         for f in os.listdir(path)
