@@ -3858,3 +3858,105 @@ SPECS.append(
         _robots_filter_oracle(),
     )
 )
+
+
+def q_pipeline_crawl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-snapshot crawl drift — the CDX-index diff every recurring
+    crawl runs to budget refetches: snapshot A is the current corpus;
+    snapshot B (the "next crawl", derived deterministically) loses every
+    19th URL (site gone / now 404), changes every 7th's content (text
+    drift -> new sha), and discovers a new sibling URL for every 29th.
+    The FULL OUTER join on URL classifies each into unchanged / modified
+    / gone / new by presence and content-hash comparison — presence and
+    hash equality are the only signals a real CDX diff has — and rolls
+    up per host, the table that decides per-site refetch cadence.
+
+    Scale shape: both snapshots are map-side projections carrying only
+    (url, host, sha) — text never enters the join; the outer join
+    shuffles id-width rows on url; the rollup is one hash aggregate on
+    the bounded host key with map-side partials."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    url = F.concat(
+        F.lit("http://"),
+        F.col("source"),
+        F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    snap_a = docs.select(
+        url.alias("url"),
+        F.col("source").alias("host_a"),
+        F.sha2("text", 256).alias("sha_a"),
+    )
+    in_b = F.col("doc_id") % 19 != 0
+    snap_b = (
+        docs.filter(in_b)
+        .select(
+            url.alias("url"),
+            F.col("source").alias("host_b"),
+            F.sha2(
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.concat(F.col("text"), F.lit(" updated")),
+                ).otherwise(F.col("text")),
+                256,
+            ).alias("sha_b"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 29 == 0).select(
+                F.concat(url, F.lit("/new")).alias("url"),
+                F.col("source").alias("host_b"),
+                F.sha2(F.col("text"), 256).alias("sha_b"),
+            )
+        )
+    )
+    joined = snap_a.join(snap_b, "url", "full_outer").select(
+        F.coalesce("host_a", "host_b").alias("host"),
+        F.when(F.col("sha_a").isNull(), F.lit("new"))
+        .when(F.col("sha_b").isNull(), F.lit("gone"))
+        .when(F.col("sha_a") == F.col("sha_b"), F.lit("unchanged"))
+        .otherwise(F.lit("modified"))
+        .alias("verdict"),
+    )
+    return joined.groupBy("host").agg(
+        F.sum(F.when(F.col("verdict") == "unchanged", 1).otherwise(0))
+        .cast("long")
+        .alias("n_unchanged"),
+        F.sum(F.when(F.col("verdict") == "modified", 1).otherwise(0))
+        .cast("long")
+        .alias("n_modified"),
+        F.sum(F.when(F.col("verdict") == "gone", 1).otherwise(0))
+        .cast("long")
+        .alias("n_gone"),
+        F.sum(F.when(F.col("verdict") == "new", 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+    )
+
+
+def _crawl_drift_oracle() -> str:
+    # presence/hash arithmetic replayed closed-form, no join needed:
+    # gone = %19; modified = surviving %7; new = %29 sibling
+    return """
+SELECT source AS host,
+  CAST(sum(CASE WHEN doc_id % 19 <> 0 AND doc_id % 7 <> 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+  CAST(sum(CASE WHEN doc_id % 19 <> 0 AND doc_id % 7 = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_modified,
+  CAST(sum(CASE WHEN doc_id % 19 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_gone,
+  CAST(sum(CASE WHEN doc_id % 29 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_new
+FROM documents
+GROUP BY source
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "pipeline_crawl_drift",
+        q_pipeline_crawl_drift,
+        _crawl_drift_oracle(),
+    )
+)
