@@ -3211,6 +3211,13 @@ SPECS = [
 #: production the eval side is an actual benchmark suite: thousands of
 #: vectors, bounded and broadcastable by construction.)
 SEM_DECON_MOD = 10
+#: The eval carve is CAPPED at a fixed id bound: a real benchmark suite
+#: is a fixed, bounded artifact that does NOT grow with the corpus, and
+#: the cap is what makes the broadcast + candidate-count claims true by
+#: construction at any corpus scale (the k=100 probe caught the uncapped
+#: form going quadratic: the mod-only carve grew the eval side k-fold
+#: alongside the corpus, 646s at 5M docs — SCALE.md round 13e).
+SEM_DECON_EVAL_CAP = 10_000
 #: Corpus vectors whose cosine to ANY candidate eval vector reaches this
 #: are flagged as semantic leaks.
 SEM_DECON_T = 0.4
@@ -3227,21 +3234,31 @@ def q_sim_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval id on ties) and whether the two share a label — the triage
     column distinguishing true leakage from benign topical overlap.
 
-    Scale shape: the eval side (benchmark suite) is bounded and BROADCAST
-    twice — once as (eval_id, table, bucket) for candidate generation,
-    once as its quantized vectors for scoring; the corpus side ships only
-    (vec_id, eval_id) id pairs through the distinct shuffle, vectors
-    joining back for survivors alone (the cosine_neardup_pairs narrow
-    -shuffle rule). The argmax is a window PARTITIONED by corpus vec —
-    parallel at any scale. No corpus self-join anywhere: candidate count
-    is bounded by eval bucket occupancy, so no mega-bucket guard is
-    needed on the corpus side."""
+    Scale shape: the eval side (benchmark suite) is bounded BY
+    CONSTRUCTION — the carve stops at SEM_DECON_EVAL_CAP ids, modeling
+    what a benchmark suite is (a fixed artifact that does not grow with
+    the corpus) — and BROADCAST twice: once as (eval_id, table, bucket)
+    for candidate generation, once as its quantized vectors for scoring.
+    The k=100 probe caught the uncapped mod-only carve going quadratic
+    (eval grew k-fold with the corpus, 646s at 5M-vector folds; capped:
+    linear — SCALE.md round 13e). The corpus side ships only (vec_id,
+    eval_id) id pairs through the distinct shuffle, vectors joining back
+    for survivors alone (the cosine_neardup_pairs narrow-shuffle rule);
+    candidate count is corpus x (bounded eval bucket occupancy) = linear.
+    The argmax is a window PARTITIONED by corpus vec — parallel at any
+    scale. No corpus self-join anywhere."""
     emb = _emb(spark, sf_dir)
     b = vx.lsh_id_bucket_table(emb).persist()
-    ev = b.filter(F.col("vec_id") % SEM_DECON_MOD == 0).select(
+    ev = b.filter(
+        (F.col("vec_id") % SEM_DECON_MOD == 0)
+        & (F.col("vec_id") < SEM_DECON_EVAL_CAP)
+    ).select(
         F.col("vec_id").alias("eval_id"), "table_id", "bucket"
     )
-    co = b.filter(F.col("vec_id") % SEM_DECON_MOD != 0)
+    co = b.filter(
+        (F.col("vec_id") % SEM_DECON_MOD != 0)
+        | (F.col("vec_id") >= SEM_DECON_EVAL_CAP)
+    )
     cand = (
         co.join(F.broadcast(ev), ["table_id", "bucket"])
         .select("vec_id", "eval_id")
@@ -3251,7 +3268,10 @@ def q_sim_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         cand.join(
             F.broadcast(
-                qe.filter(F.col("vec_id") % SEM_DECON_MOD == 0).select(
+                qe.filter(
+                    (F.col("vec_id") % SEM_DECON_MOD == 0)
+                    & (F.col("vec_id") < SEM_DECON_EVAL_CAP)
+                ).select(
                     F.col("vec_id").alias("eval_id"),
                     F.col("qv").alias("e_qv"),
                     F.col("nrm").alias("e_nrm"),
@@ -3286,7 +3306,10 @@ def q_sim_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 labels.select(
                     F.col("vec_id").alias("nearest_eval"),
                     F.col("label").alias("e_label"),
-                ).filter(F.col("nearest_eval") % SEM_DECON_MOD == 0)
+                ).filter(
+                    (F.col("nearest_eval") % SEM_DECON_MOD == 0)
+                    & (F.col("nearest_eval") < SEM_DECON_EVAL_CAP)
+                )
             ),
             "nearest_eval",
         )
@@ -3305,10 +3328,10 @@ _SEM_DECON_ORACLE = (
     + f"""
 , ev AS (
   SELECT vec_id AS eval_id, table_id, bucket FROM buckets
-  WHERE vec_id % {SEM_DECON_MOD} = 0
+  WHERE vec_id % {SEM_DECON_MOD} = 0 AND vec_id < {SEM_DECON_EVAL_CAP}
 ), co AS (
   SELECT vec_id, table_id, bucket FROM buckets
-  WHERE vec_id % {SEM_DECON_MOD} <> 0
+  WHERE vec_id % {SEM_DECON_MOD} <> 0 OR vec_id >= {SEM_DECON_EVAL_CAP}
 ), cand AS (
   SELECT DISTINCT co.vec_id, ev.eval_id FROM co JOIN ev USING (table_id, bucket)
 ), scored AS (
