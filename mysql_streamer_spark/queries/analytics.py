@@ -2674,6 +2674,47 @@ def release_copurchase_edges() -> None:
     _EDGE_CACHE.clear()
 
 
+#: node-cardinality dimension frames (label/live/size vectors — two longs a
+#: row) broadcast at or below this many graph nodes and switch to
+#: dim-as-build SHUFFLE_HASH above it (~16 B/row -> tens of MB at the cap,
+#: comfortably inside any task heap; the dedup family's
+#: DIM_BROADCAST_MAX_DOCS discipline). The decision comes from the `part`
+#: parquet FOOTER row count (nodes ⊆ parts, exact, metadata-only) — never
+#: from Catalyst's estimates: a localCheckpoint()ed frame has UNKNOWN stats,
+#: and with the dim side unknowable the static planner mis-ranked the round
+#: joins and broadcast the persisted EDGE LIST (2.4M rows collected to the
+#: driver and re-shipped every round at sf0.1; at cluster scale the same
+#: plan degrades to a full edge shuffle per round). Both branches are
+#: explicit hints, so the chosen build side is the node dim either way and
+#: the plan is deterministic at any scale.
+NODE_DIM_BROADCAST_MAX = 1_000_000
+
+
+def _node_dim_hint(sf_dir: str) -> str:
+    """'broadcast' when the graph's node dimension provably fits every
+    task; 'shuffle_hash' beyond — or whenever the size is unknowable
+    (the scale-safe default). Node count is bounded by the part table's
+    footer row count (co-purchase nodes are part keys)."""
+    try:
+        import pyarrow.parquet as pq
+
+        from mysql_streamer_spark.connectors.python_source import _parquet_files
+        from mysql_streamer_spark.tables import table_path
+
+        n = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in _parquet_files(table_path(sf_dir, "part"))
+        )
+    except Exception:  # noqa: BLE001 - unknown layout -> scale-safe
+        return "shuffle_hash"
+    return "broadcast" if n <= NODE_DIM_BROADCAST_MAX else "shuffle_hash"
+
+
+def _hinted_node_dim(dim: DataFrame, hint: str) -> DataFrame:
+    """Pin the node-cardinality dim as the BUILD side of its equi-join."""
+    return F.broadcast(dim) if hint == "broadcast" else dim.hint("shuffle_hash")
+
+
 def _copurchase_edges(
     spark: SparkSession, sf_dir: str, directed: bool
 ) -> DataFrame:
@@ -2868,10 +2909,22 @@ def q_analytics_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
     ).persist()
     adj = oriented.groupBy("lo").agg(F.collect_set("hi").alias("outs")).persist()
+    # adj is node-cardinality in ROWS but its out-lists total the EDGE
+    # count in bytes — never broadcastable at scale. Dim-as-build
+    # SHUFFLE_HASH replaces the unhinted SortMergeJoins: both attach
+    # joins skip the sort of `oriented` AND of the array-payload dim
+    # (per-partition build side = one adj slice, bounded by the
+    # O(sqrt(m)) orientation cap times the partition's node share)
     tri = (
-        oriented.join(adj.withColumnsRenamed({"outs": "out_lo"}), "lo")
+        oriented.join(
+            adj.withColumnsRenamed({"outs": "out_lo"}).hint("shuffle_hash"),
+            "lo",
+        )
         .join(
-            adj.withColumnsRenamed({"lo": "hi", "outs": "out_hi"}), "hi"
+            adj.withColumnsRenamed({"lo": "hi", "outs": "out_hi"}).hint(
+                "shuffle_hash"
+            ),
+            "hi",
         )
         .select(F.size(F.array_intersect("out_lo", "out_hi")).alias("t"))
         .agg(F.sum("t").cast("long").alias("n_triangles"))
@@ -3085,6 +3138,11 @@ def q_analytics_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n")
         .agg(F.count("*").alias("core_degree"))
     )
+    # live sets are node-cardinality dims with UNKNOWN post-checkpoint
+    # stats; unhinted, Catalyst built the restriction joins on the
+    # persisted edge list (see _node_dim_hint) — dim-as-build keeps the
+    # edges un-moved every round at any scale
+    hint = _node_dim_hint(sf_dir)
     live_n_prev = None
     for _ in range(KCORE_MAX_ROUNDS):
         # each round reads `live` twice (both endpoints) — localCheckpoint
@@ -3103,8 +3161,8 @@ def q_analytics_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         live_n_prev = live_n
         e = und.join(
-            live.withColumnRenamed("n", "u"), "u"
-        ).join(live.withColumnRenamed("n", "v"), "v")
+            _hinted_node_dim(live.withColumnRenamed("n", "u"), hint), "u"
+        ).join(_hinted_node_dim(live.withColumnRenamed("n", "v"), hint), "v")
         deg = (
             e.select(F.explode(F.array("u", "v")).alias("n"))
             .groupBy("n")
@@ -3415,11 +3473,18 @@ def q_analytics_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    # the label vector is the node-cardinality DIM of every round join, but
+    # localCheckpoint leaves its stats unknown — unhinted, Catalyst built
+    # the round join on the persisted EDGE list (2.4M rows collected and
+    # re-broadcast per round at sf0.1; a per-round edge SHUFFLE at cluster
+    # scale). Explicit dim-as-build keeps edges in place at any scale.
+    hint = _node_dim_hint(sf_dir)
     for _ in range(LPA_ROUNDS):
         # read twice per round (messages + self-vote): cut lineage first
         labels = labels.localCheckpoint(eager=True)
         msgs = edges.join(
-            labels.withColumnRenamed("node", "src"), "src"
+            _hinted_node_dim(labels.withColumnRenamed("node", "src"), hint),
+            "src",
         ).select(F.col("dst").alias("node"), "label")
         votes = msgs.union(labels.select("node", "label"))
         counts = votes.groupBy("node", "label").agg(
@@ -3439,8 +3504,8 @@ def q_analytics_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-node assignments ARE the result (the full trajectory endpoint —
     # a far stronger cross-engine check than the handful of surviving
     # community rows on a dense graph); sizes ride along via one
-    # small-key equi-join
-    return labels.join(sizes, "label").select(
+    # small-key equi-join (label-cardinality ≤ node dim -> same hint)
+    return labels.join(_hinted_node_dim(sizes, hint), "label").select(
         F.col("node").cast("long").alias("part"),
         F.col("label").cast("long").alias("community"),
         "n_members",
