@@ -2783,24 +2783,36 @@ def q_analytics_copurchase_pagerank(
         nodes.crossJoin(F.broadcast(base))
         .select("part", "deg", F.col("base").alias("r"))
     )
+    # contrib and sums are node-cardinality (the PART dimension, not the
+    # fact table) — dim-as-build keeps the cached edge list un-shuffled
+    # and leaves ONE shuffle per power step (the map-side partially-
+    # aggregated groupBy dst). The hint comes from the part-footer row
+    # count (_node_dim_hint): unconditional F.broadcast was an unbounded
+    # node-vector broadcast past NODE_DIM_BROADCAST_MAX, and Catalyst
+    # can't be left to choose — the checkpointed rank vector has UNKNOWN
+    # stats (the LPA/kcore lesson, 880f0df).
+    # (measured, r10: adding a per-step localCheckpoint here is a LOSS —
+    # min-of-6 10.2s vs 6.8s without it. Unlike LPA/kcore, whose round
+    # frames are read twice per round, the rank chain is linear: each
+    # subtree is evaluated once, so the 5 eager checkpoint actions buy no
+    # reuse and forfeit cross-step exchange pipelining.)
+    hint = _node_dim_hint(sf_dir)
     for _ in range(PR_ITERS):
         contrib = r.select(
             F.col("part").alias("src"), F.expr("r div deg").alias("c")
         )
-        # contrib and sums are node-cardinality (the PART dimension, not
-        # the fact table) — broadcasting them keeps the cached edge list
-        # un-shuffled and leaves ONE shuffle per power step (the map-side
-        # partially-aggregated groupBy dst). At node counts past the
-        # broadcast threshold, drop the hints and AQE falls back to the
-        # shuffle plan with runtime sizes — the shape stays valid.
         sums = (
-            edges.join(F.broadcast(contrib), "src")
+            edges.join(_hinted_node_dim(contrib, hint), "src")
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
         r = (
             nodes.crossJoin(F.broadcast(base))
-            .join(F.broadcast(sums), F.col("part") == F.col("dst"), "left")
+            .join(
+                _hinted_node_dim(sums, hint),
+                F.col("part") == F.col("dst"),
+                "left",
+            )
             .select(
                 "part",
                 "deg",
