@@ -226,6 +226,11 @@ def main() -> None:
     # every rep is the full honest computation — this narrows the noise
     # floor, it does not change what is measured.
     _sf_now = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    # the driver ALSO runs the bench at a LOWER core count to measure
+    # scaling; against a 32-core detail file every heavy query would look
+    # "regressed" there and burn repair reps on a phantom — comparisons
+    # are valid only between runs at the same sf AND the same core count
+    _cpus_now = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     try:
         with open(os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -234,6 +239,7 @@ def main() -> None:
         _prev_q = (
             _prev_detail.get("queries", {})
             if _prev_detail.get("sf") == _sf_now
+            and _prev_detail.get("cpus", _cpus_now) == _cpus_now
             else {}
         )
     except (OSError, ValueError):
@@ -304,7 +310,10 @@ def main() -> None:
     try:
         with open(detail_path) as f:
             prev_detail = json.load(f)
-        if prev_detail.get("sf") == float(sf):
+        if (
+            prev_detail.get("sf") == float(sf)
+            and prev_detail.get("cpus", _cpus_now) == _cpus_now
+        ):
             budget_flags = family_budget_flags(
                 prev_detail.get("queries", {}), timings
             )
@@ -317,6 +326,7 @@ def main() -> None:
         json.dump(
             {
                 "sf": float(sf),
+                "cpus": _cpus_now,
                 "policy": "min2_uniform_min3_anchor_burst_repair",
                 "queries": timings,
                 "first_run": first_run,

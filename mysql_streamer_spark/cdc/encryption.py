@@ -48,6 +48,7 @@ This module implements that contract Spark-first:
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import re
 from dataclasses import dataclass
@@ -109,9 +110,13 @@ _MAC_TAG_BYTES = 32  # HMAC-SHA256
 _MAC_KEY_INFO = b"::mss-hmac-sha256-v1"
 
 
+@functools.lru_cache(maxsize=64)
 def _mac_key(key: bytes) -> bytes:
     """MAC key derived from (never equal to) the encryption key, so a
-    cipher break cannot be parlayed into forgeries and vice versa."""
+    cipher break cannot be parlayed into forgeries and vice versa.
+    Cached: _seal/_open call this per ROW inside the cipher UDFs, and a
+    key ring holds a handful of keys — one sha256 per key per worker,
+    not one per message."""
     return hashlib.sha256(key + _MAC_KEY_INFO).digest()
 
 

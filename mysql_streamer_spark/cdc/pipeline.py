@@ -29,12 +29,20 @@ from mysql_streamer_spark.cdc.filters import (
     split_heartbeats,
 )
 from mysql_streamer_spark.cdc.envelope import build_envelope
-from mysql_streamer_spark.tables import load_table
+from mysql_streamer_spark.tables import load_table, spread
 
 
 def cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The normalized CDC stream from the driver's events table."""
-    return events_as_cdc(load_table(spark, sf_dir, "events"))
+    """The normalized CDC stream from the driver's events table.
+
+    The feed goes through ``spread`` (r10): the local fixture is ONE
+    parquet split, which serialized every downstream map stage (envelope
+    projection, wire codecs, ciphers) on a single core; spread's
+    partition-count guard makes it a structural no-op wherever the feed
+    already arrives in >= cores splits, so at cluster scale no exchange
+    is added. Batch entry points only — streaming micro-batches get
+    their partitioning from the source."""
+    return events_as_cdc(spread(load_table(spark, sf_dir, "events"), "event_id"))
 
 
 def envelope_from_cdc(
@@ -72,9 +80,14 @@ def envelope_pipeline(
     table_whitelist: Iterable[str] = (),
     cluster_name: str = "refresh_primary",
 ) -> DataFrame:
-    """Full DML-path pipeline: events parquet -> message envelopes."""
+    """Full DML-path pipeline: events parquet -> message envelopes.
+    The feed is spread across the session's cores where the scan alone
+    would under-parallelize (see cdc_events)."""
     return envelope_pipeline_df(
-        load_table(spark, sf_dir, "events"), blacklist, table_whitelist, cluster_name
+        spread(load_table(spark, sf_dir, "events"), "event_id"),
+        blacklist,
+        table_whitelist,
+        cluster_name,
     )
 
 

@@ -215,8 +215,19 @@ def write_envelope_avro_files(env, path: str, codec: str = "deflate") -> None:
             for c in _FLAT_FIELDS
         ]
     )
-    # the count() drives the write; the returned manifest rows are tiny
-    flat.mapInArrow(write_batches, "file string, n_rows long").collect()
+    # the collect() drives the write; the returned manifest rows are tiny
+    manifest = flat.mapInArrow(write_batches, "file string, n_rows long").collect()
+    if not manifest:
+        # an EMPTY feed can plan to zero partitions (AQE coalesces the
+        # spread exchange away), so no executor task ran and no file was
+        # written; the glob reader requires >= 1 match, so keep the
+        # sink's contract with one header-only OCF written driver-side
+        fname = f"part-{uuid.uuid4().hex}.avro"
+        with open(os.path.join(path, fname), "wb") as fh:
+            write_ocf(
+                iter(()), ENVELOPE_SCHEMA, ENVELOPE_SCHEMA_JSON, fh,
+                codec=codec, sync_seed=fname,
+            )
 
 
 def read_envelope_avro_files(spark, path: str):

@@ -96,6 +96,26 @@ def test_spark_envelope_ocf_roundtrip(spark, sf_dir, tmp_path):
     assert decoded.select(*cols).exceptAll(env.select(*cols)).count() == 0
 
 
+def test_spark_envelope_ocf_empty_feed_keeps_readable_sink(spark, sf_dir, tmp_path):
+    """An empty feed can plan to ZERO partitions (AQE coalesces the spread
+    exchange away) — the sink must still leave >= 1 OCF so the glob reader
+    resolves, and the roundtrip must return 0 rows (r10 regression test)."""
+    from mysql_streamer_spark.cdc.pipeline import envelope_pipeline
+    from mysql_streamer_spark.connectors.avro_file import (
+        read_envelope_avro_files,
+        write_envelope_avro_files,
+    )
+
+    env = envelope_pipeline(spark, sf_dir).filter("schema_id < 0")  # empty
+    out = str(tmp_path / "ocf_empty")
+    write_envelope_avro_files(env, out)
+    import os
+
+    parts = [f for f in os.listdir(out) if f.endswith(".avro")]
+    assert len(parts) >= 1  # header-only OCF keeps the reader's glob valid
+    assert read_envelope_avro_files(spark, out).count() == 0
+
+
 def test_write_ocf_rejects_unknown_codec():
     fh = io.BytesIO()
     with pytest.raises(ValueError, match="unsupported avro codec"):

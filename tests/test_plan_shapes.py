@@ -545,6 +545,23 @@ def test_pair_vs_dim_joins_shuffle_hash_above_the_bound(
     assert "BroadcastHashJoin" not in plan, plan
 
 
+#: _ZERO_SHUFFLE entries fed by the batch CDC entry points: since r10 the
+#: feed goes through ``spread()`` (the local fixture is ONE parquet split,
+#: which serialized the family's map work on a single core), so these
+#: plans carry exactly ONE REPARTITION_BY_NUM exchange at fixture size.
+#: spread's partition-count guard removes it wherever the input already
+#: arrives in >= cores splits, so the map-side/no-data-shuffle property
+#: still holds at cluster scale — the pin below allows that one exchange
+#: and nothing else.
+_SPREAD_FEED = (
+    "cdc_envelope",
+    "cdc_wire_envelope",
+    "cdc_pii_redaction",
+    "cdc_encrypted_envelope",
+    "cdc_secure_wire_roundtrip",
+)
+
+
 def test_documented_map_side_plans_have_no_shuffle(spark, sf_dir):
     from mysql_streamer_spark.queries import all_specs
 
@@ -558,9 +575,15 @@ def test_documented_map_side_plans_have_no_shuffle(spark, sf_dir):
             .executedPlan()
             .toString()
         )
+        spread_exchanges = 0
         for line in plan.splitlines():
             if "Exchange" in line and "BroadcastExchange" not in line:
+                if name in _SPREAD_FEED and "REPARTITION_BY_NUM" in line:
+                    spread_exchanges += 1
+                    continue
                 offenders.append((name, line.strip()[:90]))
+        if name in _SPREAD_FEED and spread_exchanges != 1:
+            offenders.append((name, f"expected 1 spread exchange, saw {spread_exchanges}"))
     assert offenders == []
 
 
