@@ -1320,16 +1320,18 @@ def q_cdc_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     low_level_binlog_stream_reader_wrapper.py:143-161).
 
     Scale shape: encode + parse are map-side JSON projections fused into
-    the scan; everything after is the envelope plan unchanged."""
-    from mysql_streamer_spark.cdc.pipeline import envelope_from_cdc
-    from mysql_streamer_spark.cdc.source import events_as_cdc
+    the scan; everything after is the envelope plan unchanged. The feed
+    is the spread batch entry point (cdc_events, r10): the local fixture
+    is ONE parquet split, which serialized the whole JSON encode+parse on
+    a single core; spread's partition-count guard makes it structurally
+    a no-op wherever the scan already arrives in >= cores splits."""
+    from mysql_streamer_spark.cdc.pipeline import cdc_events, envelope_from_cdc
     from mysql_streamer_spark.connectors.kafka import (
         cdc_to_debezium_json,
         debezium_to_cdc,
     )
-    from mysql_streamer_spark.tables import load_table
 
-    cdc = events_as_cdc(load_table(spark, sf_dir, "events"))
+    cdc = cdc_events(spark, sf_dir)
     wire = cdc_to_debezium_json(cdc)
     return envelope_from_cdc(debezium_to_cdc(wire))
 
@@ -1739,12 +1741,12 @@ def q_cdc_fleet_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: per-shard plans are the unchanged envelope (map-side +
     broadcast registry); the union adds no shuffle; one final aggregate
-    on the N-row cluster key."""
-    from mysql_streamer_spark.cdc.pipeline import envelope_from_cdc
-    from mysql_streamer_spark.cdc.source import events_as_cdc
-    from mysql_streamer_spark.tables import load_table
+    on the N-row cluster key. Feed = the spread batch entry point
+    (cdc_events, r10) so both shards' map work runs on every core even
+    when the local fixture scan is one split."""
+    from mysql_streamer_spark.cdc.pipeline import cdc_events, envelope_from_cdc
 
-    cdc = events_as_cdc(load_table(spark, sf_dir, "events"))
+    cdc = cdc_events(spark, sf_dir)
     shards = [
         envelope_from_cdc(
             cdc.filter(F.col("pk") % 2 == i), cluster_name=f"shard_{i}"
@@ -1958,32 +1960,36 @@ def q_cdc_secure_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     witnesses real block-aligned ciphertext ON THE WIRE (checked after
     Avro decode, so it also proves the bytes framing preserved it).
 
-    Scale shape: every stage is map-only (pandas UDF cipher, mapInArrow
-    codec) over the envelope partitioning — no shuffle, no collect."""
+    Scale shape: every stage is map-only over the envelope partitioning —
+    no shuffle, no collect. Each direction runs as ONE fused mapInArrow
+    kernel (seal+encode / decode+open, connectors/secure_wire.py): the
+    secure wire has no JVM codec path, so fusing the cipher into the
+    codec kernel halves the Python stage boundaries while the per-row
+    work (same _seal/_open, same compiled Avro codec, JVM to_json/
+    from_json plaintext) is differentially pinned bit-for-bit against
+    the composed operators by tests/test_secure_wire_fused.py."""
     from mysql_streamer_spark.cdc.encryption import (
         EncryptionConfig,
-        decrypt_envelope,
-        encrypt_envelope,
         resource_key_location,
     )
-    from mysql_streamer_spark.connectors.avro_wire import (
-        avro_to_secure_envelope,
-        secure_envelope_to_avro,
+    from mysql_streamer_spark.connectors.secure_wire import (
+        avro_open_secure_envelope,
+        restore_opened_payloads,
+        seal_to_avro,
     )
 
     cfg = EncryptionConfig("AES_MODE_CBC-1", resource_key_location())
     env = envelope_pipeline(spark, sf_dir)
-    wire = secure_envelope_to_avro(encrypt_envelope(env, cfg))
-    landed = avro_to_secure_envelope(wire).withColumn(
+    wire = seal_to_avro(env, cfg)
+    landed = avro_open_secure_envelope(wire, cfg).withColumn(
         "cipher_ok",
         F.col("payload_ciphertext").isNotNull()
         & (F.length("payload_ciphertext") > 0)
         & (F.length("payload_ciphertext") % 16 == 0)
         & (F.col("encryption_type") == F.lit("AES_MODE_CBC-1")),
     )
-    restored = decrypt_envelope(
-        landed.withColumn("timestamp", F.timestamp_micros("ts_us")).drop("ts_us"),
-        cfg,
+    restored = restore_opened_payloads(
+        landed.withColumn("timestamp", F.timestamp_micros("ts_us")).drop("ts_us")
     )
     return restored.select(
         "schema_id",

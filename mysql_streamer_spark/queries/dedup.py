@@ -1826,7 +1826,13 @@ def q_dedup_substring_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the vast minority of windows — the join's build side shrinks with
     corpus cleanliness), one final per-doc aggregate. At 100 TB each
     stage is the standard postings shape with no skew hotter than the
-    most-repeated passage; dup_frac is ONE exact-integer division."""
+    most-repeated passage; dup_frac is ONE exact-integer division.
+
+    The postings frame feeds THREE consumers (df counts, per-doc
+    totals, the dup join) with NO persist — measured deliberate (r10
+    A/B, min-of-6 warm: persist 1.31s vs 1.21s without): AQE reuses the
+    repeated subplan exchanges at runtime, so a persist only adds
+    materialization cost."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     toks = docs.withColumn("toks", tx.tokens_col("text"))
     grams = toks.select(
@@ -2396,6 +2402,10 @@ def q_dedup_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = posting.groupBy("shingle").agg(
         F.count("*").cast("long").alias("df")
     )
+    # <=64 rows with TWO consumers (totals + the main select); the
+    # static plan shows 2x Scan parquet but persisting here measured
+    # SLOWER (r10 A/B: 3.66s vs 3.33s min-of-6 warm) — AQE reuses the
+    # repeated exchanges at runtime, so the no-persist form stands
     buckets = (
         dfreq.withColumn("bucket", F.expr("length(bin(df))").cast("long"))
         .groupBy("bucket")

@@ -481,25 +481,27 @@ def q_streaming_secure_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     the parity claim needs the stream-shaped proof, not just the batch one
     (/root/reference/tests/integration/end_to_end_test.py:551-600).
 
-    Scale shape: encrypt (pandas UDF) and Avro encode (mapInArrow) are
-    map-only stages inside each micro-batch plan — no stateful operator,
-    no shuffle; the checkpointed source offsets give exactly-once wire
-    output under restart like every other stream here."""
+    Scale shape: encrypt+encode runs as ONE fused map-only mapInArrow
+    stage inside each micro-batch plan (connectors/secure_wire.py — the
+    secure wire has no JVM codec path, so the fusion halves the Python
+    stage boundaries per batch; differentially pinned bit-for-bit
+    against the composed operators) — no stateful operator, no shuffle;
+    the checkpointed source offsets give exactly-once wire output under
+    restart like every other stream here."""
     import tempfile as _tf
 
     from mysql_streamer_spark.cdc.encryption import (
         EncryptionConfig,
-        decrypt_envelope,
-        encrypt_envelope,
         resource_key_location,
     )
     from mysql_streamer_spark.cdc.pipeline import envelope_pipeline_df
-    from mysql_streamer_spark.connectors.avro_wire import (
-        avro_to_secure_envelope,
-        secure_envelope_to_avro,
-    )
     from mysql_streamer_spark.connectors.python_source import (
         stream_events_from_python_source,
+    )
+    from mysql_streamer_spark.connectors.secure_wire import (
+        avro_open_secure_envelope,
+        restore_opened_payloads,
+        seal_to_avro,
     )
 
     work = _tf.mkdtemp(prefix="mss_secure_stream_")
@@ -508,7 +510,7 @@ def q_streaming_secure_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     env = envelope_pipeline_df(
         stream_events_from_python_source(spark, sf_dir, partitioned=True)
     )
-    wire = secure_envelope_to_avro(encrypt_envelope(env, cfg))
+    wire = seal_to_avro(env, cfg)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
@@ -523,16 +525,15 @@ def q_streaming_secure_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
 
-    landed = avro_to_secure_envelope(read_sink(spark, out)).withColumn(
+    landed = avro_open_secure_envelope(read_sink(spark, out), cfg).withColumn(
         "cipher_ok",
         F.col("payload_ciphertext").isNotNull()
         & (F.length("payload_ciphertext") > 0)
         & (F.length("payload_ciphertext") % 16 == 0)
         & (F.col("encryption_type") == F.lit("AES_MODE_CBC-1")),
     )
-    restored = decrypt_envelope(
-        landed.withColumn("timestamp", F.timestamp_micros("ts_us")).drop("ts_us"),
-        cfg,
+    restored = restore_opened_payloads(
+        landed.withColumn("timestamp", F.timestamp_micros("ts_us")).drop("ts_us")
     )
     return restored.select(
         "schema_id",
