@@ -215,7 +215,7 @@ def main() -> None:
             gc.collect()
             spark.sparkContext._jvm.System.gc()
 
-    # ---- burst repair (measurement fix, r10; see OPTIMIZATION_r10.md) ----
+    # ---- burst repair (measurement fix, r10; symmetric since r11) ----
     # The VM host occasionally steals CPU for LONGER than one query's two
     # reps: observed back-to-back readings of 209.5s and 22.8s on a plan
     # whose warm cost is 4.9s — min-of-2 records 22.8, a 4.6x phantom.
@@ -253,20 +253,31 @@ def main() -> None:
         if hi > 2 * lo and hi - lo > 2.0:
             return True
         p = _prev_q.get(name)
-        return bool(
-            p and lo > p * QUERY_GROWTH_FACTOR and lo - p > QUERY_MIN_DELTA_SEC
-        )
+        if not p:
+            return False
+        # SYMMETRIC vs-prev trigger (r11; the r10 rule fired only on
+        # regressions, so slow-looking queries earned a tighter noise
+        # floor than improved-looking ones and round-over-round deltas
+        # were slightly flattered — VERDICT r10 "make it symmetric").
+        # Same factor/absolute thresholds in both directions; every rep
+        # is still the full honest computation and min is kept either
+        # way, so extra reps on an improved reading can only CONFIRM or
+        # further improve it — the point is the equal rep budget.
+        if lo > p * QUERY_GROWTH_FACTOR and lo - p > QUERY_MIN_DELTA_SEC:
+            return True
+        return lo * QUERY_GROWTH_FACTOR < p and p - lo > QUERY_MIN_DELTA_SEC
 
-    repaired: list[str] = []
+    repaired: dict[str, dict[str, float]] = {}
     for spec in specs:
         if not _suspect(spec.name):
             continue
-        repaired.append(spec.name)
+        before = timings[spec.name]
         for _ in range(2):
             t = timed(spec)
             if t >= timings[spec.name]:
                 break  # reading confirmed — stop spending reps on it
             timings[spec.name] = t
+        repaired[spec.name] = {"before": before, "after": timings[spec.name]}
     total = sum(timings.values())
     # host-noise attribution: load averages + the VM steal fraction over
     # the whole run, so a driver-vs-local timing divergence is explainable
@@ -327,7 +338,7 @@ def main() -> None:
             {
                 "sf": float(sf),
                 "cpus": _cpus_now,
-                "policy": "min2_uniform_min3_anchor_burst_repair",
+                "policy": "min2_uniform_min3_anchor_symmetric_burst_repair",
                 "queries": timings,
                 "first_run": first_run,
                 "second_run": second_run,
@@ -351,7 +362,8 @@ def main() -> None:
                 "r1_baseline_subset_seconds": round(
                     sum(timings.get(q, 0.0) for q in r1_set), 3
                 ),
-                "policy": "min2_uniform_min3_anchor_burst_repair",
+                "policy": "min2_uniform_min3_anchor_symmetric_burst_repair",
+                "repaired": repaired,
                 "detail": "BENCH_DETAIL.json",
                 "budget_flags": [fl["family"] for fl in budget_flags],
                 "query_flags": [fl["query"] for fl in query_flags],
