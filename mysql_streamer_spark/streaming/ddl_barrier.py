@@ -119,15 +119,17 @@ def stage_barrier_feed(spark: SparkSession, sf_dir: str, src_dir: str) -> int:
     feed = dml.unionByName(ddl)
 
     # one scan, one job: each ts-range lands in its own chunk=i partition
-    # directory (single file each via repartition(1)); files then move into
-    # the flat source dir with mtimes encoding the binlog order
+    # directory. Hash-partitioning on the chunk value keeps every chunk's
+    # rows in exactly ONE task (so each chunk=i dir still gets a single
+    # file) while the chunks write in parallel — repartition(1) serialized
+    # the whole feed through one core (guide §2.5 single-split feeds).
     chunk = F.lit(0)
     for b in FEED_BOUNDARIES:
         chunk = chunk + (F.col("ts") >= F.lit(b).cast("timestamp")).cast("int")
     tmp = tempfile.mkdtemp(prefix="mss_barrier_chunks_")
-    feed.withColumn("chunk", chunk).repartition(1).write.mode(
-        "overwrite"
-    ).partitionBy("chunk").parquet(tmp)
+    feed.withColumn("chunk", chunk).repartition(
+        len(FEED_BOUNDARIES) + 1, "chunk"
+    ).write.mode("overwrite").partitionBy("chunk").parquet(tmp)
     base = os.stat(sf_dir).st_mtime
     n = 0
     for i in range(len(FEED_BOUNDARIES) + 1):

@@ -46,9 +46,42 @@ ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
 
+#: Default state-store partition count for the stateful streams here.
+#: A stateful operator materializes one RocksDB store instance PER shuffle
+#: partition PER micro-batch (open + commit + checkpoint upload each), and
+#: the count is frozen into the checkpoint at query creation — it is a
+#: per-deployment knob sized to the stream's key cardinality/throughput up
+#: front (the same knob run_interval_join_stream has always pinned), NOT
+#: the batch shuffle default. The fixtures here carry thousands of state
+#: keys, where 8 stores already hold O(hundreds) keys each; a 100 TB/day
+#: deployment sizes this to its key volume (e.g. thousands of partitions)
+#: when it creates the checkpoint. Locally, inheriting the batch default
+#: (=cores) meant 32 store open/commit cycles per micro-batch; measured
+#: on the windowed stream at sf0.1 (min-of-4, alternating in-session A/B):
+#: 32 partitions 2.97s vs 8 partitions 1.51s vs 4 partitions 1.37s, with
+#: identical emitted rows — the per-store fixed cost dominates tiny state.
+STATE_PARTITIONS = 8
+
 
 def use_rocksdb_state(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+
+
+class pinned_state_partitions:
+    """Pin spark.sql.shuffle.partitions while a streaming query STARTS
+    (the value is captured into the checkpoint then), restoring the batch
+    default afterwards — scoping the deployment knob to the stream."""
+
+    def __init__(self, spark: SparkSession, n: int = STATE_PARTITIONS) -> None:
+        self._spark = spark
+        self._n = n
+
+    def __enter__(self) -> None:
+        self._prev = self._spark.conf.get("spark.sql.shuffle.partitions")
+        self._spark.conf.set("spark.sql.shuffle.partitions", str(self._n))
+
+    def __exit__(self, *exc: object) -> None:
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._prev)
 
 
 def load_events_stream(
@@ -165,6 +198,7 @@ def run_dedup_stream(
     checkpoint_dir: str,
     watermark: str = "36500 days",
     max_files_per_trigger: int = 1,
+    state_partitions: int = STATE_PARTITIONS,
 ) -> None:
     """Streaming duplicate suppression across micro-batches (T6's data-plane
     form): ``dropDuplicatesWithinWatermark`` keys the state store on
@@ -184,15 +218,16 @@ def run_dedup_stream(
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "ts", "user_id", "event_type")
     )
-    query = (
-        deduped.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with pinned_state_partitions(spark, state_partitions):
+        query = (
+            deduped.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
 
 
 def windowed_counts_df(
@@ -221,6 +256,7 @@ def run_windowed_stream(
     window: str = "1 hour",
     watermark: str = "1 hour",
     max_files_per_trigger: int = 1,
+    state_partitions: int = STATE_PARTITIONS,
 ) -> None:
     """Watermarked tumbling-window aggregation to an append-mode parquet
     sink — the late-data-handling surface (SURVEY §2.8).
@@ -235,15 +271,16 @@ def run_windowed_stream(
     use_rocksdb_state(spark)
     events = load_events_stream(spark, source_dir, max_files_per_trigger)
     agg = windowed_counts_df(events, window=window, watermark=watermark)
-    query = (
-        agg.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with pinned_state_partitions(spark, state_partitions):
+        query = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
 
 
 def run_session_window_stream(
@@ -254,6 +291,7 @@ def run_session_window_stream(
     gap: str = "30 minutes",
     watermark: str = "1 hour",
     max_files_per_trigger: int = 32,
+    state_partitions: int = STATE_PARTITIONS,
 ) -> None:
     """Watermarked SESSION-window aggregation to an append-mode sink — the
     native merging-session operator under streaming state. A session emits
@@ -273,15 +311,16 @@ def run_session_window_stream(
             "n_events",
         )
     )
-    query = (
-        agg.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with pinned_state_partitions(spark, state_partitions):
+        query = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
 
 
 def run_interval_join_stream(
@@ -347,9 +386,7 @@ def run_interval_join_stream(
         "click_id",
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
     )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
+    with pinned_state_partitions(spark, state_partitions):
         query = (
             joined.writeStream.format("parquet")
             .option("path", out_dir)
@@ -359,8 +396,6 @@ def run_interval_join_stream(
             .start()
         )
         query.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def run_upsert_stream(

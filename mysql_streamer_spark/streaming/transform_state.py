@@ -170,12 +170,15 @@ def run_profile_stream(
     out_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
+    state_partitions: int | None = None,
 ) -> None:
     """availableNow drain; every batch's emitted profile rows append to the
     sink tagged with their batch id, so the sink holds the profile's full
     revision history and ``latest per user`` is the materialized view."""
     from mysql_streamer_spark.streaming.runner import (
+        STATE_PARTITIONS,
         load_events_stream,
+        pinned_state_partitions,
         use_rocksdb_state,
     )
 
@@ -187,12 +190,13 @@ def run_profile_stream(
             "append"
         ).parquet(out_dir)
 
-    query = (
-        profile_stream(events)
-        .writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with pinned_state_partitions(spark, state_partitions or STATE_PARTITIONS):
+        query = (
+            profile_stream(events)
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
