@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mysql_streamer_spark import text as tx
+from mysql_streamer_spark import text_kernels as tk
 from mysql_streamer_spark.queries.registry import QuerySpec
 from mysql_streamer_spark.tables import load_table, spread, table_path
 
@@ -247,18 +248,16 @@ def minhash_candidate_pairs(
     # Shingling is the expensive map work and three consumers need it
     # (band keys + both sides of the Jaccard join). Materialize it once —
     # the in-session form of what a production pipeline does by writing
-    # the signature/shingle table before pair generation.
+    # the signature/shingle table before pair generation. The fused Arrow
+    # kernel (text_kernels, guide §4.2) computes distinct shingles AND the
+    # sliced-min-md5 signature in one compiled pass — identical values to
+    # the interpreted JVM lambda chain, differentially pinned — so bands
+    # derive from the pre-signed columns and the verify join reads sset.
     if pre_shingled or pre_signed:
         shingled = docs
     else:
-        shingled = (
-            spread(docs)
-            .withColumn("toks", tx.tokens_col("text"))
-            .withColumn("shingles", tx.shingles_col())
-            .filter(F.size("shingles") > 0)
-            .select("doc_id", "shingles")
-            .persist()
-        )
+        shingled = tk.shingle_sets_signed(spread(docs), N_HASHES).persist()
+        pre_signed = True
     bands = lsh_bands(shingled, pre_shingled=True, pre_signed=pre_signed)
     buckets = (
         bands.groupBy("band_id", "band_hash")
@@ -402,13 +401,10 @@ def ngram_jaccard_pairs(
     if pre_shingled:  # docs is (doc_id, sset) — e.g. shared with the LSH path
         posting = docs.select("doc_id", F.explode("sset").alias("shingle"))
     else:
-        posting = (
-            spread(docs)
-            .withColumn("toks", tx.tokens_col("text"))
-            .withColumn("sset", F.array_distinct(tx.shingles_col()))
-            .filter(F.size("sset") > 0)
-            .select("doc_id", F.explode("sset").alias("shingle"))
-        )
+        # one Arrow kernel instead of the interpreted tokenize/shingle/
+        # distinct/explode lambda chain (text_kernels, guide §4.2) —
+        # identical posting rows, ~6x faster map stage at sf0.1
+        posting = tk.shingle_postings(spread(docs))
     groups = (
         posting.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -582,15 +578,10 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     is_delta = F.col("doc_id") % INCR_DELTA_MODULUS == 0
-    shingled = (
-        spread(docs)
-        .withColumn("toks", tx.tokens_col("text"))
-        .withColumn("shingles", tx.shingles_col())
-        .filter(F.size("shingles") > 0)
-        .select("doc_id", "shingles")
-        .persist()
-    )
-    bands = lsh_bands(shingled, pre_shingled=True).persist()
+    # fused Arrow shingle+signature kernel (text_kernels, guide §4.2);
+    # MinHash over the distinct set equals MinHash over the raw bag
+    shingled = tk.shingle_sets_signed(spread(docs), N_HASHES).persist()
+    bands = lsh_bands(shingled, pre_signed=True).persist()
     delta_bands = bands.filter(is_delta)
     index_bands = bands.filter(~is_delta)
     ok = (
@@ -605,7 +596,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("delta_id", F.col("doc_id").alias("index_id"))
         .distinct()
     )
-    ssets = shingled.select("doc_id", F.array_distinct("shingles").alias("sset"))
+    ssets = shingled.select("doc_id", "sset")
     inter = F.size(F.array_intersect("sa.sset", "sb.sset"))
     union = F.size(F.array_union("sa.sset", "sb.sset"))
     # explicit dim-as-build strategy — see minhash_candidate_pairs:
@@ -895,13 +886,9 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     measures per pair so downstream policy can separate 'same doc' from
     'contained doc'."""
     docs = load_table(spark, sf_dir, "documents")
-    posting = (
-        spread(docs)
-        .withColumn("toks", tx.tokens_col("text"))
-        .withColumn("sset", F.array_distinct(tx.shingles_col()))
-        .filter(F.size("sset") > 0)
-        .select("doc_id", F.explode("sset").alias("shingle"))
-    )
+    # Arrow posting kernel — see ngram_jaccard_pairs (identical rows,
+    # guide §4.2)
+    posting = tk.shingle_postings(spread(docs))
     groups = (
         posting.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -1353,20 +1340,16 @@ def q_dedup_pair_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates never change a min); the final full-outer join moves id
     pairs only."""
     docs = load_table(spark, sf_dir, "documents")
-    shingled = (
-        spread(docs)
-        .withColumn("toks", tx.tokens_col("text"))
-        .withColumn("shingles", F.array_distinct(tx.shingles_col()))
-        .filter(F.size("shingles") > 0)
-        .select("doc_id", "shingles")
-        .persist()
-    )
+    # fused Arrow shingle+signature kernel (text_kernels, guide §4.2):
+    # MinHash over the distinct set equals MinHash over the raw bag, so
+    # both consumers read the one persisted signed frame
+    shingled = tk.shingle_sets_signed(spread(docs), N_HASHES).persist()
     dim_hint = _docs_dim_hint(sf_dir)
     lsh = minhash_candidate_pairs(
-        shingled, pre_shingled=True, dim_hint=dim_hint
+        shingled, pre_signed=True, dim_hint=dim_hint
     ).select("doc_a", "doc_b")
     ng = ngram_jaccard_pairs(
-        shingled.select("doc_id", F.col("shingles").alias("sset")),
+        shingled.select("doc_id", "sset"),
         pre_shingled=True,
         dim_hint=dim_hint,
     ).select(F.col("doc_a").alias("ng_a"), F.col("doc_b").alias("ng_b"))
@@ -1441,15 +1424,9 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures for the agreement join (the pre-r7 shape) doubled the map
     work and showed up as a 1.57x bench regression at sf0.1."""
     docs = load_table(spark, sf_dir, "documents")
-    sig_full = (
-        _with_signature(docs)
-        .select(
-            "doc_id",
-            F.array_distinct("shingles").alias("sset"),
-            *[f"sig_{i}" for i in range(N_HASHES)],
-        )
-        .persist()
-    )
+    # fused Arrow shingle+signature kernel (text_kernels, guide §4.2) —
+    # identical sset/sig values to the interpreted JVM lambda chain
+    sig_full = tk.shingle_sets_signed(spread(docs), N_HASHES).persist()
     sig = sig_full.select("doc_id", *[f"sig_{i}" for i in range(N_HASHES)])
     dim_hint = _docs_dim_hint(sf_dir)
     pairs = minhash_candidate_pairs(
@@ -2393,12 +2370,9 @@ def q_dedup_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference scope note: no dedup surface in the CDC reference —
     SURVEY.md §7 phase-4 extension."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    posting = (
-        docs.withColumn("toks", tx.tokens_col("text"))
-        .withColumn("sset", F.array_distinct(tx.shingles_col()))
-        .filter(F.size("sset") > 0)
-        .select("doc_id", F.explode("sset").alias("shingle"))
-    )
+    # Arrow posting kernel — see ngram_jaccard_pairs (identical rows,
+    # guide §4.2)
+    posting = tk.shingle_postings(docs)
     dfreq = posting.groupBy("shingle").agg(
         F.count("*").cast("long").alias("df")
     )

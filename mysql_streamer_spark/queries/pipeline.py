@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mysql_streamer_spark import text as tx
+from mysql_streamer_spark import text_kernels as tk
 from mysql_streamer_spark.queries.registry import QuerySpec
 from mysql_streamer_spark.tables import load_table, spread
 
@@ -88,14 +89,9 @@ def contaminated_docs(docs: DataFrame) -> DataFrame:
     # Two consumers (eval + train branch) read the shingled form, so it is
     # computed once, spread across cores (the fixture is one parquet
     # split), and persisted.
-    shingled = (
-        spread(docs)
-        .withColumn("toks", tx.tokens_col("text"))
-        .withColumn("sset", F.array_distinct(tx.shingles_col()))
-        .filter(F.size("sset") > 0)
-        .select("doc_id", "source", "sset")
-        .persist()
-    )
+    # Arrow shingle-set kernel (text_kernels, guide §4.2) — identical
+    # rows to the interpreted tokenize/shingle/distinct lambda chain
+    shingled = tk.shingle_sets(spread(docs), keep=("source",)).persist()
     eval_shingles = (
         shingled.filter(is_eval)
         .select(F.explode("sset").alias("shingle"))
