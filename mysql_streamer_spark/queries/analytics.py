@@ -3159,11 +3159,13 @@ def q_analytics_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(KCORE_MAX_ROUNDS):
         # each round reads `live` twice (both endpoints) — localCheckpoint
         # cuts the lineage so the peel chain stays linear, not 2^rounds
-        # (the connected_components discipline)
+        # (the connected_components discipline). LAZY (r11): the count()
+        # below materializes the checkpoint anyway, so an eager cut paid
+        # a duplicate job per round (A/B min-of-4: 6.34s vs 5.90s).
         live = (
             deg.filter(F.col("core_degree") >= KCORE_K)
             .select("n")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         live_n = live.count()
         if live_n == live_n_prev or live_n == 0:
@@ -3492,13 +3494,27 @@ def q_analytics_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale). Explicit dim-as-build keeps edges in place at any scale.
     hint = _node_dim_hint(sf_dir)
     for _ in range(LPA_ROUNDS):
-        # read twice per round (messages + self-vote): cut lineage first
-        labels = labels.localCheckpoint(eager=True)
+        # read twice per round (messages + self-vote): cut lineage first.
+        # LAZY checkpoint (r11): both reads happen inside the round's one
+        # aggregation job, so materializing there instead of in a separate
+        # eager job saves a full job per round — same data, same cut.
+        labels = labels.localCheckpoint(eager=False)
         msgs = edges.join(
             _hinted_node_dim(labels.withColumnRenamed("node", "src"), hint),
             "src",
         ).select(F.col("dst").alias("node"), "label")
         votes = msgs.union(labels.select("node", "label"))
+        # ONE exchange per round (r11): hash-partitioning the vote stream
+        # by node satisfies the clustered distribution of BOTH downstream
+        # aggregates (count by (node, label), then the per-node argmax), so
+        # the planner inserts no further exchange — 2 exchanges + 2 stage
+        # barriers per round become 1. Trade-off stated: the single
+        # exchange carries the raw (node, label) votes (two longs/row)
+        # without the counts partial aggregation, which only reduces
+        # volume once labels converge; measured fused-vs-plain at sf0.1
+        # (alternating in-session reps) 7.63s vs 8.79s with identical
+        # assignments.
+        votes = votes.repartition("node")
         counts = votes.groupBy("node", "label").agg(
             F.count("*").cast("long").alias("cnt")
         )

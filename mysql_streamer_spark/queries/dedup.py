@@ -748,8 +748,9 @@ def connected_components(edges: DataFrame) -> DataFrame:
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     # materialize the edge list once — every propagation round joins it,
     # and without this each round re-executes the whole pair-generation
-    # lineage (measured ~3x the query cost at sf0.1)
-    ).localCheckpoint()
+    # lineage (measured ~3x the query cost at sf0.1). Lazy: the count()
+    # below materializes it, so an eager cut would pay a duplicate job.
+    ).localCheckpoint(eager=False)
     n_edges = both.count()
     spark = both.sparkSession
     if n_edges <= 2 * CC_DRIVER_MAX_EDGES:  # `both` holds each edge twice
@@ -761,7 +762,7 @@ def connected_components(edges: DataFrame) -> DataFrame:
             -(-n_edges // CC_EDGES_PER_PARTITION),
         ),
     )
-    both = both.repartition(n_parts, "doc_b").localCheckpoint()
+    both = both.repartition(n_parts, "doc_b").localCheckpoint(eager=False)
     labels = (
         both.select(F.col("doc_a").alias("doc_id"))
         .distinct()
@@ -784,8 +785,9 @@ def connected_components(edges: DataFrame) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            # truncate lineage per round, or iteration N recomputes all N-1
-            .localCheckpoint()
+            # truncate lineage per round, or iteration N recomputes all
+            # N-1. Lazy: the convergence count below materializes it.
+            .localCheckpoint(eager=False)
         )
         changed = (
             round_out.filter(F.col("label") != F.col("old_label")).limit(1).count()
