@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mysql_streamer_spark.queries.registry import QuerySpec
-from mysql_streamer_spark.tables import load_table
+from mysql_streamer_spark.tables import load_table, spread
 
 #: exact integer cents from a double money column (same expr both engines)
 def _cents(col: str) -> F.Column:
@@ -2735,7 +2735,14 @@ def _copurchase_edges(
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    # spread the PROBE side (r11, guide §2.5): the fixture is one parquet
+    # split, so the broadcast-join pair expansion and the partial distinct
+    # aggregate all ran in a single task; the guarded repartition unlocks
+    # every core locally and is a structural no-op at cluster scale. The
+    # broadcast build side stays as scanned.
+    a = spread(li, "l_orderkey").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
+    )
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
     joined = a.join(b, "ok")
     if directed:

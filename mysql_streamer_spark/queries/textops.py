@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mysql_streamer_spark import text as tx
+from mysql_streamer_spark import text_kernels as tk
 from mysql_streamer_spark.queries.registry import QuerySpec
 from mysql_streamer_spark.tables import load_table, spread
 
@@ -319,23 +320,12 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, no skew beyond a single document's shingle count, and the final
     join is doc-dimension vs doc-dimension. The wide text/shingle arrays
     never shuffle — only (doc_id, shingle) pairs do."""
-    df = _docs_with_tokens(spark, sf_dir).withColumn("shingles", tx.shingles_col())
-    base = df.select(
-        "doc_id",
-        F.size("toks").alias("n_tokens"),
-        F.size(F.array_distinct("toks")).alias("n_distinct_tokens"),
-        F.size("shingles").alias("n_shingles"),
-    )
-    counts = (
-        df.select("doc_id", F.explode("shingles").alias("shingle"))
-        .groupBy("doc_id", "shingle")
-        .agg(F.count("*").alias("cnt"))
-    )
-    top = counts.groupBy("doc_id").agg(
-        F.max("cnt").alias("top_shingle_count"),
-        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))).alias(
-            "dup_shingle_tokens"
-        ),
+    # map-only Arrow kernel (text_kernels, guide §4.2): every statistic is
+    # a within-document property, so the (doc_id, shingle) explode + two
+    # hash-aggregates + join collapse into one pass; the double math stays
+    # in the JVM expressions below, identical to the pre-kernel form
+    stats = tk.doc_repetition_stats(
+        spread(load_table(spark, sf_dir, "documents"), "doc_id")
     )
     dup_frac = F.lit(1.0) - (
         F.col("n_distinct_tokens").cast("double") / F.col("n_tokens").cast("double")
@@ -345,9 +335,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("top_shingle_count").cast("double") / F.col("n_shingles").cast("double"),
     ).otherwise(F.lit(0.0))
     return (
-        base.join(top, "doc_id", "left")
-        .withColumn("top_shingle_count", F.coalesce("top_shingle_count", F.lit(0)))
-        .withColumn("dup_shingle_tokens", F.coalesce("dup_shingle_tokens", F.lit(0)))
+        stats
         .select(
             "doc_id",
             "n_tokens",
@@ -1725,6 +1713,13 @@ FROM per_doc CROSS JOIN m
 TR_ITERS = 5
 TR_SCALE = 10**12
 TR_TOP_K = 20
+#: Driver-fold cap for the vocab-bounded rank iteration: 1M edges of two
+#: short words is tens of MB on the driver — far past any Heaps-law
+#: vocabulary the fixture generator (or a real lowercase-word corpus at
+#: 100 TB: the co-occurrence graph grows with VOCABULARY, not corpus
+#: rows) produces, while the distributed power loop stays in place for
+#: anything bigger.
+TR_DRIVER_MAX_EDGES = 1_000_000
 
 
 def q_text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1751,24 +1746,48 @@ def q_text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference scope note: no text surface in the CDC reference —
     SURVEY.md §7 phase-5 text extension."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    tok = docs.select(tx.tokens_col("text").alias("toks")).filter(
-        F.size("toks") >= 2
-    )
-    bi = tok.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(toks) - 2), "
-                "i -> named_struct('w1', toks[i], 'w2', toks[i + 1]))"
-            )
-        ).alias("b")
-    ).select("b.w1", "b.w2")
-    und = bi.filter(F.col("w1") != F.col("w2"))
+    # Arrow bigram kernel (text_kernels, guide §4.2): per-doc-distinct
+    # adjacent pairs feed the same corpus-level distinct the interpreted
+    # named_struct transform fed — identical edge set, no per-token
+    # interpreted lambda frames
+    und = tk.adjacent_token_pairs(docs)
     edges = (
         und.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
         .unionByName(und.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))
         .distinct()
         .persist()
     )
+    # Vocabulary-bounded driver fold (r11, the _driver_union_find
+    # discipline): the co-occurrence graph is vocab x vocab — Heaps-law
+    # sublinear in corpus size, 930 edges at sf0.1 — while the distributed
+    # power loop paid TR_ITERS x 2 broadcast builds + joins of machinery
+    # for it (~6s of the 7.2s query). Under the explicit edge cap the
+    # iteration runs as exact Python-int arithmetic on the collected edge
+    # list (same BIGINT div steps, bit-identical ranks; UTF-8 string order
+    # equals code-point order, so the tie-break sort matches too); past
+    # the cap the distributed loop below runs unchanged.
+    n_edges = edges.count()
+    if n_edges <= TR_DRIVER_MAX_EDGES:
+        pairs = [(row[0], row[1]) for row in edges.collect()]
+        deg_d: dict[str, int] = {}
+        for s, _d in pairs:
+            deg_d[s] = deg_d.get(s, 0) + 1
+        n_nodes = max(len(deg_d), 1)
+        base_v = TR_SCALE // n_nodes
+        r_d = {w: base_v for w in deg_d}
+        for _ in range(TR_ITERS):
+            sums: dict[str, int] = {}
+            for s, d in pairs:
+                sums[d] = sums.get(d, 0) + r_d[s] // deg_d[s]
+            r_d = {
+                w: (15 * base_v) // 100 + (85 * sums.get(w, 0)) // 100
+                for w in deg_d
+            }
+        top = sorted(r_d.items(), key=lambda kv: (-kv[1], kv[0]))[:TR_TOP_K]
+        return spark.createDataFrame(
+            [(w, deg_d[w], rv, rv / TR_SCALE) for w, rv in top],
+            "word string, deg long, rank_micros long, rank_frac double",
+        )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = deg.select(F.col("src").alias("word"), "deg")
     base = nodes.agg(

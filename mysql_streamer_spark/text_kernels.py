@@ -87,6 +87,110 @@ def shingle_postings(
     return src.mapInArrow(kernel, f"{id_col} long, shingle string")
 
 
+def doc_repetition_stats(
+    docs: DataFrame,
+    k: int = SHINGLE_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens, n_distinct_tokens, n_shingles, top_shingle_count):
+    the per-document repetition statistics, map-only — replaces the
+    (doc_id, shingle) explode + two hash-aggregates + join with one pass
+    (every stat is a within-document property). Reproduces the JVM
+    composition exactly, including ``size(NULL) = -1`` for null text and
+    ``top_shingle_count = 0`` where no shingles exist (the left-join
+    coalesce)."""
+    import pyarrow as pa
+
+    src = docs.select(id_col, text_col)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from collections import Counter
+
+        for b in batches:
+            n_tok: list[int] = []
+            n_dis: list[int] = []
+            n_sh: list[int] = []
+            top: list[int] = []
+            for t in b.column(1).to_pylist():
+                if t is None:
+                    # split(NULL) -> NULL tokens: size(NULL) is NULL, but
+                    # the shingle CASE yields array() -> n_shingles = 0
+                    n_tok.append(None)
+                    n_dis.append(None)
+                    n_sh.append(0)
+                    top.append(0)
+                    continue
+                toks = t.split(TOKEN_DELIM)
+                n = len(toks) - k + 1
+                n_tok.append(len(toks))
+                n_dis.append(len(set(toks)))
+                if n <= 0:
+                    n_sh.append(0)
+                    top.append(0)
+                    continue
+                join = TOKEN_DELIM.join
+                counts = Counter(join(toks[i : i + k]) for i in range(n))
+                n_sh.append(n)
+                top.append(max(counts.values()))
+            yield pa.record_batch(
+                [
+                    b.column(0),
+                    pa.array(n_tok, pa.int32()),
+                    pa.array(n_dis, pa.int32()),
+                    pa.array(n_sh, pa.int32()),
+                    pa.array(top, pa.int64()),
+                ],
+                names=[
+                    id_col,
+                    "n_tokens",
+                    "n_distinct_tokens",
+                    "n_shingles",
+                    "top_shingle_count",
+                ],
+            )
+
+    return src.mapInArrow(
+        kernel,
+        f"{id_col} long, n_tokens int, n_distinct_tokens int, "
+        "n_shingles int, top_shingle_count long",
+    )
+
+
+def adjacent_token_pairs(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(w1, w2) adjacent-token pairs with w1 != w2, deduplicated PER
+    DOCUMENT — feeds a corpus-level distinct, which is unchanged by the
+    per-doc dedup (distinct of a multiset ignores multiplicity). Replaces
+    the interpreted ``transform(sequence(...), i -> named_struct(...))``
+    bigram explode."""
+    import pyarrow as pa
+
+    src = docs.select(text_col)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            w1s: list[str] = []
+            w2s: list[str] = []
+            for t in b.column(0).to_pylist():
+                if t is None:
+                    continue
+                toks = t.split(TOKEN_DELIM)
+                seen = dict.fromkeys(
+                    p for p in zip(toks, toks[1:]) if p[0] != p[1]
+                )
+                for a, c in seen:
+                    w1s.append(a)
+                    w2s.append(c)
+            yield pa.record_batch(
+                [pa.array(w1s, pa.string()), pa.array(w2s, pa.string())],
+                names=["w1", "w2"],
+            )
+
+    return src.mapInArrow(kernel, "w1 string, w2 string")
+
+
 def shingle_sets(
     docs: DataFrame,
     k: int = SHINGLE_K,

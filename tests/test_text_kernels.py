@@ -81,6 +81,66 @@ def test_shingle_sets_matches_jvm_composition_with_keep(spark, docs):
     assert jvm.count() == ker.count()
 
 
+def test_adjacent_token_pairs_matches_jvm_bigrams(spark, docs):
+    """Corpus-level DISTINCT of the kernel's per-doc-deduped pairs must
+    equal the distinct of the interpreted named_struct bigram explode."""
+    tok = docs.select(tx.tokens_col("text").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    jvm = (
+        tok.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2), "
+                    "i -> named_struct('w1', toks[i], 'w2', toks[i + 1]))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .filter(F.col("w1") != F.col("w2"))
+        .distinct()
+    )
+    ker = tk.adjacent_token_pairs(docs).distinct()
+    assert jvm.count() == ker.count()
+    assert jvm.exceptAll(ker).count() == 0
+    assert ker.exceptAll(jvm).count() == 0
+
+
+def test_doc_repetition_stats_matches_jvm_composition(spark, docs):
+    df = docs.withColumn("toks", tx.tokens_col("text")).withColumn(
+        "shingles", tx.shingles_col()
+    )
+    base = df.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct_tokens"),
+        F.size("shingles").alias("n_shingles"),
+    )
+    top = (
+        df.select("doc_id", F.explode("shingles").alias("shingle"))
+        .groupBy("doc_id", "shingle")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_shingle_count"))
+    )
+    jvm = base.join(top, "doc_id", "left").withColumn(
+        "top_shingle_count", F.coalesce("top_shingle_count", F.lit(0))
+    )
+    ker = tk.doc_repetition_stats(docs)
+    assert jvm.count() == ker.count()
+    cond = " OR ".join(
+        f"j.{c} IS DISTINCT FROM k.{c}"
+        for c in (
+            "n_tokens",
+            "n_distinct_tokens",
+            "n_shingles",
+            "top_shingle_count",
+        )
+    )
+    joined = jvm.alias("j").join(ker.alias("k"), "doc_id", "full_outer")
+    assert joined.filter(F.expr(cond)).count() == 0
+
+
 def test_shingle_sets_signed_matches_jvm_signature(spark, docs):
     """sig_i must equal the JVM sliced-min-md5 over the RAW shingle bag
     (the kernel computes it over the distinct set — a min never changes
