@@ -48,7 +48,6 @@ from mysql_streamer_spark.cdc.encryption import (
     _random_iv_udf,
     _restore_payload_columns,
     _seal,
-    load_key_ring,
 )
 from mysql_streamer_spark.connectors.avro_wire import (
     SECURE_ENVELOPE_SCHEMA,
@@ -239,6 +238,12 @@ def avro_open_secure_envelope(wire: DataFrame, config_or_ring) -> DataFrame:
                     rec["payload_ciphertext"],
                     rec["previous_payload_ciphertext"],
                 )
+                # strict decode is safe by invariant: _seal only ever
+                # encrypts UTF-8 JSON the JVM rendered with to_json, so
+                # authenticated plaintext is always valid UTF-8 (the
+                # composed path's binary->string cast would silently
+                # replace invalid bytes; nothing can produce them here,
+                # and HMAC rejects foreign ciphertext before decode)
                 cols["payload_plain"].append(
                     None if ct is None else _open(key, ct, miv).decode("utf-8")
                 )

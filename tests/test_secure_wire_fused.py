@@ -155,13 +155,30 @@ def test_fused_ring_roundtrip_matches_composed(env):
 
 def test_fused_open_rejects_tampered_ciphertext(spark, env, cfg):
     """A flipped wire byte inside the ciphertext must fail HMAC-first in
-    the fused kernel, same as the composed _open."""
+    the fused kernel, same as the composed _open. (r11, ADVICE r10: the
+    old byte-at--24 flip landed inside the trailing meta ARRAY, so the
+    failure was an Avro/Unicode decode error and the broad regex passed
+    without ever exercising HMAC verification.)"""
+    from mysql_streamer_spark.connectors.avro_wire import (
+        SECURE_ENVELOPE_SCHEMA,
+        compile_decoder,
+        compile_encoder,
+    )
+
     raw = [bytes(r.value) for r in seal_to_avro(env.limit(4), cfg).collect()]
-    # flip a byte near the END of the record: ciphertext bytes live after
-    # the flat fields, and the trailing HMAC tag protects all of them
-    bad = raw[0][:-24] + bytes([raw[0][-24] ^ 0xFF]) + raw[0][-23:]
+    rec, _ = compile_decoder(SECURE_ENVELOPE_SCHEMA)(raw[0], 0)
+    # compute the exact byte length of the trailing meta array with the
+    # compiled field encoder, then flip a byte 5 BEFORE it: that byte is
+    # ciphertext (previous_payload's tail when present, else payload's —
+    # both carry in-field trailing HMAC tags over IV || ct)
+    meta_suffix = bytearray()
+    compile_encoder(SECURE_ENVELOPE_SCHEMA["fields"][-1]["type"])(
+        rec["meta"], meta_suffix
+    )
+    flip = len(raw[0]) - len(meta_suffix) - 5
+    bad = raw[0][:flip] + bytes([raw[0][flip] ^ 0xFF]) + raw[0][flip + 1 :]
     wire = spark.createDataFrame([(bad,)], "value binary")
-    with pytest.raises(Exception, match="HMAC|authentication|avro|trailing"):
+    with pytest.raises(Exception, match="HMAC|authentication"):
         avro_open_secure_envelope(wire, cfg).collect()
 
 
