@@ -308,6 +308,27 @@ def main() -> None:
         "cdc_message_counts",
         "cdc_exactly_once_dedup",
     )
+    # r11 optimization showcase: the queries this round's optimizations
+    # target, ADDED to the compact printed map (the driver contract
+    # permits adding entries, never removing or renaming) so the
+    # round-over-round comparison sees them directly instead of only
+    # through the detail file. ~14 short entries keep the line compact.
+    r11_set = (
+        "analytics_community_lpa",
+        "analytics_kcore",
+        "analytics_copurchase_pagerank",
+        "streaming_late_data",
+        "streaming_dedup_replay",
+        "streaming_windowed_counts",
+        "streaming_transform_with_state",
+        "dedup_jaccard_ngram",
+        "dedup_lsh_tuning",
+        "dedup_containment",
+        "dedup_shingle_df_profile",
+        "dedup_minhash_pairs",
+        "text_textrank_keywords",
+        "text_repetition",
+    )
     # Full per-query detail goes to a FILE: with 189 queries the inline map
     # makes the JSON line so long that the driver's tail-capture truncates
     # its head and records "parsed": null (seen in BENCH_r02/r03). The line
@@ -357,7 +378,11 @@ def main() -> None:
                 "metric": "total_query_wall_seconds",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": {q: timings[q] for q in r1_set if q in timings},
+                "queries": {
+                    q: timings[q]
+                    for q in (*r1_set, *r11_set)
+                    if q in timings
+                },
                 "n_queries": len(timings),
                 "r1_baseline_subset_seconds": round(
                     sum(timings.get(q, 0.0) for q in r1_set), 3

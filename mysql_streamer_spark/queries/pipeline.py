@@ -155,17 +155,21 @@ def q_pipeline_decontaminate_sweep(spark: SparkSession, sf_dir: str) -> DataFram
     train totals broadcast back on. Text never shuffles; no corpus
     self-join at any n."""
     is_eval = F.col("doc_id") % EVAL_MODULUS == 0
+    # token counts stay a JVM expression (split+size is codegen, no
+    # higher-order lambda); the per-leg shingling moves to the Arrow
+    # kernel (text_kernels, guide §4.2) with n_toks riding through
     base = (
         spread(load_table(spark, sf_dir, "documents"))
-        .withColumn("toks", tx.tokens_col("text"))
-        .select("doc_id", "toks", F.size("toks").alias("n_toks"))
+        .select(
+            "doc_id",
+            F.size(tx.tokens_col("text")).alias("n_toks"),
+            "text",
+        )
         .persist()
     )
     legs = []
     for n in DECON_SWEEP_NS:
-        sh = base.withColumn(
-            "sset", F.array_distinct(tx.shingles_col("toks", n))
-        ).filter(F.size("sset") > 0)
+        sh = tk.shingle_sets(base, k=n, keep=("n_toks",))
         eval_shingles = (
             sh.filter(is_eval).select(F.explode("sset").alias("shingle")).distinct()
         )
